@@ -1,0 +1,119 @@
+"""SparkSession factory and engine facade.
+
+The reference's ``masterLoop`` boot path (src/Kinesis/Coordination.hs:81-112)
+assembles AppEnv config + node registration + a hand-rolled control loop.
+Spark-first, all of that is session configuration: the driver owns
+coordination, the cluster manager owns membership, and our job is to pick
+the right confs for scale.
+
+Scale posture (100 TB / 1000 executors):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic join-strategy switch (sort-merge -> broadcast when a side turns
+  out small).
+- ``spark.sql.shuffle.partitions`` is a *default* sized for local tests;
+  on a real cluster AQE's coalescing makes the initial number mostly
+  irrelevant as long as it is high enough (set ~2-3x total cores there).
+- Arrow on: every Pandas-UDF hop is Arrow-batched, never per-row pickle.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough (at any realistic scale factor) to broadcast in joins.
+#: region/nation are fixed-size in TPC-H-like schemas regardless of SF.
+BROADCASTABLE = {"region", "nation"}
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "kinesis-app-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local tests run ``local[32]``; the same conf set is what we would ship
+    to a 1000-executor cluster, minus the master URL.
+    """
+    builder = SparkSession.builder.appName(app_name).master(
+        master or _default_master()
+    )
+    conf = {
+        # --- correctness-critical ---
+        "spark.sql.session.timeZone": "UTC",
+        # --- adaptive execution: the 100 TB workhorse ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- shuffle sizing (local default; cluster: ~2-3x total cores) ---
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        # --- Python boundary: always Arrow, never per-row pickle ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # --- scan sizing: keep file-split partitions memory-friendly ---
+        "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+        # --- broadcast threshold: generous; dims here are tiny ---
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # quieter local runs
+        "spark.ui.enabled": "false",
+        "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class Engine:
+    """Facade: one object holding the session and the table catalog.
+
+    ``Engine(spark, sf_dir).table("lineitem")`` is the entry point every
+    operator/test uses; tables are plain parquet scans so Catalyst gets
+    predicate pushdown + column pruning + partition pruning for free.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {t: self.table(t) for t in TABLES}
+
+    def register_views(self) -> None:
+        """Register all tables as temp views so ``spark.sql`` works on them."""
+        for t in TABLES:
+            self.table(t).createOrReplaceTempView(t)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)

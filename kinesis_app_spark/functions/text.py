@@ -1,0 +1,73 @@
+"""Text primitives: tokenization, shingling, normalization, fingerprinting.
+
+All pure Column expressions (regexp/split/transform/md5/xxhash64) — JVM-side,
+codegen-eligible, deterministic. These feed the dedup and text-analysis
+operators; at 100 TB the tokenizer being a regexp inside whole-stage codegen
+(instead of a Python UDF) is the difference between a scan-bound job and a
+CPU-bound one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish word/token pattern: words, numbers, or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_ws(text: Column) -> Column:
+    """Lowercase + collapse all whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_ws(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(normalize_ws(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of TOKEN_PATTERN matches — a BPE-ish proxy for LLM token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>) of the normalized text.
+
+    Built with sequence+transform+slice — no explode, no shuffle: shingling
+    stays a per-row map operation, which matters when the downstream MinHash
+    runs over billions of documents.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    The canonical exact-dedup key — two documents that differ only in case
+    or whitespace collide.
+    """
+    return F.md5(normalize_ws(text))
+
+
+def rolling_hashes(text: Column, window: int = 8) -> Column:
+    """Per-position rolling window hashes (array<bigint>) for winnowing-style
+    fingerprinting: xxhash64 of each `window`-token slice."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " "))
+    )

@@ -1,0 +1,339 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a 128-bit fingerprint — one shuffle of
+  (fingerprint, id), never of full text.
+- MinHash signatures are computed per-row with JVM-side xxhash64 inside
+  whole-stage codegen (no Python UDF), then LSH banding turns the O(n^2)
+  pair problem into an equi-join on (band_idx, band_hash) — the only
+  all-pairs work left is within buckets.
+- The exact n-gram Jaccard join (inverted-index self-join) is the
+  SQL-expressible oracle twin of the MinHash path.
+- Embedding near-dup offers an exact quadratic mode (oracle-checkable) and
+  a random-hyperplane-LSH-bucketed mode (the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.functions.text import fingerprint, word_shingles
+from kinesis_app_spark.functions.vector import cosine_similarity
+
+
+# ---------- exact ----------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + group size."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor rows only (min id per fingerprint). Single window pass —
+    one shuffle on the fingerprint, no join back."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------- exact n-gram Jaccard (inverted-index self-join) ----------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Exact algorithm via inverted index: explode distinct shingles, self-join
+    postings on the shingle, count co-occurrences, then
+    J = inter / (|A| + |B| - inter). Shuffles on the shingle — no cartesian
+    product; at scale, add a document-frequency cap on hot shingles (stop
+    shingles) before the self-join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    postings = sh.select("id", F.explode("shingles").alias("shingle"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# ---------- MinHash + LSH ----------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """array<bigint> MinHash signature, fully JVM-side:
+    sig[i] = min over shingles of xxhash64(i, shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    bands=16 x rows=4 over 64 hashes targets ~J>=0.5 candidates
+    (P(candidate) = 1-(1-J^4)^16). Candidate generation is an equi-join on
+    (band_idx, band_hash); verification computes exact Jaccard from the
+    (small) candidate set via array_intersect on the stored shingle sets.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.xxhash64(
+                        bi,
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------- SimHash ----------
+
+def simhash_bits(tokens: Column, num_bits: int = 64) -> Column:
+    """SimHash as a bit-string column (e.g. 64 chars of '0'/'1').
+
+    String representation avoids 64-bit sign overflow and keeps banding a
+    cheap substring. Per-bit counts are JVM aggregate expressions over the
+    token-hash array — one xxhash64 per token, reused across bits.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_counter(bit: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and break pyspark's higher-order-function lambda binding
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_chars = []
+    for bit in range(num_bits):
+        c = F.aggregate(hashes, F.lit(0), bit_counter(bit))
+        bit_chars.append(F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_chars)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on num_bits/bands-bit substrings
+    (pigeonhole: hamming <= bands-1 guarantees a shared band), verify exact
+    Hamming distance."""
+    from kinesis_app_spark.functions.text import tokens as tok
+
+    band_width = num_bits // bands
+    s = df.select(
+        F.col(id_col).alias("id"),
+        simhash_bits(tok(F.col(text_col)), num_bits).alias("sh"),
+    )
+    banded = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.col("sh").substr(bi * band_width + 1, F.lit(band_width)).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sh_a"), ""),
+            F.split(F.col("sh_b"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------- embedding cosine near-dup ----------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.40,
+    lsh_bits: int = 0,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold.
+
+    lsh_bits=0: exact all-pairs (oracle-checkable; only for small/sampled
+    inputs). lsh_bits>0: random-hyperplane signatures (deterministic seeded
+    planes) bucket vectors first, so the quadratic work happens within
+    buckets only — the 100 TB path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if lsh_bits > 0:
+        sig = _hyperplane_signature(df, vec_col, lsh_bits)
+        a = a.join(sig.withColumnRenamed(id_col, "id_a"), "id_a")
+        b = b.join(sig.withColumnRenamed(id_col, "id_b"), "id_b")
+        joined = a.join(b, (F.col("id_a") < F.col("id_b")) & (a["sig"] == b["sig"]))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _hyperplane_signature(df: DataFrame, vec_col: str, bits: int) -> DataFrame:
+    """Deterministic random-hyperplane LSH signature: sign pattern of dot
+    products against `bits` pseudo-random planes derived from xxhash64 of
+    (plane_idx, dim_idx) — reproducible with no RNG state."""
+    dim = F.size(F.col(vec_col))
+
+    def plane_weights(p: int):
+        # hash -> [-1, 1] pseudo-weight; closure factory keeps lambda arity 1
+        return F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda d: (F.xxhash64(F.lit(p), d) % 1000).cast("double") / 500.0 - 1.0,
+        )
+
+    sig = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), plane_weights(p), lambda x, w: x.cast("double") * w
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(bits)
+        ]
+    )
+    id_col = df.columns[0]
+    return df.select(F.col(id_col), sig.alias("sig"))

@@ -1,0 +1,106 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column algebra (regexp / split / higher-order functions) — the
+whole module runs inside whole-stage codegen, so at 100 TB these are
+scan-bound, not CPU-bound. Each has an exact ANSI-SQL twin used as the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    normalize_ws,
+    token_count,
+    tokens,
+)
+
+#: marker (stop)words per language for the n-gram/stopword language-ID
+#: heuristic. Order matters: deterministic tie-break = first in this list.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("zh0", "zh1", "zh2", "zh3", "zh4"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts and mean token length per doc."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic [0,1] quality score: length component + stopword ratio
+    + alphabetic-character ratio. The shape (not the exact weights) is the
+    standard pretraining-data quality heuristic."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop_ratio = _marker_count(toks, STOPWORDS).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    len_score = F.least(n_tok, F.lit(100)).cast("double") / 100.0
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(
+            0.4 * len_score + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    ties broken by LANG_MARKERS declaration order (en first)."""
+    toks = tokens(F.col(text_col))
+    counts = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_n = counts[langs[0]]
+    for lang in langs[1:]:
+        better = counts[lang] > best_n
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_n = F.when(better, counts[lang]).otherwise(best_n)
+    return df.select(
+        F.col(id_col),
+        best.alias("pred_lang"),
+        best_n.alias("marker_hits"),
+    )
+
+
+def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable md5 fingerprint of the whitespace/case-normalized text."""
+    return df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+        normalize_ws(F.col(text_col)).substr(1, 40).alias("norm_prefix"),
+    )

@@ -1,0 +1,1097 @@
+"""Query registry: every operator surfaced as a (Spark query, DuckDB oracle)
+pair.
+
+This is the engine's coverage contract (SURVEY.md §2.2): each entry is a
+named query ``(spark, sf_dir) -> DataFrame`` plus — where ANSI-SQL can
+express the semantics — an equivalent DuckDB SQL string over the same
+parquet tables. The driver (and tests/test_correctness.py) run both and
+compare row count + schema + order-insensitive value hash.
+
+Conventions that keep the cross-engine hash stable:
+- every aggregate/computed column is aliased identically on both sides;
+- double aggregates are ROUND()ed on both sides;
+- LIMIT/top-k queries order by rounded measures + a unique key tiebreak;
+- integer widths: counts/sums cast to BIGINT on the DuckDB side (DuckDB
+  sums integers into HUGEINT), sizes cast to long on the Spark side;
+- all timestamp arithmetic is microsecond-exact on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators import dedup as D
+from kinesis_app_spark.operators import multimodal as MM
+from kinesis_app_spark.operators import relational as R
+from kinesis_app_spark.operators import similarity as SIM
+from kinesis_app_spark.operators import textanalysis as TA
+from kinesis_app_spark.operators.asof import asof_join
+from kinesis_app_spark.operators.sessionize import session_stats
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from kinesis_app_spark.sources.batch import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# =====================================================================
+# TPC-H-adapted relational battery
+# =====================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """Full snowflake join; region/nation broadcast (fixed-size dims)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q6_revenue_change(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def q19_bracket_revenue(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# =====================================================================
+# window functions / top-k / grouping sets / set ops
+# =====================================================================
+
+def window_customer_order_analytics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(wd).alias("order_seq"),
+        F.lag("o_totalprice").over(wd).alias("prev_price"),
+        F.lead("o_orderdate").over(wd).alias("next_date"),
+        F.round(
+            F.sum("o_totalprice").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.rank().over(wp).alias("price_rank"),
+        F.ntile(4).over(wd).alias("date_quartile"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER wd AS INTEGER) AS order_seq,
+       lag(o_totalprice)  OVER wd AS prev_price,
+       lead(o_orderdate)  OVER wd AS next_date,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+       CAST(ntile(4) OVER wd AS INTEGER) AS date_quartile
+FROM orders
+WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def topk_parts_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return R.top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        keys=["p_brand"],
+        order=[F.col("p_retailprice").desc(), F.col("p_partkey")],
+        k=3,
+        rank_col="rn",
+        keep_rank=True,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
+TOPK_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+FROM part
+QUALIFY rn <= 3
+"""
+
+
+def rollup_lineitem_flags(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return R.rollup_agg(
+        l,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_spend"),
+        ],
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend,
+       round(avg(o_totalprice), 4) AS avg_spend
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def groupingsets_customer_segments(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               round(sum(c_acctbal), 2) AS acctbal_sum, count(*) AS n
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+GROUPINGSETS_SQL = """
+SELECT c_mktsegment, c_nationkey,
+       round(sum(c_acctbal), 2) AS acctbal_sum, count(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+def semi_join_urgent_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return R.semi_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_join_customers_no_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.anti_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def setop_union_valued(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return R.union_distinct(a, b)
+
+
+SETOP_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def setop_intersect_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return R.intersect_(a, b)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def setop_except_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return R.except_(a, b)
+
+
+SETOP_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def distinct_nation_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return R.distinct(c.select("c_nationkey", "c_mktsegment"))
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — implementation-specific value,
+    so no cross-engine oracle (rows-only check)."""
+    e = _t(spark, sf_dir, "events")
+    return R.approx_distinct(e, "user_id")
+
+
+# =====================================================================
+# scalar functions / dates / json
+# =====================================================================
+
+def scalar_events_enriched(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("etype"),
+        F.substring("event_type", 1, 3).alias("etype3"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.round(F.sqrt("value"), 4).alias("vsqrt"),
+        F.round(F.log(F.col("value") + 1.0), 4).alias("vlog"),
+    )
+
+
+SCALAR_SQL = """
+SELECT event_id,
+       upper(event_type) AS etype,
+       substr(event_type, 1, 3) AS etype3,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(day(ts) AS BIGINT) AS d,
+       CAST(hour(ts) AS BIGINT) AS h,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       round(sqrt(value), 4) AS vsqrt,
+       round(ln(value + 1.0), 4) AS vlog
+FROM events
+"""
+
+
+def monthly_event_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("month", F.col("ts")).alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+MONTHLY_SQL = """
+SELECT date_trunc('month', ts) AS month, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum,
+       round(avg(value), 4) AS value_avg,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('month', ts), event_type
+"""
+
+
+# =====================================================================
+# sessionization / time windows (batch twins of the streaming ops)
+# =====================================================================
+
+def sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=30.0)
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def tumbling_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 day")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000 + 86400000000) AS window_end,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_event_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT make_timestamp(((epoch_us(ts) // 3600000000) - j) * 3600000000) AS window_start,
+       make_timestamp(((epoch_us(ts) // 3600000000) - j + 2) * 3600000000) AS window_end,
+       count(*) AS n_events
+FROM events, unnest([0, 1]) AS t(j)
+GROUP BY 1, 2
+"""
+
+
+def session_window_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# =====================================================================
+# as-of / range joins
+# =====================================================================
+
+def asof_purchase_last_click(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["last_click_id", "last_click_value"],
+    ).select("event_id", "user_id", "ts", "last_click_id", "last_click_value")
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS last_click_id, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def range_join_price_bands(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 925.0), ("mid", 925.0, 950.0),
+         ("high", 950.0, 975.0), ("lux", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return R.range_join(
+        p,
+        F.broadcast(bands),
+        lower=F.col("p_retailprice") >= F.col("lo"),
+        upper=F.col("p_retailprice") < F.col("hi"),
+    ).select("p_partkey", "band")
+
+
+RANGE_JOIN_SQL = """
+SELECT p_partkey, band
+FROM part
+JOIN (VALUES ('low', 900.0, 925.0), ('mid', 925.0, 950.0),
+             ('high', 950.0, 975.0), ('lux', 975.0, 1000.0)) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+"""
+
+
+# =====================================================================
+# dedup suite (documents / embeddings)
+# =====================================================================
+
+def dedup_exact_groups(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_GROUPS_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_exact_survivors(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+DEDUP_EXACT_SURVIVORS_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+  ORDER BY doc_id) = 1
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM norm
+  WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash banding (xxhash64) — hash family is Spark-specific, so no
+    SQL oracle; invariants tested in tests/test_dedup.py (candidate set
+    superset of exact high-Jaccard pairs on fixture data)."""
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates — xxhash64 bit arithmetic, no SQL oracle."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
+"""
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+def knn_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+KNN_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos,
+       CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                  c.vec_id) AS INTEGER) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+JOIN embeddings c ON c.vec_id != q.vec_id
+QUALIFY rank <= 5
+"""
+
+
+def knn_ivf(spark, sf_dir):
+    """IVF approximate ANN — recall vs brute force asserted in tests; no
+    SQL oracle (approximation is engine-defined)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+def text_token_stats(spark, sf_dir):
+    return TA.token_stats(_t(spark, sf_dir, "documents"))
+
+
+TEXT_TOKENS_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt, text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(nt) = 0 THEN 0 ELSE len(string_split(nt, ' ')) END AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       round(list_sum(list_transform(string_split(nt, ' '), t -> length(t)))::DOUBLE
+             / greatest(len(string_split(nt, ' ')), 1), 4) AS avg_token_len
+FROM norm
+"""
+
+
+def text_quality_scores(spark, sf_dir):
+    return TA.quality_score(_t(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = """
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','it','on','for')))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha_ratio,
+         least(len(toks), 100)::DOUBLE / 100.0 AS len_score
+  FROM norm
+)
+SELECT doc_id, round(stop_ratio, 4) AS stop_ratio, round(alpha_ratio, 4) AS alpha_ratio,
+       round(0.4 * len_score + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4) AS quality
+FROM parts
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    return TA.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# NOTE: keep marker lists in sync with textanalysis.LANG_MARKERS
+TEXT_LANGID_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('the','a','of','and','is')))   AS c_en,
+         len(list_filter(t, x -> x IN ('el','la','de','y','es')))     AS c_es,
+         len(list_filter(t, x -> x IN ('le','la','de','et','est')))   AS c_fr,
+         len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+         len(list_filter(t, x -> x IN ('zh0','zh1','zh2','zh3','zh4'))) AS c_zh
+  FROM toks
+)
+SELECT doc_id,
+       CASE
+         WHEN c_zh > greatest(c_en, c_es, c_fr, c_de) THEN 'zh'
+         WHEN c_de > greatest(c_en, c_es, c_fr)       THEN 'de'
+         WHEN c_fr > greatest(c_en, c_es)             THEN 'fr'
+         WHEN c_es > c_en                             THEN 'es'
+         ELSE 'en'
+       END AS pred_lang,
+       CAST(greatest(c_en, c_es, c_fr, c_de, c_zh) AS INTEGER) AS marker_hits
+FROM counts
+"""
+
+
+def text_fingerprints(spark, sf_dir):
+    return TA.fingerprint_docs(_t(spark, sf_dir, "documents"))
+
+
+TEXT_FP_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40) AS norm_prefix
+FROM documents
+"""
+
+
+# =====================================================================
+# multimodal plumbing
+# =====================================================================
+
+def multimodal_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.attach_payload(docs))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5,
+       lower(hex(substr(text, 1, 8))) AS head_hex
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return MM.frame_sample(MM.attach_payload(docs), every_n_bytes=64)
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(off AS BIGINT) AS frame_offset,
+       CAST(ascii(substr(text, off + 1, 1)) AS INTEGER) AS first_byte
+FROM documents, unnest(range(0, strlen(text), 64)) AS t(off)
+"""
+
+
+# =====================================================================
+# the registry
+# =====================================================================
+
+REGISTRY: dict[str, QuerySpec] = {
+    # relational battery
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
+    "q6_revenue_change": QuerySpec(q6_revenue_change, Q6_SQL),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "q13_order_count_distribution": QuerySpec(q13_order_count_distribution, Q13_SQL),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_SQL),
+    "q18_large_volume_customers": QuerySpec(q18_large_volume_customers, Q18_SQL),
+    "q19_bracket_revenue": QuerySpec(q19_bracket_revenue, Q19_SQL),
+    # windows / top-k / grouping
+    "window_customer_order_analytics": QuerySpec(
+        window_customer_order_analytics, WINDOW_ANALYTICS_SQL
+    ),
+    "topk_parts_per_brand": QuerySpec(topk_parts_per_brand, TOPK_PARTS_SQL),
+    "rollup_lineitem_flags": QuerySpec(rollup_lineitem_flags, ROLLUP_SQL),
+    "cube_order_status_priority": QuerySpec(cube_order_status_priority, CUBE_SQL),
+    "groupingsets_customer_segments": QuerySpec(
+        groupingsets_customer_segments, GROUPINGSETS_SQL
+    ),
+    # semi/anti/set ops/distinct
+    "semi_join_urgent_customers": QuerySpec(semi_join_urgent_customers, SEMI_SQL),
+    "anti_join_customers_no_orders": QuerySpec(anti_join_customers_no_orders, ANTI_SQL),
+    "setop_union_valued": QuerySpec(setop_union_valued, SETOP_UNION_SQL),
+    "setop_intersect_status": QuerySpec(setop_intersect_status, SETOP_INTERSECT_SQL),
+    "setop_except_status": QuerySpec(setop_except_status, SETOP_EXCEPT_SQL),
+    "distinct_nation_segments": QuerySpec(distinct_nation_segments, DISTINCT_SQL),
+    "approx_distinct_users": QuerySpec(approx_distinct_users, None),
+    # scalar / dates / json
+    "scalar_events_enriched": QuerySpec(scalar_events_enriched, SCALAR_SQL),
+    "monthly_event_rollup": QuerySpec(monthly_event_rollup, MONTHLY_SQL),
+    # sessionization / time windows
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL),
+    "tumbling_event_counts": QuerySpec(tumbling_event_counts, TUMBLING_SQL),
+    "sliding_event_counts": QuerySpec(sliding_event_counts, SLIDING_SQL),
+    "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
+    # as-of / range joins
+    "asof_purchase_last_click": QuerySpec(asof_purchase_last_click, ASOF_SQL),
+    "range_join_price_bands": QuerySpec(range_join_price_bands, RANGE_JOIN_SQL),
+    # dedup
+    "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),
+    "dedup_exact_survivors": QuerySpec(dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_SQL),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    # similarity search
+    "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
+    "knn_ivf": QuerySpec(knn_ivf, None),
+    # text analysis
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKENS_SQL),
+    "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANGID_SQL),
+    "text_fingerprints": QuerySpec(text_fingerprints, TEXT_FP_SQL),
+    # multimodal
+    "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
