@@ -1,0 +1,118 @@
+"""Targeted operator unit tests (semantics on hand-built inputs, plus
+cross-checks the DuckDB oracle can't express)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.asof import asof_join
+from kinesis_app_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kinesis_app_spark.operators.multimodal import attach_payload, frame_sample
+from kinesis_app_spark.operators.similarity import brute_force_topk, ivf_topk
+from kinesis_app_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_hand_case(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00:00"), 1),
+         ("u1", _ts("2024-01-01T12:00:00"), 2),
+         ("u2", _ts("2024-01-01T09:00:00"), 3)],
+        "k string, lts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T09:30:00"), 100.0),
+         ("u1", _ts("2024-01-01T11:00:00"), 200.0),
+         ("u2", _ts("2024-01-01T09:00:00"), 300.0),   # equal ts: inclusive match
+         ("u2", _ts("2024-01-01T10:00:00"), 400.0)],
+        "k string, rts timestamp, rv double",
+    )
+    out = {
+        r["lid"]: r["rv"]
+        for r in asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    assert out == {1: 100.0, 2: 200.0, 3: 300.0}
+
+
+def test_asof_join_no_match_is_null(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T08:00:00"), 1)], "k string, lts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T09:00:00"), 5.0)], "k string, rts timestamp, rv double"
+    )
+    rows = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(rows) == 1 and rows[0]["rv"] is None
+
+
+def test_minhash_candidates_superset_of_exact(spark):
+    """LSH must not miss: at these parameters, every exact-Jaccard>=0.5
+    pair on the fixture docs is also an LSH-verified pair."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact  # fixture contains near-duplicate clusters
+    assert exact <= lsh or exact == lsh
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window query batch row value"),
+         (2, "spark window query batch row value"),
+         (3, "utterly different content entirely dissimilar tokens xyz")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_frame_sample_shape(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    frames = frame_sample(attach_payload(docs), every_n_bytes=64)
+    pdf = frames.toPandas()
+    # one row per 64-byte offset, offsets multiples of 64, bytes in range
+    assert (pdf["frame_offset"] % 64 == 0).all()
+    assert pdf["first_byte"].between(0, 255).all()
+    n_docs = docs.count()
+    assert pdf["doc_id"].nunique() == n_docs
+
+
+def test_broadcast_join_plan_has_no_shuffle_on_big_side(spark, engine):
+    """Plan-shape assertion: joining lineitem to broadcast(nation-sized dim)
+    must use BroadcastHashJoin, not SortMergeJoin."""
+    l = engine.table("lineitem")
+    n = engine.table("supplier")
+    plan = l.join(F.broadcast(n), l.l_suppkey == n.s_suppkey)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,199 @@
+"""Streaming-semantics tests — the behaviors the reference implements by
+hand become assertions here (SURVEY.md §5.3):
+
+- resume-from-checkpoint with no loss/duplication (the reference's
+  syncShardState + AfterSequenceNumber path, src/Kinesis/Coordination.hs:343-359
+  + src/Kinesis/Kinesis.hs:62-65 — but exactly-once, not at-least-once);
+- the Processor callback surface (src/Kinesis/Coordination.hs:51-53) via
+  foreachBatch with epoch-commit acks;
+- watermark/late-data handling (absent in the reference — at-tip only);
+- ClusterState-parity monitoring (src/Kinesis/Types.hs:133-142).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.sources.batch import load_table
+from kinesis_app_spark.streaming import ClusterStateListener, StreamRunner, file_stream
+from kinesis_app_spark.streaming.runner import Processor
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark):
+    return load_table(spark, SF_DIR, "events").schema
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Half the events as an initial file-stream directory (one file)."""
+    d = str(tmp_path / "stream_in")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") < 500).coalesce(1).write.parquet(d)
+    return d
+
+
+def _drain(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_stream_counts_match_batch(spark, tmp_path, events_dir, events_schema):
+    stream = file_stream(spark, events_dir, events_schema)
+    counts = stream.groupBy("event_type").count()
+    runner = StreamRunner(str(tmp_path / "ckpt"))
+    q = runner.run(counts, sink_format="memory", query_name="t_counts",
+                   output_mode="complete", available_now=True)
+    _drain(q)
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.sql("select * from t_counts").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 500)
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path, events_dir, events_schema):
+    """Kill/restart mid-stream: adding data and rerunning with the same
+    checkpoint must process each record exactly once (SURVEY.md §7.2
+    acceptance)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    runner = StreamRunner(ckpt)
+
+    q = runner.run(
+        file_stream(spark, events_dir, events_schema).select("event_id"),
+        sink_format="parquet", query_name="t_resume", path=out, available_now=True,
+    )
+    _drain(q)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 500
+
+    # "restart": new data arrives, same checkpoint
+    ev = load_table(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") >= 500).coalesce(1).write.mode("append").parquet(events_dir)
+    q = runner.run(
+        file_stream(spark, events_dir, events_schema).select("event_id"),
+        sink_format="parquet", query_name="t_resume", path=out, available_now=True,
+    )
+    _drain(q)
+    result = spark.read.parquet(out)
+    assert result.count() == 1000                      # no loss
+    assert result.select("event_id").distinct().count() == 1000  # no dupes
+
+
+def test_processor_foreach_batch(spark, tmp_path, events_dir, events_schema):
+    """The Processor surface: every record delivered to user code exactly
+    once; the epoch commit is the ack."""
+    seen: list[tuple[int, int]] = []
+
+    def processor(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    runner = StreamRunner(str(tmp_path / "ckpt3"))
+    q = runner.run_processor(
+        file_stream(spark, events_dir, events_schema),
+        processor, available_now=True,
+    )
+    _drain(q)
+    assert sum(n for _, n in seen) == 500
+
+
+def test_watermark_drops_late_rows(spark, tmp_path, events_schema):
+    """Late-data semantics the reference lacks entirely (at-tip consumption
+    only): a row older than watermark arriving in a later batch is
+    dropped from the aggregation."""
+    src = str(tmp_path / "late_in")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "ckpt4")
+    ev = load_table(spark, SF_DIR, "events")
+
+    # batch 1: the "on-time" majority (events after Jan 10)
+    on_time = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    on_time.coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = file_stream(spark, src, events_schema).withWatermark("ts", "1 hour")
+        agg = (
+            stream.groupBy(F.window("ts", "1 day").alias("w"))
+            .count()
+            .select(F.col("w.start").alias("wstart"), F.col("count"))
+        )
+        runner = StreamRunner(ckpt)
+        q = runner.run(agg, sink_format="parquet", query_name="t_late",
+                       path=out, output_mode="append", available_now=True)
+        _drain(q)
+
+    run_once()
+    # batch 2 (restart with same checkpoint -> watermark persisted at
+    # max(ts)-1h): one very late row from Jan 1
+    late = ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp")).limit(1)
+    assert late.count() == 1
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    emitted = spark.read.parquet(out).collect()
+    total_emitted = sum(r["count"] for r in emitted)
+    # all emitted counts come from closed on-time windows; the late Jan-1
+    # row must not appear in any emitted window
+    jan1_windows = [r for r in emitted if str(r["wstart"]).startswith("2024-01-01")]
+    assert jan1_windows == []
+    assert total_emitted <= on_time.count()
+
+
+def test_session_window_streaming_subset_of_batch(spark, tmp_path, events_dir, events_schema):
+    """Streamed session_window results (append mode, finalized sessions
+    only) must be a subset of the batch session_window computation."""
+    stream = file_stream(spark, events_dir, events_schema).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    runner = StreamRunner(str(tmp_path / "ckpt5"))
+    q = runner.run(agg, sink_format="memory", query_name="t_sess",
+                   output_mode="append", available_now=True)
+    _drain(q)
+    streamed = {
+        (r["user_id"], r["w"].start, r["w"].end, r["n"])
+        for r in spark.sql("select * from t_sess").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 500)
+    batch = {
+        (r["user_id"], r["w"].start, r["w"].end, r["n"])
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed <= batch
+
+
+def test_cluster_state_listener(spark, tmp_path, events_dir, events_schema):
+    """LiveStats "records" counter parity (src/Kinesis/Coordination.hs:92-94):
+    the listener's total_records equals the rows ingested."""
+    listener = ClusterStateListener()
+    spark.streams.addListener(listener)
+    try:
+        runner = StreamRunner(str(tmp_path / "ckpt6"))
+        q = runner.run(
+            file_stream(spark, events_dir, events_schema).select("event_id"),
+            sink_format="memory", query_name="t_mon", available_now=True,
+        )
+        _drain(q)
+        qid = str(q.id)
+        for _ in range(60):  # listener events are async
+            snap = listener.snapshot(qid)
+            if snap and snap.total_records >= 500 and not snap.is_active:
+                break
+            time.sleep(0.5)
+        snap = listener.snapshot(qid)
+        assert snap is not None
+        assert snap.total_records == 500
+        assert snap.batch_id >= 0
+    finally:
+        spark.streams.removeListener(listener)
