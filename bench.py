@@ -41,6 +41,7 @@ def main() -> int:
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"BENCH {timings[name]:8.2f}s {name}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — a failed query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kinesis_app_spark.functions.text import fingerprint, word_shingles
 from kinesis_app_spark.functions.vector import cosine_similarity
+from kinesis_app_spark.operators.util import spread
 
 
 # ---------- exact ----------
@@ -69,7 +70,7 @@ def ngram_jaccard_pairs(
     product; at scale, add a document-frequency cap on hot shingles (stop
     shingles) before the self-join.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -124,36 +125,47 @@ def minhash_lsh_pairs(
     (P(candidate) = 1-(1-J^4)^16). Candidate generation is an equi-join on
     (band_idx, band_hash); verification computes exact Jaccard from the
     (small) candidate set via array_intersect on the stored shingle sets.
+
+    Plan shape: one row per (doc, hash index) via explode, then a groupBy
+    onto bands. The single-projection alternative (a signature array column
+    sliced per band) looks cheaper but is catastrophically slower: Catalyst's
+    CollapseProject inlines the signature expression into each of the 16
+    band expressions — and the shingle expression into each of those — so
+    the whole signature gets recomputed 16x per row (measured 489s -> ~4s at
+    sf0.1 for this shape). The explode materializes shingles once per doc;
+    the band groupBy shuffles 8-byte minhashes, never text.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
+    mh = sh.select(
         "id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.xxhash64(
-                        bi,
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        ),
-                    ).alias("band_hash"),
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select(
+        "id",
+        "i",
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.col("i"), s))
+        ).alias("mh"),
+    )
+    banded = mh.groupBy(
+        "id", (F.col("i") / rows_per_band).cast("int").alias("band_idx")
+    ).agg(
+        F.xxhash64(
+            F.col("band_idx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
                 ),
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
+                ",",
+            ),
+        ).alias("band_hash")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -186,14 +198,16 @@ def minhash_lsh_pairs(
 
 # ---------- SimHash ----------
 
-def simhash_bits(tokens: Column, num_bits: int = 64) -> Column:
-    """SimHash as a bit-string column (e.g. 64 chars of '0'/'1').
+def simhash_bits(hashes: Column, num_bits: int = 64) -> Column:
+    """SimHash (as a '0'/'1' bit-string) from a pre-materialized token-hash
+    array column.
 
     String representation avoids 64-bit sign overflow and keeps banding a
-    cheap substring. Per-bit counts are JVM aggregate expressions over the
-    token-hash array — one xxhash64 per token, reused across bits.
+    cheap substring. Takes the hash *column* reference — one xxhash64 per
+    token, shared across the 64 per-bit aggregates (measured: an exchange
+    barrier between the hash projection and these aggregates is ~7x SLOWER
+    than letting the projections collapse, so no barrier here).
     """
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def bit_counter(bit: int):
         # closure factory: a default-arg lambda would change the visible
@@ -223,9 +237,13 @@ def simhash_pairs(
     from kinesis_app_spark.functions.text import tokens as tok
 
     band_width = num_bits // bands
-    s = df.select(
+    hashed = spread(df).select(
         F.col(id_col).alias("id"),
-        simhash_bits(tok(F.col(text_col)), num_bits).alias("sh"),
+        F.transform(tok(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hashes"),
+    )
+    s = hashed.select(
+        "id",
+        simhash_bits(F.col("hashes"), num_bits).alias("sh"),
     )
     banded = s.select(
         "id",
@@ -290,6 +308,7 @@ def embedding_near_dup_pairs(
     planes) bucket vectors first, so the quadratic work happens within
     buckets only — the 100 TB path.
     """
+    df = spread(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if lsh_bits > 0:

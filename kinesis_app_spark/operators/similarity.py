@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kinesis_app_spark.functions.vector import cosine_similarity
 from kinesis_app_spark.operators.relational import top_k_per_group
+from kinesis_app_spark.operators.util import spread
 
 
 def brute_force_topk(
@@ -36,7 +37,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -90,7 +91,7 @@ def ivf_topk(
             k=top,
         ).withColumnRenamed("cell", out)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c_assigned = assign(c, "cv", "cell_id", 1).drop("cell_cos")
     q_probed = assign(q, "qv", "cell_id", nprobe).drop("cell_cos")

@@ -19,7 +19,6 @@ Conventions that keep the cross-engine hash stable:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,18 +30,7 @@ from kinesis_app_spark.operators import similarity as SIM
 from kinesis_app_spark.operators import textanalysis as TA
 from kinesis_app_spark.operators.asof import asof_join
 from kinesis_app_spark.operators.sessionize import session_stats
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => non-SQL-expressible; rows-only check
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from kinesis_app_spark.sources.batch import load_table
-
-    return load_table(spark, sf_dir, name)
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 
 def _rev():
@@ -1087,6 +1075,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
 }
+
+# widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries
+from kinesis_app_spark.registry_funcs import REGISTRY_FUNCS  # noqa: E402
+from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
+
+REGISTRY.update(REGISTRY_TPCH2)
+REGISTRY.update(REGISTRY_FUNCS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
