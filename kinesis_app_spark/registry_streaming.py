@@ -1,0 +1,196 @@
+"""Streaming queries under the batch correctness gate.
+
+Each entry materializes a bounded stream (events rewritten as a parquet
+file-stream source), runs a genuine Structured Streaming query with
+``availableNow`` to a memory sink, and returns the finished result as a
+batch DataFrame — so streaming operators get the same DuckDB-oracle check
+as batch ones. The streamed result must equal what the oracle computes over
+the same rows in batch; that equivalence (stream/batch duality over one
+relational surface, SURVEY.md §1.3) is exactly what's being asserted.
+
+Determinism notes: each source is written as a single file so availableNow
+processes one micro-batch — watermarks then can't drop in-batch rows, and
+stream-stream join output equals the batch interval join.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+from kinesis_app_spark.streaming.ops import (
+    run_to_memory,
+    running_count_per_key,
+    stream_static_join,
+    stream_stream_interval_join,
+    streaming_dedup,
+)
+from kinesis_app_spark.streaming.sources import file_stream
+
+
+def _mk_stream(
+    spark: SparkSession, df: DataFrame, copies: int = 1
+) -> tuple[DataFrame, str]:
+    """Write df as a single-file stream source dir; return (stream, ckpt)."""
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    out = df
+    for _ in range(copies - 1):
+        out = out.unionByName(df)
+    out.coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    return file_stream(spark, src, df.schema), ckpt
+
+
+def streaming_tumbling_counts(spark, sf_dir):
+    """Daily tumbling-window counts per event type, computed by a streaming
+    query (complete mode) — must equal the batch group-by."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    stream, ckpt = _mk_stream(spark, ev)
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = run_to_memory(agg, ckpt, output_mode="complete")
+    return res.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_TUMBLING_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000 + 86400000000) AS window_end,
+       event_type, count(*) AS n_events
+FROM events
+WHERE event_id < 20000
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_dedup_counts(spark, sf_dir):
+    """Exactly-once per key out of an at-least-once source: the stream
+    carries every event TWICE (the reference's redelivery semantics,
+    src/Kinesis/Coordination.hs:343-359); streaming dedup on event_id must
+    reduce it to the batch counts of the original."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    stream, ckpt = _mk_stream(spark, ev, copies=2)
+    deduped = streaming_dedup(stream, ["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, ckpt, output_mode="complete")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, count(*) AS n
+FROM events WHERE event_id < 20000
+GROUP BY event_type
+"""
+
+
+def streaming_stateful_counts(spark, sf_dir):
+    """Custom per-key state (applyInPandasWithState): running per-user
+    record counter — the reference's _workerItems counter
+    (src/Kinesis/Coordination.hs:331-336) as a durable streaming operator.
+    Single batch => the emitted running totals are the final counts."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    stream, ckpt = _mk_stream(spark, ev)
+    counts = running_count_per_key(stream, "user_id")
+    res = run_to_memory(counts, ckpt, output_mode="update")
+    # one batch => one update row per key; max() collapses re-runs safely
+    return res.groupBy(F.col("key").alias("user_id")).agg(
+        F.max("n").alias("n_events")
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events WHERE user_id < 300
+GROUP BY user_id
+"""
+
+
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static join: events enriched against the customer dimension
+    (static side broadcast per micro-batch), aggregated by market segment."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream, ckpt = _mk_stream(spark, ev)
+    joined = stream_static_join(
+        stream, F.broadcast(c), stream.user_id == c.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    return run_to_memory(agg, ckpt, output_mode="complete")
+
+
+STREAMING_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_id < 20000
+GROUP BY c_mktsegment
+"""
+
+
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks within the preceding hour, both sides watermarked (the state-
+    expiry contract). Single-batch source => equals the batch interval
+    join."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p_stream, ckpt = _mk_stream(spark, purchases)
+    c_stream, _ = _mk_stream(spark, clicks)
+    l = p_stream.withWatermark("p_ts", "1 hour")
+    r = c_stream.withWatermark("c_ts", "2 hours")
+    joined = l.join(
+        r,
+        (l.p_user == r.c_user)
+        & (r.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (r.c_ts <= F.col("p_ts")),
+    )
+    res = run_to_memory(
+        joined.select("purchase_id", "click_id"), ckpt, output_mode="append"
+    )
+    return res
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE user_id < 300 AND event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+REGISTRY_STREAMING = {
+    "streaming_tumbling_counts": QuerySpec(
+        streaming_tumbling_counts, STREAMING_TUMBLING_SQL
+    ),
+    "streaming_dedup_counts": QuerySpec(streaming_dedup_counts, STREAMING_DEDUP_SQL),
+    "streaming_stateful_counts": QuerySpec(
+        streaming_stateful_counts, STREAMING_STATEFUL_SQL
+    ),
+    "streaming_static_enrich": QuerySpec(
+        streaming_static_enrich, STREAMING_STATIC_JOIN_SQL
+    ),
+    "streaming_interval_join": QuerySpec(
+        streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
+    ),
+}

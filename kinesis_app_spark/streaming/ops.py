@@ -1,0 +1,135 @@
+"""Streaming operator surface: dedup, stream-static / stream-stream joins,
+and custom per-key state.
+
+Reference parity notes:
+- The reference delivers at-least-once (records between the last Redis sync
+  and a crash re-deliver, src/Kinesis/Coordination.hs:343-359), so its users
+  must dedup downstream by hand; ``streaming_dedup`` is that concern made an
+  engine operator (exactly-once per key).
+- ``running_count_per_key`` reproduces the reference's only stateful
+  computation — the per-shard item counter ``_workerItems += 1`` kept in an
+  MVar (src/Kinesis/Coordination.hs:331-336) — as a checkpointed
+  ``applyInPandasWithState`` operator keyed by any column, surviving restarts
+  via the state store instead of a node-local MVar.
+- Joins have no reference counterpart (payloads are opaque there); they are
+  engine surface per SURVEY.md §2.2.
+
+Scale: state-store operators shard by ``spark.sql.shuffle.partitions``; at
+100 TB use the RocksDB state-store provider and watermark discipline so state
+is bounded (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Drop duplicate records by key across the whole stream, or — with
+    ``watermark=(ts_col, delay)`` — within the watermark horizon, which
+    bounds the dedup state (the only sane variant at 100 TB: unbounded
+    keyspace state otherwise grows forever)."""
+    if watermark is not None:
+        ts_col, delay = watermark
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Enrich a stream against a batch dimension. The static side is
+    re-planned per micro-batch (picks up dim updates); broadcast it when it
+    fits — no stream-side shuffle at all."""
+    return stream.join(static, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_delay: str,
+    right_delay: str,
+    lower_bound: str,
+    upper_bound: str,
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time interval:
+    right_ts in [left_ts - lower_bound, left_ts + upper_bound].
+
+    Watermarks on BOTH sides let the engine expire join state; without them
+    a stream-stream join buffers both streams forever.
+    """
+    l = left.withWatermark(left_ts, left_delay)
+    r = right.withWatermark(right_ts, right_delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= F.expr(f"{left_ts} - INTERVAL {lower_bound}"))
+        & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper_bound}"))
+    )
+    return l.join(r, cond)
+
+
+def running_count_per_key(
+    df: DataFrame, key_col: str, key_type: str = "long"
+) -> DataFrame:
+    """Per-key running record count via applyInPandasWithState.
+
+    Parity: the reference's ``_workerItems`` ack counter
+    (src/Kinesis/Coordination.hs:331-336), but durable in the state store
+    and keyed arbitrarily instead of per-shard-in-an-MVar.
+    Emits (key, n) with the updated total each micro-batch (update mode).
+    """
+
+    def count_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (0,)
+        n = prev + sum(len(p) for p in pdfs)
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        count_fn,
+        outputStructType=f"key {key_type}, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the result as a batch DataFrame — the bridge that
+    lets streaming operators run under the batch correctness gate."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = df.sparkSession
+    return spark.table(name)
