@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_app_spark.operators.util import spread
+
 #: modalities with a real decoder available in this environment
 FAKE_MODALITIES = {"bytes"}
 
@@ -101,7 +103,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col, "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    return spread(df.select(id_col, "payload")).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def frame_sample(
@@ -131,4 +133,4 @@ def frame_sample(
             T.StructField("first_byte", T.IntegerType()),
         ]
     )
-    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+    return spread(df.select(id_col, "payload")).mapInPandas(kernel, schema)

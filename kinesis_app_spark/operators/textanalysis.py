@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.operators.util import spread
 from kinesis_app_spark.functions.text import (
     bpe_ish_token_count,
     fingerprint,
@@ -40,7 +41,7 @@ def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts and mean token length per doc."""
     toks = tokens(F.col(text_col))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
         bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),
@@ -68,7 +69,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         / F.greatest(F.length(F.col(text_col)), F.lit(1))
     )
     len_score = F.least(n_tok, F.lit(100)).cast("double") / 100.0
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
@@ -90,7 +91,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         better = counts[lang] > best_n
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_n = F.when(better, counts[lang]).otherwise(best_n)
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         best.alias("pred_lang"),
         best_n.alias("marker_hits"),
@@ -99,7 +100,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable md5 fingerprint of the whitespace/case-normalized text."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         fingerprint(F.col(text_col)).alias("fp"),
         normalize_ws(F.col(text_col)).substr(1, 40).alias("norm_prefix"),
