@@ -1,0 +1,89 @@
+"""Scale-hardening operators (SURVEY.md §7.3 milestone 5).
+
+These exist for the shapes that break at 100 TB even though stock Spark
+handles them at test scale:
+
+- ``salted_aggregate``: two-phase aggregation over a salted key for
+  *pathologically* hot grouping keys. AQE's skew handling splits skewed
+  JOIN partitions, but a groupBy whose key has a handful of distinct
+  values (e.g. 3 return flags over 10^11 rows) still funnels each key's
+  partials through one reducer; salting fans the partial aggregation out
+  ``salt_buckets``-wide first. Decomposable aggregates only (sum/count/
+  min/max + avg derived at the final phase).
+- ``write_bucketed`` / bucketed tables: pre-shuffle data by join key at
+  write time so repeated big-big joins are exchange-free (verified by
+  plan inspection in tests/test_scale.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (kind, source column expr) measures supported by salted_aggregate
+SaltedMeasure = tuple[str, Column]
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: dict[str, SaltedMeasure],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation: groupBy(keys + salt) partials, then
+    groupBy(keys) finals.
+
+    measures: out_name -> (kind, column) with kind in
+    {"sum", "count", "min", "max", "avg"}. The result is semantically
+    identical to ``df.groupBy(keys).agg(...)`` — asserted against the
+    DuckDB oracle — only the shuffle fan-out differs.
+    """
+    salt = (F.spark_partition_id() % salt_buckets).alias("__salt")
+
+    partial_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    for name, (kind, col) in measures.items():
+        if kind == "sum":
+            partial_aggs.append(F.sum(col).alias(f"__p_{name}"))
+            final_aggs.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "count":
+            partial_aggs.append(F.count(col).alias(f"__p_{name}"))
+            final_aggs.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "min":
+            partial_aggs.append(F.min(col).alias(f"__p_{name}"))
+            final_aggs.append(F.min(f"__p_{name}").alias(name))
+        elif kind == "max":
+            partial_aggs.append(F.max(col).alias(f"__p_{name}"))
+            final_aggs.append(F.max(f"__p_{name}").alias(name))
+        elif kind == "avg":
+            partial_aggs.append(F.sum(col).alias(f"__ps_{name}"))
+            partial_aggs.append(F.count(col).alias(f"__pc_{name}"))
+            final_aggs.append(
+                (F.sum(f"__ps_{name}") / F.sum(f"__pc_{name}")).alias(name)
+            )
+        else:
+            raise ValueError(f"non-decomposable measure kind {kind!r}")
+
+    partial = df.groupBy(*keys, salt).agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist df bucketed (and optionally sorted) by the join key.
+
+    Two tables bucketed the same way join with ZERO exchanges — the
+    pre-shuffle happened at write time, amortized across every future
+    join. The 100 TB pattern for repeatedly-joined fact tables.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

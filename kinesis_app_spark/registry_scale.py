@@ -1,0 +1,96 @@
+"""Scale-path queries: salted aggregation, sketch aggregates, global top-k.
+
+The salted query proves the two-phase rewrite is *semantically invisible*
+(same oracle as a plain GROUP BY); the sketch queries are rows-only because
+sketch internals are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.scale import salted_aggregate
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+def salted_skew_aggregate(spark, sf_dir):
+    """Revenue stats by l_returnflag — 3 distinct keys over the whole fact
+    table, the canonical hot-key aggregation, executed with a 16-way salt.
+    Sums accumulate in DECIMAL so the oracle comparison is exact under any
+    accumulation order (the point of the test: order DOES differ)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,8)"
+    )
+    out = salted_aggregate(
+        l,
+        keys=["l_returnflag"],
+        measures={
+            "revenue": ("sum", rev),
+            "n_lines": ("count", F.lit(1)),
+            "max_qty": ("max", F.col("l_quantity")),
+            "min_qty": ("min", F.col("l_quantity")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        "n_lines",
+        "max_qty",
+        "min_qty",
+    )
+
+
+SALTED_SQL = """
+SELECT l_returnflag,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS revenue,
+       count(*) AS n_lines,
+       max(l_quantity) AS max_qty,
+       min(l_quantity) AS min_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def sketch_aggregates(spark, sf_dir):
+    """Sketch-based aggregates — the only sane forms at 100 TB: HLL++
+    distinct count and t-digest percentiles in one pass, no exact-distinct
+    shuffle, no global sort. Values are sketch-specific => rows-only check;
+    accuracy vs exact values is asserted in tests/test_scale.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.99], 10000).alias("p50_p99"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.col("p50_p99")[0].alias("p50_approx"),
+        F.col("p50_p99")[1].alias("p99_approx"),
+    )
+
+
+def global_topk_orders(spark, sf_dir):
+    """Global top-100 — compiles to TakeOrderedAndProject (per-partition
+    k-heaps + driver merge), never a full RangePartitioning sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+GLOBAL_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+REGISTRY_SCALE = {
+    "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
+    "sketch_aggregates": QuerySpec(sketch_aggregates, None),
+    "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
+}

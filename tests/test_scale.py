@@ -1,0 +1,109 @@
+"""Scale-hardening assertions: plan shapes and sketch accuracy.
+
+These test the *mechanisms* the 100 TB design relies on, at test scale:
+bucketed joins plan without exchanges, salting is semantically invisible,
+sketches land within their error bounds, TakeOrderedAndProject replaces
+global sorts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.scale import salted_aggregate, write_bucketed
+from kinesis_app_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero shuffles."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        c = load_table(spark, SF_DIR, "customer")
+        write_bucketed(o, "b_orders", ["o_custkey"], num_buckets=8)
+        write_bucketed(c, "b_customer", ["c_custkey"], num_buckets=8)
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # sanity: same row count as the plain join
+        assert joined.count() == (
+            load_table(spark, SF_DIR, "orders")
+            .join(
+                load_table(spark, SF_DIR, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    salted = salted_aggregate(
+        l,
+        keys=["l_returnflag"],
+        measures={
+            "qty_sum": ("sum", F.col("l_quantity")),
+            "n": ("count", F.lit(1)),
+            "qty_avg": ("avg", F.col("l_quantity")),
+            "qty_max": ("max", F.col("l_quantity")),
+        },
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_quantity").alias("qty_avg"),
+        F.max("l_quantity").alias("qty_max"),
+    )
+    s = {r["l_returnflag"]: r for r in salted.collect()}
+    p = {r["l_returnflag"]: r for r in plain.collect()}
+    assert s.keys() == p.keys()
+    for k in p:
+        assert s[k]["n"] == p[k]["n"]
+        assert s[k]["qty_max"] == p[k]["qty_max"]
+        assert s[k]["qty_sum"] == pytest.approx(p[k]["qty_sum"], rel=1e-9)
+        assert s[k]["qty_avg"] == pytest.approx(p[k]["qty_avg"], rel=1e-9)
+
+
+def test_salted_aggregate_rejects_nondecomposable(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(
+            l, ["l_returnflag"], {"m": ("median", F.col("l_quantity"))}
+        )
+
+
+def test_sketches_within_error_bounds(spark):
+    e = load_table(spark, SF_DIR, "events")
+    got = e.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50a"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert abs(got["approx"] - got["exact"]) <= max(3, 0.05 * got["exact"])
+    assert got["p50a"] == pytest.approx(got["p50"], rel=0.02)
+
+
+def test_global_topk_plans_take_ordered(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    df = o.orderBy(F.col("o_totalprice").desc()).limit(100)
+    assert "TakeOrderedAndProject" in _plan(df)
