@@ -98,6 +98,40 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprints: md5 of every `window`-token
+    rolling slice, keeping the minimum hash per `stride`-position bucket.
+
+    The standard local-fingerprinting scheme for plagiarism/near-dup
+    detection: a shared passage of >= window+stride tokens guarantees a
+    shared fingerprint. Pure Column algebra (sequence/transform/slice +
+    explode + min) — the per-doc work is linear in tokens; the groupBy
+    shuffles (id, bucket, 32-char hash), never text.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
+    win_hash = F.transform(
+        idx,
+        lambda i: F.struct(
+            ((i - 1) / stride).cast("long").alias("bucket"),
+            F.md5(F.array_join(F.slice(toks, i, window), " ")).alias("h"),
+        ),
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), F.explode(win_hash).alias("w"))
+        .groupBy(id_col, F.col("w.bucket").alias("bucket"))
+        .agg(F.min("w.h").alias("fp"))
+    )
+
+
 def fingerprint_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable md5 fingerprint of the whitespace/case-normalized text."""
     return spread(df).select(

@@ -502,6 +502,29 @@ FROM t, unnest(range(1, len(parts) + 1)) AS u(i)
 """
 
 
+def text_winnow_fingerprints(spark, sf_dir):
+    from kinesis_app_spark.operators.textanalysis import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id < 300
+), pos AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+)
+SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS bucket, min(h) AS fp
+FROM pos GROUP BY 1, 2
+"""
+
+
 REGISTRY_FUNCS = {
     "pivot_monthly_event_counts": QuerySpec(pivot_monthly_event_counts, PIVOT_SQL),
     "unpivot_customer_metrics": QuerySpec(unpivot_customer_metrics, UNPIVOT_SQL),
@@ -521,4 +544,5 @@ REGISTRY_FUNCS = {
     "pandas_zscore_per_type": QuerySpec(pandas_zscore_per_type, PANDAS_ZSCORE_SQL),
     "pandas_sigmoid_scores": QuerySpec(pandas_sigmoid_scores, PANDAS_SIGMOID_SQL),
     "udtf_sentence_split": QuerySpec(udtf_sentence_split, UDTF_SQL),
+    "text_winnow_fingerprints": QuerySpec(text_winnow_fingerprints, WINNOW_SQL),
 }
