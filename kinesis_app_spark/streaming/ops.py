@@ -17,6 +17,13 @@ Reference parity notes:
 Scale: state-store operators shard by ``spark.sql.shuffle.partitions``; at
 100 TB use the RocksDB state-store provider and watermark discipline so state
 is bounded (SURVEY.md §7.4).
+
+Note on APIs: Spark 4's ``transformWithStateInPandas`` (the successor
+stateful API: multiple named states, timers, TTL) is the intended upgrade
+path for ``running_count_per_key``, but its Python runner needs a working
+``google.protobuf`` which this container lacks (verified: the streaming
+runner crashes with ImportError on init), so the operators here stay on
+``applyInPandasWithState``, which is fully supported.
 """
 
 from __future__ import annotations
