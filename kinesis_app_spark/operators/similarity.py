@@ -55,6 +55,70 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the scale path.
+
+    The Column-algebra variant (brute_force_topk) evaluates one
+    zip_with+aggregate expression per (query, candidate) pair; fine for
+    oracle checks, but the arithmetic is interpreted per element. Here the
+    query set is collected once (it must be broadcastable — same
+    precondition as the other variant), L2-normalized into a (Q, d) numpy
+    matrix, and each Arrow batch of the corpus becomes a (B, d) matrix: one
+    BLAS matmul scores B*Q pairs, a partial argpartition keeps the per-batch
+    top-k, and a final groupBy merges batch winners. Corpus is scanned once,
+    never shuffled; the only shuffled rows are Q*k per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    def kernel(batches):
+        qi, qm = bq_ids.value, bq_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            scores = c_mat @ qm.T  # (B, Q)
+            out_q, out_n, out_c = [], [], []
+            top = min(k + 1, len(c_ids))  # +1: self-match dropped later
+            for j in range(len(qi)):
+                col = scores[:, j]
+                idx = np.argpartition(-col, top - 1)[:top]
+                out_q.extend([qi[j]] * len(idx))
+                out_n.extend(c_ids[idx])
+                out_c.extend(np.round(col[idx], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    partial = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos double"
+    )
+    return top_k_per_group(
+        partial.filter(F.col("neighbor_id") != F.col("query_id")),
+        keys=["query_id"],
+        order=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

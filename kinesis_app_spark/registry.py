@@ -882,6 +882,16 @@ QUALIFY rank <= 5
 """
 
 
+def knn_brute_force_np(spark, sf_dir):
+    """Arrow-batched numpy-matmul exact KNN — must produce the identical
+    result set as the Column-algebra variant and the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk_np(emb, queries, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 def knn_ivf(spark, sf_dir):
     """IVF approximate ANN — recall vs brute force asserted in tests; no
     SQL oracle (approximation is engine-defined)."""
@@ -1065,6 +1075,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     # similarity search
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
+    "knn_brute_force_np": QuerySpec(knn_brute_force_np, KNN_SQL),
     "knn_ivf": QuerySpec(knn_ivf, None),
     # text analysis
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKENS_SQL),
