@@ -471,6 +471,124 @@ FROM events WHERE event_id < 20000
 """
 
 
+def pandas_grouped_agg_geomean(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (the UDAF surface): geometric mean of
+    positive values per event type — one Arrow batch per group feeds a
+    numpy reduction."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.round(np.exp(np.log(v).mean()), 4))
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return e.groupBy("event_type").agg(geomean(F.col("value")).alias("geo_mean"))
+
+
+PANDAS_GEOMEAN_SQL = """
+SELECT event_type, round(exp(avg(ln(value))), 4) AS geo_mean
+FROM events WHERE value > 0
+GROUP BY event_type
+"""
+
+
+def outer_join_battery(spark, sf_dir):
+    """Full outer join with unmatched rows on both sides (high-balance
+    customers vs high-value orders), null-flagged."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal"),
+        F.col("o_orderkey"),
+        F.col("c_custkey").isNull().alias("cust_missing"),
+        F.col("o_orderkey").isNull().alias("order_missing"),
+    )
+
+
+OUTER_JOIN_SQL = """
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_acctbal, o_orderkey,
+       c_custkey IS NULL AS cust_missing,
+       o_orderkey IS NULL AS order_missing
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
+                 FROM orders WHERE o_totalprice > 490000) o
+  ON c_custkey = o_custkey
+"""
+
+
+def setop_intersect_all(spark, sf_dir):
+    """Multiset INTERSECT ALL — duplicates preserved up to the min
+    multiplicity (vs the distinct variant elsewhere in the registry)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+SETOP_INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def setop_except_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+SETOP_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def null_handling_battery(spark, sf_dir):
+    """coalesce / nullif / null-safe equality / null flags."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    open_price = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderkey",
+        open_price.alias("status_or_null"),
+        F.coalesce(open_price, F.lit("CLOSED")).alias("status_filled"),
+        open_price.isNull().alias("is_finished"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("finished_nullsafe"),
+        F.when(F.col("o_totalprice") > 250000, F.col("o_totalprice")).alias(
+            "big_price_or_null"
+        ),
+    )
+
+
+NULL_HANDLING_SQL = """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'F') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'F'), 'CLOSED') AS status_filled,
+       nullif(o_orderstatus, 'F') IS NULL AS is_finished,
+       o_orderstatus IS NOT DISTINCT FROM 'F' AS finished_nullsafe,
+       CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS big_price_or_null
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
 def udtf_sentence_split(spark, sf_dir):
     """Python UDTF (table function): one input doc row -> N sentence rows.
     The UDTF surface generalizes the reference's record->callback model to
@@ -545,4 +663,11 @@ REGISTRY_FUNCS = {
     "pandas_sigmoid_scores": QuerySpec(pandas_sigmoid_scores, PANDAS_SIGMOID_SQL),
     "udtf_sentence_split": QuerySpec(udtf_sentence_split, UDTF_SQL),
     "text_winnow_fingerprints": QuerySpec(text_winnow_fingerprints, WINNOW_SQL),
+    "pandas_grouped_agg_geomean": QuerySpec(
+        pandas_grouped_agg_geomean, PANDAS_GEOMEAN_SQL
+    ),
+    "outer_join_battery": QuerySpec(outer_join_battery, OUTER_JOIN_SQL),
+    "setop_intersect_all": QuerySpec(setop_intersect_all, SETOP_INTERSECT_ALL_SQL),
+    "setop_except_all": QuerySpec(setop_except_all, SETOP_EXCEPT_ALL_SQL),
+    "null_handling_battery": QuerySpec(null_handling_battery, NULL_HANDLING_SQL),
 }

@@ -89,8 +89,46 @@ LIMIT 100
 """
 
 
+def kinesis_shard_counts(spark, sf_dir):
+    """Per-shard record + distinct-user counts over the Kinesis-shaped
+    Python DataSource — the reference's `_shardItems` progress counter
+    (src/Kinesis/Types.hs:104) and payload parse as one declarative query.
+    The oracle reconstructs the deterministic source analytically (range
+    cross-join), so the entire source+parse+aggregate path is value-checked
+    without the source existing in DuckDB."""
+    from kinesis_app_spark.sources.fake_kinesis import register
+
+    register(spark)
+    df = (
+        spark.read.format("fake_kinesis")
+        .option("numShards", 8)
+        .option("recordsPerShard", 500)
+        .load()
+    )
+    parsed = df.select(
+        "shardId",
+        F.from_json(
+            F.col("data").cast("string"), "shard int, seq long, user int"
+        ).alias("p"),
+    )
+    return parsed.groupBy("shardId").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("p.user").alias("n_users"),
+    )
+
+
+KINESIS_SHARD_SQL = """
+SELECT format('shardId-{:012d}', s) AS shardId,
+       count(*) AS n_records,
+       count(DISTINCT (s * 7919 + seq) % 100) AS n_users
+FROM (SELECT unnest(range(0, 8)) AS s), (SELECT unnest(range(0, 500)) AS seq)
+GROUP BY 1
+"""
+
+
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
+    "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
 }
