@@ -70,6 +70,45 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the skewed side's hot keys would overload single
+    reducers: the skewed side gets a per-row salt, the other side is
+    replicated salt_buckets times, and the join runs on (keys + salt) so
+    one hot key spreads across salt_buckets reducers.
+
+    Semantically identical to ``skewed.join(other, on, how)`` (asserted in
+    tests/test_scale.py). Costs a salt_buckets-fold replication of the
+    other side — use when AQE's skew splitting isn't available (e.g. the
+    skew is in a shuffle feeding a non-join operator) or the other side is
+    small but above broadcast size. Prefer ``broadcast()`` when it fits and
+    AQE skew-join otherwise; this is the explicit fallback.
+    """
+    keys = list(on)
+    salted_l = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*keys, F.spark_partition_id()), F.lit(salt_buckets))
+        .cast("int")
+        .cast("string"),
+    )
+    replicated = other.withColumn(
+        "__salt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                lambda i: i.cast("string"),
+            )
+        ),
+    )
+    out = salted_l.join(replicated, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

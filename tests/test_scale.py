@@ -83,6 +83,25 @@ def test_salted_aggregate_matches_plain(spark):
         assert s[k]["qty_avg"] == pytest.approx(p[k]["qty_avg"], rel=1e-9)
 
 
+def test_salted_join_matches_plain_join(spark):
+    """The salted join must return exactly the plain join's multiset."""
+    from kinesis_app_spark.operators.scale import salted_join
+
+    l = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    lk = l.withColumnRenamed("l_orderkey", "k")
+    ok = o.withColumnRenamed("o_orderkey", "k")
+    plain = sorted(
+        (r["k"], r["l_quantity"], r["o_totalprice"])
+        for r in lk.join(ok, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["l_quantity"], r["o_totalprice"])
+        for r in salted_join(lk, ok, ["k"], salt_buckets=8).collect()
+    )
+    assert salted == plain
+
+
 def test_salted_aggregate_rejects_nondecomposable(spark):
     l = load_table(spark, SF_DIR, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):

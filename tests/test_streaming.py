@@ -173,6 +173,31 @@ def test_session_window_streaming_subset_of_batch(spark, tmp_path, events_dir, e
     assert streamed <= batch
 
 
+def test_rate_limited_multi_batch_drain(spark, tmp_path, events_schema):
+    """maxFilesPerTrigger (the configRecordBatch analogue,
+    src/Kinesis/Types.hs:79-80): four input files with a 1-file trigger
+    limit must drain in four separate epochs, records intact."""
+    src = str(tmp_path / "rl_in")
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 400)
+    for lo in range(0, 400, 100):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < lo + 100)) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    batches: list[tuple[int, int]] = []
+
+    def processor(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    runner = StreamRunner(str(tmp_path / "rl_ckpt"))
+    q = runner.run_processor(
+        file_stream(spark, src, events_schema, max_files_per_trigger=1),
+        processor, available_now=True,
+    )
+    _drain(q)
+    assert sum(n for _, n in batches) == 400
+    assert len(batches) >= 4  # one epoch per file
+
+
 def test_cluster_state_listener(spark, tmp_path, events_dir, events_schema):
     """LiveStats "records" counter parity (src/Kinesis/Coordination.hs:92-94):
     the listener's total_records equals the rows ingested."""
