@@ -589,6 +589,28 @@ FROM orders WHERE o_orderkey < 3000
 """
 
 
+def collect_set_sorted(spark, sf_dir):
+    """Set-valued aggregation surfaced deterministically: collect_set is
+    unordered, so results are sorted then joined before leaving the engine
+    (array columns stay deterministic and hash-comparable)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.size(F.collect_set("c_mktsegment")).cast("int").alias("n_segments"),
+    )
+
+
+COLLECT_SET_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       CAST(count(DISTINCT c_mktsegment) AS INTEGER) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
 def udtf_sentence_split(spark, sf_dir):
     """Python UDTF (table function): one input doc row -> N sentence rows.
     The UDTF surface generalizes the reference's record->callback model to
@@ -670,4 +692,5 @@ REGISTRY_FUNCS = {
     "setop_intersect_all": QuerySpec(setop_intersect_all, SETOP_INTERSECT_ALL_SQL),
     "setop_except_all": QuerySpec(setop_except_all, SETOP_EXCEPT_ALL_SQL),
     "null_handling_battery": QuerySpec(null_handling_battery, NULL_HANDLING_SQL),
+    "collect_set_sorted": QuerySpec(collect_set_sorted, COLLECT_SET_SQL),
 }

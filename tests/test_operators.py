@@ -97,6 +97,55 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-check the as-of operator against pandas merge_asof (the
+    semantics standard) on seeded random data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l).astype("int64"),
+            "lts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r).astype("int64"),
+            "rts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "rv": rng.normal(size=n_r),
+        }
+    )
+    # merge_asof requires unique, sorted ts per key for exact comparison;
+    # drop duplicate (k, ts) rows so "most recent" is unambiguous
+    right = right.drop_duplicates(["k", "rts"])
+    want = pd.merge_asof(
+        left.sort_values("lts"),
+        right.sort_values("rts").rename(columns={"rts": "lts"}),
+        on="lts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["rv"]
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        value_cols=["rv"],
+    ).toPandas().set_index("lid")["rv"]
+
+    assert len(out) == n_l
+    for lid in want.index:
+        a, b = want[lid], out[lid]
+        assert (pd.isna(a) and pd.isna(b)) or a == b, (lid, a, b)
+
+
 def test_frame_sample_shape(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(10)
     frames = frame_sample(attach_payload(docs), every_n_bytes=64)
