@@ -325,6 +325,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_np(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Numpy/BLAS variant of the exact all-pairs cosine near-dup: the
+    corpus (which must fit in memory — same precondition as any broadcast
+    side) is normalized once and broadcast; each Arrow batch computes one
+    (B, N) matmul and emits only the above-threshold upper-triangle pairs.
+
+    Same result set as embedding_near_dup_pairs(lsh_bits=0) — asserted in
+    tests — at matmul speed. For corpora beyond broadcast size, use the
+    lsh_bits>0 bucketed variant instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def kernel(batches):
+        ids_all, m_all = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            scores = a_mat @ m_all.T  # (B, N)
+            mask = (scores >= threshold) & (a_ids[:, None] < ids_all[None, :])
+            bi, ni = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[bi],
+                    "id_b": ids_all[ni],
+                    "cos": np.round(scores[bi, ni], 4),
+                }
+            )
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(
+        kernel, "id_a long, id_b long, cos double"
+    )
+
+
 def _hyperplane_signature(df: DataFrame, vec_col: str, bits: int) -> DataFrame:
     """Deterministic random-hyperplane LSH signature: sign pattern of dot
     products against `bits` pseudo-random planes derived from xxhash64 of

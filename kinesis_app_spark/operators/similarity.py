@@ -119,21 +119,70 @@ def brute_force_topk_np(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement passes over broadcast centroids (deterministic, no
+    RNG): assign each corpus vector to its nearest centroid, recompute
+    cell means element-wise, keep the previous centroid for any emptied
+    cell.
+
+    The iterative-algorithm pattern on Spark: the loop lives on the driver,
+    each iteration is one corpus scan (broadcast join, no corpus shuffle)
+    plus a posexplode+groupBy mean whose shuffle is (cell, dim, partials) —
+    tiny. Returns (cell, centv).
+    """
+    cents = centroids
+    for _ in range(iterations):
+        assigned = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("cos", cosine_similarity(F.col("v"), F.col("centv")))
+        )
+        best = top_k_per_group(
+            assigned,
+            keys=["v"],
+            order=[F.col("cos").desc(), F.col("cell").asc()],
+            k=1,
+        ).select("cell", "v")
+        means = (
+            best.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centv")
+            )
+        )
+        # emptied cells keep their previous centroid
+        kept = cents.join(means.select("cell"), "cell", "left_anti")
+        cents = means.unionByName(kept)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    refine_iterations: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) partitioning.
 
-    Centroids are the first n_centroids corpus vectors by id — deterministic
-    without an RNG; one k-means refinement pass would slot in here
-    unchanged. Corpus assignment = argmax cosine vs broadcast centroids
-    (single corpus scan); each query probes its nprobe nearest cells.
+    Seed centroids are the first n_centroids corpus vectors by id —
+    deterministic without an RNG; ``refine_iterations`` Lloyd passes
+    (kmeans_refine) tighten the cells. Corpus assignment = argmax cosine vs
+    broadcast centroids (single corpus scan); each query probes its nprobe
+    nearest cells.
     """
     cents = (
         corpus.orderBy(F.col(id_col))
@@ -143,6 +192,10 @@ def ivf_topk(
             F.col(vec_col).alias("centv"),
         )
     )
+    if refine_iterations:
+        cents = kmeans_refine(
+            corpus, cents, iterations=refine_iterations, vec_col=vec_col
+        )
 
     def assign(df: DataFrame, vcol: str, out: str, top: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(

@@ -861,6 +861,13 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # similarity search
 # =====================================================================
 
+def dedup_embedding_cosine_np(spark, sf_dir):
+    """BLAS matmul variant of the exact cosine near-dup — same oracle."""
+    return D.embedding_near_dup_pairs_np(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40
+    )
+
+
 def knn_brute_force(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1073,6 +1080,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_cosine_np": QuerySpec(
+        dedup_embedding_cosine_np, DEDUP_EMBEDDING_SQL
+    ),
     # similarity search
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
     "knn_brute_force_np": QuerySpec(knn_brute_force_np, KNN_SQL),

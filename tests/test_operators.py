@@ -97,6 +97,43 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_kmeans_refinement_keeps_or_improves_recall(spark):
+    """One Lloyd pass on the seed centroids must not hurt recall (and the
+    centroid count must be preserved, emptied cells included)."""
+    from kinesis_app_spark.operators.similarity import kmeans_refine
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(refine):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=16, nprobe=8,
+                refine_iterations=refine,
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    seeds = (
+        emb.orderBy("vec_id").limit(16)
+        .select(
+            FF.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            FF.col("embedding").alias("centv"),
+        )
+    )
+    refined = kmeans_refine(emb, seeds, iterations=1)
+    assert refined.count() == 16
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.15, f"refinement degraded recall: {r0} -> {r1}"
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Cross-check the as-of operator against pandas merge_asof (the
     semantics standard) on seeded random data."""
@@ -144,6 +181,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for lid in want.index:
         a, b = want[lid], out[lid]
         assert (pd.isna(a) and pd.isna(b)) or a == b, (lid, a, b)
+
+
+def test_embedding_near_dup_np_matches_exact(spark):
+    """The BLAS variant must find exactly the same above-threshold pairs as
+    the Column-algebra exact variant."""
+    from kinesis_app_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_np,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs_np(emb, threshold=0.4).collect()
+    }
+    assert exact == fast
+    assert exact  # fixture has near-dup pairs
 
 
 def test_frame_sample_shape(spark):
