@@ -124,19 +124,33 @@ def run_to_memory(
     checkpoint_dir: str,
     output_mode: str = "append",
     timeout_s: int = 300,
+    shuffle_partitions: int | None = 32,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame — the bridge that
-    lets streaming operators run under the batch correctness gate."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    lets streaming operators run under the batch correctness gate.
+
+    ``shuffle_partitions`` pins the state-store shard count for this run
+    (a caller session's default of 200 means 200 state tasks for a tiny
+    test stream); the previous session value is restored afterwards —
+    safe because execution completes inside this function.
+    """
     spark = df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
