@@ -1100,6 +1100,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries
 # + streaming operators run to completion under the batch gate
 from kinesis_app_spark.registry_funcs import REGISTRY_FUNCS  # noqa: E402
+from kinesis_app_spark.registry_pipeline import REGISTRY_PIPELINE  # noqa: E402
 from kinesis_app_spark.registry_scale import REGISTRY_SCALE  # noqa: E402
 from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
@@ -1108,6 +1109,7 @@ REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
 REGISTRY.update(REGISTRY_STREAMING)
 REGISTRY.update(REGISTRY_SCALE)
+REGISTRY.update(REGISTRY_PIPELINE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,89 @@
+"""The end-to-end corpus-curation pipeline under the correctness gate.
+
+One query composes the whole training-data path (quality gate -> language
+gate -> exact dedup -> near-dup removal); its oracle re-derives every stage
+in SQL, so the *composition* — not just each operator — is value-checked.
+"""
+
+from __future__ import annotations
+
+from kinesis_app_spark.operators.pipeline import curate_corpus
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+def pipeline_corpus_curation(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_quality=0.30, langs=("en",), jaccard_threshold=0.5
+    )
+
+
+PIPELINE_SQL = """
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), quality AS (
+  SELECT doc_id,
+         round(0.4 * (least(len(toks), 100)::DOUBLE / 100.0)
+             + 0.4 * (len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','it','on','for')))::DOUBLE
+                      / greatest(len(toks), 1))
+             + 0.2 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                      / greatest(length(text), 1)), 4) AS quality
+  FROM norm
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN c_zh > greatest(c_en, c_es, c_fr, c_de) THEN 'zh'
+              WHEN c_de > greatest(c_en, c_es, c_fr)       THEN 'de'
+              WHEN c_fr > greatest(c_en, c_es)             THEN 'fr'
+              WHEN c_es > c_en                             THEN 'es'
+              ELSE 'en' END AS pred_lang
+  FROM (SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','is')))     AS c_en,
+               len(list_filter(toks, x -> x IN ('el','la','de','y','es')))       AS c_es,
+               len(list_filter(toks, x -> x IN ('le','la','de','et','est')))     AS c_fr,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+               len(list_filter(toks, x -> x IN ('zh0','zh1','zh2','zh3','zh4'))) AS c_zh
+        FROM norm)
+), gated AS (
+  SELECT d.doc_id, d.text, l.pred_lang, q.quality
+  FROM documents d
+  JOIN quality q USING (doc_id)
+  JOIN lang l USING (doc_id)
+  WHERE q.quality >= 0.30 AND l.pred_lang IN ('en')
+), exact AS (
+  SELECT * FROM gated
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks2[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks2) - 1, 1))]) AS shingles
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks2
+        FROM exact)
+  WHERE len(toks2) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), drop_ids AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+)
+SELECT doc_id, pred_lang, round(quality, 4) AS quality
+FROM exact
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+"""
+
+
+REGISTRY_PIPELINE = {
+    "pipeline_corpus_curation": QuerySpec(pipeline_corpus_curation, PIPELINE_SQL),
+}
