@@ -179,6 +179,75 @@ JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
 """
 
 
+def streaming_session_windows(spark, sf_dir):
+    """Event-time session windows in append mode, emitted deterministically:
+    the source has two files consumed one per micro-batch
+    (maxFilesPerTrigger=1) — the real events, then a far-future sentinel
+    row whose only job is to advance the watermark past every real session
+    so append mode finalizes and emits them all. Result must equal the
+    batch session computation (the oracle)."""
+    import datetime as dt
+    import tempfile
+    import time
+
+    from kinesis_app_spark.streaming.ops import run_to_memory
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select("user_id", "ts", "value")
+    )
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # ensure the sentinel file sorts after by mtime
+    sentinel = spark.createDataFrame(
+        [(-1, dt.datetime(2030, 1, 1), 0.0)], ev.schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream(
+        spark, src, ev.schema, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    res = run_to_memory(agg, ckpt, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+STREAMING_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 300
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM sess GROUP BY user_id, sid
+"""
+
+
 REGISTRY_STREAMING = {
     "streaming_tumbling_counts": QuerySpec(
         streaming_tumbling_counts, STREAMING_TUMBLING_SQL
@@ -192,5 +261,8 @@ REGISTRY_STREAMING = {
     ),
     "streaming_interval_join": QuerySpec(
         streaming_interval_join, STREAMING_INTERVAL_JOIN_SQL
+    ),
+    "streaming_session_windows": QuerySpec(
+        streaming_session_windows, STREAMING_SESSION_SQL
     ),
 }
