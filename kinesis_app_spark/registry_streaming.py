@@ -179,6 +179,69 @@ JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
 """
 
 
+def streaming_left_outer_interval_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: unmatched purchases emit
+    with null click columns — but only once the watermark proves no future
+    click can match, so each side carries a far-future sentinel row
+    (consumed in a second micro-batch via maxFilesPerTrigger=1) to close
+    all real state deterministically. Result must equal the batch left
+    join."""
+    import datetime as dt
+    import tempfile
+    import time
+
+    from kinesis_app_spark.streaming.ops import run_to_memory
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+
+    far = dt.datetime(2030, 1, 1)
+
+    def two_batch_src(df, sentinel_row):
+        src = tempfile.mkdtemp(prefix="loj_src_")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        time.sleep(1.1)
+        spark.createDataFrame([sentinel_row], df.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return file_stream(spark, src, df.schema, max_files_per_trigger=1)
+
+    p_stream = two_batch_src(purchases, (-1, far, -1)).withWatermark("p_ts", "1 hour")
+    c_stream = two_batch_src(clicks, (-1, far, -2)).withWatermark("c_ts", "2 hours")
+    joined = p_stream.join(
+        c_stream,
+        (p_stream.p_user == c_stream.c_user)
+        & (c_stream.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (c_stream.c_ts <= F.col("p_ts")),
+        "left_outer",
+    )
+    ckpt = tempfile.mkdtemp(prefix="loj_ckpt_")
+    res = run_to_memory(
+        joined.select("purchase_id", "p_user", "click_id"), ckpt, output_mode="append"
+    )
+    return res.filter(F.col("p_user") >= 0).select("purchase_id", "click_id")
+
+
+STREAMING_LEFT_OUTER_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE user_id < 300 AND event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
 def streaming_session_windows(spark, sf_dir):
     """Event-time session windows in append mode, emitted deterministically:
     the source has two files consumed one per micro-batch
@@ -264,5 +327,8 @@ REGISTRY_STREAMING = {
     ),
     "streaming_session_windows": QuerySpec(
         streaming_session_windows, STREAMING_SESSION_SQL
+    ),
+    "streaming_left_outer_interval_join": QuerySpec(
+        streaming_left_outer_interval_join, STREAMING_LEFT_OUTER_SQL
     ),
 }
