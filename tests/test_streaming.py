@@ -198,6 +198,33 @@ def test_rate_limited_multi_batch_drain(spark, tmp_path, events_schema):
     assert len(batches) >= 4  # one epoch per file
 
 
+def test_dedup_within_watermark_across_batches(spark, tmp_path, events_schema):
+    """dropDuplicatesWithinWatermark: a duplicate arriving in a later
+    micro-batch within the watermark horizon is dropped; dedup state stays
+    bounded by the horizon (the 100 TB-sane variant). The horizon here
+    exceeds the fixture's time span so no record is dropped as late."""
+    from kinesis_app_spark.streaming.ops import streaming_dedup
+
+    src = str(tmp_path / "ddw_in")
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") < 200)
+    ev.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    # second file: the same 200 events again (redelivery), in-horizon
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream(spark, src, events_schema, max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, ["event_id"], watermark=("ts", "3650 days"))
+    out = str(tmp_path / "ddw_out")
+    q = StreamRunner(str(tmp_path / "ddw_ckpt")).run(
+        deduped.select("event_id"), sink_format="parquet", path=out,
+        available_now=True,
+    )
+    _drain(q)
+    got = spark.read.parquet(out)
+    assert got.count() == 200          # each event exactly once
+    assert got.distinct().count() == 200
+
+
 def test_cluster_state_listener(spark, tmp_path, events_dir, events_schema):
     """LiveStats "records" counter parity (src/Kinesis/Coordination.hs:92-94):
     the listener's total_records equals the rows ingested."""
