@@ -44,6 +44,21 @@ def _mk_stream(
     return file_stream(spark, src, df.schema), ckpt
 
 
+def _append_sentinel(spark: SparkSession, src: str, schema, row) -> None:
+    """Append a one-row sentinel file and push its mtime 5s ahead of every
+    existing part so the file stream (mtime-ordered) consumes it in a later
+    micro-batch — deterministic without sleeping between writes."""
+    import os
+
+    before = set(os.listdir(src))
+    spark.createDataFrame([row], schema).coalesce(1).write.mode("append").parquet(src)
+    for f in set(os.listdir(src)) - before:
+        if f.endswith(".parquet"):
+            p = os.path.join(src, f)
+            st = os.stat(p)
+            os.utime(p, (st.st_atime, st.st_mtime + 5))
+
+
 def streaming_tumbling_counts(spark, sf_dir):
     """Daily tumbling-window counts per event type, computed by a streaming
     query (complete mode) — must equal the batch group-by."""
@@ -188,7 +203,6 @@ def streaming_left_outer_interval_join(spark, sf_dir):
     join."""
     import datetime as dt
     import tempfile
-    import time
 
     from kinesis_app_spark.streaming.ops import run_to_memory
     from kinesis_app_spark.streaming.sources import file_stream
@@ -210,10 +224,7 @@ def streaming_left_outer_interval_join(spark, sf_dir):
     def two_batch_src(df, sentinel_row):
         src = tempfile.mkdtemp(prefix="loj_src_")
         df.coalesce(1).write.mode("overwrite").parquet(src)
-        time.sleep(1.1)
-        spark.createDataFrame([sentinel_row], df.schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _append_sentinel(spark, src, df.schema, sentinel_row)
         return file_stream(spark, src, df.schema, max_files_per_trigger=1)
 
     p_stream = two_batch_src(purchases, (-1, far, -1)).withWatermark("p_ts", "1 hour")
@@ -251,7 +262,6 @@ def streaming_session_windows(spark, sf_dir):
     batch session computation (the oracle)."""
     import datetime as dt
     import tempfile
-    import time
 
     from kinesis_app_spark.streaming.ops import run_to_memory
     from kinesis_app_spark.streaming.sources import file_stream
@@ -264,11 +274,7 @@ def streaming_session_windows(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="sess_src_")
     ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
-    time.sleep(1.1)  # ensure the sentinel file sorts after by mtime
-    sentinel = spark.createDataFrame(
-        [(-1, dt.datetime(2030, 1, 1), 0.0)], ev.schema
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
+    _append_sentinel(spark, src, ev.schema, (-1, dt.datetime(2030, 1, 1), 0.0))
 
     stream = file_stream(
         spark, src, ev.schema, max_files_per_trigger=1
