@@ -179,7 +179,8 @@ def streaming_interval_join(spark, sf_dir):
         & (r.c_ts <= F.col("p_ts")),
     )
     res = run_to_memory(
-        joined.select("purchase_id", "click_id"), ckpt, output_mode="append"
+        joined.select("purchase_id", "click_id"), ckpt, output_mode="append",
+        shuffle_partitions=8,
     )
     return res
 
@@ -238,7 +239,8 @@ def streaming_left_outer_interval_join(spark, sf_dir):
     )
     ckpt = tempfile.mkdtemp(prefix="loj_ckpt_")
     res = run_to_memory(
-        joined.select("purchase_id", "p_user", "click_id"), ckpt, output_mode="append"
+        joined.select("purchase_id", "p_user", "click_id"), ckpt,
+        output_mode="append", shuffle_partitions=8,
     )
     return res.filter(F.col("p_user") >= 0).select("purchase_id", "click_id")
 
@@ -285,7 +287,7 @@ def streaming_session_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    res = run_to_memory(agg, ckpt, output_mode="append")
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
     return res.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("w.start").alias("session_start"),
