@@ -1,0 +1,86 @@
+"""Connected components — the iterative-algorithm operator class.
+
+The motivating use: near-duplicate PAIRS under-specify dedup (dropping one
+side of each pair can over- or under-delete when dups chain A~B~C); the
+right unit is the connected COMPONENT of the near-dup graph, with one
+canonical survivor per component.
+
+Implementation is min-label propagation: every vertex starts labeled with
+its own id; each round takes the min of its label and its neighbors'
+labels; converges to the component-minimum id in O(component diameter)
+rounds (near-dup clusters are shallow — typically 2-3 rounds).
+
+Scale notes: the loop lives on the driver; each round is one shuffle-join
+of (edges x labels) + a groupBy min — both keyed shuffles AQE can size.
+``localCheckpoint`` truncates the growing lineage every round (the
+standard iterative-algorithm discipline on Spark; swap for
+``checkpoint()`` with a reliable checkpoint dir on a real cluster).
+Convergence is detected with a count of changed labels, which also
+materializes the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in edges; component is
+    the minimum vertex id in that connected component."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup clusters from a pair list: (id, component, is_canonical)
+    where the canonical doc is the minimum id of its component."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        "id",
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

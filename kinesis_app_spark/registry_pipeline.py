@@ -84,6 +84,61 @@ WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
 """
 
 
+def dedup_cluster_components(spark, sf_dir):
+    """Connected components of the near-dup graph (iterative min-label
+    propagation) — the cluster-level view of dedup: one canonical doc per
+    component. The oracle computes the same components with a recursive
+    transitive-closure CTE."""
+    from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
+    from kinesis_app_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM norm WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM near
+  UNION
+  SELECT id_b, id_a FROM near
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT v.id, least(v.id, coalesce(min(r.dst), v.id)) AS component,
+       v.id = least(v.id, coalesce(min(r.dst), v.id)) AS is_canonical
+FROM (SELECT DISTINCT src AS id FROM edges) v
+LEFT JOIN reach r ON r.src = v.id
+GROUP BY v.id
+"""
+
+
 REGISTRY_PIPELINE = {
     "pipeline_corpus_curation": QuerySpec(pipeline_corpus_curation, PIPELINE_SQL),
+    "dedup_cluster_components": QuerySpec(
+        dedup_cluster_components, DEDUP_CLUSTERS_SQL
+    ),
 }

@@ -31,6 +31,21 @@ def test_survivors_respect_gates(spark):
     assert bad == 0
 
 
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, isolated pair 10-11, triangle 20-21-22: labels converge
+    to each component's minimum id."""
+    from kinesis_app_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_curation_stats_funnel(spark):
     docs = load_table(spark, SF_DIR, "documents")
     survivors = curate_corpus(docs, min_quality=0.30, langs=("en",))
