@@ -665,6 +665,53 @@ FROM pos GROUP BY 1, 2
 """
 
 
+def timeseries_resample_daily(spark, sf_dir):
+    from kinesis_app_spark.operators.timeseries import resample_daily
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return resample_daily(e, key="user_id", ts="ts", value="value")
+
+
+RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         count(*) AS n_events, round(sum(value), 2) AS value_sum
+  FROM events WHERE user_id < 100
+  GROUP BY 1, 2
+), scaffold AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.value_sum, 0.0) AS value_sum
+FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+def vector_mean_per_label(spark, sf_dir):
+    """Element-wise mean embedding per label (the centroid computation) —
+    posexplode to (label, dim, x), groupBy avg, reassembled in dim order.
+    Emitted as exploded (label, dim, mean) rows so the oracle can compare
+    scalar values."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .withColumn("dim", F.col("dim").cast("int"))
+    )
+
+
+VECTOR_MEAN_SQL = """
+SELECT label, CAST(dim - 1 AS INTEGER) AS dim, round(avg(x), 6) AS mean_x
+FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 REGISTRY_FUNCS = {
     "pivot_monthly_event_counts": QuerySpec(pivot_monthly_event_counts, PIVOT_SQL),
     "unpivot_customer_metrics": QuerySpec(unpivot_customer_metrics, UNPIVOT_SQL),
@@ -693,4 +740,6 @@ REGISTRY_FUNCS = {
     "setop_except_all": QuerySpec(setop_except_all, SETOP_EXCEPT_ALL_SQL),
     "null_handling_battery": QuerySpec(null_handling_battery, NULL_HANDLING_SQL),
     "collect_set_sorted": QuerySpec(collect_set_sorted, COLLECT_SET_SQL),
+    "timeseries_resample_daily": QuerySpec(timeseries_resample_daily, RESAMPLE_SQL),
+    "vector_mean_per_label": QuerySpec(vector_mean_per_label, VECTOR_MEAN_SQL),
 }
