@@ -665,6 +665,26 @@ FROM pos GROUP BY 1, 2
 """
 
 
+def bitwise_aggregates(spark, sf_dir):
+    """bit_and / bit_or / bit_xor aggregates over the JSON-extracted k."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return e.groupBy("event_type").agg(
+        F.bit_and("k").alias("k_and"),
+        F.bit_or("k").alias("k_or"),
+        F.bit_xor("k").alias("k_xor"),
+    )
+
+
+BITWISE_SQL = """
+SELECT event_type, bit_and(k) AS k_and, bit_or(k) AS k_or, bit_xor(k) AS k_xor
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 def timeseries_resample_daily(spark, sf_dir):
     from kinesis_app_spark.operators.timeseries import resample_daily
 
@@ -742,4 +762,5 @@ REGISTRY_FUNCS = {
     "collect_set_sorted": QuerySpec(collect_set_sorted, COLLECT_SET_SQL),
     "timeseries_resample_daily": QuerySpec(timeseries_resample_daily, RESAMPLE_SQL),
     "vector_mean_per_label": QuerySpec(vector_mean_per_label, VECTOR_MEAN_SQL),
+    "bitwise_aggregates": QuerySpec(bitwise_aggregates, BITWISE_SQL),
 }

@@ -225,6 +225,50 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path, events_schema):
     assert got.distinct().count() == 200
 
 
+def test_stateful_counter_resumes_from_state_store(spark, tmp_path, events_schema):
+    """applyInPandasWithState state survives a restart: after new data
+    arrives and the query reruns on the same checkpoint, the running
+    counters continue from the stored values (the reference's _workerItems
+    MVar, src/Kinesis/Coordination.hs:331-336, made durable)."""
+    from kinesis_app_spark.streaming.ops import running_count_per_key
+
+    src = str(tmp_path / "st_in")
+    ckpt = str(tmp_path / "st_ckpt")
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 10)
+    first = ev.filter(F.col("event_id") < 500)
+    second = ev.filter(F.col("event_id") >= 500)
+    first.coalesce(1).write.parquet(src)
+
+    def run_once():
+        out: dict[int, int] = {}
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                out[r["key"]] = max(r["n"], out.get(r["key"], 0))
+
+        counts = running_count_per_key(
+            file_stream(spark, src, ev.schema), "user_id"
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return out
+
+    run_once()
+    second.coalesce(1).write.mode("append").parquet(src)
+    final = run_once()
+    want = {
+        r["user_id"]: r["count"]
+        for r in ev.groupBy("user_id").count().collect()
+    }
+    assert final == want  # totals continue across the restart, no reset
+
+
 def test_cluster_state_listener(spark, tmp_path, events_dir, events_schema):
     """LiveStats "records" counter parity (src/Kinesis/Coordination.hs:92-94):
     the listener's total_records equals the rows ingested."""
