@@ -300,28 +300,93 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.40,
     lsh_bits: int = 0,
+    lsh_tables: int = 8,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold.
 
     lsh_bits=0: exact all-pairs (oracle-checkable; only for small/sampled
-    inputs). lsh_bits>0: random-hyperplane signatures (deterministic seeded
-    planes) bucket vectors first, so the quadratic work happens within
-    buckets only — the 100 TB path.
+    inputs). lsh_bits>0: multi-table random-hyperplane LSH — lsh_tables
+    independent lsh_bits-bit sign signatures per vector; a pair is a
+    candidate if ANY table's signatures collide (recall ~ 1-(1-p^bits)^tables
+    with p = 1 - angle/pi), and every candidate's true cosine is verified,
+    so the result is a high-recall SUBSET of the exact pairs. Candidate
+    generation is an equi-join on (table, signature) — the quadratic work
+    collapses to within-bucket pairs, the 100 TB path.
     """
     df = spread(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if lsh_bits > 0:
-        sig = _hyperplane_signature(df, vec_col, lsh_bits)
-        a = a.join(sig.withColumnRenamed(id_col, "id_a"), "id_a")
-        b = b.join(sig.withColumnRenamed(id_col, "id_b"), "id_b")
-        joined = a.join(b, (F.col("id_a") < F.col("id_b")) & (a["sig"] == b["sig"]))
+        sig = _hyperplane_tables(df, vec_col, id_col, lsh_bits, lsh_tables)
+        a_sig = sig.select(
+            F.col(id_col).alias("id_a"), F.col("t").alias("ta"), F.col("sig").alias("sa")
+        )
+        b_sig = sig.select(
+            F.col(id_col).alias("id_b"), F.col("t").alias("tb"), F.col("sig").alias("sb")
+        )
+        candidates = (
+            a_sig.join(
+                b_sig,
+                (F.col("ta") == F.col("tb"))
+                & (F.col("sa") == F.col("sb"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        joined = candidates.join(va, "id_a").join(vb, "id_b")
     else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _hyperplane_tables(
+    df: DataFrame, vec_col: str, id_col: str, bits: int, tables: int
+) -> DataFrame:
+    """(id, t, sig) rows: for each of `tables` LSH tables, a `bits`-char
+    sign signature against pseudo-random hyperplanes derived from
+    xxhash64(plane_idx, dim_idx) — deterministic, no RNG state. One row per
+    (vector, table) via explode so the signature expressions are evaluated
+    once per row, not inlined per table."""
+    dim = F.size(F.col(vec_col))
+
+    def plane_weights(p):
+        # hash -> [-1, 1] pseudo-weight
+        return F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda d: (F.xxhash64(F.lit(p), d) % 1000).cast("double") / 500.0 - 1.0,
+        )
+
+    def bit_char(p):
+        return F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), plane_weights(p), lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+
+    table_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.concat(*[bit_char(t * bits + p) for p in range(bits)]).alias("sig"),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(table_sigs).alias("ts")).select(
+        id_col, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
     )
 
 
@@ -374,34 +439,3 @@ def embedding_near_dup_pairs_np(
     )
 
 
-def _hyperplane_signature(df: DataFrame, vec_col: str, bits: int) -> DataFrame:
-    """Deterministic random-hyperplane LSH signature: sign pattern of dot
-    products against `bits` pseudo-random planes derived from xxhash64 of
-    (plane_idx, dim_idx) — reproducible with no RNG state."""
-    dim = F.size(F.col(vec_col))
-
-    def plane_weights(p: int):
-        # hash -> [-1, 1] pseudo-weight; closure factory keeps lambda arity 1
-        return F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda d: (F.xxhash64(F.lit(p), d) % 1000).cast("double") / 500.0 - 1.0,
-        )
-
-    sig = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), plane_weights(p), lambda x, w: x.cast("double") * w
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(bits)
-        ]
-    )
-    id_col = df.columns[0]
-    return df.select(F.col(id_col), sig.alias("sig"))

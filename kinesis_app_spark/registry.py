@@ -861,6 +861,15 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # similarity search
 # =====================================================================
 
+def dedup_embedding_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup (the giant-corpus path) — a
+    verified-cosine SUBSET of the exact pairs; recall asserted in tests,
+    hash family engine-specific => rows-only check."""
+    return D.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40, lsh_bits=4, lsh_tables=8
+    )
+
+
 def dedup_embedding_cosine_np(spark, sf_dir):
     """BLAS matmul variant of the exact cosine near-dup — same oracle."""
     return D.embedding_near_dup_pairs_np(
@@ -1083,6 +1092,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_cosine_np": QuerySpec(
         dedup_embedding_cosine_np, DEDUP_EMBEDDING_SQL
     ),
+    "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None),
     # similarity search
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
     "knn_brute_force_np": QuerySpec(knn_brute_force_np, KNN_SQL),

@@ -183,6 +183,29 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert (pd.isna(a) and pd.isna(b)) or a == b, (lid, a, b)
 
 
+def test_embedding_lsh_bucketed_recall(spark):
+    """The hyperplane-LSH-bucketed variant must (a) return a subset of the
+    exact pairs (it only prunes, never invents: cosine is still verified
+    per candidate) and (b) retain reasonable recall at few bits."""
+    from kinesis_app_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, lsh_bits=4, lsh_tables=8
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert exact
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
 def test_embedding_near_dup_np_matches_exact(spark):
     """The BLAS variant must find exactly the same above-threshold pairs as
     the Column-algebra exact variant."""
