@@ -559,6 +559,7 @@ REGISTRY_TPCH2 = {
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
     "q16_part_supplier_counts": QuerySpec(q16_part_supplier_counts, Q16_SQL),
     "q17_small_quantity_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
+    "q20_high_volume_suppliers": QuerySpec(q20_high_volume_suppliers, Q20_SQL),
     "q21_sole_returned_supplier": QuerySpec(q21_sole_returned_supplier, Q21_SQL),
     "q22_dormant_rich_customers": QuerySpec(q22_dormant_rich_customers, Q22_SQL),
 }
