@@ -1,0 +1,236 @@
+"""Second operator battery: conditional aggregates, median, bucketing,
+regexp extraction, safe casts, deterministic sampling, and lateral joins.
+
+Same conventions as registry_funcs.py — JVM-side Column algebra only,
+scalar output columns, every query oracle-checked against DuckDB. These
+fill §2.2 "scalar functions / aggregations" rows the first battery left
+uncovered (the reference computes none of these — its only computation
+surface is the opaque Processor callback, src/Kinesis/Coordination.hs:51-53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# ---------------------------------------------------------------------
+# conditional / boolean aggregates + exact median
+# ---------------------------------------------------------------------
+
+def conditional_aggregates(spark, sf_dir):
+    """count_if / bool_or / bool_and / every + exact median per event type.
+    All are single-pass partial+final hash aggregates except median (sort
+    agg); at 100 TB swap median for percentile_approx."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("count_if(value > 50.0)").alias("n_high"),
+        F.expr("bool_or(value > 99.0)").alias("any_extreme"),
+        F.expr("bool_and(value >= 0.0)").alias("all_nonneg"),
+        F.round(F.expr("median(value)"), 4).alias("med_value"),
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT event_type,
+       count(CASE WHEN value > 50.0 THEN 1 END) AS n_high,
+       bool_or(value > 99.0)  AS any_extreme,
+       bool_and(value >= 0.0) AS all_nonneg,
+       round(median(value), 4) AS med_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------
+# width_bucket histogram
+# ---------------------------------------------------------------------
+
+def value_histogram(spark, sf_dir):
+    """Fixed-bound 10-bucket histogram of event values via width_bucket —
+    one scan, one shuffle on the (tiny) bucket key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 100 THEN 11
+            ELSE CAST(floor(value / 10.0) AS INT) + 1 END AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# regexp extraction / counting
+# ---------------------------------------------------------------------
+
+def regexp_battery(spark, sf_dir):
+    """Pattern extraction over document text: per-doc match counts from
+    regexp_extract_all plus first-match capture — all codegen'd JVM regex,
+    embarrassingly parallel (no shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\d+"), F.lit(0)))
+        .cast("int")
+        .alias("n_numbers"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Z][a-z]+"), F.lit(0)))
+        .cast("int")
+        .alias("n_capitalized"),
+        F.regexp_extract(F.col("text"), r"(\d+)", 1).alias("first_number"),
+        F.col("text").rlike(r"\d").alias("has_digit"),
+    )
+
+
+REGEXP_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\d+'))      AS n_numbers,
+       len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_capitalized,
+       coalesce(regexp_extract(text, '(\d+)', 1), '') AS first_number,
+       regexp_matches(text, '\d') AS has_digit
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# safe casts / try arithmetic
+# ---------------------------------------------------------------------
+
+def try_cast_battery(spark, sf_dir):
+    """Null-on-error casts and division: the ingestion-hardening path for
+    dirty data (a 100 TB load can't abort on one malformed row)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("long")
+        .alias("prio_num"),
+        F.expr("try_divide(o_totalprice, o_custkey % 3)").alias("maybe_div"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_int"),
+    )
+
+
+TRY_CAST_SQL = """
+SELECT o_orderkey,
+       TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS prio_num,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS maybe_div,
+       TRY_CAST(o_orderstatus AS INT) AS bad_int
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------
+# split_part / string slicing
+# ---------------------------------------------------------------------
+
+def split_part_battery(spark, sf_dir):
+    """Delimited-field extraction from priority codes (split_part / left /
+    right / translate) — pure codegen, no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_rank"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(-1)).alias("prio_word"),
+        F.expr("left(o_orderpriority, 1)").alias("prio_code"),
+        F.expr("right(o_orderstatus, 1)").alias("status_tail"),
+        F.translate(F.col("o_orderpriority"), "-", " ").alias("prio_spaced"),
+    )
+
+
+SPLIT_PART_SQL = """
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 1)  AS prio_rank,
+       split_part(o_orderpriority, '-', -1) AS prio_word,
+       left(o_orderpriority, 1)     AS prio_code,
+       right(o_orderstatus, 1)      AS status_tail,
+       translate(o_orderpriority, '-', ' ') AS prio_spaced
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------
+# deterministic systematic sampling
+# ---------------------------------------------------------------------
+
+def systematic_sample_stats(spark, sf_dir):
+    """1-in-10 systematic sample by key residue, then aggregate. The
+    deterministic cousin of TABLESAMPLE: reproducible across engines and
+    retries (a random Bernoulli sample can't be oracle-checked). The modulo
+    filter is pushed into the scan; at 100 TB this reads every row-group but
+    only materializes the sample."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+        ).cast("double").alias("sum_price"),
+    )
+
+
+SYSTEMATIC_SAMPLE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_sampled,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------
+# SQL LATERAL join
+# ---------------------------------------------------------------------
+
+def sql_lateral_topk(spark, sf_dir):
+    """Per-nation top-3 customers by balance via a correlated LATERAL
+    subquery — Catalyst decorrelates it to a ranked window join, the same
+    plan top_k_per_group builds by hand."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_v n,
+             LATERAL (
+               SELECT c_name, c_acctbal
+               FROM customer_v c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name
+               LIMIT 3
+             ) t
+        """
+    )
+
+
+SQL_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+     LATERAL (
+       SELECT c_name, c_acctbal
+       FROM customer c
+       WHERE c.c_nationkey = n.n_nationkey
+       ORDER BY c_acctbal DESC, c_name
+       LIMIT 3
+     ) t
+"""
+
+
+REGISTRY_FUNCS2 = {
+    "conditional_aggregates": QuerySpec(conditional_aggregates, CONDITIONAL_AGG_SQL),
+    "value_histogram": QuerySpec(value_histogram, HISTOGRAM_SQL),
+    "regexp_battery": QuerySpec(regexp_battery, REGEXP_SQL),
+    "try_cast_battery": QuerySpec(try_cast_battery, TRY_CAST_SQL),
+    "split_part_battery": QuerySpec(split_part_battery, SPLIT_PART_SQL),
+    "systematic_sample_stats": QuerySpec(systematic_sample_stats, SYSTEMATIC_SAMPLE_SQL),
+    "sql_lateral_topk": QuerySpec(sql_lateral_topk, SQL_LATERAL_SQL),
+}
