@@ -34,9 +34,16 @@ def connected_components(
     """(id, component) for every vertex appearing in edges; component is
     the minimum vertex id in that connected component."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the (symmetrized) edge list ONCE — the upstream pair
+    # pipeline (shingling, posting self-join, …) must not re-execute every
+    # round. Pre-hash-partitioning by dst lets every round's neighbor join
+    # reuse this layout instead of re-exchanging the static side.
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("dst")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -49,23 +56,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # keep the previous label alongside so convergence is a cheap scan
+        # of the checkpointed rows, not another join
+        step = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("label") != F.col("old_label")).count()
+        labels = step.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
