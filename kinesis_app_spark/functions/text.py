@@ -38,19 +38,38 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
 
 
+def let_bound(value: Column, body) -> Column:
+    """Evaluate `value` exactly once and pass it to `body` as a bound
+    lambda variable.
+
+    There is no common-subexpression elimination inside higher-order-function
+    lambdas, so an expression referenced from a per-element lambda is
+    re-evaluated on EVERY element. Wrapping the value in a one-element array
+    and going through transform() turns it into a lambda variable — a plain
+    slot read — for everything `body` builds. For shingling this is the
+    difference between O(tokens) and O(tokens^2) per document (measured 5.9s
+    -> 0.9s for the sf0.1 posting build).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (array<string>) of the normalized text.
 
     Built with sequence+transform+slice — no explode, no shuffle: shingling
     stays a per-row map operation, which matters when the downstream MinHash
-    runs over billions of documents.
+    runs over billions of documents. The token array is let-bound so the
+    tokenizer runs once per document, not once per shingle position.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+
+    def mk(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+
+    return let_bound(tokens(text), mk)
 
 
 def fingerprint(text: Column) -> Column:
@@ -64,10 +83,14 @@ def fingerprint(text: Column) -> Column:
 
 def rolling_hashes(text: Column, window: int = 8) -> Column:
     """Per-position rolling window hashes (array<bigint>) for winnowing-style
-    fingerprinting: xxhash64 of each `window`-token slice."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " "))
-    )
+    fingerprinting: xxhash64 of each `window`-token slice. Token array
+    let-bound for the same O(n^2)->O(n) reason as word_shingles."""
+
+    def mk(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " "))
+        )
+
+    return let_bound(tokens(text), mk)

@@ -74,20 +74,34 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    postings = sh.select("id", F.explode("shingles").alias("shingle"))
+    # Materialize the posting list ONCE, pre-partitioned by shingle: the
+    # lambda-heavy shingling would otherwise re-execute for each self-join
+    # side and each size lookup (no CSE across subplans), and the
+    # pre-partitioning lets the self-join run exchange-free. Set size is
+    # carried on every posting row and recovered with max() in the
+    # intersection aggregate — no join back onto a sizes table. On a real
+    # cluster swap localCheckpoint for persist(DISK_ONLY)/checkpoint.
+    postings = (
+        sh.select(
+            "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+        )
+        .repartition("shingle")
+        .localCheckpoint()
+    )
 
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
     )
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )

@@ -30,7 +30,8 @@ from kinesis_app_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from kinesis_app_spark.operators.textanalysis import lang_id, quality_score
+from kinesis_app_spark.operators.textanalysis import lang_pred_expr, quality_expr
+from kinesis_app_spark.operators.util import spread
 
 
 def curate_corpus(
@@ -43,12 +44,16 @@ def curate_corpus(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Return the curated survivor documents (id, lang verdict, quality)."""
-    q = quality_score(df, text_col, id_col).select(id_col, "quality")
-    lg = lang_id(df, text_col, id_col).select(id_col, "pred_lang")
-    gated = (
-        df.join(q, id_col)
-        .join(lg, id_col)
-        .filter((F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs))
+    # quality and language are pure per-row expressions over the text, so
+    # they are projected inline — no shuffle join back onto df (two whole
+    # exchanges of document text saved vs. the score-then-join shape)
+    scored = spread(df).select(
+        "*",
+        quality_expr(text_col).alias("quality"),
+        lang_pred_expr(text_col)[0].alias("pred_lang"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
     exact = exact_dedup(gated, text_col, id_col)
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs

@@ -55,10 +55,8 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic [0,1] quality score: length component + stopword ratio
-    + alphabetic-character ratio. The shape (not the exact weights) is the
-    standard pretraining-data quality heuristic."""
+def _quality_parts(text_col: str) -> tuple[Column, Column, Column]:
+    """(stop_ratio, alpha_ratio, quality) expression triple over text_col."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     stop_ratio = _marker_count(toks, STOPWORDS).cast("double") / F.greatest(
@@ -69,19 +67,31 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         / F.greatest(F.length(F.col(text_col)), F.lit(1))
     )
     len_score = F.least(n_tok, F.lit(100)).cast("double") / 100.0
+    quality = F.round(0.4 * len_score + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4)
+    return F.round(stop_ratio, 4), F.round(alpha_ratio, 4), quality
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The [0,1] quality score as a bare Column — usable inline in a wider
+    projection (e.g. the curation pipeline) without a join."""
+    return _quality_parts(text_col)[2]
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic [0,1] quality score: length component + stopword ratio
+    + alphabetic-character ratio. The shape (not the exact weights) is the
+    standard pretraining-data quality heuristic."""
+    stop_ratio, alpha_ratio, quality = _quality_parts(text_col)
     return spread(df).select(
         F.col(id_col),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(
-            0.4 * len_score + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4
-        ).alias("quality"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        quality.alias("quality"),
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID: argmax of per-language marker counts,
-    ties broken by LANG_MARKERS declaration order (en first)."""
+def lang_pred_expr(text_col: str = "text") -> tuple[Column, Column]:
+    """(pred_lang, marker_hits) expression pair over text_col."""
     toks = tokens(F.col(text_col))
     counts = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
@@ -91,6 +101,13 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         better = counts[lang] > best_n
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_n = F.when(better, counts[lang]).otherwise(best_n)
+    return best, best_n
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    ties broken by LANG_MARKERS declaration order (en first)."""
+    best, best_n = lang_pred_expr(text_col)
     return spread(df).select(
         F.col(id_col),
         best.alias("pred_lang"),
