@@ -55,7 +55,11 @@ def curate_corpus(
     gated = scored.filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )
-    exact = exact_dedup(gated, text_col, id_col)
+    # Materialize the gated+exact-deduped corpus once: both the near-dup
+    # pair build and the survivor anti-join consume it, and without the
+    # checkpoint the scan + gates + dedup re-execute for each (swap for
+    # persist(DISK_ONLY) on a real cluster).
+    exact = exact_dedup(gated, text_col, id_col).localCheckpoint()
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
     pairs = pair_fn(exact, text_col, id_col, threshold=jaccard_threshold)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

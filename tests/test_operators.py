@@ -244,3 +244,27 @@ def test_broadcast_join_plan_has_no_shuffle_on_big_side(spark, engine):
     plan = l.join(F.broadcast(n), l.l_suppkey == n.s_suppkey)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_let_bound_equals_inline_expression(spark):
+    """let_bound must be a pure evaluation-strategy change: word_shingles
+    (let-bound tokenizer) must produce exactly the inline-expression result."""
+    from kinesis_app_spark.functions.text import let_bound, tokens, word_shingles
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    k = 3
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    inline = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+    got = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), k).alias("fast"),
+        inline.alias("slow"),
+        let_bound(F.lit(7), lambda x: x + x).alias("fourteen"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["slow"], r["doc_id"]
+        assert r["fourteen"] == 14

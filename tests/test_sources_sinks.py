@@ -101,3 +101,19 @@ def test_streaming_file_sink_partitioned(spark, tmp_path):
     assert set(back.select("event_type").distinct().toPandas()["event_type"]) == set(
         ev.select("event_type").distinct().toPandas()["event_type"]
     )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Scale guarantee: a filtered 2-column projection must push the
+    predicate into the parquet scan (PushedFilters) and prune the read
+    schema to the referenced columns — not read whole rows and filter
+    later."""
+    from kinesis_app_spark.sources.batch import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,5" in plan, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
