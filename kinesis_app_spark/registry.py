@@ -1111,6 +1111,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # + streaming operators run to completion under the batch gate
 from kinesis_app_spark.registry_funcs import REGISTRY_FUNCS  # noqa: E402
 from kinesis_app_spark.registry_funcs2 import REGISTRY_FUNCS2  # noqa: E402
+from kinesis_app_spark.registry_funcs3 import REGISTRY_FUNCS3  # noqa: E402
 from kinesis_app_spark.registry_pipeline import REGISTRY_PIPELINE  # noqa: E402
 from kinesis_app_spark.registry_scale import REGISTRY_SCALE  # noqa: E402
 from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E402
@@ -1119,6 +1120,7 @@ from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
 REGISTRY.update(REGISTRY_FUNCS2)
+REGISTRY.update(REGISTRY_FUNCS3)
 REGISTRY.update(REGISTRY_STREAMING)
 REGISTRY.update(REGISTRY_SCALE)
 REGISTRY.update(REGISTRY_PIPELINE)

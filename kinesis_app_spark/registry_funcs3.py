@@ -1,0 +1,253 @@
+"""Third operator battery: LLM-training-data pipeline text operators.
+
+Document chunking (overlapping token windows), TF-IDF top-terms, stratified
+source-mixture sampling, and per-language character-trigram profiles — the
+corpus-preparation steps a training-data pipeline runs after curation
+(operators/pipeline.py) and before tokenization. None exist in the reference
+(its only computation surface is the opaque Processor callback,
+src/Kinesis/Coordination.hs:51-53); all are mandated by the north-star spec.
+
+Conventions as in registry_funcs.py: JVM-side Column algebra only (no Python
+UDFs — chunk slicing and trigram extraction are higher-order-function
+lambdas inside whole-stage codegen), aliases shared with the DuckDB oracle,
+`let_bound` around every expression referenced from a per-element lambda
+(no CSE inside lambdas — see functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.functions import text as T
+from kinesis_app_spark.operators.util import spread
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+#: chunk geometry: 32-token windows every 24 tokens (8-token overlap).
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+# ---------------------------------------------------------------------
+# overlapping token-window chunking
+# ---------------------------------------------------------------------
+
+def text_chunking(spark, sf_dir):
+    """Split each document into overlapping fixed-size token chunks.
+
+    One narrow pass: tokenize -> per-row transform over the chunk starts
+    (sequence(1, n, stride)) -> posexplode. No shuffle at all — chunking is
+    embarrassingly parallel, so at 100 TB this runs at scan speed and the
+    output keeps the input's partitioning for the downstream tokenizer.
+    `let_bound` keeps tokenization O(n) per doc (the start/slice lambdas see
+    a bound variable, not the token-array expression).
+    """
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = T.let_bound(
+        T.tokens(F.col("text")),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(CHUNK_STRIDE)),
+            lambda s: F.slice(t, s, CHUNK_SIZE),
+        ),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+TEXT_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       len(t[s : s + {CHUNK_SIZE - 1}]) AS n_tokens,
+       md5(array_to_string(t[s : s + {CHUNK_SIZE - 1}], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by TF-IDF.
+
+    Plan: explode -> (doc_id, term) count [shuffle 1] -> term doc-frequency
+    [shuffle 2, tiny: one row per distinct term] broadcast back -> per-doc
+    ranking window [reuses shuffle 1's partitioning by doc_id? no — window
+    repartitions by doc_id, shuffle 3 over the already-aggregated rows].
+    The two aggregations are partial+final hash aggs; the DF side after agg
+    is vocabulary-sized, hence the broadcast join. At 100 TB the vocabulary
+    still fits an executor (term dictionary), so the join stays broadcast.
+    """
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    terms = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df_ AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+         round(tf.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (df_.df + 1.0)), 4) AS score
+  FROM tf JOIN df_ USING (term)
+)
+SELECT doc_id, term, tf, df, score, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------
+# stratified source-mixture sampling
+# ---------------------------------------------------------------------
+
+#: per-language keep rates out of 10 (training-mixture weights):
+#: en 80%, de/fr 50%, es 30%, everything else 20%.
+_RATE = (
+    "CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 5 WHEN 'fr' THEN 5 "
+    "WHEN 'es' THEN 3 ELSE 2 END"
+)
+
+
+def stratified_sample_mixture(spark, sf_dir):
+    """Deterministic stratified sample: per-language keep rates applied via
+    doc_id modulo (reproducible across engines and runs — the property a
+    training-data mixture needs for audits), then per-stratum stats.
+
+    The rate predicate is pushed into the scan (doc_id % 10 < rate is a
+    deterministic row-local filter); the only shuffle is the tiny
+    (lang, source) aggregation. At 100 TB swap doc_id for xxhash64(doc_id)
+    if ids are not uniform — the plan shape is identical.
+    """
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(F.expr(f"doc_id % 10 < ({_RATE})"))
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(n_chars) AS total_chars
+FROM documents
+WHERE doc_id % 10 < ({_RATE})
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------
+# per-language character-trigram profile
+# ---------------------------------------------------------------------
+
+def char_trigram_profile(spark, sf_dir):
+    """Top-5 character trigrams per language — the statistic behind the
+    n-gram language-ID heuristic (operators/textanalysis.lang_id), computed
+    corpus-wide so the per-row classifier's tables can be audited/refit.
+
+    Trigram extraction is a per-row lambda (sequence + substr) inside
+    codegen — no Python, no shuffle until the (lang, trigram) count. The
+    count output is tiny (distinct trigrams), so the ranking window is
+    cheap regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = spread(_t(spark, sf_dir, "documents").select("lang", "text"))
+    tris = T.let_bound(
+        T.normalize_ws(F.col("text")),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
+            lambda i: s.substr(i, F.lit(3)),
+        ),
+    )
+    counts = (
+        d.select("lang", F.explode(tris).alias("trigram"))
+        .filter(F.length("trigram") == 3)
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "trigram", "n", "rnk")
+    )
+
+
+CHAR_TRIGRAM_SQL = """
+WITH norm AS (
+  SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), tris AS (
+  SELECT lang, substr(s, CAST(i AS INT), 3) AS trigram
+  FROM norm, unnest(generate_series(1, greatest(len(s) - 2, 1))) AS u(i)
+)
+SELECT lang, trigram, n, rnk
+FROM (
+  SELECT lang, trigram, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, trigram ASC) AS rnk
+  FROM tris
+  WHERE len(trigram) = 3
+  GROUP BY lang, trigram
+)
+WHERE rnk <= 5
+"""
+
+
+REGISTRY_FUNCS3 = {
+    "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
+    "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
+    "stratified_sample_mixture": QuerySpec(
+        stratified_sample_mixture, STRATIFIED_SAMPLE_SQL
+    ),
+    "char_trigram_profile": QuerySpec(char_trigram_profile, CHAR_TRIGRAM_SQL),
+}
