@@ -243,6 +243,109 @@ WHERE rnk <= 5
 """
 
 
+# ---------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------
+
+#: fixed keyword query + standard BM25 constants.
+_BM25_TERMS = ("window", "join", "table")
+_K1 = 1.2
+_B = 0.75
+
+
+def bm25_topk(spark, sf_dir):
+    """Top-10 documents for a keyword query under BM25 (k1=1.2, b=0.75) —
+    lexical retrieval beside the vector-KNN entries (knn_*), i.e. the
+    sparse half of a hybrid search stack.
+
+    Plan: one explode filtered to the query terms (the filter lands before
+    the aggregation, so the shuffle carries only matching postings — at
+    100 TB that is |query terms| * docs-containing-term rows, not the whole
+    posting list) -> (doc_id, term) tf agg -> broadcast joins with the
+    term df table and the corpus stats scalar (both tiny) -> per-doc score
+    sum -> global top-10 (TakeOrderedAndProject, no full sort).
+    """
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    doclen = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(doclen), "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    # DECIMAL sum => addition order cannot perturb the rounded score
+    # (double sums fold in engine-dependent order; see q9).
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("term_score").cast("decimal(30,12)")), 4)
+            .cast("double")
+            .alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), doclen AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+), postings AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings
+  WHERE term IN ({_terms_sql}) GROUP BY doc_id, term
+), df_ AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - df_.df + 0.5) / (df_.df + 0.5) + 1.0)
+         * (tf.tf * ({_K1} + 1.0))
+         / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * doclen.dl / stats.avgdl))
+           AS term_score
+  FROM tf
+  JOIN df_ USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(round(sum(CAST(term_score AS DECIMAL(30,12))), 4) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 REGISTRY_FUNCS3 = {
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
@@ -250,4 +353,5 @@ REGISTRY_FUNCS3 = {
         stratified_sample_mixture, STRATIFIED_SAMPLE_SQL
     ),
     "char_trigram_profile": QuerySpec(char_trigram_profile, CHAR_TRIGRAM_SQL),
+    "bm25_topk": QuerySpec(bm25_topk, BM25_SQL),
 }

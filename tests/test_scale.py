@@ -126,3 +126,30 @@ def test_global_topk_plans_take_ordered(spark):
     o = load_table(spark, SF_DIR, "orders")
     df = o.orderBy(F.col("o_totalprice").desc()).limit(100)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_text_chunking_is_shuffle_free(spark):
+    """Chunking is embarrassingly parallel: posexplode over per-row lambdas,
+    no Exchange anywhere above the (single-file test input's) repartition —
+    at 100 TB the spread() repartition is a no-op and the whole op runs at
+    scan speed."""
+    from kinesis_app_spark.registry_funcs3 import text_chunking
+
+    plan = _plan(text_chunking(spark, SF_DIR))
+    # exactly the one spread() round-robin repartition of the narrow test
+    # input (formatted output prints each node twice: tree + detail); no
+    # hash exchange introduced by the operator itself
+    assert plan.count("Exchange") <= 2, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_bm25_dimension_joins_broadcast(spark):
+    """BM25's df/doclen/stats joins must all be broadcasts — the only hash
+    exchange allowed is the (doc_id, term) tf aggregation."""
+    from kinesis_app_spark.registry_funcs3 import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in _plan(bm25_topk(spark, SF_DIR))
