@@ -346,6 +346,131 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------
+# repetition scoring (Gopher-style quality filter)
+# ---------------------------------------------------------------------
+
+def repetition_scores(spark, sf_dir):
+    """Per-document repetition fractions: the share of tokens taken by the
+    single most frequent unigram and bigram — the Gopher/RefinedWeb-style
+    repetition filters that catch boilerplate and degenerate generations.
+
+    Unigrams and bigrams are counted in one pass over one explode (bigrams
+    come from a per-row slide lambda, no second scan); the shuffle key is
+    (doc_id, gram) and the per-doc reduction is a partial+final max — at
+    100 TB this is two hash aggs over posting-sized rows, no windows, no
+    joins except the final per-doc zip of the two maxima (co-partitioned on
+    doc_id).
+    """
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            T.let_bound(
+                F.col("toks"),
+                lambda t: F.concat(
+                    t,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(t, i), F.element_at(t, i + 1)
+                        ),
+                    ),
+                ),
+            )
+        ).alias("gram"),
+    ).withColumn("is_bigram", F.col("gram").contains(" "))
+    counts = grams.groupBy("doc_id", "dl", "is_bigram", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("doc_id", "dl")
+        .agg(
+            F.max(F.when(~F.col("is_bigram"), F.col("n"))).alias("max_uni"),
+            F.max(F.when(F.col("is_bigram"), F.col("n"))).alias("max_bi"),
+        )
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.round(F.col("max_uni") / F.col("dl"), 4).alias("uni_frac"),
+            F.round(F.col("max_bi") / (F.col("dl") - 1), 4).alias("bi_frac"),
+            (
+                (F.col("max_uni") / F.col("dl") <= 0.2)
+                & (F.col("max_bi") / (F.col("dl") - 1) <= 0.18)
+            ).alias("keep"),
+        )
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS gram, FALSE AS is_bigram FROM toks
+  UNION ALL
+  SELECT doc_id, len(t) AS dl,
+         t[i] || ' ' || t[i + 1] AS gram, TRUE AS is_bigram
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+  WHERE i + 1 <= len(t)
+), counts AS (
+  SELECT doc_id, dl, is_bigram, gram, count(*) AS n
+  FROM grams GROUP BY ALL
+)
+SELECT doc_id, dl,
+       round(max(CASE WHEN NOT is_bigram THEN n END) / CAST(dl AS DOUBLE), 4) AS uni_frac,
+       round(max(CASE WHEN is_bigram THEN n END) / CAST(dl - 1 AS DOUBLE), 4) AS bi_frac,
+       (max(CASE WHEN NOT is_bigram THEN n END) / CAST(dl AS DOUBLE) <= 0.2
+        AND max(CASE WHEN is_bigram THEN n END) / CAST(dl - 1 AS DOUBLE) <= 0.18) AS keep
+FROM counts
+GROUP BY doc_id, dl
+"""
+
+
+# ---------------------------------------------------------------------
+# chunk-level dedup stats (chunker ∘ exact dedup composition)
+# ---------------------------------------------------------------------
+
+def chunk_dedup_stats(spark, sf_dir):
+    """Corpus-wide duplicated-chunk summary: total chunks, distinct chunk
+    fingerprints, duplicated fingerprints, and the duplication ratio —
+    the chunk-granularity dedup signal (exact doc dups produce identical
+    chunk runs; partial overlap shows up here but not in doc-level dedup).
+
+    Composes text_chunking (shuffle-free) with one hash aggregation on the
+    16-byte md5 — the shuffle carries fingerprints, never text, the same
+    discipline as doc-level exact dedup.
+    """
+    chunks = text_chunking(spark, sf_dir)
+    per_hash = chunks.groupBy("chunk_md5").agg(F.count(F.lit(1)).alias("n"))
+    return per_hash.groupBy().agg(
+        F.sum("n").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_duplicated"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))) / F.sum("n"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({TEXT_CHUNKING_SQL}),
+per_hash AS (
+  SELECT chunk_md5, count(*) AS n FROM chunks GROUP BY chunk_md5
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+       round((sum(n) - count(*)) / CAST(sum(n) AS DOUBLE), 6) AS dup_ratio
+FROM per_hash
+"""
+
+
 REGISTRY_FUNCS3 = {
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
@@ -354,4 +479,6 @@ REGISTRY_FUNCS3 = {
     ),
     "char_trigram_profile": QuerySpec(char_trigram_profile, CHAR_TRIGRAM_SQL),
     "bm25_topk": QuerySpec(bm25_topk, BM25_SQL),
+    "repetition_scores": QuerySpec(repetition_scores, REPETITION_SQL),
+    "chunk_dedup_stats": QuerySpec(chunk_dedup_stats, CHUNK_DEDUP_SQL),
 }
