@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with the noop sink (full computation,
 no driver collect — measures engine time, not result transfer).
+
+Output discipline (the driver parses stdout): Spark's JVM inherits this
+process's fd 1 and log4j's console appender writes to stdout, so we dup
+the real stdout away at the OS level before the JVM starts and point fd 1
+at stderr for the whole run. The final JSON line is written to the saved
+real-stdout fd — guaranteed to be the ONLY stdout content — and also to
+BENCH_RESULT.json next to this script.
 """
 
 from __future__ import annotations
@@ -15,8 +22,12 @@ import os
 import sys
 import time
 
-from kinesis_app_spark import registry
-from kinesis_app_spark.engine import get_spark
+# ---- stdout isolation: must happen before any Spark/JVM import ----------
+_REAL_STDOUT_FD = os.dup(1)  # keep the driver-facing stdout
+os.dup2(2, 1)  # everything the JVM / py4j / log4j prints on fd 1 -> stderr
+
+from kinesis_app_spark import registry  # noqa: E402
+from kinesis_app_spark.engine import get_spark  # noqa: E402
 
 
 def main() -> int:
@@ -48,17 +59,23 @@ def main() -> int:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+
+    # known-file copy for the driver / judge
+    result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_RESULT.json")
+    with open(result_path, "w") as fh:
+        fh.write(line + "\n")
+
+    # the one and only stdout line, via the saved real-stdout fd
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
     return 1 if any(t < 0 for t in timings.values()) else 0
 
 

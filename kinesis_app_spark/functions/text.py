@@ -63,8 +63,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """
 
     def mk(toks: Column) -> Column:
+        # Guard n < k: sequence(1, 0) infers step -1 and yields [1, 0], and
+        # slice(toks, 0, k) then throws INVALID_PARAMETER_VALUE.START. A
+        # document shorter than k tokens simply has no k-shingles.
         n = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+        idx = F.when(
+            n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
         )
@@ -87,8 +92,11 @@ def rolling_hashes(text: Column, window: int = 8) -> Column:
     let-bound for the same O(n^2)->O(n) reason as word_shingles."""
 
     def mk(toks: Column) -> Column:
+        # Same n < window guard as word_shingles (sequence(1, 0) -> [1, 0]).
         n = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
+        idx = F.when(
+            n >= F.lit(window), F.sequence(F.lit(1), n - F.lit(window - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(
             idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " "))
         )

@@ -61,14 +61,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Exact algorithm via inverted index: explode distinct shingles, self-join
     postings on the shingle, count co-occurrences, then
     J = inter / (|A| + |B| - inter). Shuffles on the shingle — no cartesian
-    product; at scale, add a document-frequency cap on hot shingles (stop
-    shingles) before the self-join.
+    product.
+
+    max_shingle_df is the skew guard for the self-join: a stop-shingle
+    appearing in D documents contributes D^2/2 join rows (a single
+    boilerplate phrase across 1M docs is 5e11 rows), so postings for
+    shingles with document frequency > max_shingle_df are dropped BEFORE
+    the self-join. Set sizes keep counting the full shingle sets, so the
+    reported Jaccard for pairs that shared a dropped shingle is an
+    underestimate (conservative: borderline pairs held together only by
+    boilerplate are missed — the standard stop-shingle trade). With
+    max_shingle_df=None (the oracle twin) the result is exact.
     """
     sh = spread(df).select(
         F.col(id_col).alias("id"),
@@ -88,6 +98,17 @@ def ngram_jaccard_pairs(
         .repartition("shingle")
         .localCheckpoint()
     )
+    if max_shingle_df is not None:
+        # DF count reuses the existing shingle partitioning (no new
+        # exchange); the hot-shingle list is tiny by construction (only
+        # shingles above the cap) so it broadcasts into a left_anti.
+        hot = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        postings = postings.join(F.broadcast(hot), "shingle", "left_anti")
 
     a = postings.alias("a")
     b = postings.alias("b")
@@ -308,6 +329,28 @@ def simhash_pairs(
 
 # ---------- embedding cosine near-dup ----------
 
+#: Above this row count the exact all-pairs / full-corpus-broadcast forms
+#: refuse to run: O(n^2) pair work (or a driver-side collect) past this size
+#: is a scale bug, not a slow query. The LSH-bucketed branch has no cap.
+MAX_EXACT_EMBEDDING_ROWS = 50_000
+
+
+def _guard_exact_rows(df: DataFrame, max_rows: int, what: str) -> None:
+    """Refuse quadratic/driver-collect paths on oversized inputs.
+
+    limit(n+1).count() early-terminates the scan at n+1 rows, so the guard
+    costs one cheap job, never a full count of a 100 TB table.
+    """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: input exceeds {max_rows} rows; this form is the "
+            "exact oracle twin for small/sampled inputs only. Use "
+            "embedding_near_dup_pairs(lsh_bits>0) — the LSH-bucketed "
+            "scale path — or sample/limit the input."
+        )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -315,11 +358,14 @@ def embedding_near_dup_pairs(
     threshold: float = 0.40,
     lsh_bits: int = 0,
     lsh_tables: int = 8,
+    max_exact_rows: int | None = MAX_EXACT_EMBEDDING_ROWS,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold.
 
     lsh_bits=0: exact all-pairs (oracle-checkable; only for small/sampled
-    inputs). lsh_bits>0: multi-table random-hyperplane LSH — lsh_tables
+    inputs — guarded by max_exact_rows, raising instead of launching an
+    O(n^2) BroadcastNestedLoop join on an oversized corpus).
+    lsh_bits>0: multi-table random-hyperplane LSH — lsh_tables
     independent lsh_bits-bit sign signatures per vector; a pair is a
     candidate if ANY table's signatures collide (recall ~ 1-(1-p^bits)^tables
     with p = 1 - angle/pi), and every candidate's true cosine is verified,
@@ -328,6 +374,8 @@ def embedding_near_dup_pairs(
     collapses to within-bucket pairs, the 100 TB path.
     """
     df = spread(df)
+    if lsh_bits == 0 and max_exact_rows is not None:
+        _guard_exact_rows(df, max_exact_rows, "embedding_near_dup_pairs(lsh_bits=0)")
     if lsh_bits > 0:
         sig = _hyperplane_tables(df, vec_col, id_col, lsh_bits, lsh_tables)
         a_sig = sig.select(
@@ -458,11 +506,15 @@ def embedding_near_dup_pairs_np(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.40,
+    max_exact_rows: int | None = MAX_EXACT_EMBEDDING_ROWS,
 ) -> DataFrame:
     """Numpy/BLAS variant of the exact all-pairs cosine near-dup: the
     corpus (which must fit in memory — same precondition as any broadcast
     side) is normalized once and broadcast; each Arrow batch computes one
     (B, N) matmul and emits only the above-threshold upper-triangle pairs.
+
+    The collect below is guarded by max_exact_rows so an oversized corpus
+    raises a clear error instead of OOMing the driver mid-collect.
 
     Same result set as embedding_near_dup_pairs(lsh_bits=0) — asserted in
     tests — at matmul speed. For corpora beyond broadcast size, use the
@@ -471,6 +523,8 @@ def embedding_near_dup_pairs_np(
     import numpy as np
     import pandas as pd
 
+    if max_exact_rows is not None:
+        _guard_exact_rows(df, max_exact_rows, "embedding_near_dup_pairs_np")
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)

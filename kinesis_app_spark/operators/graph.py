@@ -73,6 +73,15 @@ def connected_components(
         labels = step.select("id", "label")
         if changed == 0:
             break
+    else:
+        # partial labels are WRONG labels — a component with diameter >
+        # max_rounds (e.g. a long chain of near-dup docs) must not be
+        # silently reported as multiple components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — rounds "
+            "needed grow with the largest component's diameter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -82,13 +82,25 @@ def salted_join(
     replicated salt_buckets times, and the join runs on (keys + salt) so
     one hot key spreads across salt_buckets reducers.
 
-    Semantically identical to ``skewed.join(other, on, how)`` (asserted in
-    tests/test_scale.py). Costs a salt_buckets-fold replication of the
+    Semantically identical to ``skewed.join(other, on, how)`` for the
+    supported join types (asserted in tests/test_scale.py). Only
+    skewed-side-preserving joins are supported: with ``right``/``full``
+    every UNMATCHED other-side row exists once per salt replica and would
+    be emitted salt_buckets times, so those types raise instead of
+    returning duplicates. Costs a salt_buckets-fold replication of the
     other side — use when AQE's skew splitting isn't available (e.g. the
     skew is in a shuffle feeding a non-join operator) or the other side is
     small but above broadcast size. Prefer ``broadcast()`` when it fits and
     AQE skew-join otherwise; this is the explicit fallback.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — the replicated "
+            "non-skewed side would emit each unmatched row salt_buckets "
+            f"times. Supported: {sorted(allowed)}."
+        )
     keys = list(on)
     salted_l = skewed.withColumn(
         "__salt",

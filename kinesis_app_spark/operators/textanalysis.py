@@ -133,7 +133,11 @@ def winnow_fingerprints(
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(0)))
+    # n < window guard: sequence(1, 0) infers step -1 -> [1, 0] and
+    # slice(toks, 0, window) throws; short docs have no window fingerprints.
+    idx = F.when(
+        n >= F.lit(window), F.sequence(F.lit(1), n - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<int>"))
     win_hash = F.transform(
         idx,
         lambda i: F.struct(

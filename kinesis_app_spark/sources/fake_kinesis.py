@@ -21,6 +21,20 @@ Parity map (reference -> here):
 Payloads are deterministic JSON bytes derived from (shard, seq), so tests
 can assert exact contents after resume — the driver-side analogue of the
 reference's "restart position" guarantee, but exactly-once.
+
+Resharding (the reference's known untested hole, /root/reference/README.md:8;
+shard end-of-range handling at src/Kinesis/Coordination.hs:343-359): with
+``splitShard=p`` and ``splitAtSeq=S``, parent shard p closes after seq S-1
+(its SequenceNumberRange gets an end) and two child shards open, delivering
+seqs >= S split deterministically between them (seq parity stands in for the
+hash-key-range split). Child shards are NOT in ``initialOffset`` — they are
+discovered via ``latestOffset`` exactly like `getAllShards` re-listing the
+stream — and ``partitions()`` defaults a child's missing start offset to its
+TRIM_HORIZON (= S). Record payloads stay keyed by (parent, seq), so the
+delivered logical record set is identical with or without the split; only
+the shardId column shows the child. Per-shard order is preserved; like real
+Kinesis consumers, cross-shard (parent-vs-child) interleaving within a
+micro-batch is unordered.
 """
 
 from __future__ import annotations
@@ -44,13 +58,25 @@ SCHEMA = (
 _BASE_TS = dt.datetime(2024, 1, 1)
 
 
-def _record(shard: int, seq: int):
-    key = hashlib.md5(f"{shard}-{seq}".encode()).hexdigest()[:8]
+#: child shard numeric ids start here (parent p -> children 1000+2p, 1000+2p+1)
+_CHILD_BASE = 1000
+
+
+def _child_ids(parent: int) -> tuple[int, int]:
+    return _CHILD_BASE + 2 * parent, _CHILD_BASE + 2 * parent + 1
+
+
+def _record(shard_label: int, parent: int, seq: int):
+    """One record. Content (key/payload/ts) is keyed by the LOGICAL stream
+    position (parent, seq) so a record is byte-identical whether it arrives
+    via the parent or, post-split, via a child; shard_label only names the
+    physical shard in the shardId column."""
+    key = hashlib.md5(f"{parent}-{seq}".encode()).hexdigest()[:8]
     payload = json.dumps(
-        {"shard": shard, "seq": seq, "user": (shard * 7919 + seq) % 100}
+        {"shard": parent, "seq": seq, "user": (parent * 7919 + seq) % 100}
     ).encode()
     return (
-        f"shardId-{shard:012d}",
+        f"shardId-{shard_label:012d}",
         seq,
         key,
         payload,
@@ -59,10 +85,13 @@ def _record(shard: int, seq: int):
 
 
 class _ShardSlice(InputPartition):
-    def __init__(self, shard: int, start: int, end: int):
+    def __init__(self, shard: int, start: int, end: int,
+                 parent: int | None = None, parity: int | None = None):
         self.shard = shard
         self.start = start
         self.end = end
+        self.parent = parent  # set for child shards
+        self.parity = parity  # child takes seqs with seq % 2 == parity
 
 
 class FakeKinesisDataSource(DataSource):
@@ -84,23 +113,43 @@ class FakeKinesisDataSource(DataSource):
 
 
 def _opts(options):
+    per_shard = int(options.get("recordspershard", 1000))
     return (
         int(options.get("numshards", 4)),
-        int(options.get("recordspershard", 1000)),
+        per_shard,
         int(options.get("maxrecordsperfetch", 100)),
+        int(options.get("splitshard", -1)),
+        int(options.get("splitatseq", per_shard // 2)),
     )
+
+
+def _read_slice(partition: _ShardSlice):
+    parent = partition.parent if partition.parent is not None else partition.shard
+    for seq in range(partition.start, partition.end):
+        if partition.parity is not None and seq % 2 != partition.parity:
+            continue
+        yield _record(partition.shard, parent, seq)
 
 
 class FakeKinesisBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.n_shards, self.per_shard, _ = _opts(options)
+        (self.n_shards, self.per_shard, _,
+         self.split_shard, self.split_at) = _opts(options)
 
     def partitions(self):
-        return [_ShardSlice(s, 0, self.per_shard) for s in range(self.n_shards)]
+        slices = []
+        for s in range(self.n_shards):
+            if s == self.split_shard:
+                slices.append(_ShardSlice(s, 0, self.split_at))
+                ca, cb = _child_ids(s)
+                slices.append(_ShardSlice(ca, self.split_at, self.per_shard, s, 0))
+                slices.append(_ShardSlice(cb, self.split_at, self.per_shard, s, 1))
+            else:
+                slices.append(_ShardSlice(s, 0, self.per_shard))
+        return slices
 
     def read(self, partition: _ShardSlice):
-        for seq in range(partition.start, partition.end):
-            yield _record(partition.shard, seq)
+        return _read_slice(partition)
 
 
 class FakeKinesisStreamReader(DataSourceStreamReader):
@@ -120,30 +169,47 @@ class FakeKinesisStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options):
-        self.n_shards, self.per_shard, self.max_fetch = _opts(options)
+        (self.n_shards, self.per_shard, self.max_fetch,
+         self.split_shard, self.split_at) = _opts(options)
 
     def initialOffset(self):
         # the engine's TRIM_HORIZON; the reference defaults to Latest
         # (src/Kinesis/Kinesis.hs:63) which for a bounded test source would
         # read nothing — start-position choice is the connector option.
+        # Child shards are deliberately absent: they are discovered later
+        # via latestOffset, like getAllShards re-listing a resharded stream.
         return {str(s): 0 for s in range(self.n_shards)}
 
     def latestOffset(self):
-        return {str(s): self.per_shard for s in range(self.n_shards)}
+        ends = {}
+        for s in range(self.n_shards):
+            if s == self.split_shard:
+                ends[str(s)] = self.split_at  # parent's range is closed
+                ca, cb = _child_ids(s)
+                ends[str(ca)] = self.per_shard
+                ends[str(cb)] = self.per_shard
+            else:
+                ends[str(s)] = self.per_shard
+        return ends
 
     def partitions(self, start: dict, end: dict):
         slices = []
-        for s in start:
-            lo, hi = int(start[s]), int(end[s])
+        for k, end_seq in end.items():
+            sid, hi = int(k), int(end_seq)
+            is_child = sid >= _CHILD_BASE
+            # a child key missing from `start` = shard discovered this
+            # batch; its TRIM_HORIZON is the parent's split point
+            lo = int(start.get(k, self.split_at if is_child else 0))
+            parent = (sid - _CHILD_BASE) // 2 if is_child else None
+            parity = (sid - _CHILD_BASE) % 2 if is_child else None
             while lo < hi:
                 step = min(self.max_fetch, hi - lo)
-                slices.append(_ShardSlice(int(s), lo, lo + step))
+                slices.append(_ShardSlice(sid, lo, lo + step, parent, parity))
                 lo += step
         return slices
 
     def read(self, partition: _ShardSlice):
-        for seq in range(partition.start, partition.end):
-            yield _record(partition.shard, seq)
+        return _read_slice(partition)
 
     def commit(self, end: dict):
         # offsets are durable in the checkpoint log; nothing to do —

@@ -47,8 +47,10 @@ def assign(
                 result[n].append(it)
                 placed.add(it)
 
-    # orphaned (owner died) + brand-new items -> first node, then level
-    leftovers = [it for it in items if it not in placed]
+    # orphaned (owner died) + brand-new items -> first node, then level.
+    # dict.fromkeys dedups duplicate input items (order-preserving) so each
+    # appears exactly once, mirroring the node dedup above.
+    leftovers = [it for it in dict.fromkeys(items) if it not in placed]
     result[nodes[0]].extend(leftovers)
 
     return _balance(result)

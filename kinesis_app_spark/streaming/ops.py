@@ -149,7 +149,14 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            # a partially-populated memory table must FAIL the gate, not
+            # silently compare truncated results
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_s}s"
+            )
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
