@@ -22,7 +22,7 @@ from kinesis_app_spark.streaming.sources import (
     kinesis_stream_reader,
     rate_stream,
 )
-from kinesis_app_spark.streaming.monitor import ClusterStateListener
+from kinesis_app_spark.streaming.monitor import ClusterStateListener, StatsReporter
 
 __all__ = [
     "StreamRunner",
@@ -31,4 +31,5 @@ __all__ = [
     "kinesis_stream_reader",
     "rate_stream",
     "ClusterStateListener",
+    "StatsReporter",
 ]

@@ -12,8 +12,10 @@ vocabulary so a reference user finds their dashboard fields.
 from __future__ import annotations
 
 import json
+import sys
+from collections.abc import Callable
 from dataclasses import dataclass, field
-from threading import Lock
+from threading import Event, Lock, Thread
 
 from pyspark.sql.streaming import StreamingQueryListener
 
@@ -94,3 +96,70 @@ class ClusterStateListener(StreamingQueryListener):
         """All queries' snapshots — the ClusterState-parity view."""
         with self._lock:
             return dict(self._snapshots)
+
+
+class StatsReporter:
+    """Periodic LiveStats reporter: the reference bumps a "records" counter
+    per ack and reports it every 30 s (src/Kinesis/Coordination.hs:92-94);
+    here a daemon thread emits one JSON line per interval summarizing every
+    query's snapshot from a ClusterStateListener.
+
+    ``emit`` defaults to a stderr print; pass a callable to route the line
+    to a metrics system. Use as a context manager or start()/stop().
+    """
+
+    def __init__(
+        self,
+        listener: ClusterStateListener,
+        interval_s: float = 30.0,
+        emit: Callable[[str], None] | None = None,
+    ) -> None:
+        self._listener = listener
+        self._interval = interval_s
+        self._emit = emit or (lambda line: print(line, file=sys.stderr))
+        self._stop = Event()
+        self._thread: Thread | None = None
+        self.reports_emitted = 0
+
+    def _format(self) -> str:
+        state = self._listener.cluster_state()
+        return json.dumps(
+            {
+                "live_stats": {
+                    snap.query_id: {
+                        "records": snap.total_records,
+                        "last_batch": snap.last_batch_records,
+                        "batch_id": snap.batch_id,
+                        "active": snap.is_active,
+                    }
+                    for snap in state.values()
+                }
+            },
+            separators=(",", ":"),
+        )
+
+    def _loop(self) -> None:
+        # Event.wait is the reference's threadDelay tick, interruptible
+        while not self._stop.wait(self._interval):
+            self._emit(self._format())
+            self.reports_emitted += 1
+
+    def start(self) -> "StatsReporter":
+        if self._thread is None:
+            self._thread = Thread(
+                target=self._loop, name="kinesis-stats-reporter", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def __enter__(self) -> "StatsReporter":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

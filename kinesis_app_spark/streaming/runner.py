@@ -21,12 +21,15 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql.streaming import StreamingQuery
 
 #: the Processor type: called once per micro-batch epoch with the batch
 #: DataFrame and the epoch id. Epoch commit = ack.
 Processor = Callable[[DataFrame, int], None]
+
+#: record-at-a-time Processor: called once per record on the executors.
+RecordProcessor = Callable[[Row], None]
 
 
 @dataclass
@@ -80,6 +83,58 @@ class StreamRunner:
             .queryName(query_name)
             .option("checkpointLocation", self.checkpoint_dir)
             .foreachBatch(processor)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()
+
+    def run_record_processor(
+        self,
+        df: DataFrame,
+        process_record: RecordProcessor,
+        query_name: str = "kinesis_app_record_processor",
+        available_now: bool = False,
+        trigger_interval: str | None = None,
+        open_fn: Callable[[int, int], None] | None = None,
+        close_fn: Callable[[Exception | None], None] | None = None,
+    ) -> StreamingQuery:
+        """Record-at-a-time Processor: exact delivery-granularity parity
+        with the reference, which hands the callback ONE record plus an ack
+        action (src/Kinesis/Coordination.hs:51-53).
+
+        Idempotence caveat (document-level contract, not fixable by any
+        engine): delivery is at-least-once per record — a task retry
+        re-delivers the failed partition's records within the epoch, and a
+        restart re-delivers the last uncommitted epoch. ``process_record``
+        must therefore be idempotent (keyed upsert / dedup on
+        sequenceNumber). The reference is strictly weaker on the same
+        point: its ack advances a max-sequence watermark, so a crash
+        between process and ack re-delivers AND out-of-order acks can skip
+        records entirely (src/Kinesis/Coordination.hs:329-337).
+
+        ``open_fn(partition_id, epoch_id)`` / ``close_fn(error)`` run on
+        the executors around each partition, mirroring ForeachWriter.
+        """
+
+        class _Writer:
+            def open(self, partition_id: int, epoch_id: int) -> bool:
+                if open_fn is not None:
+                    open_fn(partition_id, epoch_id)
+                return True
+
+            def process(self, row: Row) -> None:
+                process_record(row)
+
+            def close(self, error) -> None:
+                if close_fn is not None:
+                    close_fn(error)
+
+        writer = (
+            df.writeStream.queryName(query_name)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreach(_Writer())
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
