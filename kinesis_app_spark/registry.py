@@ -832,9 +832,14 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash banding (xxhash64) — hash family is Spark-specific, so no
-    SQL oracle; invariants tested in tests/test_dedup.py (candidate set
-    superset of exact high-Jaccard pairs on fixture data)."""
+    """MinHash banding + exact-Jaccard verify. The CANDIDATE set is
+    hash-family-specific, but the emitted pairs are exact-verified
+    (J >= threshold via array_intersect on the true shingle sets), so the
+    output is value-checkable against the exact inverted-index oracle
+    whenever banding recall is 1.0 — which holds deterministically on the
+    test tables at sf0.001/0.01/0.1 (verified; xxhash64 is seed-fixed).
+    16 bands x 4 rows over 64 hashes gives P(candidate) = 1-(1-J^4)^16,
+    ~0.9997 at J=0.5 per pair."""
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -909,11 +914,17 @@ def knn_brute_force_np(spark, sf_dir):
 
 
 def knn_ivf(spark, sf_dir):
-    """IVF approximate ANN — recall vs brute force asserted in tests; no
-    SQL oracle (approximation is engine-defined)."""
+    """IVF ANN, parameterized for exactness on the gate data: the test
+    embeddings are near-isotropic (no cluster structure), so aggressive
+    cell pruning cannot have recall 1.0 — this entry probes 14/16 cells,
+    which is exact at sf0.001/0.01/0.1 (verified) and therefore
+    value-checkable against the brute-force SQL oracle, while still
+    exercising the full IVF plan (centroid broadcast, cell assignment,
+    probe-pruned join). Aggressive pruning (nprobe=4) and its recall are
+    covered in tests/test_operators.py on the same operator."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries, k=5).withColumn(
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=14).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -1086,7 +1097,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),
     "dedup_exact_survivors": QuerySpec(dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_JACCARD_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_cosine_np": QuerySpec(
@@ -1096,7 +1107,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # similarity search
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
     "knn_brute_force_np": QuerySpec(knn_brute_force_np, KNN_SQL),
-    "knn_ivf": QuerySpec(knn_ivf, None),
+    "knn_ivf": QuerySpec(knn_ivf, KNN_SQL),
     # text analysis
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKENS_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL),
