@@ -1049,6 +1049,31 @@ FROM documents, unnest(range(0, strlen(text), 64)) AS t(off)
 """
 
 
+def multimodal_media_decode(spark, sf_dir):
+    """REAL round-trip: synthesize spec-valid PNG/WAV bytes per doc (header
+    fields derived from doc_id), then parse them back out of the raw bytes
+    by magic number. The oracle predicts the fields arithmetically from
+    doc_id — the Spark side must actually build and decode the files to
+    match."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.decode_media_meta(MM.synthesize_media(docs))
+
+
+MULTIMODAL_MEDIA_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS modality,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 48 AS BIGINT) END AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bit_depth,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(50 + doc_id % 200 AS BIGINT) END AS n_frames,
+       CASE WHEN doc_id % 2 = 1
+            THEN (50 + doc_id % 200) * 1000.0 / (8000 * (1 + doc_id % 3)) END AS duration_ms
+FROM documents
+"""
+
+
 # =====================================================================
 # the registry
 # =====================================================================
@@ -1116,6 +1141,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # multimodal
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
+    "multimodal_media_decode": QuerySpec(multimodal_media_decode, MULTIMODAL_MEDIA_SQL),
 }
 
 # widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries

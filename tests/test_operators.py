@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from kinesis_app_spark.operators.asof import asof_join
@@ -234,6 +236,47 @@ def test_frame_sample_shape(spark):
     assert pdf["first_byte"].between(0, 255).all()
     n_docs = docs.count()
     assert pdf["doc_id"].nunique() == n_docs
+
+
+def test_media_codec_roundtrip():
+    """Pure codec check: spec-valid PNG/WAV synthesis parses back exactly;
+    corrupt or truncated bytes degrade to all-None, never raise."""
+    from kinesis_app_spark.operators.multimodal import (
+        parse_media, png_bytes, wav_bytes,
+    )
+
+    p = parse_media(png_bytes(33, 17, seed=4))
+    assert (p["modality"], p["width"], p["height"], p["bit_depth"]) == ("png", 33, 17, 8)
+    w = parse_media(wav_bytes(16000, 2, 123, seed=9))
+    assert (w["modality"], w["channels"], w["sample_rate"], w["n_frames"], w["bit_depth"]) == (
+        "wav", 2, 16000, 123, 16,
+    )
+    assert parse_media(b"not media at all")["modality"] is None
+    assert parse_media(png_bytes(5, 5)[:20])["width"] is None
+
+
+def test_media_decode_spark_roundtrip(spark):
+    """synthesize_media -> decode_media_meta recovers the id-derived header
+    fields from the raw bytes (decoder dispatches on magic number only)."""
+    from kinesis_app_spark.operators.multimodal import (
+        decode_media_meta, synthesize_media,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    out = decode_media_meta(synthesize_media(docs)).toPandas()
+    assert len(out) == 20
+    for r in out.itertuples():
+        if r.doc_id % 2 == 0:
+            assert r.modality == "png"
+            assert r.width == 1 + r.doc_id % 64
+            assert r.height == 1 + r.doc_id % 48
+            assert pd.isna(r.sample_rate)
+        else:
+            assert r.modality == "wav"
+            assert r.sample_rate == 8000 * (1 + r.doc_id % 3)
+            assert r.channels == 1 + (r.doc_id // 2) % 2
+            assert r.n_frames == 50 + r.doc_id % 200
+            assert pd.isna(r.width)
 
 
 def test_broadcast_join_plan_has_no_shuffle_on_big_side(spark, engine):
