@@ -44,19 +44,53 @@ def _mk_stream(
     return file_stream(spark, src, df.schema), ckpt
 
 
+def _arrow_type(dt_):
+    """Spark type -> Arrow type for sentinel files. TimestampType maps to
+    micros adjusted-to-UTC, which Spark's parquet reader accepts as
+    TimestampType; TIMESTAMP_NTZ would need tz=None."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.StringType(): pa.string(),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+    }
+    return mapping[dt_]
+
+
 def _append_sentinel(spark: SparkSession, src: str, schema, row) -> None:
     """Append a one-row sentinel file and push its mtime 5s ahead of every
     existing part so the file stream (mtime-ordered) consumes it in a later
-    micro-batch — deterministic without sleeping between writes."""
-    import os
+    micro-batch — deterministic without sleeping between writes.
 
-    before = set(os.listdir(src))
-    spark.createDataFrame([row], schema).coalesce(1).write.mode("append").parquet(src)
-    for f in set(os.listdir(src)) - before:
-        if f.endswith(".parquet"):
-            p = os.path.join(src, f)
-            st = os.stat(p)
-            os.utime(p, (st.st_atime, st.st_mtime + 5))
+    Written driver-side with pyarrow, NOT spark.createDataFrame: a
+    Python-rows DataFrame is a defaultParallelism-partition Python RDD, and
+    even a coalesce(1) write boots one Python worker per parent partition
+    (~140 ms each, ~5 s per sentinel at local[32] — measured); the arrow
+    write is ~milliseconds and runs no Spark job at all."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [f.name for f in schema.fields]
+    arrow_schema = pa.schema(
+        [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+    )
+    table = pa.Table.from_pydict(
+        {n: [v] for n, v in zip(names, row)}, schema=arrow_schema
+    )
+    newest = max(
+        (os.stat(os.path.join(src, f)).st_mtime for f in os.listdir(src)),
+        default=0,
+    )
+    path = os.path.join(src, f"sentinel-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(table, path)
+    os.utime(path, (newest + 5, newest + 5))
 
 
 def streaming_tumbling_counts(spark, sf_dir):
