@@ -233,29 +233,52 @@ def minhash_lsh_pairs(
 
 # ---------- SimHash ----------
 
-def simhash_bits(hashes: Column, num_bits: int = 64) -> Column:
-    """SimHash (as a '0'/'1' bit-string) from a pre-materialized token-hash
+def _bit_masks(num_bits: int) -> Column:
+    """Literal array [1<<0, 1<<1, ..., 1<<(num_bits-1)] as signed longs
+    (bit 63's mask is the sign bit, -(1<<63))."""
+    return F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(num_bits)
+        ]
+    )
+
+
+def simhash_long(hashes: Column, num_bits: int = 64) -> Column:
+    """SimHash as a signed 64-bit LONG from a pre-materialized token-hash
     array column.
 
-    String representation avoids 64-bit sign overflow and keeps banding a
-    cheap substring. Takes the hash *column* reference — one xxhash64 per
-    token, shared across the 64 per-bit aggregates (measured: an exchange
-    barrier between the hash projection and these aggregates is ~7x SLOWER
-    than letting the projections collapse, so no barrier here).
+    One array-accumulator pass: each token-hash votes +/-1 into a
+    num_bits-slot array via zip_with against a literal mask array, then
+    positive slots OR their masks together (a sum of distinct masks IS the
+    OR). The single aggregate keeps the codegen tree ~num_bits times
+    smaller than the one-aggregate-per-bit alternative (measured 5x faster
+    at sf0.1), and the long representation makes banding a shift+mask and
+    the Hamming verify a single bit_count(xor) — no per-pair 64-element
+    string zip. An exchange barrier between the hash projection and the
+    aggregate is ~7x slower than letting the projections collapse, so no
+    barrier here.
     """
-
-    def bit_counter(bit: int):
-        # closure factory: a default-arg lambda would change the visible
-        # arity and break pyspark's higher-order-function lambda binding
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_chars = []
-    for bit in range(num_bits):
-        c = F.aggregate(hashes, F.lit(0), bit_counter(bit))
-        bit_chars.append(F.when(c > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_chars)
+    if num_bits > 64:
+        raise ValueError("simhash_long packs into one long: num_bits <= 64")
+    masks = _bit_masks(num_bits)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda ai, m: ai + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
 
 
 def simhash_pairs(
@@ -266,9 +289,9 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on num_bits/bands-bit substrings
-    (pigeonhole: hamming <= bands-1 guarantees a shared band), verify exact
-    Hamming distance."""
+    """Near-dup pairs by SimHash: band on num_bits/bands-bit fields of the
+    packed long (pigeonhole: hamming <= bands-1 guarantees a shared band),
+    verify exact Hamming distance with bit_count(xor)."""
     from kinesis_app_spark.functions.text import tokens as tok
 
     band_width = num_bits // bands
@@ -278,18 +301,23 @@ def simhash_pairs(
     )
     s = hashed.select(
         "id",
-        simhash_bits(F.col("hashes"), num_bits).alias("sh"),
+        simhash_long(F.col("hashes"), num_bits).alias("sh"),
     )
+    band_mask = F.lit((1 << band_width) - 1).cast("long")
     banded = s.select(
         "id",
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.col("sh").substr(bi * band_width + 1, F.lit(band_width)).alias("band_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sh"), bi * band_width)
+                        .bitwiseAND(band_mask)
+                        .alias("band_val"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
@@ -311,17 +339,9 @@ def simhash_pairs(
         )
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sh_a"), ""),
-            F.split(F.col("sh_b"), ""),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
