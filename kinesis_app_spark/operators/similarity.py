@@ -119,6 +119,38 @@ def brute_force_topk_np(
     )
 
 
+def radius_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus vectors with cosine >= threshold of each query (range
+    search — the retrieval twin of embedding near-dup).
+
+    Same scan shape as brute_force_topk: broadcast query set, one corpus
+    scan, no corpus shuffle — but no top-k shuffle either: the threshold
+    filter happens inside the scan's projection, so the operator is
+    scan + broadcast-join + filter, fully pipelined.
+
+    Returns (query_id, neighbor_id, cos).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,

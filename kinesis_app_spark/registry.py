@@ -1152,6 +1152,7 @@ from kinesis_app_spark.registry_funcs3 import REGISTRY_FUNCS3  # noqa: E402
 from kinesis_app_spark.registry_pipeline import REGISTRY_PIPELINE  # noqa: E402
 from kinesis_app_spark.registry_scale import REGISTRY_SCALE  # noqa: E402
 from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E402
+from kinesis_app_spark.registry_curation import REGISTRY_CURATION  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
@@ -1161,6 +1162,7 @@ REGISTRY.update(REGISTRY_FUNCS3)
 REGISTRY.update(REGISTRY_STREAMING)
 REGISTRY.update(REGISTRY_SCALE)
 REGISTRY.update(REGISTRY_PIPELINE)
+REGISTRY.update(REGISTRY_CURATION)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,177 @@
+"""Registry: training-data curation operators (PII, contamination,
+unigram-LM quality, radius search).
+
+The synthetic documents contain no digits at all, so the PII entry injects
+deterministic PII derived from doc_id into the text — with the identical
+injection expressed in the oracle SQL — making the detector/redactor
+end-to-end checkable rather than trivially all-zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators import curation as CU
+from kinesis_app_spark.operators import similarity as SIM
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# PII scan + redaction
+# =====================================================================
+
+def _inject_pii(docs):
+    """Deterministic PII injection by doc_id % 5: email / phone / ipv4 /
+    ssn / clean. Mirrored verbatim in the oracle SQL."""
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d, F.lit("@example.com now")))
+        .when(d % 5 == 1, F.concat(F.lit(" call 555-"), (d % 900 + 100), F.lit("-"), (d % 9000 + 1000)))
+        .when(d % 5 == 2, F.concat(F.lit(" server 10."), (d % 256), F.lit(".0."), (d % 250), F.lit(" logged")))
+        .when(d % 5 == 3, F.concat(F.lit(" ssn "), (d % 900 + 100), F.lit("-"), (d % 90 + 10), F.lit("-"), (d % 9000 + 1000)))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+
+
+def pii_scan_docs(spark, sf_dir):
+    """PII detection + redaction over documents with deterministic injected
+    PII (the raw corpus is digit-free). Pure regexp projection — no
+    shuffle; see operators/curation.py."""
+    return CU.pii_scan(_inject_pii(_t(spark, sf_dir, "documents")))
+
+
+_PII_AUG = r"""
+SELECT doc_id,
+       text || CASE
+         WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now'
+         WHEN doc_id % 5 = 1 THEN ' call 555-' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+         WHEN doc_id % 5 = 2 THEN ' server 10.' || (doc_id % 256) || '.0.' || (doc_id % 250) || ' logged'
+         WHEN doc_id % 5 = 3 THEN ' ssn ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+         ELSE '' END AS text
+FROM documents
+"""
+
+PII_SQL = r"""
+WITH aug AS (
+""" + _PII_AUG + r"""
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_ccn,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+          + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '[CCN]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS redacted
+FROM aug
+"""
+
+
+# =====================================================================
+# benchmark contamination
+# =====================================================================
+
+def contamination_check(spark, sf_dir):
+    """Docs with doc_id % 101 == 0 play the benchmark set; every other doc
+    is training data. Pairs sharing >= 3 distinct 3-shingles are flagged.
+    Benchmark postings broadcast; corpus scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    train = docs.filter(F.col("doc_id") % 101 != 0)
+    return CU.contamination_pairs(train, bench, k=3, min_shared=3)
+
+
+CONTAMINATION_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM norm WHERE len(toks) >= 3
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+FROM (SELECT * FROM postings WHERE doc_id % 101 <> 0) t
+JOIN (SELECT * FROM postings WHERE doc_id % 101 = 0) b ON t.shingle = b.shingle
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# =====================================================================
+# unigram-LM quality score
+# =====================================================================
+
+def unigram_quality_scores(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (rounded to 3 decimals for cross-engine float parity)."""
+    return CU.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS n_total FROM vocab
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * (ln(cnt) - ln(n_total))) / sum(tf), 3) AS logprob
+FROM tf JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# =====================================================================
+# radius (threshold) similarity search
+# =====================================================================
+
+def radius_search(spark, sf_dir):
+    """All neighbors with cosine >= 0.25 of each query vector — scan +
+    broadcast-join + filter, fully pipelined (no top-k shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.radius_neighbors(emb, queries, threshold=0.25)
+
+
+RADIUS_SQL = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+JOIN embeddings c ON c.vec_id != q.vec_id
+WHERE round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) >= 0.25
+"""
+
+
+REGISTRY_CURATION = {
+    "pii_scan_docs": QuerySpec(pii_scan_docs, PII_SQL),
+    "contamination_check": QuerySpec(contamination_check, CONTAMINATION_SQL),
+    "unigram_quality_scores": QuerySpec(unigram_quality_scores, UNIGRAM_SQL),
+    "radius_search": QuerySpec(radius_search, RADIUS_SQL),
+}
