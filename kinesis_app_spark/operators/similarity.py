@@ -169,14 +169,18 @@ def kmeans_refine(
     """
     cents = centroids
     for _ in range(iterations):
+        # per-row id as the argmax group key: shuffling a long beats
+        # shuffling the float vector itself as a group key (the vector
+        # still travels, but only as payload, not as hash/compare key)
         assigned = (
             corpus.select(F.col(vec_col).alias("v"))
+            .withColumn("row_id", F.monotonically_increasing_id())
             .crossJoin(F.broadcast(cents))
             .withColumn("cos", cosine_similarity(F.col("v"), F.col("centv")))
         )
         best = top_k_per_group(
             assigned,
-            keys=["v"],
+            keys=["row_id"],
             order=[F.col("cos").desc(), F.col("cell").asc()],
             k=1,
         ).select("cell", "v")
