@@ -34,9 +34,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join; right columns come back null when no right row
-    precedes the left row."""
+    """As-of join; right columns come back null when no right row matches.
+
+    direction="backward" (default): most recent right row with
+    right_ts <= left_ts — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``.
+    direction="forward": earliest right row with right_ts >= left_ts —
+    DuckDB ``ASOF JOIN ... ON l.ts <= r.ts``.
+    tolerance: an INTERVAL string (e.g. "30 minutes"); matches farther than
+    this from the left timestamp are nulled out, pandas-merge_asof style.
+
+    Forward is the same one-shuffle union+window plan with the sort
+    reversed; tolerance is a post-window null-out (the matched right ts is
+    carried through the window alongside the values), so neither option
+    adds a shuffle.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts
@@ -47,6 +63,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__match_rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     )
     rhs = right.select(
@@ -58,23 +75,42 @@ def asof_join(
             for c in left.columns
             if c not in keys and c != left_ts
         ],
+        F.col(right_ts).alias("__match_rts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
 
     unioned = lhs.unionByName(rhs)
-    # Right rows sort before left rows at equal ts => "<=" (inclusive) match.
+    # Right rows sort before left rows at equal ts => inclusive match.
+    # Backward scans time ascending (last right at-or-before); forward
+    # scans descending (so "last" = earliest right at-or-after).
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(ts_order, F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
+        F.last(F.col("__match_rts"), ignorenulls=True).over(w).alias("__f_match_rts"),
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
             for c in value_cols
         ],
     )
+    if tolerance is not None:
+        delta = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col("__f_match_rts") >= F.col("__ts") - delta
+            if direction == "backward"
+            else F.col("__f_match_rts") <= F.col("__ts") + delta
+        )
+        filled = filled.select(
+            *[c for c in filled.columns if not c.startswith("__f_")],
+            *[
+                F.when(in_tol, F.col(f"__f_{c}")).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
     out = filled.filter(F.col("__is_left") == 1).select(
         *keys,
         F.col("__ts").alias(left_ts),

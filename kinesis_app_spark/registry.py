@@ -744,6 +744,73 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def asof_click_next_purchase(spark, sf_dir):
+    """FORWARD as-of: each click attached to the same user's next purchase
+    at-or-after it — same one-shuffle union+window plan, sort reversed."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("next_purchase_id"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["next_purchase_id"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_purchase_id")
+
+
+ASOF_FORWARD_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS next_purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
+def asof_purchase_last_click_tol(spark, sf_dir):
+    """Backward as-of with a 30-minute tolerance: stale clicks (farther
+    than the tolerance before the purchase) are nulled out,
+    pandas-merge_asof style. No extra shuffle — the matched right ts rides
+    the same window."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("last_click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["last_click_id"],
+        tolerance="30 minutes",
+    ).select("event_id", "user_id", "ts", "last_click_id")
+
+
+ASOF_TOL_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.event_id END
+         AS last_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 def range_join_price_bands(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     bands = spark.createDataFrame(
@@ -1117,6 +1184,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
     # as-of / range joins
     "asof_purchase_last_click": QuerySpec(asof_purchase_last_click, ASOF_SQL),
+    "asof_click_next_purchase": QuerySpec(asof_click_next_purchase, ASOF_FORWARD_SQL),
+    "asof_purchase_last_click_tol": QuerySpec(
+        asof_purchase_last_click_tol, ASOF_TOL_SQL
+    ),
     "range_join_price_bands": QuerySpec(range_join_price_bands, RANGE_JOIN_SQL),
     # dedup
     "dedup_exact_groups": QuerySpec(dedup_exact_groups, DEDUP_EXACT_GROUPS_SQL),

@@ -58,6 +58,49 @@ def test_asof_join_no_match_is_null(spark):
     assert len(rows) == 1 and rows[0]["rv"] is None
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00:00"), 1),
+         ("u1", _ts("2024-01-01T12:00:00"), 2),
+         ("u2", _ts("2024-01-01T09:00:00"), 3)],
+        "k string, lts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:30:00"), 100.0),
+         ("u1", _ts("2024-01-01T13:00:00"), 200.0),
+         ("u2", _ts("2024-01-01T09:00:00"), 300.0)],   # equal ts: inclusive
+        "k string, rts timestamp, rv double",
+    )
+    fwd = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 100.0, 2: 200.0, 3: 300.0}
+    # backward with 1h tolerance: lid=2's only preceding right row (10:30)
+    # is 1.5h stale -> nulled; lid=1 has no preceding row at all
+    tol = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            tolerance="1 hour",
+        ).collect()
+    }
+    assert tol == {1: None, 2: None, 3: 300.0}
+    # forward with 30min tolerance: lid=1 matches (10:30 within 30min),
+    # lid=2's next row (13:00) is 1h out -> nulled
+    ftol = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction="forward", tolerance="30 minutes",
+        ).collect()
+    }
+    assert ftol == {1: 100.0, 2: None, 3: 300.0}
+
+
 def test_minhash_candidates_superset_of_exact(spark):
     """LSH must not miss: at these parameters, every exact-Jaccard>=0.5
     pair on the fixture docs is also an LSH-verified pair."""
