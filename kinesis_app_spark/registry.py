@@ -1224,6 +1224,7 @@ from kinesis_app_spark.registry_pipeline import REGISTRY_PIPELINE  # noqa: E402
 from kinesis_app_spark.registry_scale import REGISTRY_SCALE  # noqa: E402
 from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E402
 from kinesis_app_spark.registry_curation import REGISTRY_CURATION  # noqa: E402
+from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
@@ -1234,6 +1235,7 @@ REGISTRY.update(REGISTRY_STREAMING)
 REGISTRY.update(REGISTRY_SCALE)
 REGISTRY.update(REGISTRY_PIPELINE)
 REGISTRY.update(REGISTRY_CURATION)
+REGISTRY.update(REGISTRY_SOURCES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

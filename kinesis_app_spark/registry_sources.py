@@ -1,0 +1,82 @@
+"""Registry: text-source (CSV/JSON) coverage under the correctness gate.
+
+Each entry round-trips a parquet table through a text format with an
+explicit schema (never inferred — inference is an extra full scan at
+100 TB) and aggregates the re-read copy. The oracle aggregates the
+original parquet: a hash match proves the writer/reader pair is lossless
+for longs, doubles (shortest-roundtrip repr), strings (quoting), and
+timestamps (ISO micros) — the claim that matters when an ingest pipeline
+lands CSV/JSON and the engine must read it back byte-faithfully.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+from kinesis_app_spark.sources.batch import read_csv, read_json
+
+
+def csv_roundtrip_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    orders.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", _TS_MICROS
+    ).csv(path)
+    back = read_csv(spark, path, orders.schema, timestampFormat=_TS_MICROS)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_orderdate").alias("latest_order"),
+    )
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE AS total_price,
+       max(o_orderdate) AS latest_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+#: Spark's JSON writer defaults to millisecond timestamps; micros must be
+#: asked for explicitly or the roundtrip silently truncates.
+_TS_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def json_roundtrip_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="json_rt_")
+    ev.write.mode("overwrite").option("timestampFormat", _TS_MICROS).json(path)
+    back = read_json(spark, path, ev.schema, timestampFormat=_TS_MICROS)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS value_sum,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+REGISTRY_SOURCES = {
+    "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
+    "json_roundtrip_events": QuerySpec(json_roundtrip_events, JSON_ROUNDTRIP_SQL),
+}

@@ -40,10 +40,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(t)
 
 
-def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     """CSV with an explicit schema — never infer on big data (full extra scan)."""
-    return spark.read.csv(path, schema=schema, header=True)
+    return spark.read.options(**options).csv(path, schema=schema, header=True)
 
 
-def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
-    return spark.read.json(path, schema=schema)
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """JSON with an explicit schema. Pass timestampFormat with micros
+    (yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX) when sub-millisecond precision
+    matters — the default format is millis and silently truncates."""
+    return spark.read.options(**options).json(path, schema=schema)
