@@ -132,6 +132,74 @@ def ngram_jaccard_pairs(
     return out
 
 
+def incremental_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Daily-ingest dedup: admit only new-batch docs that are neither exact
+    nor near (n-gram Jaccard >= threshold) duplicates of the EXISTING
+    corpus. Returns the surviving new rows.
+
+    Plan shape at 100 TB:
+    - exact gate: anti-join of 128-bit fingerprints — the existing corpus
+      contributes one shuffle of (fp) and never moves its text;
+    - near gate: cross-corpus inverted-index join keyed on the shingle
+      (each side exploded once, only cross-side pairs aggregated), then a
+      broadcast anti-join of the rejected new ids (small: duplicates of
+      the corpus, not the corpus).
+
+    Intra-batch duplicates are out of scope by design — compose with
+    exact_dedup(new) first when the batch itself needs deduping.
+    """
+    fp_exist = (
+        existing.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    )
+    fresh = (
+        new.withColumn("__fp", fingerprint(F.col(text_col)))
+        .join(fp_exist, F.col("__fp") == fp_exist.fp, "left_anti")
+        .drop("__fp")
+    )
+
+    def postings(df: DataFrame, out_id: str) -> DataFrame:
+        sh = spread(df).select(
+            F.col(id_col).alias(out_id),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        return sh.select(
+            out_id,
+            F.size("shingles").alias(f"n_{out_id}"),
+            F.explode("shingles").alias("shingle"),
+        )
+
+    new_p = postings(fresh, "new_id")
+    old_p = postings(existing, "old_id")
+    near_dup_ids = (
+        new_p.join(old_p, "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("n_new_id").alias("n_a"),
+            F.max("n_old_id").alias("n_b"),
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("new_id")
+        .distinct()
+    )
+    return fresh.join(
+        F.broadcast(near_dup_ids),
+        fresh[id_col] == near_dup_ids.new_id,
+        "left_anti",
+    )
+
+
 # ---------- MinHash + LSH ----------
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:

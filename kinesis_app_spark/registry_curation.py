@@ -119,6 +119,54 @@ HAVING count(*) >= 3
 
 
 # =====================================================================
+# incremental (cross-corpus) dedup
+# =====================================================================
+
+def incremental_dedup_batch(spark, sf_dir):
+    """Docs with doc_id % 10 == 0 play the freshly ingested batch; the rest
+    are the existing corpus. Admitted = new docs that are neither exact-
+    fingerprint nor Jaccard>=0.5 duplicates of the corpus."""
+    from kinesis_app_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(new, existing, k=3, threshold=0.5).select("doc_id")
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), fpnew AS (
+  SELECT doc_id, md5(norm) AS fp FROM norm WHERE doc_id % 10 = 0
+), fpold AS (
+  SELECT DISTINCT md5(norm) AS fp FROM norm WHERE doc_id % 10 <> 0
+), fresh AS (
+  SELECT doc_id FROM fpnew WHERE fp NOT IN (SELECT fp FROM fpold)
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM norm
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM toks WHERE len(toks) >= 3
+), post AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS n_inter,
+         max(n.n_sh) AS n_a, max(o.n_sh) AS n_b
+  FROM (SELECT post.* FROM post JOIN fresh USING (doc_id)) n
+  JOIN (SELECT * FROM post WHERE doc_id % 10 <> 0) o ON n.shingle = o.shingle
+  GROUP BY 1, 2
+), rejected AS (
+  SELECT DISTINCT new_id FROM inter
+  WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+)
+SELECT doc_id FROM fresh WHERE doc_id NOT IN (SELECT new_id FROM rejected)
+"""
+
+
+# =====================================================================
 # unigram-LM quality score
 # =====================================================================
 
@@ -172,6 +220,9 @@ WHERE round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
 REGISTRY_CURATION = {
     "pii_scan_docs": QuerySpec(pii_scan_docs, PII_SQL),
     "contamination_check": QuerySpec(contamination_check, CONTAMINATION_SQL),
+    "incremental_dedup_batch": QuerySpec(
+        incremental_dedup_batch, INCREMENTAL_DEDUP_SQL
+    ),
     "unigram_quality_scores": QuerySpec(unigram_quality_scores, UNIGRAM_SQL),
     "radius_search": QuerySpec(radius_search, RADIUS_SQL),
 }

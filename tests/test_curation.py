@@ -93,6 +93,33 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert scores[1]["logprob"] > scores[3]["logprob"]
 
 
+def test_incremental_dedup_gates(spark):
+    """Exact duplicate of the corpus -> rejected; near-dup (J>=0.5) ->
+    rejected; genuinely new -> admitted."""
+    from kinesis_app_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus content lives here today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The  quick brown fox jumps over the lazy dog"),  # exact (normalized)
+            (11, "the quick brown fox jumps over the lazy cat"),   # near-dup
+            (12, "entirely novel text about spark query engines"),  # admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new, existing, threshold=0.5).collect()
+    )
+    assert got == [12]
+
+
 def test_radius_neighbors_matches_threshold_filter(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
