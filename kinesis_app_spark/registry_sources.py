@@ -76,7 +76,42 @@ GROUP BY event_type
 """
 
 
+def partitioned_write_pruned_read(spark, sf_dir):
+    """Hive-style partitioned parquet sink + partition-pruned re-read: events
+    land partitioned by event_type, the re-read filters two partition
+    values, and the scan plans PartitionFilters (directories never listed
+    for the other types — the difference between reading 2/5 and 5/5 of a
+    100 TB table; asserted in tests/test_sources_sinks.py)."""
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="part_rt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+PARTITIONED_RT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS value_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+"""
+
+
 REGISTRY_SOURCES = {
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
     "json_roundtrip_events": QuerySpec(json_roundtrip_events, JSON_ROUNDTRIP_SQL),
+    "partitioned_write_pruned_read": QuerySpec(
+        partitioned_write_pruned_read, PARTITIONED_RT_SQL
+    ),
 }

@@ -289,6 +289,68 @@ LEFT JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
 """
 
 
+def streaming_full_outer_interval_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join: unmatched rows from BOTH
+    sides emit with nulls once the watermark proves no future match can
+    arrive (sentinel second batch closes all real state). Equals the batch
+    full join."""
+    import datetime as dt
+    import tempfile
+
+    from kinesis_app_spark.streaming.ops import run_to_memory
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+
+    far = dt.datetime(2030, 1, 1)
+
+    def two_batch_src(df, sentinel_row):
+        src = tempfile.mkdtemp(prefix="foj_src_")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        _append_sentinel(spark, src, df.schema, sentinel_row)
+        return file_stream(spark, src, df.schema, max_files_per_trigger=1)
+
+    p_stream = two_batch_src(purchases, (-1, far, -1)).withWatermark("p_ts", "1 hour")
+    c_stream = two_batch_src(clicks, (-1, far, -2)).withWatermark("c_ts", "2 hours")
+    joined = p_stream.join(
+        c_stream,
+        (p_stream.p_user == c_stream.c_user)
+        & (c_stream.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (c_stream.c_ts <= F.col("p_ts")),
+        "full_outer",
+    )
+    ckpt = tempfile.mkdtemp(prefix="foj_ckpt_")
+    res = run_to_memory(
+        joined.select("purchase_id", "p_user", "click_id", "c_user"), ckpt,
+        output_mode="append", shuffle_partitions=8,
+    )
+    # drop the sentinel rows from either side (they never join to real rows)
+    return res.filter(
+        (F.col("p_user").isNull() | (F.col("p_user") >= 0))
+        & (F.col("c_user").isNull() | (F.col("c_user") >= 0))
+    ).select("purchase_id", "click_id")
+
+
+STREAMING_FULL_OUTER_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE user_id < 300 AND event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
 def streaming_session_windows(spark, sf_dir):
     """Event-time session windows in append mode, emitted deterministically:
     the source has two files consumed one per micro-batch
@@ -372,5 +434,8 @@ REGISTRY_STREAMING = {
     ),
     "streaming_left_outer_interval_join": QuerySpec(
         streaming_left_outer_interval_join, STREAMING_LEFT_OUTER_SQL
+    ),
+    "streaming_full_outer_interval_join": QuerySpec(
+        streaming_full_outer_interval_join, STREAMING_FULL_OUTER_SQL
     ),
 }
