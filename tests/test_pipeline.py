@@ -31,6 +31,18 @@ def test_survivors_respect_gates(spark):
     assert bad == 0
 
 
+def test_lsh_swap_in_matches_exact_pipeline(spark):
+    """The use_lsh=True scale path must produce the identical curated set
+    as the exact inverted-index path on the fixture (MinHash banding recall
+    is 1.0 here — the same property the dedup_minhash_lsh oracle relies
+    on)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {r["doc_id"] for r in curate_corpus(docs, use_lsh=False).collect()}
+    lsh = {r["doc_id"] for r in curate_corpus(docs, use_lsh=True).collect()}
+    assert exact == lsh
+    assert exact  # non-trivial corpus survived
+
+
 def test_connected_components_hand_graph(spark):
     """Chain 1-2-3, isolated pair 10-11, triangle 20-21-22: labels converge
     to each component's minimum id."""
