@@ -102,6 +102,35 @@ def contamination_pairs(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower_q, upper_q] exact
+    quantiles (winsorization — the standard numeric-outlier cleaning step
+    before training-statistics aggregation).
+
+    Plan: one hash-aggregate computes the tiny per-group quantile table
+    (groups x 2 doubles), which broadcasts back onto the stream of rows —
+    the data itself is scanned twice but never shuffled (at 100 TB the
+    quantile pass can run on a sample; exact here for oracle parity).
+    Exact interpolated percentile matches DuckDB's quantile_cont.
+    """
+    groups = group_cols or []
+    q = df.groupBy(*groups).agg(
+        F.percentile(value_col, F.lit(lower_q)).alias("__q_lo"),
+        F.percentile(value_col, F.lit(upper_q)).alias("__q_hi"),
+    )
+    joined = df.join(F.broadcast(q), groups) if groups else df.crossJoin(F.broadcast(q))
+    return joined.withColumn(
+        f"{value_col}_wins",
+        F.least(F.greatest(F.col(value_col), F.col("__q_lo")), F.col("__q_hi")),
+    ).drop("__q_lo", "__q_hi")
+
+
 def unigram_logprob_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -197,6 +197,43 @@ GROUP BY doc_id
 
 
 # =====================================================================
+# winsorization (quantile outlier clipping)
+# =====================================================================
+
+def winsorized_event_values(spark, sf_dir):
+    """Per-event-type 5/95% winsorization of event values, then clipped
+    aggregates — exact interpolated percentiles (quantile_cont parity),
+    quantile table broadcast back, data never shuffled."""
+    ev = _t(spark, sf_dir, "events")
+    w = CU.winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value_wins").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("wins_sum"),
+        F.round(F.min("value_wins"), 6).alias("wins_min"),
+        F.round(F.max("value_wins"), 6).alias("wins_max"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS q_lo,
+         quantile_cont(value, 0.95) AS q_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(sum(CAST(least(greatest(value, q_lo), q_hi) AS DECIMAL(30,8))), 2)::DOUBLE AS wins_sum,
+       round(min(least(greatest(value, q_lo), q_hi)), 6) AS wins_min,
+       round(max(least(greatest(value, q_lo), q_hi)), 6) AS wins_max
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# =====================================================================
 # radius (threshold) similarity search
 # =====================================================================
 
@@ -224,5 +261,6 @@ REGISTRY_CURATION = {
         incremental_dedup_batch, INCREMENTAL_DEDUP_SQL
     ),
     "unigram_quality_scores": QuerySpec(unigram_quality_scores, UNIGRAM_SQL),
+    "winsorized_event_values": QuerySpec(winsorized_event_values, WINSORIZE_SQL),
     "radius_search": QuerySpec(radius_search, RADIUS_SQL),
 }

@@ -93,6 +93,26 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert scores[1]["logprob"] > scores[3]["logprob"]
 
 
+def test_winsorize_clips_to_quantiles(spark):
+    from kinesis_app_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("a", 1e9), ("a", -1e9)],
+        "g string, value double",
+    )
+    out = winsorize(df, "value", ["g"], 0.05, 0.95).collect()
+    vals = [r["value_wins"] for r in out]
+    # extremes clipped into the quantile range, interior values untouched
+    assert max(vals) < 1e9 and min(vals) > -1e9
+    inner = {r["value"]: r["value_wins"] for r in out if 20 <= r["value"] <= 80}
+    assert all(v == w for v, w in inner.items())
+    # broadcast join back, no shuffle of the row stream
+    plan = (
+        winsorize(df, "value", ["g"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_incremental_dedup_gates(spark):
     """Exact duplicate of the corpus -> rejected; near-dup (J>=0.5) ->
     rejected; genuinely new -> admitted."""
