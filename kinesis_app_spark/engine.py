@@ -105,7 +105,11 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        # load_table, not a raw parquet read: events carries TIMESTAMP(NANOS)
+        # which needs the nanosAsLong + truncate-to-micros normalization
+        from kinesis_app_spark.sources.batch import load_table
+
+        return load_table(self.spark, self.sf_dir, name)
 
     def tables(self) -> dict[str, DataFrame]:
         return {t: self.table(t) for t in TABLES}
