@@ -126,9 +126,51 @@ GROUP BY 1
 """
 
 
+def kinesis_stream_counts(spark, sf_dir):
+    """The STREAMING twin of kinesis_shard_counts: the same Kinesis-shaped
+    source consumed as a checkpointed Structured Streaming query
+    (micro-batched per-shard fetch slices -> payload parse -> running
+    aggregate, availableNow to a memory sink). Offsets-resume and
+    resharding for this reader are covered in tests/test_fake_kinesis.py;
+    here the complete streaming read path is value-checked against the
+    analytical oracle."""
+    import tempfile
+
+    from kinesis_app_spark.sources.fake_kinesis import register
+    from kinesis_app_spark.streaming.ops import run_to_memory
+
+    register(spark)
+    df = (
+        spark.readStream.format("fake_kinesis")
+        .option("numShards", 8)
+        .option("recordsPerShard", 500)
+        .option("maxRecordsPerFetch", 200)
+        .load()
+    )
+    parsed = df.select(
+        "shardId",
+        F.from_json(
+            F.col("data").cast("string"), "shard int, seq long, user int"
+        ).alias("p"),
+    )
+    # count_distinct is unsupported in streaming aggregates, so the stream
+    # maintains per-(shard, user) counts (the scalable state shape) and the
+    # tiny memory-sink result rolls up exactly in batch
+    agg = parsed.groupBy("shardId", F.col("p.user").alias("user")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ckpt = tempfile.mkdtemp(prefix="kin_stream_ckpt_")
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return res.groupBy("shardId").agg(
+        F.sum("cnt").alias("n_records"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
+    "kinesis_stream_counts": QuerySpec(kinesis_stream_counts, KINESIS_SHARD_SQL),
 }
