@@ -1,0 +1,85 @@
+"""CDC merge semantics + empty-input hardening for the operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.cdc import apply_changes
+
+
+def test_apply_changes_hand_case(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # update
+            (3, None, "D", 1),   # delete
+            (4, "d", "U", 1),    # insert
+            (5, "e1", "U", 1),   # same-key conflict: U then D ...
+            (5, None, "D", 2),   # ... delete has higher seq -> wins
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(snap, changes, keys=["k"], seq_col="seq").collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_changes_same_seq_delete_wins(spark):
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 1), (1, None, "D", 1)],
+        "k long, v string, op string, seq int",
+    )
+    assert apply_changes(snap, changes, keys=["k"], seq_col="seq").count() == 0
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """A 100 TB pipeline hits empty partitions/filters constantly: core
+    operators must return empty results, never crash, on empty inputs."""
+    from kinesis_app_spark.operators.asof import asof_join
+    from kinesis_app_spark.operators.curation import (
+        contamination_pairs,
+        pii_scan,
+        unigram_logprob_scores,
+        winsorize,
+    )
+    from kinesis_app_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_doc = spark.createDataFrame(
+        [(1, "some text for the corpus here")], "doc_id long, text string"
+    )
+    assert pii_scan(empty_docs).count() == 0
+    assert unigram_logprob_scores(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_pairs(empty_docs).count() == 0
+    assert exact_dedup(empty_docs).count() == 0
+    assert contamination_pairs(empty_docs, one_doc).count() == 0
+    assert contamination_pairs(one_doc, empty_docs).count() == 0
+    # incremental dedup: empty batch -> nothing admitted; empty corpus ->
+    # everything admitted
+    assert incremental_dedup(empty_docs, one_doc).count() == 0
+    assert incremental_dedup(one_doc, empty_docs).count() == 1
+
+    empty_ev = spark.createDataFrame([], "g string, value double")
+    assert winsorize(empty_ev, "value", ["g"]).count() == 0
+
+    empty_l = spark.createDataFrame([], "k long, lts timestamp, lid long")
+    empty_r = spark.createDataFrame([], "k long, rts timestamp, rv double")
+    assert asof_join(empty_l, empty_r, on="k", left_ts="lts", right_ts="rts").count() == 0
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty_changes = spark.createDataFrame([], "k long, v string, op string, seq int")
+    merged = apply_changes(snap, empty_changes, keys=["k"], seq_col="seq")
+    assert {r["k"]: r["v"] for r in merged.collect()} == {1: "a"}
