@@ -27,6 +27,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 view of an event/change log: each
+    row becomes a validity interval [valid_from, valid_to) closed by the
+    key's next change (null valid_to = current version).
+
+    One shuffle on the key; the interval close is a lead() window — no
+    self-join. ``order_cols`` breaks ordering ties after the timestamp
+    (pass the change id for a total order).
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    return df.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        (F.lead(ts_col).over(w).isNull()).alias("is_current"),
+    )
+
+
 def apply_changes(
     snapshot: DataFrame,
     changes: DataFrame,

@@ -70,6 +70,32 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
+def scd2_user_value_history(spark, sf_dir):
+    """SCD2 validity intervals over each user's purchase events: every
+    purchase opens a version closed by the user's next purchase (lead
+    window, one shuffle, no self-join)."""
+    from kinesis_app_spark.operators.cdc import scd2_history
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 200))
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return scd2_history(ev, keys=["user_id"], ts_col="ts", order_cols=["event_id"])
+
+
+SCD2_SQL = """
+SELECT user_id, ts, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase' AND user_id < 200
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 REGISTRY_CDC = {
     "cdc_merge_orders": QuerySpec(cdc_merge_orders, CDC_MERGE_SQL),
+    "scd2_user_value_history": QuerySpec(scd2_user_value_history, SCD2_SQL),
 }
