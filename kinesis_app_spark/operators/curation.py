@@ -47,9 +47,14 @@ def pii_scan(
     All columns are regexp expressions (count = size of regexp_extract_all,
     redaction = chained regexp_replace with [KIND] placeholders) — JVM-side,
     codegen-eligible, zero shuffles: the operator is a projection.
+
+    Null text scans as empty (counts 0, has_pii false): a scrubbing gate
+    must never emit has_pii=NULL, which a downstream NOT-filter would
+    silently drop.
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
-        kind: F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
         for kind, pat in PII_PATTERNS.items()
     }
     redacted = F.col(text_col)

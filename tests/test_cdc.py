@@ -83,3 +83,19 @@ def test_operators_tolerate_empty_inputs(spark):
     empty_changes = spark.createDataFrame([], "k long, v string, op string, seq int")
     merged = apply_changes(snap, empty_changes, keys=["k"], seq_col="seq")
     assert {r["k"]: r["v"] for r in merged.collect()} == {1: "a"}
+
+
+def test_null_text_rows_scan_as_empty(spark):
+    """Null text must not crash the text family, and the PII gate must emit
+    a definite verdict (never has_pii=NULL, which NOT-filters drop)."""
+    from kinesis_app_spark.operators.curation import pii_scan
+    from kinesis_app_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here okay then")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert rows[1]["pii_total"] == 0 and rows[1]["has_pii"] is False
+    assert rows[2]["has_pii"] is False
+    assert ngram_jaccard_pairs(df).count() == 0
+    assert exact_dedup(df).count() == 2
