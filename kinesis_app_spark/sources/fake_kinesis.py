@@ -124,11 +124,31 @@ def _opts(options):
 
 
 def _read_slice(partition: _ShardSlice):
+    """Yield ONE Arrow RecordBatch for the slice — the vectorized Python
+    DataSource path (Spark 4 accepts pyarrow.RecordBatch from read()).
+    Row-at-a-time tuple yields round-trip every record through the Python
+    pickler; one columnar batch per fetch slice is the shape a real
+    high-throughput custom source should produce."""
+    import pyarrow as pa
+
     parent = partition.parent if partition.parent is not None else partition.shard
-    for seq in range(partition.start, partition.end):
-        if partition.parity is not None and seq % 2 != partition.parity:
-            continue
-        yield _record(partition.shard, parent, seq)
+    seqs = [
+        seq
+        for seq in range(partition.start, partition.end)
+        if partition.parity is None or seq % 2 == partition.parity
+    ]
+    rows = [_record(partition.shard, parent, seq) for seq in seqs]
+    yield pa.record_batch(
+        {
+            "shardId": pa.array([r[0] for r in rows], pa.string()),
+            "sequenceNumber": pa.array([r[1] for r in rows], pa.int64()),
+            "partitionKey": pa.array([r[2] for r in rows], pa.string()),
+            "data": pa.array([r[3] for r in rows], pa.binary()),
+            "approximateArrivalTimestamp": pa.array(
+                [r[4] for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+        }
+    )
 
 
 class FakeKinesisBatchReader(DataSourceReader):
