@@ -85,6 +85,41 @@ def test_operators_tolerate_empty_inputs(spark):
     assert {r["k"]: r["v"] for r in merged.collect()} == {1: "a"}
 
 
+def test_apply_changes_plan_has_no_nested_loop(spark):
+    """The merge is a keyed full-outer join: hash/sort-merge only, never a
+    nested-loop (which would be quadratic in snapshot x changes)."""
+    snap = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    plan = (
+        apply_changes(snap, changes, keys=["k"], seq_col="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_incremental_dedup_plan_is_bucketed_not_cartesian(spark):
+    from kinesis_app_spark.operators.dedup import incremental_dedup
+    from kinesis_app_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = (
+        incremental_dedup(new, old)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the rejected-id set comes back as a broadcast anti-join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_null_text_rows_scan_as_empty(spark):
     """Null text must not crash the text family, and the PII gate must emit
     a definite verdict (never has_pii=NULL, which NOT-filters drop)."""
