@@ -289,6 +289,49 @@ LEFT JOIN (SELECT * FROM events WHERE user_id < 300 AND event_type = 'click') c
 """
 
 
+def streaming_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI interval join: purchases that had at least
+    one click in the preceding hour emit once (no click columns, no
+    duplicates from multiple matching clicks). Single-batch sources =>
+    equals the batch semi join."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p_stream, ckpt = _mk_stream(spark, purchases)
+    c_stream, _ = _mk_stream(spark, clicks)
+    l = p_stream.withWatermark("p_ts", "1 hour")
+    r = c_stream.withWatermark("c_ts", "2 hours")
+    joined = l.join(
+        r,
+        (l.p_user == r.c_user)
+        & (r.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR"))
+        & (r.c_ts <= F.col("p_ts")),
+        "left_semi",
+    )
+    return run_to_memory(
+        joined.select("purchase_id"), ckpt, output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+STREAMING_SEMI_SQL = """
+SELECT p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE user_id < 300 AND event_type = 'purchase') p
+WHERE EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+)
+"""
+
+
 def streaming_full_outer_interval_join(spark, sf_dir):
     """Stream-stream FULL OUTER interval join: unmatched rows from BOTH
     sides emit with nulls once the watermark proves no future match can
@@ -438,4 +481,5 @@ REGISTRY_STREAMING = {
     "streaming_full_outer_interval_join": QuerySpec(
         streaming_full_outer_interval_join, STREAMING_FULL_OUTER_SQL
     ),
+    "streaming_semi_join": QuerySpec(streaming_semi_join, STREAMING_SEMI_SQL),
 }
