@@ -136,7 +136,96 @@ GROUP BY v.id
 """
 
 
+
+
+# =====================================================================
+# fixed-point PageRank (iterative algorithm #2 under the gate)
+# =====================================================================
+
+_PR_ITERS = 3
+_PR_SCALE = 10**12
+
+
+def pagerank_customer_supplier(spark, sf_dir):
+    """PageRank over the customer<->supplier purchase graph in fixed-point
+    integer arithmetic (operators/graph.pagerank_fixed_point): every
+    operation is exact integer math, so the iterative result value-hashes
+    against the oracle's unrolled-CTE replica - something an IEEE-double
+    PageRank cannot do (contribution sums fold in engine order)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.operators.graph import pagerank_fixed_point
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    be = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_partkey") % 20 == 0)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    edges = be.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        be.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    return pr.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+def _pagerank_sql(iters: int, scale: int) -> str:
+    head = f"""
+WITH base_edges AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_partkey % 20 = 0
+), edges AS (
+  SELECT u AS src, v AS dst FROM base_edges
+  UNION
+  SELECT v, u FROM base_edges
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), stats AS (
+  SELECT count(*) AS n FROM nodes
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, {scale} // n AS rank FROM nodes CROSS JOIN stats
+)"""
+    iter_cte = """, r{i} AS (
+  SELECT n2.node,
+         (15 * ({scale} // st.n)) // 100 + (85 * coalesce(c.cs, 0)) // 100 AS rank
+  FROM nodes n2
+  CROSS JOIN stats st
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d.deg) AS cs
+    FROM edges e
+    JOIN r{prev} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n2.node
+)"""
+    body = "".join(
+        iter_cte.format(i=i, prev=i - 1, scale=scale) for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + body
+        + f"""
+SELECT node, CAST(rank AS BIGINT) AS rank
+FROM r{iters} ORDER BY rank DESC, node LIMIT 20
+"""
+    )
+
+
+PAGERANK_SQL = _pagerank_sql(_PR_ITERS, _PR_SCALE)
+
+
 REGISTRY_PIPELINE = {
+    "pagerank_customer_supplier": QuerySpec(
+        pagerank_customer_supplier, PAGERANK_SQL
+    ),
     "pipeline_corpus_curation": QuerySpec(pipeline_corpus_curation, PIPELINE_SQL),
     "dedup_cluster_components": QuerySpec(
         dedup_cluster_components, DEDUP_CLUSTERS_SQL
