@@ -30,8 +30,8 @@ from kinesis_app_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from kinesis_app_spark.operators.textanalysis import lang_pred_expr, quality_expr
-from kinesis_app_spark.operators.util import spread
+from kinesis_app_spark.operators.textanalysis import lang_quality_struct
+from kinesis_app_spark.operators.util import bind_row, spread
 
 
 def curate_corpus(
@@ -46,12 +46,14 @@ def curate_corpus(
     """Return the curated survivor documents (id, lang verdict, quality)."""
     # quality and language are pure per-row expressions over the text, so
     # they are projected inline — no shuffle join back onto df (two whole
-    # exchanges of document text saved vs. the score-then-join shape)
-    scored = spread(df).select(
+    # exchanges of document text saved vs. the score-then-join shape).
+    # bind_row evaluates the fused tokenize-once fold exactly once per row
+    # (a Generate barrier CollapseProject cannot inline through).
+    scored = bind_row(spread(df), lang_quality_struct(text_col), "__lq").select(
         "*",
-        quality_expr(text_col).alias("quality"),
-        lang_pred_expr(text_col)[0].alias("pred_lang"),
-    )
+        F.col("__lq.quality").alias("quality"),
+        F.col("__lq.pred_lang").alias("pred_lang"),
+    ).drop("__lq")
     gated = scored.filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(*langs)
     )

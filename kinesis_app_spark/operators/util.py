@@ -35,3 +35,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if size < _SMALL_INPUT_BYTES:
         return df.repartition(target)
     return df
+
+
+def bind_row(df: DataFrame, expr, alias: str) -> DataFrame:
+    """Append ``expr`` as a column that is evaluated EXACTLY once per row.
+
+    ``df.withColumn(alias, expr)`` does not guarantee this: CollapseProject
+    inlines the expression into every downstream projection/filter that
+    references the column, so an expensive expression (a higher-order
+    function fold — CodegenFallback, no common-subexpression elimination)
+    re-evaluates once per reference. Wrapping it as ``explode(array(expr))``
+    puts it behind a Generate node, which CollapseProject cannot cross;
+    downstream references become plain attribute reads. ``array(expr)``
+    always has one element, so the row count is unchanged. Per-row map
+    operation — no shuffle, scales with the scan.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select("*", F.explode(F.array(expr)).alias(alias))
