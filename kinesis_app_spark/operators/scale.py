@@ -121,6 +121,103 @@ def salted_join(
     return out.drop("__salt")
 
 
+def _one_shl(shift: Column) -> Column:
+    """``1L << shift`` with a *column* shift amount. The PySpark
+    ``F.shiftleft`` wrapper only accepts a Python-int shift; the underlying
+    SQL function takes an expression, reached via call_function."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), shift.cast("int")
+    )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as a ONE-ROW DataFrame
+    with a single ``map<int, bigint>`` column ``__bloom`` (bit-word index →
+    64-bit word of set bits).
+
+    Pure built-in expressions end to end: explode ``num_hashes`` seeds per
+    key, xxhash64 → bit position, groupBy word + bit_or of masks, final
+    map_from_entries. The result is tiny (≤ num_bits/64 entries) no matter
+    how many keys went in, so it broadcasts for free. This is the same
+    shape Spark's own runtime bloom-filter join injects
+    (spark.sql.optimizer.runtime.bloomFilter.*) — built explicitly here so
+    the pruning is available as a composable operator, e.g. ahead of an
+    aggregation or a sink, not only where the optimizer happens to place it.
+    """
+    pos = F.pmod(F.xxhash64(F.col("__k"), F.col("__seed")), F.lit(num_bits))
+    words = (
+        keys.select(
+            F.col(key_col).alias("__k"),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__seed"),
+        )
+        .select(
+            (pos / 64).cast("int").alias("__word"),
+            _one_shl(pos % 64).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__word", "__bits")))
+        ).alias("__bloom")
+    )
+
+
+def bloom_might_contain(
+    key: Column, bloom: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """Membership test against a ``bloom_filter_build`` map — true iff every
+    one of the key's ``num_hashes`` bits is set. All codegen-able built-ins
+    (xxhash64/pmod/element_at/bitwise), so the test runs inside the scan's
+    WholeStageCodegen right next to the pushed-down filters."""
+    test = F.lit(True)
+    for seed in range(num_hashes):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(num_bits))
+        word = (pos / 64).cast("int")
+        mask = _one_shl(pos % 64)
+        test = test & (
+            F.coalesce(F.element_at(bloom, word), F.lit(0).cast("bigint"))
+            .bitwiseAND(mask)
+            != 0
+        )
+    return test
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    on: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact semi-join of ``fact`` against ``dim_keys[on]`` with a Bloom
+    pre-filter: the fact side is first pruned by a broadcast Bloom filter
+    (no shuffle, evaluated inside the scan stage), then the survivors go
+    through a broadcast left_semi join that removes the false positives.
+
+    Semantically identical to ``fact.join(dim_keys, on, "left_semi")`` —
+    the Bloom filter only ever *keeps* true matches (no false negatives).
+    At 100 TB the win is that the expensive side is reduced before any
+    join machinery sees it: with an fpp around 1% the residual join's
+    input is ~|matches|, not |fact|. When the dim side is too large to
+    broadcast for the residual join, the same pre-filter still cuts the
+    fact side's shuffle volume by the filter's selectivity.
+    """
+    bloom = bloom_filter_build(dim_keys.select(on), on, num_bits, num_hashes)
+    pruned = (
+        fact.join(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col(on), F.col("__bloom"), num_bits, num_hashes))
+        .drop("__bloom")
+    )
+    return pruned.join(F.broadcast(dim_keys.select(on).distinct()), on, "left_semi")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kinesis_app_spark.operators.scale import salted_aggregate
+from kinesis_app_spark.operators.scale import bloom_semi_join, salted_aggregate
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 
@@ -50,6 +50,49 @@ SELECT l_returnflag,
        min(l_quantity) AS min_qty
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def bloom_semi_join_lineitem(spark, sf_dir):
+    """Lineitems of urgent 1995+ orders via an explicit Bloom-filtered
+    semi-join (operators/scale.bloom_semi_join): the fact side is pruned by
+    a broadcast Bloom filter inside its scan stage, then a broadcast
+    left_semi removes false positives — identical results to a plain semi
+    join (the oracle is the plain EXISTS), with the fact-side shuffle
+    reduced to ~|matches| rows. Aggregated so the gate output is small."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    keys = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    picked = bloom_semi_join(l, keys, "l_orderkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,8)"
+    )
+    return (
+        picked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)::DOUBLE AS revenue,
+       sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= DATE '1995-01-01'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
 
 
@@ -169,6 +212,7 @@ def kinesis_stream_counts(spark, sf_dir):
 
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
+    "bloom_semi_join_lineitem": QuerySpec(bloom_semi_join_lineitem, BLOOM_SEMI_SQL),
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),

@@ -199,3 +199,76 @@ def test_bm25_dimension_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in _plan(bm25_topk(spark, SF_DIR))
+
+
+def test_bloom_semi_join_matches_plain_semi(spark):
+    """bloom_semi_join is semantically a left_semi join: the Bloom filter
+    has no false negatives and the residual broadcast semi removes false
+    positives."""
+    from kinesis_app_spark.operators.scale import bloom_semi_join
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    got = bloom_semi_join(l, keys, "l_orderkey").select("l_orderkey", "l_linenumber")
+    want = l.join(keys, "l_orderkey", "left_semi").select("l_orderkey", "l_linenumber")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_prefilter_prunes_most_rows(spark):
+    """With a tiny key set, the Bloom pre-filter alone (before the residual
+    semi join) must prune nearly everything — that reduction is the whole
+    point at scale."""
+    from kinesis_app_spark.operators.scale import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    keys = (
+        load_table(spark, SF_DIR, "orders")
+        .limit(10)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    bloom = bloom_filter_build(keys, "l_orderkey")
+    pruned = (
+        l.join(F.broadcast(bloom))
+        .filter(
+            bloom_might_contain(F.col("l_orderkey"), F.col("__bloom"), 1 << 16, 5)
+        )
+        .count()
+    )
+    total = l.count()
+    true_matches = l.join(keys, "l_orderkey", "left_semi").count()
+    assert pruned >= true_matches            # no false negatives
+    assert pruned < total * 0.05, (pruned, total)  # real pruning
+
+
+def test_bloom_semi_join_empty_dim(spark):
+    """An empty key set yields an empty result (all bits unset -> every
+    probe fails), not an error."""
+    from kinesis_app_spark.operators.scale import bloom_semi_join
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    keys = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.lit(False))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    assert bloom_semi_join(l, keys, "l_orderkey").count() == 0
+
+
+def test_bloom_semi_join_plan_shape(spark):
+    """The fact side must not hash-shuffle: the bloom probe is a broadcast
+    nested-loop against the one-row filter and the residual semi join is a
+    broadcast hash join."""
+    from kinesis_app_spark.registry_scale import bloom_semi_join_lineitem
+
+    plan = _plan(bloom_semi_join_lineitem(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # only exchanges: broadcasts + the final tiny groupBy(l_returnflag)
+    assert "hashpartitioning(l_returnflag" in plan or "hashpartitioning(l_returnflag".lower() in plan.lower(), plan
