@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kinesis_app_spark.functions.text import tokens, word_shingles
+from kinesis_app_spark.functions.text import let_bound, tokens, word_shingles
 from kinesis_app_spark.operators.util import spread
 
 #: PII patterns, most-specific first: redaction applies them in this order
@@ -134,6 +134,74 @@ def winsorize(
         f"{value_col}_wins",
         F.least(F.greatest(F.col(value_col), F.col("__q_lo")), F.col("__q_hi")),
     ).drop("__q_lo", "__q_hi")
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-k-smoothed bigram LM — the next step up from
+    :func:`unigram_logprob_scores` as a fluency signal (word-order
+    scrambles keep their unigram score but crater here).
+
+    score(d) = mean over bigram instances (w1,w2) of
+               ln((c(w1,w2) + k) / (c(w1,·) + k·V))
+
+    with V = corpus unigram vocabulary size. Plan: one explode of the
+    per-row bigram array feeds the per-doc counts; the corpus bigram table
+    re-aggregates from those (sharing the shuffle), the context counts
+    re-aggregate again by w1, and V is a broadcast single row. All
+    built-ins; the only Python is plan construction.
+
+    Returns (doc_id, n_bigrams, logprob) with logprob rounded to 3
+    decimals for cross-engine float stability (ln of rationals — not on
+    rounding boundaries).
+    """
+    bigram = let_bound(
+        tokens(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    big = spread(df).select(F.col(id_col), F.explode(bigram).alias("b")).select(
+        id_col, "b.w1", "b.w2"
+    )
+    bf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bcnt = bf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ccnt = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V = distinct unigram tokens: count over the union of both positions
+    vocab = (
+        big.select(F.col("w1").alias("tok"))
+        .union(big.select(F.col("w2").alias("tok")))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    return (
+        bf.join(bcnt, ["w1", "w2"])
+        .join(ccnt, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (F.log(F.col("c12") + F.lit(k)) - F.log(F.col("c1") + F.lit(k) * F.col("v")))
+                )
+                / F.sum("tf"),
+                3,
+            ).alias("logprob"),
+        )
+    )
 
 
 def unigram_logprob_scores(

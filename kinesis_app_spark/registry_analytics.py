@@ -1,0 +1,220 @@
+"""Analytics-extension queries: co-occurrence mining, record linkage,
+rolling-window anomaly detection, bigram-LM scoring.
+
+Each is the gate-sized instance of a scale-shaped operator:
+co-occurrence = capped basket self-join (operators/baskets.py), linkage =
+blocked candidate join + codegen levenshtein verify (operators/
+linkage.py), anomalies = pure window frames, bigram LM = shared-shuffle
+hash aggregates (operators/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators import curation as CU
+from kinesis_app_spark.operators.baskets import basket_pairs
+from kinesis_app_spark.operators.linkage import blocked_levenshtein_link
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# co-occurrence: parts bought together
+# =====================================================================
+
+def cooccur_parts_in_orders(spark, sf_dir):
+    """Top-20 part pairs co-occurring in the same order. Equi self-join on
+    the order key with the triangle predicate as a post-join filter (hash
+    join, never cartesian); max_basket_size=20 is a no-op on TPC-H data
+    (max 7 lines/order) but caps the quadratic blowup a pathological
+    basket would cause — semantics stated in basket_pairs' contract."""
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(
+        l, basket_col="l_orderkey", item_col="l_partkey", max_basket_size=20
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), "item_a", "item_b"
+    ).limit(20)
+
+
+COOCCUR_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_baskets
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_baskets DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+# =====================================================================
+# record linkage: dirty customer names vs the canonical table
+# =====================================================================
+
+def _dirty_customers(c):
+    """Deterministic dirt on c_name ('Customer#' + 9 digits, positions
+    10-18): custkey%10=7 corrupts two leading digit positions (edit
+    distance 2 — must NOT link at max_dist=1), else custkey%3=0 corrupts
+    one (distance 1 — must link), else clean (distance 0). Mirrored
+    verbatim in the oracle SQL."""
+    k = F.col("c_custkey")
+    name = F.col("c_name")
+    dirty = (
+        F.when(
+            k % 10 == 7,
+            F.concat(F.substring(name, 1, 9), F.lit("XX"), F.substring(name, 12, 7)),
+        )
+        .when(
+            k % 3 == 0,
+            F.concat(F.substring(name, 1, 9), F.lit("X"), F.substring(name, 11, 8)),
+        )
+        .otherwise(name)
+    )
+    return c.select(F.col("c_custkey").alias("custkey"), dirty.alias("name"))
+
+
+def record_linkage_customers(spark, sf_dir):
+    """Link the dirtied customer list back to the canonical table: block on
+    the last-5-digit substring (untouched by the dirt — block keys must be
+    chosen to survive the noise), verify levenshtein <= 1. Distance-2
+    records provide true negatives. Emits (custkey_l, custkey_r, dist) per
+    linked pair."""
+    c = _t(spark, sf_dir, "customer")
+    dirty = _dirty_customers(c).withColumn(
+        "block", F.substring("name", 14, 5)
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    ).withColumn("block", F.substring("name", 14, 5))
+    linked = blocked_levenshtein_link(
+        dirty, clean, ["block"], text_col="name", max_dist=1
+    )
+    return linked.select(
+        F.col("custkey_l"), F.col("custkey_r"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("custkey_l", "custkey_r")
+
+
+LINKAGE_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS custkey,
+         CASE
+           WHEN c_custkey % 10 = 7 THEN substr(c_name, 1, 9) || 'XX' || substr(c_name, 12, 7)
+           WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 8)
+           ELSE c_name
+         END AS name
+  FROM customer
+), clean AS (
+  SELECT c_custkey AS custkey, c_name AS name FROM customer
+)
+SELECT d.custkey AS custkey_l, c.custkey AS custkey_r,
+       CAST(levenshtein(d.name, c.name) AS INT) AS dist
+FROM dirty d JOIN clean c ON substr(d.name, 14, 5) = substr(c.name, 14, 5)
+WHERE levenshtein(d.name, c.name) <= 1
+ORDER BY custkey_l, custkey_r
+"""
+
+
+# =====================================================================
+# rolling-window anomaly detection
+# =====================================================================
+
+def anomaly_event_zscores(spark, sf_dir):
+    """Events whose value is > 3 rolling standard deviations from the mean
+    of the preceding 100 same-type events. Pure window frames — one
+    shuffle on event_type; at scale, partition on (event_type, day) to
+    bound partition width and carry the frame across the boundary."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("value").over(w).alias("n_prev"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 30)
+            & (F.col("sigma") > 0)
+            & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ANOMALY_SQL = """
+WITH scored AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(value) OVER w AS n_prev
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, round(value, 4) AS value,
+       round((value - mu) / sigma, 3) AS z
+FROM scored
+WHERE n_prev >= 30 AND sigma > 0 AND abs((value - mu) / sigma) > 3
+ORDER BY event_id
+"""
+
+
+# =====================================================================
+# bigram-LM quality scores
+# =====================================================================
+
+def bigram_quality_scores(spark, sf_dir):
+    """Mean add-0.5-smoothed bigram log-probability per document under the
+    corpus's own bigram LM (operators/curation.bigram_logprob_scores)."""
+    return CU.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t)-1) ELSE [] END) AS g(i)
+), bf AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3
+), bcnt AS (
+  SELECT w1, w2, sum(tf) AS c12 FROM bf GROUP BY 1, 2
+), ccnt AS (
+  SELECT w1, sum(c12) AS c1 FROM bcnt GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT w1 AS tok FROM big UNION ALL SELECT w2 AS tok FROM big)
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf * (ln(c12 + 0.5) - ln(c1 + 0.5 * v))) / sum(tf), 3) AS logprob
+FROM bf JOIN bcnt USING (w1, w2) JOIN ccnt USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+REGISTRY_ANALYTICS = {
+    "cooccur_parts_in_orders": QuerySpec(cooccur_parts_in_orders, COOCCUR_SQL),
+    "record_linkage_customers": QuerySpec(record_linkage_customers, LINKAGE_SQL),
+    "anomaly_event_zscores": QuerySpec(anomaly_event_zscores, ANOMALY_SQL),
+    "bigram_quality_scores": QuerySpec(bigram_quality_scores, BIGRAM_SQL),
+}
