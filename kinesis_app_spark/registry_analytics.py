@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kinesis_app_spark.operators import curation as CU
 from kinesis_app_spark.operators.baskets import basket_pairs
+from kinesis_app_spark.operators.intervals import interval_overlap_join
 from kinesis_app_spark.operators.linkage import blocked_levenshtein_link
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -212,9 +213,105 @@ GROUP BY doc_id
 """
 
 
+# =====================================================================
+# interval overlap join
+# =====================================================================
+
+def interval_overlap_events(spark, sf_dir):
+    """Purchases whose 60 s activity window overlaps an error's 300 s
+    incident window — grid-binned interval join (operators/intervals.py):
+    equi-join on 300 s cells with the exact overlap predicate as a
+    post-filter and shuffle-free cell-ownership dedup. The oracle is the
+    plain theta join (DuckDB plans it as an IEJoin)."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id"),
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 300).alias("end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"),
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 60).alias("end"),
+    )
+    out = interval_overlap_join(errors, purchases, cell_width=300)
+    return out.select(
+        F.col("id_a").alias("error_id"),
+        F.col("id_b").alias("purchase_id"),
+        (
+            F.least(F.col("end_a"), F.col("end_b"))
+            - F.greatest(F.col("start_a"), F.col("start_b"))
+        ).alias("overlap_s"),
+    ).orderBy("error_id", "purchase_id")
+
+
+INTERVAL_SQL = """
+WITH errors AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 60 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.id AS error_id, b.id AS purchase_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+FROM errors a JOIN purchases b
+  ON a.s < b.e AND b.s < a.e
+ORDER BY error_id, purchase_id
+"""
+
+
+# =====================================================================
+# deterministic weighted sampling (A-ES)
+# =====================================================================
+
+def weighted_sample_lineitem(spark, sf_dir):
+    """1000-row Efraimidis–Spirakis weighted sample of lineitem, weight =
+    l_quantity, u derived from md5 of the line id so the draw is
+    reproducible and the DuckDB oracle computes the *identical* sample.
+    Plans as TakeOrderedAndProject — no global sort."""
+    from kinesis_app_spark.operators.sampling import weighted_sample
+
+    l = _t(spark, sf_dir, "lineitem")
+    sampled = weighted_sample(
+        l,
+        id_str=F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+        weight=F.col("l_quantity"),
+        k=1000,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return sampled.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("qty")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         power(
+           CAST(concat('0x', substr(md5(l_orderkey || '-' || l_linenumber), 1, 8)) AS BIGINT)
+             / 4294967296.0,
+           1.0 / l_quantity
+         ) AS key
+  FROM lineitem
+  WHERE l_quantity > 0
+)
+SELECT l_orderkey, l_linenumber, l_quantity::DOUBLE AS qty
+FROM keyed
+ORDER BY key DESC, l_orderkey, l_linenumber
+LIMIT 1000
+"""
+# outer ORDER BY of the entry is applied by the gate's value-hash
+# (order-insensitive), so the LIMIT subquery's ordering is what matters
+
+
 REGISTRY_ANALYTICS = {
     "cooccur_parts_in_orders": QuerySpec(cooccur_parts_in_orders, COOCCUR_SQL),
     "record_linkage_customers": QuerySpec(record_linkage_customers, LINKAGE_SQL),
     "anomaly_event_zscores": QuerySpec(anomaly_event_zscores, ANOMALY_SQL),
     "bigram_quality_scores": QuerySpec(bigram_quality_scores, BIGRAM_SQL),
+    "interval_overlap_events": QuerySpec(interval_overlap_events, INTERVAL_SQL),
+    "weighted_sample_lineitem": QuerySpec(weighted_sample_lineitem, WEIGHTED_SAMPLE_SQL),
 }

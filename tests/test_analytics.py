@@ -134,3 +134,83 @@ def test_blocked_link_requires_block_columns(spark):
     out = blocked_levenshtein_link(a, b, ["block"], "name", max_dist=1).collect()
     assert len(out) == 1
     assert out[0].id_l == 1 and out[0].id_r == 2 and out[0].dist == 1
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    """Grid-binned result == brute-force theta join on a fixture with
+    multi-cell spans, touching intervals (no overlap, half-open), and
+    exact-boundary ends."""
+    from kinesis_app_spark.operators.intervals import interval_overlap_join
+
+    a_rows = [(1, 0, 10), (2, 95, 205), (3, 300, 400), (4, 50, 60)]
+    b_rows = [(10, 5, 15), (11, 200, 210), (12, 10, 20), (13, 400, 410)]
+    a = spark.createDataFrame(a_rows, ["id", "start", "end"])
+    b = spark.createDataFrame(b_rows, ["id", "start", "end"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(a, b, cell_width=100).collect()
+    }
+    brute = {
+        (ra[0], rb[0])
+        for ra in a_rows
+        for rb in b_rows
+        if ra[1] < rb[2] and rb[1] < ra[2]
+    }
+    assert got == brute
+    # pair (2, 11) overlaps across a cell boundary: emitted exactly once
+    rows = interval_overlap_join(a, b, cell_width=100).collect()
+    assert len(rows) == len(got)
+
+
+def test_interval_overlap_plan_no_nested_loop(spark):
+    from kinesis_app_spark.registry_analytics import interval_overlap_events
+
+    plan = _plan(interval_overlap_events(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_rejects_bad_width(spark):
+    import pytest
+    from kinesis_app_spark.operators.intervals import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 0, 1)], ["id", "start", "end"])
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df, cell_width=0)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """The A-ES sample must overrepresent heavy rows: the sample's mean
+    weight exceeds the population mean."""
+    from kinesis_app_spark.operators.sampling import weighted_sample
+    from kinesis_app_spark.sources.batch import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    s = weighted_sample(
+        l,
+        id_str=F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+        weight=F.col("l_quantity"),
+        k=500,
+    )
+    mean_sample = s.agg(F.avg("l_quantity")).first()[0]
+    mean_pop = l.agg(F.avg("l_quantity")).first()[0]
+    assert mean_sample > mean_pop * 1.1, (mean_sample, mean_pop)
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from kinesis_app_spark.registry_analytics import weighted_sample_lineitem
+
+    plan = _plan(weighted_sample_lineitem(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from kinesis_app_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], ["id", "w"]
+    )
+    got = weighted_sample(
+        df, id_str=F.col("id").cast("string"), weight=F.col("w"), k=10
+    ).collect()
+    assert {r.id for r in got} == {3}
