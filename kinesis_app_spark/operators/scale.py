@@ -218,6 +218,75 @@ def bloom_semi_join(
     return pruned.join(F.broadcast(dim_keys.select(on).distinct()), on, "left_semi")
 
 
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) code of two non-negative ints in [0, 2^bits):
+    interleaves their bits so 2-d-close rows get close codes. Pure
+    shift/mask expression tree (literal shift amounts — codegen-able).
+
+    Sorting/range-partitioning by this code clusters rows into 2-d tiles,
+    so parquet min/max footer stats prune files for predicates on EITHER
+    dimension — a linear sort only ever prunes its leading column. This is
+    the data-layout optimization behind Delta/Iceberg OPTIMIZE ZORDER,
+    expressed as a plain column so any writer can use it.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def minmax_scaled(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
+    """Scale a numeric column into [0, 2^bits) given its min/max (pass them
+    as broadcast-joined columns — computing them is one cheap agg)."""
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
+    frac = (col - lo) / span
+    return F.least(
+        F.floor(frac * ((1 << bits) - 1)).cast("bigint"),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write df as parquet laid out in Z-order on (x_col, y_col):
+    min/max-scale both columns, compute the Morton code, range-partition
+    into num_files and sort within each — every output file covers a
+    compact 2-d tile, so footer min/max stats prune on either column.
+    One extra pass for the bounds agg, one range shuffle; no Python."""
+    bounds = df.agg(
+        F.min(x_col).alias("__xlo"),
+        F.max(x_col).alias("__xhi"),
+        F.min(y_col).alias("__ylo"),
+        F.max(y_col).alias("__yhi"),
+    )
+    z = zorder_value(
+        minmax_scaled(F.col(x_col), F.col("__xlo"), F.col("__xhi"), bits),
+        minmax_scaled(F.col(y_col), F.col("__ylo"), F.col("__yhi"), bits),
+        bits,
+    )
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__xlo", "__xhi", "__ylo", "__yhi", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

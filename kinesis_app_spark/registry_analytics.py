@@ -307,6 +307,107 @@ LIMIT 1000
 # (order-insensitive), so the LIMIT subquery's ordering is what matters
 
 
+# =====================================================================
+# cumulative distinct users (first-touch rewrite)
+# =====================================================================
+
+def cumulative_distinct_users(spark, sf_dir):
+    """Running count of distinct users ever seen, per day. Spark has no
+    COUNT(DISTINCT) OVER (ORDER BY …), and a naive per-day distinct-union
+    is quadratic; the scale rewrite is **first-touch**: each user
+    contributes only on their first day (one groupBy user), then a
+    cumulative sum over the tiny per-day new-user counts. Two shuffles
+    total, both on small keys, regardless of corpus size."""
+    e = _t(spark, sf_dir, "events")
+    first = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily_new = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily_new.select(
+            F.col("first_day").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("distinct_users_to_date"),
+        )
+        .orderBy("day")
+    )
+
+
+CUMULATIVE_DISTINCT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events GROUP BY 1
+), daily AS (
+  SELECT first_day AS day, count(*) AS new_users FROM first GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_users_to_date
+FROM daily
+ORDER BY day
+"""
+
+
+# =====================================================================
+# data-quality expectations
+# =====================================================================
+
+def dq_expectations_orders(spark, sf_dir):
+    """dbt-style data-quality expectation suite over orders, evaluated in
+    ONE scan: every check is a conditional count in the same aggregate
+    (count_if), so N expectations cost one pass, not N. Referential
+    integrity (orders -> customer) is a broadcast anti-join counted in the
+    same job."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_orderkey").isNull()).alias("null_orderkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_totalprice"),
+        F.count_if(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("bad_status"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+        ).alias("date_out_of_range"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "duplicate_orderkeys"
+        ),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_custkeys"))
+    )
+    return checks.crossJoin(F.broadcast(orphans))
+
+
+DQ_SQL = """
+SELECT
+  (SELECT count(*) FROM orders) AS n_rows,
+  (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS null_orderkey,
+  (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS nonpositive_totalprice,
+  (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) AS bad_status,
+  (SELECT count(*) FROM orders
+     WHERE o_orderdate < DATE '1992-01-01' OR o_orderdate > DATE '1998-12-31')
+    AS date_out_of_range,
+  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS duplicate_orderkeys,
+  (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+     WHERE c.c_custkey IS NULL) AS orphan_custkeys
+"""
+
+
 REGISTRY_ANALYTICS = {
     "cooccur_parts_in_orders": QuerySpec(cooccur_parts_in_orders, COOCCUR_SQL),
     "record_linkage_customers": QuerySpec(record_linkage_customers, LINKAGE_SQL),
@@ -314,4 +415,8 @@ REGISTRY_ANALYTICS = {
     "bigram_quality_scores": QuerySpec(bigram_quality_scores, BIGRAM_SQL),
     "interval_overlap_events": QuerySpec(interval_overlap_events, INTERVAL_SQL),
     "weighted_sample_lineitem": QuerySpec(weighted_sample_lineitem, WEIGHTED_SAMPLE_SQL),
+    "cumulative_distinct_users": QuerySpec(
+        cumulative_distinct_users, CUMULATIVE_DISTINCT_SQL
+    ),
+    "dq_expectations_orders": QuerySpec(dq_expectations_orders, DQ_SQL),
 }

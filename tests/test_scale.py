@@ -272,3 +272,75 @@ def test_bloom_semi_join_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     # only exchanges: broadcasts + the final tiny groupBy(l_returnflag)
     assert "hashpartitioning(l_returnflag" in plan or "hashpartitioning(l_returnflag".lower() in plan.lower(), plan
+
+
+def _file_stats(path, col):
+    """(min, max) of col per parquet file under path, from footer stats."""
+    import glob
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from kinesis_app_spark.operators.scale import zorder_value
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y"), bits=3).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_zorder_layout_prunes_on_trailing_dim(spark, tmp_path):
+    """A y-only slab predicate overlaps (by footer min/max) every file of
+    an x-sorted layout but only a minority of the Z-ordered files — the
+    whole point of the layout."""
+    import random
+
+    from kinesis_app_spark.operators.scale import zorder_write
+
+    random.seed(7)
+    rows = [(random.randrange(10_000), random.randrange(10_000)) for _ in range(40_000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, "x", "y", zpath, num_files=16)
+
+    lo, hi = 4_000, 4_999  # 10% slab in y only
+    lin_hit = sum(1 for mn, mx in _file_stats(linear, "y") if mn <= hi and mx >= lo)
+    z_hit = sum(1 for mn, mx in _file_stats(zpath, "y") if mn <= hi and mx >= lo)
+    assert lin_hit == 16, lin_hit          # linear layout: no pruning on y
+    assert z_hit <= 8, z_hit               # z-order: most files pruned
+
+    # content unchanged by the layout
+    assert spark.read.parquet(zpath).count() == 40_000
