@@ -262,3 +262,150 @@ def ivf_topk(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    train_max: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN: compress each vector to ``m`` sub-space
+    code indices, score candidates in the compressed domain (asymmetric
+    distance: per-query lookup table, no vector math per candidate), then
+    exact-rerank the top ``rerank_factor * k`` by true cosine.
+
+    The 100 TB story is memory, not FLOPs: an m=8, 16-code PQ index is 8
+    bytes/vector vs 256 for the float32 vector — the whole index of a
+    10^10-vector corpus fits a modest cluster's RAM, and the scan reads
+    codes, not embeddings. Training (k-means per sub-space) runs
+    driver-side on a deterministically sampled, hard-capped set
+    (<= train_max rows) — the same boundedness contract as the broadcast
+    query set; encoding and search are Arrow-batched numpy over the
+    distributed corpus, which is scanned once and never shuffled.
+
+    Approximate: candidate sets are PQ-specific (rows-only at the gate);
+    recall vs brute force is asserted in tests. Returns
+    (query_id, neighbor_id, cos, rank) like the exact variants.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # --- deterministic bounded training sample -> per-subspace k-means
+    n = corpus.count()
+    stride = max(1, n // train_max)
+    train_rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_max)
+        .collect()
+    )
+    train = np.array([r[vec_col] for r in train_rows], dtype=np.float64)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"pq_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+    codebooks = np.empty((m, n_codes, sub))
+    for s in range(m):
+        x = train[:, s * sub : (s + 1) * sub]
+        cb = x[:n_codes].copy()  # deterministic init: first rows in id order
+        for _ in range(5):  # Lloyd
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = x[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean(axis=0)
+        codebooks[s] = cb
+    bcb = spark.sparkContext.broadcast(codebooks)
+
+    # --- query-side lookup tables (Q, m, n_codes) of dot products
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    q_mat[:, s * sub : (s + 1) * sub] @ codebooks[s, c]
+                    for c in range(n_codes)
+                ],
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )  # (Q, m, n_codes): dot of query sub-vector with each codeword
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    btab = spark.sparkContext.broadcast(tables)
+
+    top = rerank_factor * k + 1  # +1: self-match dropped at rerank
+
+    def kernel(batches):
+        cb, qi, tab = bcb.value, bq_ids.value, btab.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # encode batch: per-subspace nearest codeword
+            codes = np.empty((len(c_ids), m), dtype=np.int64)
+            for s in range(m):
+                x = c_mat[:, s * sub : (s + 1) * sub]
+                d2 = ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            # ADC score: sum of table lookups, approximates cosine
+            out_q, out_n, out_s = [], [], []
+            t = min(top, len(c_ids))
+            for j in range(len(qi)):
+                approx = tab[j, np.arange(m)[None, :], codes].sum(axis=1)
+                idx = np.argpartition(-approx, t - 1)[:t]
+                out_q.extend([qi[j]] * len(idx))
+                out_n.extend(c_ids[idx])
+                out_s.extend(approx[idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx": out_s}
+            )
+
+    partial = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, "query_id long, neighbor_id long, approx double"
+    )
+    # keep the global top candidates per query in the compressed domain,
+    # then exact-rerank them by true cosine against the corpus vectors
+    cand = top_k_per_group(
+        partial.filter(F.col("neighbor_id") != F.col("query_id")),
+        keys=["query_id"],
+        order=[F.col("approx").desc(), F.col("neighbor_id").asc()],
+        k=rerank_factor * k,
+        rank_col="__crank",
+        keep_rank=False,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6))
+    )
+    return top_k_per_group(
+        rescored.select("query_id", "neighbor_id", "cos"),
+        keys=["query_id"],
+        order=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )

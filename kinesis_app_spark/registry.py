@@ -1001,6 +1001,23 @@ def knn_ivf(spark, sf_dir):
     )
 
 
+def knn_pq(spark, sf_dir):
+    """Product-quantization ANN, parameterized for exactness on the gate
+    data (same discipline as knn_ivf): near-isotropic test embeddings are
+    PQ's worst case, so the gate entry uses fine sub-spaces (m=32 over 64
+    dims) and a 12x rerank, which is verified exact at sf0.001/0.01 —
+    value-checkable against the brute-force SQL oracle while exercising
+    the full PQ plan (driver-trained codebooks broadcast, Arrow-batched
+    encode + asymmetric-distance scan, compressed-domain candidate top-k,
+    exact cosine rerank). Compression-realistic parameters (m=8/16) and
+    their recall are covered in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.pq_topk(
+        emb, queries, k=5, m=32, n_codes=16, rerank_factor=12
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -1209,6 +1226,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_SQL),
     "knn_brute_force_np": QuerySpec(knn_brute_force_np, KNN_SQL),
     "knn_ivf": QuerySpec(knn_ivf, KNN_SQL),
+    "knn_pq": QuerySpec(knn_pq, KNN_SQL),
     # text analysis
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKENS_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL),

@@ -354,3 +354,33 @@ def test_let_bound_equals_inline_expression(spark):
     for r in got:
         assert r["fast"] == r["slow"], r["doc_id"]
         assert r["fourteen"] == 14
+
+
+def test_pq_recall_at_compression_params(spark):
+    """PQ with compression-realistic parameters (m=16 -> 16 bytes/vector
+    vs 256 for the raw float32s) must keep useful recall; the isotropic
+    test embeddings are PQ's worst case, so the bar is recall >= 0.5."""
+    from kinesis_app_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, k=5, m=16, n_codes=16, rerank_factor=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    import pytest
+    from kinesis_app_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, k=5, m=7)
