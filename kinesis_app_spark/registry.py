@@ -1249,6 +1249,7 @@ from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E40
 from kinesis_app_spark.registry_curation import REGISTRY_CURATION  # noqa: E402
 from kinesis_app_spark.registry_cdc import REGISTRY_CDC  # noqa: E402
 from kinesis_app_spark.registry_analytics import REGISTRY_ANALYTICS  # noqa: E402
+from kinesis_app_spark.registry_analytics2 import REGISTRY_ANALYTICS2  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
@@ -1265,6 +1266,7 @@ REGISTRY.update(REGISTRY_SOURCES)
 REGISTRY.update(REGISTRY_HYBRID)
 REGISTRY.update(REGISTRY_CDC)
 REGISTRY.update(REGISTRY_ANALYTICS)
+REGISTRY.update(REGISTRY_ANALYTICS2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,282 @@
+"""Product-analytics queries: sequential funnels, cohort retention,
+time-decayed scoring, Markov event transitions, equi-depth histograms.
+
+These are the classic event-analytics surface a stream consumer like the
+reference's `Processor` (src/Kinesis/Coordination.hs:51-53) would feed —
+re-expressed as declarative batch plans over the events table. Scale
+shapes: the funnel is ONE shuffle on user_id (sorted-array fold, no
+self-joins), retention co-partitions its two user_id shuffles, decay and
+transitions are single hash aggregates, and the histogram documents its
+approx-quantile swap for the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# sequential conversion funnel
+# =====================================================================
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def funnel_signup_purchase(spark, sf_dir):
+    """How many users complete signup -> view -> click -> purchase *in
+    order*: step k+1 must occur strictly after the event that satisfied
+    step k. Classic formulation is k self-joins; here it is ONE groupBy
+    on user_id + a linear fold over each user's time-sorted event array
+    (greedy earliest-match == the min-after-min semantics of the join
+    chain), so the whole funnel costs one shuffle and never re-scans.
+    Events are folded in event_id order — ids are assigned in arrival
+    (ts) order; for out-of-order sources sort the struct by (ts,
+    event_id) instead. Per-user arrays are bounded by per-user activity,
+    not corpus size, so the fold stays O(events/user) at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    # sentinel 5th step: element_at(steps, stage+1) stays in bounds after
+    # the funnel completes (ANSI mode errors on out-of-range access)
+    steps = F.array(*[F.lit(s) for s in _FUNNEL_STEPS + ["\x00done"]])
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("event_id", "event_type"))
+            ).alias("ev")
+        )
+        .select(
+            F.aggregate(
+                "ev",
+                F.lit(0),
+                lambda acc, x: F.when(
+                    x["event_type"] == F.element_at(steps, acc + 1), acc + 1
+                ).otherwise(acc),
+            ).alias("stage")
+        )
+    )
+    wide = per_user.agg(
+        *[
+            F.count_if(F.col("stage") >= i + 1).alias(f"s{i + 1}")
+            for i in range(4)
+        ]
+    )
+    return wide.selectExpr(
+        "stack(4, 'signup', 1, s1, 'view', 2, s2, 'click', 3, s3, "
+        "'purchase', 4, s4) as (step, step_idx, users)"
+    ).orderBy("step_idx")
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(event_id) AS eid FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.event_id) AS eid
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.event_id > s1.eid
+  WHERE e.event_type = 'view' GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.event_id) AS eid
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.event_id > s2.eid
+  WHERE e.event_type = 'click' GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, min(e.event_id) AS eid
+  FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.event_id > s3.eid
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT step, step_idx, users FROM (
+  SELECT 'signup' AS step, 1 AS step_idx, (SELECT count(*) FROM s1) AS users
+  UNION ALL SELECT 'view', 2, (SELECT count(*) FROM s2)
+  UNION ALL SELECT 'click', 3, (SELECT count(*) FROM s3)
+  UNION ALL SELECT 'purchase', 4, (SELECT count(*) FROM s4)
+)
+ORDER BY step_idx
+"""
+
+
+# =====================================================================
+# weekly cohort retention
+# =====================================================================
+
+def cohort_retention_weekly(spark, sf_dir):
+    """Cohort = ISO week of a user's first event; cell (cohort_week,
+    week_offset) counts distinct users from that cohort active that many
+    weeks later. Two shuffles, both on user_id (first-touch groupBy +
+    distinct-activity join co-partition under AQE); the final aggregate
+    is over (weeks x offsets) — tiny at any corpus size. The join count
+    needs no count_distinct: (user_id, week) pairs are pre-distinct."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week AS cohort_week,
+       CAST(datediff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+       count(*) AS users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# exponential time-decayed user scores
+# =====================================================================
+
+def decayed_user_scores(spark, sf_dir):
+    """Per-user sum of event values with a 7-day half-life decay anchored
+    at the corpus max ts: sum(value * 0.5^(age_s/604800)). One scan + one
+    hash aggregate; the anchor is a 1-row broadcast. round(...,2) is
+    gate-stable here because the per-term weights are irrational (never
+    on a half-cent boundary, unlike raw money sums — those need DECIMAL,
+    cf. q9)."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("tmax"))
+    age_s = F.col("tmax").cast("double") - F.col("ts").cast("double")
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.pow(F.lit(0.5), age_s / 604800.0)), 2
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_SQL = """
+WITH anchor AS (SELECT max(ts) AS tmax FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(sum(value * pow(0.5, (epoch(tmax) - epoch(ts)) / 604800.0)), 2)
+         AS decayed_value
+FROM events CROSS JOIN anchor
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# =====================================================================
+# Markov event-transition matrix
+# =====================================================================
+
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (lead window in event_id order), with the per-source row
+    total carried alongside so P(to|from) = cnt/from_total is derivable
+    exactly. Counts stay integers — no cross-engine float-rounding
+    surface. One shuffle on user_id for the lead, one tiny (5x5) hash
+    aggregate after."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.sum("cnt").over(wt).alias("from_total"),
+    ).orderBy("from_type", "to_type")
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS cnt
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       sum(cnt) OVER (PARTITION BY from_type) AS from_total
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+# =====================================================================
+# equi-depth histogram
+# =====================================================================
+
+def equidepth_histogram_prices(spark, sf_dir):
+    """Exact 10-bucket equi-depth histogram of order totalprice via
+    ntile over a deterministic (price, orderkey) order. ntile is a
+    single-partition global window — the oracle-checkable gate twin; the
+    100 TB path swaps the window for approx_percentile(price, deciles)
+    boundaries (one partial-aggregable scan) + a width-bucket second
+    scan, trading exact bucket counts for no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        b.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+EQUIDEPTH_SQL = """
+WITH b AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS price,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+           AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders, min(price) AS lo, max(price) AS hi
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY_ANALYTICS2 = {
+    "funnel_signup_purchase": QuerySpec(funnel_signup_purchase, FUNNEL_SQL),
+    "cohort_retention_weekly": QuerySpec(cohort_retention_weekly, COHORT_SQL),
+    "decayed_user_scores": QuerySpec(decayed_user_scores, DECAYED_SQL),
+    "event_transition_matrix": QuerySpec(event_transition_matrix, TRANSITION_SQL),
+    "equidepth_histogram_prices": QuerySpec(
+        equidepth_histogram_prices, EQUIDEPTH_SQL
+    ),
+}
