@@ -1,0 +1,322 @@
+"""Behavioral-analytics + training-data-prep queries: session path
+mining, gap-filled time series, graph triangle counting, deterministic
+train/validation/test splits, and class-balanced downsampling.
+
+Scale shapes: paths reuse the sessionize shuffle (one Exchange+Sort for
+flag, cumsum, and path fold); gap-fill joins a per-type calendar that is
+O(types x days) regardless of event volume; the triangle count runs on
+the repeat-pair subgraph (document-frequency-style edge gate keeps the
+wedge join bounded); splits/balancing are pure hash arithmetic — no
+randomness, so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.baskets import basket_pairs
+from kinesis_app_spark.operators.sessionize import sessionize
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# session path mining
+# =====================================================================
+
+def session_paths_topk(spark, sf_dir):
+    """Top-20 session journeys: the first 5 event types of each 30-min
+    session, joined with '>'. Reuses sessionize()'s lag+cumsum session
+    ids (one shuffle on user_id; the per-session fold groups on the same
+    key so AQE co-partitions it), then one tiny aggregate over distinct
+    path strings. Events fold in event_id order (= arrival order; ids
+    are assigned in ts order)."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30.0)
+    paths = s.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_id", "event_type"))
+                    ),
+                    1,
+                    5,
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+SESSION_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(list(event_type ORDER BY event_id)[1:5], '>') AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+# =====================================================================
+# gap-filled daily time series (forward fill)
+# =====================================================================
+
+def timeseries_gapfill_ffill(spark, sf_dir):
+    """Per-type daily value sums on a dense calendar: days with no events
+    are emitted with the last observed value (forward fill) and flagged.
+    The calendar explode is O(types x days) — independent of event
+    volume — and the fill is one window per type ordered by day, whose
+    partition width is bounded by the date span, not the corpus."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("day_value"),
+            F.col("day_value").isNull().alias("is_filled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT event_type,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY event_type
+)
+SELECT c.event_type, c.day,
+       last_value(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY c.event_type ORDER BY c.day) AS day_value,
+       d.day_value IS NULL AS is_filled
+FROM cal c LEFT JOIN daily d
+  ON c.event_type = d.event_type AND c.day = d.day
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# graph triangle counting
+# =====================================================================
+
+def triangle_count_parts(spark, sf_dir):
+    """Triangle census of the repeat-co-purchase graph: parts are linked
+    when they co-occur in >= 2 orders (the >=2 gate is the edge-level
+    analogue of the hot-shingle document-frequency cap — it bounds the
+    wedge join the same way, and keeps the subgraph size stable across
+    SFs). Triangles via the oriented wedge join: edges carry a < b, so
+    each triangle a<b<c is counted exactly once by joining wedge (a->b,
+    b->c) against closing edge (a,c) — two equi joins, no cartesian. At
+    scale, orient edges toward the higher-degree endpoint instead of the
+    id order to bound per-node wedge fan-out."""
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        basket_pairs(l, basket_col="l_orderkey", item_col="l_partkey",
+                     max_basket_size=20)
+        .filter(F.col("n_baskets") >= 2)
+        .select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
+    )
+    # the subgraph is tiny (document-frequency-gated) but feeds 3 plan
+    # legs; checkpoint so the basket self-join runs once, not thrice
+    edges = edges.localCheckpoint(eager=False)
+    wedges = (
+        edges.select(F.col("a"), F.col("b"))
+        .join(
+            edges.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            "b",
+        )
+    )
+    tri = wedges.join(
+        edges.select("a", F.col("b").alias("c")), ["a", "c"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .agg(F.count_distinct("n").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+TRIANGLE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= 20
+), kept AS (
+  SELECT i.* FROM items i JOIN sized USING (l_orderkey)
+), e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT
+  (SELECT count(DISTINCT n) FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e))
+    AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT count(*) FROM e t1
+     JOIN e t2 ON t1.b = t2.a
+     JOIN e t3 ON t3.a = t1.a AND t3.b = t2.b) AS n_triangles
+"""
+
+
+# =====================================================================
+# deterministic train/validation/test split
+# =====================================================================
+
+def train_test_split_docs(spark, sf_dir):
+    """80/10/10 document split assigned by md5(doc_id) — deterministic,
+    uniform, and reproducible on any engine (no RNG, no sampling seed
+    drift). Per (lang, split): doc count and total chars, the numbers a
+    data-mixture plan consumes. Pure per-row arithmetic + one small
+    aggregate; at 100 TB this is a single partial-aggregable scan."""
+    d = _t(spark, sf_dir, "documents")
+    pct = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(pct < 80, "train")
+        .when(pct < 90, "validation")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SPLIT_SQL = """
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS pct
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM tagged
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# class-balanced downsampling
+# =====================================================================
+
+def class_balance_events(spark, sf_dir):
+    """Balance event classes to the minority-class size: each type keeps
+    its first min-count rows in md5-hash order (a deterministic uniform
+    draw — the hash order is a fixed random permutation, so 'first k' is
+    an unbiased sample both engines reproduce exactly). One shuffle on
+    event_type for the per-class rank; the class-size floor is a 1-row
+    broadcast. Per-class partition width = class size — salt the rank
+    (rank within hash-prefix buckets, then take proportional heads) if
+    one class dominates at scale."""
+    e = _t(spark, sf_dir, "events")
+    k = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("k"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = e.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("event_id", "event_type")
+        .orderBy("event_type", "event_id")
+    )
+
+
+BALANCE_SQL = """
+WITH ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+), k AS (
+  SELECT min(c) AS k
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_type)
+)
+SELECT event_id, event_type
+FROM ranked CROSS JOIN k
+WHERE rn <= k.k
+ORDER BY event_type, event_id
+"""
+
+
+REGISTRY_ANALYTICS3 = {
+    "session_paths_topk": QuerySpec(session_paths_topk, SESSION_PATHS_SQL),
+    "timeseries_gapfill_ffill": QuerySpec(
+        timeseries_gapfill_ffill, GAPFILL_SQL
+    ),
+    "triangle_count_parts": QuerySpec(triangle_count_parts, TRIANGLE_SQL),
+    "train_test_split_docs": QuerySpec(train_test_split_docs, SPLIT_SQL),
+    "class_balance_events": QuerySpec(class_balance_events, BALANCE_SQL),
+}
