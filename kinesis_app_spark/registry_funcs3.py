@@ -16,6 +16,7 @@ lambdas inside whole-stage codegen), aliases shared with the DuckDB oracle,
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kinesis_app_spark.functions import text as T
@@ -471,6 +472,135 @@ FROM per_hash
 """
 
 
+# =====================================================================
+# sequence packing (token-budget bins for training)
+# =====================================================================
+
+def sequence_packing_docs(spark, sf_dir):
+    """Pack documents (in doc_id order) into contiguous 2048-token
+    training bins: pack_id = floor(tokens-before-this-doc / budget).
+    The prefix sum is computed DISTRIBUTED — the classic two-phase
+    construction, not one global window: a per-block local running sum
+    (window partitioned by doc_id div 1000), plus a broadcast-joined
+    running offset over the tiny per-block totals. Identical integers to
+    the single-window formulation (the oracle uses that one), but no
+    stage ever sorts the full corpus in one partition."""
+    from kinesis_app_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    budget = 2048
+    toks = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") / 1000).cast("long").alias("block"),
+    )
+    wl = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0))
+    )
+    wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("block")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .select(
+            "block",
+            F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "block")
+        .select(
+            "n_tokens",
+            F.floor(
+                (F.col("offset") + F.col("local_before")) / budget
+            ).alias("pack_id"),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+SEQUENCE_PACKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM toks
+)
+SELECT CAST(floor(before / 2048.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
+# token-weighted corpus sampling
+# =====================================================================
+
+def token_weighted_doc_sample(spark, sf_dir):
+    """200-document Efraimidis–Spirakis sample with inclusion probability
+    proportional to token count — the standard length-weighted draw for
+    token-budgeted corpus subsets. Same md5-derived deterministic u as
+    weighted_sample_lineitem, so the oracle computes the identical
+    sample; plans as TakeOrderedAndProject (no global sort)."""
+    from kinesis_app_spark.functions.text import token_count
+    from kinesis_app_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    sampled = weighted_sample(
+        d,
+        id_str=F.col("doc_id").cast("string"),
+        weight=F.col("n_tokens"),
+        k=200,
+        tiebreak=["doc_id"],
+    )
+    return sampled.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+
+
+TOKEN_WEIGHTED_SAMPLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+              THEN 0
+              ELSE len(string_split(
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         END AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         power(
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0,
+           1.0 / n_tokens
+         ) AS key
+  FROM toks WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT 200
+"""
+
+
 REGISTRY_FUNCS3 = {
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
@@ -481,4 +611,10 @@ REGISTRY_FUNCS3 = {
     "bm25_topk": QuerySpec(bm25_topk, BM25_SQL),
     "repetition_scores": QuerySpec(repetition_scores, REPETITION_SQL),
     "chunk_dedup_stats": QuerySpec(chunk_dedup_stats, CHUNK_DEDUP_SQL),
+    "sequence_packing_docs": QuerySpec(
+        sequence_packing_docs, SEQUENCE_PACKING_SQL
+    ),
+    "token_weighted_doc_sample": QuerySpec(
+        token_weighted_doc_sample, TOKEN_WEIGHTED_SAMPLE_SQL
+    ),
 }

@@ -109,3 +109,64 @@ def test_class_balance_equalizes_counts(spark):
         counts[r.event_type] += 1
     assert len(set(counts.values())) == 1  # every class at minority size
     assert min(counts.values()) > 0
+
+
+# ---------------------------------------------------------------------
+# corpus-prep wave: sequence packing + token-weighted sampling
+# ---------------------------------------------------------------------
+
+def test_sequence_packing_matches_global_window(spark):
+    """The two-phase distributed prefix sum must produce the exact same
+    packs as the naive single-window formulation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.functions.text import token_count
+    from kinesis_app_spark.registry_funcs3 import sequence_packing_docs
+    from kinesis_app_spark.sources.batch import load_table
+
+    got = {
+        (r.pack_id, r.n_docs, r.total_tokens)
+        for r in sequence_packing_docs(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        d.withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .groupBy(F.floor(F.col("before") / 2048).alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    want = {(r.pack_id, r.n_docs, r.total_tokens) for r in naive.collect()}
+    assert got == want
+
+
+def test_sequence_packing_pack_ids_contiguous(spark):
+    from kinesis_app_spark.registry_funcs3 import sequence_packing_docs
+
+    rows = sequence_packing_docs(spark, SF_DIR).collect()
+    ids = [r.pack_id for r in rows]
+    assert ids == list(range(len(ids)))
+    # every pack except possibly the last holds >= a budget's worth of
+    # tokens minus the straddle slack (a doc is never split)
+    assert all(r.total_tokens > 0 for r in rows)
+
+
+def test_token_weighted_sample_prefers_long_docs(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.functions.text import token_count
+    from kinesis_app_spark.registry_funcs3 import token_weighted_doc_sample
+    from kinesis_app_spark.sources.batch import load_table
+
+    sampled = token_weighted_doc_sample(spark, SF_DIR)
+    mean_sampled = sampled.agg(F.avg("n_tokens")).first()[0]
+    corpus = load_table(spark, SF_DIR, "documents").select(
+        token_count(F.col("text")).alias("n_tokens")
+    )
+    mean_corpus = corpus.agg(F.avg("n_tokens")).first()[0]
+    assert mean_sampled > mean_corpus  # length-biased by construction
