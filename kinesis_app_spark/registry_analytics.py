@@ -125,53 +125,102 @@ ORDER BY custkey_l, custkey_r
 
 def anomaly_event_zscores(spark, sf_dir):
     """Events whose value is > 3 rolling standard deviations from the mean
-    of the preceding 100 same-type events. Pure window frames — one
-    shuffle on event_type; at scale, partition on (event_type, day) to
-    bound partition width and carry the frame across the boundary."""
+    of the preceding 100 same-type events. NOT the naive bounded frame
+    (avg/stddev OVER ROWS -100..-1): Spark's WindowExec re-aggregates a
+    bounded frame per row, O(n x frame). Instead: running prefix sums of
+    (d, d^2) + lag(cum, 1/101), so the rolling mean/variance are O(n)
+    frame-sum differences — 3 Window nodes over ONE Exchange+Sort (same
+    spec chains without re-sorting; check .explain). Values are shifted
+    by the partition's first value before summing: z is shift-invariant,
+    the cancellation in (ss - s^2/n) shrinks, and an exactly-constant
+    series yields var == 0.0 exactly (excluded, never a NaN/noise z).
+    The oracle runs the identical sequential-sum formula, so every double
+    matches bit-for-bit. One shuffle on event_type; at scale, partition
+    on (event_type, day) and carry the 100-row tail across boundaries."""
     e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shifted = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (F.col("value") - F.first("value").over(wcum)).alias("d"),
     )
-    scored = e.select(
+    cums = shifted.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "d",
+        F.sum("d").over(wcum).alias("cum_s"),
+        F.sum(F.col("d") * F.col("d")).over(wcum).alias("cum_ss"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    n = F.least(F.col("rn") - 1, F.lit(100)).cast("double")
+    s = F.lag("cum_s", 1, 0.0).over(wseq) - F.lag("cum_s", 101, 0.0).over(wseq)
+    ss = F.lag("cum_ss", 1, 0.0).over(wseq) - F.lag("cum_ss", 101, 0.0).over(
+        wseq
+    )
+    scored = cums.select(
         "event_id",
         "event_type",
         "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sigma"),
-        F.count("value").over(w).alias("n_prev"),
+        "d",
+        n.alias("n_prev"),
+        s.alias("s"),
+        ss.alias("ss"),
     )
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_prev"))
+        / (F.col("n_prev") - 1)
+    )
+    z = (F.col("d") - F.col("s") / F.col("n_prev")) / sigma
     return (
         scored.filter(
-            (F.col("n_prev") >= 30)
-            & (F.col("sigma") > 0)
-            & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3)
+            (F.col("n_prev") >= 30) & (sigma > 0) & (F.abs(z) > 3)
         )
         .select(
             "event_id",
             "event_type",
             F.round("value", 4).alias("value"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("z"),
+            F.round(z, 3).alias("z"),
         )
         .orderBy("event_id")
     )
 
 
 ANOMALY_SQL = """
-WITH scored AS (
-  SELECT event_id, event_type, value,
-         avg(value) OVER w AS mu,
-         stddev_samp(value) OVER w AS sigma,
-         count(value) OVER w AS n_prev
+WITH shifted AS (
+  SELECT event_id, event_type, ts, value,
+         value - first_value(value) OVER w AS d
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+               ROWS UNBOUNDED PRECEDING)
+), cums AS (
+  SELECT event_id, event_type, ts, value, d,
+         sum(d) OVER w AS cum_s,
+         sum(d * d) OVER w AS cum_ss,
+         row_number() OVER w2 AS rn
+  FROM shifted
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+), scored AS (
+  SELECT event_id, event_type, value, d,
+         CAST(least(rn - 1, 100) AS DOUBLE) AS n_prev,
+         lag(cum_s, 1, 0.0) OVER w2 - lag(cum_s, 101, 0.0) OVER w2 AS s,
+         lag(cum_ss, 1, 0.0) OVER w2 - lag(cum_ss, 101, 0.0) OVER w2 AS ss
+  FROM cums
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
 )
 SELECT event_id, event_type, round(value, 4) AS value,
-       round((value - mu) / sigma, 3) AS z
+       round((d - s / n_prev) / sqrt((ss - s * s / n_prev) / (n_prev - 1)), 3)
+         AS z
 FROM scored
-WHERE n_prev >= 30 AND sigma > 0 AND abs((value - mu) / sigma) > 3
+WHERE n_prev >= 30
+  AND sqrt((ss - s * s / n_prev) / (n_prev - 1)) > 0
+  AND abs((d - s / n_prev) / sqrt((ss - s * s / n_prev) / (n_prev - 1))) > 3
 ORDER BY event_id
 """
 
