@@ -95,7 +95,70 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def temporal_join_user_value(spark, sf_dir):
+    """Point-in-time (temporal) join: each click enriched with the SCD2
+    purchase-version active at click time. The key identity: an SCD2
+    point-in-time join IS a backward as-of join on valid_from within the
+    key partition — the interval predicate (valid_from <= ts < valid_to)
+    is implied because valid_to is exactly the next version's valid_from.
+    So this reuses operators/asof.py's one-shuffle union+window plan: no
+    range join, no theta join, no interval explode. The oracle is the
+    explicit interval LEFT JOIN a warehouse would write."""
+    from kinesis_app_spark.operators.asof import asof_join
+    from kinesis_app_spark.operators.cdc import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    scoped = e.filter(F.col("user_id") < 200)
+    purchases = scoped.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hist = scd2_history(
+        purchases, keys=["user_id"], ts_col="ts", order_cols=["event_id"]
+    )
+    dim = hist.select(
+        "user_id",
+        "valid_from",
+        F.col("value").alias("ver_value"),
+        F.col("event_id").alias("ver_event_id"),
+    )
+    clicks = scoped.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["ver_value", "ver_event_id"],
+    )
+    return joined.select(
+        "user_id", "event_id", "ts", "ver_value", "ver_event_id"
+    ).orderBy("event_id")
+
+
+TEMPORAL_JOIN_SQL = """
+WITH vers AS (
+  SELECT user_id, value AS ver_value, event_id AS ver_event_id,
+         ts AS valid_from, lead(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'purchase' AND user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'click' AND user_id < 200
+)
+SELECT c.user_id, c.event_id, c.ts, v.ver_value, v.ver_event_id
+FROM clicks c LEFT JOIN vers v
+  ON c.user_id = v.user_id AND v.valid_from <= c.ts
+     AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+ORDER BY c.event_id
+"""
+
+
 REGISTRY_CDC = {
     "cdc_merge_orders": QuerySpec(cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_value_history": QuerySpec(scd2_user_value_history, SCD2_SQL),
+    "temporal_join_user_value": QuerySpec(
+        temporal_join_user_value, TEMPORAL_JOIN_SQL
+    ),
 }

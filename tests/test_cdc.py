@@ -134,3 +134,51 @@ def test_null_text_rows_scan_as_empty(spark):
     assert rows[2]["has_pii"] is False
     assert ngram_jaccard_pairs(df).count() == 0
     assert exact_dedup(df).count() == 2
+
+
+def test_temporal_join_plan_has_no_range_join(spark):
+    """The SCD2 point-in-time join must plan as the as-of union+window —
+    never a theta/interval join (no nested loop, no cartesian)."""
+    import contextlib
+    import io
+
+    from kinesis_app_spark.registry_cdc import temporal_join_user_value
+
+    df = temporal_join_user_value(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # it's a union, not a join
+
+
+def test_temporal_join_click_before_first_version_is_null(spark):
+    """Clicks that precede the user's first purchase carry a null
+    version — left-join semantics, no phantom backward match."""
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.registry_cdc import temporal_join_user_value
+    from kinesis_app_spark.sources.batch import load_table
+
+    out = temporal_join_user_value(spark, "/root/testdata/sf0.001")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("user_id") < 200
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    checked = out.join(first_purchase, "user_id", "left").collect()
+    assert len(checked) > 0
+    matched = unmatched = 0
+    for r in checked:
+        if r.first_ts is None or r.ts < r.first_ts:
+            assert r.ver_event_id is None
+            unmatched += 1
+        else:
+            assert r.ver_event_id is not None
+            matched += 1
+    assert matched > 0 and unmatched > 0
