@@ -210,6 +210,37 @@ def kinesis_stream_counts(spark, sf_dir):
     )
 
 
+def skew_key_report_lineitem(spark, sf_dir):
+    """Join-planning skew diagnostic: the 20 heaviest l_suppkey values
+    with their row counts and the table total — the report that decides
+    whether a join needs salting (operators/scale.salted_join) or AQE
+    skew handling. Partial-aggregable groupBy + TakeOrderedAndProject;
+    integer-only output (share = cnt/total_rows is derivable, never a
+    cross-engine float). At 100 TB this is the cheap pre-flight scan
+    that prevents a straggler stage."""
+    l = _t(spark, sf_dir, "lineitem")
+    total = l.agg(F.count(F.lit(1)).alias("total_rows"))
+    return (
+        l.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), "suppkey")
+        .limit(20)
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH total AS (SELECT count(*) AS total_rows FROM lineitem),
+counts AS (
+  SELECT l_suppkey AS suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+)
+SELECT suppkey, cnt, total_rows
+FROM counts CROSS JOIN total
+ORDER BY cnt DESC, suppkey
+LIMIT 20
+"""
+
+
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
     "bloom_semi_join_lineitem": QuerySpec(bloom_semi_join_lineitem, BLOOM_SEMI_SQL),
@@ -217,4 +248,7 @@ REGISTRY_SCALE = {
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
     "kinesis_stream_counts": QuerySpec(kinesis_stream_counts, KINESIS_SHARD_SQL),
+    "skew_key_report_lineitem": QuerySpec(
+        skew_key_report_lineitem, SKEW_REPORT_SQL
+    ),
 }

@@ -108,10 +108,61 @@ GROUP BY event_type
 """
 
 
+def schema_evolution_read(spark, sf_dir):
+    """Schema-evolved ingest: batch 1 predates the o_orderstatus column,
+    batch 2 carries it; a mergeSchema parquet read unifies them (missing
+    column nulls) and aggregates per status with the legacy rows under a
+    sentinel. Proves the additive-evolution path every long-lived ingest
+    hits — new columns appear without rewriting old files. mergeSchema
+    costs one footer pass over file schemas, not data; at scale, pin the
+    merged schema explicitly once known. The oracle reconstructs the
+    same batches from the original table with a CASE on the batch split."""
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="schema_evo_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(path + "/b1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(path + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/b1", path + "/b2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-schema>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+            ELSE '<pre-schema>' END AS status,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+         AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY_SOURCES = {
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
     "json_roundtrip_events": QuerySpec(json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "partitioned_write_pruned_read": QuerySpec(
         partitioned_write_pruned_read, PARTITIONED_RT_SQL
+    ),
+    "schema_evolution_read": QuerySpec(
+        schema_evolution_read, SCHEMA_EVOLUTION_SQL
     ),
 }

@@ -344,3 +344,16 @@ def test_zorder_layout_prunes_on_trailing_dim(spark, tmp_path):
 
     # content unchanged by the layout
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_skew_report_plans_take_ordered(spark):
+    import contextlib
+    import io
+
+    from kinesis_app_spark.registry_scale import skew_key_report_lineitem
+
+    df = skew_key_report_lineitem(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()

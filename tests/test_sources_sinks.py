@@ -117,3 +117,15 @@ def test_filter_and_projection_reach_parquet_scan(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_schema_evolution_legacy_rows_under_sentinel(spark):
+    """Batch-1 rows (written before the status column existed) must all
+    land in the '<pre-schema>' bucket; evolved rows keep real statuses."""
+    from kinesis_app_spark.registry_sources import schema_evolution_read
+
+    rows = {r.status: r.n_orders for r in
+            schema_evolution_read(spark, "/root/testdata/sf0.001").collect()}
+    assert "<pre-schema>" in rows
+    real = {s for s in rows if s != "<pre-schema>"}
+    assert real <= {"O", "F", "P"} and real
