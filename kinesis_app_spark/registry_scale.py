@@ -210,6 +210,68 @@ def kinesis_stream_counts(spark, sf_dir):
     )
 
 
+def bucketed_join_orders(spark, sf_dir):
+    """The amortized-shuffle join under the value gate: both sides are
+    persisted bucketed on the join key (operators/scale.write_bucketed —
+    the write pays the shuffle once; every later join is Exchange-free,
+    asserted in tests/test_scale.py), then joined and rolled up per
+    market segment. Broadcast is disabled around the join so the plan
+    exercised IS the bucketed sort-merge path, not a BHJ that would hide
+    a bucketing bug; the conf is restored afterwards. The oracle is the
+    plain join+rollup on the original tables — proving the bucketed
+    copies are value-faithful, not just well-planned."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from kinesis_app_spark.operators.scale import write_bucketed
+
+    # a prior session's warehouse dir survives the (in-memory) catalog:
+    # drop the entry AND clear the orphaned location before re-creating
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("gate_b_orders", "gate_b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    write_bucketed(o, "gate_b_orders", ["o_custkey"], num_buckets=8)
+    write_bucketed(c, "gate_b_customer", ["c_custkey"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("gate_b_orders")
+        bc = spark.table("gate_b_customer")
+        out = (
+            bo.join(bc, bo.o_custkey == bc.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        # eager checkpoint: the join executes NOW, under the -1 threshold
+        # (returning the lazy plan would re-plan it with broadcast back on)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def skew_key_report_lineitem(spark, sf_dir):
     """Join-planning skew diagnostic: the 20 heaviest l_suppkey values
     with their row counts and the table total — the report that decides
@@ -251,4 +313,5 @@ REGISTRY_SCALE = {
     "skew_key_report_lineitem": QuerySpec(
         skew_key_report_lineitem, SKEW_REPORT_SQL
     ),
+    "bucketed_join_orders": QuerySpec(bucketed_join_orders, BUCKETED_JOIN_SQL),
 }
