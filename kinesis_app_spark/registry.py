@@ -1251,6 +1251,7 @@ from kinesis_app_spark.registry_cdc import REGISTRY_CDC  # noqa: E402
 from kinesis_app_spark.registry_analytics import REGISTRY_ANALYTICS  # noqa: E402
 from kinesis_app_spark.registry_analytics2 import REGISTRY_ANALYTICS2  # noqa: E402
 from kinesis_app_spark.registry_analytics3 import REGISTRY_ANALYTICS3  # noqa: E402
+from kinesis_app_spark.registry_mlprep import REGISTRY_MLPREP  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
@@ -1269,6 +1270,7 @@ REGISTRY.update(REGISTRY_CDC)
 REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_ANALYTICS2)
 REGISTRY.update(REGISTRY_ANALYTICS3)
+REGISTRY.update(REGISTRY_MLPREP)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
