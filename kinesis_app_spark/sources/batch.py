@@ -13,9 +13,13 @@ from pyspark.sql import types as T
 
 from kinesis_app_spark.engine import TABLES
 
-#: columns written as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
-#: they are read as long (spark.sql.legacy.parquet.nanosAsLong) and truncated
-#: to microseconds here, matching DuckDB's nanos->micros truncation.
+#: event-time columns normalized to session-TZ TIMESTAMP regardless of how
+#: the generator wrote them: TIMESTAMP(NANOS) reads as long (via
+#: spark.sql.legacy.parquet.nanosAsLong) and is truncated to micros, matching
+#: DuckDB's nanos->micros truncation; plain timestamp[us] without tz reads as
+#: TIMESTAMP_NTZ and is cast to TIMESTAMP (identity under the engine's UTC
+#: session timezone, and what downstream epoch/cast-to-long arithmetic needs —
+#: Spark refuses CAST(ntz AS BIGINT)).
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -25,9 +29,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in cols:
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             # integer div, not /: nanos exceed double's 2^53 exact range
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
