@@ -241,3 +241,220 @@ def unigram_logprob_scores(
             ).alias("logprob"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal at segment granularity (the
+    CCNet / RefinedWeb "line dedup" step): split each document into
+    consecutive ``seg_tokens``-token segments, count each distinct
+    segment's document frequency across the WHOLE corpus, drop every
+    segment appearing in >= ``min_df`` documents, and reassemble the
+    surviving segments in order.
+
+    Returns (id, n_segments, n_dropped, clean_text); a document whose
+    segments are all boilerplate comes back with clean_text = ''.
+
+    Scale notes (100 TB):
+    - Two keyed shuffles, both on bounded-width keys: (segment) for the
+      corpus-wide document-frequency aggregate — map-side combined — and
+      (doc id) for reassembly. Full documents never shuffle; only
+      seg_tokens-token strings do.
+    - At petabyte scale swap the DF-count group key for
+      xxhash64(segment) so the shuffle carries 8-byte keys; semantics
+      are identical modulo 64-bit collisions. The boilerplate set
+      (df >= min_df) is typically tiny and could instead be collected
+      into a broadcast filter, trading the reassembly join for a
+      broadcast hash lookup.
+    - No Python anywhere: tokenization, segmentation, and reassembly
+      are Column expressions inside whole-stage codegen.
+    """
+    n_seg = F.ceil(F.size(tokens(F.col(text_col))) / F.lit(seg_tokens)).cast(
+        "int"
+    )
+    # sequence(0, n-1) is invalid when n = 0 (Spark infers step -1):
+    # guard empty docs to an empty segment array.
+    segs = F.when(
+        n_seg >= 1,
+        let_bound(
+            tokens(F.col(text_col)),
+            lambda toks: F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("seg_idx"),
+                    F.array_join(
+                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                    ).alias("seg"),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_idx:int,seg:string>>"))
+    exploded = (
+        spread(df)
+        .select(F.col(id_col), F.explode(segs).alias("s"))
+        .select(id_col, F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    )
+    dfreq = exploded.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    kept = exploded.join(dfreq, "seg")
+    dropped = F.col("seg_df") >= F.lit(min_df)
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~dropped, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 10,
+) -> DataFrame:
+    """Exact duplicated-substring statistics per document (the span-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — scaled to token ``ngram`` grams
+    instead of a 50-token suffix-array threshold): a position is
+    duplicated if the ``ngram``-token gram starting there occurs more
+    than once in the ENTIRE corpus (cross- or within-document); maximal
+    runs of overlapping/adjacent duplicated grams are merged into spans.
+
+    Returns (id, n_spans, dup_tokens, total_tokens, dup_frac) for every
+    document, zero-filled for documents with no duplicated span.
+
+    Scale notes (100 TB):
+    - The suffix array of the original paper is replaced by its
+      shuffle-native equivalent: stride-1 gram postings keyed by the
+      gram — one map-side-combined count shuffle — then a per-document
+      sort-window interval merge, which shuffles (doc, start, end)
+      triples only, never text.
+    - Gram strings are bounded (ngram tokens); at petabyte scale key the
+      frequency count by xxhash64(gram) for an 8-byte shuffle key.
+    - The interval merge is the standard gaps-and-islands window (max
+      running end, cumulative island sum) — one shuffle on doc id,
+      whole-stage codegen, no Python, no iteration.
+    """
+    base = spread(df).select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    with_n = base.withColumn("n", F.size("toks"))
+    occ = (
+        with_n.select(
+            id_col,
+            "toks",
+            F.explode(
+                F.when(
+                    F.col("n") >= ngram,
+                    F.sequence(F.lit(1), F.col("n") - F.lit(ngram - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("start"),
+        )
+        .select(
+            id_col,
+            "start",
+            F.array_join(F.slice("toks", F.col("start"), ngram), " ").alias(
+                "gram"
+            ),
+        )
+    )
+    freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    spans = (
+        occ.join(freq, "gram")
+        .filter(F.col("freq") >= 2)
+        .select(
+            id_col,
+            "start",
+            (F.col("start") + F.lit(ngram - 1)).alias("end"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        spans.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end") + 1)
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    merged = islands.groupBy(id_col, "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    totals = with_n.select(id_col, F.col("n").alias("total_tokens"))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.col("total_tokens").cast("long"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens"), 4
+        ).alias("dup_frac"),
+    )
+
+
+def source_quota_sample(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document caps (the RefinedWeb / C4 "domain quota"
+    step): keep at most ``cap`` documents per source, selected by a
+    deterministic md5 order so the sample is stable across runs and
+    engines — no rand(), no seed plumbing.
+
+    Returns the kept (id, source, rk) rows, rk = 1..cap within source.
+
+    Scale notes (100 TB): one shuffle on source. A web-scale corpus has
+    heavy-tailed sources (a few domains with billions of pages) — the
+    row_number window on a hot source is a single-task sort, so for
+    those swap in the two-phase variant: filter md5 < t where t
+    over-selects ~2x the cap cheaply (scan-local, no shuffle), then
+    window only the survivors. The salted-window building block for
+    that lives in operators/scale.py.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        spread(df)
+        .select(id_col, source_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.functions import text as TXT
 from kinesis_app_spark.operators import curation as CU
 from kinesis_app_spark.operators import similarity as SIM
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
@@ -254,6 +255,194 @@ WHERE round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
 """
 
 
+# =====================================================================
+# segment-level boilerplate dedup (CCNet-style line dedup)
+# =====================================================================
+
+#: exactly 8 tokens each, so they occupy whole segments when prepended
+_BP1 = "subscribe to our newsletter for daily updates now"
+_BP2 = "follow us on social media for more content"
+
+
+def _inject_boilerplate(docs):
+    """Deterministic shared headers by doc_id % 4: two boilerplate
+    segments / one / none — the raw corpus is random word soup with
+    essentially no exact duplicate 8-grams, so without injection the op
+    would be a trivially-empty no-op. Mirrored verbatim in the oracle."""
+    d = F.col("doc_id")
+    text = (
+        F.when(d % 4 == 0, F.concat(F.lit(_BP1 + " " + _BP2 + " "), F.col("text")))
+        .when(d % 4 == 1, F.concat(F.lit(_BP1 + " "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def segment_dedup_docs(spark, sf_dir):
+    """Corpus-wide duplicate-segment (boilerplate) removal: 8-token
+    segments, drop any segment seen in >= 2 documents, reassemble.
+    See operators/curation.py segment_dedup for the scale story."""
+    return CU.segment_dedup(
+        _inject_boilerplate(_t(spark, sf_dir, "documents")),
+        seg_tokens=8,
+        min_df=2,
+    ).orderBy("doc_id")
+
+
+_BOILER_AUG = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN '{_BP1} {_BP2} ' || text
+            WHEN doc_id % 4 = 1 THEN '{_BP1} ' || text
+            ELSE text END AS text
+FROM documents
+"""
+
+SEGMENT_DEDUP_SQL = r"""
+WITH aug AS (
+""" + _BOILER_AUG + r"""
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM aug
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 1
+                   THEN generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT)-1)
+                   ELSE [] END) AS g(i)
+), dfreq AS (
+  SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN d.seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN d.seg_df < 2 THEN s.seg END, ' ' ORDER BY s.seg_idx),
+         '') AS clean_text
+FROM segs s JOIN dfreq d USING (seg)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# =====================================================================
+# duplicated-span statistics (Lee et al. substring dedup, gram-posting form)
+# =====================================================================
+
+#: 12 tokens: any stride-1 10-gram inside it repeats corpus-wide
+_DUP_SENT = "this content is provided as is without any warranty of correctness"
+
+
+def _inject_spans(docs):
+    """doc_id % 2 == 0: append a shared 12-token sentence (cross-doc
+    duplication); doc_id % 7 == 0: additionally append the document's own
+    first 15 tokens (within-doc duplication). Mirrored in the oracle."""
+    d = F.col("doc_id")
+    toks = TXT.tokens(F.col("text"))
+    t1 = F.when(d % 2 == 0, F.concat(F.col("text"), F.lit(" " + _DUP_SENT))).otherwise(
+        F.col("text")
+    )
+    t2 = F.when(
+        d % 7 == 0,
+        F.concat(t1, F.lit(" "), F.array_join(F.slice(toks, 1, 15), " ")),
+    ).otherwise(t1)
+    return docs.select("doc_id", t2.alias("text"))
+
+
+def duplicate_span_stats_docs(spark, sf_dir):
+    """Per-document duplicated-span stats over corpus-wide 10-gram
+    postings with interval merge. See operators/curation.py
+    duplicate_span_stats for the scale story."""
+    return CU.duplicate_span_stats(
+        _inject_spans(_t(spark, sf_dir, "documents")), ngram=10
+    ).orderBy("doc_id")
+
+
+_SPAN_AUG = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN t1 || ' ' ||
+              array_to_string((string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))[1:15], ' ')
+            ELSE t1 END AS text
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' {_DUP_SENT}' ELSE text END AS t1
+  FROM documents
+)
+"""
+
+DUP_SPANS_SQL = r"""
+WITH aug AS (
+""" + _SPAN_AUG + r"""
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM aug
+), occ AS (
+  SELECT doc_id, i AS start, array_to_string(t[i:(i+9)], ' ') AS gram
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 10 THEN generate_series(1, len(t)-9) ELSE [] END) AS g(i)
+), freq AS (
+  SELECT gram, count(*) AS freq FROM occ GROUP BY 1
+), spans AS (
+  SELECT doc_id, start, start + 9 AS "end"
+  FROM occ JOIN freq USING (gram) WHERE freq >= 2
+), islands AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start > max("end") OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+), runs AS (
+  SELECT doc_id, start, "end",
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM islands
+), merged AS (
+  SELECT doc_id, island, min(start) AS s, max("end") AS e
+  FROM runs GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens
+  FROM merged GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(len(t.t) AS BIGINT) AS total_tokens,
+       round(coalesce(p.dup_tokens, 0) / len(t.t), 4) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# =====================================================================
+# per-source quota sampling (domain caps)
+# =====================================================================
+
+def source_quota_sample_docs(spark, sf_dir):
+    """Keep at most 15 documents per source, ordered by a deterministic
+    md5 of the doc id — stable across engines and runs. See
+    operators/curation.py source_quota_sample for the hot-source story."""
+    return CU.source_quota_sample(
+        _t(spark, sf_dir, "documents"), cap=15
+    ).orderBy("source", "rk")
+
+
+QUOTA_SQL = """
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 15
+ORDER BY source, rk
+"""
+
+
 REGISTRY_CURATION = {
     "pii_scan_docs": QuerySpec(pii_scan_docs, PII_SQL),
     "contamination_check": QuerySpec(contamination_check, CONTAMINATION_SQL),
@@ -263,4 +452,9 @@ REGISTRY_CURATION = {
     "unigram_quality_scores": QuerySpec(unigram_quality_scores, UNIGRAM_SQL),
     "winsorized_event_values": QuerySpec(winsorized_event_values, WINSORIZE_SQL),
     "radius_search": QuerySpec(radius_search, RADIUS_SQL),
+    "segment_dedup_docs": QuerySpec(segment_dedup_docs, SEGMENT_DEDUP_SQL),
+    "duplicate_span_stats_docs": QuerySpec(
+        duplicate_span_stats_docs, DUP_SPANS_SQL
+    ),
+    "source_quota_sample_docs": QuerySpec(source_quota_sample_docs, QUOTA_SQL),
 }
