@@ -148,9 +148,174 @@ ORDER BY custkey, partkey
 """
 
 
+# =====================================================================
+# leave-one-out target encoding
+# =====================================================================
+
+def target_encoding_orders(spark, sf_dir):
+    """Smoothed leave-one-out target encoding of o_orderpriority against
+    o_totalprice — the standard high-cardinality categorical encoder for
+    tabular models, leave-one-out so a row never sees its own label
+    (target leakage) and smoothed toward the global mean with m=10
+    pseudo-observations so rare categories don't overfit.
+
+    One shuffle on the category: the per-category sum/count ride a
+    window over (priority) and the global mean is a broadcast scalar —
+    the fact table is scanned once, never self-joined. At 100 TB the
+    category aggregate is map-side combined; skewed hot categories cost
+    a single-task window, mitigated by computing sums via groupBy +
+    broadcast join-back instead (same result, two-sided tradeoff
+    documented here deliberately).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    g = o.agg(
+        (F.sum(F.col("o_totalprice").cast("double")) / F.count(F.lit(1))).alias("gm")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.sum(F.col("o_totalprice").cast("double")).over(w).alias("cat_sum"),
+            F.count(F.lit(1)).over(w).alias("cat_n"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.round(
+                (F.col("cat_sum") - F.col("price") + F.lit(10.0) * F.col("gm"))
+                / (F.col("cat_n") - 1 + 10),
+                4,
+            ).alias("loo_enc"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TARGET_ENC_SQL = """
+WITH g AS (SELECT sum(o_totalprice::DOUBLE) / count(*) AS gm FROM orders)
+SELECT o_orderkey,
+       o_orderpriority AS priority,
+       round(
+         (sum(o_totalprice::DOUBLE) OVER (PARTITION BY o_orderpriority)
+            - o_totalprice::DOUBLE
+            + 10.0 * gm)
+         / (count(*) OVER (PARTITION BY o_orderpriority) - 1 + 10),
+         4) AS loo_enc
+FROM orders CROSS JOIN g
+ORDER BY o_orderkey
+"""
+
+
+# =====================================================================
+# RFM customer segmentation
+# =====================================================================
+
+def rfm_segmentation(spark, sf_dir):
+    """Recency / frequency / monetary quartile segmentation of customers
+    from their orders — the classic CRM feature. One shuffle on custkey
+    for the per-customer rollup, then three ntile(4) windows over the
+    SAME global ordering pass (single-partition windows: quartile
+    assignment is a global rank, so at 100 TB swap ntile for a
+    percentile_approx cut — the broadcast-boundary variant — which this
+    deterministic ntile form oracle-checks). Ties broken by custkey so
+    both engines bucket identically."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("double")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
+    wf = Window.orderBy(F.desc("freq"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return (
+        rfm.select(
+            F.col("o_custkey").alias("custkey"),
+            F.ntile(4).over(wr).alias("r"),
+            F.ntile(4).over(wf).alias("f"),
+            F.ntile(4).over(wm).alias("m"),
+        )
+        .withColumn("rfm_code", F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .orderBy("custkey")
+    )
+
+
+RFM_SQL = """
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(o_totalprice::DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT custkey, r, f, m, r * 100 + f * 10 + m AS rfm_code
+FROM (
+  SELECT custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r,
+         ntile(4) OVER (ORDER BY freq DESC, custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m
+  FROM rfm
+)
+ORDER BY custkey
+"""
+
+
+# =====================================================================
+# feature hashing (the hashing trick)
+# =====================================================================
+
+def feature_hashing_docs(spark, sf_dir):
+    """Sparse bag-of-words features via the hashing trick: token ->
+    bucket = first 32 md5 bits mod 64 — no vocabulary table, no fit
+    step, the property that makes it THE encoder for streaming / 100 TB
+    corpora (a vocabulary join would be a second shuffle plus a
+    dictionary that itself needs maintaining). One explode + one
+    map-side-combined groupBy (doc_id, bucket). md5 (not xxhash64) so
+    the DuckDB oracle reproduces bucket ids bit-for-bit; swap to
+    xxhash64 in production for ~4x cheaper hashing at identical plan
+    shape."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    return (
+        toks.withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % 64),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+FEATURE_HASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+       count(*) AS tf
+FROM toks
+GROUP BY 1, 2
+ORDER BY doc_id, bucket
+"""
+
+
 REGISTRY_MLPREP = {
     "user_event_features": QuerySpec(user_event_features, USER_FEATURES_SQL),
     "negative_sample_parts": QuerySpec(
         negative_sample_parts, NEGATIVE_SAMPLE_SQL
     ),
+    "target_encoding_orders": QuerySpec(target_encoding_orders, TARGET_ENC_SQL),
+    "rfm_segmentation": QuerySpec(rfm_segmentation, RFM_SQL),
+    "feature_hashing_docs": QuerySpec(feature_hashing_docs, FEATURE_HASH_SQL),
 }
