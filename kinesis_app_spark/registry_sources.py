@@ -156,8 +156,55 @@ ORDER BY 1
 """
 
 
+def parquet_compaction_orders(spark, sf_dir):
+    """Small-file compaction — the maintenance job every streaming ingest
+    needs (each micro-batch writes one file per task; a year of 1-minute
+    epochs is ~10M tiny files whose footer reads dominate scan time):
+    orders land as a 64-file mess, then are compacted with
+    repartitionByRange(o_orderkey) + maxRecordsPerFile, which both merges
+    the small files AND range-clusters rows so every compacted file owns a
+    disjoint o_orderkey interval — min/max file skipping works after
+    compaction (asserted in tests/test_sources_sinks.py), where hash-order
+    compaction would leave every file spanning the full key range.
+    The returned aggregate proves row identity through the rewrite."""
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="compact_")
+    o.repartition(64).write.mode("overwrite").parquet(path + "/small")
+    small = spark.read.parquet(path + "/small")
+    (
+        small.repartitionByRange(4, "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(path + "/compacted")
+    )
+    back = spark.read.parquet(path + "/compacted")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+COMPACTION_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_custs,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+         AS total_price
+FROM orders
+"""
+
+
 REGISTRY_SOURCES = {
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
+    "parquet_compaction_orders": QuerySpec(
+        parquet_compaction_orders, COMPACTION_SQL
+    ),
     "json_roundtrip_events": QuerySpec(json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "partitioned_write_pruned_read": QuerySpec(
         partitioned_write_pruned_read, PARTITIONED_RT_SQL

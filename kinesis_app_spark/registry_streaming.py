@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 from kinesis_app_spark.streaming.ops import (
+    foreachbatch_running_aggregate,
     run_to_memory,
     running_count_per_key,
     stream_static_join,
@@ -458,7 +459,47 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def streaming_topk_users(spark, sf_dir):
+    """Global top-20 users by total event value, maintained incrementally
+    across micro-batches with a foreachBatch running-aggregate merge (the
+    production "merge into a running table" shape — streaming/ops.py
+    foreachbatch_running_aggregate). The final top-k is taken over the
+    exact merged per-key totals, so the result equals the batch query;
+    totals accumulate in DECIMAL so epoch order cannot change a sum."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("user_id", "value", "ts")
+    )
+    stream, ckpt = _mk_stream(spark, ev)
+    acc = foreachbatch_running_aggregate(
+        stream, keys=["user_id"], value_col="value", checkpoint_dir=ckpt
+    )
+    return (
+        acc.select(
+            "user_id",
+            F.round("total", 2).cast("double").alias("value_total"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("value_total"), "user_id")
+        .limit(20)
+    )
+
+
+STREAMING_TOPK_SQL = """
+SELECT user_id,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS value_total,
+       count(*) AS n_events
+FROM events
+WHERE event_id < 20000
+GROUP BY user_id
+ORDER BY value_total DESC, user_id
+LIMIT 20
+"""
+
+
 REGISTRY_STREAMING = {
+    "streaming_topk_users": QuerySpec(streaming_topk_users, STREAMING_TOPK_SQL),
     "streaming_tumbling_counts": QuerySpec(
         streaming_tumbling_counts, STREAMING_TUMBLING_SQL
     ),

@@ -35,6 +35,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -161,3 +162,84 @@ def run_to_memory(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def foreachbatch_running_aggregate(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    shuffle_partitions: int | None = 32,
+) -> DataFrame:
+    """Maintain an exact running per-key aggregate across micro-batches with
+    ``foreachBatch`` — the "merge into a running table" production pattern
+    (the foreachBatch twin of a state-store aggregation, and the shape a
+    Delta/Iceberg MERGE INTO sink takes): each epoch aggregates ITS OWN
+    rows only (map-side combine within the batch), then merges into the
+    accumulator by key.
+
+    The accumulator is lineage-truncated every epoch (localCheckpoint), so
+    plan depth stays O(1) in the number of batches — without it, epoch N
+    replays N unions and the query slows quadratically. State is bounded
+    by the number of DISTINCT KEYS, not stream length; at 100 TB swap the
+    driver-held DataFrame for a parquet/table-format target and make the
+    merge an idempotent MERGE INTO keyed on (key, epoch) — operators/cdc.py
+    has the merge primitive.
+
+    Values accumulate in DECIMAL(30,8): float addition is order-sensitive
+    and a retried epoch must not change the total by reassociation.
+    """
+    spark = stream.sparkSession
+    state: dict[str, DataFrame | None] = {"acc": None}
+    key_list = list(keys)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        agg = batch_df.groupBy(*key_list).agg(
+            F.sum(F.col(value_col).cast("decimal(30,8)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        acc = state["acc"]
+        if acc is not None:
+            agg = (
+                acc.unionByName(agg)
+                .groupBy(*key_list)
+                .agg(
+                    F.sum("total").cast("decimal(30,8)").alias("total"),
+                    F.sum("n").alias("n"),
+                )
+            )
+        state["acc"] = agg.localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"foreachBatch aggregate did not finish within {timeout_s}s"
+            )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    acc = state["acc"]
+    if acc is None:  # zero batches: empty result with the right schema
+        fields = [stream.schema[k] for k in key_list]
+        schema = T.StructType(
+            fields
+            + [
+                T.StructField("total", T.DecimalType(30, 8)),
+                T.StructField("n", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    return acc

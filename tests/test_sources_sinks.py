@@ -129,3 +129,39 @@ def test_schema_evolution_legacy_rows_under_sentinel(spark):
     assert "<pre-schema>" in rows
     real = {s for s in rows if s != "<pre-schema>"}
     assert real <= {"O", "F", "P"} and real
+
+
+def test_compaction_reduces_files_and_range_clusters(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kinesis_app_spark.sources.batch import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    small_dir = str(tmp_path / "small")
+    big_dir = str(tmp_path / "compacted")
+    o.repartition(64).write.mode("overwrite").parquet(small_dir)
+    small = spark.read.parquet(small_dir)
+    (
+        small.repartitionByRange(4, "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(big_dir)
+    )
+    small_files = glob.glob(small_dir + "/*.parquet")
+    big_files = glob.glob(big_dir + "/*.parquet")
+    assert len(small_files) == 64 and len(big_files) <= 4
+    # range clustering: each compacted file owns a disjoint key interval,
+    # so min/max skipping prunes files for point/range predicates
+    ranges = []
+    total = 0
+    for f in big_files:
+        t = pq.read_table(f, columns=["o_orderkey"])
+        keys = t.column("o_orderkey").to_pylist()
+        total += len(keys)
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "compacted file key ranges must be disjoint"
+    assert total == o.count()

@@ -368,3 +368,26 @@ def test_stats_reporter_emits_on_interval(spark, tmp_path, events_dir, events_sc
         assert sum(totals) == 500
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_foreachbatch_running_aggregate_merges_across_epochs(spark, tmp_path):
+    from kinesis_app_spark.streaming.ops import foreachbatch_running_aggregate
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (1, 2.5), (3, 1.0), (2, 0.5), (1, 4.0)],
+        "user_id long, value double",
+    )
+    src = str(tmp_path / "src")
+    # three source files => with maxFilesPerTrigger=1, three epochs, so the
+    # merge path (union + re-aggregate) is genuinely exercised
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+    acc = foreachbatch_running_aggregate(
+        stream, keys=["user_id"], value_col="value",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["user_id"]: (float(r["total"]), r["n"]) for r in acc.collect()
+    }
+    assert got == {1: (16.5, 3), 2: (5.5, 2), 3: (1.0, 1)}
