@@ -304,3 +304,52 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    partitions: int = 32,
+    id_name: str = "rid",
+) -> DataFrame:
+    """Dense 1-based global row numbers in ``order_cols`` order WITHOUT a
+    single-partition window — row_number() OVER (ORDER BY ...) collapses
+    the whole table onto one task, the canonical way to fall over at
+    100 TB. Instead, the zipWithIndex discipline expressed in DataFrames:
+
+      1. range-repartition on the order key (partition p holds keys below
+         partition p+1 — a range exchange, fully parallel),
+      2. per-partition local ranks via a window PARTITIONED BY the range
+         partition id (parallel across partitions),
+      3. per-partition row counts -> cumulative offsets (a window over
+         `partitions` rows, trivially small) broadcast back,
+      4. id = offset + local rank.
+
+    The result depends only on the total order, not on where the sampled
+    range boundaries land, so it is deterministic for a unique key even
+    though RangePartitioner samples. Cost: one range exchange of the data
+    + one hash exchange on the partition id (the window's clustering
+    requirement) — both parallel; nothing ever lands on a single task.
+    ``order_cols`` must be a total order (unique); ties would make ranks
+    nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    cols = list(order_cols)
+    part = df.repartitionByRange(partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.withColumn("_rk", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(id_name, (F.col("_off") + F.col("_rk")).cast("long"))
+        .drop("_pid", "_rk", "_off")
+    )

@@ -418,6 +418,81 @@ ORDER BY t.doc_id
 
 
 # =====================================================================
+# Gopher-style quality rule filter
+# =====================================================================
+
+def gopher_rules_docs(spark, sf_dir):
+    """Rule-based document quality gate in the style of Gopher (Rae et
+    al. 2021, arXiv:2112.11446 §A1.1) / FineWeb: word-count bounds, mean
+    word length bounds, and minimum stopword evidence, with thresholds
+    scaled to the synthetic corpus (20..120 words vs Gopher's 50..100k).
+    Emits one boolean per rule plus the conjunction — keeping per-rule
+    flags is deliberate: real pipelines tune rules from their individual
+    fire rates, not the aggregate.
+
+    Pure Column arithmetic over one tokenize — a projection inside
+    whole-stage codegen, zero shuffles, the cheapest possible 100 TB op:
+    it runs at scan speed and pushes nothing anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]),
+        )
+    )
+    n_words = F.size(toks)
+    mean_wlen = (F.length(TXT.normalize_ws(F.col("text"))) - (n_words - 1)) / n_words
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        (n_words >= 20).alias("rule_min_words"),
+        (n_words <= 120).alias("rule_max_words"),
+        ((mean_wlen >= 3) & (mean_wlen <= 10)).alias("rule_word_len"),
+        (stop_hits >= 2).alias("rule_stopwords"),
+        (
+            (n_words >= 20)
+            & (n_words <= 120)
+            & (mean_wlen >= 3)
+            & (mean_wlen <= 10)
+            & (stop_hits >= 2)
+        ).alias("passes"),
+    ).orderBy("doc_id")
+
+
+GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         (len(norm) - (len(toks) - 1)) / len(toks) AS mean_wlen,
+         len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wlen, 4) AS mean_word_len,
+       CAST(stop_hits AS BIGINT) AS n_stopwords,
+       n_words >= 20 AS rule_min_words,
+       n_words <= 120 AS rule_max_words,
+       mean_wlen >= 3 AND mean_wlen <= 10 AS rule_word_len,
+       stop_hits >= 2 AS rule_stopwords,
+       n_words >= 20 AND n_words <= 120
+         AND mean_wlen >= 3 AND mean_wlen <= 10
+         AND stop_hits >= 2 AS passes
+FROM m
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # per-source quota sampling (domain caps)
 # =====================================================================
 
@@ -457,4 +532,5 @@ REGISTRY_CURATION = {
         duplicate_span_stats_docs, DUP_SPANS_SQL
     ),
     "source_quota_sample_docs": QuerySpec(source_quota_sample_docs, QUOTA_SQL),
+    "gopher_rules_docs": QuerySpec(gopher_rules_docs, GOPHER_SQL),
 }

@@ -264,6 +264,55 @@ ORDER BY custkey
 
 
 # =====================================================================
+# group-aware train/val/test split (no leakage)
+# =====================================================================
+
+def grouped_split_events(spark, sf_dir):
+    """Train/val/test split of events at USER granularity: the fold is a
+    deterministic function of user_id alone (md5-derived, 80/10/10), so
+    every event of a user lands in exactly one fold — the group-integrity
+    property that prevents near-duplicate leakage between train and eval
+    when rows within a group correlate (the classic silent ML bug that
+    inflates offline metrics). Emits per (fold, event_type) counts plus
+    distinct users; fold assignment is a scan-time projection (no
+    shuffle), the rollup is one map-side-combined aggregate."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    fold = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        e.withColumn("fold", fold)
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold", "event_type")
+    )
+
+
+GROUPED_SPLIT_SQL = """
+SELECT CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS fold,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT *, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b
+  FROM events
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
 # feature hashing (the hashing trick)
 # =====================================================================
 
@@ -318,4 +367,5 @@ REGISTRY_MLPREP = {
     "target_encoding_orders": QuerySpec(target_encoding_orders, TARGET_ENC_SQL),
     "rfm_segmentation": QuerySpec(rfm_segmentation, RFM_SQL),
     "feature_hashing_docs": QuerySpec(feature_hashing_docs, FEATURE_HASH_SQL),
+    "grouped_split_events": QuerySpec(grouped_split_events, GROUPED_SPLIT_SQL),
 }

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kinesis_app_spark.operators.scale import bloom_semi_join, salted_aggregate
+from kinesis_app_spark.operators.scale import (
+    bloom_semi_join,
+    global_row_number,
+    salted_aggregate,
+)
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 
@@ -303,8 +307,28 @@ LIMIT 20
 """
 
 
+def global_row_ids_orders(spark, sf_dir):
+    """Dense global row ids over orders in o_orderkey order, built with
+    the range-partition + offset pattern (operators/scale.py
+    global_row_number) instead of a single-partition ORDER BY window —
+    the oracle IS that single-partition window, so the gate proves the
+    distributed form computes the identical numbering."""
+    o = _t(spark, sf_dir, "orders")
+    return global_row_number(
+        o.select("o_orderkey", "o_custkey"), ["o_orderkey"]
+    ).select("rid", "o_orderkey", "o_custkey")
+
+
+GLOBAL_ROW_IDS_SQL = """
+SELECT row_number() OVER (ORDER BY o_orderkey) AS rid,
+       o_orderkey, o_custkey
+FROM orders
+"""
+
+
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
+    "global_row_ids_orders": QuerySpec(global_row_ids_orders, GLOBAL_ROW_IDS_SQL),
     "bloom_semi_join_lineitem": QuerySpec(bloom_semi_join_lineitem, BLOOM_SEMI_SQL),
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),

@@ -357,3 +357,22 @@ def test_skew_report_plans_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         df.explain()
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_global_row_number_dense_and_no_global_sort(spark):
+    from kinesis_app_spark.operators.scale import global_row_number
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    out = global_row_number(o, ["o_orderkey"], partitions=8)
+    rows = out.orderBy("rid").collect()
+    n = len(rows)
+    # dense 1..N, and id order == key order
+    assert [r["rid"] for r in rows] == list(range(1, n + 1))
+    keys = [r["o_orderkey"] for r in rows]
+    assert keys == sorted(keys)
+    # the data-side ordering is a range exchange, never a collapse onto
+    # one task: rangepartitioning present, and the big-side window is
+    # clustered by _pid (hashpartitioning), not SinglePartition
+    plan = _plan(out)
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_pid" in plan
