@@ -325,19 +325,30 @@ def global_row_number(
          `partitions` rows, trivially small) broadcast back,
       4. id = offset + local rank.
 
-    The result depends only on the total order, not on where the sampled
-    range boundaries land, so it is deterministic for a unique key even
-    though RangePartitioner samples. Cost: one range exchange of the data
-    + one hash exchange on the partition id (the window's clustering
-    requirement) — both parallel; nothing ever lands on a single task.
+    The ranged layout is MATERIALIZED (localCheckpoint) before the two
+    passes: RangePartitioner samples its boundaries per execution, so the
+    offsets pass and the ranks pass would otherwise each run their own
+    exchange and can land rows in different partitions — observed as
+    duplicate/missing ids at sf0.01 when the exchange was not reused.
+    Materializing pins one physical layout that both passes read; this is
+    the same two-pass-over-pinned-partitions discipline as RDD
+    zipWithIndex, and at 100 TB it is one extra write of the id'd
+    columns — id assignment is typically a once-per-ingest job. (In a
+    cluster, swap localCheckpoint for persist(DISK_ONLY) or a staging
+    table.) The final ids depend only on the total order, not on where
+    the sampled boundaries land. Cost: one range exchange + the pinned
+    write + one hash exchange on the partition id (the window's
+    clustering requirement) — all parallel; nothing lands on one task.
     ``order_cols`` must be a total order (unique); ties would make ranks
     nondeterministic.
     """
     from pyspark.sql import Window
 
     cols = list(order_cols)
-    part = df.repartitionByRange(partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
