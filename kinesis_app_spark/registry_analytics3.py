@@ -311,7 +311,226 @@ ORDER BY event_type, event_id
 """
 
 
+# =====================================================================
+# incremental materialized-view maintenance
+# =====================================================================
+
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental maintenance of a per-(type, day) aggregate view: the
+    'base' state is the aggregate over the first 80% of events
+    (event_id < 48000), a 'delta' micro-batch arrives (the remaining
+    ids), and the view is refreshed by aggregating ONLY the delta and
+    merging it into the base by key — never re-reading base rows. This
+    is how a 100 TB rollup stays fresh: refresh cost scales with the
+    delta, not the table; the merge is a keyed union+re-agg, exactly
+    the additive-measure IVM rule (counts and sums compose; measures
+    like DISTINCT need a sketch or a full group recompute — documented
+    limitation, not hidden). The oracle recomputes the view from
+    scratch, proving merged == full."""
+    e = _t(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("value_sum"),
+        )
+
+    base = rollup(e.filter(F.col("event_id") < 48000))
+    delta = rollup(e.filter(F.col("event_id") >= 48000))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").cast("decimal(30,8)").alias("value_sum"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long"),
+        F.round("value_sum", 2).cast("double").alias("value_sum"),
+    ).orderBy("event_type", "day")
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# =====================================================================
+# GDPR erasure propagation report
+# =====================================================================
+
+def gdpr_erasure_report(spark, sf_dir):
+    """Right-to-be-forgotten pre-flight: for a deterministic erasure
+    cohort (user_id % 97 == 0 — in production, the DSR request table),
+    report what a purge touches per event type: rows, exact value mass,
+    and the cohort's share of each type. The subject list is broadcast
+    (DSR batches are thousands of ids, facts are the 100 TB side), so
+    the fact table is scanned once with the membership probe inside the
+    scan's codegen; a LEFT SEMI form of the same plan is the actual
+    delete's read side. Decimal mass so the compliance report is
+    reproducible to the cent."""
+    e = _t(spark, sf_dir, "events")
+    subjects = (
+        e.select("user_id").distinct().filter(F.col("user_id") % 97 == 0)
+    )
+    hit = e.join(F.broadcast(subjects), "user_id", "left_semi")
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        hit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purge"),
+            F.count_distinct("user_id").alias("n_subjects"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("value_purged"),
+        )
+        .join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "n_purge",
+            "n_subjects",
+            "value_purged",
+            F.round(F.col("n_purge") / F.col("n_total"), 6).alias("purge_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GDPR_SQL = """
+WITH hit AS (
+  SELECT * FROM events WHERE user_id % 97 = 0
+), tot AS (
+  SELECT event_type, count(*) AS n_total FROM events GROUP BY 1
+)
+SELECT h.event_type,
+       count(*) AS n_purge,
+       count(DISTINCT h.user_id) AS n_subjects,
+       round(sum(CAST(h.value AS DECIMAL(30,8))), 2)::DOUBLE AS value_purged,
+       round(count(*) / any_value(t.n_total), 6) AS purge_frac
+FROM hit h JOIN tot t USING (event_type)
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
+# =====================================================================
+# embedding covariance / mean (corpus vector statistics)
+# =====================================================================
+
+def embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance and mean of the embedding corpus — the
+    statistics behind PCA whitening and drift monitors. One pass: each
+    row explodes to its d(d+1)/2 upper-triangle products (d=64 -> 2080
+    terms, a per-row codegen map), then a single map-side-combined
+    aggregate; nothing materializes the n x d matrix anywhere and the
+    shuffle carries only (i, j, partial sums) — at 100 TB the reduce
+    state is d^2 cells regardless of corpus size. Sums accumulate as
+    exact integers scaled by 1e6 (embeddings are float32 with ~7
+    significant digits) — cross-engine reassociation-proof."""
+    from kinesis_app_spark.functions.text import let_bound
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    # let_bound: v must be a bound lambda slot, not re-evaluated per
+    # (i, j) element — without it this transform is O(d^3) per row
+    pairs = let_bound(
+        v,
+        lambda vv: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(vv) - 1),
+                lambda i: F.transform(
+                    F.sequence(i, F.size(vv) - 1),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.element_at(vv, i + 1) * F.element_at(vv, j + 1)).alias(
+                            "xy"
+                        ),
+                        F.element_at(vv, i + 1).alias("x"),
+                        F.element_at(vv, j + 1).alias("y"),
+                    ),
+                ),
+            )
+        ),
+    )
+    exploded = emb.select(F.explode(pairs).alias("p")).select("p.*")
+    n = emb.count()
+    return (
+        exploded.groupBy("i", "j")
+        .agg(
+            # decimal accumulation: per-row products are ~1e14; a long sum
+            # wraps silently past ~9e18 rows x magnitude (DuckDB widens to
+            # HUGEINT automatically — Spark must be told)
+            F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy") / F.lit(float(n))
+                    - (F.col("sx") / F.lit(float(n)))
+                    * (F.col("sy") / F.lit(float(n)))
+                )
+                / 1e12,
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COV_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), n AS (SELECT count(*) AS cnt FROM embeddings),
+exploded AS (
+  SELECT i.i AS i, j.j AS j,
+         s.v[i.i + 1] * s.v[j.j + 1] AS xy,
+         s.v[i.i + 1] AS x,
+         s.v[j.j + 1] AS y
+  FROM scaled s,
+       UNNEST(generate_series(0, len(s.v) - 1)) AS i(i),
+       UNNEST(generate_series(0, len(s.v) - 1)) AS j(j)
+  WHERE j.j >= i.i
+)
+SELECT i, j,
+       round((sum(xy) / any_value(cnt)
+              - (sum(x) / any_value(cnt)) * (sum(y) / any_value(cnt)))
+             / 1e12, 8) AS cov
+FROM exploded CROSS JOIN n
+GROUP BY i, j
+ORDER BY i, j
+"""
+
+
 REGISTRY_ANALYTICS3 = {
+    "incremental_agg_maintenance": QuerySpec(
+        incremental_agg_maintenance, INCREMENTAL_AGG_SQL
+    ),
+    "gdpr_erasure_report": QuerySpec(gdpr_erasure_report, GDPR_SQL),
+    "embedding_covariance": QuerySpec(embedding_covariance, EMBEDDING_COV_SQL),
     "session_paths_topk": QuerySpec(session_paths_topk, SESSION_PATHS_SQL),
     "timeseries_gapfill_ffill": QuerySpec(
         timeseries_gapfill_ffill, GAPFILL_SQL
