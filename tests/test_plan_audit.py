@@ -1,0 +1,98 @@
+"""Registry-wide physical-plan audit: no query may plan a cartesian
+product, and every BroadcastNestedLoopJoin must be on the explicit
+allowlist below with a rationale — either a 1-row scalar broadcast
+(O(n x 1), the standard global-statistic pattern), a bounded-by-contract
+small side, or a size-guarded oracle twin of a bucketed scale path.
+
+A new registry entry that accidentally plans a quadratic join fails this
+test instead of surfacing as a 100x slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_app_spark import registry
+from kinesis_app_spark.plans.lint import plan_summary
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: entries whose plan legitimately contains BroadcastNestedLoopJoin.
+#: value = why that is safe at 100 TB.
+ALLOWED_NLJ: dict[str, str] = {
+    # --- 1-row scalar broadcast (global statistic) joined to the fact side
+    "q11_important_parts": "scalar subquery threshold: 1-row broadcast",
+    "q22_dormant_rich_customers": "global avg balance: 1-row broadcast",
+    "tfidf_top_terms": "corpus doc count: 1-row broadcast",
+    "bm25_topk": "corpus stats (N, avgdl): 1-row broadcast",
+    "unigram_quality_scores": "vocab total: 1-row broadcast",
+    "bigram_quality_scores": "vocab size: 1-row broadcast",
+    "decayed_user_scores": "corpus max ts anchor: 1-row broadcast",
+    "dq_expectations_orders": "expectation totals: 1-row broadcast",
+    "skew_key_report_lineitem": "table total: 1-row broadcast",
+    "class_balance_events": "minority-class floor: 1-row broadcast",
+    "negative_sample_parts": "candidate-count scalar: 1-row broadcast",
+    "target_encoding_orders": "global mean: 1-row broadcast",
+    "triangle_count_parts": "n_edges / n_triangles scalars: 1-row broadcasts",
+    "hybrid_rrf_search": "per-query corpus stats: 1-row broadcast",
+    "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
+    # --- small side bounded by operator contract (documented in docstring)
+    "cross_join_region_nation": "deliberate cross join of two dimension tables",
+    "range_join_price_bands": "band table is a tiny broadcast dimension",
+    "knn_brute_force": "query set broadcast (|Q| small); corpus scanned once",
+    "knn_ivf": "centroid table broadcast; probe prunes cells",
+    "radius_search": "query set broadcast (|Q| small); corpus scanned once",
+    # --- guarded oracle twin of the LSH scale path
+    "dedup_embedding_cosine": "exact all-pairs oracle twin, size-guarded "
+    "(raises past MAX_EXACT_EMBEDDING_ROWS; LSH branch is the scale path)",
+}
+
+#: streaming entries execute a full streaming query inside fn() — their
+#: batch twins are audited; the stream side is covered by
+#: tests/test_streaming.py plan/semantics tests.
+SKIP_PREFIXES = ("streaming_", "kinesis_stream")
+
+AUDITED = [
+    name
+    for name in registry.REGISTRY
+    if not name.startswith(SKIP_PREFIXES)
+]
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_unapproved_quadratic_joins(spark, name):
+    df = registry.REGISTRY[name].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0, (
+        f"{name}: CartesianProduct in plan\n{s.raw[:3000]}"
+    )
+    if s.nested_loop_joins:
+        assert name in ALLOWED_NLJ, (
+            f"{name}: BroadcastNestedLoopJoin not on the allowlist — either "
+            f"fix the plan or add it WITH a scale rationale\n{s.raw[:3000]}"
+        )
+
+
+def test_allowlist_has_no_stale_entries(spark):
+    """Every allowlisted name must still exist and still plan an NLJ —
+    otherwise the allowlist rots and stops meaning anything."""
+    stale = [n for n in ALLOWED_NLJ if n not in registry.REGISTRY]
+    assert not stale, f"allowlisted entries no longer in registry: {stale}"
+
+
+def test_plan_summary_counts_known_shapes(spark):
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    joined = a.join(F.broadcast(b), "k")
+    s = plan_summary(joined)
+    assert s.broadcast_hash_joins == 1 and s.nested_loop_joins == 0
+
+    shuffled = a.groupBy((F.col("k") % 7).alias("g")).count()
+    s2 = plan_summary(shuffled)
+    assert s2.exchanges_hash >= 1
+
+    quad = a.join(b, a.k > b.k)
+    s3 = plan_summary(quad)
+    assert s3.nested_loop_joins == 1
