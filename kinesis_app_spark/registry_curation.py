@@ -9,6 +9,7 @@ end-to-end checkable rather than trivially all-zero.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from kinesis_app_spark.functions import text as TXT
@@ -275,7 +276,7 @@ def _inject_boilerplate(docs):
         .when(d % 4 == 1, F.concat(F.lit(_BP1 + " "), F.col("text")))
         .otherwise(F.col("text"))
     )
-    return docs.select("doc_id", text.alias("text"))
+    return docs.withColumn("text", text)
 
 
 def segment_dedup_docs(spark, sf_dir):
@@ -347,7 +348,7 @@ def _inject_spans(docs):
         d % 7 == 0,
         F.concat(t1, F.lit(" "), F.array_join(F.slice(toks, 1, 15), " ")),
     ).otherwise(t1)
-    return docs.select("doc_id", t2.alias("text"))
+    return docs.withColumn("text", t2)
 
 
 def duplicate_span_stats_docs(spark, sf_dir):
@@ -420,6 +421,28 @@ ORDER BY t.doc_id
 # =====================================================================
 # Gopher-style quality rule filter
 # =====================================================================
+
+def gopher_pass() -> Column:
+    """The conjunction of the Gopher-style rules below as a reusable
+    boolean over a `text` column — the pipeline composition filters with
+    this exact predicate so its oracle mirrors one expression, not two."""
+    toks = TXT.tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wlen = (F.length(TXT.normalize_ws(F.col("text"))) - (n_words - 1)) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]),
+        )
+    )
+    return (
+        (n_words >= 20)
+        & (n_words <= 120)
+        & (mean_wlen >= 3)
+        & (mean_wlen <= 10)
+        & (stop_hits >= 2)
+    )
+
 
 def gopher_rules_docs(spark, sf_dir):
     """Rule-based document quality gate in the style of Gopher (Rae et

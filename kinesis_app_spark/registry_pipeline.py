@@ -7,6 +7,8 @@ in SQL, so the *composition* — not just each operator — is value-checked.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kinesis_app_spark.operators.pipeline import curate_corpus
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -222,7 +224,186 @@ FROM r{iters} ORDER BY rank DESC, node LIMIT 20
 PAGERANK_SQL = _pagerank_sql(_PR_ITERS, _PR_SCALE)
 
 
+# =====================================================================
+# curation pipeline v2: the round-2 operator funnel
+# =====================================================================
+
+def pipeline_curation_v2(spark, sf_dir):
+    """The round-2 curation funnel as ONE composition, reported as
+    per-stage surviving-document counts:
+
+        raw -> Gopher rule gate -> exact dedup -> segment-boilerplate
+        gate (docs > 1/3 duplicated segments dropped) -> duplicated-span
+        gate (docs > 1/2 duplicated tokens dropped) -> per-source quota
+
+    The rule gate and exact dedup run on the RAW text (so the corpus's
+    natural exact duplicates are actually removed); the deterministic
+    boilerplate/span injections (mirrored in the oracle) are applied to
+    the deduped cohort to make the segment/span stages non-trivial.
+    Stage ordering is the 100 TB discipline: the zero-shuffle rule gate
+    first, exact dedup (one bounded-key shuffle) before the gram-posting
+    stages so duplicate copies never pay posting costs, and the quota
+    window last on the smallest cohort. Gates use integer comparisons
+    (3*n_dropped <= n_segments, 2*dup_tokens <= total_tokens) so no
+    float rounding sits on a filter boundary. The deduped+injected
+    cohort is checkpointed once — three downstream stages and two
+    counts read it without re-running the scan+gates."""
+    from kinesis_app_spark.operators.curation import (
+        duplicate_span_stats,
+        segment_dedup,
+        source_quota_sample,
+    )
+    from kinesis_app_spark.operators.dedup import exact_dedup
+    from kinesis_app_spark.registry_curation import (
+        _inject_boilerplate,
+        _inject_spans,
+        gopher_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    s1 = docs.filter(gopher_pass())
+    s2 = _inject_boilerplate(_inject_spans(exact_dedup(s1))).localCheckpoint()
+    seg = segment_dedup(s2, seg_tokens=8, min_df=2)
+    keep3 = seg.filter(
+        3 * F.col("n_dropped") <= F.col("n_segments")
+    ).select("doc_id")
+    s3 = s2.join(keep3, "doc_id", "left_semi").localCheckpoint()
+    spans = duplicate_span_stats(s3, ngram=10)
+    keep4 = spans.filter(
+        2 * F.col("dup_tokens") <= F.col("total_tokens")
+    ).select("doc_id")
+    s4 = s3.join(keep4, "doc_id", "left_semi")
+    s5 = source_quota_sample(s4, cap=15)
+
+    def stage(idx, name, df):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "gopher_gate", s1))
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "segment_gate", s3))
+        .unionByName(stage(4, "span_gate", s4))
+        .unionByName(stage(5, "source_quota", s5))
+        .orderBy("stage_idx")
+    )
+
+
+from kinesis_app_spark.registry_curation import (  # noqa: E402
+    _BP1 as _V2_BP1,
+    _BP2 as _V2_BP2,
+    _DUP_SENT as _V2_SENT,
+)
+
+PIPELINE_V2_SQL = (
+    r"""
+WITH toks0 AS (
+  SELECT doc_id, source, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), s1 AS (
+  SELECT * FROM toks0
+  WHERE len(t) BETWEEN 20 AND 120
+    AND (len(norm) - (len(t) - 1)) / len(t) BETWEEN 3 AND 10
+    AND len(list_intersect(list_distinct(t), ['the','a','and','of','to'])) >= 2
+), dedup AS (
+  SELECT * FROM s1
+  QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+), aug1 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN t1 || ' ' ||
+                array_to_string((string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:15], ' ')
+              ELSE t1 END AS text
+  FROM (
+    SELECT doc_id, source, text,
+           CASE WHEN doc_id % 2 = 0 THEN text || ' """
+    + _V2_SENT
+    + r"""' ELSE text END AS t1
+    FROM dedup
+  )
+), s2 AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 4 = 0 THEN '"""
+    + _V2_BP1
+    + " "
+    + _V2_BP2
+    + r""" ' || text
+                WHEN doc_id % 4 = 1 THEN '"""
+    + _V2_BP1
+    + r""" ' || text
+                ELSE text END), '\s+', ' ', 'g')), ' ') AS t
+  FROM aug1
+), segs AS (
+  SELECT doc_id, i AS seg_idx, array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM s2,
+       UNNEST(CASE WHEN len(t) >= 1
+                   THEN generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT)-1)
+                   ELSE [] END) AS g(i)
+), dfreq AS (
+  SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1
+), segstat AS (
+  SELECT s.doc_id, count(*) AS n_segments,
+         sum(CASE WHEN d.seg_df >= 2 THEN 1 ELSE 0 END) AS n_dropped
+  FROM segs s JOIN dfreq d USING (seg) GROUP BY 1
+), s3 AS (
+  SELECT s2.* FROM s2 JOIN segstat USING (doc_id)
+  WHERE 3 * segstat.n_dropped <= segstat.n_segments
+), occ AS (
+  SELECT doc_id, i AS start, array_to_string(t[i:(i+9)], ' ') AS gram
+  FROM s3,
+       UNNEST(CASE WHEN len(t) >= 10 THEN generate_series(1, len(t)-9) ELSE [] END) AS g(i)
+), freq AS (
+  SELECT gram, count(*) AS freq FROM occ GROUP BY 1
+), spans AS (
+  SELECT doc_id, start, start + 9 AS e
+  FROM occ JOIN freq USING (gram) WHERE freq >= 2
+), islands AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+), runs AS (
+  SELECT doc_id, start, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM islands
+), merged AS (
+  SELECT doc_id, island, min(start) AS s, max(e) AS e FROM runs GROUP BY 1, 2
+), spanstat AS (
+  SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM merged GROUP BY 1
+), s4 AS (
+  SELECT s3.* FROM s3 LEFT JOIN spanstat USING (doc_id)
+  WHERE 2 * coalesce(spanstat.dup_tokens, 0) <= len(s3.t)
+), s5 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM s4
+  ) WHERE rk <= 15
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, (SELECT count(*) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'gopher_gate', (SELECT count(*) FROM s1)
+UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'segment_gate', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'span_gate', (SELECT count(*) FROM s4)
+UNION ALL SELECT 5, 'source_quota', (SELECT count(*) FROM s5)
+ORDER BY stage_idx
+"""
+)
+
+
 REGISTRY_PIPELINE = {
+    "pipeline_curation_v2": QuerySpec(pipeline_curation_v2, PIPELINE_V2_SQL),
     "pagerank_customer_supplier": QuerySpec(
         pagerank_customer_supplier, PAGERANK_SQL
     ),
