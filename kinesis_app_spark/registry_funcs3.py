@@ -601,7 +601,63 @@ LIMIT 200
 """
 
 
+# =====================================================================
+# BPE merge-candidate mining (one tokenizer-induction iteration)
+# =====================================================================
+
+def bpe_merge_candidates(spark, sf_dir):
+    """The inner statistic of BPE tokenizer training — corpus-wide counts
+    of adjacent symbol pairs within words — for the first merge
+    iteration (symbols = characters). Full BPE training is this exact
+    query iterated with the winning pair merged; each iteration is one
+    explode + one map-side-combined count, so training cost is
+    O(iterations) shuffles of (pair, count) — the corpus text shuffles
+    never. Top-50 pairs in deterministic (count desc, pair) order,
+    TakeOrderedAndProject — no global sort."""
+    from kinesis_app_spark.functions.text import let_bound, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            let_bound(
+                F.col("w"),
+                lambda w: F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+BPE_SQL = r"""
+WITH words AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+"""
+
+
 REGISTRY_FUNCS3 = {
+    "bpe_merge_candidates": QuerySpec(bpe_merge_candidates, BPE_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
     "stratified_sample_mixture": QuerySpec(

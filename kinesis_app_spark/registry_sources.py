@@ -200,8 +200,74 @@ FROM orders
 """
 
 
+def json_dlq_ingest(spark, sf_dir):
+    """Malformed-record handling on ingest — the dead-letter-queue
+    pattern every production pipeline needs: events are serialized to
+    JSON lines with every (event_id % 13 == 0) line deterministically
+    corrupted (truncated mid-object), then read back PERMISSIVE with an
+    explicit schema + columnNameOfCorruptRecord. Good rows aggregate per
+    type; corrupt rows are counted into the DLQ row ('__dlq__') instead
+    of killing the job (FAILFAST) or silently vanishing (DROPMALFORMED —
+    which hides data loss). At 100 TB the corrupt branch writes to a
+    quarantine path for replay; the parse cost is the same scan either
+    way. The oracle reconstructs both branches from the modulo split."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="dlq_")
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.substring(F.to_json(F.struct("event_id", "event_type", "value")), 1, 9),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = (
+        "event_id long, event_type string, value double, _corrupt string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return (
+        back.groupBy(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("__dlq__"))
+            .otherwise(F.col("event_type"))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(30,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+JSON_DLQ_SQL = """
+SELECT CASE WHEN event_id % 13 = 0 THEN '__dlq__' ELSE event_type END AS bucket,
+       count(*) AS n_rows,
+       round(sum(CASE WHEN event_id % 13 = 0 THEN CAST(0.0 AS DECIMAL(30,8))
+                      ELSE CAST(value AS DECIMAL(30,8)) END), 2)::DOUBLE AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY_SOURCES = {
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
+    "json_dlq_ingest": QuerySpec(json_dlq_ingest, JSON_DLQ_SQL),
     "parquet_compaction_orders": QuerySpec(
         parquet_compaction_orders, COMPACTION_SQL
     ),
