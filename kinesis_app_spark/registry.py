@@ -1148,6 +1148,39 @@ def multimodal_media_decode(spark, sf_dir):
     return MM.decode_media_meta(MM.synthesize_media(docs))
 
 
+def multimodal_patch_stats(spark, sf_dir):
+    """REAL pixel decode + ViT-style patchify: PNG payloads synthesized
+    per doc are fully decoded (zlib IDAT, filter-0 strip) and split into
+    an 8x8 patch grid with exact integer patch sums. The oracle predicts
+    every sum arithmetically from the synthesizer's (seed+x+y)%256 pixel
+    formula — the Spark side must genuinely decompress pixels to agree."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.png_patch_stats(MM.synthesize_media(docs)).orderBy(
+        "doc_id", "py", "px"
+    )
+
+
+MULTIMODAL_PATCH_SQL = """
+WITH png AS (
+  SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), patches AS (
+  SELECT doc_id, w, h, py.py AS py, px.px AS px
+  FROM png,
+       UNNEST(generate_series(0, CAST(ceil(h/8.0) AS BIGINT)-1)) AS py(py),
+       UNNEST(generate_series(0, CAST(ceil(w/8.0) AS BIGINT)-1)) AS px(px)
+)
+SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+       count(*) AS n_px,
+       CAST(sum((doc_id + x.x + y.y) % 256) AS BIGINT) AS pixel_sum
+FROM patches,
+     UNNEST(generate_series(px*8, least(px*8+7, w-1))) AS x(x),
+     UNNEST(generate_series(py*8, least(py*8+7, h-1))) AS y(y)
+GROUP BY doc_id, py, px
+ORDER BY doc_id, py, px
+"""
+
+
 MULTIMODAL_MEDIA_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS modality,
@@ -1236,6 +1269,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
     "multimodal_media_decode": QuerySpec(multimodal_media_decode, MULTIMODAL_MEDIA_SQL),
+    "multimodal_patch_stats": QuerySpec(multimodal_patch_stats, MULTIMODAL_PATCH_SQL),
 }
 
 # widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries

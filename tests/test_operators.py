@@ -384,3 +384,25 @@ def test_pq_rejects_indivisible_subspaces(spark):
     queries = emb.filter(F.col("vec_id") < 10)
     with pytest.raises(ValueError):
         pq_topk(emb, queries, k=5, m=7)
+
+
+def test_png_patch_stats_decodes_and_skips_corrupt(spark):
+    from kinesis_app_spark.operators.multimodal import png_bytes, png_patch_stats
+
+    good = png_bytes(10, 5, seed=3)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not a png at all")),
+        (3, bytearray(good[:20])),  # truncated: valid magic, broken body
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = png_patch_stats(df).collect()
+    # only doc 1 decodes: 10x5 -> 2 patches wide, 1 tall
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 2
+    by_px = {r["px"]: r for r in out}
+    assert by_px[0]["n_px"] == 40 and by_px[1]["n_px"] == 10
+    # exact pixel math: sum of (3+x+y)%256 over the patch
+    assert by_px[0]["pixel_sum"] == sum(
+        (3 + x + y) % 256 for x in range(8) for y in range(5)
+    )
