@@ -401,3 +401,75 @@ def png_patch_stats(
     return media.select(id_col, payload_col).mapInPandas(
         kernel, f"{id_col} long, py int, px int, n_px long, pixel_sum long"
     )
+
+
+def wav_window_energy(
+    media: DataFrame,
+    window_frames: int = 50,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PCM decode + fixed-window energy — the audio half of the
+    pipeline (frame windows for a speech model): each WAV payload's data
+    chunk is decoded to int16 samples and split into ``window_frames``
+    windows; emits exact integer sum and sum-of-squares (energy) per
+    window, first channel. Same contract as png_patch_stats: the oracle
+    predicts the numbers from the synthesizer's sample formula, corrupt
+    payloads are skipped, decode rides mapInPandas."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            wins: list[int] = []
+            nf: list[int] = []
+            ssum: list[int] = []
+            senergy: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    continue
+                try:
+                    pos, channels, data = 12, None, None
+                    while pos + 8 <= len(raw):
+                        tag = raw[pos : pos + 4]
+                        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+                        if tag == b"fmt ":
+                            _, channels, _, _, _, bits = struct.unpack(
+                                "<HHIIHH", raw[pos + 8 : pos + 24]
+                            )
+                            if bits != 16:
+                                raise ValueError("only 16-bit PCM")
+                        elif tag == b"data":
+                            data = raw[pos + 8 : pos + 8 + size]
+                        pos += 8 + size + (size % 2)
+                    if not channels or data is None:
+                        continue
+                    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    ch0 = samples[::channels]  # first channel
+                except (struct.error, ValueError):
+                    continue
+                did = int(did)
+                for wi in range(
+                    (len(ch0) + window_frames - 1) // window_frames
+                ):
+                    blk = ch0[wi * window_frames : (wi + 1) * window_frames]
+                    ids.append(did)
+                    wins.append(wi)
+                    nf.append(int(blk.size))
+                    ssum.append(int(blk.sum()))
+                    senergy.append(int((blk * blk).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "win": pd.Series(wins, dtype="int32"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "sample_sum": pd.Series(ssum, dtype="int64"),
+                    "energy": pd.Series(senergy, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel,
+        f"{id_col} long, win int, n_frames long, sample_sum long, energy long",
+    )

@@ -1181,6 +1181,35 @@ ORDER BY doc_id, py, px
 """
 
 
+def multimodal_wav_energy(spark, sf_dir):
+    """REAL PCM decode + per-window energy: WAV payloads synthesized per
+    doc are decoded to int16 samples (RIFF chunk walk) and split into
+    50-frame windows with exact integer sum / sum-of-squares. The oracle
+    predicts both from the synthesizer's ((seed*31+i*7)%65536)-32768
+    sample formula — agreement proves a genuine decode."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.wav_window_energy(MM.synthesize_media(docs)).orderBy(
+        "doc_id", "win"
+    )
+
+
+MULTIMODAL_WAV_SQL = """
+WITH wav AS (
+  SELECT doc_id, 50 + doc_id % 200 AS n FROM documents WHERE doc_id % 2 = 1
+), frames AS (
+  SELECT doc_id, i.i AS i, ((doc_id * 31 + i.i * 7) % 65536) - 32768 AS s
+  FROM wav, UNNEST(generate_series(0, n - 1)) AS i(i)
+)
+SELECT doc_id, CAST(i // 50 AS INT) AS win,
+       count(*) AS n_frames,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(sum(s * s) AS BIGINT) AS energy
+FROM frames
+GROUP BY doc_id, i // 50
+ORDER BY doc_id, win
+"""
+
+
 MULTIMODAL_MEDIA_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS modality,
@@ -1270,6 +1299,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, MULTIMODAL_FRAMES_SQL),
     "multimodal_media_decode": QuerySpec(multimodal_media_decode, MULTIMODAL_MEDIA_SQL),
     "multimodal_patch_stats": QuerySpec(multimodal_patch_stats, MULTIMODAL_PATCH_SQL),
+    "multimodal_wav_energy": QuerySpec(multimodal_wav_energy, MULTIMODAL_WAV_SQL),
 }
 
 # widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries

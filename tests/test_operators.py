@@ -406,3 +406,19 @@ def test_png_patch_stats_decodes_and_skips_corrupt(spark):
     assert by_px[0]["pixel_sum"] == sum(
         (3 + x + y) % 256 for x in range(8) for y in range(5)
     )
+
+
+def test_wav_window_energy_decodes_and_skips_corrupt(spark):
+    from kinesis_app_spark.operators.multimodal import wav_bytes, wav_window_energy
+
+    good = wav_bytes(8000, 2, 120, seed=5)  # stereo: first channel taken
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"RIFFxxxxJUNK"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["win"]: r for r in wav_window_energy(df).collect()}
+    assert len(out) == 3  # 120 frames -> 50/50/20
+    assert out[2]["n_frames"] == 20
+    samples = [((5 * 31 + i * 7) % 65536) - 32768 for i in range(120)]
+    assert out[0]["sample_sum"] == sum(samples[:50])
+    assert out[0]["energy"] == sum(s * s for s in samples[:50])
