@@ -364,3 +364,52 @@ def global_row_number(
         .withColumn(id_name, (F.col("_off") + F.col("_rk")).cast("long"))
         .drop("_pid", "_rk", "_off")
     )
+
+
+def two_phase_group_topk(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    salt_buckets: int = 16,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k per group without a single hot-group task: the plain
+    row_number window sends EVERY row of a group to one task — a
+    web-scale "domain = google.com" group is a straggler or an OOM.
+    Two-phase instead:
+
+      phase 1: window over (group, salt) — salt = id-hash mod
+               ``salt_buckets`` — keeps top-k per salt bucket, in
+               parallel, discarding all but k*salt_buckets rows/group;
+      phase 2: window over (group) on the tiny survivor set.
+
+    Exact for any k: every global top-k row is top-k within its salt
+    bucket (rank can only improve when competitors are removed), so
+    phase 1 never discards a winner — same argument as partial
+    TakeOrderedAndProject. ``tiebreak_cols`` must make the order total
+    or ranks are nondeterministic (same contract as any top-k here).
+    """
+    from pyspark.sql import Window
+
+    parts = list(part_cols)
+    ties = [F.col(c) for c in tiebreak_cols]
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        *ties,
+    ]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (list(tiebreak_cols) or [order_col])]),
+        F.lit(salt_buckets),
+    )
+    w1 = Window.partitionBy(*parts, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(*parts).orderBy(*order)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("_salt", "_rk1")
+    )

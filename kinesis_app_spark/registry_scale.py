@@ -13,6 +13,7 @@ from kinesis_app_spark.operators.scale import (
     bloom_semi_join,
     global_row_number,
     salted_aggregate,
+    two_phase_group_topk,
 )
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -326,9 +327,47 @@ FROM orders
 """
 
 
+def two_phase_topk_priority(spark, sf_dir):
+    """Top-3 orders by price within each order priority — computed with
+    the salted two-phase window (operators/scale.two_phase_group_topk):
+    5 priorities over the whole table are exactly the hot-group shape
+    where a plain per-group window funnels ~N/5 rows through one task.
+    The oracle is the single-window QUALIFY it replaces, proving the
+    two-phase form exact."""
+    o = _t(spark, sf_dir, "orders")
+    return two_phase_group_topk(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        part_cols=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        "rk",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).orderBy("o_orderpriority", "rk")
+
+
+TWO_PHASE_TOPK_SQL = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice::DOUBLE AS price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+"""
+
+
 REGISTRY_SCALE = {
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
     "global_row_ids_orders": QuerySpec(global_row_ids_orders, GLOBAL_ROW_IDS_SQL),
+    "two_phase_topk_priority": QuerySpec(
+        two_phase_topk_priority, TWO_PHASE_TOPK_SQL
+    ),
     "bloom_semi_join_lineitem": QuerySpec(bloom_semi_join_lineitem, BLOOM_SEMI_SQL),
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),

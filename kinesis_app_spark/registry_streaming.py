@@ -498,8 +498,68 @@ LIMIT 20
 """
 
 
+def lateness_report_events(spark, sf_dir):
+    """Watermark-tuning pre-flight: per event, lateness = how far behind
+    the arrival-order high-water mark its event time is (arrival order =
+    event_id; high-water mark = running max(ts) over preceding
+    arrivals), bucketed into minutes and histogrammed. This is the
+    distribution that DECIDES `withWatermark` — choose the bucket
+    covering your completeness target and that delay is the state bound.
+    One global-order window at gate scale; at 100 TB run it per
+    partition/shard (lateness is a per-shard property) or on a sampled
+    id range — the decision needs the distribution's shape, not every
+    row.
+
+    The synthetic feed assigns ids in event-time order (zero natural
+    lateness), so arrival order is deterministically perturbed — every
+    block of 10 ids arrives reversed — giving the histogram real mass;
+    the same perturbation is in the oracle."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(
+        F.floor(F.col("event_id") / 10), (F.col("event_id") % 10).desc()
+    ).rowsBetween(W.unboundedPreceding, -1)
+    late = e.select(
+        "event_id",
+        "ts",
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    ).select(
+        F.when(F.col("late_us").isNull() | (F.col("late_us") <= 0), 0)
+        .otherwise(F.floor(F.col("late_us") / 60_000_000) + 1)
+        .cast("long")
+        .alias("late_minutes_bucket")
+    )
+    return (
+        late.groupBy("late_minutes_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("late_minutes_bucket")
+    )
+
+
+LATENESS_SQL = """
+WITH late AS (
+  SELECT CASE WHEN hwm IS NULL OR epoch_us(hwm) - epoch_us(ts) <= 0 THEN 0
+              ELSE (epoch_us(hwm) - epoch_us(ts)) // 60000000 + 1 END AS late_minutes_bucket
+  FROM (
+    SELECT ts,
+           max(ts) OVER (ORDER BY event_id // 10, event_id % 10 DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+    FROM events
+  )
+)
+SELECT late_minutes_bucket, count(*) AS n_events
+FROM late
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY_STREAMING = {
     "streaming_topk_users": QuerySpec(streaming_topk_users, STREAMING_TOPK_SQL),
+    "lateness_report_events": QuerySpec(lateness_report_events, LATENESS_SQL),
     "streaming_tumbling_counts": QuerySpec(
         streaming_tumbling_counts, STREAMING_TUMBLING_SQL
     ),

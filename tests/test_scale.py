@@ -377,3 +377,24 @@ def test_global_row_number_dense_and_no_global_sort(spark):
     plan = _plan(out)
     assert "hashpartitioning(_pid" in plan
     assert "Window" in plan
+
+
+def test_two_phase_group_topk_exact_vs_single_window(spark):
+    from pyspark.sql import Window
+
+    from kinesis_app_spark.operators.scale import two_phase_group_topk
+
+    # skewed: group 'hot' has 5000 rows, others 10
+    rows = [(("hot" if i < 5000 else f"g{i % 7}"), i * 37 % 9973, i)
+            for i in range(5100)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = two_phase_group_topk(
+        df, ["g"], "v", k=4, tiebreak_cols=["id"]
+    ).select("g", "rk", "id")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), "id")
+    want = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select("g", "rk", "id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
