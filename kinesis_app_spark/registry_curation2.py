@@ -1,0 +1,203 @@
+"""Registry: round-2 curation additions — Gopher repetition signals.
+
+Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) gates documents on
+*internal repetition*: the fraction of characters covered by the most
+frequent word n-gram, and the fraction of characters covered by ALL word
+n-grams that occur more than once. The reference corpus here is synthetic
+word soup with no newlines, so the line-based repetition rules are
+meaningless, but the n-gram rules fire richly on a ~30-word vocabulary —
+n=2 and n=3 with thresholds scaled to these short documents (Gopher uses
+n=2..4 for top-gram and n=5..10 for dup-gram over much longer pages).
+
+Scale story: one tokenize per document (codegen regexp), one explode of
+(n, gram) occurrence structs, one groupBy on (doc_id, n, gram), and one
+window + final agg on the same (doc_id [, n]) key family — every shuffle
+is keyed by doc_id so it partitions cleanly at any corpus size, and the
+document text itself never shuffles (only grams, which are bounded by
+3 words). No Python, no UDFs: the whole plan is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_app_spark.functions import text as TXT
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+def gopher_repetition_docs(spark, sf_dir):
+    """Per-document n-gram repetition statistics (n = 2, 3):
+
+    - ``top{n}_freq`` / ``top{n}_gram``: occurrence count and value of the
+      most frequent n-gram (ties broken by lexicographically smallest gram
+      — deterministic cross-engine);
+    - ``top{n}_char_frac``: chars covered by all occurrences of that gram
+      (freq × len(gram)) over the normalized text length;
+    - ``dup{n}_char_frac``: same numerator summed over every n-gram with
+      freq ≥ 2. Overlapping occurrences are counted per-occurrence, as in
+      Gopher — the value may exceed 1 for degenerate docs;
+    - ``rule_top2`` / ``rule_top3`` / ``passes``: threshold flags
+      (top2 ≤ 0.20, top3 ≤ 0.18, Gopher's published cutoffs).
+
+    Fractions are exact integer ratios rounded to 4 decimals, so the
+    DuckDB oracle hash-matches bit-for-bit.
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def _grams(n: int):
+        # All positional n-grams (with repeats): slice+join over a
+        # sequence of start indices; let_bound so the tokenizer runs once
+        # per document, not once per position.
+        def body(toks):
+            cnt = F.size(toks)
+            idx = F.when(
+                cnt >= F.lit(n), F.sequence(F.lit(1), cnt - F.lit(n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+            return F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+                ),
+            )
+
+        return TXT.let_bound(TXT.tokens(F.col("text")), body)
+
+    base = d.select(
+        "doc_id",
+        F.length(TXT.normalize_ws(F.col("text"))).alias("nchars"),
+        F.concat(_grams(2), _grams(3)).alias("occ"),
+    )
+    occ = base.select("doc_id", F.explode("occ").alias("o")).select(
+        "doc_id", F.col("o.n").alias("n"), F.col("o.gram").alias("gram")
+    )
+    counts = occ.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    per_n = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_freq"),
+            F.max(F.when(F.col("rk") == 1, F.col("gram"))).alias("top_gram"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.length("gram")
+                    )
+                ),
+                F.lit(0),
+            ).alias("dup_chars"),
+        )
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            f
+            for n in (2, 3)
+            for f in (
+                F.max(F.when(F.col("n") == n, F.col("top_freq"))).alias(
+                    f"top{n}_freq"
+                ),
+                F.max(F.when(F.col("n") == n, F.col("top_gram"))).alias(
+                    f"top{n}_gram"
+                ),
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("top_freq") * F.length("top_gram"),
+                    )
+                ).alias(f"top{n}_chars"),
+                F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(
+                    f"dup{n}_chars"
+                ),
+            )
+        ]
+    )
+    out = base.select("doc_id", "nchars").join(wide, "doc_id", "left")
+    frac = lambda c: F.round(
+        F.coalesce(c, F.lit(0)).cast("double") / F.col("nchars"), 4
+    )
+    top2 = frac(F.col("top2_chars"))
+    top3 = frac(F.col("top3_chars"))
+    return out.select(
+        "doc_id",
+        F.col("nchars").cast("long").alias("nchars"),
+        F.coalesce("top2_freq", F.lit(0)).cast("long").alias("top2_freq"),
+        F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
+        top2.alias("top2_char_frac"),
+        frac(F.col("dup2_chars")).alias("dup2_char_frac"),
+        F.coalesce("top3_freq", F.lit(0)).cast("long").alias("top3_freq"),
+        F.coalesce("top3_gram", F.lit("")).alias("top3_gram"),
+        top3.alias("top3_char_frac"),
+        frac(F.col("dup3_chars")).alias("dup3_char_frac"),
+        (top2 <= 0.20).alias("rule_top2"),
+        (top3 <= 0.18).alias("rule_top3"),
+        ((top2 <= 0.20) & (top3 <= 0.18)).alias("passes"),
+    ).orderBy("doc_id")
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, n, array_to_string(toks[i:(i + n - 1)], ' ') AS gram
+  FROM t,
+       (VALUES (2), (3)) AS ns(n),
+       UNNEST(CASE WHEN len(toks) >= n
+                   THEN generate_series(1, len(toks) - n + 1) ELSE [] END) AS g(i)
+), counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt
+  FROM occ GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT doc_id, n, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram ASC) AS rk
+  FROM counts
+), per_n AS (
+  SELECT doc_id, n,
+         max(CASE WHEN rk = 1 THEN cnt END) AS top_freq,
+         max(CASE WHEN rk = 1 THEN gram END) AS top_gram,
+         max(CASE WHEN rk = 1 THEN cnt * len(gram) END) AS top_chars,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) END), 0) AS dup_chars
+  FROM ranked GROUP BY 1, 2
+), wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_freq END) AS top2_freq,
+         max(CASE WHEN n = 2 THEN top_gram END) AS top2_gram,
+         max(CASE WHEN n = 2 THEN top_chars END) AS top2_chars,
+         max(CASE WHEN n = 2 THEN dup_chars END) AS dup2_chars,
+         max(CASE WHEN n = 3 THEN top_freq END) AS top3_freq,
+         max(CASE WHEN n = 3 THEN top_gram END) AS top3_gram,
+         max(CASE WHEN n = 3 THEN top_chars END) AS top3_chars,
+         max(CASE WHEN n = 3 THEN dup_chars END) AS dup3_chars
+  FROM per_n GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.norm) AS BIGINT) AS nchars,
+       CAST(coalesce(w.top2_freq, 0) AS BIGINT) AS top2_freq,
+       coalesce(w.top2_gram, '') AS top2_gram,
+       round(coalesce(w.top2_chars, 0) / len(t.norm), 4) AS top2_char_frac,
+       round(coalesce(w.dup2_chars, 0) / len(t.norm), 4) AS dup2_char_frac,
+       CAST(coalesce(w.top3_freq, 0) AS BIGINT) AS top3_freq,
+       coalesce(w.top3_gram, '') AS top3_gram,
+       round(coalesce(w.top3_chars, 0) / len(t.norm), 4) AS top3_char_frac,
+       round(coalesce(w.dup3_chars, 0) / len(t.norm), 4) AS dup3_char_frac,
+       round(coalesce(w.top2_chars, 0) / len(t.norm), 4) <= 0.20 AS rule_top2,
+       round(coalesce(w.top3_chars, 0) / len(t.norm), 4) <= 0.18 AS rule_top3,
+       round(coalesce(w.top2_chars, 0) / len(t.norm), 4) <= 0.20
+         AND round(coalesce(w.top3_chars, 0) / len(t.norm), 4) <= 0.18 AS passes
+FROM t LEFT JOIN wide w USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+REGISTRY_CURATION2 = {
+    "gopher_repetition_docs": QuerySpec(
+        gopher_repetition_docs, GOPHER_REPETITION_SQL
+    ),
+}

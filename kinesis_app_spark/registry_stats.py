@@ -1,0 +1,303 @@
+"""Registry: deterministic statistical analytics (OLS, correlation,
+entropy, chi-square).
+
+These are the aggregate statistics an analyst (or a data-quality monitor)
+runs over event streams and fact tables. The engine discipline, as
+everywhere in this repo: floating-point SUMS are never accumulated as
+doubles (reassociation across partitions makes them run-dependent);
+instead 2-decimal source values are scaled to exact longs, summed as
+decimal(38,0) (overflow-proof, order-independent), and only the final
+closed-form arithmetic happens in double — written with the identical
+operation shape in the DuckDB oracle so results hash-match bit-for-bit.
+
+Scale story: every query here is a single scan + one hash aggregate with
+map-side partial aggregation (pairwise stats explode to a bounded number
+of (pair) structs per row, chi-square to one cell key per row). State is
+O(groups), never O(rows); nothing but the tiny aggregate result ever
+crosses the network. These are the cheapest possible shapes at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+_DEC = "decimal(38,0)"
+
+
+def _scaled(col, factor=100):
+    """Exact integer view of a 2-decimal double column."""
+    return F.round(F.col(col) * factor).cast("long")
+
+
+def ols_regression_events(spark, sf_dir):
+    """Per-event-type simple linear regression of value on hour-of-day
+    (closed-form OLS): slope, intercept, and R². The five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact integers —
+    one partial-aggregable scan, no second pass, no driver math."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        _scaled("value").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope / 100, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 100, 6).alias(
+            "intercept"
+        ),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+OLS_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+  FROM base GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100, 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100,
+             6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY event_type
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation among the lineitem measures — the
+    6-pair upper triangle in ONE scan: each row explodes to 6 (cx, cy,
+    x, y) structs (a bounded per-row constant), then a single hash
+    aggregate on the pair key. Scaling factors cancel inside r, so the
+    exact-integer view needs no rescale at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("cx"),
+                F.lit(b).alias("cy"),
+                _scaled(a).alias("x"),
+                _scaled(b).alias("y"),
+            )
+            for a, b in pairs
+        ]
+    )
+    ex = li.select(F.explode(structs).alias("p")).select("p.*")
+    s = ex.groupBy("cx", "cy").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "cx", "cy", F.col("n").cast("long").alias("n"), F.round(r, 6).alias("corr")
+    ).orderBy("cx", "cy")
+
+
+CORR_SQL = """
+WITH ex AS (
+  SELECT p.cx, p.cy, p.x, p.y
+  FROM lineitem,
+       UNNEST([
+         {'cx': 'l_quantity', 'cy': 'l_extendedprice',
+          'x': CAST(round(l_quantity * 100) AS BIGINT),
+          'y': CAST(round(l_extendedprice * 100) AS BIGINT)},
+         {'cx': 'l_quantity', 'cy': 'l_discount',
+          'x': CAST(round(l_quantity * 100) AS BIGINT),
+          'y': CAST(round(l_discount * 100) AS BIGINT)},
+         {'cx': 'l_quantity', 'cy': 'l_tax',
+          'x': CAST(round(l_quantity * 100) AS BIGINT),
+          'y': CAST(round(l_tax * 100) AS BIGINT)},
+         {'cx': 'l_extendedprice', 'cy': 'l_discount',
+          'x': CAST(round(l_extendedprice * 100) AS BIGINT),
+          'y': CAST(round(l_discount * 100) AS BIGINT)},
+         {'cx': 'l_extendedprice', 'cy': 'l_tax',
+          'x': CAST(round(l_extendedprice * 100) AS BIGINT),
+          'y': CAST(round(l_tax * 100) AS BIGINT)},
+         {'cx': 'l_discount', 'cy': 'l_tax',
+          'x': CAST(round(l_discount * 100) AS BIGINT),
+          'y': CAST(round(l_tax * 100) AS BIGINT)}
+       ]) AS u(p)
+), s AS (
+  SELECT cx, cy,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+  FROM ex GROUP BY 1, 2
+)
+SELECT cx, cy, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+FROM s
+ORDER BY cx, cy
+"""
+
+
+def entropy_lang_by_source(spark, sf_dir):
+    """Shannon entropy of the language distribution within each document
+    source — the standard corpus-mix diagnostic (a source whose language
+    entropy collapses is a crawl gone wrong). Probabilities are exact
+    integer ratios; only the final p·ln p runs in double."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    totals = cells.groupBy("source").agg(F.sum("c").alias("n_docs"))
+    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
+    # ln of an exact rational, quantized to 1e-6 per cell BEFORE the sum:
+    # the cross-partition accumulation is then exact-integer, immune to
+    # double reassociation (the one place engines legitimately diverge).
+    term = F.round(p * F.log(p) * 1e6).cast("long")
+    return (
+        cells.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.round(-F.sum(term.cast(_DEC)).cast("double") / 1e6, 4).alias(
+                "entropy"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ENTROPY_SQL = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT source, sum(c) AS n_docs FROM cells GROUP BY 1
+), terms AS (
+  SELECT cells.source, totals.n_docs,
+         CAST(round((CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * 1e6) AS HUGEINT) AS term
+  FROM cells JOIN totals USING (source)
+)
+SELECT source,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(-CAST(sum(term) AS DOUBLE) / 1e6, 4) AS entropy
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+def chi_square_events(spark, sf_dir):
+    """Chi-square test of independence between event_type and day-of-week:
+    contingency cells in one hash aggregate, expected counts from the
+    integer marginals, χ² = Σ (obs − exp)²/exp in double (pure rational
+    arithmetic — no transcendental functions, so bit-exact cross-engine).
+    Day-of-week is pinned to Sunday=0 in both engines."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    tot = cells.groupBy().agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    row_t = cells.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    col_t = cells.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    j = (
+        cells.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return j.groupBy().agg(
+        F.max(F.col("n")).cast("long").alias("n"),
+        F.max((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.sum(term), 4).alias("chi2"),
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) AS dow, count(*) AS obs
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT sum(obs) AS n,
+         count(DISTINCT event_type) AS r,
+         count(DISTINCT dow) AS c
+  FROM cells
+), row_t AS (
+  SELECT event_type, sum(obs) AS rt FROM cells GROUP BY 1
+), col_t AS (
+  SELECT dow, sum(obs) AS ct FROM cells GROUP BY 1
+), terms AS (
+  SELECT cells.obs,
+         CAST(row_t.rt AS DOUBLE) * CAST(col_t.ct AS DOUBLE)
+           / CAST(tot.n AS DOUBLE) AS exp,
+         tot.n, tot.r, tot.c
+  FROM cells
+  JOIN row_t USING (event_type)
+  JOIN col_t USING (dow)
+  CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(max((r - 1) * (c - 1)) AS BIGINT) AS dof,
+       round(sum((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp)
+                 / exp), 4) AS chi2
+FROM terms
+"""
+
+
+REGISTRY_STATS = {
+    "ols_regression_events": QuerySpec(ols_regression_events, OLS_SQL),
+    "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_SQL),
+    "entropy_lang_by_source": QuerySpec(entropy_lang_by_source, ENTROPY_SQL),
+    "chi_square_events": QuerySpec(chi_square_events, CHI2_SQL),
+}
