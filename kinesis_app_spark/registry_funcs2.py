@@ -225,7 +225,58 @@ FROM nation n,
 """
 
 
+def union_by_name_mismatched(spark, sf_dir):
+    """Schema-evolution-style union: two projections with different column
+    sets combined with ``unionByName(allowMissingColumns=True)`` — the
+    DataFrame surface for UNION ALL BY NAME. Missing columns null-fill;
+    column ORDER differs between the inputs on purpose (position-based
+    union would silently mis-align). Zero-shuffle: a union is just a
+    logical concatenation of scans."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_custkey",
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_custkey").agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_priced"),
+        F.count("priority").alias("n_prioritized"),
+        F.round(F.sum(F.col("price").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    ).orderBy("o_custkey")
+
+
+UNION_BY_NAME_SQL = """
+WITH u AS (
+  SELECT o_orderkey, o_custkey, o_totalprice AS price, NULL AS priority
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL BY NAME
+  SELECT o_orderpriority AS priority, o_orderkey, o_custkey
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT o_custkey,
+       count(*) AS n_rows,
+       count(price) AS n_priced,
+       count(priority) AS n_prioritized,
+       CAST(round(sum(CAST(price AS DECIMAL(30,8))), 2) AS DOUBLE) AS price_sum
+FROM u
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 REGISTRY_FUNCS2 = {
+    "union_by_name_mismatched": QuerySpec(
+        union_by_name_mismatched, UNION_BY_NAME_SQL
+    ),
     "conditional_aggregates": QuerySpec(conditional_aggregates, CONDITIONAL_AGG_SQL),
     "value_histogram": QuerySpec(value_histogram, HISTOGRAM_SQL),
     "regexp_battery": QuerySpec(regexp_battery, REGEXP_SQL),

@@ -359,7 +359,134 @@ ORDER BY doc_id, bucket
 """
 
 
+def kmeans_assign_embeddings(spark, sf_dir):
+    """One k-means assignment step (Lloyd's E-step) over the embedding
+    corpus: assign every vector to its nearest of 8 fixed centroids
+    (the vectors with vec_id 0..7 — deterministic seeds, as k-means++
+    would pick its first seed), then report per-cluster size, mean
+    squared L2 distance, and the majority ground-truth label.
+
+    Scale shape: the centroid set is tiny and rides into the scan as a
+    broadcast-sized literal (the same precondition as any broadcast
+    side, cf. similarity.brute_force_topk); each row computes its 8
+    distances inside one whole-stage-codegen projection and keeps only
+    the argmin struct — the corpus is scanned once and never shuffled,
+    and the only exchanges left are the two O(k)-group aggregates.
+    Distances are exact integers (1e-6-scaled components), so argmin and
+    every output value are bit-stable cross-engine; struct array_min
+    breaks distance ties on the lower centroid id.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", scaled.alias("v"))
+        .collect()
+    ]
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    from kinesis_app_spark.functions.text import let_bound
+
+    dists = let_bound(
+        scaled,
+        lambda v: F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("sqdist"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    best = emb.select(
+        "vec_id", "label", F.array_min(dists).alias("b")
+    ).select(
+        "vec_id", "label", F.col("b.cid").alias("cid"), F.col("b.sqdist").alias("sqdist")
+    )
+    lab = best.groupBy("cid", "label").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("cid").orderBy(F.col("c").desc(), F.col("label").asc())
+    majority = (
+        lab.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("majority_label"))
+    )
+    per_c = best.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.round(
+            F.sum(F.col("sqdist").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 1e12,
+            6,
+        ).alias("mean_sqdist"),
+    )
+    return (
+        per_c.join(majority, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_assigned",
+            "mean_sqdist",
+            F.col("majority_label").cast("long").alias("majority_label"),
+        )
+        .orderBy("cid")
+    )
+
+
+KMEANS_ASSIGN_SQL = """
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM scaled WHERE vec_id < 8
+), dists AS (
+  SELECT s.vec_id, s.label, c.cid,
+         (SELECT sum((s.v[i] - c.cvec[i]) * (s.v[i] - c.cvec[i]))
+          FROM unnest(generate_series(1, len(s.v))) AS t(i)) AS sqdist
+  FROM scaled s CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, label, cid, sqdist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sqdist ASC, cid ASC) AS rk
+  FROM dists
+), assigned AS (
+  SELECT vec_id, label, cid, sqdist FROM best WHERE rk = 1
+), lab AS (
+  SELECT cid, label, count(*) AS c FROM assigned GROUP BY 1, 2
+), majority AS (
+  SELECT cid, label AS majority_label
+  FROM (SELECT cid, label, row_number() OVER (PARTITION BY cid
+                ORDER BY c DESC, label ASC) AS rk FROM lab)
+  WHERE rk = 1
+)
+SELECT CAST(a.cid AS BIGINT) AS cid,
+       count(*) AS n_assigned,
+       round(CAST(sum(CAST(a.sqdist AS HUGEINT)) AS DOUBLE) / count(*) / 1e12,
+             6) AS mean_sqdist,
+       CAST(max(m.majority_label) AS BIGINT) AS majority_label
+FROM assigned a JOIN majority m ON a.cid = m.cid
+GROUP BY a.cid
+ORDER BY a.cid
+"""
+
+
 REGISTRY_MLPREP = {
+    "kmeans_assign_embeddings": QuerySpec(
+        kmeans_assign_embeddings, KMEANS_ASSIGN_SQL
+    ),
     "user_event_features": QuerySpec(user_event_features, USER_FEATURES_SQL),
     "negative_sample_parts": QuerySpec(
         negative_sample_parts, NEGATIVE_SAMPLE_SQL

@@ -557,7 +557,79 @@ ORDER BY 1
 """
 
 
+def streaming_chained_windows(spark, sf_dir):
+    """CHAINED stateful aggregation in one streaming query (Spark 3.4+
+    multiple-stateful-operator support): hourly tumbling counts per event
+    type, re-aggregated into daily windows via ``window_time()`` — two
+    stateful operators back to back in append mode, the canonical
+    "pre-aggregate then roll up" streaming topology (it cuts the state and
+    the downstream emit rate by the hourly/daily fan-in factor at scale).
+
+    Emission is made deterministic the same way as the session-window
+    entry: the source is two mtime-ordered files (real events, then one
+    far-future sentinel) consumed one per micro-batch, so the watermark
+    passes every real daily window and append mode finalizes both operator
+    states; the sentinel's own windows are filtered out of the result.
+    Counts are integers — nothing float crosses the chained aggregation.
+    """
+    import datetime as dt
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("ts", "event_type")
+    )
+    src = tempfile.mkdtemp(prefix="chain_src_")
+    ckpt = tempfile.mkdtemp(prefix="chain_ckpt_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    _append_sentinel(spark, src, ev.schema, (dt.datetime(2030, 1, 1), "zz"))
+
+    stream = file_stream(
+        spark, src, ev.schema, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    hourly = stream.groupBy(
+        F.window("ts", "1 hour").alias("hw"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = hourly.groupBy(
+        F.window(F.window_time("hw"), "1 day").alias("dw"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("n_events"),
+    )
+    res = run_to_memory(daily, ckpt, output_mode="append", shuffle_partitions=8)
+    return res.filter(F.col("event_type") != "zz").select(
+        F.col("dw.start").alias("window_start"),
+        F.col("dw.end").alias("window_end"),
+        "event_type",
+        "n_hours",
+        "n_events",
+    )
+
+
+STREAMING_CHAINED_SQL = """
+WITH hourly AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hw,
+         event_type, count(*) AS n_events
+  FROM events
+  WHERE event_id < 20000
+  GROUP BY 1, 2
+)
+SELECT make_timestamp((epoch_us(hw) // 86400000000) * 86400000000) AS window_start,
+       make_timestamp((epoch_us(hw) // 86400000000) * 86400000000
+                      + 86400000000) AS window_end,
+       event_type,
+       count(*) AS n_hours,
+       sum(n_events) AS n_events
+FROM hourly
+GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY_STREAMING = {
+    "streaming_chained_windows": QuerySpec(
+        streaming_chained_windows, STREAMING_CHAINED_SQL
+    ),
     "streaming_topk_users": QuerySpec(streaming_topk_users, STREAMING_TOPK_SQL),
     "lateness_report_events": QuerySpec(lateness_report_events, LATENESS_SQL),
     "streaming_tumbling_counts": QuerySpec(
