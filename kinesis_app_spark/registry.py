@@ -1313,6 +1313,7 @@ from kinesis_app_spark.registry_streaming import REGISTRY_STREAMING  # noqa: E40
 from kinesis_app_spark.registry_curation import REGISTRY_CURATION  # noqa: E402
 from kinesis_app_spark.registry_curation2 import REGISTRY_CURATION2  # noqa: E402
 from kinesis_app_spark.registry_stats import REGISTRY_STATS  # noqa: E402
+from kinesis_app_spark.registry_modern import REGISTRY_MODERN  # noqa: E402
 from kinesis_app_spark.registry_cdc import REGISTRY_CDC  # noqa: E402
 from kinesis_app_spark.registry_analytics import REGISTRY_ANALYTICS  # noqa: E402
 from kinesis_app_spark.registry_analytics2 import REGISTRY_ANALYTICS2  # noqa: E402
@@ -1332,6 +1333,7 @@ REGISTRY.update(REGISTRY_PIPELINE)
 REGISTRY.update(REGISTRY_CURATION)
 REGISTRY.update(REGISTRY_CURATION2)
 REGISTRY.update(REGISTRY_STATS)
+REGISTRY.update(REGISTRY_MODERN)
 REGISTRY.update(REGISTRY_SOURCES)
 REGISTRY.update(REGISTRY_HYBRID)
 REGISTRY.update(REGISTRY_CDC)
