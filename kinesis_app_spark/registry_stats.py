@@ -106,26 +106,39 @@ def corr_matrix_lineitem(spark, sf_dir):
     pairs = [
         (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
     ]
-    structs = F.array(
+    # ONE global aggregate computes every moment (4 sums + 4 square sums +
+    # 6 cross sums + n = 15 agg columns) — no per-pair row explosion, the
+    # scan's map side reduces 600k rows to a single partial per task; the
+    # 6 output rows then unpivot from that one row (array explode of a
+    # 1-row plan — free).
+    sc = {c: _scaled(c) for c in _CORR_COLS}
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(sc[c].cast(_DEC)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((sc[c] * sc[c]).cast(_DEC)).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in pairs:
+        aggs.append(
+            F.sum((sc[a] * sc[b]).cast(_DEC)).cast("double").alias(f"sp_{a}_{b}")
+        )
+    one = li.agg(*aggs)
+    rows = F.array(
         *[
             F.struct(
                 F.lit(a).alias("cx"),
                 F.lit(b).alias("cy"),
-                _scaled(a).alias("x"),
-                _scaled(b).alias("y"),
+                F.col("n").alias("n"),
+                F.col(f"s_{a}").alias("sx"),
+                F.col(f"s_{b}").alias("sy"),
+                F.col(f"sp_{a}_{b}").alias("sxy"),
+                F.col(f"ss_{a}").alias("sxx"),
+                F.col(f"ss_{b}").alias("syy"),
             )
             for a, b in pairs
         ]
     )
-    ex = li.select(F.explode(structs).alias("p")).select("p.*")
-    s = ex.groupBy("cx", "cy").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
-    )
+    s = one.select(F.explode(rows).alias("p")).select("p.*")
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
