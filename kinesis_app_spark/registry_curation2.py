@@ -196,7 +196,56 @@ ORDER BY t.doc_id
 """
 
 
+def template_prefix_clusters(spark, sf_dir):
+    """Boilerplate-template detection by shared document PREFIX: documents
+    whose first 8 tokens hash identically form a template cluster (the
+    CCNet observation that crawl boilerplate concentrates at document
+    heads — headers, cookie banners, nav bars). Reports clusters with ≥ 2
+    members: size, representative (min doc_id), and distinct sources
+    touched — a cluster spanning many sources is a site template, within
+    one source a mirrored page.
+
+    One tokenize + one groupBy on the 128-bit prefix hash; documents
+    never shuffle (only (hash, doc_id, source) triples), identical to the
+    exact-dedup scale shape."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(TXT.tokens(F.col("text")), 1, 8), " ")
+    return (
+        d.select("doc_id", "source", F.md5(prefix).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("prefix_hash")
+    )
+
+
+TEMPLATE_PREFIX_SQL = r"""
+WITH pfx AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                             ' '))[1:8], ' ')) AS prefix_hash
+  FROM documents
+)
+SELECT prefix_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS rep_doc_id,
+       count(DISTINCT source) AS n_sources
+FROM pfx
+GROUP BY prefix_hash
+HAVING count(*) >= 2
+ORDER BY prefix_hash
+"""
+
+
 REGISTRY_CURATION2 = {
+    "template_prefix_clusters": QuerySpec(
+        template_prefix_clusters, TEMPLATE_PREFIX_SQL
+    ),
     "gopher_repetition_docs": QuerySpec(
         gopher_repetition_docs, GOPHER_REPETITION_SQL
     ),

@@ -156,6 +156,190 @@ FROM fused QUALIFY rank <= {_TOP}
 """
 
 
+def retrieval_eval_metrics(spark, sf_dir):
+    """Retrieval EVALUATION harness: recall@10, reciprocal rank, and
+    nDCG@10 per query, with ground-truth relevance = label match (the
+    standard eval loop for an embedding model / ANN index). Rides the
+    oracle-proven exact-KNN ranking (cos rounded to 6 before ranking,
+    vec_id tie-break); ideal DCG folds over a sequence literal, so the
+    only float surface is log2 on small integers, rounded to 4.
+
+    Scale: query set broadcast, corpus scanned once (the KNN shape);
+    per-label totals are a broadcast O(labels) aggregate."""
+    from kinesis_app_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    topk = brute_force_topk(emb, queries, k=10)
+    labels = emb.select("vec_id", "label")
+    label_counts = emb.groupBy("label").agg(F.count("*").alias("n_label"))
+    ql = (
+        queries.select("vec_id", "label")
+        .join(F.broadcast(label_counts), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            (F.col("n_label") - 1).alias("n_relevant"),
+        )
+    )
+    hits = (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .withColumn("is_rel", (F.col("label") == F.col("qlabel")).cast("int"))
+    )
+    m = F.least(F.lit(10), F.col("n_relevant"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.max("qlabel").cast("long").alias("qlabel"),
+            F.max("n_relevant").cast("long").alias("n_relevant"),
+            F.sum("is_rel").cast("long").alias("n_hits_at_10"),
+            F.round(
+                F.sum("is_rel")
+                / F.least(F.lit(10), F.max("n_relevant")).cast("double"),
+                4,
+            ).alias("recall_at_10"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("is_rel") == 1, F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("mrr_at_10"),
+            F.round(
+                F.sum(
+                    F.col("is_rel")
+                    / F.log2(F.col("rank").cast("double") + 1.0)
+                )
+                / F.max(idcg),
+                4,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+RETRIEVAL_EVAL_SQL = """
+WITH topk AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id AS neighbor_id,
+         c.label AS clabel,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                 q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id) AS INTEGER) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+  JOIN embeddings c ON c.vec_id != q.vec_id
+  QUALIFY rank <= 10
+), lc AS (
+  SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1
+), hits AS (
+  SELECT t.query_id, t.qlabel, t.rank,
+         CASE WHEN t.clabel = t.qlabel THEN 1 ELSE 0 END AS is_rel,
+         lc.n_label - 1 AS n_relevant
+  FROM topk t JOIN lc ON lc.label = t.qlabel
+)
+SELECT query_id,
+       CAST(max(qlabel) AS BIGINT) AS qlabel,
+       CAST(max(n_relevant) AS BIGINT) AS n_relevant,
+       CAST(sum(is_rel) AS BIGINT) AS n_hits_at_10,
+       round(sum(is_rel) / CAST(least(10, max(n_relevant)) AS DOUBLE), 4)
+         AS recall_at_10,
+       round(coalesce(1.0 / min(CASE WHEN is_rel = 1 THEN rank END), 0.0), 4)
+         AS mrr_at_10,
+       round(sum(is_rel / log2(CAST(rank AS DOUBLE) + 1.0))
+             / max((SELECT sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0))
+                    FROM unnest(generate_series(1, least(10, n_relevant))) AS t(i))),
+             4) AS ndcg_at_10
+FROM hits
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training data prep: for each query vector, the single
+    most similar vector with a DIFFERENT label — the canonical hard
+    negative. Same broadcast-query/scan-corpus shape as KNN; the
+    different-label filter applies before the per-query top-1 window, so
+    ranking partitions stay candidate-sized."""
+    from kinesis_app_spark.functions.vector import cosine_similarity
+    from kinesis_app_spark.operators.util import spread
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = spread(emb).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("negative_id") != F.col("query_id"))
+        .filter(F.col("nlabel") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            "negative_id",
+            "nlabel",
+            F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            "negative_id",
+            F.col("nlabel").cast("long").alias("nlabel"),
+            "cos",
+        )
+        .orderBy("query_id")
+    )
+
+
+HARD_NEGATIVE_SQL = """
+SELECT query_id, qlabel, negative_id, nlabel, cos
+FROM (
+  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS qlabel,
+         c.vec_id AS negative_id, CAST(c.label AS BIGINT) AS nlabel,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                 q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id) AS rk
+  FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+  JOIN embeddings c ON c.vec_id != q.vec_id AND c.label != q.label
+)
+WHERE rk = 1
+ORDER BY query_id
+"""
+
+
 REGISTRY_HYBRID = {
     "hybrid_rrf_search": QuerySpec(hybrid_rrf_search, HYBRID_RRF_SQL),
+    "retrieval_eval_metrics": QuerySpec(
+        retrieval_eval_metrics, RETRIEVAL_EVAL_SQL
+    ),
+    "hard_negative_mining": QuerySpec(hard_negative_mining, HARD_NEGATIVE_SQL),
 }

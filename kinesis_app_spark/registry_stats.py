@@ -308,7 +308,69 @@ FROM terms
 """
 
 
+def robust_zscore_events(spark, sf_dir):
+    """Median/MAD robust outlier statistics per event type — the
+    winsorize sibling that survives heavy tails (mean/stddev z-scores
+    break on the very outliers they hunt). Two exact-percentile
+    aggregates (median, then median absolute deviation) with the tiny
+    per-type results broadcast back; outliers are |0.6745·(x−med)/MAD|
+    > 3.5 (Iglewicz–Hoaglin). Exact interpolated percentiles over
+    2-decimal values and rational double arithmetic — no accumulation
+    surface, so cross-engine deterministic.
+
+    Scale: two shuffles on event_type (bounded key space) + two
+    broadcast joins; the scan never re-sorts globally."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = (
+        with_med.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            (F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")) > 3.5).alias(
+                "is_outlier"
+            ),
+        )
+    )
+    return z.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("med"), 4).alias("median"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.count_if(F.col("is_outlier")).alias("n_outliers"),
+    ).orderBy("event_type")
+
+
+ROBUST_Z_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(max(m.med), 4) AS median,
+       round(max(d.mad), 4) AS mad,
+       count(*) FILTER (WHERE abs(0.6745 * (e.value - m.med) / d.mad) > 3.5)
+         AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 REGISTRY_STATS = {
+    "robust_zscore_events": QuerySpec(robust_zscore_events, ROBUST_Z_SQL),
     "ols_regression_events": QuerySpec(ols_regression_events, OLS_SQL),
     "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_SQL),
     "entropy_lang_by_source": QuerySpec(entropy_lang_by_source, ENTROPY_SQL),
