@@ -34,6 +34,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "negative_sample_parts": "candidate-count scalar: 1-row broadcast",
     "target_encoding_orders": "global mean: 1-row broadcast",
     "triangle_count_parts": "n_edges / n_triangles scalars: 1-row broadcasts",
+    "chi_square_events": "grand-total/dof marginals: 1-row broadcast",
     "hybrid_rrf_search": "per-query corpus stats: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
@@ -42,6 +43,10 @@ ALLOWED_NLJ: dict[str, str] = {
     "knn_brute_force": "query set broadcast (|Q| small); corpus scanned once",
     "knn_ivf": "centroid table broadcast; probe prunes cells",
     "radius_search": "query set broadcast (|Q| small); corpus scanned once",
+    "retrieval_eval_metrics": "query set broadcast (|Q| small, KNN shape); "
+    "corpus scanned once",
+    "hard_negative_mining": "query set broadcast (|Q| small, KNN shape); "
+    "corpus scanned once",
     # --- guarded oracle twin of the LSH scale path
     "dedup_embedding_cosine": "exact all-pairs oracle twin, size-guarded "
     "(raises past MAX_EXACT_EMBEDDING_ROWS; LSH branch is the scale path)",
