@@ -273,9 +273,85 @@ ORDER BY o_custkey
 """
 
 
+def window_distribution_family(spark, sf_dir):
+    """The distribution window functions — percent_rank, cume_dist,
+    ntile — over order totals within each priority class. The window
+    ORDER BY carries a full tie-break (totalprice, orderkey) so every
+    rank-derived value is deterministic; percent_rank/cume_dist are exact
+    rational ratios of row positions, rounded at 6. One shuffle on the
+    partition key, all four functions ride the same sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(7).over(w).alias("septile"),
+        F.row_number().over(w).alias("rn"),
+    ).orderBy("o_orderpriority", "rn")
+
+
+WINDOW_DIST_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       CAST(ntile(7) OVER w AS INTEGER) AS septile,
+       CAST(row_number() OVER w AS INTEGER) AS rn
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderpriority, rn
+"""
+
+
+def string_agg_rich_customers(spark, sf_dir):
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    native in Spark 4): per nation, the comma-joined names of customers
+    with acctbal > 9900 in custkey order, plus their count. The WITHIN
+    GROUP ordering is what makes the concatenation deterministic — an
+    unordered listagg is run-dependent under parallel aggregation."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("rich_customers_v")
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               count(*) AS n_rich,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey) AS names
+        FROM rich_customers_v
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+STRING_AGG_SQL = """
+SELECT n.n_name AS nation,
+       count(*) AS n_rich,
+       string_agg(c.c_name, ',' ORDER BY c.c_custkey) AS names
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > 9900
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
 REGISTRY_FUNCS2 = {
     "union_by_name_mismatched": QuerySpec(
         union_by_name_mismatched, UNION_BY_NAME_SQL
+    ),
+    "window_distribution_family": QuerySpec(
+        window_distribution_family, WINDOW_DIST_SQL
+    ),
+    "string_agg_rich_customers": QuerySpec(
+        string_agg_rich_customers, STRING_AGG_SQL
     ),
     "conditional_aggregates": QuerySpec(conditional_aggregates, CONDITIONAL_AGG_SQL),
     "value_histogram": QuerySpec(value_histogram, HISTOGRAM_SQL),
