@@ -271,7 +271,109 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def attribution_linear_events(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across the user's touches (click/view/signup) in the
+    preceding hour. Credit is integer MICRO-units — round(1e6 / n_touches)
+    per touch — so sums are exact bigints with no float-reassociation
+    surface (1/3 has no finite binary representation; a double credit sum
+    would be engine-order-dependent).
+
+    Scale: purchases⋈touches is an equi join on user_id with the hour
+    range as a post-join predicate — co-partitioned shuffles, never a
+    cartesian; per-purchase touch counts ride a window over the join
+    output on the same key."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    touches = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    j = purchases.join(touches, "user_id").filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = j.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
+        "credit_micro", F.round(F.lit(1000000.0) / F.col("n_touches")).cast("long")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.sum(F.col("credit_micro").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("credit_micro_sum"),
+    ).orderBy("touch_type")
+
+
+ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type, ts AS tts
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), j AS (
+  SELECT p.purchase_id, t.touch_type,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM purchases p JOIN touches t USING (user_id)
+  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 1 HOUR
+)
+SELECT touch_type,
+       count(*) AS n_touches,
+       count(DISTINCT purchase_id) AS n_purchases,
+       CAST(sum(CAST(CAST(round(1000000.0 / n_touches) AS BIGINT) AS HUGEINT))
+            AS BIGINT) AS credit_micro_sum
+FROM j
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+def rolling_median_values(spark, sf_dir):
+    """Exact rolling median (50-row trailing frame) of event values per
+    type — percentile as a WINDOW aggregate, the robust sibling of the
+    rolling-mean z-score. Exact interpolated percentile over 2-decimal
+    values: the interpolation midpoint is exact in double, so no
+    cross-engine float surface. One shuffle on event_type; all frames
+    ride a single sort."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-49, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+            "rolling_median"
+        ),
+    ).orderBy("event_id")
+
+
+ROLLING_MEDIAN_SQL = """
+SELECT event_id, event_type,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+FROM events
+WHERE event_id < 20000
+ORDER BY event_id
+"""
+
+
 REGISTRY_ANALYTICS2 = {
+    "attribution_linear_events": QuerySpec(
+        attribution_linear_events, ATTRIBUTION_SQL
+    ),
+    "rolling_median_values": QuerySpec(rolling_median_values, ROLLING_MEDIAN_SQL),
     "funnel_signup_purchase": QuerySpec(funnel_signup_purchase, FUNNEL_SQL),
     "cohort_retention_weekly": QuerySpec(cohort_retention_weekly, COHORT_SQL),
     "decayed_user_scores": QuerySpec(decayed_user_scores, DECAYED_SQL),
