@@ -242,7 +242,135 @@ ORDER BY prefix_hash
 """
 
 
+def tokenizer_fertility_stats(spark, sf_dir):
+    """Tokenizer fertility (chars per BPE-ish token) by language and
+    source — the first diagnostic when a tokenizer underserves a language
+    (high fertility = more tokens per char = shorter effective context).
+    Integer char/token totals; the ratio rounds from exact bigints.
+    Zero-shuffle scan projection + one bounded-key aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.bpe_ish_token_count(F.col("text"))
+    nchars = F.length(TXT.normalize_ws(F.col("text")))
+    return (
+        d.select("lang", "source", toks.alias("t"), nchars.alias("c"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("total_tokens"),
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("t").cast("decimal(38,0)")).cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+FERTILITY_SQL = r"""
+WITH base AS (
+  SELECT lang, source,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t,
+         len(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS c
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(t AS HUGEINT)) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(c AS HUGEINT)) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)
+             / CAST(sum(CAST(t AS HUGEINT)) AS DOUBLE), 4) AS chars_per_token
+FROM base
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def lang_rebalance_plan(spark, sf_dir):
+    """Corpus-mix rebalancing plan: given a uniform target share across
+    languages, compute each language's token mass, its share of the
+    corpus, and the deterministic downsampling rate (micro-units) that
+    equalizes token budgets — the planning query behind every "rebalance
+    the training mix" decision. Rates are round(1e6·min(1, budget/actual))
+    from exact integer token totals; the sampled expectation is integer
+    arithmetic on those rates.
+
+    Two tiny aggregates (per-lang, then global scalar broadcast) — the
+    decision table is O(langs) however big the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.token_count(F.col("text"))
+    per_lang = d.select("lang", toks.alias("t")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("lang_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum(F.col("lang_tokens").cast("decimal(38,0)")).cast("long").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    j = per_lang.crossJoin(F.broadcast(tot))
+    budget = (F.col("total_tokens") / F.col("n_langs")).cast("double")
+    rate = F.round(
+        F.least(
+            F.lit(1000000.0),
+            F.lit(1000000.0) * budget / F.col("lang_tokens").cast("double"),
+        )
+    ).cast("long")
+    return (
+        j.select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            F.round(
+                F.col("lang_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("corpus_share"),
+            rate.alias("keep_rate_micro"),
+        )
+        # exact integer floor division (`div`), NOT `/`: a double quotient
+        # rounded to nearest can land one ULP above an integer and then
+        # cast-truncate differently than the oracle's `//`
+        .withColumn(
+            "expected_tokens",
+            F.expr("(keep_rate_micro * lang_tokens) div 1000000"),
+        )
+        .orderBy("lang")
+    )
+
+
+REBALANCE_SQL = r"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                       AS HUGEINT)) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(CAST(lang_tokens AS HUGEINT)) AS BIGINT) AS total_tokens,
+         count(*) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs, lang_tokens,
+       round(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS corpus_share,
+       CAST(round(least(1000000.0,
+                        1000000.0 * (CAST(total_tokens AS DOUBLE) / n_langs)
+                          / CAST(lang_tokens AS DOUBLE))) AS BIGINT)
+         AS keep_rate_micro,
+       CAST(CAST(round(least(1000000.0,
+                        1000000.0 * (CAST(total_tokens AS DOUBLE) / n_langs)
+                          / CAST(lang_tokens AS DOUBLE))) AS BIGINT)
+            * lang_tokens // 1000000 AS BIGINT) AS expected_tokens
+FROM per_lang CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 REGISTRY_CURATION2 = {
+    "tokenizer_fertility_stats": QuerySpec(
+        tokenizer_fertility_stats, FERTILITY_SQL
+    ),
+    "lang_rebalance_plan": QuerySpec(lang_rebalance_plan, REBALANCE_SQL),
     "template_prefix_clusters": QuerySpec(
         template_prefix_clusters, TEMPLATE_PREFIX_SQL
     ),

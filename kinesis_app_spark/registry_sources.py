@@ -265,7 +265,44 @@ ORDER BY 1
 """
 
 
+def orc_roundtrip_lineitem(spark, sf_dir):
+    """ORC write+read roundtrip — the third columnar container beside
+    parquet and the text formats (ORC readers/writers are built into
+    Spark; a warehouse migrating off Hive arrives with ORC). Lossless-
+    roundtrip proof: aggregates computed from the read-back ORC must
+    hash-match the oracle computed from the original parquet — types,
+    timestamps, and decimals all survive or the hash breaks.
+
+    Scale: columnar→columnar rewrite is scan+write with no shuffle
+    (snappy ORC stripes, predicate-pushdown-capable on read)."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.schema(li.schema).orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+        F.max("l_shipdate").alias("latest_ship"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE AS price_sum,
+       max(l_shipdate) AS latest_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 REGISTRY_SOURCES = {
+    "orc_roundtrip_lineitem": QuerySpec(orc_roundtrip_lineitem, ORC_ROUNDTRIP_SQL),
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
     "json_dlq_ingest": QuerySpec(json_dlq_ingest, JSON_DLQ_SQL),
     "parquet_compaction_orders": QuerySpec(
