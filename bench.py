@@ -58,6 +58,7 @@ def main() -> int:
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    n_ok = sum(1 for t in timings.values() if t >= 0)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "registry_total_runtime",
@@ -65,6 +66,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        # the registry GROWS every round (114 -> 205+ queries): totals are
+        # not comparable across rounds, per-query mean is
+        "n_queries": n_ok,
+        "sec_per_query": round(total / max(n_ok, 1), 3),
     }
     line = json.dumps(payload, separators=(",", ":"))
 

@@ -386,6 +386,12 @@ def kmeans_assign_embeddings(spark, sf_dir):
         .select("vec_id", scaled.alias("v"))
         .collect()
     ]
+    if not cents:
+        raise ValueError(
+            "kmeans_assign_embeddings: no seed centroids (vec_id < 8) in "
+            "the corpus — an empty literal array would silently assign "
+            "every vector a NULL cluster"
+        )
     cent_lit = F.array(
         *[
             F.struct(
