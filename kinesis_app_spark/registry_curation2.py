@@ -9,19 +9,17 @@ meaningless, but the n-gram rules fire richly on a ~30-word vocabulary —
 n=2 and n=3 with thresholds scaled to these short documents (Gopher uses
 n=2..4 for top-gram and n=5..10 for dup-gram over much longer pages).
 
-Scale story: one tokenize per document (codegen regexp), one explode of
-(n, gram) occurrence structs, one groupBy on (doc_id, n, gram), and one
-window + final agg on the same (doc_id [, n]) key family — every shuffle
-is keyed by doc_id so it partitions cleanly at any corpus size, and the
-document text itself never shuffles (only grams, which are bounded by
-3 words). No Python, no UDFs: the whole plan is whole-stage codegen.
+Scale story: per-document statistics computed ENTIRELY inside the row —
+one tokenize (codegen regexp), per-n gram arrays, and a sorted-array
+run-length fold, all in one projection. ZERO shuffles: at any corpus
+size this runs at scan speed and ships nothing anywhere (the alternative
+groupBy-per-(doc, gram) formulation ships ~150 rows per document; per-doc
+stats should not touch the network). No Python, no UDFs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from kinesis_app_spark.functions import text as TXT
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -45,77 +43,96 @@ def gopher_repetition_docs(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
 
-    def _grams(n: int):
-        # All positional n-grams (with repeats): slice+join over a
-        # sequence of start indices; let_bound so the tokenizer runs once
-        # per document, not once per position.
-        def body(toks):
-            cnt = F.size(toks)
-            idx = F.when(
-                cnt >= F.lit(n), F.sequence(F.lit(1), cnt - F.lit(n - 1))
-            ).otherwise(F.array().cast("array<int>"))
-            return F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
-                ),
+    def _grams(toks, n: int):
+        # All positional n-grams (with repeats) as strings; toks is a
+        # bound lambda slot so the tokenizer runs once per document.
+        cnt = F.size(toks)
+        idx = F.when(
+            cnt >= F.lit(n), F.sequence(F.lit(1), cnt - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    def _rep_stats(grams):
+        # ZERO-SHUFFLE per-doc statistics: sort the gram array and fold a
+        # run-length scan over it (gaps-and-islands inside one codegen
+        # expression). Scanning ascending with a strictly-greater best
+        # update reproduces the (count desc, gram asc) tie-break of a
+        # rank window — without shuffling one row per (doc, gram) (750k
+        # rows at sf0.1; the groupBy formulation measured 3s, this ~1s,
+        # and at 100 TB per-doc stats simply should not touch the
+        # network at all).
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("bestg"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+
+        def close(acc):
+            # finalize the open run: fold it into best/dup
+            better = acc["run"] > acc["best"]
+            return (
+                F.when(better, acc["run"]).otherwise(acc["best"]),
+                F.when(better, acc["prev"]).otherwise(acc["bestg"]),
+                acc["dup"]
+                + F.when(
+                    acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+                ).otherwise(F.lit(0).cast("long")),
             )
 
-        return TXT.let_bound(TXT.tokens(F.col("text")), body)
+        def step(acc, g):
+            same = acc["prev"] == g
+            best, bestg, dup = close(acc)
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["best"]).otherwise(best).alias("best"),
+                F.when(same, acc["bestg"]).otherwise(bestg).alias("bestg"),
+                F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
+            )
 
-    base = d.select(
+        def fin(acc):
+            best, bestg, dup = close(acc)
+            return F.struct(
+                best.alias("top_freq"),
+                bestg.alias("top_gram"),
+                (best * F.length(bestg)).alias("top_chars"),
+                dup.alias("dup_chars"),
+            )
+
+        return F.aggregate(F.array_sort(grams), zero, step, fin)
+
+    # inline() is a Generate node — a CollapseProject BARRIER: without it
+    # every downstream field access would inline and re-run the whole
+    # interpreted fold (HOFs are not codegen'd and get no CSE; same
+    # 489s->4s failure mode as the MinHash banding, operators/dedup.py).
+    # With the barrier each fold runs exactly once per document.
+    out = d.select(
         "doc_id",
         F.length(TXT.normalize_ws(F.col("text"))).alias("nchars"),
-        F.concat(_grams(2), _grams(3)).alias("occ"),
-    )
-    occ = base.select("doc_id", F.explode("occ").alias("o")).select(
-        "doc_id", F.col("o.n").alias("n"), F.col("o.gram").alias("gram")
-    )
-    counts = occ.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("doc_id", "n").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
-    per_n = (
-        counts.withColumn("rk", F.row_number().over(w))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_freq"),
-            F.max(F.when(F.col("rk") == 1, F.col("gram"))).alias("top_gram"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("cnt") >= 2, F.col("cnt") * F.length("gram")
-                    )
-                ),
-                F.lit(0),
-            ).alias("dup_chars"),
-        )
-    )
-    wide = per_n.groupBy("doc_id").agg(
-        *[
-            f
-            for n in (2, 3)
-            for f in (
-                F.max(F.when(F.col("n") == n, F.col("top_freq"))).alias(
-                    f"top{n}_freq"
-                ),
-                F.max(F.when(F.col("n") == n, F.col("top_gram"))).alias(
-                    f"top{n}_gram"
-                ),
-                F.max(
-                    F.when(
-                        F.col("n") == n,
-                        F.col("top_freq") * F.length("top_gram"),
-                    )
-                ).alias(f"top{n}_chars"),
-                F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(
-                    f"dup{n}_chars"
-                ),
+        F.inline(
+            F.array(
+                F.struct(
+                    TXT.let_bound(
+                        TXT.tokens(F.col("text")),
+                        lambda toks: _rep_stats(_grams(toks, 2)),
+                    ).alias("t2"),
+                    TXT.let_bound(
+                        TXT.tokens(F.col("text")),
+                        lambda toks: _rep_stats(_grams(toks, 3)),
+                    ).alias("t3"),
+                )
             )
-        ]
+        ),
     )
-    out = base.select("doc_id", "nchars").join(wide, "doc_id", "left")
+    for n in (2, 3):
+        out = (
+            out.withColumn(f"top{n}_freq", F.col(f"t{n}.top_freq"))
+            .withColumn(f"top{n}_gram", F.col(f"t{n}.top_gram"))
+            .withColumn(f"top{n}_chars", F.col(f"t{n}.top_chars"))
+            .withColumn(f"dup{n}_chars", F.col(f"t{n}.dup_chars"))
+        )
     frac = lambda c: F.round(
         F.coalesce(c, F.lit(0)).cast("double") / F.col("nchars"), 4
     )
