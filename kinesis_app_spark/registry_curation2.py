@@ -383,7 +383,228 @@ ORDER BY lang
 """
 
 
+def dedup_survivor_provenance(spark, sf_dir):
+    """Dedup with PROVENANCE: the survivor of each exact-duplicate group
+    carries merged metadata from every copy it replaced — distinct source
+    count, the full source list (ordered), earliest/latest doc_id, and
+    copy count. Dropping duplicates without recording where they lived
+    loses exactly the signal (cross-source replication) that matters for
+    weighting; this is the canonicalization query a real pipeline runs
+    instead of a bare distinct.
+
+    One shuffle on the 128-bit fingerprint; text itself reduces to the
+    hash before moving.
+
+    The synthetic corpus has no natural exact duplicates, so every 10th
+    document is re-published under a mirror source with a shifted id —
+    the identical injection in the oracle — making the provenance merge
+    end-to-end checkable rather than vacuously empty."""
+    d = _t(spark, sf_dir, "documents")
+    from kinesis_app_spark.functions.text import fingerprint
+
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    mirrored = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        F.col("text"),
+        F.concat(F.lit("mirror-of-"), F.col("source")).alias("source"),
+        F.col("n_chars"),
+    )
+    aug = d.select("doc_id", "text", "source", "n_chars").unionByName(mirrored)
+    return (
+        aug.select(
+            fingerprint(F.col("text")).alias("fp"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+            F.max("doc_id").alias("latest_copy_id"),
+            F.max("n_chars").alias("n_chars"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("canonical_id")
+    )
+
+
+SURVIVOR_PROVENANCE_SQL = r"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+aug AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL BY NAME
+  SELECT d.doc_id + mx.m + 1 AS doc_id, d.text,
+         'mirror-of-' || d.source AS source, d.n_chars
+  FROM documents d CROSS JOIN mx WHERE d.doc_id % 10 = 0
+), fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         doc_id, source, n_chars
+  FROM aug
+)
+SELECT fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies,
+       count(DISTINCT source) AS n_sources,
+       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+       max(doc_id) AS latest_copy_id,
+       max(n_chars) AS n_chars
+FROM fp
+GROUP BY fp
+HAVING count(*) >= 2
+ORDER BY canonical_id
+"""
+
+
+def corpus_snapshot_diff(spark, sf_dir):
+    """Set reconciliation between two corpus snapshots — the "what changed
+    since the last crawl" ops query. Snapshot B is derived
+    deterministically from the documents table (every 7th doc removed,
+    every 5th remaining doc re-texted, new docs appended past the max id),
+    with the identical derivation in the oracle; the diff itself is a
+    full outer join on doc_id comparing content fingerprints, classified
+    into added / removed / changed / unchanged counts per source.
+
+    Scale: both sides reduce to (doc_id, fp) before the join — one
+    co-partitioned shuffle each, no text movement; per-source rollup is a
+    bounded-key aggregate."""
+    from kinesis_app_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    b_kept = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            fingerprint(F.concat(F.col("text"), F.lit(" revised"))),
+        )
+        .otherwise(fingerprint(F.col("text")))
+        .alias("fp"),
+    )
+    b_new = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
+        "source",
+        fingerprint(F.concat(F.lit("new "), F.col("text"))).alias("fp"),
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.alias("a").join(b.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = r"""
+WITH a AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), mx AS (SELECT max(doc_id) AS m FROM documents),
+b AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN md5(trim(regexp_replace(lower(text || ' revised'), '\s+', ' ', 'g')))
+              ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         END AS fp
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL BY NAME
+  SELECT d.doc_id + mx.m + 1 AS doc_id, d.source,
+         md5(trim(regexp_replace(lower('new ' || d.text), '\s+', ' ', 'g'))) AS fp
+  FROM documents d CROSS JOIN mx WHERE d.doc_id % 11 = 0
+), j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.fp IS NULL THEN 'added'
+              WHEN b.fp IS NULL THEN 'removed'
+              WHEN a.fp != b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source, status, count(*) AS n_docs
+FROM j
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
+def ngram_novelty_docs(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    3-gram shingles that appear in no other document (corpus document
+    frequency = 1) — high novelty separates original content from remix;
+    near-zero novelty is boilerplate. The memorization-risk dual of the
+    dedup family's similarity scores.
+
+    Inverted-posting shape: distinct (shingle, doc) postings → df count
+    keyed by shingle → per-doc novel/total rollup keyed by doc — three
+    bounded-key shuffles of hashes and ids, text never moves."""
+    d = _t(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.explode(TXT.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    dfreq = post.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        post.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("df") == 1).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), post AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:(i+2)], ' ') AS sh
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t)-2) ELSE [] END) AS g(i)
+), dfreq AS (
+  SELECT sh, count(*) AS df FROM post GROUP BY 1
+)
+SELECT p.doc_id,
+       count(*) AS n_shingles,
+       count(*) FILTER (WHERE d.df = 1) AS n_novel,
+       round(count(*) FILTER (WHERE d.df = 1) / CAST(count(*) AS DOUBLE), 4)
+         AS novelty
+FROM post p JOIN dfreq d USING (sh)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 REGISTRY_CURATION2 = {
+    "dedup_survivor_provenance": QuerySpec(
+        dedup_survivor_provenance, SURVIVOR_PROVENANCE_SQL
+    ),
+    "corpus_snapshot_diff": QuerySpec(corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "ngram_novelty_docs": QuerySpec(ngram_novelty_docs, NGRAM_NOVELTY_SQL),
     "tokenizer_fertility_stats": QuerySpec(
         tokenizer_fertility_stats, FERTILITY_SQL
     ),
