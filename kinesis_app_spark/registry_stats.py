@@ -369,7 +369,71 @@ ORDER BY e.event_type
 """
 
 
+def quantile_table_lineitem(spark, sf_dir):
+    """Decile table for the lineitem measures — the lookup a feature
+    scaler or drift monitor consumes (one row per measure × decile).
+    Exact interpolated percentiles computed as ARRAYS in one aggregate
+    (a single sort-based agg per measure, not nine), then unpivoted with
+    posexplode. 2-decimal inputs make the interpolation midpoints exact
+    doubles — deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    agg = li.agg(
+        *[
+            F.expr(
+                f"percentile({c}, array({', '.join(str(q) for q in qs)}))"
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("measure"), F.col(c).alias("qv"))
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.measure", F.posexplode("m.qv").alias("pos", "value"))
+    return stacked.select(
+        "measure",
+        ((F.col("pos") + 1) * 10).cast("int").alias("pct"),
+        F.round("value", 4).alias("value"),
+    ).orderBy("measure", "pct")
+
+
+QUANTILE_TABLE_SQL = """
+WITH q AS (
+  SELECT 'l_quantity' AS measure,
+         quantile_cont(l_quantity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qv
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice',
+         quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount',
+         quantile_cont(l_discount, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax',
+         quantile_cont(l_tax, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+  FROM lineitem
+)
+SELECT measure,
+       CAST(i * 10 AS INTEGER) AS pct,
+       round(qv[i], 4) AS value
+FROM q, UNNEST(generate_series(1, 9)) AS t(i)
+ORDER BY measure, pct
+"""
+
+
 REGISTRY_STATS = {
+    "quantile_table_lineitem": QuerySpec(
+        quantile_table_lineitem, QUANTILE_TABLE_SQL
+    ),
     "robust_zscore_events": QuerySpec(robust_zscore_events, ROBUST_Z_SQL),
     "ols_regression_events": QuerySpec(ols_regression_events, OLS_SQL),
     "corr_matrix_lineitem": QuerySpec(corr_matrix_lineitem, CORR_SQL),

@@ -74,6 +74,34 @@ def test_kmeans_assign_raises_without_centroids(spark):
         kmeans_assign_embeddings(spark, d)
 
 
+def test_join_hints_honored_and_equivalent(spark):
+    """Engine surface: SHUFFLE_HASH / MERGE / BROADCAST join hints must be
+    honored by the planner AND produce identical results — the knobs an
+    operator author reaches for when AQE's default pick is wrong for a
+    known data shape."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    cond = o["o_custkey"] == c["c_custkey"]
+
+    def result(df):
+        return sorted(
+            (r["o_orderkey"], r["c_custkey"])
+            for r in df.select("o_orderkey", "c_custkey").collect()
+        )
+
+    base = result(o.join(c, cond))
+    cases = {
+        "SHUFFLE_HASH": "ShuffledHashJoin",
+        "MERGE": "SortMergeJoin",
+        "BROADCAST": "BroadcastHashJoin",
+    }
+    for hint, node in cases.items():
+        hinted = o.join(c.hint(hint), cond)
+        plan = _plan(hinted)
+        assert node in plan, f"{hint}: {plan}"
+        assert result(hinted) == base, hint
+
+
 def test_gopher_repetition_short_doc_safe(spark):
     """One- and two-token documents must produce zero-gram rows, not a
     slice/sequence crash (the ADVICE.md word_shingles class of bug)."""
