@@ -557,6 +557,74 @@ ORDER BY 1
 """
 
 
+def streaming_sliding_counts(spark, sf_dir):
+    """True streaming SLIDING windows (1h length, 15m slide — each event
+    lands in 4 overlapping windows), complete mode, equal to the batch
+    overlap expansion the oracle computes. Sliding windows are the
+    standard smoothing topology; state is windows × types, bounded."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    stream, ckpt = _mk_stream(spark, ev)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return res.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_SLIDING_SQL = """
+WITH ev AS (
+  SELECT ts, event_type FROM events WHERE event_id < 20000
+), expanded AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000) AS window_start,
+         event_type
+  FROM ev, UNNEST(generate_series(0, 3)) AS k(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_running_totals(spark, sf_dir):
+    """Complete-mode global running totals per event type — the live
+    dashboard shape: counts plus DECIMAL value sums (float sums would be
+    epoch-order-dependent; decimal accumulation is the same discipline as
+    the batch side). State is O(types)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    stream, ckpt = _mk_stream(spark, ev)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+        # exact COUNT(DISTINCT) is unsupported on streams (state would be
+        # unbounded per group); min/max are the order-independent extremes
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return res
+
+
+STREAMING_TOTALS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(30,8))), 2)::DOUBLE AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+WHERE event_id < 20000
+GROUP BY event_type
+"""
+
+
 def streaming_chained_windows(spark, sf_dir):
     """CHAINED stateful aggregation in one streaming query (Spark 3.4+
     multiple-stateful-operator support): hourly tumbling counts per event
@@ -627,6 +695,12 @@ GROUP BY 1, 2, 3
 
 
 REGISTRY_STREAMING = {
+    "streaming_sliding_counts": QuerySpec(
+        streaming_sliding_counts, STREAMING_SLIDING_SQL
+    ),
+    "streaming_running_totals": QuerySpec(
+        streaming_running_totals, STREAMING_TOTALS_SQL
+    ),
     "streaming_chained_windows": QuerySpec(
         streaming_chained_windows, STREAMING_CHAINED_SQL
     ),
