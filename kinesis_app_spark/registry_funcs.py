@@ -732,7 +732,70 @@ GROUP BY label, dim
 """
 
 
+def cogroup_pandas_asof(spark, sf_dir):
+    """COGROUPED-map UDF surface (``groupBy().cogroup().applyInPandas``):
+    per-user pandas ``merge_asof`` of purchases against clicks — the
+    canonical cogroup use-case (a per-key algorithm over TWO frames that
+    pandas already implements). Must reproduce the Column-algebra as-of
+    join exactly, so it shares ASOF_SQL as its oracle: same result from
+    the declarative one-shuffle plan and the cogrouped Arrow path.
+
+    Scale: both sides shuffle once on user_id (co-partitioned cogroup);
+    each Python call sees only one user's rows. Completes the Python API
+    matrix: scalar/grouped-agg pandas UDF, grouped map, map, cogrouped
+    map, mapInArrow, UDTF."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "ts",
+                    "last_click_id", "last_click_value",
+                ]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["click_ts", "last_click_id"])
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        out["last_click_id"] = out["last_click_id"].astype("Int64")
+        return out[
+            ["event_id", "user_id", "ts", "last_click_id", "last_click_value"]
+        ]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id long, user_id long, ts timestamp, "
+            "last_click_id long, last_click_value double",
+        )
+    )
+
+
+COGROUP_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS last_click_id, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 REGISTRY_FUNCS = {
+    "cogroup_pandas_asof": QuerySpec(cogroup_pandas_asof, COGROUP_ASOF_SQL),
     "pivot_monthly_event_counts": QuerySpec(pivot_monthly_event_counts, PIVOT_SQL),
     "unpivot_customer_metrics": QuerySpec(unpivot_customer_metrics, UNPIVOT_SQL),
     "stats_aggregates": QuerySpec(stats_aggregates, STATS_SQL),
