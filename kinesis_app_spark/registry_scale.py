@@ -362,7 +362,50 @@ ORDER BY o_orderpriority, rk
 """
 
 
+def salted_join_lineitem_orders(spark, sf_dir):
+    """The salted JOIN under the value gate: lineitem (the skewed side in
+    a real workload) joined to orders on orderkey through
+    ``scale.salted_join`` — per-row salt on the skewed side, 8× replica
+    of the other side, join on (key, salt) — then an aggregate whose
+    result must equal the PLAIN join the oracle computes. This puts the
+    skew-mitigation primitive itself, not just a unit test, behind the
+    cross-engine hash check."""
+    from kinesis_app_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, on=["l_orderkey"], salt_buckets=8, how="inner")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("qty_centi_sum"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    ).orderBy("o_orderstatus")
+
+
+SALTED_JOIN_SQL = """
+SELECT o.o_orderstatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(CAST(round(l.l_quantity * 100) AS BIGINT) AS HUGEINT))
+            AS BIGINT) AS qty_centi_sum,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE AS price_sum
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
 REGISTRY_SCALE = {
+    "salted_join_lineitem_orders": QuerySpec(
+        salted_join_lineitem_orders, SALTED_JOIN_SQL
+    ),
     "salted_skew_aggregate": QuerySpec(salted_skew_aggregate, SALTED_SQL),
     "global_row_ids_orders": QuerySpec(global_row_ids_orders, GLOBAL_ROW_IDS_SQL),
     "two_phase_topk_priority": QuerySpec(
