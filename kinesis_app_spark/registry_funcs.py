@@ -743,8 +743,14 @@ def cogroup_pandas_asof(spark, sf_dir):
     Scale: both sides shuffle once on user_id (co-partitioned cogroup);
     each Python call sees only one user's rows. Completes the Python API
     matrix: scalar/grouped-agg pandas UDF, grouped map, map, cogrouped
-    map, mapInArrow, UDTF."""
-    e = _t(spark, sf_dir, "events")
+    map, mapInArrow, UDTF.
+
+    Measured caveat (why the declarative as-of is the hot path): one
+    Python round-trip PER GROUP means ~9k tiny groups cost 12.4s at
+    sf0.1 vs 0.6s for the union+window asof_join on the same data — the
+    cogroup API pays off only when per-group work amortizes the call.
+    The gate entry bounds the group count accordingly."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
@@ -788,8 +794,10 @@ def cogroup_pandas_asof(spark, sf_dir):
 COGROUP_ASOF_SQL = """
 SELECT p.event_id, p.user_id, p.ts,
        c.event_id AS last_click_id, c.value AS last_click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase' AND user_id < 200) p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type = 'click' AND user_id < 200) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 
