@@ -343,7 +343,49 @@ ORDER BY n.n_name
 """
 
 
+def grouping_labels_rollup(spark, sf_dir):
+    """ROLLUP with GROUPING() level labels — the function that tells a
+    report row from a subtotal row (a NULL group key is ambiguous:
+    grouping() disambiguates data-NULL from rollup-NULL). Emits the
+    grouping bits and a derived level name; single rollup aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    g_status = F.grouping("o_orderstatus").cast("int")
+    g_prio = F.grouping("o_orderpriority").cast("int")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            g_status.alias("g_status"),
+            g_prio.alias("g_prio"),
+            F.when(g_status + g_prio == 0, F.lit("detail"))
+            .when((g_status == 0) & (g_prio == 1), F.lit("status_subtotal"))
+            .otherwise(F.lit("grand_total"))
+            .alias("level"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUPING_LABELS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       CASE WHEN grouping(o_orderstatus) + grouping(o_orderpriority) = 0
+              THEN 'detail'
+            WHEN grouping(o_orderstatus) = 0 AND grouping(o_orderpriority) = 1
+              THEN 'status_subtotal'
+            ELSE 'grand_total' END AS level
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
 REGISTRY_FUNCS2 = {
+    "grouping_labels_rollup": QuerySpec(
+        grouping_labels_rollup, GROUPING_LABELS_SQL
+    ),
     "union_by_name_mismatched": QuerySpec(
         union_by_name_mismatched, UNION_BY_NAME_SQL
     ),
