@@ -382,7 +382,75 @@ ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
 """
 
 
+def table_profile_orders(spark, sf_dir):
+    """Column-profile report (the ops `describe` a data platform runs on
+    every ingest): per column — nulls, distincts, min/max as strings,
+    and total rows. One aggregate computes every statistic in a single
+    scan; the per-column rows unpivot from that 1-row result (same
+    single-pass discipline as the Pearson matrix)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("p")).select("p.*").orderBy("column")
+    )
+
+
+TABLE_PROFILE_SQL = """
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+         min(CAST(o_orderkey AS VARCHAR)) AS mn_k, max(CAST(o_orderkey AS VARCHAR)) AS mx_k,
+         count(o_custkey) AS nn_c, count(DISTINCT o_custkey) AS nd_c,
+         min(CAST(o_custkey AS VARCHAR)) AS mn_c, max(CAST(o_custkey AS VARCHAR)) AS mx_c,
+         count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+         min(CAST(o_orderstatus AS VARCHAR)) AS mn_s, max(CAST(o_orderstatus AS VARCHAR)) AS mx_s,
+         count(o_totalprice) AS nn_t, count(DISTINCT o_totalprice) AS nd_t,
+         min(CAST(o_totalprice AS VARCHAR)) AS mn_t, max(CAST(o_totalprice AS VARCHAR)) AS mx_t,
+         count(o_orderpriority) AS nn_p, count(DISTINCT o_orderpriority) AS nd_p,
+         min(CAST(o_orderpriority AS VARCHAR)) AS mn_p, max(CAST(o_orderpriority AS VARCHAR)) AS mx_p
+  FROM orders
+)
+SELECT u.* FROM s, LATERAL (
+  SELECT 'o_orderkey' AS "column", n_rows, n_rows - nn_k AS n_nulls,
+         nd_k AS n_distinct, mn_k AS min_str, mx_k AS max_str
+  UNION ALL
+  SELECT 'o_custkey', n_rows, n_rows - nn_c, nd_c, mn_c, mx_c
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, n_rows - nn_s, nd_s, mn_s, mx_s
+  UNION ALL
+  SELECT 'o_totalprice', n_rows, n_rows - nn_t, nd_t, mn_t, mx_t
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, n_rows - nn_p, nd_p, mn_p, mx_p
+) u
+ORDER BY "column"
+"""
+
+
 REGISTRY_FUNCS2 = {
+    "table_profile_orders": QuerySpec(table_profile_orders, TABLE_PROFILE_SQL),
     "grouping_labels_rollup": QuerySpec(
         grouping_labels_rollup, GROUPING_LABELS_SQL
     ),
