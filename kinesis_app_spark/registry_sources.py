@@ -301,7 +301,60 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def binaryfile_ingest_media(spark, sf_dir):
+    """How binaries ENTER the engine: 200 spec-valid PNG files on disk
+    (the multimodal synthesizer writing real files, as a camera upload or
+    crawl fetcher would), ingested with Spark's ``binaryFile`` source —
+    one row per file with the raw bytes — and the IHDR width/height
+    parsed OUT OF THE BYTES with pure Column ops (substring → hex → conv:
+    big-endian u32 at offsets 17/21, inside whole-stage codegen, no
+    Python). The oracle predicts each file's dimensions arithmetically
+    from its id, so the files must genuinely round-trip.
+
+    Scale: binaryFile partitions by files (maxPartitionBytes-aware) and
+    carries (path, length, content); header parsing touches 8 bytes per
+    row. The anti-pattern would be collecting files driver-side."""
+    import os
+    import tempfile
+
+    from kinesis_app_spark.operators.multimodal import png_bytes
+
+    d = tempfile.mkdtemp(prefix="binfiles_")
+    for i in range(200):
+        with open(os.path.join(d, f"img_{i:05d}.png"), "wb") as fh:
+            fh.write(png_bytes(1 + i % 64, 1 + i % 48, seed=i))
+
+    files = spark.read.format("binaryFile").load(d)
+    u32 = lambda pos: F.conv(
+        F.hex(F.substring(F.col("content"), pos, 4)), 16, 10
+    ).cast("long")
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1)
+            .cast("long")
+            .alias("doc_id"),
+            u32(17).alias("width"),
+            u32(21).alias("height"),
+            (F.length("content") == F.col("length")).alias("len_consistent"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BINARYFILE_SQL = """
+SELECT i AS doc_id,
+       CAST(1 + i % 64 AS BIGINT) AS width,
+       CAST(1 + i % 48 AS BIGINT) AS height,
+       true AS len_consistent
+FROM unnest(generate_series(0, 199)) AS t(i)
+ORDER BY doc_id
+"""
+
+
 REGISTRY_SOURCES = {
+    "binaryfile_ingest_media": QuerySpec(
+        binaryfile_ingest_media, BINARYFILE_SQL
+    ),
     "orc_roundtrip_lineitem": QuerySpec(orc_roundtrip_lineitem, ORC_ROUNDTRIP_SQL),
     "csv_roundtrip_orders": QuerySpec(csv_roundtrip_orders, CSV_ROUNDTRIP_SQL),
     "json_dlq_ingest": QuerySpec(json_dlq_ingest, JSON_DLQ_SQL),

@@ -625,6 +625,58 @@ GROUP BY event_type
 """
 
 
+def streaming_dedup_then_window(spark, sf_dir):
+    """The at-least-once → exactly-once counting topology:
+    ``dropDuplicatesWithinWatermark`` followed by a windowed aggregate —
+    two chained stateful operators in one append-mode query. The source
+    delivers EVERY event twice (the union models redelivery after an ack
+    loss, the reference's at-least-once contract,
+    /root/reference/src/Kinesis/Coordination.hs:329-337); the dedup state
+    absorbs the duplicates inside the watermark and the daily counts must
+    equal the batch counts over DISTINCT events. Sentinel discipline as
+    in the session-window entry."""
+    import datetime as dt
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("event_id", "ts", "event_type")
+    )
+    dup = ev.unionByName(ev)
+    src = tempfile.mkdtemp(prefix="dedupw_src_")
+    ckpt = tempfile.mkdtemp(prefix="dedupw_ckpt_")
+    dup.coalesce(1).write.mode("overwrite").parquet(src)
+    _append_sentinel(
+        spark, src, dup.schema, (-1, dt.datetime(2030, 1, 1), "zz")
+    )
+    stream = file_stream(
+        spark, src, dup.schema, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    return res.filter(F.col("event_type") != "zz").select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_DEDUP_WINDOW_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000
+                      + 86400000000) AS window_end,
+       event_type, count(*) AS n_events
+FROM events
+WHERE event_id < 20000
+GROUP BY 1, 2, 3
+"""
+
+
 def streaming_chained_windows(spark, sf_dir):
     """CHAINED stateful aggregation in one streaming query (Spark 3.4+
     multiple-stateful-operator support): hourly tumbling counts per event
@@ -697,6 +749,9 @@ GROUP BY 1, 2, 3
 REGISTRY_STREAMING = {
     "streaming_sliding_counts": QuerySpec(
         streaming_sliding_counts, STREAMING_SLIDING_SQL
+    ),
+    "streaming_dedup_then_window": QuerySpec(
+        streaming_dedup_then_window, STREAMING_DEDUP_WINDOW_SQL
     ),
     "streaming_running_totals": QuerySpec(
         streaming_running_totals, STREAMING_TOTALS_SQL
