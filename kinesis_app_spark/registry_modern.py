@@ -225,7 +225,123 @@ ORDER BY label
 """
 
 
+def sql_udf_net_revenue(spark, sf_dir):
+    """SQL scalar UDF (CREATE FUNCTION … RETURN expr — Spark 4 SQL UDFs):
+    the reusable business expression lives in the catalog, not copy-pasted
+    into every query. The function body is pure arithmetic, so Catalyst
+    INLINES it — zero call overhead, full codegen — which is the whole
+    point vs a Python UDF. Cents-scaled exact-integer accumulation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(CAST(CAST(round(net_price(l_extendedprice, l_discount)
+                                        * 100) AS BIGINT) AS DECIMAL(38,0)))
+                    AS BIGINT) AS net_centi_sum
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+SQL_UDF_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS HUGEINT)) AS BIGINT) AS net_centi_sum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sql_variables_param_query(spark, sf_dir):
+    """Session variables (DECLARE/SET VARIABLE, Spark 4): the
+    parameterized-report pattern — thresholds live in typed session state
+    instead of string-interpolated SQL (no injection surface, one place
+    to change). The oracle inlines the same constants."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_total DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE status_filter STRING DEFAULT 'F'")
+    spark.sql("SET VARIABLE min_total = 150000.0")
+    spark.sql("SET VARIABLE status_filter = 'O'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+                    AS DOUBLE) AS total
+        FROM orders_v
+        WHERE o_totalprice >= min_total AND o_orderstatus = status_filter
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+SQL_VARIABLES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE AS total
+FROM orders
+WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_scripting_two_step(spark, sf_dir):
+    """SQL scripting (BEGIN…END compound statements, Spark 4): a
+    procedural two-step — derive a data-dependent threshold into a
+    variable (the p90 of order totals), then run the report filtered by
+    it — without leaving SQL or round-tripping through the driver. The
+    oracle expresses the same logic as a scalar subquery."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE p90 DOUBLE;
+          SET p90 = (SELECT percentile(o_totalprice, 0.9) FROM orders_v);
+          SELECT o_orderstatus,
+                 count(*) AS n_top_decile,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+                      AS DOUBLE) AS total
+          FROM orders_v
+          WHERE o_totalprice >= p90
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus;
+        END
+        """
+    )
+
+
+SQL_SCRIPTING_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_top_decile,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE AS total
+FROM orders
+WHERE o_totalprice >= (SELECT quantile_cont(o_totalprice, 0.9) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 REGISTRY_MODERN = {
+    "sql_udf_net_revenue": QuerySpec(sql_udf_net_revenue, SQL_UDF_SQL),
+    "sql_variables_param_query": QuerySpec(
+        sql_variables_param_query, SQL_VARIABLES_SQL
+    ),
+    "sql_scripting_two_step": QuerySpec(
+        sql_scripting_two_step, SQL_SCRIPTING_SQL
+    ),
     "sql_recursive_cte_chain": QuerySpec(
         sql_recursive_cte_chain, RECURSIVE_CHAIN_SQL
     ),
