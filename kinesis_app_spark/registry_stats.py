@@ -430,7 +430,134 @@ ORDER BY measure, pct
 """
 
 
+def autocorrelation_daily_events(spark, sf_dir):
+    """Lag-k autocorrelation (k = 1, 7) of the daily event-count series —
+    the seasonality probe run before fitting any forecast. The series is
+    integer counts, so every sufficient statistic is exact; Pearson r over
+    the lag-aligned pairs uses the same single-pass moment discipline as
+    the OLS entry. Two tiny shuffles: the daily rollup (bounded by days),
+    then a window lag + global moment aggregate per k."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    out = None
+    for k in (1, 7):
+        w = Window.orderBy("day")
+        pairs = daily.select(
+            "n", F.lag("n", k).over(w).alias("prev")
+        ).filter(F.col("prev").isNotNull())
+        s = pairs.agg(
+            F.count("*").cast("double").alias("m"),
+            F.sum(F.col("n").cast(_DEC)).cast("double").alias("sx"),
+            F.sum(F.col("prev").cast(_DEC)).cast("double").alias("sy"),
+            F.sum((F.col("n") * F.col("prev")).cast(_DEC)).cast("double").alias("sxy"),
+            F.sum((F.col("n") * F.col("n")).cast(_DEC)).cast("double").alias("sxx"),
+            F.sum((F.col("prev") * F.col("prev")).cast(_DEC)).cast("double").alias("syy"),
+        )
+        r = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        row = s.select(
+            F.lit(k).alias("lag"),
+            F.col("m").cast("long").alias("n_pairs"),
+            F.round(r, 6).alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT k.k AS lag, n,
+         lag(n, k.k) OVER (PARTITION BY k.k ORDER BY day) AS prev
+  FROM daily, (VALUES (1), (7)) AS k(k)
+), pairs AS (
+  SELECT lag, n, prev FROM lagged WHERE prev IS NOT NULL
+), s AS (
+  SELECT lag,
+         CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(prev AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(n * prev AS HUGEINT)) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(n * n AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(prev * prev AS HUGEINT)) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       CAST(m AS BIGINT) AS n_pairs,
+       round((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+         AS autocorr
+FROM s
+ORDER BY lag
+"""
+
+
+def seasonality_dow_index(spark, sf_dir):
+    """Day-of-week seasonality index: each weekday's mean daily event
+    count relative to the overall mean (index 1.0 = no seasonality) —
+    the multiplicative-decomposition first step. All ratios of exact
+    integer sums; day-of-week pinned Sunday=0 in both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    dows = daily.select((F.dayofweek("day") - 1).alias("dow"), "n")
+    per_dow = dows.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("n").cast(_DEC)).cast("long").alias("events"),
+    )
+    tot = dows.agg(
+        F.count("*").alias("t_days"),
+        F.sum(F.col("n").cast(_DEC)).cast("long").alias("t_events"),
+    )
+    j = per_dow.crossJoin(F.broadcast(tot))
+    mean_dow = F.col("events").cast("double") / F.col("n_days")
+    mean_all = F.col("t_events").cast("double") / F.col("t_days")
+    return j.select(
+        "dow",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("events").alias("events"),
+        F.round(mean_dow / mean_all, 6).alias("dow_index"),
+    ).orderBy("dow")
+
+
+SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+), dows AS (
+  SELECT dayofweek(day) AS dow, n FROM daily
+), per_dow AS (
+  SELECT dow, count(*) AS n_days,
+         CAST(sum(CAST(n AS HUGEINT)) AS BIGINT) AS events
+  FROM dows GROUP BY 1
+), tot AS (
+  SELECT count(*) AS t_days,
+         CAST(sum(CAST(n AS HUGEINT)) AS BIGINT) AS t_events
+  FROM dows
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+       n_days, events,
+       round((CAST(events AS DOUBLE) / n_days)
+             / (CAST(t_events AS DOUBLE) / t_days), 6) AS dow_index
+FROM per_dow CROSS JOIN tot
+ORDER BY dow
+"""
+
+
 REGISTRY_STATS = {
+    "autocorrelation_daily_events": QuerySpec(
+        autocorrelation_daily_events, AUTOCORR_SQL
+    ),
+    "seasonality_dow_index": QuerySpec(seasonality_dow_index, SEASONALITY_SQL),
     "quantile_table_lineitem": QuerySpec(
         quantile_table_lineitem, QUANTILE_TABLE_SQL
     ),
