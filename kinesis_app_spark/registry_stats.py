@@ -553,7 +553,69 @@ ORDER BY dow
 """
 
 
+def skyline_orders(spark, sf_dir):
+    """Pareto frontier (skyline): orders not dominated on (totalprice ↑,
+    orderdate ↓ — "bigger and earlier wins"). The naive formulation is a
+    quadratic NOT-EXISTS self-join (the oracle states it exactly that
+    way); the engine rewrite is O(n log n): one price-ordered sort, over
+    which a RANGE frame tracks the running-min date of all strictly
+    higher-priced rows (and a per-price-partition min handles equal-price
+    ties) — no self-join. The classic declarative→algorithmic rewrite
+    Catalyst cannot do for you.
+
+    Dominance: a ≻ b iff price_a ≥ price_b AND date_a ≤ date_b with at
+    least one strict; ties on both dims survive together. The global
+    window is one total sort here; the 100 TB discipline is the standard
+    skyline split — range-partition on price, per-partition skyline,
+    then merge the (tiny) per-partition frontiers."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        # integer cents make the "strictly greater price" RANGE frame
+        # exact: offset 1 on a cents column = price ≥ mine + 0.01, which
+        # a double-valued range offset could not express
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    # dominated ⇔ (∃ strictly-higher-priced row with date ≤ mine)
+    #           ∨ (∃ equal-priced row with date < mine)
+    min_date_higher = F.min("o_orderdate").over(
+        Window.orderBy(F.col("pc").asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    min_date_eq = F.min("o_orderdate").over(Window.partitionBy("pc"))
+    dominated = (
+        (
+            min_date_higher.isNotNull()
+            & (min_date_higher <= F.col("o_orderdate"))
+        )
+        | (min_date_eq < F.col("o_orderdate"))
+    )
+    return (
+        o.withColumn("dominated", dominated)
+        .filter(~F.col("dominated"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+SKYLINE_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate <= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate)
+)
+ORDER BY o_orderkey
+"""
+
+
 REGISTRY_STATS = {
+    "skyline_orders": QuerySpec(skyline_orders, SKYLINE_SQL),
     "autocorrelation_daily_events": QuerySpec(
         autocorrelation_daily_events, AUTOCORR_SQL
     ),
