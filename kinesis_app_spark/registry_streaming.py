@@ -625,6 +625,50 @@ GROUP BY event_type
 """
 
 
+def streaming_union_sources(spark, sf_dir):
+    """Multi-source consumption: TWO independent file streams (odd/even
+    event halves — two topics, two regions, two shard groups) unioned
+    into ONE streaming query and aggregated together. Stream-stream
+    union is shuffle-free (a logical concat of sources); the aggregate
+    sees one unified stream — the standard consolidation topology when a
+    deployment splits ingestion. Counts must equal the batch aggregate
+    over the whole table."""
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("event_id", "ts", "event_type")
+    )
+    srcs = []
+    for parity in (0, 1):
+        d = tempfile.mkdtemp(prefix=f"union_src{parity}_")
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        srcs.append(file_stream(spark, d, ev.schema))
+    ckpt = tempfile.mkdtemp(prefix="union_ckpt_")
+    unioned = srcs[0].unionByName(srcs[1])
+    agg = unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return res
+
+
+STREAMING_UNION_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+WHERE event_id < 20000
+GROUP BY event_type
+"""
+
+
 def streaming_dedup_then_window(spark, sf_dir):
     """The at-least-once → exactly-once counting topology:
     ``dropDuplicatesWithinWatermark`` followed by a windowed aggregate —
@@ -752,6 +796,9 @@ REGISTRY_STREAMING = {
     ),
     "streaming_dedup_then_window": QuerySpec(
         streaming_dedup_then_window, STREAMING_DEDUP_WINDOW_SQL
+    ),
+    "streaming_union_sources": QuerySpec(
+        streaming_union_sources, STREAMING_UNION_SQL
     ),
     "streaming_running_totals": QuerySpec(
         streaming_running_totals, STREAMING_TOTALS_SQL
