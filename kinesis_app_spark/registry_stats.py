@@ -557,11 +557,12 @@ def skyline_orders(spark, sf_dir):
     """Pareto frontier (skyline): orders not dominated on (totalprice ↑,
     orderdate ↓ — "bigger and earlier wins"). The naive formulation is a
     quadratic NOT-EXISTS self-join (the oracle states it exactly that
-    way); the engine rewrite is O(n log n): one price-ordered sort, over
-    which a RANGE frame tracks the running-min date of all strictly
-    higher-priced rows (and a per-price-partition min handles equal-price
-    ties) — no self-join. The classic declarative→algorithmic rewrite
-    Catalyst cannot do for you.
+    way); the engine rewrite is O(n log n): collapse to one row per
+    distinct price, take an incremental running-min of dates over the
+    price-desc group sequence (strictly-previous groups ⇔ strictly
+    higher prices), and join the group minima back — no self-join, no
+    per-row re-aggregated window frame. The classic
+    declarative→algorithmic rewrite Catalyst cannot do for you.
 
     Dominance: a ≻ b iff price_a ≥ price_b AND date_a ≤ date_b with at
     least one strict; ties on both dims survive together. The global
@@ -574,27 +575,41 @@ def skyline_orders(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
         "o_orderdate",
-        # integer cents make the "strictly greater price" RANGE frame
-        # exact: offset 1 on a cents column = price ≥ mine + 0.01, which
-        # a double-valued range offset could not express
+        # integer cents give an exact equality key for price groups
         F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
     )
     # dominated ⇔ (∃ strictly-higher-priced row with date ≤ mine)
     #           ∨ (∃ equal-priced row with date < mine)
-    min_date_higher = F.min("o_orderdate").over(
-        Window.orderBy(F.col("pc").asc())
-        .rangeBetween(1, Window.unboundedFollowing)
+    #
+    # The strictly-higher min-date must NOT be a per-row moving-start
+    # frame: Spark evaluates RANGE ... UNBOUNDED FOLLOWING frames by
+    # recomputing the aggregate for every row — O(n²), a measured HANG at
+    # 150k rows (caught by the sf0.1 bench, not the sf0.01 gate). Instead
+    # collapse to one row per distinct price (groupBy pc), take the
+    # running min over the price-desc GROUP sequence with an incremental
+    # rows-frame (strictly-previous groups = strictly higher prices), and
+    # join the two dates back — O(n log n) total.
+    groups = (
+        o.groupBy("pc").agg(F.min("o_orderdate").alias("eq_min"))
+        .withColumn(
+            "higher_min",
+            F.min("eq_min").over(
+                Window.orderBy(F.col("pc").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
     )
-    min_date_eq = F.min("o_orderdate").over(Window.partitionBy("pc"))
+    j = o.join(groups, "pc")
     dominated = (
         (
-            min_date_higher.isNotNull()
-            & (min_date_higher <= F.col("o_orderdate"))
+            F.col("higher_min").isNotNull()
+            & (F.col("higher_min") <= F.col("o_orderdate"))
         )
-        | (min_date_eq < F.col("o_orderdate"))
+        | (F.col("eq_min") < F.col("o_orderdate"))
     )
     return (
-        o.withColumn("dominated", dominated)
+        j.withColumn("dominated", dominated)
         .filter(~F.col("dominated"))
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy("o_orderkey")

@@ -102,6 +102,15 @@ def test_join_hints_honored_and_equivalent(spark):
         assert result(hinted) == base, hint
 
 
+def test_skyline_has_no_moving_start_frame(spark):
+    """Spark re-aggregates moving-start (…, UNBOUNDED FOLLOWING) window
+    frames per row — O(n²), a measured hang at 150k rows. The skyline
+    plan must contain no such frame (the rewrite uses an incremental
+    preceding-rows frame over price groups instead)."""
+    plan = _plan(registry.REGISTRY["skyline_orders"].fn(spark, SF_DIR))
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", ""), plan
+
+
 def test_gopher_repetition_short_doc_safe(spark):
     """One- and two-token documents must produce zero-gram rows, not a
     slice/sequence crash (the ADVICE.md word_shingles class of bug)."""
