@@ -489,7 +489,53 @@ ORDER BY a.cid
 """
 
 
+def stratified_kfold_embeddings(spark, sf_dir):
+    """Stratified k-fold assignment (k=5): within each label, rows are
+    ordered by md5(vec_id) — a fixed uniform permutation — and dealt
+    round-robin into folds, so every fold carries each label's count ±1
+    (the sklearn StratifiedKFold contract) with zero RNG state. Emits the
+    per-(fold, label) census the training loop consumes. One window
+    shuffle on label, one bounded-key aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "label",
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )
+    return (
+        assigned.groupBy("fold", "label")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("fold", "label")
+    )
+
+
+STRATIFIED_KFOLD_SQL = """
+WITH assigned AS (
+  SELECT vec_id, label,
+         CAST((row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1) % 5 AS INTEGER) AS fold
+  FROM embeddings
+)
+SELECT fold, label,
+       count(*) AS n_rows,
+       min(vec_id) AS min_vec_id
+FROM assigned
+GROUP BY fold, label
+ORDER BY fold, label
+"""
+
+
 REGISTRY_MLPREP = {
+    "stratified_kfold_embeddings": QuerySpec(
+        stratified_kfold_embeddings, STRATIFIED_KFOLD_SQL
+    ),
     "kmeans_assign_embeddings": QuerySpec(
         kmeans_assign_embeddings, KMEANS_ASSIGN_SQL
     ),

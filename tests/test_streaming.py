@@ -370,6 +370,60 @@ def test_stats_reporter_emits_on_interval(spark, tmp_path, events_dir, events_sc
         spark.streams.removeListener(listener)
 
 
+def test_foreachbatch_multi_sink_fanout_idempotent(spark, tmp_path):
+    """One stream, TWO sinks in a single foreachBatch (the fan-out shape:
+    archive + serving store). batchId-keyed idempotence: each sink writes
+    batch partitions under the epoch id, so a replayed epoch overwrites
+    instead of duplicating — asserted by running the same source through
+    a second checkpointed run (fresh checkpoint => every epoch replays)
+    and checking both sinks still equal the source exactly."""
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.5) for i in range(30)], "id long, v double"
+    )
+    src = str(tmp_path / "src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    sink_a = str(tmp_path / "archive")
+    sink_b = str(tmp_path / "serving")
+
+    def fanout(batch_df, batch_id):
+        # epoch-partitioned dynamic overwrite = replay-safe idempotence
+        for sink in (sink_a, sink_b):
+            (
+                batch_df.withColumn("epoch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(sink)
+            )
+
+    def run(ckpt):
+        stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(fanout)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    expected = sorted((r["id"], r["v"]) for r in df.collect())
+    for sink in (sink_a, sink_b):
+        got = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(sink).collect()
+        )
+        assert got == expected, sink
+    # full replay through a fresh checkpoint: same epochs, same overwrites
+    run(str(tmp_path / "ckpt2"))
+    for sink in (sink_a, sink_b):
+        got = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(sink).collect()
+        )
+        assert got == expected, f"replay duplicated rows in {sink}"
+
+
 def test_foreachbatch_running_aggregate_merges_across_epochs(spark, tmp_path):
     from kinesis_app_spark.streaming.ops import foreachbatch_running_aggregate
     from kinesis_app_spark.streaming.sources import file_stream
