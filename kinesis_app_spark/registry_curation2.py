@@ -599,7 +599,80 @@ ORDER BY p.doc_id
 """
 
 
+def langid_confusion_matrix(spark, sf_dir):
+    """Language-ID EVALUATION: confusion matrix of the stopword-marker
+    classifier against the ground-truth lang column, with per-cell share
+    of the true language's documents — the harness that turns "we have a
+    lang-id heuristic" into "we know its per-language failure modes"
+    (the same eval-first discipline as the retrieval metrics entry).
+    Two bounded-key aggregates; share is an exact integer ratio."""
+    from kinesis_app_spark.operators import textanalysis as TA
+
+    d = _t(spark, sf_dir, "documents")
+    pred = TA.lang_id(d).select("doc_id", "pred_lang")
+    truth = d.select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_lang"), 4
+            ).alias("share"),
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANGID_CONFUSION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, lang,
+         len(list_filter(t, x -> x IN ('the','a','of','and','is')))   AS c_en,
+         len(list_filter(t, x -> x IN ('el','la','de','y','es')))     AS c_es,
+         len(list_filter(t, x -> x IN ('le','la','de','et','est')))   AS c_fr,
+         len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+         len(list_filter(t, x -> x IN ('zh0','zh1','zh2','zh3','zh4'))) AS c_zh
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN c_zh > greatest(c_en, c_es, c_fr, c_de) THEN 'zh'
+           WHEN c_de > greatest(c_en, c_es, c_fr)       THEN 'de'
+           WHEN c_fr > greatest(c_en, c_es)             THEN 'fr'
+           WHEN c_es > c_en                             THEN 'es'
+           ELSE 'en'
+         END AS pred_lang
+  FROM counts
+), cells AS (
+  SELECT lang, pred_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT lang, sum(n_docs) AS n_lang FROM cells GROUP BY 1
+)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / t.n_lang, 4) AS share,
+       c.lang = c.pred_lang AS correct
+FROM cells c JOIN totals t USING (lang)
+ORDER BY c.lang, c.pred_lang
+"""
+
+
 REGISTRY_CURATION2 = {
+    "langid_confusion_matrix": QuerySpec(
+        langid_confusion_matrix, LANGID_CONFUSION_SQL
+    ),
     "dedup_survivor_provenance": QuerySpec(
         dedup_survivor_provenance, SURVIVOR_PROVENANCE_SQL
     ),

@@ -137,6 +137,44 @@ LIMIT 100
 """
 
 
+def kinesis_reshard_counts(spark, sf_dir):
+    """Resharding under the value gate: a 2-shard stream where shard 0
+    SPLITS at seq 40 (parent closes, two children partition the remaining
+    seqs by parity — sources/fake_kinesis.py models the Kinesis
+    split contract). Per-shard record counts and seq ranges are
+    arithmetically determined, so the oracle is a VALUES table — putting
+    the reference's untested resharding hole
+    (/root/reference/README.md:8) behind a cross-engine check, not just a
+    unit test."""
+    from kinesis_app_spark.sources.fake_kinesis import register
+
+    register(spark)
+    df = (
+        spark.read.format("fake_kinesis")
+        .option("numShards", 2)
+        .option("recordsPerShard", 100)
+        .option("splitShard", 0)
+        .option("splitAtSeq", 40)
+        .load()
+    )
+    return df.groupBy("shardId").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("sequenceNumber").alias("min_seq"),
+        F.max("sequenceNumber").alias("max_seq"),
+    ).orderBy("shardId")
+
+
+KINESIS_RESHARD_SQL = """
+SELECT * FROM (VALUES
+  ('shardId-000000000000', CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
+  ('shardId-000000000001', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT)),
+  ('shardId-000000001000', CAST(30 AS BIGINT), CAST(40 AS BIGINT), CAST(98 AS BIGINT)),
+  ('shardId-000000001001', CAST(30 AS BIGINT), CAST(41 AS BIGINT), CAST(99 AS BIGINT))
+) AS t(shardId, n_records, min_seq, max_seq)
+ORDER BY shardId
+"""
+
+
 def kinesis_shard_counts(spark, sf_dir):
     """Per-shard record + distinct-user counts over the Kinesis-shaped
     Python DataSource — the reference's `_shardItems` progress counter
@@ -415,6 +453,9 @@ REGISTRY_SCALE = {
     "sketch_aggregates": QuerySpec(sketch_aggregates, None),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
+    "kinesis_reshard_counts": QuerySpec(
+        kinesis_reshard_counts, KINESIS_RESHARD_SQL
+    ),
     "kinesis_stream_counts": QuerySpec(kinesis_stream_counts, KINESIS_SHARD_SQL),
     "skew_key_report_lineitem": QuerySpec(
         skew_key_report_lineitem, SKEW_REPORT_SQL
