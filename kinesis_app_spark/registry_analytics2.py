@@ -369,7 +369,101 @@ ORDER BY event_id
 """
 
 
+def burst_detection_users(spark, sf_dir):
+    """Per-user activity BURSTS: the maximum number of events any single
+    user packs into one rolling hour, top-20 burstiest users (rate-limit
+    / abuse detection's first query). The rolling count is a time-RANGE
+    frame over epoch seconds — both frame bounds move forward, so Spark
+    evaluates it INCREMENTALLY (contrast the skyline lesson: only
+    moving-start/unbounded-end frames degrade to per-row re-aggregation).
+    One shuffle on user_id; top-20 is TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+    )
+    bursts = e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_in_hour"),
+    )
+    per_user = bursts.groupBy("user_id").agg(
+        F.max("events_in_hour").alias("peak_hour_events"),
+        F.count("*").alias("n_events"),
+    )
+    return per_user.orderBy(
+        F.col("peak_hour_events").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+BURST_SQL = """
+WITH bursts AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+           AS events_in_hour
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         max(events_in_hour) AS peak_hour_events,
+         count(*) AS n_events
+  FROM bursts GROUP BY user_id
+)
+SELECT user_id, peak_hour_events, n_events
+FROM per_user
+ORDER BY peak_hour_events DESC, user_id ASC
+LIMIT 20
+"""
+
+
+def fulfillment_latency_histogram(spark, sf_dir):
+    """Order-to-ship latency distribution: days from order date to the
+    LAST lineitem shipment per order, bucketed by week — the
+    supply-chain SLA histogram. Exact integer day arithmetic; the
+    order⋈lineitem join shuffles on the natural key both sides."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    j = o.join(
+        last_ship, o.o_orderkey == last_ship.l_orderkey
+    ).select(
+        (
+            F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+        ).alias("latency_days")
+    )
+    # exact integer division (`div`): a double quotient can round to a
+    # neighbouring integer before the cast; DuckDB's `//` matches `div`
+    bucket = F.expr("latency_days div 7").cast("int").alias("latency_week")
+    return (
+        j.select(bucket)
+        .groupBy("latency_week")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("latency_week")
+    )
+
+
+FULFILLMENT_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+), lat AS (
+  SELECT CAST(datediff('day', o.o_orderdate, s.last_ship) // 7 AS INTEGER)
+           AS latency_week
+  FROM orders o JOIN last_ship s ON o.o_orderkey = s.l_orderkey
+)
+SELECT latency_week, count(*) AS n_orders
+FROM lat
+GROUP BY latency_week
+ORDER BY latency_week
+"""
+
+
 REGISTRY_ANALYTICS2 = {
+    "burst_detection_users": QuerySpec(burst_detection_users, BURST_SQL),
+    "fulfillment_latency_histogram": QuerySpec(
+        fulfillment_latency_histogram, FULFILLMENT_SQL
+    ),
     "attribution_linear_events": QuerySpec(
         attribution_linear_events, ATTRIBUTION_SQL
     ),
