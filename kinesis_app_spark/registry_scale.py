@@ -212,6 +212,44 @@ GROUP BY 1
 """
 
 
+def kinesis_reshard_stream_counts(spark, sf_dir):
+    """STREAMING consumption ACROSS a shard split, under the value gate:
+    the resharded source (parent closes at seq 40, parity children carry
+    the rest) is consumed as a checkpointed availableNow streaming query
+    in fetch-sized micro-batches; per-shard counts and seq ranges must
+    equal the arithmetic VALUES oracle. Together with
+    tests/test_fake_kinesis.py's exactly-once-across-restart test this
+    closes the reference's resharding hole end-to-end — batch view,
+    streaming view, and restart semantics all checked."""
+    import tempfile
+
+    from kinesis_app_spark.sources.fake_kinesis import register
+    from kinesis_app_spark.streaming.ops import run_to_memory
+
+    register(spark)
+    df = (
+        spark.readStream.format("fake_kinesis")
+        .option("numShards", 2)
+        .option("recordsPerShard", 100)
+        .option("maxRecordsPerFetch", 30)
+        .option("splitShard", 0)
+        .option("splitAtSeq", 40)
+        .load()
+    )
+    agg = df.groupBy("shardId").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("sequenceNumber").alias("min_seq"),
+        F.max("sequenceNumber").alias("max_seq"),
+    )
+    res = run_to_memory(
+        agg,
+        tempfile.mkdtemp(prefix="reshard_ckpt_"),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    return res.orderBy("shardId")
+
+
 def kinesis_stream_counts(spark, sf_dir):
     """The STREAMING twin of kinesis_shard_counts: the same Kinesis-shaped
     source consumed as a checkpointed Structured Streaming query
@@ -455,6 +493,9 @@ REGISTRY_SCALE = {
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
     "kinesis_reshard_counts": QuerySpec(
         kinesis_reshard_counts, KINESIS_RESHARD_SQL
+    ),
+    "kinesis_reshard_stream_counts": QuerySpec(
+        kinesis_reshard_stream_counts, KINESIS_RESHARD_SQL
     ),
     "kinesis_stream_counts": QuerySpec(kinesis_stream_counts, KINESIS_SHARD_SQL),
     "skew_key_report_lineitem": QuerySpec(
