@@ -629,7 +629,110 @@ ORDER BY o_orderkey
 """
 
 
+def revenue_concentration_by_segment(spark, sf_dir):
+    """Revenue-concentration report per market segment: the Gini
+    coefficient (rank formulation G = 2·Σ(iᵢ·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-ranked per-customer revenue) and the top-20%-customers
+    revenue share — the two numbers behind every "whales" conversation.
+    Revenue is cents-exact; rank·revenue products accumulate as
+    decimal(38,0); only the final closed form runs in double. Ties rank
+    deterministically by custkey.
+
+    Shape: orders roll up per customer (one shuffle), ranks ride one
+    window per segment, and the final aggregate is O(segments)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast(_DEC))
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rev_cents").asc(), F.col("o_custkey").asc()
+    )
+    ranked = per_cust.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cnt",
+        F.count("*").over(
+            Window.partitionBy("c_mktsegment")
+        ),
+    )
+    seg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("rev_cents").cast(_DEC)).cast("double").alias("total"),
+        F.sum((F.col("rk") * F.col("rev_cents")).cast(_DEC))
+        .cast("double")
+        .alias("rank_weighted"),
+        F.sum(
+            F.when(
+                # top 20% by revenue = the highest-ranked fifth (ascending
+                # ranks, so rk > 0.8n ⇔ strictly above the 80th position)
+                F.col("rk") * 5 > F.col("n_cnt") * 4,
+                F.col("rev_cents").cast(_DEC),
+            )
+        )
+        .cast("double")
+        .alias("top20_rev"),
+    )
+    return seg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.col("rank_weighted") / (F.col("n_customers") * F.col("total"))
+            - (F.col("n_customers") + 1.0) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top20_rev") / F.col("total"), 6).alias("top20_share"),
+    ).orderBy("c_mktsegment")
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH per_cust AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(sum(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, rev_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_cents ASC, o_custkey ASC) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n_cnt
+  FROM per_cust
+), seg AS (
+  SELECT c_mktsegment,
+         count(*) AS n_customers,
+         CAST(sum(CAST(rev_cents AS HUGEINT)) AS DOUBLE) AS total,
+         CAST(sum(CAST(rk * rev_cents AS HUGEINT)) AS DOUBLE) AS rank_weighted,
+         CAST(sum(CASE WHEN rk * 5 > n_cnt * 4
+                       THEN CAST(rev_cents AS HUGEINT) END) AS DOUBLE)
+           AS top20_rev
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       round(2.0 * rank_weighted / (n_customers * total)
+             - (n_customers + 1.0) / n_customers, 6) AS gini,
+       round(top20_rev / total, 6) AS top20_share
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
 REGISTRY_STATS = {
+    "revenue_concentration_by_segment": QuerySpec(
+        revenue_concentration_by_segment, REVENUE_CONCENTRATION_SQL
+    ),
     "skyline_orders": QuerySpec(skyline_orders, SKYLINE_SQL),
     "autocorrelation_daily_events": QuerySpec(
         autocorrelation_daily_events, AUTOCORR_SQL
