@@ -669,7 +669,119 @@ ORDER BY c.lang, c.pred_lang
 """
 
 
+def pipeline_pretraining_mix(spark, sf_dir):
+    """The rebalance plan APPLIED: compute each language's uniform-budget
+    keep-rate (as in lang_rebalance_plan), then actually sample the
+    corpus with the deterministic md5-micro draw (doc kept iff
+    md5(doc_id) mod 1e6 < rate) and report achieved vs budgeted token
+    mass per language — the full "plan the mix, build the mix, audit the
+    drift" loop in one query. Everything integer-exact except the final
+    achieved/budget ratio.
+
+    Shape: two O(langs) aggregates + a broadcast of the rate table back
+    onto one corpus scan; the sample predicate is a codegen projection,
+    so at 100 TB this is scan + two tiny joins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.token_count(F.col("text"))
+    per_lang = d.select("lang", toks.alias("t")).groupBy("lang").agg(
+        F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("lang_tokens")
+    )
+    tot = per_lang.agg(
+        F.sum(F.col("lang_tokens").cast("decimal(38,0)")).cast("long").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    rates = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        F.expr("total_tokens div n_langs").alias("budget_tokens"),
+        F.round(
+            F.least(
+                F.lit(1000000.0),
+                F.lit(1000000.0)
+                * (F.col("total_tokens") / F.col("n_langs")).cast("double")
+                / F.col("lang_tokens").cast("double"),
+            )
+        )
+        .cast("long")
+        .alias("keep_rate_micro"),
+    )
+    u_micro = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    sampled = (
+        d.select("lang", toks.alias("t"), u_micro.alias("u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("keep_rate_micro"))
+    )
+    kept = sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("kept_tokens"),
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            "budget_tokens",
+            "keep_rate_micro",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.round(
+                F.coalesce("kept_tokens", F.lit(0)).cast("double")
+                / F.col("budget_tokens").cast("double"),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+PRETRAINING_MIX_SQL = r"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                       AS HUGEINT)) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(CAST(lang_tokens AS HUGEINT)) AS BIGINT) AS total_tokens,
+         count(*) AS n_langs
+  FROM per_lang
+), rates AS (
+  SELECT lang, lang_tokens,
+         total_tokens // n_langs AS budget_tokens,
+         CAST(round(least(1000000.0,
+                          1000000.0 * (CAST(total_tokens AS DOUBLE) / n_langs)
+                            / CAST(lang_tokens AS DOUBLE))) AS BIGINT)
+           AS keep_rate_micro
+  FROM per_lang CROSS JOIN tot
+), sampled AS (
+  SELECT d.lang,
+         len(string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.keep_rate_micro
+), kept AS (
+  SELECT lang, count(*) AS n_docs_kept,
+         CAST(sum(CAST(t AS HUGEINT)) AS BIGINT) AS kept_tokens
+  FROM sampled GROUP BY lang
+)
+SELECT r.lang, r.lang_tokens, r.budget_tokens, r.keep_rate_micro,
+       CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       round(CAST(coalesce(k.kept_tokens, 0) AS DOUBLE)
+             / CAST(r.budget_tokens AS DOUBLE), 4) AS fill_ratio
+FROM rates r LEFT JOIN kept k USING (lang)
+ORDER BY r.lang
+"""
+
+
 REGISTRY_CURATION2 = {
+    "pipeline_pretraining_mix": QuerySpec(
+        pipeline_pretraining_mix, PRETRAINING_MIX_SQL
+    ),
     "langid_confusion_matrix": QuerySpec(
         langid_confusion_matrix, LANGID_CONFUSION_SQL
     ),
