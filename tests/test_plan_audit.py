@@ -37,6 +37,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "chi_square_events": "grand-total/dof marginals: 1-row broadcast",
     "lang_rebalance_plan": "corpus token total + lang count: 1-row broadcast",
     "seasonality_dow_index": "overall day/event totals: 1-row broadcast",
+    "pipeline_pretraining_mix": "corpus token total + lang count: 1-row "
+    "broadcast (same scalar as lang_rebalance_plan)",
     "hybrid_rrf_search": "per-query corpus stats: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
