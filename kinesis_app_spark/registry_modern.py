@@ -334,7 +334,81 @@ ORDER BY o_orderstatus
 """
 
 
+def sql_pipe_syntax_report(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0 ``|>`` operators): the linear
+    read-top-to-bottom form of a filter→aggregate→sort report — each
+    stage's input is the previous stage's output, the way the optimizer
+    already thinks. Same plan as the nested form; the oracle is the
+    classic formulation."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+    return spark.sql(
+        """
+        FROM lineitem_pv
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE count(*) AS n_rows,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)
+                          AS DOUBLE) AS price_sum
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE AS price_sum
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def collation_canonical_grouping(spark, sf_dir):
+    """Collation-aware grouping (Spark 4.0 ``collate``): order priorities
+    re-cased deterministically per row (upper/initcap/lower by orderkey
+    mod 3 — a dirty-data twin) group back together under UTF8_LCASE
+    WITHOUT a normalizing projection — the collation is metadata on the
+    comparison, not a rewrite of the data. The emitted key is lowercased
+    for cross-engine stability (the collated group's representative value
+    is partition-order-dependent); the oracle groups by lower()."""
+    o = _t(spark, sf_dir, "orders")
+    mixed = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority"))
+        .when(F.col("o_orderkey") % 3 == 1, F.initcap(F.lower("o_orderpriority")))
+        .otherwise(F.lower("o_orderpriority"))
+    )
+    return (
+        o.select(mixed.alias("pri_mixed"))
+        .groupBy(F.expr("collate(pri_mixed, 'UTF8_LCASE')").alias("pri"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.lower(F.col("pri").cast("string")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("priority")
+    )
+
+
+COLLATION_SQL = """
+SELECT lower(CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                  WHEN o_orderkey % 3 = 1
+                    THEN upper(substr(lower(o_orderpriority), 1, 1))
+                         || substr(lower(o_orderpriority), 2)
+                  ELSE lower(o_orderpriority) END) AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY priority
+"""
+
+
 REGISTRY_MODERN = {
+    "sql_pipe_syntax_report": QuerySpec(sql_pipe_syntax_report, SQL_PIPE_SQL),
+    "collation_canonical_grouping": QuerySpec(
+        collation_canonical_grouping, COLLATION_SQL
+    ),
     "sql_udf_net_revenue": QuerySpec(sql_udf_net_revenue, SQL_UDF_SQL),
     "sql_variables_param_query": QuerySpec(
         sql_variables_param_query, SQL_VARIABLES_SQL
