@@ -1318,6 +1318,8 @@ from kinesis_app_spark.registry_cdc import REGISTRY_CDC  # noqa: E402
 from kinesis_app_spark.registry_analytics import REGISTRY_ANALYTICS  # noqa: E402
 from kinesis_app_spark.registry_analytics2 import REGISTRY_ANALYTICS2  # noqa: E402
 from kinesis_app_spark.registry_analytics3 import REGISTRY_ANALYTICS3  # noqa: E402
+from kinesis_app_spark.registry_analytics4 import REGISTRY_ANALYTICS4  # noqa: E402
+from kinesis_app_spark.registry_geo import REGISTRY_GEO  # noqa: E402
 from kinesis_app_spark.registry_mlprep import REGISTRY_MLPREP  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
@@ -1340,6 +1342,8 @@ REGISTRY.update(REGISTRY_CDC)
 REGISTRY.update(REGISTRY_ANALYTICS)
 REGISTRY.update(REGISTRY_ANALYTICS2)
 REGISTRY.update(REGISTRY_ANALYTICS3)
+REGISTRY.update(REGISTRY_ANALYTICS4)
+REGISTRY.update(REGISTRY_GEO)
 REGISTRY.update(REGISTRY_MLPREP)
 
 

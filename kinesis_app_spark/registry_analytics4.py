@@ -1,0 +1,424 @@
+"""Data-layout and sketch-driven analytics: Z-order clustering audit,
+exact heavy hitters via a Misra-Gries pre-sketch, and regex pattern
+matching over per-user event sequences.
+
+Scale shapes:
+
+- Z-order: the Morton interleave is pure codegen bit arithmetic (no
+  shuffle at all to ASSIGN z-values); the audit aggregates per-bucket
+  min/max spans — the same file-statistics a lakehouse table format
+  (Delta/Iceberg OPTIMIZE ZORDER) would use for multi-dimensional data
+  skipping. The "linear" comparison layout buckets by insertion order
+  using ONE scalar broadcast (table max key), never a global sort.
+- Heavy hitters: Misra-Gries runs per partition over Arrow batches with
+  a fixed 200-counter summary, so the driver/shuffle only ever sees
+  O(partitions x 200) candidate rows regardless of key cardinality; the
+  exact recount is a broadcast semi-join + hash aggregate. Output is
+  EXACT (the sketch only prunes), so it hash-matches a plain GROUP BY
+  HAVING oracle.
+- Pattern match: per-user sequences fold in one keyed shuffle (the same
+  shape as sessionization); the regex runs once per user on a bounded
+  string, inside codegen via regexp_count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# Z-order (Morton) layout audit
+# =====================================================================
+
+_ZBITS = 10  # 10 bits per dimension -> 20-bit z-value
+_ZBUCKETS = 256  # z >> 12 -> 256 buckets; linear layout uses 256 too
+_KNUTH = 2654435761  # 2^32 / golden ratio: multiplicative key scramble
+
+
+def _morton(x, y):
+    """Interleave the low 10 bits of x (odd positions) and y (even):
+    pure shift/and/or arithmetic, fully inside whole-stage codegen."""
+    parts = []
+    for i in range(_ZBITS):
+        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        parts.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i))
+    return reduce(lambda a, b: a + b, parts)
+
+
+def zorder_layout_audit(spark, sf_dir):
+    """Would Z-ordering lineitem by (l_partkey, l_suppkey) improve data
+    skipping vs the natural insertion-order layout?  Assign every row a
+    Morton z-value over 10-bit scrambles of (partkey, suppkey) — the
+    multiplicative scramble models a high-cardinality dimension at any
+    scale factor, and point lookups still prune because the scramble is
+    deterministic — bucket the z-space into 256 files'-worth of ranges,
+    and report the per-bucket
+    min/max SPAN of each dimension — exactly the file statistics a
+    reader would prune on.  The linear layout buckets rows by
+    l_orderkey position (insertion order) for comparison; its spans
+    cover nearly the whole key domain on both dims, while z-order
+    buckets stay tight on both.
+
+    Scale: z-value assignment is shuffle-free codegen arithmetic; each
+    layout's audit is one hash aggregate on a 1-byte-ish bucket key; the
+    linear layout's max-orderkey anchor is a 1-row scalar broadcast
+    (allowlisted), never a global sort/ntile."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    # Knuth multiplicative scramble (2^32/phi) spreads each key over the
+    # full 10-bit domain regardless of its native cardinality — pure
+    # cross-engine bigint arithmetic, so the oracle reproduces it
+    # bit-for-bit (no engine-specific hash function).
+    x = (F.col("l_partkey").cast("long") * _KNUTH) % 1024
+    y = (F.col("l_suppkey").cast("long") * _KNUTH) % 1024
+    z = _morton(x, y)
+    zb = li.select(
+        F.shiftright(z, 12).alias("bucket"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    maxk = li.agg(F.max("l_orderkey").alias("maxk"))
+    lin = li.crossJoin(F.broadcast(maxk)).select(
+        (F.col("l_orderkey") * _ZBUCKETS / (F.col("maxk") + 1))
+        .cast("long")
+        .alias("bucket"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+
+    def spans(df, layout):
+        per_bucket = df.groupBy("bucket").agg(
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+        return per_bucket.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("x_span"), 4).alias("avg_x_span"),
+            F.round(F.avg("y_span"), 4).alias("avg_y_span"),
+            F.max("x_span").alias("max_x_span"),
+            F.max("y_span").alias("max_y_span"),
+        )
+
+    return spans(zb, "zorder").unionAll(spans(lin, "linear")).orderBy("layout")
+
+
+def _morton_sql(x, y):
+    parts = []
+    for i in range(_ZBITS):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(parts)
+
+
+ZORDER_SQL = f"""
+WITH base AS (
+  SELECT l_orderkey,
+         (CAST(l_partkey AS BIGINT) * {_KNUTH}) % 1024 AS x,
+         (CAST(l_suppkey AS BIGINT) * {_KNUTH}) % 1024 AS y
+  FROM lineitem
+), zb AS (
+  SELECT ({_morton_sql('x', 'y')}) >> 12 AS bucket, x, y FROM base
+), lin AS (
+  SELECT CAST(floor(l_orderkey * {_ZBUCKETS}
+                    / ((SELECT max(l_orderkey) FROM base) + 1))
+              AS BIGINT) AS bucket, x, y
+  FROM base
+), zspans AS (
+  SELECT bucket, max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+  FROM zb GROUP BY 1
+), lspans AS (
+  SELECT bucket, max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+  FROM lin GROUP BY 1
+), both_layouts AS (
+  SELECT 'zorder' AS layout, count(*) AS n_buckets,
+         CAST(round(avg(x_span), 4) AS DOUBLE) AS avg_x_span,
+         CAST(round(avg(y_span), 4) AS DOUBLE) AS avg_y_span,
+         max(x_span) AS max_x_span, max(y_span) AS max_y_span
+  FROM zspans
+  UNION ALL
+  SELECT 'linear', count(*),
+         CAST(round(avg(x_span), 4) AS DOUBLE),
+         CAST(round(avg(y_span), 4) AS DOUBLE),
+         max(x_span), max(y_span)
+  FROM lspans
+)
+SELECT * FROM both_layouts ORDER BY layout
+"""
+
+
+# =====================================================================
+# exact heavy hitters via Misra-Gries pre-sketch
+# =====================================================================
+
+_MG_CAPACITY = 200  # guarantees recall for any item with share > 1/201
+_HH_PERCENT = 1  # report tokens owning > 1% of the whole token stream
+
+
+def _misra_gries_partition(batches):
+    """Per-partition Misra-Gries summary over Arrow batches of document
+    text: tokens stream through at most _MG_CAPACITY counters; any token
+    with partition frequency > n_p/(capacity+1) is guaranteed a
+    surviving counter (the classic decrement argument), so
+    globally-frequent tokens always reach the recount phase.  Only the
+    surviving KEYS are emitted — O(capacity) rows per partition, never
+    the token stream itself."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for text in pdf["text"].astype(str):
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+    if counters:
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def heavy_hitters_tokens(spark, sf_dir):
+    """EXACT list of tokens owning more than 1% of the corpus token
+    stream, found the way a 100 TB job has to: a fixed-size Misra-Gries
+    sketch per partition (mapInPandas, 200 counters) produces a
+    candidate set of O(partitions x 200) rows no matter how large the
+    vocabulary is; an exact recount over the broadcast candidates then
+    filters to the true hitters.  The sketch can only over-generate
+    (recall = 1 for any token above the 1/201 partition share and the
+    1% global share is far above that), so the recount makes the output
+    exact and the plain explode + GROUP BY ... HAVING oracle
+    hash-matches.
+
+    Scale: the full-vocabulary explode + ``GROUP BY token`` the oracle
+    runs is exactly what this shape avoids — no shuffle keyed on a
+    billion-term vocabulary; one column-pruned scan for the sketch, one
+    explode filtered by the broadcast candidate set (array_contains
+    prunes BEFORE the explode multiplies rows) for the recount, one
+    1-row total broadcast (allowlisted)."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    candidates = (
+        d.mapInPandas(_misra_gries_partition, "token string").distinct()
+    )
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    total = toks.agg(F.sum(F.size("toks")).alias("total"))
+    cand_arr = candidates.agg(
+        F.array_sort(F.collect_list("token")).alias("cand")
+    )
+    counts = (
+        toks.crossJoin(F.broadcast(cand_arr))
+        .select(
+            F.explode(
+                F.filter(
+                    F.col("toks"),
+                    lambda t: F.array_contains(F.col("cand"), t),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 100 > F.col("total") * _HH_PERCENT)
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") * 100.0 / F.col("total"), 4).alias(
+                "pct_of_tokens"
+            ),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), nonempty AS (
+  SELECT token FROM tok WHERE token <> ''
+), t AS (SELECT count(*) AS total FROM nonempty),
+c AS (SELECT token, count(*) AS n_occurrences FROM nonempty GROUP BY 1)
+SELECT c.token, c.n_occurrences,
+       CAST(round(c.n_occurrences * 100.0 / t.total, 4) AS DOUBLE)
+         AS pct_of_tokens
+FROM c, t
+WHERE c.n_occurrences * 100 > t.total * {_HH_PERCENT}
+ORDER BY n_occurrences DESC, token
+"""
+
+
+# =====================================================================
+# regex pattern matching over per-user event sequences
+# =====================================================================
+
+_PATTERN = "v[ce]*p"  # view, then purchase, with only clicks/errors between
+
+
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence analytics: encode each user's
+    event history as a string of type initials (event ids are assigned
+    in ts order, so sorting by event_id is arrival order), count
+    non-overlapping occurrences of the conversion pattern
+    'view (click|error)* purchase' with regexp_count, and histogram
+    users by match count.
+
+    Scale: ONE shuffle keyed on user_id folds the sequence (same shape
+    as sessionization); the regex runs once per user on a
+    bounded-length string inside codegen — no Python, no self-join over
+    event pairs, no state machine UDF."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    paths = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.select(
+            F.regexp_count("path", F.lit(_PATTERN)).alias("match_count"),
+            F.length("path").alias("n_events"),
+        )
+        .groupBy("match_count")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_user"),
+        )
+        .orderBy("match_count")
+    )
+
+
+EVENT_PATTERN_SQL = f"""
+WITH p AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS path
+  FROM events GROUP BY 1
+)
+SELECT len(regexp_extract_all(path, '{_PATTERN}')) AS match_count,
+       count(*) AS n_users,
+       CAST(round(avg(length(path)), 4) AS DOUBLE) AS avg_events_per_user
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
+# merge overlapping intervals (gaps-and-islands)
+# =====================================================================
+
+_ISLAND_SPAN_S = 300  # each event opens a 5-minute activity interval
+
+
+def merge_intervals_events(spark, sf_dir):
+    """Gaps-and-islands: every event opens a 5-minute activity interval;
+    overlapping/touching intervals per user merge into islands.  The
+    classic rewrite — running max of interval end over the per-user
+    ordering, a new-island flag wherever the next start clears it, a
+    running sum of flags as the island id — does the whole merge in ONE
+    shuffle keyed on user_id with three stacked window functions over
+    the same (user_id, start, event_id) sort, so Spark plans a single
+    Exchange + Sort.  Output per user: island count, covered seconds,
+    and the busiest island's event count.
+
+    Scale: no self-join, no explode of the time axis; cost is the one
+    keyed sort regardless of how long users' histories are."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + _ISLAND_SPAN_S).alias("end"),
+    )
+    order = Window.partitionBy("user_id").orderBy("start", "event_id")
+    prev_max_end = F.max("end").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        (F.max("end") - F.min("start")).alias("covered_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("covered_s").alias("covered_s"),
+            F.max("n_events").alias("max_island_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MERGE_INTERVALS_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_ISLAND_SPAN_S} AS end_s
+  FROM events
+), flagged AS (
+  SELECT user_id, start_s, end_s,
+         CASE WHEN max(end_s) OVER (PARTITION BY user_id
+                                    ORDER BY start_s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                OR start_s > max(end_s) OVER (PARTITION BY user_id
+                                              ORDER BY start_s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), labeled AS (
+  SELECT user_id, start_s, end_s,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island,
+         max(end_s) - min(start_s) AS covered_s,
+         count(*) AS n_events
+  FROM labeled GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_islands, sum(covered_s) AS covered_s,
+       max(n_events) AS max_island_events
+FROM islands GROUP BY 1 ORDER BY user_id
+"""
+
+
+REGISTRY_ANALYTICS4 = {
+    "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
+    "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
+    "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),
+    "merge_intervals_events": QuerySpec(
+        merge_intervals_events, MERGE_INTERVALS_SQL
+    ),
+}

@@ -1,0 +1,91 @@
+"""Unit tests for the registry_analytics4 kernels: the Morton interleave
+matches a bit-twiddling Python reference, the Misra-Gries sketch keeps
+every frequent key (recall guarantee), and the z-order layout actually
+beats the linear layout on both dimensions' spans."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_analytics4 import (
+    _MG_CAPACITY,
+    _misra_gries_partition,
+    _morton,
+    heavy_hitters_tokens,
+    zorder_layout_audit,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_morton(x: int, y: int) -> int:
+    z = 0
+    for i in range(10):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def test_morton_matches_python_reference(spark):
+    pairs = [(0, 0), (1, 0), (0, 1), (1023, 1023), (513, 257), (70, 900)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", _morton(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == _py_morton(x, y), (x, y)
+
+
+def test_misra_gries_keeps_frequent_keys():
+    # 300 distinct rare tokens (beyond capacity) + one token at 40% share:
+    # the frequent token MUST survive; the summary must stay <= capacity.
+    rare = [f"tok{i}" for i in range(300)]
+    stream = []
+    for i, t in enumerate(rare):
+        stream.append(t)
+        if i % 2 == 0:
+            stream.append("hot")
+        if i % 3 == 0:
+            stream.append("hot")
+    text = " ".join(stream)
+    out = list(_misra_gries_partition([pd.DataFrame({"text": [text]})]))
+    assert len(out) == 1
+    survivors = set(out[0]["token"])
+    assert "hot" in survivors
+    assert len(survivors) <= _MG_CAPACITY
+
+
+def test_zorder_beats_linear_on_both_spans(spark):
+    rows = {r.layout: r for r in zorder_layout_audit(spark, SF_DIR).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    # z-order buckets must be tighter than insertion-order buckets on the
+    # partkey dimension and no worse on the suppkey dimension — that is
+    # the entire point of the layout.
+    assert z.avg_x_span < lin.avg_x_span
+    assert z.avg_y_span <= lin.avg_y_span
+
+
+def test_heavy_hitters_exactness_vs_full_groupby(spark):
+    # the sketch path must equal the brute-force full GROUP BY at the
+    # same 1% threshold (recall guarantee + exact recount).
+    got = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters_tokens(spark, SF_DIR).collect()
+    }
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = toks.count()
+    exact = {
+        (r.token, r.n)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.n * 100 > total
+    }
+    assert got == exact

@@ -37,6 +37,11 @@ ALLOWED_NLJ: dict[str, str] = {
     "chi_square_events": "grand-total/dof marginals: 1-row broadcast",
     "lang_rebalance_plan": "corpus token total + lang count: 1-row broadcast",
     "seasonality_dow_index": "overall day/event totals: 1-row broadcast",
+    "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
+    "broadcast (z-order branch is shuffle-free arithmetic)",
+    "heavy_hitters_tokens": "corpus token total + candidate vocab array: "
+    "1-row broadcasts (candidate set is O(partitions x sketch capacity) "
+    "by construction)",
     "pipeline_pretraining_mix": "corpus token total + lang count: 1-row "
     "broadcast (same scalar as lang_rebalance_plan)",
     "hybrid_rrf_search": "per-query corpus stats: 1-row broadcast",
