@@ -356,16 +356,36 @@ def simhash_pairs(
     num_bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    token_hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on num_bits/bands-bit fields of the
     packed long (pigeonhole: hamming <= bands-1 guarantees a shared band),
-    verify exact Hamming distance with bit_count(xor)."""
+    verify exact Hamming distance with bit_count(xor).
+
+    Because max_hamming <= bands-1, the banding NEVER misses a qualifying
+    pair — the output is EXACTLY every pair with Hamming distance <=
+    max_hamming, independent of the banding. That makes the result
+    oracle-checkable whenever the token hash is reproducible outside
+    Spark: ``token_hasher="md5"`` uses the low 60 bits of MD5 (
+    conv(substr(md5(t),1,15),16,10) — both Spark and DuckDB compute this
+    bit-for-bit; pass num_bits=60 with it), while the default
+    ``"xxhash64"`` stays on the faster engine-native hash."""
     from kinesis_app_spark.functions.text import tokens as tok
 
     band_width = num_bits // bands
+    if token_hasher == "md5":
+        if num_bits > 60:
+            raise ValueError("md5 token hasher provides 60 portable bits")
+        hasher = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10
+        ).cast("long")
+    elif token_hasher == "xxhash64":
+        hasher = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown token_hasher: {token_hasher!r}")
     hashed = spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(tok(F.col(text_col)), lambda t: F.xxhash64(t)).alias("hashes"),
+        F.transform(tok(F.col(text_col)), hasher).alias("hashes"),
     )
     s = hashed.select(
         "id",

@@ -911,8 +911,42 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates — xxhash64 bit arithmetic, no SQL oracle."""
-    return D.simhash_pairs(_t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs on the PORTABLE 60-bit MD5 token-hash
+    family: with bands=4 and max_hamming=3 the pigeonhole guarantee makes
+    the banded output exactly {pairs with Hamming <= 3}, so DuckDB can
+    check it by computing the same signatures (same md5 bit arithmetic,
+    same +/-1 votes) and brute-forcing all pairs — the quadratic form the
+    banding equi-join replaces at scale."""
+    return D.simhash_pairs(
+        _t(spark, sf_dir, "documents"), num_bits=60, token_hasher="md5"
+    )
+
+
+DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, bits.b AS b,
+         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bits
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def dedup_embedding_cosine(spark, sf_dir):
@@ -1278,7 +1312,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact_survivors": QuerySpec(dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_SQL),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_JACCARD_SQL),
-    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_cosine_np": QuerySpec(
         dedup_embedding_cosine_np, DEDUP_EMBEDDING_SQL
