@@ -1,0 +1,311 @@
+"""Registry: Spark 4.0 DataFrame-API surfaces a migrating user reaches
+for next — relational transpose, the correlated lateralJoin API, the
+try_* error-safe arithmetic family, and the map higher-order functions.
+
+Scale notes: transpose is driver-safe only on ALREADY-AGGREGATED tiny
+frames (it pivots column names from data — the input here is 5 rows);
+lateralJoin plans a correlated subquery per outer row, kept to a
+dimension-sized outer side; try_* and map_* are pure codegen expressions
+with zero extra shuffles over their non-try siblings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# DataFrame.transpose over an aggregated region scorecard
+# =====================================================================
+
+def transpose_region_metrics(spark, sf_dir):
+    """Region scorecard flipped metrics-as-rows with Spark 4's native
+    ``DataFrame.transpose``: aggregate customers per region (5 rows),
+    then transpose so each metric becomes a row and each region a
+    column — the layout a reporting surface wants.  Sums accumulate in
+    DECIMAL before the final double cast so the values are
+    reassociation-proof; transpose itself runs AFTER aggregation, so the
+    pivoted frame is dimension-sized (transposing pivots data into
+    column names — only ever sane on a tiny aggregated input, which is
+    exactly how it is used here)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)")), 2
+            ).cast("double").alias("balance_sum"),
+            F.countDistinct("n_name").cast("double").alias("n_nations"),
+        )
+    )
+    return per_region.transpose(F.col("r_name")).orderBy("key")
+
+
+TRANSPOSE_SQL = """
+WITH per AS (
+  SELECT r_name,
+         CAST(count(*) AS DOUBLE) AS n_customers,
+         CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE)
+           AS balance_sum,
+         CAST(count(DISTINCT n_name) AS DOUBLE) AS n_nations
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+), metrics(key, ord) AS (
+  VALUES ('balance_sum', 1), ('n_customers', 2), ('n_nations', 3)
+)
+SELECT m.key,
+       max(CASE WHEN r_name = 'AFRICA' THEN
+         CASE m.key WHEN 'n_customers' THEN n_customers
+                    WHEN 'balance_sum' THEN balance_sum
+                    ELSE n_nations END END) AS "AFRICA",
+       max(CASE WHEN r_name = 'AMERICA' THEN
+         CASE m.key WHEN 'n_customers' THEN n_customers
+                    WHEN 'balance_sum' THEN balance_sum
+                    ELSE n_nations END END) AS "AMERICA",
+       max(CASE WHEN r_name = 'ASIA' THEN
+         CASE m.key WHEN 'n_customers' THEN n_customers
+                    WHEN 'balance_sum' THEN balance_sum
+                    ELSE n_nations END END) AS "ASIA",
+       max(CASE WHEN r_name = 'EUROPE' THEN
+         CASE m.key WHEN 'n_customers' THEN n_customers
+                    WHEN 'balance_sum' THEN balance_sum
+                    ELSE n_nations END END) AS "EUROPE",
+       max(CASE WHEN r_name = 'MIDDLE EAST' THEN
+         CASE m.key WHEN 'n_customers' THEN n_customers
+                    WHEN 'balance_sum' THEN balance_sum
+                    ELSE n_nations END END) AS "MIDDLE EAST"
+FROM per, metrics m
+GROUP BY m.key, m.ord
+ORDER BY m.key
+"""
+
+
+# =====================================================================
+# DataFrame.lateralJoin: top-2 customers per nation (correlated limit)
+# =====================================================================
+
+def lateral_join_api_topk(spark, sf_dir):
+    """Per-nation top-2 customers by balance through the Spark 4
+    ``DataFrame.lateralJoin`` API: the right side is a correlated
+    subquery (filter on ``.outer()`` reference + sort + LIMIT 2) that
+    re-executes per outer row — the DataFrame twin of SQL LATERAL
+    (already covered by sql_lateral_topk).  The outer side is the
+    25-row nation dimension, which is the only shape a per-row
+    correlated limit is sane for; the grouped-window rewrite (see
+    topk_parts_per_brand) remains the path when the outer side is a
+    fact table."""
+    n = _t(spark, sf_dir, "nation").alias("n")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    top2 = (
+        c.where(F.col("c.c_nationkey") == F.col("n.n_nationkey").outer())
+        .orderBy(F.desc("c.c_acctbal"), F.asc("c.c_custkey"))
+        .limit(2)
+    )
+    return (
+        n.lateralJoin(top2)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy("n_name", F.desc("acctbal"), "c_custkey")
+    )
+
+
+LATERAL_API_SQL = """
+WITH ranked AS (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, c_name,
+       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal
+FROM ranked WHERE rk <= 2
+ORDER BY n_name, acctbal DESC, c_custkey
+"""
+
+
+# =====================================================================
+# try_* error-safe arithmetic family
+# =====================================================================
+
+_LMAX = 9223372036854775807
+
+
+def try_arithmetic_battery(spark, sf_dir):
+    """The try_* family end-to-end: engineered rows push bigint add /
+    subtract / multiply into overflow and division by zero, and the
+    try_ variants yield NULL instead of failing the 1000-task stage —
+    the semantics a 100 TB job needs when one poisoned row must not
+    kill the run.  Aggregated per order-status: null counts per
+    operator plus try_sum/try_avg over the safe quotient.  All pure
+    codegen expressions; same plan shape as the unsafe siblings."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.when(F.col("o_orderkey") % 7 == 0, F.lit(_LMAX)).otherwise(
+        F.col("o_orderkey").cast("long")
+    )
+    neg = F.when(F.col("o_orderkey") % 11 == 0, F.lit(-_LMAX - 1)).otherwise(
+        F.col("o_orderkey").cast("long")
+    )
+    probed = o.select(
+        "o_orderstatus",
+        F.try_add(big, F.lit(1)).alias("t_add"),
+        F.try_subtract(neg, F.lit(1)).alias("t_sub"),
+        F.try_multiply(big, F.lit(2)).alias("t_mul"),
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")
+        ).alias("t_div"),
+    )
+    return (
+        probed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("t_add").isNull(), 1).otherwise(0)).alias(
+                "add_overflows"
+            ),
+            F.sum(F.when(F.col("t_sub").isNull(), 1).otherwise(0)).alias(
+                "sub_overflows"
+            ),
+            F.sum(F.when(F.col("t_mul").isNull(), 1).otherwise(0)).alias(
+                "mul_overflows"
+            ),
+            F.sum(F.when(F.col("t_div").isNull(), 1).otherwise(0)).alias(
+                "div_by_zero"
+            ),
+            F.round(
+                F.try_sum(F.col("t_div").cast("decimal(30,8)")), 2
+            ).cast("double").alias("safe_div_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+TRY_ARITH_SQL = f"""
+WITH probed AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(o_orderkey AS BIGINT) + 1 END AS t_add,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE CAST(o_orderkey AS BIGINT) - 1 END AS t_sub,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(o_orderkey AS BIGINT) * 2 END AS t_mul,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) END AS t_div
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       sum(CASE WHEN t_add IS NULL THEN 1 ELSE 0 END) AS add_overflows,
+       sum(CASE WHEN t_sub IS NULL THEN 1 ELSE 0 END) AS sub_overflows,
+       sum(CASE WHEN t_mul IS NULL THEN 1 ELSE 0 END) AS mul_overflows,
+       sum(CASE WHEN t_div IS NULL THEN 1 ELSE 0 END) AS div_by_zero,
+       CAST(round(sum(CAST(t_div AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS safe_div_sum
+FROM probed
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# =====================================================================
+# map higher-order functions battery
+# =====================================================================
+
+def map_functions_battery(spark, sf_dir):
+    """Map higher-order functions over a per-status month→count map:
+    map_from_entries builds it, transform_values rescales counts to
+    shares, map_filter keeps busy months, map_zip_with joins the count
+    map with a revenue map — then one explode back to rows so the gate
+    can value-check the pipeline.  Everything is codegen expressions on
+    grouped data; the maps never exceed 12 keys by construction."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice").cast("decimal(30,8)").alias("price"),
+    )
+    per_month = o.groupBy("o_orderstatus", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").alias("rev"),
+    )
+    mapped = per_month.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("m", "n")))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("m", "rev")))
+        ).alias("revs"),
+        F.sum("n").alias("total"),
+    )
+    zipped = mapped.select(
+        "o_orderstatus",
+        F.map_zip_with(
+            F.map_filter("counts", lambda _, v: v >= 5),
+            F.transform_values(
+                "revs", lambda _, v: F.round(v, 2).cast("double")
+            ),
+            lambda _, n, rev: F.struct(
+                n.alias("n"),
+                rev.alias("rev"),
+            ),
+        ).alias("joined"),
+        "total",
+    )
+    return (
+        zipped.select(
+            "o_orderstatus",
+            "total",
+            F.explode("joined").alias("month", "v"),
+        )
+        .filter(F.col("v.n").isNotNull())
+        .select(
+            "o_orderstatus",
+            "month",
+            F.col("v.n").alias("n_orders"),
+            F.round(F.col("v.n") / F.col("total"), 4).alias("share"),
+            F.col("v.rev").alias("revenue"),
+        )
+        .orderBy("o_orderstatus", "month")
+    )
+
+
+MAP_BATTERY_SQL = """
+WITH per AS (
+  SELECT o_orderstatus, month(o_orderdate) AS month,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT o_orderstatus, sum(n_orders) AS total FROM per GROUP BY 1
+)
+SELECT p.o_orderstatus, p.month, p.n_orders,
+       CAST(round(p.n_orders * 1.0 / t.total, 4) AS DOUBLE) AS share,
+       p.revenue
+FROM per p JOIN tot t USING (o_orderstatus)
+WHERE p.n_orders >= 5
+ORDER BY p.o_orderstatus, p.month
+"""
+
+
+REGISTRY_MODERN3 = {
+    "transpose_region_metrics": QuerySpec(
+        transpose_region_metrics, TRANSPOSE_SQL
+    ),
+    "lateral_join_api_topk": QuerySpec(lateral_join_api_topk, LATERAL_API_SQL),
+    "try_arithmetic_battery": QuerySpec(
+        try_arithmetic_battery, TRY_ARITH_SQL
+    ),
+    "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
+}
