@@ -299,7 +299,72 @@ ORDER BY p.o_orderstatus, p.month
 """
 
 
+# =====================================================================
+# Observation API: in-flight data-quality metrics during an ETL pass
+# =====================================================================
+
+def observed_ingest_metrics(spark, sf_dir):
+    """Data-quality counters observed DURING a real ETL pass with the
+    Observation API: the shipped-lineitem cohort streams to a noop sink
+    (the stand-in for a production write) while ``df.observe`` computes
+    row count, decimal-exact quantity/price sums, and the date range on
+    the SAME pass — no second scan of the table to get the audit
+    numbers.  The observed metrics are returned as the 1-row result.
+
+    Scale: at 100 TB the difference between observe-on-the-write and a
+    separate audit query is a full extra table scan; Observation rides
+    the task-completion path (an AccumulatorV2 under the hood), adding
+    zero shuffles."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    obs = Observation("ingest_dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("qty_sum"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+        F.min(F.col("l_shipdate").cast("string")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("string")).alias("last_ship"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["qty_sum"],
+                m["price_sum"],
+                m["first_ship"],
+                m["last_ship"],
+            )
+        ],
+        "n_rows long, qty_sum double, price_sum double, "
+        "first_ship string, last_ship string",
+    )
+
+
+OBSERVED_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS qty_sum,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS price_sum,
+       CAST(min(l_shipdate) AS VARCHAR) AS first_ship,
+       CAST(max(l_shipdate) AS VARCHAR) AS last_ship
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+"""
+
+
 REGISTRY_MODERN3 = {
+    "observed_ingest_metrics": QuerySpec(observed_ingest_metrics, OBSERVED_SQL),
     "transpose_region_metrics": QuerySpec(
         transpose_region_metrics, TRANSPOSE_SQL
     ),
