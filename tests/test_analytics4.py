@@ -89,3 +89,52 @@ def test_heavy_hitters_exactness_vs_full_groupby(spark):
         if r.n * 100 > total
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------
+# property tests (pure Python — no Spark roundtrip needed)
+# ---------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# vocabulary larger than _MG_CAPACITY so evictions genuinely occur
+_tok = st.sampled_from([f"w{i}" for i in range(300)] + ["hot1", "hot2"])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_tok, min_size=0, max_size=600))
+def test_misra_gries_survival_property(stream):
+    """Any token with frequency > n/(capacity+1) must survive the sketch
+    (the decrement argument) — on arbitrary streams, not just fixtures."""
+    text = " ".join(stream)
+    out = list(_misra_gries_partition([pd.DataFrame({"text": [text]})]))
+    survivors = set(out[0]["token"]) if out else set()
+    counts = Counter(stream)
+    n = len(stream)
+    for tok, cnt in counts.items():
+        if cnt * (_MG_CAPACITY + 1) > n:
+            assert tok in survivors, (tok, cnt, n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+def test_morton_python_reference_bijective_prefix(x, y):
+    """The Python reference interleave is consistent: equal high bits of
+    x and y imply equal z-prefix (the property bucketing relies on), and
+    the interleave round-trips exactly."""
+    z = _py_morton(x, y)
+    # de-interleave round-trip
+    rx = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+    ry = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+    assert (rx, ry) == (x, y)
+    # bucket (z >> 12) is exactly (x >> 6, y >> 6) interleaved
+    bucket = z >> 12
+    expected = sum((((x >> 6) >> i & 1) << (2 * i + 1))
+                   + (((y >> 6) >> i & 1) << (2 * i)) for i in range(4))
+    assert bucket == expected
