@@ -790,7 +790,51 @@ GROUP BY 1, 2, 3
 """
 
 
+def streaming_state_store_audit(spark, sf_dir):
+    """Batch-read the STATE STORE of a finished stateful streaming query
+    (Spark 4 ``statestore`` reader) and prove the persisted state equals
+    the batch aggregate — the ops surface for debugging a stuck 100 TB
+    streaming job: inspect exactly what each grouping key's state holds
+    at a committed batch, without replaying the stream.
+
+    The stream runs per-user count + decimal-exact value sums to a
+    checkpoint; the audit then loads ``format("statestore")`` from that
+    checkpoint and flattens key/value structs (columns selected
+    positionally — state buffer field names are engine-internal).
+
+    Scale: the state read is a partitioned scan of the checkpoint's
+    state files (one task per state partition), never a stream replay."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    stream, ckpt = _mk_stream(spark, ev)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("value_sum"),
+    )
+    run_to_memory(agg, ckpt, output_mode="update")
+    flat = (
+        spark.read.format("statestore").load(ckpt).select("key.*", "value.*")
+    )
+    c = flat.columns
+    return flat.select(
+        F.col(c[0]).alias("user_id"),
+        F.col(c[1]).alias("n_events"),
+        F.round(F.col(c[2]), 2).cast("double").alias("value_sum"),
+    ).orderBy("user_id")
+
+
+STREAMING_STATE_AUDIT_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS value_sum
+FROM events WHERE user_id < 300
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY_STREAMING = {
+    "streaming_state_store_audit": QuerySpec(
+        streaming_state_store_audit, STREAMING_STATE_AUDIT_SQL
+    ),
     "streaming_sliding_counts": QuerySpec(
         streaming_sliding_counts, STREAMING_SLIDING_SQL
     ),
