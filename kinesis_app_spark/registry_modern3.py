@@ -300,6 +300,73 @@ ORDER BY p.o_orderstatus, p.month
 
 
 # =====================================================================
+# polymorphic Python UDTF: output schema computed by analyze()
+# =====================================================================
+
+_WIN = 3  # token-window width baked into the SQL below
+
+
+def udtf_polymorphic_token_windows(spark, sf_dir):
+    """POLYMORPHIC Python UDTF: ``analyze()`` computes the output schema
+    from the literal window-width argument at plan time — tok1..tokN
+    become real typed columns, not an array — so the same table function
+    serves any N without code changes (the Spark 4 UDTF surface beyond
+    the static-schema udtf_sentence_split).  Emits each document's
+    sliding 3-token windows as columns plus the window position.
+
+    Scale: Python UDTFs are row-at-a-time — the registry keeps this on a
+    bounded cohort (doc_id < 50, same as the static UDTF entry) and the
+    docstring points bulk n-gram work at the codegen shingle operators
+    (functions/text.py); this entry exists to pin the API surface."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TokenWindows:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument):
+            width = n.value  # literal at plan time
+            return AnalyzeResult(
+                StructType(
+                    [StructField("pos", IntegerType())]
+                    + [
+                        StructField(f"tok{i + 1}", StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (i, *toks[i : i + n])
+
+    spark.udtf.register("udtf_token_windows", udtf(TokenWindows))
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_win_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id, w.pos, w.tok1, w.tok2, w.tok3
+        FROM udtf_win_docs, LATERAL udtf_token_windows(text, {_WIN}) w
+        """
+    )
+
+
+UDTF_POLY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       toks[i] AS tok1, toks[i + 1] AS tok2, toks[i + 2] AS tok3
+FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+"""
+
+
+# =====================================================================
 # Observation API: in-flight data-quality metrics during an ETL pass
 # =====================================================================
 
@@ -364,6 +431,9 @@ WHERE l_shipdate IS NOT NULL
 
 
 REGISTRY_MODERN3 = {
+    "udtf_polymorphic_token_windows": QuerySpec(
+        udtf_polymorphic_token_windows, UDTF_POLY_SQL
+    ),
     "observed_ingest_metrics": QuerySpec(observed_ingest_metrics, OBSERVED_SQL),
     "transpose_region_metrics": QuerySpec(
         transpose_region_metrics, TRANSPOSE_SQL
