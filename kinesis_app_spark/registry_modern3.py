@@ -367,6 +367,70 @@ FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
 
 
 # =====================================================================
+# UDTF with TABLE argument + PARTITION BY: per-partition lifecycle
+# =====================================================================
+
+def udtf_table_arg_per_source(spark, sf_dir):
+    """UDTF consuming a TABLE argument with PARTITION BY — the closest
+    Spark surface to the reference's per-shard Processor lifecycle
+    (Processor callback per shard, src/Kinesis/Coordination.hs:51-53):
+    ``__init__`` is the processor opening a shard, ``eval`` sees every
+    record of that partition, ``terminate`` emits the shard summary when
+    the partition is exhausted.  Here each source partition folds doc
+    count, total chars, and the distinct-language count into one
+    summary row.
+
+    Scale: Spark shuffles on the PARTITION BY key and feeds each
+    partition's rows to one UDTF instance — the same keyed-shuffle cost
+    as a groupBy, with arbitrary imperative per-partition state; use it
+    when the per-partition fold genuinely can't be expressed as
+    aggregates (this one could — the entry pins the lifecycle surface)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="source string, n_docs int, total_chars bigint, "
+        "n_langs int"
+    )
+    class PerSourceStats:
+        def __init__(self):
+            self.src = None
+            self.n = 0
+            self.chars = 0
+            self.langs = set()
+
+        def eval(self, row):
+            self.src = row["source"]
+            self.n += 1
+            self.chars += len(row["text"])
+            self.langs.add(row["lang"])
+
+        def terminate(self):
+            if self.src is not None:
+                yield self.src, self.n, self.chars, len(self.langs)
+
+    spark.udtf.register("udtf_per_source_stats", PerSourceStats)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_src_docs")
+    return spark.sql(
+        """
+        SELECT * FROM udtf_per_source_stats(
+          TABLE(udtf_src_docs) PARTITION BY source
+        )
+        ORDER BY source
+        """
+    )
+
+
+UDTF_TABLE_ARG_SQL = """
+SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+       sum(length(text)) AS total_chars,
+       CAST(count(DISTINCT lang) AS INTEGER) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# =====================================================================
 # Observation API: in-flight data-quality metrics during an ETL pass
 # =====================================================================
 
@@ -433,6 +497,9 @@ WHERE l_shipdate IS NOT NULL
 REGISTRY_MODERN3 = {
     "udtf_polymorphic_token_windows": QuerySpec(
         udtf_polymorphic_token_windows, UDTF_POLY_SQL
+    ),
+    "udtf_table_arg_per_source": QuerySpec(
+        udtf_table_arg_per_source, UDTF_TABLE_ARG_SQL
     ),
     "observed_ingest_metrics": QuerySpec(observed_ingest_metrics, OBSERVED_SQL),
     "transpose_region_metrics": QuerySpec(
