@@ -138,3 +138,64 @@ def test_morton_python_reference_bijective_prefix(x, y):
     expected = sum((((x >> 6) >> i & 1) << (2 * i + 1))
                    + (((y >> 6) >> i & 1) << (2 * i)) for i in range(4))
     assert bucket == expected
+
+
+def test_zorder_write_prunes_row_groups(spark, tmp_path):
+    """END-TO-END data-skipping proof: write lineitem once z-ordered on
+    (partkey, suppkey) scrambles and once in insertion order, then count
+    the row groups whose parquet footer min/max stats admit a point
+    predicate on BOTH columns — the exact stats any reader prunes on.
+    The z-ordered layout must let the reader skip most row groups; the
+    insertion-order layout admits (nearly) all of them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    K = 2654435761
+    x = (F.col("l_partkey").cast("long") * K) % 1024
+    y = (F.col("l_suppkey").cast("long") * K) % 1024
+    z = _morton(x, y)
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    (
+        li.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    (
+        li.repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    # the point looked up: any (partkey, suppkey) present in the data
+    pk, sk = li.select("l_partkey", "l_suppkey").first()
+
+    def admitting_row_groups(d):
+        admit = total = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                g = md.row_group(rg)
+                sp = g.column(idx["l_partkey"]).statistics
+                ss = g.column(idx["l_suppkey"]).statistics
+                if (sp.min <= pk <= sp.max) and (ss.min <= sk <= ss.max):
+                    admit += 1
+        return admit, total
+
+    z_admit, z_total = admitting_row_groups(zdir)
+    l_admit, l_total = admitting_row_groups(ldir)
+    assert z_total >= 8 and l_total >= 8
+    # insertion order: the point hides in (almost) every row group;
+    # z-order: only the row groups covering its z-neighborhood admit it.
+    assert z_admit * 2 <= l_admit, (z_admit, z_total, l_admit, l_total)
