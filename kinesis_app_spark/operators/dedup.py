@@ -634,6 +634,12 @@ def embedding_near_dup_pairs_np(
     if max_exact_rows is not None:
         _guard_exact_rows(df, max_exact_rows, "embedding_near_dup_pairs_np")
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        # empty corpus: nothing to pair (np.array([]) is 1-D — normalizing
+        # it would crash, and the kernel would never run anyway)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -137,6 +137,9 @@ def pagerank_fixed_point(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()  # one metadata-sized count; the oracle recomputes it
+    if n == 0:
+        # empty graph: no nodes, no ranks — not a division by zero
+        return edges.sparkSession.createDataFrame([], "node long, rank long")
     init = scale // n
     base = (15 * init) // 100
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))

@@ -78,6 +78,11 @@ def brute_force_topk_np(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # empty query set: empty result, not a 1-D-array normalize crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -307,6 +312,11 @@ def pq_topk(
         .limit(train_max)
         .collect()
     )
+    if not train_rows:
+        # empty corpus: no codebooks to train, nothing to search
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     train = np.array([r[vec_col] for r in train_rows], dtype=np.float64)
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     d = train.shape[1]
@@ -329,6 +339,10 @@ def pq_topk(
 
     # --- query-side lookup tables (Q, m, n_codes) of dot products
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

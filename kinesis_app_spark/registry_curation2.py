@@ -402,7 +402,7 @@ def dedup_survivor_provenance(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from kinesis_app_spark.functions.text import fingerprint
 
-    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0  # None on an empty corpus
     mirrored = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"),
         F.col("text"),
@@ -476,7 +476,7 @@ def corpus_snapshot_diff(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     a = d.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
-    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] or 0  # None on an empty corpus
     b_kept = d.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         "source",

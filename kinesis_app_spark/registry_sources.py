@@ -85,7 +85,9 @@ def partitioned_write_pruned_read(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="part_rt_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path).filter(
+    # explicit schema: no inference pass over footers, and an empty write
+    # (zero partition directories) still reads back as a valid empty table
+    back = spark.read.schema(ev.schema).parquet(path).filter(
         F.col("event_type").isin("purchase", "click")
     )
     return back.groupBy("event_type").agg(

@@ -1,0 +1,63 @@
+"""Empty-input robustness: every batch registry query must execute
+against a ZERO-ROW copy of every table without crashing.
+
+At 100 TB scale, empty partitions, empty filter cohorts, and empty
+micro-batches are routine; a kernel that indexes row 0, collects a
+scalar that is not there, or feeds an empty array to numpy kills the
+stage. This gate runs the full batch registry over empty (schema-true)
+parquet tables — a query may return zero rows or a sensible aggregate
+row; it may not raise.
+
+Streaming entries are excluded: their availableNow harness semantics on
+an empty source (zero committed batches) are covered by the streaming
+unit tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from kinesis_app_spark import registry
+from kinesis_app_spark.engine import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SKIP_PREFIXES = ("streaming_", "kinesis_")
+
+#: entries whose CONTRACT requires non-empty input (documented below) —
+#: they raise a clear error rather than returning garbage.
+EXPECTED_NONEMPTY_CONTRACT: dict[str, str] = {
+    "kmeans_assign_embeddings": (
+        "raises a documented ValueError when no seed centroids exist — "
+        "the explicit contract (an empty literal centroid array would "
+        "silently NULL-assign every vector); registry_mlprep.py:390"
+    ),
+}
+
+BATCH = [
+    n for n in registry.REGISTRY if not n.startswith(SKIP_PREFIXES)
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    """Schema-true zero-row copies of every table."""
+    d = tempfile.mkdtemp(prefix="empty_sf_")
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    if name in EXPECTED_NONEMPTY_CONTRACT:
+        pytest.skip(EXPECTED_NONEMPTY_CONTRACT[name])
+    df = registry.REGISTRY[name].fn(spark, empty_sf_dir)
+    rows = df.collect()
+    assert rows is not None  # executed without raising
