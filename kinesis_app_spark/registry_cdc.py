@@ -155,8 +155,121 @@ ORDER BY c.event_id
 """
 
 
+def _cdc_changes(o):
+    """The cdc_merge_orders change set, split by arrival order: upserts
+    (seq 1) arrive in micro-batch 1, deletes (seq 2) in micro-batch 2."""
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("X-UPDATED").alias("o_orderpriority"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    return updates.unionByName(inserts), deletes
+
+
+def streaming_cdc_apply(spark, sf_dir):
+    """The change feed consumed as a STREAM: two ordered micro-batches
+    (upserts, then deletes — mtime-ordered files, maxFilesPerTrigger=1)
+    flow through ``foreachBatch``, each batch MERGEd into a versioned
+    parquet target with the same ``apply_changes`` operator the batch
+    entry uses.  Each epoch writes target version ``v{epoch+1}`` in
+    overwrite mode, so a replayed epoch (at-least-once delivery) rewrites
+    the same version instead of double-applying — the idempotence
+    discipline the reference's ack/checkpoint protocol exists for
+    (src/Kinesis/Coordination.hs:329-337).  Final state must equal the
+    one-shot batch merge: sequenced incremental application == compacted
+    batch application (verified per order status under the value gate).
+
+    Scale: this is the foreachBatch-MERGE lakehouse pattern; on a real
+    deployment the versioned-parquet target becomes a Delta/Iceberg
+    MERGE INTO and versioning comes from the table format's log."""
+    import os
+    import tempfile
+
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    o = _t(spark, sf_dir, "orders")
+    batch1, batch2 = _cdc_changes(o)
+    src = tempfile.mkdtemp(prefix="cdc_stream_src_")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    first_files = set(os.listdir(src))
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime for f in first_files
+    )
+    for f in set(os.listdir(src)) - first_files:
+        # push batch-2 file mtimes ahead so the mtime-ordered file source
+        # consumes them in a later micro-batch
+        os.utime(os.path.join(src, f), (newest + 5, newest + 5))
+
+    root = tempfile.mkdtemp(prefix="cdc_target_")
+    v0 = os.path.join(root, "v0")
+    o.write.mode("overwrite").parquet(v0)
+    state = {"cur": v0}
+    target_schema = o.schema
+
+    def apply_batch(bdf, epoch_id):
+        cur = spark.read.schema(target_schema).parquet(state["cur"])
+        merged = apply_changes(
+            cur, bdf, keys=["o_orderkey"], seq_col="seq"
+        )
+        nxt = os.path.join(root, f"v{epoch_id + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    ckpt = tempfile.mkdtemp(prefix="cdc_stream_ckpt_")
+    stream = file_stream(
+        spark, src, batch1.schema, max_files_per_trigger=1
+    )
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = spark.read.schema(target_schema).parquet(state["cur"])
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+            ).cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+STREAMING_CDC_SQL = f"""
+WITH merged AS ({CDC_MERGE_SQL})
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS price_sum
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 REGISTRY_CDC = {
     "cdc_merge_orders": QuerySpec(cdc_merge_orders, CDC_MERGE_SQL),
+    "streaming_cdc_apply": QuerySpec(streaming_cdc_apply, STREAMING_CDC_SQL),
     "scd2_user_value_history": QuerySpec(scd2_user_value_history, SCD2_SQL),
     "temporal_join_user_value": QuerySpec(
         temporal_join_user_value, TEMPORAL_JOIN_SQL
