@@ -494,6 +494,59 @@ WHERE l_shipdate IS NOT NULL
 """
 
 
+# =====================================================================
+# mode / median battery (deterministic tie-breaking)
+# =====================================================================
+
+def mode_median_battery(spark, sf_dir):
+    """``mode(deterministic=True)`` and exact ``median`` per order
+    status: deterministic mode returns the LOWEST value among
+    equally-frequent candidates (Spark 4 semantics), which the oracle
+    reproduces with a count-desc/value-asc row_number — the only way a
+    statistical mode can sit under a cross-engine value gate.  Median is
+    the exact interpolated percentile in both engines.
+
+    Scale: both are single hash-aggregate statistics; mode's state is
+    bounded by per-group cardinality (here: 5 priorities x 12 months),
+    not row count."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.mode("o_orderpriority", True).alias("mode_priority"),
+            F.mode(F.month("o_orderdate"), True).alias("mode_month"),
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MODE_MEDIAN_SQL = """
+WITH pr AS (
+  SELECT o_orderstatus, o_orderpriority AS v, count(*) AS n
+  FROM orders GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY n DESC, v ASC) = 1
+), mo AS (
+  SELECT o_orderstatus, month(o_orderdate) AS v, count(*) AS n
+  FROM orders GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                             ORDER BY n DESC, v ASC) = 1
+), md AS (
+  SELECT o_orderstatus,
+         CAST(round(median(o_totalprice), 2) AS DOUBLE) AS median_price,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT md.o_orderstatus, pr.v AS mode_priority,
+       CAST(mo.v AS INTEGER) AS mode_month,
+       md.median_price, md.n_orders
+FROM md JOIN pr USING (o_orderstatus) JOIN mo USING (o_orderstatus)
+ORDER BY md.o_orderstatus
+"""
+
+
 REGISTRY_MODERN3 = {
     "udtf_polymorphic_token_windows": QuerySpec(
         udtf_polymorphic_token_windows, UDTF_POLY_SQL
@@ -510,4 +563,5 @@ REGISTRY_MODERN3 = {
         try_arithmetic_battery, TRY_ARITH_SQL
     ),
     "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
+    "mode_median_battery": QuerySpec(mode_median_battery, MODE_MEDIAN_SQL),
 }

@@ -353,7 +353,59 @@ ORDER BY doc_id
 """
 
 
+def textfile_roundtrip_docs(spark, sf_dir):
+    """Line-oriented text ingest (the log-file / JSONL-adjacent format):
+    documents exported as tab-separated ``doc_id<TAB>source<TAB>text``
+    lines with ``df.write.text``, read back with the schema-less
+    ``spark.read.text`` source, and re-parsed inside codegen
+    (split_part) — the classic raw-crawl ingest shape where parsing IS
+    the query.  Per-source totals must survive the round trip exactly.
+
+    Scale: the text source splits on newlines at block boundaries, so a
+    100 TB corpus parallelizes by byte range with no footer metadata at
+    all; the parse is regexp-free split_part, fully in codegen."""
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="text_rt_")
+    d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("source"),
+            F.col("text"),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("source"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3)).alias("text"),
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_ROUNDTRIP_SQL = """
+SELECT source, count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       sum(doc_id) AS id_checksum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 REGISTRY_SOURCES = {
+    "textfile_roundtrip_docs": QuerySpec(
+        textfile_roundtrip_docs, TEXT_ROUNDTRIP_SQL
+    ),
     "binaryfile_ingest_media": QuerySpec(
         binaryfile_ingest_media, BINARYFILE_SQL
     ),
