@@ -495,6 +495,92 @@ WHERE l_shipdate IS NOT NULL
 
 
 # =====================================================================
+# parameterized SQL: named args + IDENTIFIER() + GROUP BY/ORDER BY ALL
+# =====================================================================
+
+def sql_parameterized_identifier(spark, sf_dir):
+    """Parameterized SQL end-to-end: the table reference binds through
+    ``IDENTIFIER(:tbl)`` and the threshold through a typed named
+    parameter — no string interpolation anywhere, so dynamic table
+    routing carries zero injection surface — and the aggregation uses
+    the migration-friendly ``GROUP BY ALL`` / ``ORDER BY ALL`` shorthand
+    (table stakes for a DuckDB-origin user).  Same plan as the
+    hand-written form; purely a binding-layer surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :floor
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"tbl": "param_orders", "floor": 50000.0},
+    )
+
+
+SQL_PARAM_IDENT_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 50000.0
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+# =====================================================================
+# Arrow-optimized scalar Python UDF
+# =====================================================================
+
+def arrow_scalar_udf_scores(spark, sf_dir):
+    """The Arrow-optimized scalar Python UDF (``udf(useArrow=True)``):
+    row-level Python semantics with Arrow-batched transfer — the middle
+    tier between the legacy pickled UDF (never used in this repo) and a
+    vectorized pandas_udf.  The kernel is a per-row order-risk score
+    with Python control flow; the gate reproduces it as a SQL CASE.
+
+    Scale: useArrow removes the per-row (de)serialization tax but the
+    Python loop remains — pandas_udf stays the hot-path answer; this
+    entry pins the API tier and its exact semantics."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def risk(price: float, priority: str) -> float:
+        # rounding happens OUTSIDE in F.round: Python round() is
+        # half-even over the binary float and disagrees with SQL round
+        # on .xxxx5 boundaries — a real cross-engine lesson
+        base = 1.0 if priority.startswith("1") else 0.5
+        if price is None or price <= 0:
+            return 0.0
+        return base * min(price, 100000.0) / 1000.0
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                risk("o_totalprice", "o_orderpriority"), 4
+            ).alias("risk_score"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ARROW_UDF_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 0.0
+            ELSE round((CASE WHEN o_orderpriority LIKE '1%' THEN 1.0
+                             ELSE 0.5 END)
+                       * least(o_totalprice, 100000.0) / 1000.0, 4)
+       END AS risk_score
+FROM orders
+WHERE o_orderkey % 20 = 0
+ORDER BY o_orderkey
+"""
+
+
+# =====================================================================
 # mode / median battery (deterministic tie-breaking)
 # =====================================================================
 
@@ -564,4 +650,10 @@ REGISTRY_MODERN3 = {
     ),
     "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
     "mode_median_battery": QuerySpec(mode_median_battery, MODE_MEDIAN_SQL),
+    "sql_parameterized_identifier": QuerySpec(
+        sql_parameterized_identifier, SQL_PARAM_IDENT_SQL
+    ),
+    "arrow_scalar_udf_scores": QuerySpec(
+        arrow_scalar_udf_scores, ARROW_UDF_SQL
+    ),
 }
