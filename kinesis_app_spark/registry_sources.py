@@ -402,9 +402,75 @@ ORDER BY source
 """
 
 
+def dynamic_partition_overwrite(spark, sf_dir):
+    """The backfill primitive: day-partitioned event aggregates, then a
+    DYNAMIC partition overwrite replays exactly two days with corrected
+    values (+1.0 per event) — only the replayed partitions are rewritten,
+    every other day's files untouched.  This is how a 100 TB pipeline
+    recomputes a bad date range idempotently: re-running the backfill
+    rewrites the same partitions to the same state, and the blast radius
+    is the date range, not the table.
+
+    partitionOverwriteMode=dynamic is set ONLY on this writer (session
+    default stays static); the re-read pins the schema (no inference)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
+    path = tempfile.mkdtemp(prefix="dyn_part_")
+    daily.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    days = [r.day for r in daily.select("day").distinct().orderBy("day").limit(2).collect()]
+    corrected = (
+        ev.filter(F.col("day").isin(days))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,8)") + 1.0), 2
+            ).cast("double").alias("value_sum"),
+        )
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.schema(daily.schema).parquet(path)
+    return back.orderBy("day", "event_type")
+
+
+DYN_PART_SQL = """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events
+), fixed AS (
+  SELECT day FROM ev GROUP BY day ORDER BY day LIMIT 2
+)
+SELECT day, event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))
+                      + CASE WHEN day IN (SELECT day FROM fixed)
+                             THEN 1.0 ELSE 0.0 END), 2) AS DOUBLE)
+         AS value_sum
+FROM ev
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 REGISTRY_SOURCES = {
     "textfile_roundtrip_docs": QuerySpec(
         textfile_roundtrip_docs, TEXT_ROUNDTRIP_SQL
+    ),
+    "dynamic_partition_overwrite": QuerySpec(
+        dynamic_partition_overwrite, DYN_PART_SQL
     ),
     "binaryfile_ingest_media": QuerySpec(
         binaryfile_ingest_media, BINARYFILE_SQL
