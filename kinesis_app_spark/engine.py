@@ -75,6 +75,9 @@ def get_spark(
         # --- Python boundary: always Arrow, never per-row pickle ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # UDTFs too: ArrowEvalPythonUDTF instead of the pickled runner
+        # (tests assert no pickled BatchEvalPython node in ANY plan)
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         # --- scan sizing: keep file-split partitions memory-friendly ---
         "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
         # --- broadcast threshold: generous; dims here are tiny ---

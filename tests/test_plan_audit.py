@@ -110,3 +110,19 @@ def test_plan_summary_counts_known_shapes(spark):
     quad = a.join(b, a.k > b.k)
     s3 = plan_summary(quad)
     assert s3.nested_loop_joins == 1
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_pickled_python_eval(spark, name):
+    """Every Python boundary must be Arrow-batched: ArrowEvalPython /
+    ArrowEvalPythonUDTF / MapInPandas / FlatMapGroupsInPandas. The
+    legacy pickled scalar runner (node 'BatchEvalPython (', or
+    'BatchEvalPythonUDTF' now that the Arrow UDTF runner is on) in any
+    plan is a per-row serialization tax that must never reach a 100 TB
+    hot path."""
+    import re
+
+    df = registry.REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pickled = set(re.findall(r"BatchEvalPython\w*", plan))
+    assert not pickled, f"{name}: pickled Python eval node(s) {pickled}"
