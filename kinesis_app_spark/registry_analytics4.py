@@ -414,7 +414,87 @@ FROM islands GROUP BY 1 ORDER BY user_id
 """
 
 
+# =====================================================================
+# KMV (k-minimum-values) approximate distinct count — portable sketch
+# =====================================================================
+
+_KMV_K = 64
+
+
+def approx_distinct_kmv(spark, sf_dir):
+    """Approximate distinct users via a K-minimum-values sketch on the
+    portable 60-bit MD5 hash: estimate = (k-1) / h_k where h_k is the
+    k-th smallest distinct normalized hash.  Unlike HLL (engine-specific
+    registers — approx_distinct_users stays rows-only by design), every
+    step here is reproducible arithmetic, so the APPROXIMATE estimate
+    itself sits under the cross-engine value gate — DuckDB computes the
+    identical sketch and the identical estimate, bit for bit.
+
+    Plan shape: the k smallest hashes come from TakeOrderedAndProject —
+    per-partition partial top-k merged on the driver, never a global
+    sort.  The distinct() before it shuffles only 8-byte hashes; the
+    production variant dedups within the per-partition top-k first so
+    the exchange is O(partitions x k) (same discipline as the
+    Misra-Gries recount), traded here for the simpler exact-dedup form
+    at gate scale.  Output includes the true count and relative error —
+    the sketch ships with its own accuracy report."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    ).alias("h")
+    kmin = e.select(h).distinct().orderBy("h").limit(_KMV_K)
+    est = kmin.agg(
+        # fewer than k distinct hashes => the sketch holds the whole
+        # population and IS the exact count (standard KMV convention)
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(_KMV_K) - 1) / F.max("h")),
+            2,
+        ).alias("est_distinct"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    truth = e.agg(F.countDistinct("user_id").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(truth)).select(
+        "est_distinct",
+        "k_used",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+APPROX_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / CAST({1 << 60} AS DOUBLE) AS h
+  FROM events
+), kmin AS (
+  SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+), est AS (
+  SELECT CAST(round(CASE WHEN count(*) < {_KMV_K}
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / max(h) END, 2) AS DOUBLE)
+           AS est_distinct,
+         count(*) AS k_used
+  FROM kmin
+), t AS (SELECT count(DISTINCT user_id) AS true_distinct FROM events)
+SELECT est.est_distinct, est.k_used, t.true_distinct,
+       CAST(round(abs(est.est_distinct - t.true_distinct)
+                  / t.true_distinct, 4) AS DOUBLE) AS rel_error
+FROM est, t
+"""
+
+
 REGISTRY_ANALYTICS4 = {
+    "approx_distinct_kmv": QuerySpec(approx_distinct_kmv, APPROX_KMV_SQL),
     "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
     "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
     "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),
