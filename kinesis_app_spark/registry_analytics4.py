@@ -493,8 +493,135 @@ FROM est, t
 """
 
 
+# =====================================================================
+# Count-Min sketch point-frequency audit — portable, integer-exact
+# =====================================================================
+
+_CM_ROWS = [(31, 7), (131, 43), (8191, 101), (65537, 9)]  # (A_r, B_r)
+_CM_P = 1048573  # prime
+_CM_W = 256
+
+
+def _cm_bucket_expr(h30, a, b):
+    return ((h30 * a + b) % _CM_P) % _CM_W
+
+
+def countmin_error_audit(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream with a PORTABLE
+    hash family (MD5-60 folded to 30 bits, then 4 affine rows mod a
+    prime): the sketch table is a (4 x 256) integer counter matrix
+    built by one groupBy, the per-token estimate is the min over its 4
+    cells, and the audit reports estimate vs exact count per token —
+    overcount is provably >= 0, and every number is integer arithmetic
+    DuckDB reproduces exactly, so the whole sketch sits under the value
+    gate.
+
+    Scale: the sketch build shuffles (row, bucket) pairs — at most
+    4 x 256 groups regardless of vocabulary size (the mergeable-counter
+    property that makes CM the streaming-frequency workhorse); the
+    exact recount exists only for the audit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token")
+    )
+    h30 = (
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("long") % (1 << 30)
+    )
+    withb = toks.select(
+        "token",
+        *[
+            _cm_bucket_expr(h30, a, b).alias(f"b{r}")
+            for r, (a, b) in enumerate(_CM_ROWS)
+        ],
+    )
+    cells = withb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), F.col(f"b{r}").alias("bucket")
+                    )
+                    for r in range(len(_CM_ROWS))
+                ]
+            )
+        ).alias("c")
+    ).select(F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    cm = cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    per_token = withb.groupBy(
+        "token", *[f"b{r}" for r in range(len(_CM_ROWS))]
+    ).agg(F.count(F.lit(1)).alias("exact"))
+    probes = per_token.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), F.col(f"b{r}").alias("bucket")
+                    )
+                    for r in range(len(_CM_ROWS))
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "exact", F.col("c.r").alias("r"), F.col("c.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cm), ["r", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("n").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact")).alias("overcount"),
+    ).orderBy("token")
+
+
+def _cm_bucket_sql(a, b):
+    return f"(((h30 * {a} + {b}) % {_CM_P}) % {_CM_W})"
+
+
+COUNTMIN_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), nonempty AS (
+  SELECT token FROM tok WHERE token <> ''
+), hashed AS (
+  SELECT token,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+           % {1 << 30} AS h30
+  FROM nonempty
+), withb AS (
+  SELECT token,
+         {", ".join(_cm_bucket_sql(a, b) + f" AS b{r}" for r, (a, b) in enumerate(_CM_ROWS))}
+  FROM hashed
+), cells AS (
+  {" UNION ALL ".join(f"SELECT {r} AS r, b{r} AS bucket FROM withb" for r in range(len(_CM_ROWS)))}
+), cm AS (
+  SELECT r, bucket, count(*) AS n FROM cells GROUP BY 1, 2
+), per_token AS (
+  SELECT token, {", ".join(f"b{r}" for r in range(len(_CM_ROWS)))},
+         count(*) AS exact
+  FROM withb GROUP BY ALL
+), probes AS (
+  {" UNION ALL ".join(f"SELECT token, exact, {r} AS r, b{r} AS bucket FROM per_token" for r in range(len(_CM_ROWS)))}
+), est AS (
+  SELECT p.token, p.exact, min(cm.n) AS cm_estimate
+  FROM probes p JOIN cm USING (r, bucket)
+  GROUP BY 1, 2
+)
+SELECT token, exact, cm_estimate, cm_estimate - exact AS overcount
+FROM est ORDER BY token
+"""
+
+
 REGISTRY_ANALYTICS4 = {
     "approx_distinct_kmv": QuerySpec(approx_distinct_kmv, APPROX_KMV_SQL),
+    "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
     "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
     "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
     "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),

@@ -39,6 +39,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "seasonality_dow_index": "overall day/event totals: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
+    "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
+    "the accuracy-report join is O(1) by construction",
     "heavy_hitters_tokens": "corpus token total + candidate vocab array: "
     "1-row broadcasts (candidate set is O(partitions x sketch capacity) "
     "by construction)",
