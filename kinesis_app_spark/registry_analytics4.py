@@ -494,6 +494,135 @@ FROM est, t
 
 
 # =====================================================================
+# KMV set operations — sketch MERGEABILITY (union from sketches alone)
+# =====================================================================
+
+def kmv_set_operations(spark, sf_dir):
+    """The property that makes sketches distributed-systems citizens:
+    MERGEABILITY.  Distinct-user sketches for the click cohort and the
+    purchase cohort are built independently; the UNION estimate comes
+    from merging the two k-minimum sets alone (k smallest of the
+    combined sketch hashes — the raw cohorts are never rescanned), and
+    the intersection follows by inclusion-exclusion.  True counts ride
+    along as the accuracy report.  Same portable MD5-60 hash as
+    approx_distinct_kmv, so DuckDB reproduces every estimate bit for
+    bit.
+
+    Scale: per-cohort sketches are TakeOrderedAndProject partial top-k;
+    the merge handles O(k) rows — this is exactly how per-partition /
+    per-day sketches roll up to a global estimate without a second pass
+    over 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    ).alias("h")
+
+    def sketch(df):
+        return df.select(h).distinct().orderBy("h").limit(_KMV_K)
+
+    def estimate(sk, name):
+        return sk.agg(
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < _KMV_K,
+                    F.count(F.lit(1)).cast("double"),
+                ).otherwise((F.lit(_KMV_K) - 1) / F.max("h")),
+                2,
+            ).alias(name)
+        )
+
+    clicks = e.filter(F.col("event_type") == "click")
+    buys = e.filter(F.col("event_type") == "purchase")
+    sk_a, sk_b = sketch(clicks), sketch(buys)
+    # merge: k smallest of the two SKETCHES' hashes — no data rescan
+    sk_u = sk_a.unionAll(sk_b).distinct().orderBy("h").limit(_KMV_K)
+
+    est = (
+        estimate(sk_a, "est_clickers")
+        .crossJoin(F.broadcast(estimate(sk_b, "est_buyers")))
+        .crossJoin(F.broadcast(estimate(sk_u, "est_union")))
+    )
+    truth = e.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("true_clickers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("true_buyers"),
+        F.countDistinct("user_id").alias("true_union"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "est_clickers",
+        "est_buyers",
+        "est_union",
+        F.round(
+            F.col("est_clickers") + F.col("est_buyers") - F.col("est_union"),
+            2,
+        ).alias("est_intersection"),
+        "true_clickers",
+        "true_buyers",
+        "true_union",
+        (
+            F.col("true_clickers") + F.col("true_buyers")
+            - F.col("true_union")
+        ).alias("true_intersection"),
+    )
+
+
+KMV_SETOPS_SQL = f"""
+WITH ha AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / CAST({1 << 60} AS DOUBLE) AS h
+  FROM events WHERE event_type = 'click'
+  ORDER BY h LIMIT {_KMV_K}
+), hb AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / CAST({1 << 60} AS DOUBLE) AS h
+  FROM events WHERE event_type = 'purchase'
+  ORDER BY h LIMIT {_KMV_K}
+), hu AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+  ORDER BY h LIMIT {_KMV_K}
+), ea AS (
+  SELECT CAST(round(CASE WHEN count(*) < {_KMV_K}
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / max(h) END, 2) AS DOUBLE)
+           AS est_clickers FROM ha
+), eb AS (
+  SELECT CAST(round(CASE WHEN count(*) < {_KMV_K}
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / max(h) END, 2) AS DOUBLE)
+           AS est_buyers FROM hb
+), eu AS (
+  SELECT CAST(round(CASE WHEN count(*) < {_KMV_K}
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / max(h) END, 2) AS DOUBLE)
+           AS est_union FROM hu
+), t AS (
+  SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+           AS true_clickers,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           AS true_buyers,
+         count(DISTINCT user_id) AS true_union
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT ea.est_clickers, eb.est_buyers, eu.est_union,
+       CAST(round(ea.est_clickers + eb.est_buyers - eu.est_union, 2)
+            AS DOUBLE) AS est_intersection,
+       t.true_clickers, t.true_buyers, t.true_union,
+       t.true_clickers + t.true_buyers - t.true_union AS true_intersection
+FROM ea, eb, eu, t
+"""
+
+
+# =====================================================================
 # Count-Min sketch point-frequency audit — portable, integer-exact
 # =====================================================================
 
@@ -622,6 +751,7 @@ FROM est ORDER BY token
 REGISTRY_ANALYTICS4 = {
     "approx_distinct_kmv": QuerySpec(approx_distinct_kmv, APPROX_KMV_SQL),
     "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
+    "kmv_set_operations": QuerySpec(kmv_set_operations, KMV_SETOPS_SQL),
     "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
     "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
     "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),

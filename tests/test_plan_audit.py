@@ -41,6 +41,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
     "the accuracy-report join is O(1) by construction",
+    "kmv_set_operations": "four 1-row frames (three sketch estimates + "
+    "true counts) combined: O(1) by construction",
     "heavy_hitters_tokens": "corpus token total + candidate vocab array: "
     "1-row broadcasts (candidate set is O(partitions x sketch capacity) "
     "by construction)",
