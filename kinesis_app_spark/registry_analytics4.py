@@ -494,6 +494,93 @@ FROM est, t
 
 
 # =====================================================================
+# grouped KMV — approximate distinct per dimension
+# =====================================================================
+
+def kmv_grouped_distinct(spark, sf_dir):
+    """Distinct users PER EVENT TYPE via per-group KMV sketches — the
+    production shape (distinct per day / per dimension) of the portable
+    sketch: one window ranks each group's distinct hashes and keeps the
+    k smallest, one aggregate turns each group's sketch into an
+    estimate, and the exact count rides along per group as the accuracy
+    report.
+
+    Scale: the window partitions by the group key and ranks 8-byte
+    hashes — the shuffle carries (type, hash) pairs deduped first, and
+    per-group state in the rank is one row; contrast with exact
+    count-distinct whose shuffle carries every (type, user) pair to one
+    reducer per group regardless of skew."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    ).alias("h")
+    hashes = e.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = kmin.groupBy("event_type").agg(
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+            ).otherwise((F.lit(_KMV_K) - 1) / F.max("h")),
+            2,
+        ).alias("est_distinct")
+    )
+    truth = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return (
+        est.join(truth, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_GROUPED_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / CAST({1 << 60} AS DOUBLE) AS h
+  FROM events
+), kmin AS (
+  SELECT event_type, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h)
+          <= {_KMV_K}
+), est AS (
+  SELECT event_type,
+         CAST(round(CASE WHEN count(*) < {_KMV_K}
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / max(h) END, 2) AS DOUBLE)
+           AS est_distinct
+  FROM kmin GROUP BY 1
+), t AS (
+  SELECT event_type, count(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, est.est_distinct, t.true_distinct,
+       CAST(round(abs(est.est_distinct - t.true_distinct)
+                  / t.true_distinct, 4) AS DOUBLE) AS rel_error
+FROM est JOIN t USING (event_type)
+ORDER BY est.event_type
+"""
+
+
+# =====================================================================
 # KMV set operations — sketch MERGEABILITY (union from sketches alone)
 # =====================================================================
 
@@ -752,6 +839,7 @@ REGISTRY_ANALYTICS4 = {
     "approx_distinct_kmv": QuerySpec(approx_distinct_kmv, APPROX_KMV_SQL),
     "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
     "kmv_set_operations": QuerySpec(kmv_set_operations, KMV_SETOPS_SQL),
+    "kmv_grouped_distinct": QuerySpec(kmv_grouped_distinct, KMV_GROUPED_SQL),
     "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
     "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
     "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),
