@@ -1,6 +1,13 @@
 """Data-layout and sketch-driven analytics: Z-order clustering audit,
-exact heavy hitters via a Misra-Gries pre-sketch, and regex pattern
-matching over per-user event sequences.
+the portable-sketch suite (Misra-Gries exact heavy hitters, KMV
+distinct / grouped / mergeable set operations, Count-Min point
+frequencies), regex pattern matching over per-user event sequences, and
+gaps-and-islands interval merging.
+
+Every sketch here uses engine-portable arithmetic (MD5-60 via
+conv/substr, Knuth multiplicative scrambles), so even the APPROXIMATE
+estimates sit under the cross-engine value gate — see SCALE_DESIGN.md
+"The portable-sketch suite".
 
 Scale shapes:
 
