@@ -327,6 +327,89 @@ FROM p GROUP BY 1 ORDER BY 1
 
 
 # =====================================================================
+# capstone: sketch-driven stopword refinery
+# =====================================================================
+
+def pipeline_stopword_refinery(spark, sf_dir):
+    """Sketches feeding the curation pipeline: the corpus's own heavy
+    hitters (tokens above 1% of the stream, found via the Misra-Gries
+    sketch + exact recount — never a full-vocabulary shuffle) become
+    the stopword list, which broadcasts back over the corpus to strip
+    those tokens inside codegen (array filter, no Python).  Reported
+    per language: docs, tokens before/after, and the stopword mass
+    removed — the data-driven version of the fixed stopword ratios in
+    text_quality_scores.
+
+    Scale: stage 1 is the heavy-hitter shape (O(partitions x 200)
+    candidates); stage 2 is one scan with a broadcast array membership
+    test per token; nothing quadratic, nothing driver-side except the
+    tiny stopword list itself."""
+    d = _t(spark, sf_dir, "documents")
+    hitters = heavy_hitters_tokens(spark, sf_dir).select("token")
+    stop_arr = hitters.agg(
+        F.array_sort(F.collect_list("token")).alias("stop")
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    )
+    cleaned = toks.crossJoin(F.broadcast(stop_arr)).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.col("toks"),
+                lambda t: ~F.array_contains(F.col("stop"), t),
+            )
+        ).alias("n_kept"),
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum("n_kept").alias("tokens_after"),
+            F.round(
+                1.0
+                - F.sum("n_kept") / F.sum("n_tokens"),
+                4,
+            ).alias("stopword_mass"),
+        )
+        .orderBy("lang")
+    )
+
+
+STOPWORD_REFINERY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, lang, token FROM tok WHERE token <> ''
+), t AS (SELECT count(*) AS total FROM nonempty),
+stop AS (
+  SELECT token FROM nonempty, t
+  GROUP BY token, t.total
+  HAVING count(*) * 100 > t.total * {_HH_PERCENT}
+), per_doc AS (
+  SELECT n.doc_id, n.lang,
+         count(*) AS n_tokens,
+         sum(CASE WHEN s.token IS NULL THEN 1 ELSE 0 END) AS n_kept
+  FROM nonempty n LEFT JOIN stop s USING (token)
+  GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS tokens_before,
+       sum(n_kept) AS tokens_after,
+       CAST(round(1.0 - sum(n_kept) * 1.0 / sum(n_tokens), 4) AS DOUBLE)
+         AS stopword_mass
+FROM per_doc
+GROUP BY lang ORDER BY lang
+"""
+
+
+# =====================================================================
 # merge overlapping intervals (gaps-and-islands)
 # =====================================================================
 
@@ -847,6 +930,9 @@ REGISTRY_ANALYTICS4 = {
     "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
     "kmv_set_operations": QuerySpec(kmv_set_operations, KMV_SETOPS_SQL),
     "kmv_grouped_distinct": QuerySpec(kmv_grouped_distinct, KMV_GROUPED_SQL),
+    "pipeline_stopword_refinery": QuerySpec(
+        pipeline_stopword_refinery, STOPWORD_REFINERY_SQL
+    ),
     "zorder_layout_audit": QuerySpec(zorder_layout_audit, ZORDER_SQL),
     "heavy_hitters_tokens": QuerySpec(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
     "event_pattern_match": QuerySpec(event_pattern_match, EVENT_PATTERN_SQL),

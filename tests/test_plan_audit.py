@@ -43,6 +43,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "the accuracy-report join is O(1) by construction",
     "kmv_set_operations": "four 1-row frames (three sketch estimates + "
     "true counts) combined: O(1) by construction",
+    "pipeline_stopword_refinery": "inherits heavy_hitters_tokens 1-row "
+    "broadcasts + its own 1-row stopword-array broadcast",
     "heavy_hitters_tokens": "corpus token total + candidate vocab array: "
     "1-row broadcasts (candidate set is O(partitions x sketch capacity) "
     "by construction)",
