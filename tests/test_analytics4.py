@@ -199,3 +199,28 @@ def test_zorder_write_prunes_row_groups(spark, tmp_path):
     # insertion order: the point hides in (almost) every row group;
     # z-order: only the row groups covering its z-neighborhood admit it.
     assert z_admit * 2 <= l_admit, (z_admit, z_total, l_admit, l_total)
+
+
+def test_new_entry_plan_shapes(spark):
+    """Docstring shuffle claims, pinned: the interval merge runs ONE hash
+    Exchange (three stacked windows + two groupBys all reuse the user_id
+    partitioning); the spatial join plans zero nested-loop joins; the
+    pattern match folds sequences in one user shuffle plus the tiny
+    histogram aggregate."""
+    from kinesis_app_spark import registry
+    from kinesis_app_spark.plans.lint import plan_summary
+
+    s = plan_summary(
+        registry.REGISTRY["merge_intervals_events"].fn(spark, SF_DIR)
+    )
+    assert s.exchanges_hash == 1 and s.nested_loop_joins == 0
+
+    s = plan_summary(
+        registry.REGISTRY["geo_grid_radius_join"].fn(spark, SF_DIR)
+    )
+    assert s.nested_loop_joins == 0 and s.cartesian_products == 0
+
+    s = plan_summary(
+        registry.REGISTRY["event_pattern_match"].fn(spark, SF_DIR)
+    )
+    assert s.exchanges_hash == 2 and s.nested_loop_joins == 0
