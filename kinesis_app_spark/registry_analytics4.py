@@ -327,6 +327,125 @@ FROM p GROUP BY 1 ORDER BY 1
 
 
 # =====================================================================
+# dynamic-gap session windows
+# =====================================================================
+
+def dynamic_gap_sessions(spark, sf_dir):
+    """Session windows whose gap depends on the EVENT — Spark's dynamic
+    ``session_window`` (gap as an expression): a purchase closes its
+    session after 60 s, everything else keeps it open for 600 s.  The
+    per-user session profile (count, busiest session) must match a
+    variable-end gaps-and-islands oracle: each event opens
+    [ts, ts+gap(event)) and sessions are the merged islands under a
+    running max-end, with the boundary rule mirrored exactly: an event
+    whose ts EQUALS the current session end still merges (verified
+    against Spark 4.1 on boundary-tie data at sf0.01 — the docs'
+    half-open phrasing does not describe the merge rule).
+
+    Timestamps are truncated to whole seconds on BOTH engines before
+    sessionizing so the boundary arithmetic is integer-exact.
+
+    Scale: one shuffle keyed on user_id, session merge inside the
+    aggregate — the same cost as fixed-gap sessionization; the dynamic
+    gap is a codegen expression, not a second pass."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").cast("timestamp").alias("ts_s"),
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 seconds")
+    ).otherwise(F.lit("600 seconds"))
+    sessions = e.groupBy(
+        F.session_window("ts_s", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DYNAMIC_GAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CASE WHEN event_type = 'purchase' THEN 60 ELSE 600 END AS end_s
+  FROM events
+), flagged AS (
+  SELECT user_id, start_s, end_s, event_id,
+         CASE WHEN max(end_s) OVER (PARTITION BY user_id
+                                    ORDER BY start_s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                OR start_s > max(end_s) OVER (PARTITION BY user_id
+                                              ORDER BY start_s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM iv
+), labeled AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM labeled GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events,
+       max(n_events) AS max_session_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# =====================================================================
+# checksum / content-integrity battery
+# =====================================================================
+
+def checksum_integrity_battery(spark, sf_dir):
+    """Content-integrity checksums per source — the fixity report a
+    data platform computes at every ingest hop: SHA-256 and MD5 digests
+    (both hex, bit-identical across engines), distinct-digest counts
+    (== exact-dup detection by another name), and the lexicographic min
+    digest as a stable per-source content fingerprint.
+
+    Scale: digests are codegen expressions on the scan; the aggregate
+    shuffles 64-byte hex strings, never documents."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.sha2("text", 256).alias("sha"),
+        F.md5("text").alias("md5"),
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sha").alias("distinct_sha"),
+            F.countDistinct("md5").alias("distinct_md5"),
+            F.min("sha").alias("min_sha"),
+        )
+        .orderBy("source")
+    )
+
+
+CHECKSUM_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT sha256(text)) AS distinct_sha,
+       count(DISTINCT md5(text)) AS distinct_md5,
+       min(sha256(text)) AS min_sha
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+# =====================================================================
 # capstone: sketch-driven stopword refinery
 # =====================================================================
 
@@ -930,6 +1049,10 @@ REGISTRY_ANALYTICS4 = {
     "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
     "kmv_set_operations": QuerySpec(kmv_set_operations, KMV_SETOPS_SQL),
     "kmv_grouped_distinct": QuerySpec(kmv_grouped_distinct, KMV_GROUPED_SQL),
+    "dynamic_gap_sessions": QuerySpec(dynamic_gap_sessions, DYNAMIC_GAP_SQL),
+    "checksum_integrity_battery": QuerySpec(
+        checksum_integrity_battery, CHECKSUM_SQL
+    ),
     "pipeline_stopword_refinery": QuerySpec(
         pipeline_stopword_refinery, STOPWORD_REFINERY_SQL
     ),
