@@ -1354,6 +1354,7 @@ from kinesis_app_spark.registry_analytics2 import REGISTRY_ANALYTICS2  # noqa: E
 from kinesis_app_spark.registry_analytics3 import REGISTRY_ANALYTICS3  # noqa: E402
 from kinesis_app_spark.registry_analytics4 import REGISTRY_ANALYTICS4  # noqa: E402
 from kinesis_app_spark.registry_geo import REGISTRY_GEO  # noqa: E402
+from kinesis_app_spark.registry_layout import REGISTRY_LAYOUT  # noqa: E402
 from kinesis_app_spark.registry_modern3 import REGISTRY_MODERN3  # noqa: E402
 from kinesis_app_spark.registry_mlprep import REGISTRY_MLPREP  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
@@ -1379,6 +1380,7 @@ REGISTRY.update(REGISTRY_ANALYTICS2)
 REGISTRY.update(REGISTRY_ANALYTICS3)
 REGISTRY.update(REGISTRY_ANALYTICS4)
 REGISTRY.update(REGISTRY_GEO)
+REGISTRY.update(REGISTRY_LAYOUT)
 REGISTRY.update(REGISTRY_MODERN3)
 REGISTRY.update(REGISTRY_MLPREP)
 

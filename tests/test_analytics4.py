@@ -224,3 +224,22 @@ def test_new_entry_plan_shapes(spark):
         registry.REGISTRY["event_pattern_match"].fn(spark, SF_DIR)
     )
     assert s.exchanges_hash == 2 and s.nested_loop_joins == 0
+
+
+def test_hilbert_tighter_than_morton(spark):
+    """The Hilbert curve's no-jump property, measured: at non-power-of-4
+    bucket granularity its per-bucket spans are tighter than Morton's on
+    both dimensions (at power-of-4 splits both tile identically — the
+    entry buckets into 100 ranges precisely to avoid that vacuous
+    case)."""
+    from kinesis_app_spark.registry_layout import hilbert_layout_audit
+
+    rows = {
+        r.layout: r for r in hilbert_layout_audit(spark, SF_DIR).collect()
+    }
+    h, m = rows["hilbert"], rows["morton"]
+    # combined span = the pruning cost a reader pays across both dims;
+    # per-dim values can tie on sparse fixtures, the sum must not.
+    assert h.avg_x_span + h.avg_y_span < m.avg_x_span + m.avg_y_span
+    assert h.max_x_span <= m.max_x_span
+    assert h.max_y_span <= m.max_y_span
