@@ -671,11 +671,15 @@ def approx_distinct_kmv(spark, sf_dir):
         "est_distinct",
         "k_used",
         "true_distinct",
-        F.round(
-            F.abs(F.col("est_distinct") - F.col("true_distinct"))
-            / F.col("true_distinct"),
-            4,
-        ).alias("rel_error"),
+        F.when(F.col("true_distinct") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            )
+        )
+        .alias("rel_error"),
     )
 
 
@@ -696,8 +700,9 @@ WITH h AS (
   FROM kmin
 ), t AS (SELECT count(DISTINCT user_id) AS true_distinct FROM events)
 SELECT est.est_distinct, est.k_used, t.true_distinct,
-       CAST(round(abs(est.est_distinct - t.true_distinct)
-                  / t.true_distinct, 4) AS DOUBLE) AS rel_error
+       CASE WHEN t.true_distinct = 0 THEN 0.0
+            ELSE CAST(round(abs(est.est_distinct - t.true_distinct)
+                            / t.true_distinct, 4) AS DOUBLE) END AS rel_error
 FROM est, t
 """
 
