@@ -243,3 +243,38 @@ def test_hilbert_tighter_than_morton(spark):
     assert h.avg_x_span + h.avg_y_span < m.avg_x_span + m.avg_y_span
     assert h.max_x_span <= m.max_x_span
     assert h.max_y_span <= m.max_y_span
+
+
+def test_hilbert_tiers_agree(spark):
+    """The three Hilbert implementations — Column runtime fold, Arrow
+    numpy bulk kernel, and the bit-twiddling Python reference — must be
+    element-identical (the fold feeds the oracle parity, the kernel
+    feeds production writes)."""
+    import numpy as np
+
+    from kinesis_app_spark.registry_layout import (
+        _hilbert_d,
+        hilbert_d_numpy,
+        hilbert_index_arrow,
+    )
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 1024, 500)
+    ys = rng.randint(0, 1024, 500)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    )
+    fold = {
+        (r.x, r.y): r.d
+        for r in df.select(
+            "x", "y", _hilbert_d(F.col("x"), F.col("y")).alias("d")
+        ).collect()
+    }
+    arrow = {
+        (r.x, r.y): r.hilbert_d
+        for r in hilbert_index_arrow(df, "x", "y").collect()
+    }
+    ref = hilbert_d_numpy(xs, ys)
+    for (a, b), d in zip(zip(xs, ys), ref):
+        assert fold[(int(a), int(b))] == int(d)
+        assert arrow[(int(a), int(b))] == int(d)
