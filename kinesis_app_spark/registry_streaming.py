@@ -441,7 +441,7 @@ STREAMING_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events WHERE user_id < 300
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

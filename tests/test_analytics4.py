@@ -278,3 +278,25 @@ def test_hilbert_tiers_agree(spark):
     for (a, b), d in zip(zip(xs, ys), ref):
         assert fold[(int(a), int(b))] == int(d)
         assert arrow[(int(a), int(b))] == int(d)
+
+
+def test_session_window_boundary_tie_merges(spark):
+    """Events exactly gap apart MERGE into one session (verified Spark
+    semantics; the session oracles use strict > on the gap for this
+    reason — a >= rule is latently wrong even when tie-free data hides
+    it)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sessions = df.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).count()
+    assert sessions.count() == 1
+    from kinesis_app_spark.operators.sessionize import sessionize
+
+    s = sessionize(df.withColumn("event_id", F.lit(1)), gap_minutes=30.0)
+    assert s.select("session_idx").distinct().count() == 1
