@@ -831,7 +831,92 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def streaming_dynamic_gap_sessions(spark, sf_dir):
+    """TRUE STREAMING dynamic-gap sessions: the same per-event gap
+    expression as the batch twin (purchase closes after 60 s, else
+    600 s) inside an append-mode session_window aggregation — watermark
+    advanced past every real session by the far-future sentinel so
+    append finalizes deterministically.  The oracle is the variable-end
+    gaps-and-islands computation with the merge-on-boundary-tie rule
+    (events exactly gap apart merge — pinned by test)."""
+    import datetime as dt
+    import tempfile
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").cast("timestamp").alias("ts"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="dynsess_src_")
+    ckpt = tempfile.mkdtemp(prefix="dynsess_ckpt_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    _append_sentinel(
+        spark, src, ev.schema, (-1, "click", dt.datetime(2030, 1, 1))
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 seconds")
+    ).otherwise(F.lit("600 seconds"))
+    stream = file_stream(
+        spark, src, ev.schema, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    return (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_DYNAMIC_GAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CASE WHEN event_type = 'purchase' THEN 60 ELSE 600 END AS end_s
+  FROM events WHERE user_id < 300
+), flagged AS (
+  SELECT user_id, start_s, end_s, event_id,
+         CASE WHEN max(end_s) OVER (PARTITION BY user_id
+                                    ORDER BY start_s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                OR start_s > max(end_s) OVER (PARTITION BY user_id
+                                              ORDER BY start_s, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM iv
+), labeled AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY start_s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM labeled GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events,
+       max(n_events) AS max_session_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY_STREAMING = {
+    "streaming_dynamic_gap_sessions": QuerySpec(
+        streaming_dynamic_gap_sessions, STREAMING_DYNAMIC_GAP_SQL
+    ),
     "streaming_state_store_audit": QuerySpec(
         streaming_state_store_audit, STREAMING_STATE_AUDIT_SQL
     ),
