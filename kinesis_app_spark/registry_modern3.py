@@ -581,6 +581,53 @@ ORDER BY o_orderkey
 
 
 # =====================================================================
+# DataFrame.groupingSets API (4.0)
+# =====================================================================
+
+def groupingsets_api_orders(spark, sf_dir):
+    """The Spark 4 ``DataFrame.groupingSets`` API — the programmatic
+    twin of GROUP BY GROUPING SETS (already covered in SQL form by
+    groupingsets_customer_segments): per-(status, priority) totals, per-
+    status subtotals, and the grand total in ONE Expand-based aggregate
+    pass, built without SQL strings.  NULL grouping keys are labeled via
+    ``grouping()`` so subtotal rows are unambiguous.
+
+    Scale: grouping sets = one Expand (xN sets) + one hash aggregate —
+    the same plan the SQL form gets; never N separate scans unioned."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+            ).cast("double").alias("price_sum"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUPINGSETS_API_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS price_sum,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+# =====================================================================
 # mode / median battery (deterministic tie-breaking)
 # =====================================================================
 
@@ -650,6 +697,9 @@ REGISTRY_MODERN3 = {
     ),
     "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
     "mode_median_battery": QuerySpec(mode_median_battery, MODE_MEDIAN_SQL),
+    "groupingsets_api_orders": QuerySpec(
+        groupingsets_api_orders, GROUPINGSETS_API_SQL
+    ),
     "sql_parameterized_identifier": QuerySpec(
         sql_parameterized_identifier, SQL_PARAM_IDENT_SQL
     ),
