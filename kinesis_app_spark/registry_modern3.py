@@ -581,6 +581,66 @@ ORDER BY o_orderkey
 
 
 # =====================================================================
+# keyset pagination (the scale-correct pagination pattern)
+# =====================================================================
+
+_PAGE = 50
+
+
+def pagination_keyset_orders(spark, sf_dir):
+    """Page 3 of the order book by KEYSET, not OFFSET: the cursor is the
+    last (o_orderdate, o_orderkey) of page 2, and page 3 is a pushed-down
+    range predicate + top-k — cost stays O(page) forever.  OFFSET-based
+    pagination re-scans and re-sorts everything before the offset (page
+    10⁶ of a 100 TB table reads the whole table); the keyset predicate
+    reaches the parquet scan as a filter instead.  The cursor itself is
+    computed with a deterministic 2-page top-k (same ordering) so the
+    whole entry is self-contained and oracle-checkable.
+
+    Scale: both steps plan TakeOrderedAndProject (partial per-partition
+    top-k, driver merge) with PushedFilters on the keyset predicate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    first_two = (
+        o.orderBy("o_orderdate", "o_orderkey").limit(2 * _PAGE).collect()
+    )
+    cur_date, cur_key = (
+        first_two[-1]["o_orderdate"],
+        first_two[-1]["o_orderkey"],
+    )
+    page3 = (
+        o.filter(
+            (F.col("o_orderdate") > F.lit(cur_date))
+            | (
+                (F.col("o_orderdate") == F.lit(cur_date))
+                & (F.col("o_orderkey") > F.lit(cur_key))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE)
+    )
+    return page3.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+PAGINATION_SQL = f"""
+WITH page AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+  ORDER BY o_orderdate, o_orderkey
+  LIMIT {_PAGE} OFFSET {2 * _PAGE}
+)
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+FROM page
+"""
+
+
+# =====================================================================
 # DataFrame.groupingSets API (4.0)
 # =====================================================================
 
@@ -697,6 +757,9 @@ REGISTRY_MODERN3 = {
     ),
     "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
     "mode_median_battery": QuerySpec(mode_median_battery, MODE_MEDIAN_SQL),
+    "pagination_keyset_orders": QuerySpec(
+        pagination_keyset_orders, PAGINATION_SQL
+    ),
     "groupingsets_api_orders": QuerySpec(
         groupingsets_api_orders, GROUPINGSETS_API_SQL
     ),
