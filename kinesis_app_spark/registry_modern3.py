@@ -605,6 +605,11 @@ def pagination_keyset_orders(spark, sf_dir):
     first_two = (
         o.orderBy("o_orderdate", "o_orderkey").limit(2 * _PAGE).collect()
     )
+    if not first_two:
+        # empty table: page 3 is empty; no cursor to anchor on
+        return spark.createDataFrame(
+            [], "o_orderkey long, o_orderdate string, o_totalprice double"
+        )
     cur_date, cur_key = (
         first_two[-1]["o_orderdate"],
         first_two[-1]["o_orderkey"],
