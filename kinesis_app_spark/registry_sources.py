@@ -465,7 +465,55 @@ ORDER BY day, event_type
 """
 
 
+def corrupt_file_tolerant_read(spark, sf_dir):
+    """Corrupt-object tolerance: a dataset directory holds the real
+    events parquet plus one file of garbage bytes wearing a .parquet
+    name (the reality of a 100 TB object store: truncated uploads, bit
+    rot, partial multipart commits), and the read proceeds with
+    ``ignoreCorruptFiles`` — the poisoned file is skipped, the job
+    completes, and the aggregate equals the intact data exactly.
+
+    Scale: the skip decision happens per file at footer-parse time —
+    no retry storm, no stage failure; pair with a DLQ listing (see
+    json_dlq_ingest) in production so skipped files are audited, not
+    silent."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    path = tempfile.mkdtemp(prefix="corrupt_rt_")
+    ev.coalesce(2).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file \x00\x01\x02" * 100)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CORRUPT_READ_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS value_sum
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY_SOURCES = {
+    "corrupt_file_tolerant_read": QuerySpec(
+        corrupt_file_tolerant_read, CORRUPT_READ_SQL
+    ),
     "textfile_roundtrip_docs": QuerySpec(
         textfile_roundtrip_docs, TEXT_ROUNDTRIP_SQL
     ),
