@@ -510,7 +510,78 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def nested_glob_ingest(spark, sf_dir):
+    """Data-lake directory reality: event files scattered across nested
+    per-day folders with stray non-data files (a README, a _manifest
+    sidecar) interleaved.  ``recursiveFileLookup`` walks the tree
+    without requiring partition-structured paths and ``pathGlobFilter``
+    admits only ``*.parquet`` — the two options that make an untidy
+    landing zone readable without a cleanup pass.  Aggregate must equal
+    the plain table.
+
+    Scale: listing is driver-side metadata; the glob is applied during
+    listing so excluded files cost nothing."""
+    import os
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    root = tempfile.mkdtemp(prefix="nested_glob_")
+    days = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value"
+    )
+    # bound the landing zone to the first 5 days so the per-day write
+    # loop stays O(1) regardless of scale factor (the oracle mirrors
+    # the same day filter)
+    first_days = [
+        r.day
+        for r in days.select("day").distinct().orderBy("day").limit(5).collect()
+    ]
+    days = days.filter(F.col("day").isin(first_days))
+    # write per-day subdirectories (nested, NOT hive-partitioned paths)
+    for i, row in enumerate(
+        days.select("day").distinct().orderBy("day").collect()
+    ):
+        sub = os.path.join(root, f"dt={row.day}", "batch")
+        days.filter(F.col("day") == row.day).drop("day").coalesce(
+            1
+        ).write.mode("overwrite").parquet(sub)
+        with open(os.path.join(sub, "_manifest.json"), "w") as fh:
+            fh.write('{"files": 1}')
+    with open(os.path.join(root, "README.txt"), "w") as fh:
+        fh.write("landing zone\n")
+    back = (
+        spark.read.schema("event_type string, value double")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+NESTED_GLOB_SQL = """
+WITH days AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+  ORDER BY day LIMIT 5
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+         AS value_sum
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') IN (SELECT day FROM days)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY_SOURCES = {
+    "nested_glob_ingest": QuerySpec(nested_glob_ingest, NESTED_GLOB_SQL),
     "corrupt_file_tolerant_read": QuerySpec(
         corrupt_file_tolerant_read, CORRUPT_READ_SQL
     ),
