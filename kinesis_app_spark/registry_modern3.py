@@ -581,6 +581,55 @@ ORDER BY o_orderkey
 
 
 # =====================================================================
+# FILTER (WHERE ...) aggregate clause
+# =====================================================================
+
+def filter_clause_aggregates(spark, sf_dir):
+    """The SQL-standard ``agg(...) FILTER (WHERE ...)`` clause — the
+    declarative form of conditional aggregation (the CASE-WHEN
+    equivalents live in conditional_aggregates): per order status, count
+    and decimal-sum restricted to three independent predicates in ONE
+    aggregate pass.  Catalyst plans the same single hash aggregate as
+    the CASE form — the clause is ergonomics, not a new plan.
+
+    DuckDB supports the identical syntax, so the oracle is literally the
+    same query text shape."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("filter_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 100000)
+                 AS n_big,
+               count(*) FILTER (WHERE o_orderpriority LIKE '1%')
+                 AS n_urgent,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                          FILTER (WHERE o_orderdate >=
+                                  TIMESTAMP '1997-01-01 00:00:00'), 2)
+                    AS DOUBLE) AS recent_revenue
+        FROM filter_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+FILTER_CLAUSE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       count(*) FILTER (WHERE o_orderpriority LIKE '1%') AS n_urgent,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                  FILTER (WHERE o_orderdate >=
+                          TIMESTAMP '1997-01-01 00:00:00'), 2)
+            AS DOUBLE) AS recent_revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# =====================================================================
 # keyset pagination (the scale-correct pagination pattern)
 # =====================================================================
 
@@ -762,6 +811,9 @@ REGISTRY_MODERN3 = {
     ),
     "map_functions_battery": QuerySpec(map_functions_battery, MAP_BATTERY_SQL),
     "mode_median_battery": QuerySpec(mode_median_battery, MODE_MEDIAN_SQL),
+    "filter_clause_aggregates": QuerySpec(
+        filter_clause_aggregates, FILTER_CLAUSE_SQL
+    ),
     "pagination_keyset_orders": QuerySpec(
         pagination_keyset_orders, PAGINATION_SQL
     ),
