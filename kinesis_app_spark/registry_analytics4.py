@@ -624,6 +624,107 @@ FROM islands GROUP BY 1 ORDER BY user_id
 
 
 # =====================================================================
+# grouped Misra-Gries — exact heavy hitters PER DIMENSION
+# =====================================================================
+
+def _misra_gries_grouped(batches):
+    """Per-source Misra-Gries over Arrow batches: one fixed-capacity
+    counter dict PER SOURCE seen in the partition.  With the input
+    repartitioned on source, each source's whole stream flows through
+    one partition, so the per-source survival guarantee (count_s >
+    n_s/(capacity+1) survives) holds exactly as in the global sketch.
+    Emits (source, token) candidate keys only."""
+    per_source: dict[str, dict[str, int]] = {}
+    for pdf in batches:
+        for src, text in zip(pdf["source"].astype(str), pdf["text"].astype(str)):
+            counters = per_source.setdefault(src, {})
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+    rows = [
+        (src, tok) for src, counters in per_source.items() for tok in counters
+    ]
+    if rows:
+        yield pd.DataFrame(rows, columns=["source", "token"])
+
+
+def heavy_hitters_per_source(spark, sf_dir):
+    """EXACT heavy hitters PER DIMENSION: tokens above 2% of EACH
+    source's token stream, via the grouped Misra-Gries sketch — the
+    input repartitions on source so each source's stream meets one
+    sketch, candidates are O(sources x capacity), and the exact recount
+    joins on the broadcast (source, token) candidate set before a
+    per-source threshold filter.  Exact for the same reason as the
+    global entry: the sketch only over-generates.
+
+    Scale: the repartition shuffles documents once keyed on source (the
+    same key the recount aggregates on); no full-vocabulary x source
+    shuffle ever exists.  Skewed sources are the caveat — one giant
+    source serializes through one partition; salting + two-level MG
+    merge is the refinement documented for that shape."""
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    candidates = (
+        d.repartition("source")
+        .mapInPandas(_misra_gries_grouped, "source string, token string")
+        .distinct()
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    counts = (
+        toks.join(F.broadcast(candidates), ["source", "token"])
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .filter(F.col("n_occurrences") * 50 > F.col("total"))
+        .select(
+            "source",
+            "token",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") * 100.0 / F.col("total"), 4
+            ).alias("pct_of_source"),
+        )
+        .orderBy("source", F.desc("n_occurrences"), "token")
+    )
+
+
+HEAVY_HITTERS_GROUPED_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), nonempty AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), t AS (SELECT source, count(*) AS total FROM nonempty GROUP BY 1),
+c AS (
+  SELECT source, token, count(*) AS n_occurrences
+  FROM nonempty GROUP BY 1, 2
+)
+SELECT c.source, c.token, c.n_occurrences,
+       CAST(round(c.n_occurrences * 100.0 / t.total, 4) AS DOUBLE)
+         AS pct_of_source
+FROM c JOIN t USING (source)
+WHERE c.n_occurrences * 50 > t.total
+ORDER BY c.source, n_occurrences DESC, c.token
+"""
+
+
+# =====================================================================
 # KMV (k-minimum-values) approximate distinct count — portable sketch
 # =====================================================================
 
@@ -1051,6 +1152,9 @@ FROM est ORDER BY token
 
 REGISTRY_ANALYTICS4 = {
     "approx_distinct_kmv": QuerySpec(approx_distinct_kmv, APPROX_KMV_SQL),
+    "heavy_hitters_per_source": QuerySpec(
+        heavy_hitters_per_source, HEAVY_HITTERS_GROUPED_SQL
+    ),
     "countmin_error_audit": QuerySpec(countmin_error_audit, COUNTMIN_SQL),
     "kmv_set_operations": QuerySpec(kmv_set_operations, KMV_SETOPS_SQL),
     "kmv_grouped_distinct": QuerySpec(kmv_grouped_distinct, KMV_GROUPED_SQL),
