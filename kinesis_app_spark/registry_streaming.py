@@ -32,17 +32,50 @@ from kinesis_app_spark.streaming.ops import (
 from kinesis_app_spark.streaming.sources import file_stream
 
 
+#: (cache_key -> source dir) for stream source parquet dirs. Several
+#: entries stream the same projection of the same table; the source write
+#: is a real Spark job (~0.3-1 s) while the dir itself is immutable once
+#: built (sentinels are appended at build time, before caching), so
+#: reusing it across entries is free. Keys embed sf_dir so different
+#: scale factors never collide; checkpoints are NEVER cached (each query
+#: run gets a fresh one).
+_SRC_CACHE: dict[str, str] = {}
+
+
 def _mk_stream(
-    spark: SparkSession, df: DataFrame, copies: int = 1
+    spark: SparkSession,
+    df: DataFrame,
+    copies: int = 1,
+    cache_key: str | None = None,
+    sentinel_row: tuple | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[DataFrame, str]:
-    """Write df as a single-file stream source dir; return (stream, ckpt)."""
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    out = df
-    for _ in range(copies - 1):
-        out = out.unionByName(df)
-    out.coalesce(1).write.mode("overwrite").parquet(src)
+    """Write df as a single-file stream source dir; return (stream, ckpt).
+
+    With ``sentinel_row`` the dir gets a far-future one-row second file
+    (mtime-ordered after the data file) so ``max_files_per_trigger=1``
+    yields a deterministic second micro-batch that advances the watermark.
+    With ``cache_key`` the finished dir is memoized for the process
+    lifetime and reused by any entry asking for the same key.
+    """
+    src = _SRC_CACHE.get(cache_key) if cache_key else None
+    if src is None:
+        src = tempfile.mkdtemp(prefix="stream_src_")
+        out = df
+        for _ in range(copies - 1):
+            out = out.unionByName(df)
+        out.coalesce(1).write.mode("overwrite").parquet(src)
+        if sentinel_row is not None:
+            _append_sentinel(spark, src, df.schema, sentinel_row)
+        if cache_key:
+            _SRC_CACHE[cache_key] = src
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    return file_stream(spark, src, df.schema), ckpt
+    return (
+        file_stream(
+            spark, src, df.schema, max_files_per_trigger=max_files_per_trigger
+        ),
+        ckpt,
+    )
 
 
 def _arrow_type(dt_):
@@ -98,12 +131,12 @@ def streaming_tumbling_counts(spark, sf_dir):
     """Daily tumbling-window counts per event type, computed by a streaming
     query (complete mode) — must equal the batch group-by."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|ev20k")
     agg = (
         stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = run_to_memory(agg, ckpt, output_mode="complete")
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
     return res.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -128,10 +161,12 @@ def streaming_dedup_counts(spark, sf_dir):
     src/Kinesis/Coordination.hs:343-359); streaming dedup on event_id must
     reduce it to the batch counts of the original."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    stream, ckpt = _mk_stream(spark, ev, copies=2)
+    stream, ckpt = _mk_stream(
+        spark, ev, copies=2, cache_key=f"{sf_dir}|ev20k_x2"
+    )
     deduped = streaming_dedup(stream, ["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return run_to_memory(agg, ckpt, output_mode="complete")
+    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
 
 
 STREAMING_DEDUP_SQL = """
@@ -147,9 +182,9 @@ def streaming_stateful_counts(spark, sf_dir):
     (src/Kinesis/Coordination.hs:331-336) as a durable streaming operator.
     Single batch => the emitted running totals are the final counts."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|user300")
     counts = running_count_per_key(stream, "user_id")
-    res = run_to_memory(counts, ckpt, output_mode="update")
+    res = run_to_memory(counts, ckpt, output_mode="update", shuffle_partitions=8)
     # one batch => one update row per key; max() collapses re-runs safely
     return res.groupBy(F.col("key").alias("user_id")).agg(
         F.max("n").alias("n_events")
@@ -168,7 +203,7 @@ def streaming_static_enrich(spark, sf_dir):
     (static side broadcast per micro-batch), aggregated by market segment."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|ev20k")
     joined = stream_static_join(
         stream, F.broadcast(c), stream.user_id == c.c_custkey
     )
@@ -176,7 +211,7 @@ def streaming_static_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    return run_to_memory(agg, ckpt, output_mode="complete")
+    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
 
 
 STREAMING_STATIC_JOIN_SQL = """
@@ -203,8 +238,10 @@ def streaming_interval_join(spark, sf_dir):
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("click_id"),
     )
-    p_stream, ckpt = _mk_stream(spark, purchases)
-    c_stream, _ = _mk_stream(spark, clicks)
+    p_stream, ckpt = _mk_stream(
+        spark, purchases, cache_key=f"{sf_dir}|purch300"
+    )
+    c_stream, _ = _mk_stream(spark, clicks, cache_key=f"{sf_dir}|click300")
     l = p_stream.withWatermark("p_ts", "1 hour")
     r = c_stream.withWatermark("c_ts", "2 hours")
     joined = l.join(
@@ -257,14 +294,16 @@ def streaming_left_outer_interval_join(spark, sf_dir):
 
     far = dt.datetime(2030, 1, 1)
 
-    def two_batch_src(df, sentinel_row):
-        src = tempfile.mkdtemp(prefix="loj_src_")
-        df.coalesce(1).write.mode("overwrite").parquet(src)
-        _append_sentinel(spark, src, df.schema, sentinel_row)
-        return file_stream(spark, src, df.schema, max_files_per_trigger=1)
-
-    p_stream = two_batch_src(purchases, (-1, far, -1)).withWatermark("p_ts", "1 hour")
-    c_stream = two_batch_src(clicks, (-1, far, -2)).withWatermark("c_ts", "2 hours")
+    p_stream, ckpt = _mk_stream(
+        spark, purchases, cache_key=f"{sf_dir}|purch300_sent",
+        sentinel_row=(-1, far, -1), max_files_per_trigger=1,
+    )
+    c_stream, _ = _mk_stream(
+        spark, clicks, cache_key=f"{sf_dir}|click300_sent",
+        sentinel_row=(-1, far, -2), max_files_per_trigger=1,
+    )
+    p_stream = p_stream.withWatermark("p_ts", "1 hour")
+    c_stream = c_stream.withWatermark("c_ts", "2 hours")
     joined = p_stream.join(
         c_stream,
         (p_stream.p_user == c_stream.c_user)
@@ -272,7 +311,6 @@ def streaming_left_outer_interval_join(spark, sf_dir):
         & (c_stream.c_ts <= F.col("p_ts")),
         "left_outer",
     )
-    ckpt = tempfile.mkdtemp(prefix="loj_ckpt_")
     res = run_to_memory(
         joined.select("purchase_id", "p_user", "click_id"), ckpt,
         output_mode="append", shuffle_partitions=8,
@@ -301,12 +339,18 @@ def streaming_semi_join(spark, sf_dir):
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("purchase_id"),
     )
+    # same 3-column clicks projection as the interval-join entry so both
+    # share one cached source dir (the extra click_id column is inert in a
+    # left_semi join — only purchase columns survive)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
     )
-    p_stream, ckpt = _mk_stream(spark, purchases)
-    c_stream, _ = _mk_stream(spark, clicks)
+    p_stream, ckpt = _mk_stream(
+        spark, purchases, cache_key=f"{sf_dir}|purch300"
+    )
+    c_stream, _ = _mk_stream(spark, clicks, cache_key=f"{sf_dir}|click300")
     l = p_stream.withWatermark("p_ts", "1 hour")
     r = c_stream.withWatermark("c_ts", "2 hours")
     joined = l.join(
@@ -358,14 +402,18 @@ def streaming_full_outer_interval_join(spark, sf_dir):
 
     far = dt.datetime(2030, 1, 1)
 
-    def two_batch_src(df, sentinel_row):
-        src = tempfile.mkdtemp(prefix="foj_src_")
-        df.coalesce(1).write.mode("overwrite").parquet(src)
-        _append_sentinel(spark, src, df.schema, sentinel_row)
-        return file_stream(spark, src, df.schema, max_files_per_trigger=1)
-
-    p_stream = two_batch_src(purchases, (-1, far, -1)).withWatermark("p_ts", "1 hour")
-    c_stream = two_batch_src(clicks, (-1, far, -2)).withWatermark("c_ts", "2 hours")
+    # same cached sentinel sources as the left-outer entry (identical
+    # projections and sentinel rows)
+    p_stream, ckpt = _mk_stream(
+        spark, purchases, cache_key=f"{sf_dir}|purch300_sent",
+        sentinel_row=(-1, far, -1), max_files_per_trigger=1,
+    )
+    c_stream, _ = _mk_stream(
+        spark, clicks, cache_key=f"{sf_dir}|click300_sent",
+        sentinel_row=(-1, far, -2), max_files_per_trigger=1,
+    )
+    p_stream = p_stream.withWatermark("p_ts", "1 hour")
+    c_stream = c_stream.withWatermark("c_ts", "2 hours")
     joined = p_stream.join(
         c_stream,
         (p_stream.p_user == c_stream.c_user)
@@ -373,7 +421,6 @@ def streaming_full_outer_interval_join(spark, sf_dir):
         & (c_stream.c_ts <= F.col("p_ts")),
         "full_outer",
     )
-    ckpt = tempfile.mkdtemp(prefix="foj_ckpt_")
     res = run_to_memory(
         joined.select("purchase_id", "p_user", "click_id", "c_user"), ckpt,
         output_mode="append", shuffle_partitions=8,
@@ -413,14 +460,12 @@ def streaming_session_windows(spark, sf_dir):
         .filter(F.col("user_id") < 300)
         .select("user_id", "ts", "value")
     )
-    src = tempfile.mkdtemp(prefix="sess_src_")
-    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    _append_sentinel(spark, src, ev.schema, (-1, dt.datetime(2030, 1, 1), 0.0))
-
-    stream = file_stream(
-        spark, src, ev.schema, max_files_per_trigger=1
-    ).withWatermark("ts", "10 minutes")
+    stream, ckpt = _mk_stream(
+        spark, ev, cache_key=f"{sf_dir}|user300_utv_sent",
+        sentinel_row=(-1, dt.datetime(2030, 1, 1), 0.0),
+        max_files_per_trigger=1,
+    )
+    stream = stream.withWatermark("ts", "10 minutes")
     agg = stream.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")
     ).agg(
@@ -471,7 +516,7 @@ def streaming_topk_users(spark, sf_dir):
         .filter(F.col("event_id") < 20000)
         .select("user_id", "value", "ts")
     )
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|ev20k_uvt")
     acc = foreachbatch_running_aggregate(
         stream, keys=["user_id"], value_col="value", checkpoint_dir=ckpt
     )
@@ -563,7 +608,7 @@ def streaming_sliding_counts(spark, sf_dir):
     overlap expansion the oracle computes. Sliding windows are the
     standard smoothing topology; state is windows × types, bounded."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|ev20k")
     agg = stream.groupBy(
         F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -598,7 +643,7 @@ def streaming_running_totals(spark, sf_dir):
     epoch-order-dependent; decimal accumulation is the same discipline as
     the batch side). State is O(types)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|ev20k")
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
@@ -641,13 +686,14 @@ def streaming_union_sources(spark, sf_dir):
         .select("event_id", "ts", "event_type")
     )
     srcs = []
+    ckpt = None
     for parity in (0, 1):
-        d = tempfile.mkdtemp(prefix=f"union_src{parity}_")
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        srcs.append(file_stream(spark, d, ev.schema))
-    ckpt = tempfile.mkdtemp(prefix="union_ckpt_")
+        s, ckpt = _mk_stream(
+            spark,
+            ev.filter(F.col("event_id") % 2 == parity),
+            cache_key=f"{sf_dir}|ev20k_par{parity}",
+        )
+        srcs.append(s)
     unioned = srcs[0].unionByName(srcs[1])
     agg = unioned.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -688,15 +734,12 @@ def streaming_dedup_then_window(spark, sf_dir):
         .select("event_id", "ts", "event_type")
     )
     dup = ev.unionByName(ev)
-    src = tempfile.mkdtemp(prefix="dedupw_src_")
-    ckpt = tempfile.mkdtemp(prefix="dedupw_ckpt_")
-    dup.coalesce(1).write.mode("overwrite").parquet(src)
-    _append_sentinel(
-        spark, src, dup.schema, (-1, dt.datetime(2030, 1, 1), "zz")
+    stream, ckpt = _mk_stream(
+        spark, dup, cache_key=f"{sf_dir}|ev20k_dup_sent",
+        sentinel_row=(-1, dt.datetime(2030, 1, 1), "zz"),
+        max_files_per_trigger=1,
     )
-    stream = file_stream(
-        spark, src, dup.schema, max_files_per_trigger=1
-    ).withWatermark("ts", "10 minutes")
+    stream = stream.withWatermark("ts", "10 minutes")
     deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy(
         F.window("ts", "1 day").alias("w"), F.col("event_type")
@@ -744,14 +787,12 @@ def streaming_chained_windows(spark, sf_dir):
         .filter(F.col("event_id") < 20000)
         .select("ts", "event_type")
     )
-    src = tempfile.mkdtemp(prefix="chain_src_")
-    ckpt = tempfile.mkdtemp(prefix="chain_ckpt_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    _append_sentinel(spark, src, ev.schema, (dt.datetime(2030, 1, 1), "zz"))
-
-    stream = file_stream(
-        spark, src, ev.schema, max_files_per_trigger=1
-    ).withWatermark("ts", "10 minutes")
+    stream, ckpt = _mk_stream(
+        spark, ev, cache_key=f"{sf_dir}|ev20k_te_sent",
+        sentinel_row=(dt.datetime(2030, 1, 1), "zz"),
+        max_files_per_trigger=1,
+    )
+    stream = stream.withWatermark("ts", "10 minutes")
     hourly = stream.groupBy(
         F.window("ts", "1 hour").alias("hw"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -805,12 +846,12 @@ def streaming_state_store_audit(spark, sf_dir):
     Scale: the state read is a partitioned scan of the checkpoint's
     state files (one task per state partition), never a stream replay."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
-    stream, ckpt = _mk_stream(spark, ev)
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|user300")
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,8)")).alias("value_sum"),
     )
-    run_to_memory(agg, ckpt, output_mode="update")
+    run_to_memory(agg, ckpt, output_mode="update", shuffle_partitions=8)
     flat = (
         spark.read.format("statestore").load(ckpt).select("key.*", "value.*")
     )
@@ -851,18 +892,15 @@ def streaming_dynamic_gap_sessions(spark, sf_dir):
             F.col("ts").cast("long").cast("timestamp").alias("ts"),
         )
     )
-    src = tempfile.mkdtemp(prefix="dynsess_src_")
-    ckpt = tempfile.mkdtemp(prefix="dynsess_ckpt_")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    _append_sentinel(
-        spark, src, ev.schema, (-1, "click", dt.datetime(2030, 1, 1))
+    stream, ckpt = _mk_stream(
+        spark, ev, cache_key=f"{sf_dir}|user300_dyn_sent",
+        sentinel_row=(-1, "click", dt.datetime(2030, 1, 1)),
+        max_files_per_trigger=1,
     )
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("60 seconds")
     ).otherwise(F.lit("600 seconds"))
-    stream = file_stream(
-        spark, src, ev.schema, max_files_per_trigger=1
-    ).withWatermark("ts", "10 minutes")
+    stream = stream.withWatermark("ts", "10 minutes")
     agg = stream.groupBy(
         "user_id", F.session_window("ts", gap).alias("w")
     ).agg(F.count(F.lit(1)).alias("n_events"))
