@@ -158,3 +158,57 @@ def pagerank_fixed_point(
             ).cast("long").alias("rank"),
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set: (node, hop) for every vertex
+    reachable within ``max_hops`` undirected hops of any seed (seeds are
+    hop 0). The breadth-first frontier expansion every graph platform
+    exposes (neighborhood queries, blast-radius analysis, k-hop feature
+    collection for GNN sampling).
+
+    Scale notes: the edge list is symmetrized, hash-partitioned by source
+    and checkpointed ONCE; each round is one equi-join of (frontier x
+    edges) — the frontier is typically a small fraction of the graph, so
+    Spark broadcasts it into the partitioned edges with no re-exchange of
+    the static side — plus a distinct and an anti-join against the
+    visited set. Visited-set pruning is what makes this BFS: a node is
+    labeled with the FIRST round that reaches it, which is its minimum
+    hop distance by induction. ``localCheckpoint`` truncates lineage per
+    round (same discipline as connected_components above).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .localCheckpoint()
+    )
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint()
+    for hop in range(1, max_hops + 1):
+        reached = (
+            sym.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(
+            frontier.withColumn("hop", F.lit(hop))
+        ).localCheckpoint()
+    return visited

@@ -1357,6 +1357,7 @@ from kinesis_app_spark.registry_geo import REGISTRY_GEO  # noqa: E402
 from kinesis_app_spark.registry_layout import REGISTRY_LAYOUT  # noqa: E402
 from kinesis_app_spark.registry_modern3 import REGISTRY_MODERN3  # noqa: E402
 from kinesis_app_spark.registry_mlprep import REGISTRY_MLPREP  # noqa: E402
+from kinesis_app_spark.registry_advanced import REGISTRY_ADVANCED  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
@@ -1383,6 +1384,7 @@ REGISTRY.update(REGISTRY_GEO)
 REGISTRY.update(REGISTRY_LAYOUT)
 REGISTRY.update(REGISTRY_MODERN3)
 REGISTRY.update(REGISTRY_MLPREP)
+REGISTRY.update(REGISTRY_ADVANCED)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,354 @@
+"""Advanced round-2 additions: streaming sketch state, exact distributed
+quantiles, and BFS hop distance.
+
+Three operator families a reference user graduating to 100 TB needs:
+
+- ``streaming_heavy_hitters``: the batch Misra-Gries entry
+  (registry_analytics4.heavy_hitters_tokens) rebuilt as a TRUE streaming
+  operator — per-bucket sketches live in the state store across
+  micro-batches, the exact recount runs batch-side after the stream
+  drains. This is the deferred "streaming Misra-Gries via stateful
+  aggregation" item from SCALE_DESIGN.md.
+- ``exact_quantiles_two_pass``: EXACT order statistics without a global
+  sort — the histogram-then-probe algorithm every distributed engine
+  uses when approx_percentile isn't acceptable.
+- ``bfs_customer_supplier_hops``: minimum hop distance over the
+  customer↔supplier bipartite graph (operators/graph.bfs_hops), checked
+  against a DuckDB recursive-CTE oracle.
+
+Reference parity note: the reference (Soostone/kinesis-app) has no query
+surface at all (Processor at src/Kinesis/Coordination.hs:51-53 is the
+whole computation API); these entries extend the forward-defined engine
+surface of SURVEY.md §2.2 (sketches, iterative algorithms, streaming
+state).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from kinesis_app_spark.operators.graph import bfs_hops
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+from kinesis_app_spark.streaming.ops import run_to_memory
+from kinesis_app_spark.streaming.sources import file_stream
+
+
+# =====================================================================
+# streaming heavy hitters: Misra-Gries in the state store
+# =====================================================================
+
+_SMG_CAPACITY = 200  # recall = 1 for any token with share > 1/201
+_SMG_BUCKETS = 8  # sketch shards; all occurrences of a token hit ONE shard
+_SMG_PERCENT = 1  # report tokens owning > 1% of the token stream
+
+
+def _two_file_stream(spark, df_first, df_second, schema, cache_key):
+    """Source dir with TWO data files consumed one per micro-batch
+    (mtime-ordered), so stateful operators provably merge state across
+    batches. Both halves are written by Spark; the second part file is
+    moved in with a bumped mtime. Dir is memoized like _mk_stream's."""
+    from kinesis_app_spark.registry_streaming import _SRC_CACHE
+
+    src = _SRC_CACHE.get(cache_key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="stream2_src_")
+        df_first.coalesce(1).write.mode("overwrite").parquet(src)
+        tmp = tempfile.mkdtemp(prefix="stream2_tmp_")
+        df_second.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        newest = max(
+            os.stat(os.path.join(src, f)).st_mtime for f in os.listdir(src)
+        )
+        dst = os.path.join(src, f"second-{uuid.uuid4().hex[:8]}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (newest + 5, newest + 5))
+        _SRC_CACHE[cache_key] = src
+    ckpt = tempfile.mkdtemp(prefix="stream2_ckpt_")
+    return file_stream(spark, src, schema, max_files_per_trigger=1), ckpt
+
+
+def _mg_state_fn(key, pdfs, state):
+    """Per-bucket Misra-Gries sketch persisted in the state store.
+
+    Batched decrement variant: fold each Arrow batch's value_counts into
+    the counters, then shrink once by d = the (capacity+1)-th largest
+    value, dropping counters ≤ d. Each shrink removes ≥ (capacity+1)·d
+    total mass, so the decrement any single token ever absorbs is
+    ≤ n_bucket/(capacity+1) summed over the whole stream — the classic
+    Misra-Gries bound, which means any token with bucket share >
+    1/(capacity+1) keeps a counter. Token→bucket hashing routes EVERY
+    occurrence of a token to one sketch, so bucket share ≥ global share
+    and recall is 1 for anything above the global 1/(capacity+1) line;
+    the sketch only over-generates and the exact recount fixes precision.
+    """
+    if state.exists:
+        toks, cnts = state.get
+        counters = dict(zip(list(toks), (int(c) for c in cnts)))
+    else:
+        counters = {}
+    for pdf in pdfs:
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > _SMG_CAPACITY:
+            vals = sorted(counters.values(), reverse=True)
+            d = vals[_SMG_CAPACITY]
+            counters = {t: v - d for t, v in counters.items() if v > d}
+    state.update((list(counters.keys()), list(counters.values())))
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def streaming_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (>1% of the corpus token stream) discovered by
+    a TRUE streaming query: documents arrive over two micro-batches, the
+    stream explodes to tokens routed to 8 sketch shards by token hash,
+    and ``applyInPandasWithState`` maintains one Misra-Gries sketch per
+    shard in the state store ACROSS batches (update-mode emission). The
+    union of emitted candidates (over-generating by construction) is
+    recounted exactly batch-side against the static table, so the final
+    list hash-matches the plain GROUP BY ... HAVING oracle.
+
+    Scale: state is O(buckets × capacity) regardless of vocabulary; the
+    streaming shuffle is keyed on a FIXED 8-value bucket domain (sketch
+    shards — the storm-style topology), never on the vocabulary; the
+    recount is the batch entry's broadcast-candidates + filtered-explode
+    plan (registry_analytics4.heavy_hitters_tokens). The two-file source
+    proves cross-batch state merge rather than a single-batch degenerate
+    run."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream, ckpt = _two_file_stream(
+        spark,
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.schema,
+        cache_key=f"{sf_dir}|docs_2file",
+    )
+    tokens = stream.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(_SMG_BUCKETS)).cast("int")
+    )
+    cands = tokens.groupBy("bucket").applyInPandasWithState(
+        _mg_state_fn,
+        outputStructType="token string",
+        stateStructType="tokens array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(
+        cands, ckpt, output_mode="update", shuffle_partitions=_SMG_BUCKETS
+    )
+    candidates = emitted.select("token").distinct()
+
+    # exact recount over the static table, pruned by broadcast candidates
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    total = toks.agg(F.sum(F.size("toks")).alias("total"))
+    cand_arr = candidates.agg(
+        F.array_sort(F.collect_list("token")).alias("cand")
+    )
+    counts = (
+        toks.crossJoin(F.broadcast(cand_arr))
+        .select(
+            F.explode(
+                F.filter(
+                    F.col("toks"),
+                    lambda t: F.array_contains(F.col("cand"), t),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 100 > F.col("total") * _SMG_PERCENT)
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") * 100.0 / F.col("total"), 4
+            ).alias("pct_of_tokens"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
+STREAMING_HH_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), nonempty AS (
+  SELECT token FROM tok WHERE token <> ''
+), t AS (SELECT count(*) AS total FROM nonempty),
+c AS (SELECT token, count(*) AS n_occurrences FROM nonempty GROUP BY 1)
+SELECT c.token, c.n_occurrences,
+       CAST(round(c.n_occurrences * 100.0 / t.total, 4) AS DOUBLE)
+         AS pct_of_tokens
+FROM c, t
+WHERE c.n_occurrences * 100 > t.total * {_SMG_PERCENT}
+ORDER BY n_occurrences DESC, token
+"""
+
+
+# =====================================================================
+# exact quantiles without a global sort
+# =====================================================================
+
+_QUANTILES = (0.5, 0.9, 0.99)
+_QNT_BUCKETS = 1024
+
+
+def exact_quantiles_two_pass(spark, sf_dir):
+    """EXACT quantiles of l_extendedprice with NO global sort: pass 0
+    computes (count, min, max) — one row to the driver; pass 1 histograms
+    the column into 1024 fixed-width buckets — ≤1024 rows to the driver
+    (both bounded collects, same discipline as IVF centroids); the
+    cumulative histogram locates, for each target rank ceil(q·n)-1
+    (DuckDB's quantile_disc rank, verified), the bucket holding it and
+    the offset within that bucket. Pass 2 then reads ONLY that bucket's
+    rows (a pushed-down range predicate on the parquet scan, plus the
+    exact bucket expression to kill float-boundary ambiguity) and takes
+    the offset-th smallest via orderBy+limit — a TakeOrderedAndProject
+    over ~n/1024 rows, never a sort of n.
+
+    Scale: the full sort this avoids is THE bottleneck of naive exact
+    percentiles at 100 TB; here the only full-data passes are two
+    scan+aggregate jobs (codegen, column-pruned), and the final probe
+    touches row groups the range predicate can't skip. For pathological
+    skew (one bucket ≫ n/1024), recurse: re-histogram inside the bucket —
+    not needed at gate scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n, mn, mx = li.agg(
+        F.count("x"), F.min("x"), F.max("x")
+    ).collect()[0]
+    width = (mx - mn) / _QNT_BUCKETS or 1.0
+    bucket = F.least(
+        F.floor((F.col("x") - F.lit(mn)) / F.lit(width)),
+        F.lit(_QNT_BUCKETS - 1),
+    ).cast("int")
+    hist = {
+        r["b"]: r["c"]
+        for r in li.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    targets = []  # (q, bucket, offset-within-bucket)
+    for q in _QUANTILES:
+        rank = math.ceil(q * n) - 1  # 0-based, == DuckDB quantile_disc
+        cum = 0
+        for b in range(_QNT_BUCKETS):
+            c = hist.get(b, 0)
+            if cum + c > rank:
+                targets.append((q, b, rank - cum))
+                break
+            cum += c
+    if not targets:  # empty table: no ranks exist
+        return spark.createDataFrame([], "quantile double, value double")
+    out = None
+    for q, b, off in targets:
+        lo = mn + b * width
+        hi = mn + (b + 2) * width  # one-bucket slack: range is for
+        # pushdown only; the bucket expression below is the exact filter
+        probe = (
+            li.filter((F.col("x") >= lo - width) & (F.col("x") <= hi))
+            .filter(bucket == b)
+            .orderBy("x")
+            .limit(off + 1)
+            .agg(F.max("x").alias("value"))
+            .select(F.lit(float(q)).alias("quantile"), "value")
+        )
+        out = probe if out is None else out.unionByName(probe)
+    return out.orderBy("quantile")
+
+
+EXACT_QUANTILES_SQL = """
+SELECT CAST(0.5 AS DOUBLE) AS quantile,
+       quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) FROM lineitem
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+ORDER BY quantile
+"""
+
+
+# =====================================================================
+# BFS hop distance over the customer-supplier bipartite graph
+# =====================================================================
+
+_BFS_SEED_NATION = 7
+_BFS_MAX_HOPS = 3
+
+
+def bfs_customer_supplier_hops(spark, sf_dir):
+    """Minimum hop distance from NATION_7's customers over the bipartite
+    trade graph (customer —ordered-from— supplier, edges from
+    lineitem⋈orders): hop 0 = the seed customers, hop 1 = suppliers who
+    shipped to them, hop 2 = other customers of those suppliers, hop 3 =
+    that cohort's other suppliers. The k-hop neighborhood query —
+    blast-radius analysis, GNN frontier sampling — delegated to
+    operators/graph.bfs_hops (broadcast frontier per round, static edge
+    list partitioned+checkpointed once, visited-set anti-join = min-hop
+    by induction). Oracle: DuckDB recursive CTE with min(hop) per node."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == _BFS_SEED_NATION)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=_BFS_MAX_HOPS).orderBy(
+        "hop", "node"
+    )
+
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), walk(node, hop) AS (
+  SELECT 'c:' || c_custkey, 0 FROM customer
+  WHERE c_nationkey = {_BFS_SEED_NATION}
+  UNION
+  SELECT CASE WHEN w.node = e.c THEN e.s ELSE e.c END, w.hop + 1
+  FROM walk w JOIN e ON w.node = e.c OR w.node = e.s
+  WHERE w.hop < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hop) AS INTEGER) AS hop
+FROM walk GROUP BY node ORDER BY hop, node
+"""
+
+
+REGISTRY_ADVANCED = {
+    "streaming_heavy_hitters": QuerySpec(
+        streaming_heavy_hitters, STREAMING_HH_SQL
+    ),
+    "exact_quantiles_two_pass": QuerySpec(
+        exact_quantiles_two_pass, EXACT_QUANTILES_SQL
+    ),
+    "bfs_customer_supplier_hops": QuerySpec(
+        bfs_customer_supplier_hops, BFS_HOPS_SQL
+    ),
+}

@@ -1,0 +1,167 @@
+"""Unit tests for registry_advanced: BFS edge cases, exact-quantile edge
+cases, and the streaming Misra-Gries state function's recall guarantee."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators.graph import bfs_hops
+from kinesis_app_spark.registry_advanced import (
+    _SMG_CAPACITY,
+    _mg_state_fn,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def test_bfs_isolated_seed_stops_immediately(spark):
+    """A seed with no incident edges yields exactly its hop-0 row and the
+    frontier loop exits on the first empty expansion."""
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("z",)], "node string")
+    out = bfs_hops(edges, seeds, max_hops=5).collect()
+    assert [(r["node"], r["hop"]) for r in out] == [("z", 0)]
+
+
+def test_bfs_chain_min_hop_and_bound(spark):
+    """On a chain a-b-c-d-e, hops from {a} are the chain positions and
+    max_hops truncates the frontier (min-hop semantics: b reached at 1
+    stays 1 even though a-b-c-b walks exist)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_multi_seed_takes_closest(spark):
+    """With seeds at both chain ends, every node's hop is the distance to
+    the NEAREST seed."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    out = {
+        r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert out == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+# ------------------------------------------------- exact quantiles
+
+
+def test_exact_quantiles_match_duckdb_formula(spark, tmp_path):
+    """The histogram-probe must return the exact quantile_disc element on
+    a constant column (degenerate width guard) and on a small distinct
+    column (rank arithmetic)."""
+    import duckdb
+
+    from kinesis_app_spark import registry_advanced as adv
+
+    # build a miniature sf dir with just lineitem(l_extendedprice)
+    vals = [float(v) for v in range(1, 101)] + [50.0] * 17
+    pdf = pd.DataFrame({"l_extendedprice": vals})
+    d = tmp_path / "mini"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(d / "lineitem.parquet")
+    )
+    got = {
+        r["quantile"]: r["value"]
+        for r in adv.exact_quantiles_two_pass(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    for q in adv._QUANTILES:
+        want = con.execute(
+            f"SELECT quantile_disc(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_exact_quantiles_constant_column(spark, tmp_path):
+    """All-equal values: width degenerates to the 1.0 fallback and every
+    quantile is that single value."""
+    from kinesis_app_spark import registry_advanced as adv
+
+    d = tmp_path / "const"
+    d.mkdir()
+    spark.createDataFrame(
+        [(42.5,)] * 9, "l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    out = adv.exact_quantiles_two_pass(spark, str(d)).collect()
+    assert [r["value"] for r in out] == [42.5, 42.5, 42.5]
+
+
+# --------------------------------------- streaming Misra-Gries state
+
+
+class _FakeState:
+    """Minimal stand-in for GroupState: exists/get/update."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _run_batches(batches):
+    state = _FakeState()
+    emitted = []
+    for b in batches:
+        for out in _mg_state_fn(("bucket0",), iter([b]), state):
+            emitted.extend(out["token"].tolist())
+    return state, set(emitted)
+
+
+def test_mg_state_merges_across_batches_and_keeps_heavy_token():
+    """A token above the 1/(capacity+1) share must survive across batch
+    boundaries even when each batch floods the sketch with fresh noise
+    tokens — the cross-batch state merge is what the streaming entry
+    adds over the per-partition batch sketch."""
+    heavy = ["hot"] * 600
+    noise_a = [f"a{i}" for i in range(_SMG_CAPACITY * 2)]
+    noise_b = [f"b{i}" for i in range(_SMG_CAPACITY * 2)]
+    batches = [
+        pd.DataFrame({"token": heavy[:300] + noise_a}),
+        pd.DataFrame({"token": heavy[300:] + noise_b}),
+    ]
+    # total stream n = 600 + 800 = 1400; hot share 600/1400 >> 1/201
+    state, emitted = _run_batches(batches)
+    toks, cnts = state._v
+    assert "hot" in toks
+    # MG estimate only undercounts, by at most n/(capacity+1)
+    est = dict(zip(toks, cnts))["hot"]
+    assert 600 - 1400 / (_SMG_CAPACITY + 1) <= est <= 600
+    assert "hot" in emitted
+
+
+def test_mg_state_capacity_bound():
+    """The sketch never holds more than capacity counters no matter how
+    adversarial the vocabulary."""
+    batches = [
+        pd.DataFrame({"token": [f"t{i}_{j}" for i in range(500) for j in (0, 1)]})
+        for _ in range(3)
+    ]
+    state, _ = _run_batches(batches)
+    toks, cnts = state._v
+    assert len(toks) <= _SMG_CAPACITY
+    assert all(c > 0 for c in cnts)
