@@ -82,6 +82,14 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
         # --- broadcast threshold: generous; dims here are tiny ---
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # --- driver heap: Spark's local-mode default is 1g, which a 64m
+        # broadcast threshold can blow through once fact-side aggregates
+        # get stats-estimated under the line (found by stress.py at x10:
+        # notEnoughMemoryToBuildAndBroadcastTable on q18). In local mode
+        # the driver JVM IS the cluster; size it like one executor. Xmx
+        # is a cap, not an allocation. Only effective at JVM launch —
+        # a later getOrCreate in the same process cannot change it. ---
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         # quieter local runs
         "spark.ui.enabled": "false",
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",

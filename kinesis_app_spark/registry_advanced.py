@@ -32,7 +32,7 @@ import tempfile
 import uuid
 
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from kinesis_app_spark.operators.graph import bfs_hops
@@ -50,30 +50,36 @@ _SMG_BUCKETS = 8  # sketch shards; all occurrences of a token hit ONE shard
 _SMG_PERCENT = 1  # report tokens owning > 1% of the token stream
 
 
-def _two_file_stream(spark, df_first, df_second, schema, cache_key):
-    """Source dir with TWO data files consumed one per micro-batch
-    (mtime-ordered), so stateful operators provably merge state across
-    batches. Both halves are written by Spark; the second part file is
-    moved in with a bumped mtime. Dir is memoized like _mk_stream's."""
+def _multi_file_stream(spark, dfs, schema, cache_key):
+    """Source dir with one data file PER DataFrame, consumed one per
+    micro-batch (mtime-ordered, maxFilesPerTrigger=1), so stateful
+    operators provably merge state across batches and watermark
+    advancement between batches is deterministic. Every file is written
+    by Spark (no driver-side row collection); files after the first are
+    moved in with bumped mtimes. Dir is memoized like _mk_stream's."""
     from kinesis_app_spark.registry_streaming import _SRC_CACHE
 
     src = _SRC_CACHE.get(cache_key)
     if src is None:
-        src = tempfile.mkdtemp(prefix="stream2_src_")
-        df_first.coalesce(1).write.mode("overwrite").parquet(src)
-        tmp = tempfile.mkdtemp(prefix="stream2_tmp_")
-        df_second.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
-        )
-        newest = max(
-            os.stat(os.path.join(src, f)).st_mtime for f in os.listdir(src)
-        )
-        dst = os.path.join(src, f"second-{uuid.uuid4().hex[:8]}.parquet")
-        shutil.copy(os.path.join(tmp, part), dst)
-        os.utime(dst, (newest + 5, newest + 5))
+        src = tempfile.mkdtemp(prefix="streamn_src_")
+        dfs[0].coalesce(1).write.mode("overwrite").parquet(src)
+        for i, df in enumerate(dfs[1:], start=1):
+            tmp = tempfile.mkdtemp(prefix="streamn_tmp_")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+            )
+            newest = max(
+                os.stat(os.path.join(src, f)).st_mtime
+                for f in os.listdir(src)
+            )
+            dst = os.path.join(
+                src, f"file{i}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (newest + 5, newest + 5))
         _SRC_CACHE[cache_key] = src
-    ckpt = tempfile.mkdtemp(prefix="stream2_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="streamn_ckpt_")
     return file_stream(spark, src, schema, max_files_per_trigger=1), ckpt
 
 
@@ -125,10 +131,12 @@ def streaming_heavy_hitters(spark, sf_dir):
     proves cross-batch state merge rather than a single-batch degenerate
     run."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    stream, ckpt = _two_file_stream(
+    stream, ckpt = _multi_file_stream(
         spark,
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
+        [
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+        ],
         d.schema,
         cache_key=f"{sf_dir}|docs_2file",
     )
@@ -287,6 +295,191 @@ ORDER BY quantile
 
 
 # =====================================================================
+# deterministic late-data drop (watermark contract, append mode)
+# =====================================================================
+
+_LATE_CUT = "2024-01-03 00:00:00"  # events span 2024-01-01..01-30 at every sf
+
+
+def streaming_late_data_drop(spark, sf_dir):
+    """Deterministic demonstration of the watermark DROPPING late data —
+    the contract the reference's at-least-once redelivery model never
+    had (src/Kinesis/Coordination.hs:329-337 re-delivers without any
+    event-time bound; a watermark is the bound).
+
+    Four mtime-ordered files, one micro-batch each:
+      1. the early cohort (ts < Jan 3) MINUS a withheld 10% slice, PLUS
+         the global max-(ts, event_id) row as watermark pusher — the
+         watermark computed from this batch stands at ~Jan 30,
+      2. a filler batch (the rank-2 row by (ts, event_id)) whose only
+         job is to age the pusher's watermark by one batch (see the
+         determinism note),
+      3. the withheld slice — every row maps to an hour window whose
+         end is far below the late-event watermark, so Spark drops ALL
+         of them,
+      4. a far-future sentinel that flushes the Jan-30 windows.
+
+    The oracle counts the early cohort minus the withheld slice plus
+    the two newest rows: what the watermark drops is exactly the
+    withheld slice — a value-gated fact rather than folklore.
+
+    Determinism note (pinned empirically on Spark 4.1; the 3.4+
+    two-watermark design for chained stateful operators): batch N's
+    LATE-EVENT filter uses the watermark that was ACTIVE DURING batch
+    N-1 (i.e. computed from batch N-2's data), while EVICTION uses the
+    watermark updated from batch N-1's data. Hence the pusher rides TWO
+    batches before the late rows: in the naive "bulk, pusher, late"
+    layout the late batch still filters with the bulk batch's low
+    watermark and admits every late row into any window newer than it
+    (observed: windows past max(bulk ts) - delay leaked through)."""
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select("event_id", "ts", "event_type")
+    )
+    early = base.filter(F.col("ts") < F.lit(_LATE_CUT).cast("timestamp"))
+    w_rank = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = base.withColumn("rn", F.row_number().over(w_rank))
+    pusher = ranked.filter(F.col("rn") == 1).drop("rn")
+    filler = ranked.filter(F.col("rn") == 2).drop("rn")
+    file1 = early.filter(F.col("event_id") % 10 != 0).unionByName(pusher)
+    late = early.filter(F.col("event_id") % 10 == 0)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("zz").alias("event_type"),
+    )
+    stream, ckpt = _multi_file_stream(
+        spark,
+        [file1, filler, late, sentinel],
+        base.schema,
+        cache_key=f"{sf_dir}|late_drop_4file",
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    return res.filter(F.col("event_type") != "zz").select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+STREAMING_LATE_DROP_SQL = f"""
+WITH base AS (
+  SELECT event_id, ts, event_type FROM events WHERE user_id < 300
+), newest2 AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (ORDER BY ts DESC, event_id DESC) <= 2
+), survivors AS (
+  SELECT * FROM base
+  WHERE ts < TIMESTAMP '{_LATE_CUT}' AND event_id % 10 != 0
+  UNION ALL
+  SELECT * FROM newest2
+)
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         AS window_start,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000
+                      + 3600000000) AS window_end,
+       event_type, count(*) AS n_events
+FROM survivors
+GROUP BY 1, 2, 3
+"""
+
+
+_GQ_QUANTILE = 0.5  # grouped median
+
+
+def exact_grouped_quantiles(spark, sf_dir):
+    """EXACT per-group median of l_extendedprice (by l_returnflag) with
+    no per-group sort: ONE scan builds the (group, bucket) histogram
+    (groups × 1024 rows to the driver — bounded by the group domain, the
+    same small-collect contract as the global entry above); the
+    cumulative histogram locates each group's target bucket + offset;
+    ONE probe pass filters to the target (group, bucket) pairs via a
+    broadcast semi-join and ranks within each group's single bucket with
+    a row_number window — sorting ~n_g/1024 rows per group instead of
+    n_g.
+
+    Scale: the naive per-group exact percentile sorts every group
+    (Spark's percentile() aggregate buffers all values per group); this
+    shape does two codegen scan+aggregates plus a window over ~1/1024 of
+    the data — and generalizes to any quantile set. Group-domain caveat:
+    the histogram collect is (n_groups × buckets); for high-cardinality
+    groups, batch the group domain or drop to percentile_approx."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
+    )
+    stats = {
+        r["g"]: (r["n"], r["mn"], r["mx"])
+        for r in li.groupBy("g")
+        .agg(
+            F.count("x").alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx")
+        )
+        .collect()
+    }
+    widths = {
+        g: ((mx - mn) / _QNT_BUCKETS or 1.0) for g, (n, mn, mx) in stats.items()
+    }
+    # single-scan histogram over (group, bucket); bucket expr varies per
+    # group via a small CASE built from the collected stats
+    bucket = F.lit(None).cast("int")
+    for g, (n, mn, mx) in stats.items():
+        b_g = F.least(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(widths[g])),
+            F.lit(_QNT_BUCKETS - 1),
+        ).cast("int")
+        bucket = F.when(F.col("g") == g, b_g).otherwise(bucket)
+    hist: dict[tuple, int] = {
+        (r["g"], r["b"]): r["c"]
+        for r in li.groupBy("g", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    targets = []  # (g, bucket, offset)
+    for g, (n, mn, mx) in stats.items():
+        rank = math.ceil(_GQ_QUANTILE * n) - 1
+        cum = 0
+        for b in range(_QNT_BUCKETS):
+            c = hist.get((g, b), 0)
+            if cum + c > rank:
+                targets.append((g, b, rank - cum))
+                break
+            cum += c
+    tgt = spark.createDataFrame(
+        [(g, b, o) for g, b, o in targets], "g string, b int, off int"
+    )
+    probed = (
+        li.withColumn("b", bucket)
+        .join(F.broadcast(tgt), ["g", "b"])
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("x")),
+        )
+        .filter(F.col("rn") == F.col("off") + 1)
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.lit(float(_GQ_QUANTILE)).alias("quantile"),
+            F.col("x").alias("value"),
+        )
+    )
+    return probed.orderBy("l_returnflag")
+
+
+EXACT_GROUPED_QUANTILES_SQL = f"""
+SELECT l_returnflag, CAST({_GQ_QUANTILE} AS DOUBLE) AS quantile,
+       quantile_disc(l_extendedprice, {_GQ_QUANTILE}) AS value
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# =====================================================================
 # BFS hop distance over the customer-supplier bipartite graph
 # =====================================================================
 
@@ -348,7 +541,13 @@ REGISTRY_ADVANCED = {
     "exact_quantiles_two_pass": QuerySpec(
         exact_quantiles_two_pass, EXACT_QUANTILES_SQL
     ),
+    "exact_grouped_quantiles": QuerySpec(
+        exact_grouped_quantiles, EXACT_GROUPED_QUANTILES_SQL
+    ),
     "bfs_customer_supplier_hops": QuerySpec(
         bfs_customer_supplier_hops, BFS_HOPS_SQL
+    ),
+    "streaming_late_data_drop": QuerySpec(
+        streaming_late_data_drop, STREAMING_LATE_DROP_SQL
     ),
 }

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Scale-stress harness: measure how headline operators scale when the
+FACT tables grow 10x with dimension tables fixed — the growth pattern a
+real deployment sees (orders/events/documents accumulate; nations and
+parts don't).
+
+Builds a x10 copy of /root/testdata/sf0.1 under /tmp (facts replicated
+with shifted primary keys so join cardinalities and dedup groups scale
+realistically; replica marker appended to document text so replicas are
+not textual duplicates), runs a representative operator slice at both
+scales, and prints one JSON line of per-entry (sec_base, sec_x10, ratio).
+
+A ratio near 10 on a 32-core box means the operator is throughput-bound
+(linear work, no quadratic shuffle, no driver bottleneck) — the property
+that must hold for the 1000-executor / 100 TB extrapolation. Ratios well
+UNDER 10 mean fixed per-query overhead still dominates at sf0.1 (the
+bench's 0.5-1 s floor); ratios well OVER 10 flag superlinear plans.
+
+Usage: python stress.py [replication-factor]   (default 10)
+Results are recorded in STRESS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# same stdout discipline as bench.py: JVM chatter -> stderr, one JSON line
+_REAL_STDOUT_FD = os.dup(1)
+os.dup2(2, 1)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kinesis_app_spark import registry  # noqa: E402
+from kinesis_app_spark.engine import get_spark  # noqa: E402
+from kinesis_app_spark.sources.batch import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+KEY_OFFSET = 10_000_000  # > every key in sf0.1
+
+#: facts scale with the deployment; dims do not
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+#: fact -> columns to shift per replica so keys stay unique and
+#: fact-fact joins (orders<->lineitem) keep their 1:N shape
+KEY_SHIFTS = {
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+ENTRIES = [
+    "q1_pricing_summary",        # full-scan aggregate
+    "q9_product_profit",         # multi-join + agg (dims broadcast)
+    "q18_large_volume_customers",  # join + agg + having
+    "asof_purchase_last_click",  # as-of join (union + window)
+    "sessionize_events",         # keyed sessionization window
+    "dedup_exact_groups",        # fingerprint groupBy dedup
+    "heavy_hitters_tokens",      # Misra-Gries sketch + exact recount
+    "exact_quantiles_two_pass",  # histogram-probe exact quantiles
+    "knn_brute_force",           # embedding scan + top-k
+]
+
+
+def build_scaled_dir(spark, k: int) -> str:
+    out = f"/tmp/kinesis_stress_x{k}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    for t in FACTS:
+        df = load_table(spark, BASE_SF, t).withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
+        for c in KEY_SHIFTS[t]:
+            df = df.withColumn(
+                c, F.col(c) + F.col("__r").cast("long") * KEY_OFFSET
+            )
+        if t == "documents":
+            # replicas must not be textual duplicates of each other or
+            # exact-dedup groups would grow x(k^2) in pair space
+            df = df.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"), F.lit(" replica"), F.col("__r").cast("string")
+                ),
+            )
+        df.drop("__r").repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    open(marker, "w").close()
+    return out
+
+
+def time_entry(spark, name: str, sf_dir: str, reps: int = 3) -> float:
+    """Best-of-N: the box shows intermittent multi-second contention
+    spikes (same query: 1 s and 25 s minutes apart), and min is the
+    standard estimator for 'the machine's actual cost' under spiky
+    interference."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        registry.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="kinesis-stress", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled = build_scaled_dir(spark, k)
+
+    # warm both dirs (JVM, parquet footers)
+    registry.REGISTRY["q1_pricing_summary"].fn(spark, BASE_SF).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    registry.REGISTRY["q1_pricing_summary"].fn(spark, scaled).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results = {}
+    for name in ENTRIES:
+        base = time_entry(spark, name, BASE_SF)
+        big = time_entry(spark, name, scaled)
+        results[name] = {
+            "sec_base": base,
+            f"sec_x{k}": big,
+            "ratio": round(big / base, 2) if base > 0 else None,
+        }
+        print(f"STRESS {name}: {base}s -> {big}s ({results[name]['ratio']}x)",
+              file=sys.stderr)
+
+    line = json.dumps({"k": k, "entries": results}, separators=(",", ":"))
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -165,3 +165,33 @@ def test_mg_state_capacity_bound():
     toks, cnts = state._v
     assert len(toks) <= _SMG_CAPACITY
     assert all(c > 0 for c in cnts)
+
+
+def test_exact_grouped_quantiles_single_row_groups(spark, tmp_path):
+    """A group with one row: its median is that row; mixed with a larger
+    duplicate-heavy group (rank arithmetic over ties)."""
+    import duckdb
+
+    from kinesis_app_spark import registry_advanced as adv
+
+    d = tmp_path / "grp"
+    d.mkdir()
+    rows = [("A", 7.0)] + [("B", v) for v in [1.0, 2.0, 2.0, 2.0, 9.0, 9.0]]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: r["value"]
+        for r in adv.exact_grouped_quantiles(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    want = dict(
+        con.execute(
+            "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
