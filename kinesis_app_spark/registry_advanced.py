@@ -243,6 +243,8 @@ def exact_quantiles_two_pass(spark, sf_dir):
     n, mn, mx = li.agg(
         F.count("x"), F.min("x"), F.max("x")
     ).collect()[0]
+    if n == 0:  # empty table: no ranks exist
+        return spark.createDataFrame([], "quantile double, value double")
     width = (mx - mn) / _QNT_BUCKETS or 1.0
     bucket = F.least(
         F.floor((F.col("x") - F.lit(mn)) / F.lit(width)),
@@ -534,6 +536,199 @@ FROM walk GROUP BY node ORDER BY hop, node
 """
 
 
+# =====================================================================
+# scan-free statistics: parquet footer aggregate pushdown
+# =====================================================================
+
+
+def metadata_only_stats(spark, sf_dir):
+    """COUNT/MIN/MAX answered from parquet FOOTER metadata — zero data
+    pages read. The V2 parquet source with
+    ``spark.sql.parquet.aggregatePushdown`` pushes whole-table COUNT(*),
+    MIN and MAX into the scan, which answers them from row-group
+    statistics; the plan is asserted to carry ``PushedAggregation`` for
+    every table, so this entry FAILS rather than silently degrading to a
+    full scan. At 100 TB this is the difference between a row-count
+    taking milliseconds of footer reads and a full-corpus scan — the
+    first tool of any data-platform ops surface.
+
+    Conf discipline: the V2-source + pushdown confs are scoped with the
+    eager-localCheckpoint pattern (registry_scale.bucketed_join_orders):
+    the aggregates EXECUTE under the confs, then everything is restored.
+    """
+    import os
+
+    tables = [
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("customer", "c_custkey"),
+    ]
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        out = None
+        for t, key in tables:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            agg = df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(F.col(key).cast("long")).alias("min_key"),
+                F.max(F.col(key).cast("long")).alias("max_key"),
+            )
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            if "PushedAggregation: [COUNT(*)" not in plan:
+                raise RuntimeError(
+                    f"aggregate pushdown missing for {t}: footer-only "
+                    "stats would silently degrade to a full scan"
+                )
+            out = agg if out is None else out.unionByName(agg)
+        return out.orderBy("table_name").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+METADATA_ONLY_SQL = """
+SELECT 'customer' AS table_name, count(*) AS n_rows,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer
+UNION ALL
+SELECT 'lineitem', count(*), min(l_orderkey), max(l_orderkey) FROM lineitem
+UNION ALL
+SELECT 'orders', count(*), min(o_orderkey), max(o_orderkey) FROM orders
+ORDER BY table_name
+"""
+
+
+# =====================================================================
+# runtime bloom-filter join (the 100 TB shuffle-join optimization)
+# =====================================================================
+
+
+def runtime_bloom_join(spark, sf_dir):
+    """Shuffle join where Spark INJECTS a bloom filter from the selective
+    side into the fact scan at optimization time
+    (``spark.sql.optimizer.runtime.bloomFilter``): the filter on orders
+    (totalprice > 450k keeps ~1%) builds a bloom of surviving orderkeys
+    that prunes lineitem rows BEFORE the shuffle — the runtime-filter
+    mechanism that, at 100 TB, turns a full-fact-table exchange into an
+    exchange of just the matching slice. Broadcast is disabled so the
+    join genuinely exercises the shuffle path, and the plan is asserted
+    to contain the bloom probe (``might_contain``), so regression to an
+    unfiltered shuffle fails loudly. Values are unchanged by the filter
+    (bloom false-positives only ADMIT rows; the join still decides) —
+    which is what the oracle verifies.
+
+    The application-side size threshold is lowered for the gate-scale
+    fixture (default 10 GB — the mechanism is size-gated in production
+    exactly because blooms only pay off on big scans)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        li = _t(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(30,8)")
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "runtime bloom filter was not injected; the fact scan "
+                "would shuffle unpruned"
+            )
+        return j.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+RUNTIME_BLOOM_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,8))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
+# SQL table function (parameterized relational view, Spark 4 SQL UDTF)
+# =====================================================================
+
+
+def sql_table_function_cohort(spark, sf_dir):
+    """Parameterized TABLE function in pure SQL (Spark 4 ``CREATE
+    FUNCTION ... RETURNS TABLE``): ``adv_big_orders(threshold)`` is a
+    reusable relational view with a runtime argument — the catalog-level
+    abstraction a platform exposes so every team doesn't re-paste the
+    cohort definition. The function body is ordinary SQL (filter on the
+    threshold parameter), composed here with a join + rollup over the
+    returned table. Catalyst inlines the function body, so the composed
+    plan optimizes exactly like the hand-written query — zero
+    abstraction cost (same inlining contract as SQL scalar UDFs,
+    registry_modern.sql_udf_net_revenue)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("adv_ordv")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("adv_custv")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION adv_big_orders(
+            threshold DOUBLE
+        ) RETURNS TABLE (
+            o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE
+        ) RETURN
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM adv_ordv WHERE o_totalprice > adv_big_orders.threshold
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(b.o_totalprice AS DECIMAL(30,8))), 2)
+                    AS DOUBLE) AS total_price
+        FROM adv_big_orders(400000.0D) b
+        JOIN adv_custv c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+SQL_TABLE_FUNCTION_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2)::DOUBLE
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000.0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY_ADVANCED = {
     "streaming_heavy_hitters": QuerySpec(
         streaming_heavy_hitters, STREAMING_HH_SQL
@@ -549,5 +744,10 @@ REGISTRY_ADVANCED = {
     ),
     "streaming_late_data_drop": QuerySpec(
         streaming_late_data_drop, STREAMING_LATE_DROP_SQL
+    ),
+    "metadata_only_stats": QuerySpec(metadata_only_stats, METADATA_ONLY_SQL),
+    "runtime_bloom_join": QuerySpec(runtime_bloom_join, RUNTIME_BLOOM_SQL),
+    "sql_table_function_cohort": QuerySpec(
+        sql_table_function_cohort, SQL_TABLE_FUNCTION_SQL
     ),
 }
