@@ -192,8 +192,15 @@ def bfs_hops(
         .repartition("src")
         .localCheckpoint()
     )
-    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # visited stays a LAZY union of checkpointed frontiers: only the
+    # frontier is materialized per round (one job), and the union depth
+    # is bounded by max_hops so lineage never grows past it
+    layers = [frontier.withColumn("hop", F.lit(0))]
     for hop in range(1, max_hops + 1):
         reached = (
             sym.join(
@@ -202,13 +209,14 @@ def bfs_hops(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = (
-            reached.join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
-        )
+        visited = layers[0].select("node")
+        for lay in layers[1:]:
+            visited = visited.unionByName(lay.select("node"))
+        frontier = reached.join(visited, "node", "left_anti").localCheckpoint()
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(
-            frontier.withColumn("hop", F.lit(hop))
-        ).localCheckpoint()
-    return visited
+        layers.append(frontier.withColumn("hop", F.lit(hop)))
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    return out

@@ -537,6 +537,94 @@ FROM walk GROUP BY node ORDER BY hop, node
 
 
 # =====================================================================
+# embedding int8 quantization audit
+# =====================================================================
+
+
+def embedding_int8_quantization(spark, sf_dir):
+    """Per-dimension INT8 quantization audit for the embedding store —
+    the 4× compression every 100 TB vector corpus runs before ANN
+    serving. Each dimension gets an affine code ((x-min)/scale, 255
+    levels); the audit reports the per-dim range and the reconstruction
+    error (max |err| and decimal-exact sum of squared errors), which is
+    what decides whether int8 is safe for the recall target.
+
+    Portability discipline: quantization uses floor(u + 0.5) (not
+    round-half-even), error sums accumulate in DECIMAL(38,30) so
+    aggregation order cannot change a bit, and floats widen to double
+    before any arithmetic — the same cross-engine-exact rules as the
+    portable-sketch suite (SCALE_DESIGN.md). Scale: one posexplode
+    shuffle keyed on dim (bounded by the dimensionality), stats
+    broadcast back; everything else is codegen arithmetic."""
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    x = e.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    stats = x.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = x.join(F.broadcast(stats), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5)),
+            ),
+        )
+    )
+    err = F.col("x") - (F.col("mn") + q * scale)
+    return (
+        j.select("dim", "mn", "mx", err.alias("err"))
+        .groupBy("dim", "mn", "mx")
+        .agg(
+            F.round(F.max(F.abs(F.col("err"))), 9).alias("max_abs_err"),
+            F.round(
+                F.sum((F.col("err") * F.col("err")).cast("decimal(38,30)")),
+                12,
+            )
+            .cast("double")
+            .alias("sse"),
+        )
+        .select(
+            "dim",
+            F.round("mn", 6).alias("mn"),
+            F.round("mx", 6).alias("mx"),
+            "max_abs_err",
+            "sse",
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_INT8_SQL = """
+WITH x AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), s AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1
+), j AS (
+  SELECT x.dim, x.x, s.mn, s.mx, (s.mx - s.mn) / 255.0 AS scale
+  FROM x JOIN s USING (dim)
+), e AS (
+  SELECT dim, mn, mx,
+         x - (mn + CASE WHEN scale = 0 THEN 0.0
+                        ELSE least(255.0, greatest(0.0,
+                               floor((x - mn) / scale + 0.5))) END
+                   * scale) AS err
+  FROM j
+)
+SELECT dim, round(mn, 6) AS mn, round(mx, 6) AS mx,
+       round(max(abs(err)), 9) AS max_abs_err,
+       CAST(round(sum(CAST(err * err AS DECIMAL(38,30))), 12) AS DOUBLE)
+         AS sse
+FROM e GROUP BY dim, mn, mx ORDER BY dim
+"""
+
+
+# =====================================================================
 # scan-free statistics: parquet footer aggregate pushdown
 # =====================================================================
 
@@ -744,6 +832,9 @@ REGISTRY_ADVANCED = {
     ),
     "streaming_late_data_drop": QuerySpec(
         streaming_late_data_drop, STREAMING_LATE_DROP_SQL
+    ),
+    "embedding_int8_quantization": QuerySpec(
+        embedding_int8_quantization, EMBEDDING_INT8_SQL
     ),
     "metadata_only_stats": QuerySpec(metadata_only_stats, METADATA_ONLY_SQL),
     "runtime_bloom_join": QuerySpec(runtime_bloom_join, RUNTIME_BLOOM_SQL),
