@@ -64,6 +64,11 @@ ENTRIES = [
     "heavy_hitters_tokens",      # Misra-Gries sketch + exact recount
     "exact_quantiles_two_pass",  # histogram-probe exact quantiles
     "knn_brute_force",           # embedding scan + top-k
+    "dedup_minhash_lsh",         # banded LSH candidate join + verify
+    "dedup_ngram_jaccard",       # inverted-index posting self-join
+    "pipeline_corpus_curation",  # multi-stage curation funnel
+    "bm25_topk",                 # posting-filtered scoring join
+    "geo_grid_radius_join",      # grid-bucketed spatial join
 ]
 
 
@@ -86,13 +91,23 @@ def build_scaled_dir(spark, k: int) -> str:
                 c, F.col(c) + F.col("__r").cast("long") * KEY_OFFSET
             )
         if t == "documents":
-            # replicas must not be textual duplicates of each other or
-            # exact-dedup groups would grow x(k^2) in pair space
+            # Replicas must be textually INDEPENDENT, not near-dups of
+            # each other: a trailing marker alone leaves shingle sets
+            # ~identical, so every minhash/jaccard group would gain
+            # C(k,2) pairs and the dedup ratios would measure dup-rate
+            # explosion instead of corpus growth. A per-replica vowel
+            # rotation (translate, pure codegen) changes most tokens and
+            # therefore most shingles.
+            vowels = "aeiou"
+            rot = F.col("text")
+            for r in range(1, k):
+                vr = vowels[r % 5:] + vowels[: r % 5]
+                rot = F.when(
+                    F.col("__r") == r, F.translate("text", vowels, vr)
+                ).otherwise(rot)
             df = df.withColumn(
                 "text",
-                F.concat(
-                    F.col("text"), F.lit(" replica"), F.col("__r").cast("string")
-                ),
+                F.concat(rot, F.lit(" replica"), F.col("__r").cast("string")),
             )
         df.drop("__r").repartition(32).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
@@ -132,8 +147,12 @@ def main() -> int:
 
     results = {}
     for name in ENTRIES:
-        base = time_entry(spark, name, BASE_SF)
-        big = time_entry(spark, name, scaled)
+        # interleave the two scales so a multi-minute contention storm
+        # (see STRESS.md) hits both sides' windows, not just one
+        base = big = float("inf")
+        for _ in range(3):
+            base = min(base, time_entry(spark, name, BASE_SF, reps=1))
+            big = min(big, time_entry(spark, name, scaled, reps=1))
         results[name] = {
             "sec_base": base,
             f"sec_x{k}": big,
