@@ -49,6 +49,19 @@ def _default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def _default_driver_memory() -> str:
+    """Half of MemAvailable, clamped to [2g, 32g]; 4g if unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(32, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "kinesis-app-spark",
     master: str | None = None,
@@ -85,11 +98,16 @@ def get_spark(
         # --- driver heap: Spark's local-mode default is 1g, which a 64m
         # broadcast threshold can blow through once fact-side aggregates
         # get stats-estimated under the line (found by stress.py at x10:
-        # notEnoughMemoryToBuildAndBroadcastTable on q18). In local mode
-        # the driver JVM IS the cluster; size it like one executor. Xmx
-        # is a cap, not an allocation. Only effective at JVM launch —
-        # a later getOrCreate in the same process cannot change it. ---
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        # notEnoughMemoryToBuildAndBroadcastTableError on q18). In local
+        # mode the driver JVM IS the cluster; size it like one executor
+        # from the host's actual RAM (half of MemAvailable, capped at
+        # 32g) so a smaller box spills instead of inviting the OOM
+        # killer. Xmx is a cap, not an allocation. Only effective at JVM
+        # launch — a later getOrCreate in the same process cannot change
+        # it. ---
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()
+        ),
         # quieter local runs
         "spark.ui.enabled": "false",
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",

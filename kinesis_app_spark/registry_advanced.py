@@ -59,6 +59,10 @@ def _multi_file_stream(spark, dfs, schema, cache_key):
     moved in with bumped mtimes. Dir is memoized like _mk_stream's."""
     from kinesis_app_spark.registry_streaming import _SRC_CACHE
 
+    # key in the schema so a future projection edit in ONE of the sharing
+    # entries cannot silently serve the other null-filled columns from a
+    # stale dir (parquet reads by name; absent columns come back null)
+    cache_key = f"{cache_key}|{schema.simpleString()}"
     src = _SRC_CACHE.get(cache_key)
     if src is None:
         src = tempfile.mkdtemp(prefix="streamn_src_")
@@ -76,8 +80,9 @@ def _multi_file_stream(spark, dfs, schema, cache_key):
             dst = os.path.join(
                 src, f"file{i}-{uuid.uuid4().hex[:8]}.parquet"
             )
-            shutil.copy(os.path.join(tmp, part), dst)
+            shutil.move(os.path.join(tmp, part), dst)
             os.utime(dst, (newest + 5, newest + 5))
+            shutil.rmtree(tmp, ignore_errors=True)
         _SRC_CACHE[cache_key] = src
     ckpt = tempfile.mkdtemp(prefix="streamn_ckpt_")
     return file_stream(spark, src, schema, max_files_per_trigger=1), ckpt
@@ -160,38 +165,10 @@ def streaming_heavy_hitters(spark, sf_dir):
     candidates = emitted.select("token").distinct()
 
     # exact recount over the static table, pruned by broadcast candidates
-    toks = d.select(
-        F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
-    )
-    total = toks.agg(F.sum(F.size("toks")).alias("total"))
-    cand_arr = candidates.agg(
-        F.array_sort(F.collect_list("token")).alias("cand")
-    )
-    counts = (
-        toks.crossJoin(F.broadcast(cand_arr))
-        .select(
-            F.explode(
-                F.filter(
-                    F.col("toks"),
-                    lambda t: F.array_contains(F.col("cand"), t),
-                )
-            ).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") * 100 > F.col("total") * _SMG_PERCENT)
-        .select(
-            "token",
-            "n_occurrences",
-            F.round(
-                F.col("n_occurrences") * 100.0 / F.col("total"), 4
-            ).alias("pct_of_tokens"),
-        )
-        .orderBy(F.desc("n_occurrences"), "token")
-    )
+    # (shared with the batch sketch entry so semantics cannot diverge)
+    from kinesis_app_spark.registry_analytics4 import exact_token_recount
+
+    return exact_token_recount(d.select("text"), candidates, _SMG_PERCENT)
 
 
 STREAMING_HH_SQL = f"""
@@ -266,8 +243,9 @@ def exact_quantiles_two_pass(spark, sf_dir):
                 targets.append((q, b, rank - cum))
                 break
             cum += c
-    if not targets:  # empty table: no ranks exist
-        return spark.createDataFrame([], "quantile double, value double")
+    # n >= 1 here (empty table returned above), so the cumulative walk
+    # always lands every quantile in some bucket
+    assert len(targets) == len(_QUANTILES)
     out = None
     for q, b, off in targets:
         lo = mn + b * width
@@ -644,8 +622,6 @@ def metadata_only_stats(spark, sf_dir):
     eager-localCheckpoint pattern (registry_scale.bucketed_join_orders):
     the aggregates EXECUTE under the confs, then everything is restored.
     """
-    import os
-
     tables = [
         ("orders", "o_orderkey"),
         ("lineitem", "l_orderkey"),

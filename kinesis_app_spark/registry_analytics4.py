@@ -196,6 +196,49 @@ def _misra_gries_partition(batches):
         yield pd.DataFrame({"token": list(counters.keys())})
 
 
+def exact_token_recount(docs, candidates, percent):
+    """Exact heavy-hitter recount over broadcast candidates: one
+    column-pruned pass of ``docs`` (a (text) projection) counting only
+    tokens in the sorted candidate array (array_contains prunes BEFORE
+    the explode multiplies rows), thresholded against the corpus token
+    total. Shared by the batch (heavy_hitters_tokens) and streaming
+    (registry_advanced.streaming_heavy_hitters) sketch entries so the
+    recount semantics — tokenization, threshold comparison, rounding —
+    cannot diverge from their common oracle."""
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    )
+    total = toks.agg(F.sum(F.size("toks")).alias("total"))
+    cand_arr = candidates.agg(
+        F.array_sort(F.collect_list("token")).alias("cand")
+    )
+    counts = (
+        toks.crossJoin(F.broadcast(cand_arr))
+        .select(
+            F.explode(
+                F.filter(
+                    F.col("toks"),
+                    lambda t: F.array_contains(F.col("cand"), t),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 100 > F.col("total") * percent)
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") * 100.0 / F.col("total"), 4).alias(
+                "pct_of_tokens"
+            ),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
 def heavy_hitters_tokens(spark, sf_dir):
     """EXACT list of tokens owning more than 1% of the corpus token
     stream, found the way a 100 TB job has to: a fixed-size Misra-Gries
@@ -218,38 +261,7 @@ def heavy_hitters_tokens(spark, sf_dir):
     candidates = (
         d.mapInPandas(_misra_gries_partition, "token string").distinct()
     )
-    toks = d.select(
-        F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
-    )
-    total = toks.agg(F.sum(F.size("toks")).alias("total"))
-    cand_arr = candidates.agg(
-        F.array_sort(F.collect_list("token")).alias("cand")
-    )
-    counts = (
-        toks.crossJoin(F.broadcast(cand_arr))
-        .select(
-            F.explode(
-                F.filter(
-                    F.col("toks"),
-                    lambda t: F.array_contains(F.col("cand"), t),
-                )
-            ).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") * 100 > F.col("total") * _HH_PERCENT)
-        .select(
-            "token",
-            "n_occurrences",
-            F.round(F.col("n_occurrences") * 100.0 / F.col("total"), 4).alias(
-                "pct_of_tokens"
-            ),
-        )
-        .orderBy(F.desc("n_occurrences"), "token")
-    )
+    return exact_token_recount(d, candidates, _HH_PERCENT)
 
 
 HEAVY_HITTERS_SQL = f"""

@@ -56,8 +56,13 @@ def _mk_stream(
     (mtime-ordered after the data file) so ``max_files_per_trigger=1``
     yields a deterministic second micro-batch that advances the watermark.
     With ``cache_key`` the finished dir is memoized for the process
-    lifetime and reused by any entry asking for the same key.
+    lifetime and reused by any entry asking for the same key; the key is
+    suffixed with the projection's schema so an edit to ONE sharing
+    entry's select list cannot silently serve the other null-filled
+    columns from a stale dir (parquet reads by name).
     """
+    if cache_key:
+        cache_key = f"{cache_key}|{df.schema.simpleString()}|c{copies}"
     src = _SRC_CACHE.get(cache_key) if cache_key else None
     if src is None:
         src = tempfile.mkdtemp(prefix="stream_src_")

@@ -98,12 +98,16 @@ def build_scaled_dir(spark, k: int) -> str:
             # explosion instead of corpus growth. A per-replica vowel
             # rotation (translate, pure codegen) changes most tokens and
             # therefore most shingles.
-            vowels = "aeiou"
+            # 10-letter alphabet => rotation period 10 covers the default
+            # k=10 with no repeats (a 5-vowel alphabet made replicas r and
+            # r+5 near-dups of each other); k > 10 would need a longer
+            # alphabet or a second rotation
+            alpha = "aeiounrstl"
             rot = F.col("text")
             for r in range(1, k):
-                vr = vowels[r % 5:] + vowels[: r % 5]
+                vr = alpha[r % len(alpha):] + alpha[: r % len(alpha)]
                 rot = F.when(
-                    F.col("__r") == r, F.translate("text", vowels, vr)
+                    F.col("__r") == r, F.translate("text", alpha, vr)
                 ).otherwise(rot)
             df = df.withColumn(
                 "text",
