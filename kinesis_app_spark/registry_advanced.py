@@ -793,6 +793,126 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# =====================================================================
+# cached-plan reuse + null-safe join semantics
+# =====================================================================
+
+
+def cached_plan_reuse(spark, sf_dir):
+    """Two aggregates served from ONE cached scan: the filtered
+    projection is ``.cache()``d, the first aggregate materializes it,
+    and the second's physical plan is asserted to read
+    ``InMemoryTableScan`` — the multi-query working-set pattern (an
+    interactive session, a dashboard fan-out) where re-scanning 100 TB
+    per panel is the difference between seconds and hours. Both results
+    execute eagerly inside the cache scope (same conf-scoping discipline
+    as registry_scale.bucketed_join_orders), then the cache is released:
+    no persistent session state leaks to later queries."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    cached = li.cache()
+    try:
+        a = (
+            cached.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("double").alias("metric_value"))
+            .withColumn("metric", F.lit("n_rows"))
+        )
+        b = (
+            cached.groupBy("l_returnflag")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(30,8)")), 2
+                )
+                .cast("double")
+                .alias("metric_value")
+            )
+            .withColumn("metric", F.lit("sum_price"))
+        )
+        plan = b._jdf.queryExecution().executedPlan().toString()
+        if "InMemoryTableScan" not in plan:
+            raise RuntimeError(
+                "cached scan not reused: second aggregate re-reads parquet"
+            )
+        out = (
+            a.unionByName(b)
+            .select("metric", "l_returnflag", "metric_value")
+            .orderBy("metric", "l_returnflag")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
+
+
+CACHED_REUSE_SQL = """
+WITH f AS (
+  SELECT l_returnflag, l_extendedprice FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+)
+SELECT 'n_rows' AS metric, l_returnflag,
+       CAST(count(*) AS DOUBLE) AS metric_value
+FROM f GROUP BY l_returnflag
+UNION ALL
+SELECT 'sum_price', l_returnflag,
+       round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2)::DOUBLE
+FROM f GROUP BY l_returnflag
+ORDER BY metric, l_returnflag
+"""
+
+
+def null_safe_join_battery(spark, sf_dir):
+    """Join semantics when keys contain NULLs — the classic silent-row-
+    loss trap: ``=`` drops every null-keyed row from an inner join while
+    ``<=>`` (eqNullSafe / IS NOT DISTINCT FROM) pairs them up, and a
+    null-keyed null-safe join is a small cartesian of the null groups.
+    Keys are derived deterministically (every 97th key goes null — null sets sized so the null-group cartesian stays bounded at bench scale)
+    so the row-count gap is an exact, oracle-checkable fact rather than
+    an anecdote. At scale the null-safe join also matters for PLANNING:
+    Spark hashes <=> keys like ordinary keys (nulls co-locate on one
+    partition — a skew source worth knowing about, see
+    skew_key_report_lineitem)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+        .otherwise(F.col("o_orderkey") % 1000)
+        .alias("k"),
+        "o_orderkey",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 97 == 0, None)
+        .otherwise(F.col("c_custkey") % 1000)
+        .alias("k"),
+        "c_custkey",
+    )
+    eq = o.join(c, o.k == c.k).agg(
+        F.lit("inner_eq").alias("join_kind"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ns = o.join(c, o.k.eqNullSafe(c.k)).agg(
+        F.lit("inner_nullsafe").alias("join_kind"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return eq.unionByName(ns).orderBy("join_kind")
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE o_orderkey % 1000 END AS k FROM orders
+), c AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+              ELSE c_custkey % 1000 END AS k FROM customer
+)
+SELECT 'inner_eq' AS join_kind, count(*) AS n_rows
+FROM o JOIN c ON o.k = c.k
+UNION ALL
+SELECT 'inner_nullsafe', count(*)
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+ORDER BY join_kind
+"""
+
+
 REGISTRY_ADVANCED = {
     "streaming_heavy_hitters": QuerySpec(
         streaming_heavy_hitters, STREAMING_HH_SQL
@@ -816,5 +936,9 @@ REGISTRY_ADVANCED = {
     "runtime_bloom_join": QuerySpec(runtime_bloom_join, RUNTIME_BLOOM_SQL),
     "sql_table_function_cohort": QuerySpec(
         sql_table_function_cohort, SQL_TABLE_FUNCTION_SQL
+    ),
+    "cached_plan_reuse": QuerySpec(cached_plan_reuse, CACHED_REUSE_SQL),
+    "null_safe_join_battery": QuerySpec(
+        null_safe_join_battery, NULL_SAFE_JOIN_SQL
     ),
 }
