@@ -913,6 +913,78 @@ ORDER BY join_kind
 """
 
 
+# =====================================================================
+# k-anonymity audit with a generalization step
+# =====================================================================
+
+_KANON_K = 5
+
+
+def k_anonymity_report(spark, sf_dir):
+    """Privacy-engineering audit: k-anonymity of the customer table
+    under two quasi-identifier generalization levels — the check a
+    governance pipeline runs BEFORE a dataset leaves the boundary
+    (pii_scan_docs handles direct identifiers; this handles
+    re-identification by combination). Level "fine" keys on (nation,
+    segment, balance-bucket-of-100); level "coarse" generalizes the
+    balance away. Reports, per level: group count, the minimum group
+    size (the dataset's k), and how many groups/rows sit below k=5 —
+    the rows a release would have to suppress or generalize further.
+
+    Scale: each level is ONE partial-aggregable groupBy on the QI tuple
+    plus a tiny re-aggregate over group sizes; levels are independent
+    scans (at 100 TB, compute all lattice levels wanted in one pass by
+    cubing the generalization columns instead)."""
+    c = _t(spark, sf_dir, "customer")
+    levels = [
+        (
+            "1_fine",
+            [
+                F.col("c_nationkey"),
+                F.col("c_mktsegment"),
+                F.floor(F.col("c_acctbal") / 100).alias("bal_bucket"),
+            ],
+        ),
+        ("2_coarse", [F.col("c_nationkey"), F.col("c_mktsegment")]),
+    ]
+    out = None
+    for name, qi in levels:
+        sizes = c.groupBy(*qi).agg(F.count(F.lit(1)).alias("gsize"))
+        rep = sizes.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("gsize").alias("min_k"),
+            F.count_if(F.col("gsize") < _KANON_K).alias("groups_below_k"),
+            F.sum(F.when(F.col("gsize") < _KANON_K, F.col("gsize")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("level")
+
+
+K_ANONYMITY_SQL = f"""
+WITH fine AS (
+  SELECT count(*) AS gsize FROM customer
+  GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 100)
+), coarse AS (
+  SELECT count(*) AS gsize FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT '1_fine' AS level, count(*) AS n_groups, min(gsize) AS min_k,
+       count(*) FILTER (gsize < {_KANON_K}) AS groups_below_k,
+       CAST(coalesce(sum(gsize) FILTER (gsize < {_KANON_K}), 0) AS BIGINT)
+         AS rows_below_k
+FROM fine
+UNION ALL
+SELECT '2_coarse', count(*), min(gsize),
+       count(*) FILTER (gsize < {_KANON_K}),
+       CAST(coalesce(sum(gsize) FILTER (gsize < {_KANON_K}), 0) AS BIGINT)
+FROM coarse
+ORDER BY level
+"""
+
+
 REGISTRY_ADVANCED = {
     "streaming_heavy_hitters": QuerySpec(
         streaming_heavy_hitters, STREAMING_HH_SQL
@@ -941,4 +1013,5 @@ REGISTRY_ADVANCED = {
     "null_safe_join_battery": QuerySpec(
         null_safe_join_battery, NULL_SAFE_JOIN_SQL
     ),
+    "k_anonymity_report": QuerySpec(k_anonymity_report, K_ANONYMITY_SQL),
 }
