@@ -195,3 +195,36 @@ def test_exact_grouped_quantiles_single_row_groups(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["metadata_only_stats", "runtime_bloom_join", "cached_plan_reuse"],
+)
+def test_conf_scoped_entries_leave_session_untouched(spark, name):
+    """Entries that scope session confs (V2 source, bloom filter,
+    broadcast threshold) or cache state must restore EVERYTHING before
+    returning — a leaked conf would silently change every later query's
+    plans, and a leaked cache pins executor memory."""
+    from kinesis_app_spark import registry
+
+    watched = [
+        "spark.sql.parquet.aggregatePushdown",
+        "spark.sql.sources.useV1SourceList",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in watched}
+    registry.REGISTRY[name].fn(spark, SF_DIR).count()
+    after = {k: spark.conf.get(k) for k in watched}
+    assert before == after, f"{name} leaked session confs"
+
+
+def test_cached_plan_reuse_releases_cache(spark):
+    """After the entry returns, the CacheManager must hold no cached
+    plans (.cache() registers there; localCheckpoint storage does not —
+    it is freed by the ContextCleaner when the result DF is GC'd)."""
+    from kinesis_app_spark import registry
+
+    registry.REGISTRY["cached_plan_reuse"].fn(spark, SF_DIR).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
