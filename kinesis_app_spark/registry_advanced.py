@@ -985,6 +985,49 @@ ORDER BY level
 """
 
 
+def l_diversity_histogram(spark, sf_dir):
+    """k-anonymity's necessary companion: a group can be large (high k)
+    yet reveal everyone's sensitive attribute if the group is
+    homogeneous. Per quasi-identifier group (nation, balance-bucket of
+    1000) count DISTINCT values of the sensitive attribute (market
+    segment) = the group's l; histogram groups by l. Groups at l = 1
+    are attribute-disclosure leaks a release must suppress no matter
+    what k says.
+
+    Scale: two chained partial-aggregable groupBys — (QI, sensitive)
+    pairs first (this dedups the sensitive values map-side), then QI
+    with a count = exact distinct-count per group WITHOUT
+    count_distinct's expand; then a tiny histogram re-aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+    ]
+    per_group_l = (
+        c.select(*qi, "c_mktsegment")
+        .distinct()
+        .groupBy("nat", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("l"))
+    )
+    return (
+        per_group_l.groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("l")
+    )
+
+
+L_DIVERSITY_SQL = """
+WITH per_group AS (
+  SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_bucket,
+         count(DISTINCT c_mktsegment) AS l
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT l, count(*) AS n_groups
+FROM per_group GROUP BY l ORDER BY l
+"""
+
+
 REGISTRY_ADVANCED = {
     "streaming_heavy_hitters": QuerySpec(
         streaming_heavy_hitters, STREAMING_HH_SQL
@@ -1014,4 +1057,7 @@ REGISTRY_ADVANCED = {
         null_safe_join_battery, NULL_SAFE_JOIN_SQL
     ),
     "k_anonymity_report": QuerySpec(k_anonymity_report, K_ANONYMITY_SQL),
+    "l_diversity_histogram": QuerySpec(
+        l_diversity_histogram, L_DIVERSITY_SQL
+    ),
 }
