@@ -985,6 +985,50 @@ ORDER BY level
 """
 
 
+def timezone_rollup_battery(spark, sf_dir):
+    """Local-time analytics: the same UTC event stream rolled up by
+    LOCAL calendar day in two zones — America/New_York (whole-hour
+    offset) and Asia/Kolkata (+05:30, the half-hour case that breaks
+    naive hour-shift arithmetic). `from_utc_timestamp` is the Spark
+    surface; the oracle is the double AT TIME ZONE hop. Every dashboard
+    with a 'by day' axis does exactly this, and doing it wrong (fixed
+    offset arithmetic instead of zone rules) shifts boundary events
+    into the wrong day — here the two engines' INDEPENDENT tz databases
+    must agree on every bucket for the hash to match.
+
+    Scale: pure codegen projection + one partial-aggregable groupBy per
+    zone over a bounded (zone × days) key domain."""
+    e = _t(spark, sf_dir, "events").select("ts")
+    out = None
+    for zone in ("America/New_York", "Asia/Kolkata"):
+        rolled = (
+            e.select(
+                F.lit(zone).alias("zone"),
+                F.date_format(
+                    F.from_utc_timestamp("ts", zone), "yyyy-MM-dd"
+                ).alias("local_day"),
+            )
+            .groupBy("zone", "local_day")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = rolled if out is None else out.unionByName(rolled)
+    return out.orderBy("zone", "local_day")
+
+
+TIMEZONE_ROLLUP_SQL = """
+WITH z AS (
+  SELECT 'America/New_York' AS zone UNION ALL SELECT 'Asia/Kolkata'
+)
+SELECT z.zone,
+       strftime(CAST(events.ts AT TIME ZONE 'UTC' AT TIME ZONE z.zone
+                     AS DATE), '%Y-%m-%d') AS local_day,
+       count(*) AS n_events
+FROM events, z
+GROUP BY 1, 2
+ORDER BY zone, local_day
+"""
+
+
 def l_diversity_histogram(spark, sf_dir):
     """k-anonymity's necessary companion: a group can be large (high k)
     yet reveal everyone's sensitive attribute if the group is
@@ -1059,5 +1103,8 @@ REGISTRY_ADVANCED = {
     "k_anonymity_report": QuerySpec(k_anonymity_report, K_ANONYMITY_SQL),
     "l_diversity_histogram": QuerySpec(
         l_diversity_histogram, L_DIVERSITY_SQL
+    ),
+    "timezone_rollup_battery": QuerySpec(
+        timezone_rollup_battery, TIMEZONE_ROLLUP_SQL
     ),
 }
