@@ -1029,6 +1029,51 @@ ORDER BY zone, local_day
 """
 
 
+def dst_boundary_audit(spark, sf_dir):
+    """DST correctness proof: the event stream shifted +69 days
+    straddles the 2024-03-10 US spring-forward; bucketing by
+    America/New_York local hour across Mar 9-11 must show NO events in
+    the 02:00 hour of Mar 10 — that local hour does not exist, and any
+    fixed-offset shortcut (the -5h arithmetic that passes every other
+    day of winter) would wrongly populate it. Both engines' tz rules
+    must agree bucket-for-bucket, hash-checked. The per-hour counts are
+    the audit a pipeline runs before trusting local-time partitioning
+    near transitions.
+
+    Scale: codegen projection + one bounded-key groupBy (3 days × ≤24
+    hours); same shape as any local-time rollup."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("ts") + F.expr("INTERVAL 69 DAYS")).alias("ts")
+    )
+    local = F.from_utc_timestamp("ts", "America/New_York")
+    return (
+        e.select(
+            F.date_format(local, "yyyy-MM-dd").alias("local_day"),
+            F.hour(local).alias("local_hour"),
+        )
+        .filter(F.col("local_day").between("2024-03-09", "2024-03-11"))
+        .groupBy("local_day", "local_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("local_day", "local_hour")
+    )
+
+
+DST_BOUNDARY_SQL = """
+WITH local AS (
+  SELECT (ts + INTERVAL 69 DAY) AT TIME ZONE 'UTC'
+           AT TIME ZONE 'America/New_York' AS lts
+  FROM events
+)
+SELECT strftime(CAST(lts AS DATE), '%Y-%m-%d') AS local_day,
+       CAST(hour(lts) AS INTEGER) AS local_hour,
+       count(*) AS n_events
+FROM local
+WHERE CAST(lts AS DATE) BETWEEN DATE '2024-03-09' AND DATE '2024-03-11'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def l_diversity_histogram(spark, sf_dir):
     """k-anonymity's necessary companion: a group can be large (high k)
     yet reveal everyone's sensitive attribute if the group is
@@ -1107,4 +1152,5 @@ REGISTRY_ADVANCED = {
     "timezone_rollup_battery": QuerySpec(
         timezone_rollup_battery, TIMEZONE_ROLLUP_SQL
     ),
+    "dst_boundary_audit": QuerySpec(dst_boundary_audit, DST_BOUNDARY_SQL),
 }

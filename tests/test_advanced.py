@@ -228,3 +228,18 @@ def test_cached_plan_reuse_releases_cache(spark):
 
     registry.REGISTRY["cached_plan_reuse"].fn(spark, SF_DIR).count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dst_spring_forward_hour_does_not_exist(spark):
+    """2024-03-10 has no 02:00 hour in America/New_York; the audit's
+    bucketing must leave it empty while surrounding hours have mass.
+    Runs at sf0.01 — sf0.001's ~33 events/day leave ordinary hours
+    empty too, which would make the absence assertion vacuous."""
+    from kinesis_app_spark import registry
+
+    rows = registry.REGISTRY["dst_boundary_audit"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    mar10 = {r["local_hour"] for r in rows if r["local_day"] == "2024-03-10"}
+    assert 2 not in mar10
+    assert {1, 3} <= mar10
