@@ -1074,6 +1074,48 @@ ORDER BY 1, 2
 """
 
 
+def dst_fall_back_audit(spark, sf_dir):
+    """The other DST hazard: on 2024-11-03 America/New_York repeats the
+    01:00 hour (05:00Z AND 06:00Z both land in local hour 1), so
+    local-hour partitioning silently merges two UTC hours of data —
+    roughly double mass in that bucket. The stream shifted +307 days
+    straddles the transition; per-(local day, hour) counts across Nov
+    2-4 are hash-checked against the oracle's independent tz rules. The
+    companion to dst_boundary_audit's missing hour: together they are
+    why event-time pipelines partition on UTC and convert at the edge.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("ts") + F.expr("INTERVAL 307 DAYS")).alias("ts")
+    )
+    local = F.from_utc_timestamp("ts", "America/New_York")
+    return (
+        e.select(
+            F.date_format(local, "yyyy-MM-dd").alias("local_day"),
+            F.hour(local).alias("local_hour"),
+        )
+        .filter(F.col("local_day").between("2024-11-02", "2024-11-04"))
+        .groupBy("local_day", "local_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("local_day", "local_hour")
+    )
+
+
+DST_FALL_BACK_SQL = """
+WITH local AS (
+  SELECT (ts + INTERVAL 307 DAY) AT TIME ZONE 'UTC'
+           AT TIME ZONE 'America/New_York' AS lts
+  FROM events
+)
+SELECT strftime(CAST(lts AS DATE), '%Y-%m-%d') AS local_day,
+       CAST(hour(lts) AS INTEGER) AS local_hour,
+       count(*) AS n_events
+FROM local
+WHERE CAST(lts AS DATE) BETWEEN DATE '2024-11-02' AND DATE '2024-11-04'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def l_diversity_histogram(spark, sf_dir):
     """k-anonymity's necessary companion: a group can be large (high k)
     yet reveal everyone's sensitive attribute if the group is
@@ -1153,4 +1195,5 @@ REGISTRY_ADVANCED = {
         timezone_rollup_battery, TIMEZONE_ROLLUP_SQL
     ),
     "dst_boundary_audit": QuerySpec(dst_boundary_audit, DST_BOUNDARY_SQL),
+    "dst_fall_back_audit": QuerySpec(dst_fall_back_audit, DST_FALL_BACK_SQL),
 }

@@ -243,3 +243,20 @@ def test_dst_spring_forward_hour_does_not_exist(spark):
     mar10 = {r["local_hour"] for r in rows if r["local_day"] == "2024-03-10"}
     assert 2 not in mar10
     assert {1, 3} <= mar10
+
+
+def test_dst_fall_back_hour_has_double_mass(spark):
+    """2024-11-03 repeats the 01:00 hour in America/New_York: two UTC
+    hours of events merge into local hour 1, so its count must clearly
+    exceed each single-UTC-hour neighbor (sf0.01 density)."""
+    from kinesis_app_spark import registry
+
+    rows = registry.REGISTRY["dst_fall_back_audit"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    mar = {
+        r["local_hour"]: r["n_events"]
+        for r in rows
+        if r["local_day"] == "2024-11-03"
+    }
+    assert mar[1] > 1.4 * max(mar[0], mar[3])
