@@ -175,6 +175,42 @@ ORDER BY shardId
 """
 
 
+def kinesis_merge_counts(spark, sf_dir):
+    """Resharding's OTHER direction under the value gate: shards 0 and 1
+    MERGE at seq 40 (both parents close, one child carries BOTH logical
+    streams from there — the Kinesis scale-DOWN contract; split is
+    kinesis_reshard_counts). Per-shard counts/ranges are arithmetic, so
+    the oracle is a VALUES table: parents deliver 40 records each, the
+    merged child 2x60, the bystander shard all 100."""
+    from kinesis_app_spark.sources.fake_kinesis import register
+
+    register(spark)
+    df = (
+        spark.read.format("fake_kinesis")
+        .option("numShards", 3)
+        .option("recordsPerShard", 100)
+        .option("mergeShards", "0,1")
+        .option("mergeAtSeq", 40)
+        .load()
+    )
+    return df.groupBy("shardId").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("sequenceNumber").alias("min_seq"),
+        F.max("sequenceNumber").alias("max_seq"),
+    ).orderBy("shardId")
+
+
+KINESIS_MERGE_SQL = """
+SELECT * FROM (VALUES
+  ('shardId-000000000000', CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
+  ('shardId-000000000001', CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
+  ('shardId-000000000002', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT)),
+  ('shardId-000000002000', CAST(120 AS BIGINT), CAST(40 AS BIGINT), CAST(99 AS BIGINT))
+) AS t(shardId, n_records, min_seq, max_seq)
+ORDER BY shardId
+"""
+
+
 def kinesis_shard_counts(spark, sf_dir):
     """Per-shard record + distinct-user counts over the Kinesis-shaped
     Python DataSource — the reference's `_shardItems` progress counter
@@ -494,6 +530,7 @@ REGISTRY_SCALE = {
     "kinesis_reshard_counts": QuerySpec(
         kinesis_reshard_counts, KINESIS_RESHARD_SQL
     ),
+    "kinesis_merge_counts": QuerySpec(kinesis_merge_counts, KINESIS_MERGE_SQL),
     "kinesis_reshard_stream_counts": QuerySpec(
         kinesis_reshard_stream_counts, KINESIS_RESHARD_SQL
     ),

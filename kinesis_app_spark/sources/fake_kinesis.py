@@ -61,6 +61,10 @@ _BASE_TS = dt.datetime(2024, 1, 1)
 #: child shard numeric ids start here (parent p -> children 1000+2p, 1000+2p+1)
 _CHILD_BASE = 1000
 
+#: merged-shard ids start here (parents a<b -> child 2000+a); distinct from
+#: split children so both reshard kinds coexist in one id namespace
+_MERGE_BASE = 2000
+
 
 def _child_ids(parent: int) -> tuple[int, int]:
     return _CHILD_BASE + 2 * parent, _CHILD_BASE + 2 * parent + 1
@@ -86,12 +90,14 @@ def _record(shard_label: int, parent: int, seq: int):
 
 class _ShardSlice(InputPartition):
     def __init__(self, shard: int, start: int, end: int,
-                 parent: int | None = None, parity: int | None = None):
+                 parent: int | None = None, parity: int | None = None,
+                 merge_parents: tuple | None = None):
         self.shard = shard
         self.start = start
         self.end = end
-        self.parent = parent  # set for child shards
-        self.parity = parity  # child takes seqs with seq % 2 == parity
+        self.parent = parent  # set for split-child shards
+        self.parity = parity  # split child takes seqs with seq % 2 == parity
+        self.merge_parents = merge_parents  # merge child carries BOTH streams
 
 
 class FakeKinesisDataSource(DataSource):
@@ -114,12 +120,21 @@ class FakeKinesisDataSource(DataSource):
 
 def _opts(options):
     per_shard = int(options.get("recordspershard", 1000))
+    merge_raw = options.get("mergeshards", "")
+    merge = tuple(sorted(int(x) for x in merge_raw.split(","))) if merge_raw else None
+    split = int(options.get("splitshard", -1))
+    if merge and split >= 0:
+        raise ValueError(
+            "fake_kinesis: configure splitShard OR mergeShards, not both"
+        )
     return (
         int(options.get("numshards", 4)),
         per_shard,
         int(options.get("maxrecordsperfetch", 100)),
-        int(options.get("splitshard", -1)),
+        split,
         int(options.get("splitatseq", per_shard // 2)),
+        merge,
+        int(options.get("mergeatseq", per_shard // 2)),
     )
 
 
@@ -131,13 +146,24 @@ def _read_slice(partition: _ShardSlice):
     high-throughput custom source should produce."""
     import pyarrow as pa
 
-    parent = partition.parent if partition.parent is not None else partition.shard
-    seqs = [
-        seq
-        for seq in range(partition.start, partition.end)
-        if partition.parity is None or seq % 2 == partition.parity
-    ]
-    rows = [_record(partition.shard, parent, seq) for seq in seqs]
+    if partition.merge_parents is not None:
+        # a merged child interleaves BOTH parents' logical streams; order
+        # (seq, parent) is deterministic, per-parent seq order preserved
+        rows = [
+            _record(partition.shard, p, seq)
+            for seq in range(partition.start, partition.end)
+            for p in partition.merge_parents
+        ]
+    else:
+        parent = (
+            partition.parent if partition.parent is not None else partition.shard
+        )
+        seqs = [
+            seq
+            for seq in range(partition.start, partition.end)
+            if partition.parity is None or seq % 2 == partition.parity
+        ]
+        rows = [_record(partition.shard, parent, seq) for seq in seqs]
     yield pa.record_batch(
         {
             "shardId": pa.array([r[0] for r in rows], pa.string()),
@@ -154,7 +180,8 @@ def _read_slice(partition: _ShardSlice):
 class FakeKinesisBatchReader(DataSourceReader):
     def __init__(self, options):
         (self.n_shards, self.per_shard, _,
-         self.split_shard, self.split_at) = _opts(options)
+         self.split_shard, self.split_at,
+         self.merge, self.merge_at) = _opts(options)
 
     def partitions(self):
         slices = []
@@ -164,8 +191,19 @@ class FakeKinesisBatchReader(DataSourceReader):
                 ca, cb = _child_ids(s)
                 slices.append(_ShardSlice(ca, self.split_at, self.per_shard, s, 0))
                 slices.append(_ShardSlice(cb, self.split_at, self.per_shard, s, 1))
+            elif self.merge and s in self.merge:
+                # each merged parent closes at the merge point; the child
+                # is appended once (for the lower parent) below
+                slices.append(_ShardSlice(s, 0, self.merge_at))
             else:
                 slices.append(_ShardSlice(s, 0, self.per_shard))
+        if self.merge:
+            slices.append(
+                _ShardSlice(
+                    _MERGE_BASE + self.merge[0], self.merge_at,
+                    self.per_shard, merge_parents=self.merge,
+                )
+            )
         return slices
 
     def read(self, partition: _ShardSlice):
@@ -190,7 +228,8 @@ class FakeKinesisStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         (self.n_shards, self.per_shard, self.max_fetch,
-         self.split_shard, self.split_at) = _opts(options)
+         self.split_shard, self.split_at,
+         self.merge, self.merge_at) = _opts(options)
 
     def initialOffset(self):
         # the engine's TRIM_HORIZON; the reference defaults to Latest
@@ -208,23 +247,36 @@ class FakeKinesisStreamReader(DataSourceStreamReader):
                 ca, cb = _child_ids(s)
                 ends[str(ca)] = self.per_shard
                 ends[str(cb)] = self.per_shard
+            elif self.merge and s in self.merge:
+                ends[str(s)] = self.merge_at  # both parents closed
             else:
                 ends[str(s)] = self.per_shard
+        if self.merge:
+            ends[str(_MERGE_BASE + self.merge[0])] = self.per_shard
         return ends
 
     def partitions(self, start: dict, end: dict):
         slices = []
         for k, end_seq in end.items():
             sid, hi = int(k), int(end_seq)
-            is_child = sid >= _CHILD_BASE
+            is_merge_child = sid >= _MERGE_BASE
+            is_child = _CHILD_BASE <= sid < _MERGE_BASE
             # a child key missing from `start` = shard discovered this
-            # batch; its TRIM_HORIZON is the parent's split point
-            lo = int(start.get(k, self.split_at if is_child else 0))
-            parent = (sid - _CHILD_BASE) // 2 if is_child else None
-            parity = (sid - _CHILD_BASE) % 2 if is_child else None
+            # batch; its TRIM_HORIZON is the reshard point
+            if is_merge_child:
+                lo = int(start.get(k, self.merge_at))
+                mp = self.merge
+                parent = parity = None
+            else:
+                lo = int(start.get(k, self.split_at if is_child else 0))
+                mp = None
+                parent = (sid - _CHILD_BASE) // 2 if is_child else None
+                parity = (sid - _CHILD_BASE) % 2 if is_child else None
             while lo < hi:
                 step = min(self.max_fetch, hi - lo)
-                slices.append(_ShardSlice(sid, lo, lo + step, parent, parity))
+                slices.append(
+                    _ShardSlice(sid, lo, lo + step, parent, parity, mp)
+                )
                 lo += step
         return slices
 

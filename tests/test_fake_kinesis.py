@@ -164,3 +164,57 @@ def test_shard_split_exactly_once_across_restart(spark, tmp_path):
     # run 3: nothing new
     run(200)
     assert spark.read.parquet(out).count() == 400
+
+
+def test_shard_merge_exactly_once_across_restart(spark, tmp_path):
+    """Merge is the scale-DOWN reshard: run 1 drains both parents up to
+    the merge point and checkpoints; run 2 sees the merged child carrying
+    BOTH logical streams past it. Exactly-once across the restart; the
+    closed parents deliver nothing new."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(records_per_shard: int):
+        stream = (
+            spark.readStream.format("fake_kinesis")
+            .option("numShards", 2)
+            .option("recordsPerShard", records_per_shard)
+            .option("maxRecordsPerFetch", 40)
+            .option("mergeShards", "0,1")
+            .option("mergeAtSeq", 100)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: both parents fully drained to the merge point, child empty
+    run(100)
+    assert spark.read.parquet(out).count() == 200
+
+    # run 2 (restart): 100 more seqs arrived, all via the merged child
+    run(200)
+    got = spark.read.parquet(out)
+    assert got.count() == 400
+    parsed = got.select(
+        F.from_json(F.col("data").cast("string"), "shard int, seq long").alias("p"),
+        "shardId",
+        "sequenceNumber",
+    )
+    assert parsed.select("p.shard", "p.seq").distinct().count() == 400
+    merged = parsed.filter(F.col("shardId") == "shardId-000000002000")
+    assert merged.count() == 200  # 100 seqs x 2 parent streams
+    assert merged.agg(F.min("sequenceNumber")).collect()[0][0] == 100
+    assert {r["shard"] for r in merged.select("p.shard").distinct().collect()} == {0, 1}
+    parents = parsed.filter(F.col("shardId").isin(
+        "shardId-000000000000", "shardId-000000000001"))
+    assert parents.agg(F.max("sequenceNumber")).collect()[0][0] == 99
+
+    # run 3: nothing new
+    run(200)
+    assert spark.read.parquet(out).count() == 400
