@@ -63,9 +63,13 @@ def main() -> int:
     # Contention-spike mitigation: this box shows intermittent multi-
     # second interference (the same query measured 2 s and 18 s minutes
     # apart — see STRESS.md). Queries whose single-shot time exceeds a
-    # spike threshold are re-timed once and the MIN is reported: min-of-N
-    # is the standard cost estimator under spiky load, and retrying only
-    # the outliers keeps the second pass to a handful of queries.
+    # spike threshold are re-timed once. BOTH timings are preserved in
+    # the artifact (first_shot + retry) so the record is not selectively
+    # optimistic: the headline totals are reported for each discipline —
+    # `value` uses first-shot-only (no retry benefit anywhere), and
+    # `value_min` uses min(first, retry) where a retry ran.
+    first_shot = dict(timings)
+    retries: dict[str, float] = {}
     ok = sorted(t for t in timings.values() if t >= 0)
     if ok:
         median = ok[len(ok) // 2]
@@ -74,6 +78,7 @@ def main() -> int:
             if t >= spike:
                 try:
                     t2 = run_once(name, registry.REGISTRY[name])
+                    retries[name] = t2
                     timings[name] = min(t, t2)
                     print(
                         f"BENCH RETRY {t:8.2f}s -> {t2:8.2f}s {name}",
@@ -82,29 +87,38 @@ def main() -> int:
                 except Exception:  # noqa: BLE001 — keep the first timing
                     pass
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_first = round(sum(t for t in first_shot.values() if t >= 0), 3)
+    total_min = round(sum(t for t in timings.values() if t >= 0), 3)
     n_ok = sum(1 for t in timings.values() if t >= 0)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    payload = {
+    summary = {
         "metric": "registry_total_runtime",
-        "value": total,
+        # headline = first-shot total: every query timed exactly once,
+        # no selective retry benefit (ADVICE r2: one-sided bias)
+        "value": total_first,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf else sf_dir,
-        # the registry GROWS every round (114 -> 205+ queries): totals are
+        # the registry GROWS every round (114 -> 285+ queries): totals are
         # not comparable across rounds, per-query mean is
         "n_queries": n_ok,
-        "sec_per_query": round(total / max(n_ok, 1), 3),
+        "sec_per_query": round(total_first / max(n_ok, 1), 3),
+        "value_min": total_min,
+        "sec_per_query_min": round(total_min / max(n_ok, 1), 3),
+        "n_retried": len(retries),
     }
-    line = json.dumps(payload, separators=(",", ":"))
-
-    # known-file copy for the driver / judge
+    # full record (per-query first-shot + retry timings) for the judge
+    full = dict(summary)
+    full["queries_first_shot"] = first_shot
+    full["queries_retry"] = retries
     result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_RESULT.json")
     with open(result_path, "w") as fh:
-        fh.write(line + "\n")
+        fh.write(json.dumps(full, separators=(",", ":")) + "\n")
 
-    # the one and only stdout line, via the saved real-stdout fd
+    # the one and only stdout line, via the saved real-stdout fd — SHORT
+    # (no per-query dict: the driver's tail capture is ~2000 chars and the
+    # 285-entry dict overflowed it in r1/r2, leaving BENCH_r{N} unparsed)
+    line = json.dumps(summary, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
     return 1 if any(t < 0 for t in timings.values()) else 0
 

@@ -36,6 +36,7 @@ from pyspark.sql import Window, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from kinesis_app_spark.operators.graph import bfs_hops
+from kinesis_app_spark.operators.rankstats import values_at_ranks
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 from kinesis_app_spark.streaming.ops import run_to_memory
 from kinesis_app_spark.streaming.sources import file_stream
@@ -196,9 +197,10 @@ _QNT_BUCKETS = 1024
 
 
 def exact_quantiles_two_pass(spark, sf_dir):
-    """EXACT quantiles of l_extendedprice with NO global sort: pass 0
-    computes (count, min, max) — one row to the driver; pass 1 histograms
-    the column into 1024 fixed-width buckets — ≤1024 rows to the driver
+    """EXACT quantiles of l_extendedprice with NO global sort, via the
+    shared ``operators/rankstats.py`` primitive: pass 0 computes
+    (count, min, max) — one row to the driver; pass 1 histograms the
+    column into 1024 fixed-width buckets — ≤1024 rows to the driver
     (both bounded collects, same discipline as IVF centroids); the
     cumulative histogram locates, for each target rank ceil(q·n)-1
     (DuckDB's quantile_disc rank, verified), the bucket holding it and
@@ -209,58 +211,23 @@ def exact_quantiles_two_pass(spark, sf_dir):
     over ~n/1024 rows, never a sort of n.
 
     Scale: the full sort this avoids is THE bottleneck of naive exact
-    percentiles at 100 TB; here the only full-data passes are two
-    scan+aggregate jobs (codegen, column-pruned), and the final probe
-    touches row groups the range predicate can't skip. For pathological
-    skew (one bucket ≫ n/1024), recurse: re-histogram inside the bucket —
-    not needed at gate scale."""
+    percentiles at 100 TB; the only full-data passes are scan+aggregate
+    jobs (codegen, column-pruned). Pathological skew (one bucket ≫
+    n/1024) RE-HISTOGRAMS inside the bucket instead of sorting it —
+    see rankstats._value_at_rank and tests/test_round3.py."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
-    n, mn, mx = li.agg(
-        F.count("x"), F.min("x"), F.max("x")
-    ).collect()[0]
+    n = li.count()
     if n == 0:  # empty table: no ranks exist
         return spark.createDataFrame([], "quantile double, value double")
-    width = (mx - mn) / _QNT_BUCKETS or 1.0
-    bucket = F.least(
-        F.floor((F.col("x") - F.lit(mn)) / F.lit(width)),
-        F.lit(_QNT_BUCKETS - 1),
-    ).cast("int")
-    hist = {
-        r["b"]: r["c"]
-        for r in li.groupBy(bucket.alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    targets = []  # (q, bucket, offset-within-bucket)
-    for q in _QUANTILES:
-        rank = math.ceil(q * n) - 1  # 0-based, == DuckDB quantile_disc
-        cum = 0
-        for b in range(_QNT_BUCKETS):
-            c = hist.get(b, 0)
-            if cum + c > rank:
-                targets.append((q, b, rank - cum))
-                break
-            cum += c
-    # n >= 1 here (empty table returned above), so the cumulative walk
-    # always lands every quantile in some bucket
-    assert len(targets) == len(_QUANTILES)
-    out = None
-    for q, b, off in targets:
-        lo = mn + b * width
-        hi = mn + (b + 2) * width  # one-bucket slack: range is for
-        # pushdown only; the bucket expression below is the exact filter
-        probe = (
-            li.filter((F.col("x") >= lo - width) & (F.col("x") <= hi))
-            .filter(bucket == b)
-            .orderBy("x")
-            .limit(off + 1)
-            .agg(F.max("x").alias("value"))
-            .select(F.lit(float(q)).alias("quantile"), "value")
-        )
-        out = probe if out is None else out.unionByName(probe)
-    return out.orderBy("quantile")
+    rank_of = {q: math.ceil(q * n) - 1 for q in _QUANTILES}
+    vals = values_at_ranks(li, "x", list(rank_of.values()),
+                           buckets=_QNT_BUCKETS)
+    return spark.createDataFrame(
+        [(float(q), float(vals[r])) for q, r in sorted(rank_of.items())],
+        "quantile double, value double",
+    )
 
 
 EXACT_QUANTILES_SQL = """
