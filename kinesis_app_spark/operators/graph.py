@@ -166,6 +166,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 3,
+    broadcast_max_frontier: int = 1_000_000,
 ) -> DataFrame:
     """Minimum hop distance from a seed set: (node, hop) for every vertex
     reachable within ``max_hops`` undirected hops of any seed (seeds are
@@ -176,8 +177,13 @@ def bfs_hops(
     Scale notes: the edge list is symmetrized, hash-partitioned by source
     and checkpointed ONCE; each round is one equi-join of (frontier x
     edges) — the frontier is typically a small fraction of the graph, so
-    Spark broadcasts it into the partitioned edges with no re-exchange of
-    the static side — plus a distinct and an anti-join against the
+    it is broadcast into the partitioned edges with no re-exchange of the
+    static side, but ONLY while its exact row count (free: the frontier is
+    checkpointed, and the count doubles as the emptiness check) stays
+    under ``broadcast_max_frontier``; a dense graph's hop-2 frontier can
+    be a scale-factor-sized cohort, and force-broadcasting that is a
+    driver-OOM, so past the threshold the round falls back to a plain
+    shuffle equi-join — plus a distinct and an anti-join against the
     visited set. Visited-set pruning is what makes this BFS: a node is
     labeled with the FIRST round that reaches it, which is its minimum
     hop distance by induction. ``localCheckpoint`` truncates lineage per
@@ -197,15 +203,17 @@ def bfs_hops(
         .distinct()
         .localCheckpoint()
     )
+    n_frontier = frontier.count()
     # visited stays a LAZY union of checkpointed frontiers: only the
     # frontier is materialized per round (one job), and the union depth
     # is bounded by max_hops so lineage never grows past it
     layers = [frontier.withColumn("hop", F.lit(0))]
     for hop in range(1, max_hops + 1):
+        f_src = frontier.withColumnRenamed("node", "src")
+        if n_frontier <= broadcast_max_frontier:
+            f_src = F.broadcast(f_src)
         reached = (
-            sym.join(
-                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
-            )
+            sym.join(f_src, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
@@ -213,7 +221,8 @@ def bfs_hops(
         for lay in layers[1:]:
             visited = visited.unionByName(lay.select("node"))
         frontier = reached.join(visited, "node", "left_anti").localCheckpoint()
-        if frontier.isEmpty():
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
         layers.append(frontier.withColumn("hop", F.lit(hop)))
     out = layers[0]

@@ -518,10 +518,33 @@ DISTINCT_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 
 
 def approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ approximate distinct — implementation-specific value,
-    so no cross-engine oracle (rows-only check)."""
+    """HyperLogLog++ approximate distinct, value-gated via its error
+    envelope: the raw HLL estimate is engine-specific (DuckDB's sketch
+    differs), so instead of the estimate itself the entry emits the exact
+    distinct count plus a boolean asserting the estimate landed within
+    2x the requested rsd (0.05 -> 10%) — both oracle-matchable. A
+    regression that breaks the sketch (or silently swaps it for something
+    wildly off) flips the boolean and fails the hash gate, which is
+    strictly stronger than the old rows-only check. The portable-sketch
+    twin (approx_distinct_kmv) value-gates an exact estimate."""
     e = _t(spark, sf_dir, "events")
-    return R.approx_distinct(e, "user_id")
+    agg = e.agg(
+        F.approx_count_distinct("user_id", 0.05).alias("est"),
+        F.count_distinct("user_id").alias("true_count"),
+    )
+    return agg.select(
+        "true_count",
+        (
+            F.abs(F.col("est") - F.col("true_count"))
+            <= F.col("true_count") * F.lit(0.10)
+        ).alias("within_10pct"),
+    )
+
+
+APPROX_DISTINCT_ENVELOPE_SQL = """
+SELECT count(DISTINCT user_id) AS true_count, TRUE AS within_10pct
+FROM events
+"""
 
 
 # =====================================================================
@@ -1291,7 +1314,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "setop_intersect_status": QuerySpec(setop_intersect_status, SETOP_INTERSECT_SQL),
     "setop_except_status": QuerySpec(setop_except_status, SETOP_EXCEPT_SQL),
     "distinct_nation_segments": QuerySpec(distinct_nation_segments, DISTINCT_SQL),
-    "approx_distinct_users": QuerySpec(approx_distinct_users, None),
+    "approx_distinct_users": QuerySpec(
+        approx_distinct_users, APPROX_DISTINCT_ENVELOPE_SQL
+    ),
     # scalar / dates / json
     "scalar_events_enriched": QuerySpec(scalar_events_enriched, SCALAR_SQL),
     "monthly_event_rollup": QuerySpec(monthly_event_rollup, MONTHLY_SQL),

@@ -602,18 +602,27 @@ def metadata_only_stats(spark, sf_dir):
         out = None
         for t, key in tables:
             df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            # min/max on the RAW column (cast AFTER the aggregate): a cast
+            # under the agg only pushes down while the optimizer happens to
+            # elide it, so the raw-column form is what guarantees the
+            # footer-only translation
             agg = df.agg(
                 F.lit(t).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.min(F.col(key).cast("long")).alias("min_key"),
-                F.max(F.col(key).cast("long")).alias("max_key"),
+                F.min(key).cast("long").alias("min_key"),
+                F.max(key).cast("long").alias("max_key"),
             )
             plan = agg._jdf.queryExecution().executedPlan().toString()
-            if "PushedAggregation: [COUNT(*)" not in plan:
-                raise RuntimeError(
-                    f"aggregate pushdown missing for {t}: footer-only "
-                    "stats would silently degrade to a full scan"
-                )
+            for needle in ("COUNT(*)", f"MIN({key})", f"MAX({key})"):
+                if (
+                    "PushedAggregation: [" not in plan
+                    or needle not in plan.split("PushedAggregation: [", 1)[1]
+                ):
+                    raise RuntimeError(
+                        f"aggregate pushdown missing {needle} for {t}: "
+                        "footer-only stats would silently degrade to a "
+                        "full scan"
+                    )
             out = agg if out is None else out.unionByName(agg)
         return out.orderBy("table_name").localCheckpoint(eager=True)
     finally:

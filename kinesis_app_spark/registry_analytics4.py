@@ -747,7 +747,8 @@ def approx_distinct_kmv(spark, sf_dir):
     """Approximate distinct users via a K-minimum-values sketch on the
     portable 60-bit MD5 hash: estimate = (k-1) / h_k where h_k is the
     k-th smallest distinct normalized hash.  Unlike HLL (engine-specific
-    registers — approx_distinct_users stays rows-only by design), every
+    registers — approx_distinct_users value-gates an error ENVELOPE, not
+    the estimate), every
     step here is reproducible arithmetic, so the APPROXIMATE estimate
     itself sits under the cross-engine value gate — DuckDB computes the
     identical sketch and the identical estimate, bit for bit.

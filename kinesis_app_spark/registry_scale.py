@@ -181,7 +181,9 @@ def kinesis_merge_counts(spark, sf_dir):
     streams from there — the Kinesis scale-DOWN contract; split is
     kinesis_reshard_counts). Per-shard counts/ranges are arithmetic, so
     the oracle is a VALUES table: parents deliver 40 records each, the
-    merged child 2x60, the bystander shard all 100."""
+    merged child 2x60, the bystander shard all 100. The child's own
+    sequence numbers are 2*seq + parent_idx (unique within the shard,
+    like real Kinesis): min 2*40=80, max 2*99+1=199."""
     from kinesis_app_spark.sources.fake_kinesis import register
 
     register(spark)
@@ -205,7 +207,68 @@ SELECT * FROM (VALUES
   ('shardId-000000000000', CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
   ('shardId-000000000001', CAST(40 AS BIGINT), CAST(0 AS BIGINT), CAST(39 AS BIGINT)),
   ('shardId-000000000002', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT)),
-  ('shardId-000000002000', CAST(120 AS BIGINT), CAST(40 AS BIGINT), CAST(99 AS BIGINT))
+  ('shardId-000000002000', CAST(120 AS BIGINT), CAST(80 AS BIGINT), CAST(199 AS BIGINT))
+) AS t(shardId, n_records, min_seq, max_seq)
+ORDER BY shardId
+"""
+
+
+def kinesis_fault_retry_counts(spark, sf_dir):
+    """Transient read failure + retry under the value gate — the
+    reference's retry taxonomy (`streamRecords` retries throttled/timed-out
+    GetRecords, src/Kinesis/Kinesis.hs:89-176) as BEHAVIOR, not a config
+    mapping: shard 1 is configured to fail its first read attempt
+    (``failShardOnce``); the first action fails loudly, the retry re-reads
+    every slice and must produce exactly-once totals identical to a
+    never-failed run — which is what the arithmetic VALUES oracle asserts.
+
+    In local[N] Spark runs with task maxFailures=1, so the retry here is
+    the driver re-running the action (job-level retry); the *task-level*
+    retry path — same marker mechanism, one action, local[4,2] — is proven
+    in tests/test_round3.py's subprocess test, and the *epoch-level*
+    retry (streaming restart from checkpoint across the injected failure)
+    in the same file."""
+    import tempfile
+
+    from kinesis_app_spark.sources.fake_kinesis import register
+
+    register(spark)
+    mdir = tempfile.mkdtemp(prefix="kinesis_fault_markers_")
+
+    def build():
+        df = (
+            spark.read.format("fake_kinesis")
+            .option("numShards", 2)
+            .option("recordsPerShard", 100)
+            .option("failShardOnce", 1)
+            .option("failMarkerDir", mdir)
+            .load()
+        )
+        return df.groupBy("shardId").agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("sequenceNumber").alias("min_seq"),
+            F.max("sequenceNumber").alias("max_seq"),
+        ).orderBy("shardId")
+
+    try:
+        build().collect()
+        raise AssertionError(
+            "fake_kinesis: injected transient failure did not fire"
+        )
+    except Exception as e:  # noqa: BLE001 — re-raise anything unexpected
+        if "injected transient" not in str(e):
+            raise
+    # the retry is a FRESH plan, as a driver-level retry would be: under
+    # AQE the failed DataFrame object pins its materialized-stage failure,
+    # so re-collecting the same object replays the exception instead of
+    # re-reading (found empirically; the fresh build re-reads every slice)
+    return build()
+
+
+KINESIS_FAULT_RETRY_SQL = """
+SELECT * FROM (VALUES
+  ('shardId-000000000000', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT)),
+  ('shardId-000000000001', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(99 AS BIGINT))
 ) AS t(shardId, n_records, min_seq, max_seq)
 ORDER BY shardId
 """
@@ -531,6 +594,9 @@ REGISTRY_SCALE = {
         kinesis_reshard_counts, KINESIS_RESHARD_SQL
     ),
     "kinesis_merge_counts": QuerySpec(kinesis_merge_counts, KINESIS_MERGE_SQL),
+    "kinesis_fault_retry_counts": QuerySpec(
+        kinesis_fault_retry_counts, KINESIS_FAULT_RETRY_SQL
+    ),
     "kinesis_reshard_stream_counts": QuerySpec(
         kinesis_reshard_stream_counts, KINESIS_RESHARD_SQL
     ),

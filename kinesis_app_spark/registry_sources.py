@@ -580,7 +580,104 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# =====================================================================
+# real Kinesis wire protocol: boto3 connector vs a local moto endpoint
+# =====================================================================
+
+#: process-lifetime moto endpoint + seeded stream; a registry entry's
+#: DataFrame is lazy (the driver collects it AFTER the entry returns), so
+#: the endpoint must outlive the call — same lifetime discipline as
+#: registry_streaming._SRC_CACHE. Stopped by atexit.
+_MOTO_EP: dict[str, str] = {}
+
+
+def _moto_kinesis_endpoint() -> str:
+    if "ep" in _MOTO_EP:
+        return _MOTO_EP["ep"]
+    import atexit
+    import logging
+
+    from moto.server import ThreadedMotoServer
+
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    atexit.register(server.stop)
+    _, port = server.get_host_and_port()
+    ep = f"http://127.0.0.1:{port}"
+
+    import boto3
+
+    client = boto3.client(
+        "kinesis", region_name="us-east-1", endpoint_url=ep,
+        aws_access_key_id="testing", aws_secret_access_key="testing",
+    )
+    client.create_stream(StreamName="registry-stream", ShardCount=2)
+    # ExplicitHashKey routes deterministically: below 2^127 -> shard 0
+    mid = str(2**127)
+    client.put_records(
+        StreamName="registry-stream",
+        Records=[
+            {
+                "Data": f'{{"i": {i}, "v": {i * i}}}'.encode(),
+                "PartitionKey": f"pk-{i}",
+                "ExplicitHashKey": "0" if i % 2 == 0 else mid,
+            }
+            for i in range(60)
+        ],
+    )
+    _MOTO_EP["ep"] = ep
+    return ep
+
+
+def kinesis_boto_snapshot(spark, sf_dir):
+    """The REAL Kinesis connector (boto3 over the actual wire protocol,
+    src/Kinesis/Kinesis.hs end-to-end) under the value gate: a moto
+    endpoint serves a 2-shard stream seeded with 60 deterministic JSON
+    records routed by ExplicitHashKey; the per-shard count and payload
+    aggregates are pure arithmetic, so the whole
+    ListShards -> GetShardIterator -> GetRecords -> Arrow batch path is
+    oracle-checked. Pointing the same reader at real AWS is the
+    ``endpointUrl`` option (see tests/test_kinesis_boto.py for the
+    streaming/resume/reshard/retry E2Es)."""
+    from kinesis_app_spark.sources.kinesis_boto import register
+
+    register(spark)
+    ep = _moto_kinesis_endpoint()
+    df = (
+        spark.read.format("kinesis_boto")
+        .option("streamName", "registry-stream")
+        .option("endpointUrl", ep)
+        .option("region", "us-east-1")
+        .option("accessKeyId", "testing")
+        .option("secretAccessKey", "testing")
+        .load()
+    )
+    parsed = df.select(
+        "shardId",
+        F.from_json(F.col("data").cast("string"), "i long, v long").alias("p"),
+    )
+    return parsed.groupBy("shardId").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("p.i").alias("sum_i"),
+        F.sum("p.v").alias("sum_v"),
+    ).orderBy("shardId")
+
+
+KINESIS_BOTO_SQL = """
+SELECT CASE WHEN i % 2 = 0 THEN 'shardId-000000000000'
+            ELSE 'shardId-000000000001' END AS shardId,
+       count(*) AS n_records,
+       sum(i) AS sum_i,
+       sum(i * i) AS sum_v
+FROM (SELECT unnest(range(0, 60)) AS i)
+GROUP BY 1
+ORDER BY shardId
+"""
+
+
 REGISTRY_SOURCES = {
+    "kinesis_boto_snapshot": QuerySpec(kinesis_boto_snapshot, KINESIS_BOTO_SQL),
     "nested_glob_ingest": QuerySpec(nested_glob_ingest, NESTED_GLOB_SQL),
     "corrupt_file_tolerant_read": QuerySpec(
         corrupt_file_tolerant_read, CORRUPT_READ_SQL

@@ -62,7 +62,14 @@ def _mk_stream(
     columns from a stale dir (parquet reads by name).
     """
     if cache_key:
-        cache_key = f"{cache_key}|{df.schema.simpleString()}|c{copies}"
+        # EVERY option that shapes the dir's file layout (and the reader
+        # batching that depends on it) is part of the key — a caller
+        # reusing someone else's key with a different sentinel/batching
+        # config must get a fresh dir, not a silently-wrong cached one
+        cache_key = (
+            f"{cache_key}|{df.schema.simpleString()}|c{copies}"
+            f"|s{sentinel_row!r}|m{max_files_per_trigger}"
+        )
     src = _SRC_CACHE.get(cache_key) if cache_key else None
     if src is None:
         src = tempfile.mkdtemp(prefix="stream_src_")

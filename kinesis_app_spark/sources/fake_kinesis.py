@@ -91,18 +91,25 @@ def _record(shard_label: int, parent: int, seq: int):
 class _ShardSlice(InputPartition):
     def __init__(self, shard: int, start: int, end: int,
                  parent: int | None = None, parity: int | None = None,
-                 merge_parents: tuple | None = None):
+                 merge_parents: tuple | None = None,
+                 fail_once_dir: str | None = None):
         self.shard = shard
         self.start = start
         self.end = end
         self.parent = parent  # set for split-child shards
         self.parity = parity  # split child takes seqs with seq % 2 == parity
         self.merge_parents = merge_parents  # merge child carries BOTH streams
+        #: when set, the FIRST read attempt of this slice raises (transient
+        #: GetRecords failure); the retry succeeds — see _maybe_fail_once
+        self.fail_once_dir = fail_once_dir
 
 
 class FakeKinesisDataSource(DataSource):
     """Options: numShards (default 4), recordsPerShard (default 1000),
-    maxRecordsPerFetch (stream batch limit per shard, default 100)."""
+    maxRecordsPerFetch (stream batch limit per shard, default 100),
+    splitShard/splitAtSeq and mergeShards/mergeAtSeq (resharding),
+    failShardOnce + failMarkerDir (inject one transient read failure per
+    slice of that shard — proves task retry / restart exactly-once)."""
 
     @classmethod
     def name(cls):
@@ -127,6 +134,13 @@ def _opts(options):
         raise ValueError(
             "fake_kinesis: configure splitShard OR mergeShards, not both"
         )
+    fail_shard = int(options.get("failshardonce", -1))
+    fail_dir = options.get("failmarkerdir") or None
+    if fail_shard >= 0 and not fail_dir:
+        raise ValueError(
+            "fake_kinesis: failShardOnce requires failMarkerDir (a writable "
+            "dir shared across task attempts, holding one marker per slice)"
+        )
     return (
         int(options.get("numshards", 4)),
         per_shard,
@@ -135,6 +149,35 @@ def _opts(options):
         int(options.get("splitatseq", per_shard // 2)),
         merge,
         int(options.get("mergeatseq", per_shard // 2)),
+        fail_shard,
+        fail_dir,
+    )
+
+
+def _maybe_fail_once(partition: _ShardSlice) -> None:
+    """Injected transient failure: the FIRST attempt to read this slice
+    raises (modeling a throttled/timed-out GetRecords — the reference
+    retries these in `streamRecords`, src/Kinesis/Kinesis.hs:89-176); any
+    later attempt finds the marker file and succeeds. The marker key is the
+    slice identity (shard, start, end), so every retry granularity Spark
+    uses (task re-attempt within a job, or a whole micro-batch replay after
+    a query restart) sees exactly one failure per slice. O_CREAT|O_EXCL
+    makes marker creation atomic under concurrent attempts."""
+    import os
+
+    marker = os.path.join(
+        partition.fail_once_dir,
+        f"failed-{partition.shard}-{partition.start}-{partition.end}",
+    )
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return  # already failed once; this attempt succeeds
+    os.close(fd)
+    raise RuntimeError(
+        "fake_kinesis: injected transient GetRecords failure "
+        f"(shard {partition.shard}, seqs [{partition.start}, "
+        f"{partition.end})); retry will succeed"
     )
 
 
@@ -146,14 +189,22 @@ def _read_slice(partition: _ShardSlice):
     high-throughput custom source should produce."""
     import pyarrow as pa
 
+    if partition.fail_once_dir is not None:
+        _maybe_fail_once(partition)
     if partition.merge_parents is not None:
         # a merged child interleaves BOTH parents' logical streams; order
-        # (seq, parent) is deterministic, per-parent seq order preserved
-        rows = [
-            _record(partition.shard, p, seq)
-            for seq in range(partition.start, partition.end)
-            for p in partition.merge_parents
-        ]
+        # (seq, parent) is deterministic, per-parent seq order preserved.
+        # The child's OWN sequenceNumber is 2*seq + parent_index: real
+        # Kinesis guarantees per-shard sequence uniqueness, and consumers
+        # dedup on (shardId, sequenceNumber) — emitting each parent's seq
+        # verbatim would collide and silently halve the child under that
+        # standard dedup key. Payload/partitionKey stay keyed by the
+        # LOGICAL (parent, seq) so record content is split/merge-invariant.
+        rows = []
+        for seq in range(partition.start, partition.end):
+            for i, p in enumerate(partition.merge_parents):
+                r = _record(partition.shard, p, seq)
+                rows.append((r[0], 2 * seq + i) + r[2:])
     else:
         parent = (
             partition.parent if partition.parent is not None else partition.shard
@@ -181,7 +232,8 @@ class FakeKinesisBatchReader(DataSourceReader):
     def __init__(self, options):
         (self.n_shards, self.per_shard, _,
          self.split_shard, self.split_at,
-         self.merge, self.merge_at) = _opts(options)
+         self.merge, self.merge_at,
+         self.fail_shard, self.fail_dir) = _opts(options)
 
     def partitions(self):
         slices = []
@@ -204,6 +256,9 @@ class FakeKinesisBatchReader(DataSourceReader):
                     self.per_shard, merge_parents=self.merge,
                 )
             )
+        for sl in slices:
+            if sl.shard == self.fail_shard:
+                sl.fail_once_dir = self.fail_dir
         return slices
 
     def read(self, partition: _ShardSlice):
@@ -229,7 +284,8 @@ class FakeKinesisStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         (self.n_shards, self.per_shard, self.max_fetch,
          self.split_shard, self.split_at,
-         self.merge, self.merge_at) = _opts(options)
+         self.merge, self.merge_at,
+         self.fail_shard, self.fail_dir) = _opts(options)
 
     def initialOffset(self):
         # the engine's TRIM_HORIZON; the reference defaults to Latest
@@ -275,7 +331,10 @@ class FakeKinesisStreamReader(DataSourceStreamReader):
             while lo < hi:
                 step = min(self.max_fetch, hi - lo)
                 slices.append(
-                    _ShardSlice(sid, lo, lo + step, parent, parity, mp)
+                    _ShardSlice(
+                        sid, lo, lo + step, parent, parity, mp,
+                        self.fail_dir if sid == self.fail_shard else None,
+                    )
                 )
                 lo += step
         return slices

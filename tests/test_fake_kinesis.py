@@ -209,7 +209,11 @@ def test_shard_merge_exactly_once_across_restart(spark, tmp_path):
     assert parsed.select("p.shard", "p.seq").distinct().count() == 400
     merged = parsed.filter(F.col("shardId") == "shardId-000000002000")
     assert merged.count() == 200  # 100 seqs x 2 parent streams
-    assert merged.agg(F.min("sequenceNumber")).collect()[0][0] == 100
+    # child seqs are 2*seq + parent_idx: unique within the shard (real
+    # Kinesis guarantees this; consumers dedup on (shardId, seq))
+    assert merged.select("sequenceNumber").distinct().count() == 200
+    assert merged.agg(F.min("sequenceNumber")).collect()[0][0] == 200
+    assert merged.agg(F.max("sequenceNumber")).collect()[0][0] == 399
     assert {r["shard"] for r in merged.select("p.shard").distinct().collect()} == {0, 1}
     parents = parsed.filter(F.col("shardId").isin(
         "shardId-000000000000", "shardId-000000000001"))

@@ -122,3 +122,204 @@ def test_rfm_scale_quartiles_are_balanced(spark):
                 agg[f"{c}{q}"],
                 n,
             )
+
+
+# ---------------------------------------------------------------------
+# RocksDB state store: the named 100 TB state answer, exercised
+# (round-2 verdict task #3)
+# ---------------------------------------------------------------------
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "streaming_stateful_counts",
+        "streaming_heavy_hitters",
+        "streaming_dedup_then_window",
+    ],
+)
+def test_stateful_under_rocksdb_matches_default(name, spark):
+    """Same stateful query, RocksDB provider vs the default HDFS-backed
+    one: identical results. The provider is read at query start, so a
+    session-conf flip between runs is the real switch."""
+    spec = registry.REGISTRY[name]
+    base = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
+    prev = spark.conf.get(_PROVIDER_KEY)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        rocks = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set(_PROVIDER_KEY, prev)
+    assert rocks == base
+    assert len(base) > 0
+
+
+# ---------------------------------------------------------------------
+# fault injection: transient read failure -> retry is exactly-once
+# (round-2 verdict task #4)
+# ---------------------------------------------------------------------
+
+def _fault_df(spark, mdir, **opts):
+    from kinesis_app_spark.sources.fake_kinesis import register
+
+    register(spark)
+    r = (
+        spark.read.format("fake_kinesis")
+        .option("numShards", 2)
+        .option("recordsPerShard", 50)
+        .option("failShardOnce", 1)
+        .option("failMarkerDir", mdir)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_fault_then_driver_retry_exactly_once(spark, tmp_path):
+    """local[N] has task maxFailures=1, so the injected failure fails the
+    first ACTION; re-running it (driver-level retry) re-reads every slice
+    and must deliver the complete, duplicate-free record set."""
+    mdir = str(tmp_path / "markers")
+    import os
+
+    os.makedirs(mdir)
+    df = _fault_df(spark, mdir)
+    with pytest.raises(Exception, match="injected transient"):
+        df.count()
+    assert df.count() == 100
+    assert df.select("shardId", "sequenceNumber").distinct().count() == 100
+
+
+def test_streaming_fault_then_restart_exactly_once(spark, tmp_path):
+    """Epoch-level retry: the injected failure kills the availableNow run
+    mid-stream; a restart from the checkpoint replays the failed
+    micro-batch (markers make it succeed) and the sink ends exactly-once —
+    no gap, no duplicate, parents/children all delivered."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mdir = str(tmp_path / "markers")
+    os.makedirs(mdir)
+
+    def run():
+        from kinesis_app_spark.sources.fake_kinesis import register
+
+        register(spark)
+        stream = (
+            spark.readStream.format("fake_kinesis")
+            .option("numShards", 2)
+            .option("recordsPerShard", 100)
+            .option("maxRecordsPerFetch", 40)
+            .option("failShardOnce", 1)
+            .option("failMarkerDir", mdir)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="injected transient"):
+        run()
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("shardId", "sequenceNumber").distinct().count() == 200
+
+
+def test_task_retry_exactly_once_subprocess():
+    """TASK-level retry proper: local[4,2] enables maxFailures=2, so one
+    action succeeds end-to-end across the injected first-attempt failure —
+    the task re-attempt reads the marker and completes. Runs in a
+    subprocess because local-mode maxFailures is fixed at SparkContext
+    creation (the session-wide local[32] context can't retry tasks)."""
+    import subprocess
+    import sys
+    import tempfile
+    import textwrap
+
+    mdir = tempfile.mkdtemp(prefix="kinesis_retry_markers_")
+    script = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import SparkSession
+        from kinesis_app_spark.sources.fake_kinesis import register
+
+        spark = (
+            SparkSession.builder.master("local[4,2]")
+            .appName("task-retry-e2e")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "2g")
+            .getOrCreate()
+        )
+        register(spark)
+        df = (
+            spark.read.format("fake_kinesis")
+            .option("numShards", "2")
+            .option("recordsPerShard", "50")
+            .option("failShardOnce", "1")
+            .option("failMarkerDir", sys.argv[1])
+            .load()
+        )
+        n = df.count()
+        d = df.select("shardId", "sequenceNumber").distinct().count()
+        assert n == 100 and d == 100, (n, d)
+        print("TASK_RETRY_OK", n)
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, mdir],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TASK_RETRY_OK 100" in proc.stdout
+    # and the failure really fired: the marker file exists
+    import os
+
+    assert any(f.startswith("failed-1-") for f in os.listdir(mdir))
+
+
+# ---------------------------------------------------------------------
+# BFS frontier broadcast gating (round-2 verdict task #5)
+# ---------------------------------------------------------------------
+
+def test_bfs_broadcast_and_shuffle_paths_agree(spark):
+    from kinesis_app_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (2, 6), (6, 7)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    want = {
+        (r["node"], r["hop"])
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    # threshold 0 forces the shuffle-join fallback every round
+    got = {
+        (r["node"], r["hop"])
+        for r in bfs_hops(
+            edges, seeds, max_hops=3, broadcast_max_frontier=0
+        ).collect()
+    }
+    assert got == want
+    assert (1, 0) in want and (4, 3) in want and (10, 0) not in {
+        n for n, _ in want
+    }
