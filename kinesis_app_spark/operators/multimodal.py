@@ -97,29 +97,49 @@ def decode_payload(modality: str) -> None:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_gray(width: int, height: int, scanlines: bytes) -> bytes:
+    """Assemble a spec-valid 8-bit grayscale PNG from raw filter-0
+    scanlines (each ``b"\\x00"`` + width pixel bytes)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_bytes(width: int, height: int, seed: int = 0) -> bytes:
     """A spec-valid 8-bit grayscale PNG: signature, IHDR, one zlib IDAT of
     filter-0 scanlines, IEND — all chunk CRCs correct."""
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(
         b"\x00" + bytes((seed + x + y) % 256 for x in range(width))
         for y in range(height)
     )
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+    return _png_gray(width, height, raw)
+
+
+def png_bytes_cells(values: list[list[int]], cell: int = 8) -> bytes:
+    """A grayscale PNG painted as a grid of constant-valued square cells:
+    ``values[cy][cx]`` fills the ``cell`` x ``cell`` block at (cx, cy).
+    The synthesis side of the perceptual-hash tests — cell-constant images
+    make block means exact integers."""
+    rows = len(values)
+    cols = len(values[0])
+    raw = b"".join(
+        b"\x00" + bytes(values[y // cell][x // cell] for x in range(cols * cell))
+        for y in range(rows * cell)
     )
+    return _png_gray(cols * cell, rows * cell, raw)
 
 
 def wav_bytes(sample_rate: int, channels: int, n_frames: int, seed: int = 0) -> bytes:
@@ -323,6 +343,154 @@ def frame_sample(
     return spread(df.select(id_col, "payload")).mapInPandas(kernel, schema)
 
 
+def _decode_png_pixels(raw: bytes):
+    """Full stdlib pixel decode of a filter-0 8-bit grayscale PNG: IDAT
+    chunk walk, zlib decompress, scanline strip. Returns an int64 (h, w)
+    numpy array, or None for non-PNG / corrupt / unsupported payloads (a
+    corrupt blob must not kill the stage)."""
+    import numpy as np
+
+    if raw[:8] != _PNG_SIG:
+        return None
+    try:
+        w, h = struct.unpack(">II", raw[16:24])
+        pos, idat = 8, b""
+        while pos + 8 <= len(raw):
+            ln = struct.unpack(">I", raw[pos : pos + 4])[0]
+            tag = raw[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += raw[pos + 8 : pos + 8 + ln]
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+        arr = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(
+            h, w + 1
+        )
+        if (arr[:, 0] != 0).any():  # only filter-0 supported
+            return None
+        return arr[:, 1:].astype(np.int64)
+    except (struct.error, zlib.error, ValueError):
+        return None
+
+
+def image_dhash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over PNG payloads — the image
+    near-duplicate fingerprint of a multimodal training-data pipeline:
+    decode pixels, reduce to a 9x8 grid of block means (floor division —
+    exact integers), emit bit (row, col) = [mean(row, col+1) > mean(row,
+    col)] packed MSB-first into one signed long.
+
+    Comparing ADJACENT means makes the hash invariant to any uniform
+    brightness shift (the +c cancels in the comparison) and insensitive to
+    scale via the fixed 9x8 reduction — the two properties that let it
+    catch re-encoded/brightness-tweaked copies exact dedup misses. Images
+    must be 72x64 (9x8 grid of 8x8 blocks) for exact block means; other
+    sizes use numpy integer block averaging over a best-effort crop to
+    multiples, non-PNG/corrupt payloads are skipped.
+
+    Scale shape: per-blob Python codec work rides mapInPandas (Arrow
+    batches, no shuffle); the output is 16 bytes/image — THAT is what any
+    downstream join shuffles, never pixels."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_png_pixels(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape
+                bh, bw = h // 8, w // 9
+                if bh == 0 or bw == 0:
+                    continue
+                crop = img[: bh * 8, : bw * 9]
+                grid = (
+                    crop.reshape(8, bh, 9, bw).sum(axis=(1, 3)) // (bh * bw)
+                )
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)
+                val = 0
+                for b in bits.reshape(-1):
+                    val = (val << 1) | int(b)
+                # two's-complement into a signed Spark long
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(did))
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, dhash long"
+    )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over 64-bit dHashes,
+    without an all-pairs join: each hash splits into four 16-bit bands; a
+    pair within ``max_hamming`` <= 3 differs in at most 3 bands, so by
+    pigeonhole it SHARES at least one band — an equi self-join on
+    (band_idx, band_value) generates all qualifying candidates, and an
+    exact bit_count(xor) filter verifies. Same banding discipline as
+    SimHash dedup (operators/dedup.py), applied to the image fingerprint;
+    everything after the hash is pure JVM Column work on 16-byte rows."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band pigeonhole guarantees completeness only for "
+            f"max_hamming <= 3; got {max_hamming}"
+        )
+    bands = hashes.select(
+        F.col(id_col),
+        F.col("dhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "dhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def png_patch_stats(
     media: DataFrame,
     patch: int = 8,
@@ -354,28 +522,10 @@ def png_patch_stats(
             npx: list[int] = []
             sums: list[int] = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
-                if raw[:8] != _PNG_SIG:
+                img = _decode_png_pixels(bytes(payload))
+                if img is None:
                     continue
-                try:
-                    w, h = struct.unpack(">II", raw[16:24])
-                    pos, idat = 8, b""
-                    while pos + 8 <= len(raw):
-                        ln = struct.unpack(">I", raw[pos : pos + 4])[0]
-                        tag = raw[pos + 4 : pos + 8]
-                        if tag == b"IDAT":
-                            idat += raw[pos + 8 : pos + 8 + ln]
-                        if tag == b"IEND":
-                            break
-                        pos += 12 + ln
-                    arr = np.frombuffer(
-                        zlib.decompress(idat), dtype=np.uint8
-                    ).reshape(h, w + 1)
-                    if (arr[:, 0] != 0).any():  # only filter-0 supported
-                        continue
-                    img = arr[:, 1:].astype(np.int64)
-                except (struct.error, zlib.error, ValueError):
-                    continue
+                h, w = img.shape
                 did = int(did)
                 for py in range((h + patch - 1) // patch):
                     for px in range((w + patch - 1) // patch):

@@ -1282,6 +1282,127 @@ FROM documents
 """
 
 
+#: column-level cell patterns for the dHash entries (high-value column
+#: indexes per base pattern, 9 columns). Patterns are ROW-UNIFORM, so any
+#: two distinct bases differ in >= 8 of the 64 hash bits (each differing
+#: row-bit repeats in all 8 rows) — brightness groups can never merge and
+#: near-dup pairs can never cross bases.
+_DHASH_PATTERNS_INV = [
+    {0, 2, 4, 6, 8},
+    {0, 1, 4, 5, 8},
+    {0, 3, 6},
+    {1, 2, 5, 6},
+    {0, 1, 2, 3, 4},
+]
+#: near-dup patterns share the (low, high, low) prefix on columns 0-2, so
+#: a noisy copy's single flipped cell at column 1 changes EXACTLY one hash
+#: bit: the c0->c1 comparison flips 1->0, while c1->c2 stays 0 under the
+#: strict-> tie rule (40 > 40 is false either way)
+_DHASH_PATTERNS_ND = [
+    {1},
+    {1, 3},
+    {1, 4, 6},
+    {1, 3, 5, 7},
+    {1, 4, 5, 6, 8},
+]
+
+
+def _dhash_cell_images(spark, n: int, patterns, offset_of, flip_row_of):
+    """Distributed synthesis of 72x64 cell-pattern PNGs: id -> base
+    pattern (id % 5) + brightness offset + optional single-cell flip, all
+    through the real PNG encoder (png_bytes_cells), so the dhash side must
+    genuinely decode the container to agree."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for raw_id in pdf["id"]:
+                i = int(raw_id)
+                o = offset_of(i)
+                hi, lo = 160 + o, 40 + o
+                high_cols = patterns[i % 5]
+                vals = [
+                    [hi if cx in high_cols else lo for cx in range(9)]
+                    for _ in range(8)
+                ]
+                fr = flip_row_of(i)
+                if fr is not None:
+                    vals[fr][1] = lo  # flip the (row fr, col 1) cell H->L
+                ids.append(i)
+                payloads.append(MM.png_bytes_cells(vals))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return spark.range(n).mapInPandas(synth, "doc_id long, payload binary")
+
+
+def image_dhash_groups(spark, sf_dir):
+    """Perceptual-hash dedup, property 1 — BRIGHTNESS INVARIANCE: 60 PNGs
+    from 5 base patterns x 12 brightness offsets; dHash compares adjacent
+    block means, so the uniform offset cancels and each base's 12
+    variants hash IDENTICALLY, while distinct bases differ in >= 8 bits
+    (row-uniform patterns). Grouping by the hash must therefore rebuild
+    exactly the 5 base groups — the oracle predicts them arithmetically
+    (i % 5) with zero knowledge of hash values. The exact-dedup operators
+    would see 60 distinct payloads here; this is what perceptual hashing
+    adds for image corpora."""
+    media = _dhash_cell_images(
+        spark,
+        60,
+        _DHASH_PATTERNS_INV,
+        offset_of=lambda i: (i % 6) * 10,
+        flip_row_of=lambda i: None,
+    )
+    h = MM.image_dhash(media)
+    return (
+        h.groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .select("rep", "n_images")
+        .orderBy("rep")
+    )
+
+
+IMAGE_DHASH_GROUPS_SQL = """
+SELECT i % 5 AS rep, count(*) AS n_images
+FROM (SELECT unnest(range(0, 60)) AS i)
+GROUP BY 1
+ORDER BY rep
+"""
+
+
+def image_dhash_near_dup(spark, sf_dir):
+    """Perceptual-hash dedup, property 2 — NEAR-DUPLICATE pairing under a
+    Hamming threshold: 5 base images + 2 noisy copies each (one cell
+    flipped at different rows -> exactly 1 bit from the base, 2 bits
+    between the two copies). dhash_near_dup_pairs generates candidates by
+    4x16-bit band equi-join (pigeonhole-complete for hamming <= 3) and
+    verifies with bit_count(xor) <= 2 — the within-base pairs with their
+    EXACT distances, and nothing across bases (>= 8 bits apart). The
+    oracle enumerates the expected pair list arithmetically."""
+    media = _dhash_cell_images(
+        spark,
+        15,
+        _DHASH_PATTERNS_ND,
+        offset_of=lambda i: 0,
+        flip_row_of=lambda i: None if i < 5 else (2 if i < 10 else 5),
+    )
+    h = MM.image_dhash(media)
+    return MM.dhash_near_dup_pairs(h, max_hamming=2).orderBy("id_a", "id_b")
+
+
+IMAGE_DHASH_ND_SQL = """
+SELECT b + 5 * ca AS id_a, b + 5 * cb AS id_b, hm AS hamming
+FROM (SELECT unnest(range(0, 5)) AS b),
+     (VALUES (0, 1, 1), (0, 2, 1), (1, 2, 2)) AS p(ca, cb, hm)
+ORDER BY id_a, id_b
+"""
+
+
 # =====================================================================
 # the registry
 # =====================================================================
@@ -1359,6 +1480,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_media_decode": QuerySpec(multimodal_media_decode, MULTIMODAL_MEDIA_SQL),
     "multimodal_patch_stats": QuerySpec(multimodal_patch_stats, MULTIMODAL_PATCH_SQL),
     "multimodal_wav_energy": QuerySpec(multimodal_wav_energy, MULTIMODAL_WAV_SQL),
+    "image_dhash_groups": QuerySpec(image_dhash_groups, IMAGE_DHASH_GROUPS_SQL),
+    "image_dhash_near_dup": QuerySpec(image_dhash_near_dup, IMAGE_DHASH_ND_SQL),
 }
 
 # widen coverage: TPC-H part 2 (subquery/EXISTS shapes) + operator batteries

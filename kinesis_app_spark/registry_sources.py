@@ -664,6 +664,92 @@ def kinesis_boto_snapshot(spark, sf_dir):
     ).orderBy("shardId")
 
 
+def kinesis_boto_roundtrip(spark, sf_dir):
+    """PRODUCE → CONSUME over the real wire protocol under the value gate:
+    60 deterministic JSON rows leave Spark through the PutRecords sink
+    (KinesisBotoWriter: 500-record batching, partial-failure retry,
+    ExplicitHashKey shard routing) into a fresh stream on the moto
+    endpoint, then come back through the batch reader; per-shard count and
+    payload sums are pure arithmetic, so the ENTIRE loop — serialize, put,
+    shard-route, list-shards, drain, parse — is oracle-checked. The stream
+    name is unique per call and the stream is deleted after an eager
+    localCheckpoint, so the entry is idempotent across gate/bench reruns.
+    Producer parity: the reference consumes only (src/Kinesis/Kinesis.hs);
+    the sink applies its retry taxonomy to the produce path."""
+    import uuid
+
+    import boto3
+
+    from kinesis_app_spark.sources.kinesis_boto import register
+
+    register(spark)
+    ep = _moto_kinesis_endpoint()
+    stream = f"rt-{uuid.uuid4().hex[:12]}"
+    client = boto3.client(
+        "kinesis", region_name="us-east-1", endpoint_url=ep,
+        aws_access_key_id="testing", aws_secret_access_key="testing",
+    )
+    client.create_stream(StreamName=stream, ShardCount=2)
+    mid = str(2**127)
+    src = spark.range(60).select(
+        F.concat(
+            F.lit('{"i": '), F.col("id"),
+            F.lit(', "v": '), 3 * F.col("id") + 1, F.lit("}"),
+        ).alias("data"),
+        F.concat(F.lit("pk-"), F.col("id")).alias("partitionKey"),
+        F.when(F.col("id") % 2 == 0, F.lit("0"))
+        .otherwise(F.lit(mid))
+        .alias("explicitHashKey"),
+    )
+    (
+        src.write.format("kinesis_boto")
+        .option("streamName", stream)
+        .option("endpointUrl", ep)
+        .option("region", "us-east-1")
+        .option("accessKeyId", "testing")
+        .option("secretAccessKey", "testing")
+        .mode("append")
+        .save()
+    )
+    df = (
+        spark.read.format("kinesis_boto")
+        .option("streamName", stream)
+        .option("endpointUrl", ep)
+        .option("region", "us-east-1")
+        .option("accessKeyId", "testing")
+        .option("secretAccessKey", "testing")
+        .load()
+    )
+    parsed = df.select(
+        "shardId",
+        F.from_json(F.col("data").cast("string"), "i long, v long").alias("p"),
+    )
+    out = (
+        parsed.groupBy("shardId")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("p.i").alias("sum_i"),
+            F.sum("p.v").alias("sum_v"),
+        )
+        .orderBy("shardId")
+        .localCheckpoint(eager=True)
+    )
+    client.delete_stream(StreamName=stream)
+    return out
+
+
+KINESIS_ROUNDTRIP_SQL = """
+SELECT CASE WHEN i % 2 = 0 THEN 'shardId-000000000000'
+            ELSE 'shardId-000000000001' END AS shardId,
+       count(*) AS n_records,
+       sum(i) AS sum_i,
+       sum(3 * i + 1) AS sum_v
+FROM (SELECT unnest(range(0, 60)) AS i)
+GROUP BY 1
+ORDER BY shardId
+"""
+
+
 KINESIS_BOTO_SQL = """
 SELECT CASE WHEN i % 2 = 0 THEN 'shardId-000000000000'
             ELSE 'shardId-000000000001' END AS shardId,
@@ -678,6 +764,9 @@ ORDER BY shardId
 
 REGISTRY_SOURCES = {
     "kinesis_boto_snapshot": QuerySpec(kinesis_boto_snapshot, KINESIS_BOTO_SQL),
+    "kinesis_boto_roundtrip": QuerySpec(
+        kinesis_boto_roundtrip, KINESIS_ROUNDTRIP_SQL
+    ),
     "nested_glob_ingest": QuerySpec(nested_glob_ingest, NESTED_GLOB_SQL),
     "corrupt_file_tolerant_read": QuerySpec(
         corrupt_file_tolerant_read, CORRUPT_READ_SQL

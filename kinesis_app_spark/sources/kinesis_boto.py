@@ -31,18 +31,30 @@ of shards fine, and a 100 TB replay should use the batch reader over an
 offset range instead. Sequence numbers are kept as their native opaque
 decimal STRINGS (they exceed int64); ordering comparisons go through
 ``int()``.
+
+The PRODUCER half lives here too (``KinesisBotoWriter`` /
+``KinesisBotoStreamWriter``): PutRecords with the API's 500-record/5 MiB
+batching, call-level retry via the same backoff policy, and
+partial-failure retry (only the per-record-failed subset resends), so
+``df.write.format("kinesis_boto")`` and ``writeStream`` close the E2E
+loop the reference leaves to an external producer.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as dt
+import os
 import time
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -242,6 +254,33 @@ class KinesisBotoDataSource(DataSource):
             raise ValueError("kinesis_boto: streamName option is required")
         return KinesisSimpleStreamReader(conn)
 
+    def _writer_conn(self, schema):
+        conn = _conn_opts(self.options)
+        if not conn["stream"]:
+            raise ValueError("kinesis_boto: streamName option is required")
+        names = [f.name for f in schema.fields]
+        if "data" not in names or "partitionKey" not in names:
+            raise ValueError(
+                "kinesis_boto sink needs columns (data binary|string, "
+                f"partitionKey string[, explicitHashKey string]); got {names}"
+            )
+        conn["has_ehk"] = "explicitHashKey" in names
+        conn["inject_marker"] = (
+            self.options.get("failfirstputmarker") or None
+        )
+        return conn
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "kinesis_boto sink is append-only (a stream cannot be "
+                "overwritten); use mode('append')"
+            )
+        return KinesisBotoWriter(self._writer_conn(schema))
+
+    def streamWriter(self, schema, overwrite):
+        return KinesisBotoStreamWriter(self._writer_conn(schema))
+
 
 class KinesisBotoBatchReader(DataSourceReader):
     """Bounded snapshot of the retained stream: one task per shard, each
@@ -373,6 +412,197 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         # offsets are durable in the checkpoint log — the engine-side
         # replacement for the reference's Redis _shardSeq writeback
         # (src/Kinesis/Coordination.hs:343-359)
+        pass
+
+
+# ---------------------------------------------------------------------
+# Producer side — PutRecords sink (batch df.write + streaming writeStream).
+# The reference is a pure consumer, but its retry taxonomy
+# (src/Kinesis/Kinesis.hs:89-176) applies unchanged to the produce path:
+# transport/throttle/5xx faults retry with the same capped backoff, and
+# PutRecords adds one wrinkle HTTP-level retries cannot see — PARTIAL
+# failure (200 OK with FailedRecordCount > 0, per-record ErrorCode).
+# Only the failed subset may be resent, or the stream gets duplicates of
+# the rows that already landed.
+# ---------------------------------------------------------------------
+
+#: AWS PutRecords hard limits: 500 records / 5 MiB per call, 1 MiB per
+#: record (data + partition key).
+_PUT_MAX_RECORDS = 500
+_PUT_MAX_BYTES = 5 * 1024 * 1024
+_REC_MAX_BYTES = 1024 * 1024
+
+
+@dataclasses.dataclass
+class KinesisPutCommit(WriterCommitMessage):
+    """Per-task audit: how many records landed, over how many PutRecords
+    calls, and how many record-sends were partial-failure retries."""
+
+    n_records: int = 0
+    n_calls: int = 0
+    n_retried: int = 0
+
+
+def _put_records_once(client, stream: str, records: list[dict],
+                      inject_marker: str | None):
+    """One PutRecords call. ``inject_marker`` (test-only option) forces the
+    FIRST call process-wide to report its second half failed with a
+    throttling code — the records genuinely are not sent — so the partial
+    retry path is exercised against a real endpoint. O_EXCL on a marker
+    file makes the injection exactly-once across tasks AND task retries
+    (the same discipline as fake_kinesis.failShardOnce)."""
+    if inject_marker is not None:
+        try:
+            os.close(os.open(inject_marker,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            pass
+        else:
+            half = len(records) // 2
+            sent = (
+                client.put_records(StreamName=stream, Records=records[:half])
+                if half else {"Records": [], "FailedRecordCount": 0}
+            )
+            if sent.get("FailedRecordCount", 0):
+                raise RuntimeError(
+                    "kinesis_boto fault injection: real endpoint failed "
+                    "during injected partial failure"
+                )
+            n_fail = len(records) - half
+            return {
+                "FailedRecordCount": n_fail,
+                "Records": list(sent["Records"]) + [
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "injected partial failure",
+                    }
+                ] * n_fail,
+            }
+    return client.put_records(StreamName=stream, Records=records)
+
+
+def _put_batch(client, conn: dict, records: list[dict]) -> tuple[int, int]:
+    """PutRecords with BOTH retry layers: call-level faults go through
+    ``_with_retries`` (awsPolicy backoff), and partial failures resend only
+    the per-record-failed subset — order within the batch is preserved for
+    the survivors, duplicates are never produced for rows that already
+    landed. Returns (n_calls, n_retried_record_sends)."""
+    n_calls, n_retried = 0, 0
+    pending = records
+    delay = 0.025
+    for _attempt in range(conn["max_retries"] + 1):
+        resp = _with_retries(
+            lambda p=pending: _put_records_once(
+                client, conn["stream"], p, conn.get("inject_marker")
+            ),
+            conn["max_retries"],
+        )
+        n_calls += 1
+        if not resp.get("FailedRecordCount", 0):
+            return n_calls, n_retried
+        pending = [
+            rec
+            for rec, status in zip(pending, resp["Records"])
+            if "ErrorCode" in status
+        ]
+        n_retried += len(pending)
+        time.sleep(min(delay, 60.0))
+        delay *= 2
+    raise RuntimeError(
+        f"kinesis_boto: {len(pending)} records still failing after "
+        f"{conn['max_retries']} partial-failure retries"
+    )
+
+
+def _write_rows(conn: dict, iterator) -> KinesisPutCommit:
+    """Drain a task's rows into size-capped PutRecords batches. Runs
+    executor-side: N output partitions produce in parallel, the producer
+    twin of the one-task-per-shard consume path."""
+    client = _client(conn)
+    msg = KinesisPutCommit()
+    batch: list[dict] = []
+    batch_bytes = 0
+
+    def flush():
+        nonlocal batch, batch_bytes
+        if batch:
+            calls, retried = _put_batch(client, conn, batch)
+            msg.n_records += len(batch)
+            msg.n_calls += calls
+            msg.n_retried += retried
+            batch, batch_bytes = [], 0
+
+    for row in iterator:
+        data = row["data"]
+        if data is None or row["partitionKey"] is None:
+            raise ValueError(
+                "kinesis_boto sink: data and partitionKey must be non-null"
+            )
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        rec = {"Data": bytes(data), "PartitionKey": row["partitionKey"]}
+        rec_bytes = len(rec["Data"]) + len(rec["PartitionKey"])
+        if rec_bytes > _REC_MAX_BYTES:
+            raise ValueError(
+                f"kinesis_boto sink: record of {rec_bytes} B exceeds the "
+                f"1 MiB PutRecords per-record limit"
+            )
+        if conn["has_ehk"] and row["explicitHashKey"] is not None:
+            rec["ExplicitHashKey"] = row["explicitHashKey"]
+        if (
+            len(batch) >= _PUT_MAX_RECORDS
+            or batch_bytes + rec_bytes > _PUT_MAX_BYTES
+        ):
+            flush()
+        batch.append(rec)
+        batch_bytes += rec_bytes
+    flush()
+    return msg
+
+
+class KinesisBotoWriter(DataSourceWriter):
+    """Batch sink: ``df.write.format("kinesis_boto").mode("append")``.
+    Expects (data binary|string, partitionKey string[, explicitHashKey
+    string]). Delivery is at-least-once BY THE WIRE PROTOCOL: PutRecords
+    has no transaction, so a task retried after a mid-batch crash resends
+    its whole partition — same contract as every real Kinesis producer.
+    Consumers dedup on an idempotence key in the payload (this repo's
+    streaming_dedup / dropDuplicatesWithinWatermark operators)."""
+
+    def __init__(self, conn: dict):
+        self.conn = conn
+
+    def write(self, iterator):
+        return _write_rows(self.conn, iterator)
+
+    def commit(self, messages):
+        # nothing to finalize — records are visible as they land
+        pass
+
+    def abort(self, messages):
+        # cannot unput: partially-produced data remains (documented
+        # at-least-once); consumers own idempotence
+        pass
+
+
+class KinesisBotoStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: ``writeStream.format("kinesis_boto")``. Each
+    micro-batch's partitions produce in parallel; a failed epoch is
+    replayed by Spark from the checkpoint, so delivery is at-least-once
+    with replay granularity = one micro-batch (exactly the reference's
+    redeliver-after-crash window, src/Kinesis/Coordination.hs:343-359,
+    with Redis swapped for the checkpoint log)."""
+
+    def __init__(self, conn: dict):
+        self.conn = conn
+
+    def write(self, iterator):
+        return _write_rows(self.conn, iterator)
+
+    def commit(self, messages, batchId):
+        pass
+
+    def abort(self, messages, batchId):
         pass
 
 
