@@ -670,3 +670,126 @@ def embedding_near_dup_pairs_np(
     )
 
 
+
+
+# ---------- semantic dedup (SemDeDup) ----------
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.80,
+    max_cluster_rows: int = MAX_EXACT_EMBEDDING_ROWS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal for web-scale training corpora — cluster the
+    embedding space with k-means, then look for near-duplicate pairs ONLY
+    within each cluster, so the quadratic pair search is bounded by
+    cluster size instead of corpus size. Returns one row per vector:
+    (id, cluster, kept boolean).
+
+    Determinism (the whole pipeline is cross-engine value-gateable):
+    - centroid seeds are the vectors with id < n_clusters (a fixed
+      k-means++-style seed pick, as kmeans_assign_embeddings);
+    - assignment distances are exact integers over 1e-6-scaled
+      components, ties break to the lower centroid id;
+    - the keep rule is greedy lowest-id-wins: a vector is DROPPED iff
+      some lower-id vector in its cluster has cosine >= threshold with
+      it (the paper keeps the example farthest from the centroid; any
+      deterministic representative rule gives the same dedup mass, and
+      id order is reproducible across engines/runs).
+
+    Scale shape: centroids ride into the scan as a broadcast literal; the
+    corpus shuffles ONCE on cluster id for the self-join; per-cluster
+    pair work is the SemDeDup contract (pick n_clusters so clusters stay
+    bounded — the max_cluster_rows guard raises instead of letting one
+    fat cluster go quadratic). Norms are computed once per row under the
+    join, not once per pair."""
+    df = spread(df)
+    scaled = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    seeds = [
+        (int(r[id_col]), [int(x) for x in r["v"]])
+        for r in df.filter(F.col(id_col) < n_clusters)
+        .select(id_col, scaled.alias("v"))
+        .collect()
+    ]
+    if not seeds:
+        raise ValueError(
+            f"semantic_dedup: no centroid seeds ({id_col} < {n_clusters}) "
+            "in the corpus — assignment would be NULL for every vector"
+        )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in seeds
+        ]
+    )
+    from kinesis_app_spark.functions.text import let_bound
+
+    dists = let_bound(
+        scaled,
+        lambda v: F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c["cvec"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("sqdist"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    assigned = df.select(
+        F.col(id_col),
+        to_double(F.col(vec_col)).alias("vec"),
+        l2_norm(to_double(F.col(vec_col))).alias("norm"),
+        F.array_min(dists)["cid"].alias("cluster"),
+    )
+    fattest = (
+        assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    )
+    if fattest and fattest > max_cluster_rows:
+        raise ValueError(
+            f"semantic_dedup: largest cluster has {fattest} rows "
+            f"(> {max_cluster_rows}); raise n_clusters so the "
+            "within-cluster pair search stays bounded"
+        )
+    a = assigned.select(
+        F.col("cluster").alias("ca"),
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cb"),
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -986,6 +986,67 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-bounded semantic near-dup
+    removal — cluster on exact-integer distances to 8 fixed seed
+    centroids, search cos>=0.40 pairs only WITHIN clusters, drop by the
+    deterministic lowest-id-wins rule. Reports per-cluster corpus mass
+    and dedup mass; the oracle replays the identical pipeline in SQL
+    (same integer assignment arithmetic, same cosine op shape)."""
+    out = D.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.40
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SEMDEDUP_SQL = """
+WITH scaled AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM scaled WHERE vec_id < 8
+), dists AS (
+  SELECT s.vec_id, c.cid,
+         (SELECT sum((s.v[i] - c.cvec[i]) * (s.v[i] - c.cvec[i]))
+          FROM unnest(generate_series(1, len(s.v))) AS t(i)) AS sqdist
+  FROM scaled s CROSS JOIN cents c
+), best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sqdist ASC, cid ASC) AS rk
+  FROM dists
+), assigned AS (
+  SELECT vec_id, cid FROM best WHERE rk = 1
+), dup_ids AS (
+  SELECT DISTINCT bb.vec_id AS id_b
+  FROM embeddings a
+  JOIN assigned aa ON a.vec_id = aa.vec_id
+  JOIN assigned bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.40
+)
+SELECT CAST(a.cid AS BIGINT) AS cluster,
+       count(*) AS n_vectors,
+       CAST(count(*) FILTER (a.vec_id IN (SELECT id_b FROM dup_ids))
+            AS BIGINT) AS n_removed
+FROM assigned a
+GROUP BY 1
+ORDER BY cluster
+"""
+
+
 # =====================================================================
 # similarity search
 # =====================================================================
@@ -1460,6 +1521,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_JACCARD_SQL),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "semdedup_embeddings": QuerySpec(semdedup_embeddings, SEMDEDUP_SQL),
     "dedup_embedding_cosine_np": QuerySpec(
         dedup_embedding_cosine_np, DEDUP_EMBEDDING_SQL
     ),
