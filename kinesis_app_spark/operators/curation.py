@@ -458,3 +458,74 @@ def source_quota_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= cap)
     )
+
+
+# ---------- URL canonicalization / registrable-domain extraction ----------
+
+#: Two-level public suffixes handled by the registrable-domain rule. The
+#: real Public Suffix List has ~9k entries and ships as data; this is the
+#: documented subset the engine embeds (extend by passing extra_suffixes).
+PUBLIC_SUFFIX_2LD = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
+    "com.br", "co.in", "com.cn", "co.kr", "com.mx", "co.nz",
+)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Web-corpus URL canonicalization (the CommonCrawl-curation staple):
+    adds three columns derived from ``url_col`` —
+
+    - ``canon_host``: lowercased host with a leading ``www.`` stripped
+      (other subdomains are meaningful and kept);
+    - ``reg_domain``: the registrable domain — last two labels, or last
+      THREE when the last two are a public suffix like ``co.uk`` (the
+      key for per-domain quotas, crawls politeness, and domain-level
+      dedup; grouping by raw host would split www./cdn. variants,
+      grouping by bare TLD would merge the whole of .co.uk);
+    - ``canonical_url``: scheme-normalized ``https://`` + canon_host +
+      path without its trailing slash + the ``id`` query param if
+      present — tracking params (utm_* etc.) and fragments dropped, so
+      syntactic variants of the same page compare equal for exact dedup.
+
+    Everything is JVM parse_url/regexp inside one codegen projection:
+    zero shuffle, zero Python — at 100 TB this runs at scan speed, and
+    downstream groupBys shuffle short domain strings, never pages."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    two = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    three = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    suffixes = PUBLIC_SUFFIX_2LD + tuple(extra_suffixes)
+    reg_domain = F.when(
+        two.isin(*suffixes) & (n >= 3), three
+    ).otherwise(two)
+    path = F.coalesce(
+        F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    id_param = F.parse_url(F.col(url_col), F.lit("QUERY"), F.lit("id"))
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(
+            id_param.isNotNull(), F.concat(F.lit("?id="), id_param)
+        ).otherwise(F.lit("")),
+    )
+    return (
+        df.withColumn("canon_host", host)
+        .withColumn("reg_domain", reg_domain)
+        .withColumn("canonical_url", canonical)
+    )

@@ -778,7 +778,87 @@ ORDER BY r.lang
 """
 
 
+def url_canonicalize_docs(spark, sf_dir):
+    """URL canonicalization + registrable-domain rollup over synthesized
+    messy URLs (scheme http/https, WWW./cdn. subdomains, MiXeD-case
+    hosts, .com/.co.uk/.org/.io TLDs, trailing slashes, utm_* tracking
+    params around a meaningful id param, fragments — all deterministic
+    doc_id arithmetic). The Spark side must genuinely parse_url/strip/
+    lowercase its way to the canonical forms; the oracle builds the SAME
+    canonical values directly from the arithmetic, so any canonicalizer
+    defect (kept tracking param, unstripped www, wrong registrable
+    domain for co.uk) breaks the hash. Per-domain n_hosts > 1 proves
+    subdomain folding; n_canonical < n_docs proves variant folding."""
+    from kinesis_app_spark.operators.curation import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.element_at(
+            F.array(F.lit("WWW."), F.lit(""), F.lit("cdn.")),
+            (i % 3 + 1).cast("int"),
+        ),
+        F.lit("SiTe"),
+        i % 7,
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org"), F.lit(".io")),
+            (i % 4 + 1).cast("int"),
+        ),
+        F.lit("/p/"),
+        i % 5,
+        F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            i % 5 != 4,
+            F.concat(
+                F.lit("?utm_source=feed&id="), i % 11, F.lit("&utm_medium=x")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("#sec"),
+        i % 3,
+    )
+    canon = canonicalize_urls(docs.select("doc_id", url.alias("url")))
+    return (
+        canon.groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon_host").cast("long").alias("n_hosts"),
+            F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
+URL_CANON_SQL = """
+WITH u AS (
+  SELECT doc_id AS i,
+         (CASE WHEN doc_id % 3 = 2 THEN 'cdn.' ELSE '' END)
+           || 'site' || (doc_id % 7)
+           || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                               WHEN 2 THEN '.org' ELSE '.io' END) AS chost,
+         'site' || (doc_id % 7)
+           || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                               WHEN 2 THEN '.org' ELSE '.io' END) AS rdom,
+         '/p/' || (doc_id % 5) AS cpath,
+         CASE WHEN doc_id % 5 = 4 THEN ''
+              ELSE '?id=' || (doc_id % 11) END AS cq
+  FROM documents
+)
+SELECT rdom AS reg_domain,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT chost) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT 'https://' || chost || cpath || cq) AS BIGINT)
+         AS n_canonical,
+       min(i) AS min_doc
+FROM u
+GROUP BY 1
+ORDER BY reg_domain
+"""
+
+
 REGISTRY_CURATION2 = {
+    "url_canonicalize_docs": QuerySpec(url_canonicalize_docs, URL_CANON_SQL),
     "pipeline_pretraining_mix": QuerySpec(
         pipeline_pretraining_mix, PRETRAINING_MIX_SQL
     ),
