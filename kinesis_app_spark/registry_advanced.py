@@ -1135,7 +1135,149 @@ FROM per_group GROUP BY l ORDER BY l
 """
 
 
+def t_closeness_report(spark, sf_dir):
+    """Privacy-engineering audit #3 — t-closeness (Li et al., ICDE 2007),
+    completing the k-anonymity / l-diversity trio: k bounds group size,
+    l bounds sensitive-value VARIETY, t bounds how much a group's
+    sensitive-value DISTRIBUTION deviates from the corpus-wide one (a
+    group can be large and diverse yet still leak — e.g. one nation's
+    customers all clustered in the lowest balance bracket).
+
+    Distance is the ordinal Earth-Mover's Distance over 6 fixed balance
+    brackets (floor(acctbal/2000), the full TPC-H domain):
+    EMD = (1/(m-1)) * sum_k |cumQ_k - cumP_k|. Computed in EXACT integer
+    arithmetic — |cumq*N - cump*n_g| summed, then one integer `div` into
+    parts-per-million — so the report is bit-stable cross-engine. (At
+    extreme corpus sizes cumq*N approaches int64 range: switch the
+    accumulators to DECIMAL(38,0), same plan.)
+
+    Scale shape: ONE groupBy on (QI, bracket) over the fact table; the
+    6-row global distribution is a bounded-by-construction collect
+    (bracket domain is fixed arithmetic) broadcast back as a literal
+    map; per-group cumulatives run under a window PARTITIONED by the QI
+    tuple (6 rows per partition — no global window anywhere); the dense
+    bracket scaffold is an explode of a 6-element literal, not a join."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    bins = [-1, 0, 1, 2, 3, 4]
+    m = len(bins)
+    base = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("s"),
+    )
+    #: bounded collect: the bracket domain is fixed by arithmetic (6 rows)
+    glob = {
+        int(r["s"]): int(r["p"])
+        for r in base.groupBy("s").agg(F.count(F.lit(1)).alias("p")).collect()
+    }
+    n_total = sum(glob.values())
+    cump, acc = {}, 0
+    for b in bins:
+        acc += glob.get(b, 0)
+        cump[b] = acc
+    cump_lit = F.create_map(
+        *[x for b in bins for x in (F.lit(b), F.lit(cump[b]))]
+    )
+    q = base.groupBy("nat", "seg", "s").agg(F.count(F.lit(1)).alias("q"))
+    dense = (
+        base.select("nat", "seg")
+        .distinct()
+        .select(
+            "nat", "seg",
+            F.explode(F.array(*[F.lit(b) for b in bins])).alias("s"),
+        )
+        .join(q, ["nat", "seg", "s"], "left")
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(0)))
+    )
+    w = Window.partitionBy("nat", "seg").orderBy("s")
+    wg = Window.partitionBy("nat", "seg")
+    terms = (
+        dense.withColumn("cumq", F.sum("q").over(w))
+        .withColumn("ng", F.sum("q").over(wg))
+        .withColumn("cump", cump_lit[F.col("s")])
+        .withColumn(
+            "term",
+            F.when(
+                F.col("s") < bins[-1],
+                F.abs(
+                    F.col("cumq") * F.lit(n_total)
+                    - F.col("cump") * F.col("ng")
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        terms.groupBy("nat", "seg")
+        .agg(
+            F.max("ng").alias("n_rows"),
+            F.sum("term").alias("emd_num"),
+        )
+        .select(
+            F.col("nat").alias("c_nationkey"),
+            F.col("seg").alias("c_mktsegment"),
+            "n_rows",
+            "emd_num",
+            F.expr(
+                f"(1000000 * emd_num) div (n_rows * {n_total} * {m - 1})"
+            ).alias("emd_ppm"),
+        )
+        .withColumn("t_violation", F.col("emd_ppm") > 200000)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS s
+  FROM customer
+), bins AS (
+  SELECT unnest(range(-1, 5)) AS s
+), gdist AS (
+  SELECT b.s, count(x.s) AS p
+  FROM bins b LEFT JOIN base x ON x.s = b.s
+  GROUP BY b.s
+), gcum AS (
+  SELECT s, sum(p) OVER (ORDER BY s) AS cump FROM gdist
+), tot AS (
+  SELECT count(*) AS n FROM base
+), groups AS (
+  SELECT DISTINCT nat, seg FROM base
+), q AS (
+  SELECT nat, seg, s, count(*) AS q FROM base GROUP BY 1, 2, 3
+), dense AS (
+  SELECT g.nat, g.seg, b.s, coalesce(q.q, 0) AS q
+  FROM groups g CROSS JOIN bins b
+  LEFT JOIN q ON q.nat = g.nat AND q.seg = g.seg AND q.s = b.s
+), qcum AS (
+  SELECT nat, seg, s,
+         sum(q) OVER (PARTITION BY nat, seg ORDER BY s) AS cumq,
+         sum(q) OVER (PARTITION BY nat, seg) AS ng
+  FROM dense
+)
+SELECT qc.nat AS c_nationkey, qc.seg AS c_mktsegment,
+       CAST(max(qc.ng) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN qc.s < 4
+                     THEN abs(qc.cumq * t.n - gc.cump * qc.ng)
+                     ELSE 0 END) AS BIGINT) AS emd_num,
+       CAST((1000000 * sum(CASE WHEN qc.s < 4
+                     THEN abs(qc.cumq * t.n - gc.cump * qc.ng)
+                     ELSE 0 END)) // (max(qc.ng) * max(t.n) * 5)
+            AS BIGINT) AS emd_ppm,
+       CAST((1000000 * sum(CASE WHEN qc.s < 4
+                     THEN abs(qc.cumq * t.n - gc.cump * qc.ng)
+                     ELSE 0 END)) // (max(qc.ng) * max(t.n) * 5)
+            AS BIGINT) > 200000 AS t_violation
+FROM qcum qc JOIN gcum gc ON qc.s = gc.s CROSS JOIN tot t
+GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 REGISTRY_ADVANCED = {
+    "t_closeness_report": QuerySpec(t_closeness_report, T_CLOSENESS_SQL),
     "streaming_heavy_hitters": QuerySpec(
         streaming_heavy_hitters, STREAMING_HH_SQL
     ),

@@ -664,7 +664,75 @@ ORDER BY fold, label
 """
 
 
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering — the FineWeb-Edu / DCLM-fastText
+    stage of a pretraining pipeline: score every document with a FIXED
+    linear classifier over hashed bag-of-words features and keep
+    logit > 0. The model is a 64-bucket weight table (deterministic
+    integer weights) joined in as a broadcast dimension — the exact
+    shape of applying any exported linear/fastText model at 100 TB: the
+    corpus explodes to (doc, bucket, tf) once, the model never leaves
+    the broadcast, and the logit is one map-side-combinable aggregate.
+    Integer weights keep every logit exact cross-engine; the oracle
+    computes the same weights arithmetically instead of joining."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    tf = (
+        toks.withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % 64
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 21 - 10).alias("w"),
+    )
+    return (
+        tf.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg((F.lit(3) + F.sum(F.col("tf") * F.col("w"))).alias("logit"))
+        .select("doc_id", "logit", (F.col("logit") > 0).alias("kept"))
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         count(*) AS tf
+  FROM toks
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(3 + sum(tf * ((bucket * 37) % 21 - 10)) AS BIGINT) AS logit,
+       (3 + sum(tf * ((bucket * 37) % 21 - 10))) > 0 AS kept
+FROM tf
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 REGISTRY_MLPREP = {
+    "quality_classifier_scores": QuerySpec(
+        quality_classifier_scores, QUALITY_CLASSIFIER_SQL
+    ),
     "stratified_kfold_embeddings": QuerySpec(
         stratified_kfold_embeddings, STRATIFIED_KFOLD_SQL
     ),

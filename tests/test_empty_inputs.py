@@ -35,6 +35,13 @@ EXPECTED_NONEMPTY_CONTRACT: dict[str, str] = {
         "the explicit contract (an empty literal centroid array would "
         "silently NULL-assign every vector); registry_mlprep.py:390"
     ),
+    "semdedup_embeddings": (
+        "same seed-centroid contract as kmeans_assign_embeddings: "
+        "semantic_dedup raises a documented ValueError when the corpus "
+        "has no vectors with id < n_clusters (operators/dedup.py "
+        "semantic_dedup); covered by tests/test_semdedup.py::"
+        "test_missing_seeds_raise"
+    ),
 }
 
 BATCH = [
