@@ -547,6 +547,55 @@ FROM events
 """
 
 
+def approx_percentile_envelope(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) value-gated via its
+    RANK-ERROR envelope, the approx_distinct_users pattern applied to
+    quantiles: the approximate value itself depends on sketch merge
+    order, but GK guarantees the returned value's rank sits within
+    n/accuracy of the target rank. The entry computes the approx
+    quantiles (accuracy=1000), then in a second exact pass counts each
+    value's min/max rank and asserts the guarantee window overlaps
+    [q*n - 2n/1000, q*n + 2n/1000] — booleans the oracle matches as
+    TRUE (2x the single-sketch contract, the same slack the
+    approx_distinct_users envelope gives HLL: partition-merge order may
+    cost a little accuracy and must not flake the gate).
+    A regression that degrades the sketch past its contract flips a
+    boolean and fails the hash gate. The exact-quantile siblings
+    (exact_quantiles_two_pass) cover the value-exact path; this covers
+    the sketch everyone actually runs at 100 TB.
+
+    Plan: one sketch aggregate + one bounded collect (4 doubles) + one
+    count_if aggregate — two scans, no sort, no window."""
+    l = _t(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    acc = 1000
+    approx = l.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(acc)
+        ).alias("vals")
+    ).collect()[0]["vals"]
+    checks = [F.count(F.lit(1)).alias("n")]
+    for q, v in zip(qs, approx):
+        lo = F.count_if(F.col("l_extendedprice") < F.lit(v))  # min rank
+        hi = F.count_if(F.col("l_extendedprice") <= F.lit(v))  # max rank
+        n = F.count(F.lit(1))
+        tol = n * F.lit(2) / F.lit(acc)
+        target = n * F.lit(q)
+        checks.append(
+            ((lo <= target + tol) & (hi >= target - tol)).alias(
+                f"q{int(q * 100)}_ok"
+            )
+        )
+    return l.agg(*checks)
+
+
+APPROX_PCTL_ENVELOPE_SQL = """
+SELECT count(*) AS n, TRUE AS q25_ok, TRUE AS q50_ok,
+       TRUE AS q75_ok, TRUE AS q90_ok
+FROM lineitem
+"""
+
+
 # =====================================================================
 # scalar functions / dates / json
 # =====================================================================
@@ -1496,6 +1545,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "setop_intersect_status": QuerySpec(setop_intersect_status, SETOP_INTERSECT_SQL),
     "setop_except_status": QuerySpec(setop_except_status, SETOP_EXCEPT_SQL),
     "distinct_nation_segments": QuerySpec(distinct_nation_segments, DISTINCT_SQL),
+    "approx_percentile_envelope": QuerySpec(
+        approx_percentile_envelope, APPROX_PCTL_ENVELOPE_SQL
+    ),
     "approx_distinct_users": QuerySpec(
         approx_distinct_users, APPROX_DISTINCT_ENVELOPE_SQL
     ),
