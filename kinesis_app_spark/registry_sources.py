@@ -702,7 +702,12 @@ def kinesis_boto_roundtrip(spark, sf_dir):
         .alias("explicitHashKey"),
     )
     (
-        src.write.format("kinesis_boto")
+        # sink parallelism = partition count; 60 demo rows ride ONE task
+        # (32 tasks would each pay a python-worker + boto client spin-up
+        # for 2 rows — at real scale partitions carry thousands of
+        # records each and the fan-out is the point)
+        src.coalesce(1)
+        .write.format("kinesis_boto")
         .option("streamName", stream)
         .option("endpointUrl", ep)
         .option("region", "us-east-1")

@@ -247,30 +247,39 @@ GROUP BY n_name, year(o_orderdate)
 def q11_important_parts(spark, sf_dir):
     """Parts whose revenue within NATION_1-supplied lines exceeds 0.1% of
     that nation's total. The scalar subquery (grand total) is a 1-row
-    aggregate cross-joined (auto-broadcast) onto the per-part aggregate."""
+    aggregate cross-joined (auto-broadcast) onto the per-part aggregate.
+    Sums accumulate in DECIMAL and the 0.1% cutoff compares as
+    value*1000 > total — exact under any row order (a double sum here is
+    order-dependent and can flip the rounding of a borderline part)."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
     base = l.join(s, l.l_suppkey == s.s_suppkey).select(
-        "l_partkey", _rev().alias("val")
+        "l_partkey", _rev().cast("decimal(30,8)").alias("val")
     )
     per_part = base.groupBy("l_partkey").agg(F.sum("val").alias("value"))
-    total = base.agg((F.sum("val") * 0.001).alias("cutoff"))
+    total = base.agg(F.sum("val").alias("total"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("cutoff"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("value")
+        )
     )
 
 
 Q11_SQL = """
-SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
-FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-WHERE s_nationkey = 1
-GROUP BY l_partkey
-HAVING sum(l_extendedprice * (1 - l_discount)) >
-       (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.001
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        WHERE s_nationkey = 1)
+WITH base AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 1
+), tot AS (
+  SELECT sum(val) AS total FROM base
+)
+SELECT l_partkey, round(sum(val), 2)::DOUBLE AS value
+FROM base, tot
+GROUP BY l_partkey, total
+HAVING sum(val) * 1000 > total
 """
 
 
