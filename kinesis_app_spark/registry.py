@@ -574,6 +574,8 @@ def approx_percentile_envelope(spark, sf_dir):
             "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(acc)
         ).alias("vals")
     ).collect()[0]["vals"]
+    if approx is None:  # empty table: sketch yields NULL; envelope is
+        approx = [0.0] * len(qs)  # vacuously true at n = 0
     checks = [F.count(F.lit(1)).alias("n")]
     for q, v in zip(qs, approx):
         lo = F.count_if(F.col("l_extendedprice") < F.lit(v))  # min rank
