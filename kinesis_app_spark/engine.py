@@ -108,6 +108,13 @@ def get_spark(
         "spark.driver.memory": os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()
         ),
+        # --- long-session hygiene: hundreds of queries accumulate
+        # shuffle/broadcast state whose cleanup is driven by JVM weak
+        # references; without periodic GC the ContextCleaner processes
+        # them in one giant burst that stalls whichever query is running
+        # (observed as 20-30 s first-shot spikes on random entries late
+        # in a 297-query bench). Steady 2-minute GC amortizes it. ---
+        "spark.cleaner.periodicGC.interval": "2min",
         # quieter local runs
         "spark.ui.enabled": "false",
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",

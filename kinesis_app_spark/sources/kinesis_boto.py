@@ -195,17 +195,21 @@ def _rows_batch(rows: list[tuple]):
 
 
 def _shard_iterator(
-    client, conn: dict, shard_id: str, after_seq: str | None
+    client, conn: dict, shard_id: str, after_seq: str | None,
+    default_type: str | None = None,
 ) -> str:
-    """AfterSequenceNumber resume when an offset exists, else the
-    configured start position (src/Kinesis/Kinesis.hs:61-66)."""
+    """AfterSequenceNumber resume when an offset exists, else
+    ``default_type`` or the configured start position
+    (src/Kinesis/Kinesis.hs:61-66)."""
     if after_seq:
         kwargs = {
             "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
             "StartingSequenceNumber": after_seq,
         }
     else:
-        kwargs = {"ShardIteratorType": conn["starting_position"]}
+        kwargs = {
+            "ShardIteratorType": default_type or conn["starting_position"]
+        }
     resp = _with_retries(
         lambda: client.get_shard_iterator(
             StreamName=conn["stream"], ShardId=shard_id, **kwargs
@@ -225,8 +229,11 @@ class KinesisBotoDataSource(DataSource):
     """format("kinesis_boto"). Options: streamName (required), region,
     endpointUrl (point at moto/kinesalite/LocalStack or leave unset for
     real AWS), accessKeyId/secretAccessKey/sessionToken (else the default
-    boto3 chain), startingPosition (TRIM_HORIZON default | LATEST — batch
-    snapshot only supports TRIM_HORIZON), maxRecordsPerFetch (GetRecords
+    boto3 chain), startingPosition (TRIM_HORIZON default | LATEST for
+    streaming — the reference DEFAULTS to Latest, src/Kinesis/Kinesis.hs:62-64;
+    this engine defaults to TRIM_HORIZON because silently skipping
+    history is the surprising choice for a batch-capable connector; batch
+    snapshot supports TRIM_HORIZON only), maxRecordsPerFetch (GetRecords
     Limit, default 10000), maxRetries (default 10, the reference's
     `runKinesis 10`)."""
 
@@ -339,20 +346,49 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         client = self._cli()
         shards = _list_shards(client, self.conn["stream"],
                               self.conn["max_retries"])
-        if self.conn["starting_position"] != "TRIM_HORIZON":
-            raise ValueError(
-                "kinesis_boto streaming starts at TRIM_HORIZON; resume "
-                "from a checkpoint for AfterSequenceNumber semantics"
-            )
-        return {s["ShardId"]: "" for s in shards}
+        pos = self.conn["starting_position"]
+        if pos == "TRIM_HORIZON":
+            return {s["ShardId"]: "" for s in shards}
+        if pos == "LATEST":
+            # The reference's default start (`Latest`,
+            # src/Kinesis/Kinesis.hs:62-64). LATEST is resolved to a
+            # CONCRETE per-shard sequence number at start time by walking
+            # each shard to its current end and discarding — offsets must
+            # be concrete or the first micro-batch is not replayable
+            # (exactly-once needs readBetweenOffsets to be deterministic,
+            # and "whatever was latest when the crashed run started" is
+            # not recoverable from a LATEST marker). The walk costs one
+            # pass over currently-retained records per shard — the same
+            # order of work the TRIM_HORIZON path's first batch pays;
+            # for a huge retained stream prefer resuming from a
+            # checkpoint or batch-replaying an offset range.
+            return {
+                s["ShardId"]: self._latest_seq(s["ShardId"])
+                for s in shards
+            }
+        raise ValueError(
+            "kinesis_boto streaming supports startingPosition "
+            f"TRIM_HORIZON or LATEST; got {pos}"
+        )
+
+    def _latest_seq(self, shard_id: str) -> str:
+        """Last sequence number currently in a shard ('' if empty)."""
+        rows = self._poll_shard(shard_id, "", clip_to=None, drain=True)
+        return rows[-1][1] if rows else ""
 
     def _poll_shard(self, shard_id: str, after_seq: str,
-                    clip_to: str | None = None) -> list[tuple]:
+                    clip_to: str | None = None,
+                    drain: bool = False) -> list[tuple]:
         client = self._cli()
         conn = self.conn
         try:
+            # an empty offset always means "from the horizon": LATEST is
+            # resolved to concrete offsets in initialOffset, never used
+            # as a per-poll iterator type (a LATEST iterator would skip
+            # records that landed between polls)
             it = _shard_iterator(client, conn, shard_id,
-                                 after_seq or None)
+                                 after_seq or None,
+                                 default_type="TRIM_HORIZON")
         except Exception as e:  # noqa: BLE001
             # a fully expired/closed shard can refuse iterators; treat as
             # drained (its records live on in committed batches)
@@ -369,6 +405,13 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             )
             rows.extend(_records_to_rows(shard_id, resp["Records"]))
             it = resp.get("NextShardIterator")
+            if drain:
+                # LATEST resolution: walk to the shard's current end
+                if not resp["Records"] and resp.get(
+                    "MillisBehindLatest", 0
+                ) == 0:
+                    break
+                continue
             if clip_to is None:
                 # tail mode: one fetch round per micro-batch per shard
                 # bounds batch size; the next batch continues

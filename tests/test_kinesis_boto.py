@@ -269,3 +269,79 @@ def test_nonretryable_error_crashes():
     with pytest.raises(ClientError):
         kb._with_retries(fn, 5)
     assert boom["n"] == 1  # no retry on a non-retryable code
+
+
+def test_latest_start_skips_history(spark, moto_ep, tmp_path):
+    """startingPosition=LATEST (the reference's default start,
+    src/Kinesis/Kinesis.hs:62-64): records already in the stream when the
+    query starts are skipped; records landing after are delivered exactly
+    once, and a checkpoint restart keeps the resolved offsets (no
+    re-skip, no replay of history)."""
+    client = _kinesis_client(moto_ep)
+    client.create_stream(StreamName="lately", ShardCount=2)
+    _put(client, "lately", 20, "old")
+
+    from kinesis_app_spark.sources.kinesis_boto import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until(n_rows: int, timeout: float = 90.0):
+        stream = (
+            spark.readStream.format("kinesis_boto")
+            .option("streamName", "lately")
+            .option("endpointUrl", moto_ep)
+            .option("region", "us-east-1")
+            .option("accessKeyId", "testing")
+            .option("secretAccessKey", "testing")
+            .option("startingPosition", "LATEST")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= n_rows:
+                        return
+                except Exception:
+                    pass
+                time.sleep(1.0)
+            raise TimeoutError(f"sink never reached {n_rows} rows")
+        finally:
+            q.stop()
+
+    # start at LATEST, then land new records; only those arrive
+    import threading
+
+    def put_later():
+        time.sleep(3.0)
+        _put(client, "lately", 10, "new1")
+
+    t = threading.Thread(target=put_later)
+    t.start()
+    run_until(10)
+    t.join()
+
+    got = {
+        bytes(r["data"]).decode()
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {f"new1-{i}" for i in range(10)}  # history skipped
+
+    # restart from checkpoint: more records, still exactly-once
+    _put(client, "lately", 5, "new2")
+    run_until(15)
+    rows = spark.read.parquet(out).collect()
+    payloads = [bytes(r["data"]).decode() for r in rows]
+    assert sorted(payloads) == sorted(
+        [f"new1-{i}" for i in range(10)] + [f"new2-{i}" for i in range(5)]
+    )
+    assert len({(r["shardId"], r["sequenceNumber"]) for r in rows}) == 15
