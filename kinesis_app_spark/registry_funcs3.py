@@ -656,7 +656,108 @@ LIMIT 50
 """
 
 
+#: ordered BPE merge table (pair -> merged symbol) — the APPLY side's
+#: model, as a tokenizer shipped to production would carry it. Pairs are
+#: ASCII-only and applied in priority order.
+_BPE_MERGES = [
+    ("t h", "th"),
+    ("th e", "the"),
+    ("i n", "in"),
+    ("a n", "an"),
+    ("e r", "er"),
+    ("o n", "on"),
+    ("r e", "re"),
+    ("a t", "at"),
+]
+
+
+def bpe_apply_tokenize(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the other half of bpe_merge_candidates
+    (that entry computes the training statistic; this one runs a trained
+    merge table over the corpus, the tokenize-everything step of an LLM
+    data pipeline). Each merge is a single-pass left-to-right
+    replace-all of the space-delimited symbol pair, applied in priority
+    order; Spark's and DuckDB's regex engines share leftmost
+    non-overlapping semantics, so the whole chain is value-gateable.
+
+    Scale shape — the production tokenizer-batching trick: tokenize each
+    DISTINCT word once (the vocabulary is orders of magnitude smaller
+    than the corpus), then join the per-word symbol counts back onto the
+    per-doc tf — the expensive merge chain runs |vocab| times, not
+    |corpus| times, and what shuffles is (word, counts), never text.
+    ASCII-only words: the entry pins itself to '^[a-z]+$' so char
+    splitting is engine-agnostic (Java regex '.' is UTF-16-code-unit
+    based, RE2 is code-point based — astral chars would diverge)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tf.select("w").distinct()
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for pair, merged in _BPE_MERGES:
+        s = F.regexp_replace(s, f" {pair} ", f" {merged} ")
+    vt = vocab.select(
+        "w",
+        F.length("w").alias("n_before"),
+        F.size(F.split(F.trim(s), " ")).alias("n_after"),
+    )
+    return (
+        tf.join(F.broadcast(vt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("n_before")).alias("n_syms_before"),
+            F.sum(F.col("n") * F.col("n_after")).alias("n_syms_after"),
+            F.sum("n").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_chain_sql() -> str:
+    s = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for pair, merged in _BPE_MERGES:
+        s = f"regexp_replace({s}, ' {pair} ', ' {merged} ', 'g')"
+    return s
+
+
+BPE_APPLY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM toks WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT DISTINCT w FROM tf
+), vt AS (
+  SELECT w, length(w) AS n_before,
+         len(string_split(trim({_bpe_chain_sql()}), ' ')) AS n_after
+  FROM vocab
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.n * vt.n_before) AS BIGINT) AS n_syms_before,
+       CAST(sum(tf.n * vt.n_after) AS BIGINT) AS n_syms_after,
+       CAST(sum(tf.n) AS BIGINT) AS n_words
+FROM tf JOIN vt ON tf.w = vt.w
+GROUP BY tf.doc_id
+ORDER BY doc_id
+"""
+
+
 REGISTRY_FUNCS3 = {
+    "bpe_apply_tokenize": QuerySpec(bpe_apply_tokenize, BPE_APPLY_SQL),
     "bpe_merge_candidates": QuerySpec(bpe_merge_candidates, BPE_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_SQL),
