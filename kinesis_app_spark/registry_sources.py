@@ -767,7 +767,61 @@ ORDER BY shardId
 """
 
 
+def metadata_provenance_columns(spark, sf_dir):
+    """Hidden ``_metadata`` provenance columns (file_name, row_index) —
+    the record-level lineage every 100 TB debugging session leans on
+    ("which file did this bad row come from, at what position?"),
+    surfaced without any user bookkeeping column. The entry writes the
+    doc ids as ONE doc_id-ordered parquet file (controlled physical
+    order), reads it back with ``_metadata``, and value-gates the
+    file-position↔row mapping via an exact integer checksum
+    sum(doc_id * row_index) — the oracle computes the same mapping as
+    arithmetic (row_number over the id order). Reading happens on the
+    raw file (no layout normalization): row_index is a PHYSICAL-file
+    coordinate and that is the point."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="prov_")
+    (
+        docs.select("doc_id")
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).select(
+        "doc_id",
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    return df.agg(
+        F.countDistinct("fn").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ri").alias("min_idx"),
+        F.max("ri").alias("max_idx"),
+        F.sum(F.col("doc_id") * F.col("ri")).alias("mapping_checksum"),
+    )
+
+
+METADATA_PROV_SQL = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ri
+  FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS n_files,
+       count(*) AS n_rows,
+       CAST(min(ri) AS BIGINT) AS min_idx,
+       CAST(max(ri) AS BIGINT) AS max_idx,
+       CAST(sum(doc_id * ri) AS BIGINT) AS mapping_checksum
+FROM r
+"""
+
+
 REGISTRY_SOURCES = {
+    "metadata_provenance_columns": QuerySpec(
+        metadata_provenance_columns, METADATA_PROV_SQL
+    ),
     "kinesis_boto_snapshot": QuerySpec(kinesis_boto_snapshot, KINESIS_BOTO_SQL),
     "kinesis_boto_roundtrip": QuerySpec(
         kinesis_boto_roundtrip, KINESIS_ROUNDTRIP_SQL
