@@ -69,6 +69,9 @@ ENTRIES = [
     "pipeline_corpus_curation",  # multi-stage curation funnel
     "bm25_topk",                 # posting-filtered scoring join
     "geo_grid_radius_join",      # grid-bucketed spatial join
+    "url_canonicalize_docs",     # zero-shuffle codegen curation (r3)
+    "quality_classifier_scores",  # hashed-features model apply (r3)
+    "bpe_apply_tokenize",        # vocab-bounded tokenizer apply (r3)
 ]
 
 
