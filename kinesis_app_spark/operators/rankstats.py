@@ -5,9 +5,17 @@ boundaries, and quartile cuts: given a numeric column and a set of
 0-based ascending ranks, return the exact value at each rank using only
 
 - bounded driver collects (1-row count/min/max, ≤``buckets``-row
-  histograms), and
-- a final ``orderBy().limit()`` probe over at most ``probe_bound`` rows
-  (TakeOrderedAndProject, never a sort of n).
+  histograms, ≤len(ranks)-row probe results), and
+- one partitioned-window probe job over at most
+  ``len(ranks) * probe_bound`` rows per level (each partition is one
+  bucket, ≤ ``probe_bound`` rows — never a sort of n).
+
+All ranks are resolved TOGETHER per level: one histogram pass serves
+every rank (the histogram is identical regardless of the target rank),
+and all non-skewed target buckets are probed in ONE job via a window
+partitioned by bucket id. Resolving k quantiles therefore costs
+O(levels) scans, not O(k · levels) — at sf0.1 this cut the 9-boundary
+equi-depth query from ~19 Spark jobs to 3.
 
 Skew safety (round-2 verdict task #6): when the bucket holding a target
 rank exceeds ``probe_bound`` (a pathological value occupying ≫ n/buckets
@@ -16,7 +24,8 @@ range instead of sorted — recursion narrows the range until either the
 bucket fits the probe bound or the range degenerates to a single value
 (min == max), which is returned directly with no sort at all. A heavy
 repeated value therefore costs extra *scan+aggregate* passes (codegen,
-partial-aggregable), never a large sort.
+partial-aggregable), never a large sort. Ranks that land in the same
+skewed bucket recurse together, sharing the sub-histograms too.
 
 Reference parity: the reference (Soostone/kinesis-app) is a stream-
 coordination framework with no quantile machinery; this primitive exists
@@ -28,11 +37,14 @@ distributed adaptation is the standard bucket-walk).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import functools
+import operator
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 1024
-MAX_DEPTH = 16  # 1024^16 range subdivisions — depth exhaustion means a
+MAX_DEPTH = 16  # 1024^16 range subdivisions — depth exhaustion means an
 # adversarial float distribution; the final probe still bounds the sort
 # by the last bucket's count, it just may exceed probe_bound
 
@@ -48,10 +60,12 @@ def values_at_ranks(
 ) -> dict[int, float]:
     """Exact value at each 0-based ascending rank of ``df[col]``.
 
-    ``probe_bound``: max rows the final probe may sort; defaults to
-    ``max(8 * n / buckets, 4096)`` — 8× the even-split bucket size.
-    ``stats``: optional dict; records ``max_probe_rows`` (largest sort
-    actually performed) and ``histogram_passes`` for tests.
+    ``probe_bound``: max rows any single probed bucket may hold;
+    defaults to ``max(8 * n / buckets, 4096)`` — 8× the even-split
+    bucket size.
+    ``stats``: optional dict; records ``max_probe_rows`` (largest bucket
+    actually probed), ``histogram_passes``, and ``skew_recursions`` (how
+    many over-``probe_bound`` buckets were re-histogrammed) for tests.
     """
     x = df.select(F.col(col).cast("double").alias("x"))
     n, mn, mx = x.agg(F.count("x"), F.min("x"), F.max("x")).collect()[0]
@@ -60,17 +74,16 @@ def values_at_ranks(
         stats.setdefault("max_probe_rows", 0)
     if n == 0:
         return {}
+    rs = sorted(set(ranks))
+    for rank in rs:
+        if not 0 <= rank < n:
+            raise ValueError(f"rank {rank} outside [0, {n})")
+    if not rs:
+        return {}
     bound = probe_bound if probe_bound is not None else max(
         (8 * n) // buckets, 4096
     )
-    out: dict[int, float] = {}
-    for rank in sorted(set(ranks)):
-        if not 0 <= rank < n:
-            raise ValueError(f"rank {rank} outside [0, {n})")
-        out[rank] = _value_at_rank(
-            x, rank, n, mn, mx, buckets, bound, stats, depth=0
-        )
-    return out
+    return _values_at_ranks_level(x, rs, mn, mx, buckets, bound, stats, 0)
 
 
 def _bucket_expr(mn: float, width: float, buckets: int):
@@ -80,23 +93,24 @@ def _bucket_expr(mn: float, width: float, buckets: int):
     ).cast("int")
 
 
-def _value_at_rank(
+def _values_at_ranks_level(
     x: DataFrame,
-    rank: int,
-    n: int,
+    ranks: list[int],
     mn: float,
     mx: float,
     buckets: int,
     bound: int,
     stats: dict | None,
     depth: int,
-) -> float:
-    """Recursive bucket walk: narrow [mn, mx] until the target bucket
-    fits ``bound`` rows (probe) or is a single repeated value (return)."""
+) -> dict[int, float]:
+    """Resolve ALL ``ranks`` (sorted, unique, 0-based within ``x``) at
+    one histogram level: a single groupBy histogram assigns every rank a
+    (bucket, offset); non-skewed buckets are probed together in one
+    partitioned-window job; skewed buckets recurse with their ranks."""
     if mn == mx:
-        # every row in range equals mn: rank irrelevant, no sort needed —
+        # every row in range equals mn: ranks irrelevant, no sort needed —
         # this is the terminal case for the heavy-value recursion
-        return mn
+        return {r: mn for r in ranks}
     width = (mx - mn) / buckets
     bexpr = _bucket_expr(mn, width, buckets)
     if stats is not None:
@@ -107,35 +121,89 @@ def _value_at_rank(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    # one cumulative walk assigns every rank to its (bucket, offset)
+    per_bucket: dict[int, list[tuple[int, int]]] = {}
     cum = 0
+    ri = 0
     for b in range(buckets):
         c = hist.get(b, 0)
-        if cum + c > rank:
-            break
+        while ri < len(ranks) and cum + c > ranks[ri]:
+            per_bucket.setdefault(b, []).append((ranks[ri], ranks[ri] - cum))
+            ri += 1
         cum += c
-    else:  # pragma: no cover — rank < n guarantees the walk lands
+        if ri == len(ranks):
+            break
+    if ri < len(ranks):  # pragma: no cover — ranks < n guarantee the walk
         raise AssertionError("rank walk fell off the histogram")
-    offset = rank - cum
-    lo = mn + b * width
-    hi = mn + (b + 2) * width  # one-bucket slack: range filter is for
-    # parquet pushdown only; the exact bucket expression is the filter
-    sub = x.filter(
-        (F.col("x") >= lo - width) & (F.col("x") <= hi)
-    ).filter(bexpr == b)
-    if c > bound and depth < MAX_DEPTH:
+
+    out: dict[int, float] = {}
+    probe: dict[int, list[tuple[int, int]]] = {}
+    skew: dict[int, list[tuple[int, int]]] = {}
+    for b, pairs in per_bucket.items():
+        if hist[b] > bound and depth < MAX_DEPTH:
+            skew[b] = pairs
+        else:
+            probe[b] = pairs
+
+    if probe:
+        if stats is not None:
+            stats["max_probe_rows"] = max(
+                stats["max_probe_rows"], max(hist[b] for b in probe)
+            )
+        # ONE job for every probed bucket: range pre-filter for parquet
+        # pushdown (the exact bucket expression is the real filter),
+        # per-bucket row_number (each window partition ≤ bound rows),
+        # keep only the needed (bucket, offset) pairs — ≤len(ranks) rows
+        b_lo = min(probe)
+        b_hi = max(probe)
+        lo = mn + b_lo * width
+        hi = mn + (b_hi + 2) * width  # one-bucket slack for float edges
+        sub = (
+            x.filter((F.col("x") >= lo - width) & (F.col("x") <= hi))
+            .select("x", bexpr.alias("b"))
+            .filter(F.col("b").isin(list(probe)))
+        )
+        w = Window.partitionBy("b").orderBy("x")
+        need = functools.reduce(
+            operator.or_,
+            [
+                (F.col("b") == b)
+                & F.col("rn").isin([off for _, off in pairs])
+                for b, pairs in probe.items()
+            ],
+        )
+        rows = (
+            sub.withColumn("rn", F.row_number().over(w) - 1)
+            .filter(need)
+            .collect()
+        )
+        val_at = {(r["b"], r["rn"]): r["x"] for r in rows}
+        for b, pairs in probe.items():
+            for rank, off in pairs:
+                out[rank] = val_at[(b, off)]
+
+    for b, pairs in skew.items():
         # skew: this bucket is ≫ its even share — re-histogram inside it
         # over its OWN min/max (the parent's arithmetic bounds may be
-        # loose after float rounding)
+        # loose after float rounding); all its ranks recurse together
+        if stats is not None:
+            stats["skew_recursions"] = stats.get("skew_recursions", 0) + 1
+        lo = mn + b * width
+        hi = mn + (b + 2) * width
+        sub = x.filter(
+            (F.col("x") >= lo - width) & (F.col("x") <= hi)
+        ).filter(bexpr == b)
         smn, smx = sub.agg(F.min("x"), F.max("x")).collect()[0]
-        return _value_at_rank(
-            sub, offset, c, smn, smx, buckets, bound, stats, depth + 1
+        sub_vals = _values_at_ranks_level(
+            sub,
+            sorted(off for _, off in pairs),
+            smn,
+            smx,
+            buckets,
+            bound,
+            stats,
+            depth + 1,
         )
-    if stats is not None:
-        stats["max_probe_rows"] = max(stats["max_probe_rows"], c)
-    row = (
-        sub.orderBy("x")
-        .limit(offset + 1)
-        .agg(F.max("x").alias("v"))
-        .collect()[0]
-    )
-    return row["v"]
+        for rank, off in pairs:
+            out[rank] = sub_vals[off]
+    return out

@@ -44,7 +44,11 @@ def test_values_at_ranks_skew_recursion_bounds_probe(spark):
     got = values_at_ranks(df, "x", ranks, probe_bound=bound, stats=stats)
     assert got == {r: want[r] for r in ranks}
     assert stats["max_probe_rows"] <= bound, stats
-    assert stats["histogram_passes"] > 1  # recursion actually happened
+    # the heavy bucket was routed to the recursion path, never probed
+    assert stats.get("skew_recursions", 0) >= 1, stats
+    # all 5 ranks shared ONE top-level histogram (batched resolution);
+    # the recursion terminates at min==max with no further histogram
+    assert stats["histogram_passes"] == 1, stats
 
 
 def test_values_at_ranks_all_equal_no_sort(spark):
