@@ -86,6 +86,200 @@ def values_at_ranks(
     return _values_at_ranks_level(x, rs, mn, mx, buckets, bound, stats, 0)
 
 
+def values_at_ranks_by_key(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    ranks_by_key: dict[str, list[int]],
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+    probe_bound: int | None = None,
+    stats: dict | None = None,
+) -> dict[str, dict[int, float]]:
+    """Keyed variant: exact value-at-rank independently per key, with ONE
+    histogram scan and ONE probe job shared across ALL keys.
+
+    ``ranks_by_key`` maps each key value (string) to its 0-based ranks
+    within that key's rows — either a list of ints, or a callable
+    ``n_k -> list[int]`` evaluated against the key's row count (so
+    count-dependent ranks like quantile positions need no separate count
+    job). Keys present in the data but absent from ``ranks_by_key`` are
+    ignored. The driver collects are bounded by ``n_keys × buckets`` —
+    this is the small-key-domain form (measures, flags, categories); for
+    high-cardinality keys batch the domain.
+
+    This is how k quantiles over m measures cost O(levels) scans total
+    instead of O(m · levels): melt the measures to (key, value) rows and
+    resolve them together. Skewed (key, bucket) cells fall back to the
+    single-key recursion, sharing its skew guarantees.
+    """
+    x = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(val_col).cast("double").alias("x"),
+    )
+    if stats is not None:
+        stats.setdefault("histogram_passes", 0)
+        stats.setdefault("max_probe_rows", 0)
+    st = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in x.groupBy("k")
+        .agg(
+            F.count("x").alias("n"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    # keys with no rows contribute nothing (and their ranks — including
+    # callable ones — are moot); ranks for present keys are validated
+    want: dict[str, list[int]] = {}
+    for k, rs in ranks_by_key.items():
+        if k not in st:
+            continue
+        if callable(rs):
+            rs = rs(st[k][0])
+        rs = sorted(set(rs))
+        if not rs:
+            continue
+        n_k = st[k][0]
+        for rank in rs:
+            if not 0 <= rank < n_k:
+                raise ValueError(
+                    f"rank {rank} outside [0, {n_k}) for key {k!r}"
+                )
+        want[k] = rs
+    if not want:
+        return {}
+    out: dict[str, dict[int, float]] = {k: {} for k in want}
+
+    # degenerate keys (min == max) resolve with no scan at all
+    live = {}
+    for k, rs in want.items():
+        n_k, mn, mx = st[k]
+        if mn == mx:
+            out[k] = {r: mn for r in rs}
+        else:
+            live[k] = rs
+    if not live:
+        return out
+
+    def bound_of(k):
+        if probe_bound is not None:
+            return probe_bound
+        return max((8 * st[k][0]) // buckets, 4096)
+
+    width = {k: (st[k][2] - st[k][1]) / buckets for k in live}
+    # one scan: per-key fixed-width bucket id via a small CASE chain
+    bexpr = F.lit(None).cast("int")
+    for k in live:
+        mn = st[k][1]
+        b_k = F.least(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width[k])),
+            F.lit(buckets - 1),
+        ).cast("int")
+        bexpr = F.when(F.col("k") == k, b_k).otherwise(bexpr)
+    if stats is not None:
+        stats["histogram_passes"] += 1
+    hist: dict[tuple[str, int], int] = {
+        (r["k"], r["b"]): r["c"]
+        for r in x.filter(F.col("k").isin(list(live)))
+        .groupBy("k", bexpr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # cumulative walk per key assigns every rank a (bucket, offset)
+    per_cell: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for k, rs in live.items():
+        cum = 0
+        ri = 0
+        for b in range(buckets):
+            c = hist.get((k, b), 0)
+            while ri < len(rs) and cum + c > rs[ri]:
+                per_cell.setdefault((k, b), []).append((rs[ri], rs[ri] - cum))
+                ri += 1
+            cum += c
+            if ri == len(rs):
+                break
+        if ri < len(rs):  # pragma: no cover — validated ranks land
+            raise AssertionError(f"rank walk fell off histogram for {k!r}")
+
+    probe: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    skew: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for (k, b), pairs in per_cell.items():
+        if hist[(k, b)] > bound_of(k):
+            skew[(k, b)] = pairs
+        else:
+            probe[(k, b)] = pairs
+
+    if probe:
+        if stats is not None:
+            stats["max_probe_rows"] = max(
+                stats["max_probe_rows"], max(hist[cell] for cell in probe)
+            )
+        # ONE job for every probed (key, bucket) cell: per-cell
+        # row_number (each window partition ≤ bound rows), keep only the
+        # needed (key, bucket, offset) triples — ≤ total ranks rows
+        cell_pred = functools.reduce(
+            operator.or_,
+            [
+                (F.col("k") == k) & (F.col("b") == b)
+                for (k, b) in probe
+            ],
+        )
+        need = functools.reduce(
+            operator.or_,
+            [
+                (F.col("k") == k)
+                & (F.col("b") == b)
+                & F.col("rn").isin([off for _, off in pairs])
+                for (k, b), pairs in probe.items()
+            ],
+        )
+        w = Window.partitionBy("k", "b").orderBy("x")
+        rows = (
+            x.filter(F.col("k").isin(sorted({k for k, _ in probe})))
+            .select("k", "x", bexpr.alias("b"))
+            .filter(cell_pred)
+            .withColumn("rn", F.row_number().over(w) - 1)
+            .filter(need)
+            .collect()
+        )
+        val_at = {(r["k"], r["b"], r["rn"]): r["x"] for r in rows}
+        for (k, b), pairs in probe.items():
+            for rank, off in pairs:
+                out[k][rank] = val_at[(k, b, off)]
+
+    for (k, b), pairs in skew.items():
+        # heavy (key, bucket) cell: recurse via the single-key level
+        # walk over just that cell's rows — never sorted
+        if stats is not None:
+            stats["skew_recursions"] = stats.get("skew_recursions", 0) + 1
+        mn = st[k][1]
+        lo = mn + b * width[k]
+        hi = mn + (b + 2) * width[k]
+        sub = (
+            x.filter(F.col("k") == k)
+            .filter((F.col("x") >= lo - width[k]) & (F.col("x") <= hi))
+            .select("x", bexpr.alias("b"))
+            .filter(F.col("b") == b)
+            .select("x")
+        )
+        smn, smx = sub.agg(F.min("x"), F.max("x")).collect()[0]
+        sub_vals = _values_at_ranks_level(
+            sub,
+            sorted(off for _, off in pairs),
+            smn,
+            smx,
+            buckets,
+            bound_of(k),
+            stats,
+            1,
+        )
+        for rank, off in pairs:
+            out[k][rank] = sub_vals[off]
+    return out
+
+
 def _bucket_expr(mn: float, width: float, buckets: int):
     return F.least(
         F.floor((F.col("x") - F.lit(mn)) / F.lit(width)),

@@ -284,7 +284,7 @@ def rfm_segmentation_scale(spark, sf_dir):
     back projection. Zero WindowExec in the plan."""
     import math
 
-    from kinesis_app_spark.operators.rankstats import values_at_ranks
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
 
     o = _t(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -294,11 +294,6 @@ def rfm_segmentation_scale(spark, sf_dir):
             "monetary"
         ),
     )
-    n = rfm.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [], "custkey bigint, r int, f int, m int, rfm_code int"
-        )
 
     def ntz_seconds(c):
         # monotone TIMESTAMP_NTZ -> double seconds (Spark 4 forbids a
@@ -316,19 +311,35 @@ def rfm_segmentation_scale(spark, sf_dir):
         "freq": F.col("freq").cast("double"),
         "monetary": F.col("monetary"),
     }
+    cached = rfm.localCheckpoint(eager=True)  # rollup feeds the melted
+    # cut computation + the final projection; checkpoint beats recompute
+    n = cached.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "custkey bigint, r int, f int, m int, rfm_code int"
+        )
     # value at DESC 1-based rank ceil(i*n/4) == ASC 0-based rank
     # n - ceil(i*n/4); the custkey tiebreak of the ntile twin cannot
     # change the VALUE at a rank (equal values are adjacent), so the
     # cut is tiebreak-independent
     ranks = [n - math.ceil(i * n / 4) for i in (1, 2, 3)]
-    cached = rfm.localCheckpoint(eager=True)  # rollup feeds 3 cut
-    # computations + the final projection; checkpoint beats recompute
-    cuts = {
-        meas: values_at_ranks(
-            cached.select(expr.alias("v")), "v", ranks
-        )
-        for meas, expr in measures.items()
-    }
+    # melt the three measures to (measure, v) rows and resolve ALL nine
+    # quartile cuts in ONE keyed rankstats call: one stats aggregate,
+    # one histogram scan, one probe job — instead of 3×3 jobs for
+    # per-measure values_at_ranks calls over the same rollup
+    melted = cached.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(meas).alias("meas"), expr.alias("v"))
+                    for meas, expr in measures.items()
+                ]
+            )
+        ).alias("mv")
+    ).select("mv.meas", "mv.v")
+    cuts = values_at_ranks_by_key(
+        melted, "meas", "v", {m: ranks for m in measures}
+    )
 
     def quartile(meas):
         v = measures[meas]

@@ -72,6 +72,71 @@ def test_values_at_ranks_empty(spark):
     assert values_at_ranks(df, "x", []) == {}
 
 
+def test_values_at_ranks_by_key_matches_sorted(spark):
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
+
+    a = [float(v) for v in (5, 1, 9, 1, 7, 3)]
+    b = [float(v) for v in (2, 2, 8, 0)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "k string, x double")
+    stats: dict = {}
+    got = values_at_ranks_by_key(
+        df, "k", "x",
+        {"a": list(range(len(a))), "b": [0, 3], "absent": [0]},
+        stats=stats,
+    )
+    sa, sb = sorted(a), sorted(b)
+    assert got == {
+        "a": {i: sa[i] for i in range(len(a))},
+        "b": {0: sb[0], 3: sb[3]},
+    }
+    # ALL keys shared one histogram scan and one probe job
+    assert stats["histogram_passes"] == 1
+
+
+def test_values_at_ranks_by_key_callable_ranks_and_degenerate(spark):
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
+
+    rows = [("m", float(i)) for i in range(10)] + [("c", 4.0)] * 5
+    df = spark.createDataFrame(rows, "k string, x double")
+    stats: dict = {}
+    got = values_at_ranks_by_key(
+        df, "k", "x",
+        # callable ranks: median position from the key's own count
+        {"m": lambda n: [n // 2], "c": lambda n: [0, n - 1]},
+        stats=stats,
+    )
+    assert got == {"m": {5: 5.0}, "c": {0: 4.0, 4: 4.0}}
+    # the all-equal key resolved from stats alone — no histogram for it
+    assert stats["histogram_passes"] == 1
+
+
+def test_values_at_ranks_by_key_skew_recurses(spark):
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
+
+    vals = [1000.0] * 4000 + [float(i % 97) for i in range(6000)]
+    df = spark.createDataFrame(
+        [("h", v) for v in vals], "k string, x double"
+    ).repartition(8)
+    want = sorted(vals)
+    ranks = [0, 5000, 9999]
+    stats: dict = {}
+    got = values_at_ranks_by_key(
+        df, "k", "x", {"h": ranks}, probe_bound=256, stats=stats
+    )
+    assert got == {"h": {r: want[r] for r in ranks}}
+    assert stats["max_probe_rows"] <= 256, stats
+    assert stats.get("skew_recursions", 0) >= 1, stats
+
+
+def test_values_at_ranks_by_key_rejects_bad_rank(spark):
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, x double")
+    with pytest.raises(ValueError, match="rank"):
+        values_at_ranks_by_key(df, "k", "x", {"a": [2]})
+
+
 # ---------------------------------------------------------------------
 # scale variants: no partition-less WindowExec anywhere in the plan
 # ---------------------------------------------------------------------
