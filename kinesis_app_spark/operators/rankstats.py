@@ -90,7 +90,7 @@ def values_at_ranks_by_key(
     df: DataFrame,
     key_col: str,
     val_col: str,
-    ranks_by_key: dict[str, list[int]],
+    ranks_by_key,  # dict[key, list[int] | (n)->list[int]] | (n)->list[int]
     *,
     buckets: int = DEFAULT_BUCKETS,
     probe_bound: int | None = None,
@@ -103,7 +103,9 @@ def values_at_ranks_by_key(
     within that key's rows — either a list of ints, or a callable
     ``n_k -> list[int]`` evaluated against the key's row count (so
     count-dependent ranks like quantile positions need no separate count
-    job). Keys present in the data but absent from ``ranks_by_key`` are
+    job). Passing a bare callable instead of a dict applies it to EVERY
+    key found in the data (no pre-enumeration of the key domain needed).
+    Keys present in the data but absent from ``ranks_by_key`` are
     ignored. The driver collects are bounded by ``n_keys × buckets`` —
     this is the small-key-domain form (measures, flags, categories); for
     high-cardinality keys batch the domain.
@@ -130,6 +132,8 @@ def values_at_ranks_by_key(
         )
         .collect()
     }
+    if callable(ranks_by_key):
+        ranks_by_key = {k: ranks_by_key for k in st}
     # keys with no rows contribute nothing (and their ranks — including
     # callable ones — are moot); ranks for present keys are validated
     want: dict[str, list[int]] = {}

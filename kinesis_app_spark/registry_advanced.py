@@ -343,78 +343,41 @@ _GQ_QUANTILE = 0.5  # grouped median
 
 def exact_grouped_quantiles(spark, sf_dir):
     """EXACT per-group median of l_extendedprice (by l_returnflag) with
-    no per-group sort: ONE scan builds the (group, bucket) histogram
-    (groups × 1024 rows to the driver — bounded by the group domain, the
-    same small-collect contract as the global entry above); the
-    cumulative histogram locates each group's target bucket + offset;
-    ONE probe pass filters to the target (group, bucket) pairs via a
-    broadcast semi-join and ranks within each group's single bucket with
-    a row_number window — sorting ~n_g/1024 rows per group instead of
-    n_g.
+    no per-group sort, via the shared keyed rank-statistics primitive
+    (``operators/rankstats.values_at_ranks_by_key``): ONE stats
+    aggregate discovers the groups and their counts (the median rank is
+    a callable of each group's own n), ONE scan builds the
+    (group, bucket) histogram (groups × 1024 rows to the driver —
+    bounded by the group domain, the same small-collect contract as the
+    global entry above), and ONE probe job ranks within each group's
+    single target bucket — sorting ~n_g/1024 rows per group instead of
+    n_g. A pathologically heavy (group, bucket) cell re-histograms
+    recursively instead of being sorted (inherited from the primitive).
 
     Scale: the naive per-group exact percentile sorts every group
     (Spark's percentile() aggregate buffers all values per group); this
-    shape does two codegen scan+aggregates plus a window over ~1/1024 of
-    the data — and generalizes to any quantile set. Group-domain caveat:
-    the histogram collect is (n_groups × buckets); for high-cardinality
-    groups, batch the group domain or drop to percentile_approx."""
+    shape does three codegen scan+aggregates plus a probe over ~1/1024
+    of the data — and generalizes to any quantile set. Group-domain
+    caveat: the histogram collect is (n_groups × buckets); for
+    high-cardinality groups, batch the group domain or drop to
+    percentile_approx."""
+    from kinesis_app_spark.operators.rankstats import values_at_ranks_by_key
+
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
     )
-    stats = {
-        r["g"]: (r["n"], r["mn"], r["mx"])
-        for r in li.groupBy("g")
-        .agg(
-            F.count("x").alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx")
-        )
-        .collect()
-    }
-    widths = {
-        g: ((mx - mn) / _QNT_BUCKETS or 1.0) for g, (n, mn, mx) in stats.items()
-    }
-    # single-scan histogram over (group, bucket); bucket expr varies per
-    # group via a small CASE built from the collected stats
-    bucket = F.lit(None).cast("int")
-    for g, (n, mn, mx) in stats.items():
-        b_g = F.least(
-            F.floor((F.col("x") - F.lit(mn)) / F.lit(widths[g])),
-            F.lit(_QNT_BUCKETS - 1),
-        ).cast("int")
-        bucket = F.when(F.col("g") == g, b_g).otherwise(bucket)
-    hist: dict[tuple, int] = {
-        (r["g"], r["b"]): r["c"]
-        for r in li.groupBy("g", bucket.alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    targets = []  # (g, bucket, offset)
-    for g, (n, mn, mx) in stats.items():
-        rank = math.ceil(_GQ_QUANTILE * n) - 1
-        cum = 0
-        for b in range(_QNT_BUCKETS):
-            c = hist.get((g, b), 0)
-            if cum + c > rank:
-                targets.append((g, b, rank - cum))
-                break
-            cum += c
-    tgt = spark.createDataFrame(
-        [(g, b, o) for g, b, o in targets], "g string, b int, off int"
+    medians = values_at_ranks_by_key(
+        li, "g", "x",
+        lambda n: [math.ceil(_GQ_QUANTILE * n) - 1],
+        buckets=_QNT_BUCKETS,
     )
-    probed = (
-        li.withColumn("b", bucket)
-        .join(F.broadcast(tgt), ["g", "b"])
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("g").orderBy("x")),
-        )
-        .filter(F.col("rn") == F.col("off") + 1)
-        .select(
-            F.col("g").alias("l_returnflag"),
-            F.lit(float(_GQ_QUANTILE)).alias("quantile"),
-            F.col("x").alias("value"),
-        )
+    return spark.createDataFrame(
+        sorted(
+            (g, float(_GQ_QUANTILE), float(next(iter(vals.values()))))
+            for g, vals in medians.items()
+        ),
+        "l_returnflag string, quantile double, value double",
     )
-    return probed.orderBy("l_returnflag")
 
 
 EXACT_GROUPED_QUANTILES_SQL = f"""
