@@ -103,19 +103,82 @@ ORDER BY l_returnflag
 
 def sketch_aggregates(spark, sf_dir):
     """Sketch-based aggregates — the only sane forms at 100 TB: HLL++
-    distinct count and t-digest percentiles in one pass, no exact-distinct
-    shuffle, no global sort. Values are sketch-specific => rows-only check;
-    accuracy vs exact values is asserted in tests/test_scale.py."""
+    distinct count and GK percentiles per group in one pass, no
+    exact-distinct shuffle, no global sort — VALUE-GATED via their error
+    envelopes (the approx_distinct_users / approx_percentile_envelope
+    pattern, applied per group): the raw sketch estimates are
+    engine-specific, so the entry emits each group's EXACT distinct
+    count plus booleans asserting (a) the HLL estimate landed within
+    2× its requested rsd (0.02 → 4%) and (b) each approx percentile's
+    true rank sits within 2·n_g/accuracy of the target rank (the GK
+    contract with partition-merge slack). A regression that breaks
+    either sketch flips a boolean and fails the hash gate — strictly
+    stronger than the old rows-only check.
+
+    Plan: one grouped sketch aggregate collected (bounded by the
+    event_type domain), then ONE exact second scan whose per-group
+    rank/count checks use small CASE chains built from the collected
+    estimates. Two scans, no sort, no window."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.99], 10000).alias("p50_p99"),
-    ).select(
-        "event_type",
-        "approx_users",
-        F.col("p50_p99")[0].alias("p50_approx"),
-        F.col("p50_p99")[1].alias("p99_approx"),
+    rsd, acc = 0.02, 10000
+    first = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("est_users"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.99)), F.lit(acc)
+        ).alias("pp"),
+    ).collect()
+    if not first:
+        return spark.createDataFrame(
+            [],
+            "event_type string, true_users bigint, hll_ok boolean, "
+            "p50_rank_ok boolean, p99_rank_ok boolean",
+        )
+    est = {r["event_type"]: r for r in first}
+    v50 = F.lit(None).cast("double")
+    v99 = F.lit(None).cast("double")
+    est_u = F.lit(None).cast("long")
+    for et, r in est.items():
+        pp = r["pp"] or [None, None]
+        v50 = F.when(F.col("event_type") == et, F.lit(pp[0])).otherwise(v50)
+        v99 = F.when(F.col("event_type") == et, F.lit(pp[1])).otherwise(v99)
+        est_u = F.when(
+            F.col("event_type") == et, F.lit(r["est_users"])
+        ).otherwise(est_u)
+    n = F.count("value")  # GK ranks are over non-null values
+    tol = n * F.lit(2.0) / F.lit(acc)
+
+    def rank_ok(v, q):
+        lo = F.count_if(F.col("value") < v)  # the value's min rank
+        hi = F.count_if(F.col("value") <= v)  # the value's max rank
+        target = n * F.lit(q)
+        # all-null group: sketch yields NULL, envelope vacuously true
+        return F.when(v.isNull(), F.lit(True)).otherwise(
+            (lo <= target + tol) & (hi >= target - tol)
+        )
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("true_users"),
+            (
+                F.abs(est_u.cast("double") - F.count_distinct("user_id"))
+                <= F.count_distinct("user_id") * F.lit(2 * rsd)
+            ).alias("hll_ok"),
+            rank_ok(v50, 0.5).alias("p50_rank_ok"),
+            rank_ok(v99, 0.99).alias("p99_rank_ok"),
+        )
+        .orderBy("event_type")
     )
+
+
+SKETCH_AGGREGATES_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS true_users,
+       TRUE AS hll_ok, TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def global_topk_orders(spark, sf_dir):
@@ -587,7 +650,7 @@ REGISTRY_SCALE = {
         two_phase_topk_priority, TWO_PHASE_TOPK_SQL
     ),
     "bloom_semi_join_lineitem": QuerySpec(bloom_semi_join_lineitem, BLOOM_SEMI_SQL),
-    "sketch_aggregates": QuerySpec(sketch_aggregates, None),
+    "sketch_aggregates": QuerySpec(sketch_aggregates, SKETCH_AGGREGATES_SQL),
     "global_topk_orders": QuerySpec(global_topk_orders, GLOBAL_TOPK_SQL),
     "kinesis_shard_counts": QuerySpec(kinesis_shard_counts, KINESIS_SHARD_SQL),
     "kinesis_reshard_counts": QuerySpec(
