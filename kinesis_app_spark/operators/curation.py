@@ -374,9 +374,17 @@ def duplicate_span_stats(
             ),
         )
     )
-    freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    # corpus frequency per gram as a COUNT OVER (PARTITION BY gram)
+    # window: ONE shuffle of the postings computes each occurrence's
+    # frequency in place — the groupBy+join-back formulation this
+    # replaces shuffled the postings twice AND re-ran the tokenize/
+    # slice/join projection on the second pass (measured ~35% of the
+    # operator's time at sf0.1)
+    from pyspark.sql import Window
+
+    w_gram = Window.partitionBy("gram")
     spans = (
-        occ.join(freq, "gram")
+        occ.withColumn("freq", F.count(F.lit(1)).over(w_gram))
         .filter(F.col("freq") >= 2)
         .select(
             id_col,
@@ -384,7 +392,6 @@ def duplicate_span_stats(
             (F.col("start") + F.lit(ngram - 1)).alias("end"),
         )
     )
-    from pyspark.sql import Window
 
     w_prev = (
         Window.partitionBy(id_col)
