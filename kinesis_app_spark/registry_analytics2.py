@@ -319,6 +319,58 @@ def equidepth_histogram_prices_scale(spark, sf_dir):
     )
 
 
+def activity_streaks_users(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands form. Distinct (user, day) pairs get a per-user
+    row_number over day; ``day - row_number`` is constant within a run
+    of consecutive days (the island key), so two keyed aggregates
+    finish the job. Scale: every shuffle is keyed by user_id (distinct
+    on (user_id, day), window partitioned by user_id, final groupBy
+    user_id) — no global window, island lengths bounded by per-user
+    activity span, not corpus size."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("island", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("active_days"),
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+s AS (
+  SELECT user_id, day - CAST(rn AS INT) AS island, count(*) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY 1 ORDER BY user_id
+"""
+
+
 EQUIDEPTH_SCALE_SQL = """
 WITH o2 AS (
   SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders
@@ -547,4 +599,5 @@ REGISTRY_ANALYTICS2 = {
     "equidepth_histogram_prices_scale": QuerySpec(
         equidepth_histogram_prices_scale, EQUIDEPTH_SCALE_SQL
     ),
+    "activity_streaks_users": QuerySpec(activity_streaks_users, STREAKS_SQL),
 }
