@@ -229,3 +229,52 @@ def bfs_hops(
     for lay in layers[1:]:
         out = out.unionByName(lay)
     return out
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Single-source weighted shortest distances over directed edges,
+    bounded at ``max_hops`` relaxation rounds: (dst, dist) for every
+    node whose minimum path cost from ``source`` uses <= max_hops edges
+    (the source itself at dist 0). Bounded Bellman-Ford — after round k
+    the table holds the exact min over all paths of <= k edges, by
+    induction on the relaxation step.
+
+    Scale notes: the distance table is the ONLY state — one row per
+    reached node, never per path (a recursive path enumeration is
+    exponential; the min-fold is what survives a billion-edge graph).
+    Each round is one equi-join of (dist x edges) on the frontier node
+    followed by a keyed min-fold; no broadcast hint on either side (the
+    bfs_hops frontier lesson: a dense graph's reach cohort outgrows the
+    driver), so the planner picks BHJ only while the dist side is
+    genuinely small. ``localCheckpoint`` truncates per-round lineage.
+    At cluster scale, delta-stepping (bucketed priority relaxation)
+    trades rounds for selective work; the bounded-round form here is the
+    building block.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], schema="dst int, dist long"
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        relaxed = dist.join(e, dist.dst == e.src).select(
+            e.dst.alias("dst"), (dist.dist + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -1625,6 +1625,7 @@ from kinesis_app_spark.registry_advanced import REGISTRY_ADVANCED  # noqa: E402
 from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
+from kinesis_app_spark.registry_round3 import REGISTRY_ROUND3  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
@@ -1649,6 +1650,7 @@ REGISTRY.update(REGISTRY_LAYOUT)
 REGISTRY.update(REGISTRY_MODERN3)
 REGISTRY.update(REGISTRY_MLPREP)
 REGISTRY.update(REGISTRY_ADVANCED)
+REGISTRY.update(REGISTRY_ROUND3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -51,6 +51,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "pipeline_pretraining_mix": "corpus token total + lang count: 1-row "
     "broadcast (same scalar as lang_rebalance_plan)",
     "hybrid_rrf_search": "per-query corpus stats: 1-row broadcast",
+    "association_rules_brands": "basket-universe total: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
     "cross_join_region_nation": "deliberate cross join of two dimension tables",

@@ -392,3 +392,86 @@ def test_bfs_broadcast_and_shuffle_paths_agree(spark):
     assert (1, 0) in want and (4, 3) in want and (10, 0) not in {
         n for n, _ in want
     }
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 1: shortest paths / association rules / join IVM
+# ---------------------------------------------------------------------
+
+def test_shortest_paths_bounded_prefers_cheaper_long_path(spark):
+    """A 2-hop path (1+1=2) must beat the direct edge of weight 10, and
+    nodes beyond max_hops must be absent."""
+    from kinesis_app_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "src int, dst int, w long",
+    )
+    got3 = {
+        r["dst"]: r["dist"]
+        for r in shortest_paths_bounded(edges, source=0, max_hops=3).collect()
+    }
+    # at <=3 edges, node 4's cheap route (0-2-1-3-4, dist 4) is out of
+    # budget: the bounded min is the expensive direct-hop route
+    assert got3 == {0: 0, 1: 2, 2: 1, 3: 3, 4: 12}
+    got4 = {
+        r["dst"]: r["dist"]
+        for r in shortest_paths_bounded(edges, source=0, max_hops=4).collect()
+    }
+    assert got4 == {0: 0, 1: 2, 2: 1, 3: 3, 4: 4, 5: 13}  # 5 cheap needs hop 5
+
+
+def test_shortest_paths_bounded_unreachable_absent(spark):
+    from kinesis_app_spark.operators.graph import shortest_paths_bounded
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (7, 8, 1)], "src int, dst int, w long"
+    )
+    got = {
+        r["dst"]: r["dist"]
+        for r in shortest_paths_bounded(edges, source=0, max_hops=4).collect()
+    }
+    assert got == {0: 0, 1: 5}
+
+
+def test_association_rules_metrics(spark):
+    """confidence = pair/antecedent and lift = conf/P(consequent) must
+    hold row-by-row; both rule directions of a pair must appear."""
+    from kinesis_app_spark.registry_round3 import association_rules_brands
+
+    rows = association_rules_brands(spark, SF_DIR).collect()
+    assert rows, "no rules at gate scale"
+    seen = {(r["antecedent"], r["consequent"]) for r in rows}
+    for r in rows:
+        assert r["pair_baskets"] >= 5
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+
+
+def test_incremental_join_view_matches_full_recompute(spark):
+    """The bilinear delta merge must equal a from-scratch join+agg."""
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.registry_round3 import incremental_join_view
+    from kinesis_app_spark.registry_util import table
+
+    merged = {
+        r["o_custkey"]: (r["n_items"], r["revenue"])
+        for r in incremental_join_view(spark, SF_DIR).collect()
+    }
+    od, li = table(spark, SF_DIR, "orders"), table(spark, SF_DIR, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,8)"
+    )
+    full = {
+        r["o_custkey"]: (r["n"], r["rev"])
+        for r in od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(rev), 2).cast("double").alias("rev"),
+        )
+        .collect()
+    }
+    assert merged == full
