@@ -536,3 +536,82 @@ def canonicalize_urls(
         .withColumn("reg_domain", reg_domain)
         .withColumn("canonical_url", canonical)
     )
+
+
+def paragraph_dedup_first_wins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Global paragraph-level dedup with first-occurrence survivorship
+    (the Dolma/RefinedWeb paragraph-dedup step, distinct from
+    segment_dedup's boilerplate REMOVAL): every distinct
+    ``seg_tokens``-token segment survives exactly once corpus-wide — in
+    the document where it first appears by (doc id, position) — and every
+    later occurrence is dropped; documents are reassembled from their
+    surviving segments.
+
+    Returns (id, n_segments, n_dup_dropped, clean_text).
+
+    Scale notes (100 TB):
+    - The winner per segment is a plain MIN aggregate over the packed
+      (doc_id, seg_idx) struct — map-side combinable, NO window function:
+      a hot segment (classic boilerplate, df in the millions) folds to
+      one row per partition before the shuffle instead of routing every
+      occurrence through one window task. The winner set then joins back
+      on the segment key.
+    - Shuffles carry seg_tokens-token strings at most (xxhash64(segment)
+      is the petabyte-scale key swap, same note as segment_dedup);
+      whole documents never shuffle.
+    - Everything is Column algebra inside whole-stage codegen.
+    """
+    n_seg = F.ceil(F.size(tokens(F.col(text_col))) / F.lit(seg_tokens)).cast(
+        "int"
+    )
+    segs = F.when(
+        n_seg >= 1,
+        let_bound(
+            tokens(F.col(text_col)),
+            lambda toks: F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("seg_idx"),
+                    F.array_join(
+                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                    ).alias("seg"),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_idx:int,seg:string>>"))
+    exploded = (
+        spread(df)
+        .select(F.col(id_col), F.explode(segs).alias("s"))
+        .select(
+            id_col,
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg").alias("seg"),
+        )
+    )
+    winners = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("x"))).alias("w")
+    )
+    marked = exploded.join(winners, "seg").withColumn(
+        "is_first",
+        (F.col("w.i") == F.col(id_col)) & (F.col("w.x") == F.col("seg_idx")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((~F.col("is_first")).cast("long")).alias("n_dup_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_first"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -278,3 +278,62 @@ def shortest_paths_bounded(
             .localCheckpoint()
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation communities: labels start as the
+    node id; each round every node adopts the most frequent label among
+    its neighbors (self-loop included, so isolated or tied nodes hold
+    their label), ties broken to the SMALLEST label — the tie rule is
+    what makes sync LPA deterministic and therefore value-gateable
+    (the oracle unrolls the same rounds as CTEs).
+
+    Returns (node, community) after ``iters`` rounds.
+
+    Scale notes: per round ONE shuffle — the neighbor-label count groups
+    on (dst, label) with map-side combine, then the per-node arg-max is
+    a keyed max over packed (count, -label) structs, NOT a window (a hub
+    node's million neighbor labels fold partition-locally before the
+    exchange). The labels table is one row per node; lineage truncates
+    per round with localCheckpoint. Sync rounds are the Pregel
+    superstep shape; async/semi-async LPA converges faster but is
+    nondeterministic — stated, not hidden.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    sym = (
+        sym.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(iters):
+        counts = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy(F.col("n").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -576,28 +576,8 @@ def wav_window_energy(
             ssum: list[int] = []
             senergy: list[int] = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
-                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                    continue
-                try:
-                    pos, channels, data = 12, None, None
-                    while pos + 8 <= len(raw):
-                        tag = raw[pos : pos + 4]
-                        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
-                        if tag == b"fmt ":
-                            _, channels, _, _, _, bits = struct.unpack(
-                                "<HHIIHH", raw[pos + 8 : pos + 24]
-                            )
-                            if bits != 16:
-                                raise ValueError("only 16-bit PCM")
-                        elif tag == b"data":
-                            data = raw[pos + 8 : pos + 8 + size]
-                        pos += 8 + size + (size % 2)
-                    if not channels or data is None:
-                        continue
-                    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                    ch0 = samples[::channels]  # first channel
-                except (struct.error, ValueError):
+                ch0 = _decode_wav_ch0(bytes(payload))
+                if ch0 is None:
                     continue
                 did = int(did)
                 for wi in range(
@@ -622,4 +602,87 @@ def wav_window_energy(
     return media.select(id_col, payload_col).mapInPandas(
         kernel,
         f"{id_col} long, win int, n_frames long, sample_sum long, energy long",
+    )
+
+
+def _decode_wav_ch0(raw: bytes):
+    """First-channel int64 samples of a 16-bit PCM RIFF/WAVE payload, or
+    None for anything unparseable (corrupt blobs skip, never kill the
+    stage — the parse_media contract)."""
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    try:
+        pos, channels, data = 12, None, None
+        while pos + 8 <= len(raw):
+            tag = raw[pos : pos + 4]
+            size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+            if tag == b"fmt ":
+                _, channels, _, _, _, bits = struct.unpack(
+                    "<HHIIHH", raw[pos + 8 : pos + 24]
+                )
+                if bits != 16:
+                    raise ValueError("only 16-bit PCM")
+            elif tag == b"data":
+                data = raw[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)
+        if not channels or data is None:
+            return None
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        return samples[::channels]  # first channel
+    except (struct.error, ValueError):
+        return None
+
+
+def wav_autocorrelation(
+    media: DataFrame,
+    max_lag: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PCM decode + autocorrelation pitch probe: for each WAV
+    payload, compute the raw autocorrelation R(L) = sum_i s[i]*s[i+L]
+    over lags 1..``max_lag`` of the first channel and emit the dominant
+    lag (argmax R, ties to the smallest lag) — the classic
+    autocorrelation pitch detector, in exact int64 arithmetic so the
+    gate oracle can predict every value from the synthesizer's sample
+    formula (an FFT-based probe could not be value-hashed across
+    engines; integer autocorrelation can).
+
+    Scale shape: same as wav_window_energy — per-blob decode rides
+    mapInPandas (Arrow batches, vectorized numpy dot per lag), output is
+    one tiny row per blob, nothing shuffles. Corrupt payloads skip."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            nf: list[int] = []
+            lags: list[int] = []
+            rbest: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                ch0 = _decode_wav_ch0(bytes(payload))
+                if ch0 is None or len(ch0) <= 1:
+                    continue
+                best_lag, best_r = 0, None
+                for lag in range(1, min(max_lag, len(ch0) - 1) + 1):
+                    r = int(np.dot(ch0[:-lag], ch0[lag:]))
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                ids.append(int(did))
+                nf.append(int(len(ch0)))
+                lags.append(best_lag)
+                rbest.append(int(best_r))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "best_lag": pd.Series(lags, dtype="int32"),
+                    "r_best": pd.Series(rbest, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, n_frames long, best_lag int, r_best long"
     )

@@ -282,6 +282,175 @@ ORDER BY o_custkey
 """
 
 
+# =====================================================================
+# label propagation communities (deterministic sync rounds)
+# =====================================================================
+
+_LPA_ITERS = 3
+
+
+def label_propagation_parts(spark, sf_dir):
+    """Community detection on the repeat-co-purchase part graph (edges =
+    part pairs sharing >= 2 orders, the triangle-census subgraph) via
+    _LPA_ITERS synchronous label-propagation rounds with the min-label
+    tie rule. The oracle unrolls the identical rounds as CTEs — the
+    pagerank_fixed_point discipline applied to a mode-vote instead of a
+    rank sum. Scale story in operators/graph.label_propagation."""
+    from kinesis_app_spark.operators.baskets import basket_pairs
+    from kinesis_app_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        basket_pairs(li, basket_col="l_orderkey", item_col="l_partkey")
+        .filter(F.col("n_baskets") >= 2)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return label_propagation(edges, iters=_LPA_ITERS).orderBy("node")
+
+
+LABEL_PROPAGATION_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst, src FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM sym
+), e AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT node, node FROM nodes
+), r0 AS (
+  SELECT node, node AS label FROM nodes
+), c1 AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM e JOIN r0 l ON l.node = e.src GROUP BY 1, 2
+), r1 AS (
+  SELECT node, label FROM c1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+), c2 AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM e JOIN r1 l ON l.node = e.src GROUP BY 1, 2
+), r2 AS (
+  SELECT node, label FROM c2
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+), c3 AS (
+  SELECT e.dst AS node, l.label, count(*) AS cnt
+  FROM e JOIN r2 l ON l.node = e.src GROUP BY 1, 2
+), r3 AS (
+  SELECT node, label FROM c3
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+)
+SELECT node, label AS community FROM r3 ORDER BY node
+"""
+
+
+# =====================================================================
+# paragraph-level dedup, first-occurrence survivorship
+# =====================================================================
+
+def paragraph_dedup_docs(spark, sf_dir):
+    """Global paragraph dedup with first-wins survivorship over the
+    boilerplate-augmented corpus (same injection as segment_dedup_docs,
+    so duplicated paragraphs genuinely exist at gate scale): every
+    distinct 8-token segment survives only at its first (doc, position)
+    occurrence. Distinct from segment_dedup (which REMOVES boilerplate
+    everywhere); here the earliest copy is kept. Scale story in
+    operators/curation.paragraph_dedup_first_wins — the winner is a
+    map-side-combinable MIN, not a window."""
+    from kinesis_app_spark.operators.curation import paragraph_dedup_first_wins
+    from kinesis_app_spark.registry_curation import _inject_boilerplate
+
+    return paragraph_dedup_first_wins(
+        _inject_boilerplate(_t(spark, sf_dir, "documents")), seg_tokens=8
+    ).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter for daily updates now follow us on social media for more content ' || text
+              WHEN doc_id % 4 = 1 THEN 'subscribe to our newsletter for daily updates now ' || text
+              ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM aug
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 1
+                   THEN generate_series(0, CAST(ceil(len(t)/8.0) AS BIGINT)-1)
+                   ELSE [] END) AS g(i)
+), winners AS (
+  SELECT seg, min(struct_pack(i := doc_id, x := seg_idx)) AS w
+  FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN w.i = s.doc_id AND w.x = s.seg_idx
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_dropped,
+       coalesce(
+         string_agg(CASE WHEN w.i = s.doc_id AND w.x = s.seg_idx
+                         THEN s.seg END, ' ' ORDER BY s.seg_idx),
+         '') AS clean_text
+FROM segs s JOIN winners USING (seg)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# =====================================================================
+# audio autocorrelation pitch probe (real PCM decode, exact integers)
+# =====================================================================
+
+def multimodal_audio_pitch(spark, sf_dir):
+    """REAL PCM decode + autocorrelation pitch: dominant lag in 1..8 of
+    the raw integer autocorrelation per synthesized WAV payload. The
+    oracle predicts every R(L) from the synthesizer's sample formula —
+    the Spark side must genuinely parse RIFF chunks and decode int16
+    PCM to agree (the wav_window_energy contract, applied to a real DSP
+    kernel). Exact int64 arithmetic is what makes a pitch probe
+    value-hashable across engines where an FFT could never be."""
+    from kinesis_app_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    return MM.wav_autocorrelation(
+        MM.synthesize_media(docs), max_lag=8
+    ).orderBy("doc_id")
+
+
+AUDIO_PITCH_SQL = """
+WITH wav AS (
+  SELECT doc_id, 50 + doc_id % 200 AS n FROM documents WHERE doc_id % 2 = 1
+), lags AS (
+  SELECT doc_id, n, l.l AS lag
+  FROM wav, UNNEST(generate_series(1, 8)) AS l(l)
+), ac AS (
+  SELECT doc_id, n, lag, sum(
+           ((((doc_id * 31 + i.i * 7) % 65536)) - 32768)
+         * ((((doc_id * 31 + (i.i + lag) * 7) % 65536)) - 32768)
+         ) AS r
+  FROM lags, UNNEST(generate_series(0, n - 1 - lag)) AS i(i)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+       CAST(lag AS INT) AS best_lag, CAST(r AS BIGINT) AS r_best
+FROM ac
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, lag) = 1
+ORDER BY doc_id
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -291,5 +460,14 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     ),
     "incremental_join_view": QuerySpec(
         incremental_join_view, INCREMENTAL_JOIN_SQL
+    ),
+    "label_propagation_parts": QuerySpec(
+        label_propagation_parts, LABEL_PROPAGATION_SQL
+    ),
+    "paragraph_dedup_docs": QuerySpec(
+        paragraph_dedup_docs, PARAGRAPH_DEDUP_SQL
+    ),
+    "multimodal_audio_pitch": QuerySpec(
+        multimodal_audio_pitch, AUDIO_PITCH_SQL
     ),
 }

@@ -475,3 +475,85 @@ def test_incremental_join_view_matches_full_recompute(spark):
         .collect()
     }
     assert merged == full
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 2: LPA communities / paragraph dedup / audio pitch
+# ---------------------------------------------------------------------
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge must settle into two
+    communities (min label of each triangle), not merge."""
+    from kinesis_app_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_disconnected_never_merge(spark):
+    from kinesis_app_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (8, 9)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 8: 8, 9: 8}
+
+
+def test_paragraph_dedup_first_wins_semantics(spark):
+    from kinesis_app_spark.operators.curation import paragraph_dedup_first_wins
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h x y z w"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_dedup_first_wins(docs, seg_tokens=4).collect()
+    }
+    assert rows[1]["n_dup_dropped"] == 0
+    assert rows[1]["clean_text"] == "a b c d e f g h"
+    assert rows[2]["n_dup_dropped"] == 2
+    assert rows[2]["clean_text"] == "x y z w"
+
+
+def test_wav_autocorrelation_matches_formula_reference(spark):
+    """Decode + autocorr of a synthesized WAV must equal a pure-python
+    reference computed from the synthesizer's sample formula."""
+    import numpy as np
+
+    from kinesis_app_spark.operators import multimodal as MM
+
+    seed, n = 7, 60
+    media = spark.createDataFrame(
+        [(7, bytearray(MM.wav_bytes(8000, 1, n, seed=seed))),
+         (8, bytearray(b"not a wav"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = MM.wav_autocorrelation(media, max_lag=8).collect()
+    assert len(rows) == 1  # corrupt payload skipped
+    s = np.array(
+        [((seed * 31 + i * 7) % 65536) - 32768 for i in range(n)], dtype=np.int64
+    )
+    best_lag, best_r = 0, None
+    for lag in range(1, 9):
+        r = int(np.dot(s[:-lag], s[lag:]))
+        if best_r is None or r > best_r:
+            best_lag, best_r = lag, r
+    got = rows[0]
+    assert (got["doc_id"], got["n_frames"], got["best_lag"], got["r_best"]) == (
+        7, n, best_lag, best_r
+    )
