@@ -793,3 +793,96 @@ def semantic_dedup(
             F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with Jaccard >= threshold via PREFIX FILTERING (the
+    SSJoin/PPJoin family) — exact output, candidate set a fraction of the
+    inverted-index self-join's.
+
+    Canonical order: shingles sorted by (document frequency ASC, shingle)
+    — one global total order, rarest first. Each doc indexes only its
+    first p = |x| - ceil(t*|x|) + 1 shingles. Completeness: J(A,B) >= t
+    implies |A^B| >= ceil(t*max(|A|,|B|)) (since min >= t*max), and an
+    intersection that avoided either prefix entirely would fit in the
+    ceil(t*|x|)-1 tail — contradiction; so every qualifying pair shares a
+    prefix shingle and the filter loses nothing (unlike the
+    max_shingle_df stop-shingle cap, which trades recall for the same
+    safety).
+
+    Scale notes (100 TB):
+    - The self-join's posting list shrinks from sum(|x|) to
+      ~ (1-t)*sum(|x|) rows, and — because the canonical order is
+      df-ASCENDING — prefixes hold the RAREST shingles, so the join keys
+      are the cold tail of the frequency distribution: the skew guard
+      other formulations bolt on is built into the ordering.
+    - Verification joins the two full shingle arrays back by doc id and
+      intersects in-row (array_intersect, codegen); at petabyte scale
+      carry xxhash64(shingle) arrays so verify rows stay fixed-width.
+    - The df-count shuffle is reused for the ordering join; postings are
+      checkpointed pre-partitioned by shingle like ngram_jaccard_pairs.
+    """
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint()
+    )
+    postings = sh.select(
+        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ordered = (
+        postings.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.max("n_sh").alias("n_sh"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
+            ).alias("ord"),
+        )
+    )
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = (
+        ordered.select(
+            "id", F.explode(F.slice(F.col("ord"), F.lit(1), plen)).alias("p")
+        )
+        .select("id", F.col("p.shingle").alias("shingle"))
+        .repartition("shingle")
+        .localCheckpoint()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -1650,6 +1650,9 @@ REGISTRY.update(REGISTRY_LAYOUT)
 REGISTRY.update(REGISTRY_MODERN3)
 REGISTRY.update(REGISTRY_MLPREP)
 REGISTRY.update(REGISTRY_ADVANCED)
+from kinesis_app_spark import registry_round3 as _r3  # noqa: E402
+
+_r3._bind_prefix_oracle()
 REGISTRY.update(REGISTRY_ROUND3)
 
 

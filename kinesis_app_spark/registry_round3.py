@@ -451,6 +451,237 @@ ORDER BY doc_id
 """
 
 
+# =====================================================================
+# prefix-filtered set-similarity join (PPJoin-lite, exact)
+# =====================================================================
+
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard-threshold pairs via PREFIX FILTERING — must equal
+    the inverted-index formulation bit-for-bit (same oracle as
+    dedup_ngram_jaccard): the df-ascending canonical order + per-doc
+    prefix p = |x| - ceil(t|x|) + 1 is complete by the prefix-filter
+    lemma, so the candidate shrink costs no recall. Scale story in
+    operators/dedup.prefix_filter_jaccard_pairs."""
+    from kinesis_app_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+# =====================================================================
+# A/B experiment analysis (hash assignment + two-proportion z)
+# =====================================================================
+
+def ab_test_analysis_events(spark, sf_dir):
+    """Deterministic A/B readout: users split by the portable md5-bucket
+    convention (%2 -> control/treatment), conversion = any 'purchase'
+    event, one summary row with per-arm counts, rates, absolute lift and
+    the pooled two-proportion z statistic. Pure conditional aggregation +
+    scalar arithmetic: one shuffle on user_id, one 1-row fold — the
+    shape that reads a trillion events without a second exchange.
+    Identical expression tree on both engines makes even the sqrt
+    value-hashable (rounded 6)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "converted"
+            )
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    agg = per_user.agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n_control"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n_treatment"),
+        F.sum(
+            ((F.col("variant") == 0) & (F.col("converted") == 1)).cast("long")
+        ).alias("conv_control"),
+        F.sum(
+            ((F.col("variant") == 1) & (F.col("converted") == 1)).cast("long")
+        ).alias("conv_treatment"),
+    )
+    pc = F.col("conv_control") / F.col("n_control")
+    pt = F.col("conv_treatment") / F.col("n_treatment")
+    pool = (F.col("conv_control") + F.col("conv_treatment")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    # nullif: a degenerate arm (everyone or no one converts pooled, or an
+    # empty arm) has zero standard error — z is undefined, not infinite
+    se = F.nullif(
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (1 / F.col("n_control") + 1 / F.col("n_treatment"))
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round(pc, 6).alias("rate_control"),
+        F.round(pt, 6).alias("rate_treatment"),
+        F.round(pt - pc, 6).alias("lift_abs"),
+        F.round((pt - pc) / se, 6).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment,
+         sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS conv_control,
+         sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS conv_treatment
+  FROM per_user
+)
+SELECT n_control, n_treatment, conv_control, conv_treatment,
+       round(conv_control / n_control, 6)     AS rate_control,
+       round(conv_treatment / n_treatment, 6) AS rate_treatment,
+       round(conv_treatment / n_treatment - conv_control / n_control, 6) AS lift_abs,
+       round((conv_treatment / n_treatment - conv_control / n_control)
+             / nullif(sqrt(((conv_control + conv_treatment) / (n_control + n_treatment))
+                    * (1 - (conv_control + conv_treatment) / (n_control + n_treatment))
+                    * (1 / n_control + 1 / n_treatment)), 0), 6) AS z_score
+FROM agg
+"""
+
+
+# =====================================================================
+# join-planning advisor (the 100 TB playbook, encoded as a query)
+# =====================================================================
+
+_ADVISOR_BROADCAST_ROWS = 1_000_000
+_ADVISOR_SKEW_SHARE = 0.001
+
+
+def join_planning_advisor(spark, sf_dir):
+    """Statistics-driven join-strategy advisor for the star schema's
+    four fact->dim relationships: per pair emit fact rows, dim rows, key
+    NDV on the fact side, the hottest key's share of fact rows, and the
+    recommended physical strategy — 'broadcast' when the dim fits the
+    broadcast threshold, else 'salted_shuffle' when one key exceeds the
+    skew share, else 'shuffle'. This is the scale playbook the engine
+    applies by hand (broadcast(), salting, AQE skew join) turned into
+    data a planner or a reviewer can read. Exact counts at gate scale;
+    at 100 TB the NDV becomes approx_count_distinct and the hot-key
+    probe a countmin sketch — swap noted, semantics identical.
+
+    Scale shape: one aggregate per fact key (map-side combined), a
+    max-share fold, and a 4-row result — no joins of the big tables at
+    all: the advisor reads statistics, it does not execute the join it
+    advises on."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+
+    def stats(fact, key, dim_df, fact_name, dim_name):
+        keyed = fact.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("c"))
+        return (
+            keyed.agg(
+                F.sum("c").alias("fact_rows"),
+                F.count(F.lit(1)).alias("fact_ndv"),
+                F.max("c").alias("hot_key_rows"),
+            )
+            .crossJoin(
+                F.broadcast(dim_df.agg(F.count(F.lit(1)).alias("dim_rows")))
+            )
+            .select(
+                F.lit(fact_name).alias("fact"),
+                F.lit(dim_name).alias("dim"),
+                "fact_rows",
+                "dim_rows",
+                "fact_ndv",
+                F.round(F.col("hot_key_rows") / F.col("fact_rows"), 6).alias(
+                    "hot_key_share"
+                ),
+                F.when(
+                    F.col("dim_rows") <= _ADVISOR_BROADCAST_ROWS, "broadcast"
+                )
+                .when(
+                    F.col("hot_key_rows") / F.col("fact_rows")
+                    > _ADVISOR_SKEW_SHARE,
+                    "salted_shuffle",
+                )
+                .otherwise("shuffle")
+                .alias("strategy"),
+            )
+        )
+
+    out = (
+        stats(li, "l_orderkey", od, "lineitem", "orders")
+        .unionByName(
+            stats(
+                li, "l_partkey", _t(spark, sf_dir, "part"), "lineitem", "part"
+            )
+        )
+        .unionByName(
+            stats(
+                li,
+                "l_suppkey",
+                _t(spark, sf_dir, "supplier"),
+                "lineitem",
+                "supplier",
+            )
+        )
+        .unionByName(
+            stats(
+                od,
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "orders",
+                "customer",
+            )
+        )
+    )
+    return out.orderBy("fact", "dim")
+
+
+JOIN_ADVISOR_SQL = """
+WITH rel AS (
+  SELECT 'lineitem' AS fact, 'orders' AS dim, l_orderkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'part', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'supplier', l_suppkey FROM lineitem
+  UNION ALL
+  SELECT 'orders', 'customer', o_custkey FROM orders
+), keyed AS (
+  SELECT fact, dim, k, count(*) AS c FROM rel GROUP BY 1, 2, 3
+), fstats AS (
+  SELECT fact, dim, sum(c) AS fact_rows, count(*) AS fact_ndv,
+         max(c) AS hot_key_rows
+  FROM keyed GROUP BY 1, 2
+), dims AS (
+  SELECT 'orders' AS dim, count(*) AS dim_rows FROM orders
+  UNION ALL SELECT 'part', count(*) FROM part
+  UNION ALL SELECT 'supplier', count(*) FROM supplier
+  UNION ALL SELECT 'customer', count(*) FROM customer
+)
+SELECT fact, f.dim AS dim, fact_rows, dim_rows, fact_ndv,
+       round(hot_key_rows * 1.0 / fact_rows, 6) AS hot_key_share,
+       CASE WHEN dim_rows <= 1000000 THEN 'broadcast'
+            WHEN hot_key_rows * 1.0 / fact_rows > 0.001 THEN 'salted_shuffle'
+            ELSE 'shuffle' END AS strategy
+FROM fstats f JOIN dims d ON d.dim = f.dim
+ORDER BY fact, dim
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -470,4 +701,18 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "multimodal_audio_pitch": QuerySpec(
         multimodal_audio_pitch, AUDIO_PITCH_SQL
     ),
+    "dedup_jaccard_prefix": QuerySpec(dedup_jaccard_prefix, None),
+    "ab_test_analysis_events": QuerySpec(ab_test_analysis_events, AB_TEST_SQL),
+    "join_planning_advisor": QuerySpec(
+        join_planning_advisor, JOIN_ADVISOR_SQL
+    ),
 }
+
+# the prefix-filter formulation must equal the inverted-index one —
+# same oracle, bound late to avoid a circular import at module load
+def _bind_prefix_oracle() -> None:
+    from kinesis_app_spark.registry import DEDUP_JACCARD_SQL
+
+    REGISTRY_ROUND3["dedup_jaccard_prefix"] = QuerySpec(
+        dedup_jaccard_prefix, DEDUP_JACCARD_SQL
+    )

@@ -557,3 +557,73 @@ def test_wav_autocorrelation_matches_formula_reference(spark):
     assert (got["doc_id"], got["n_frames"], got["best_lag"], got["r_best"]) == (
         7, n, best_lag, best_r
     )
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 3: prefix-filter set-sim join / A/B readout / advisor
+# ---------------------------------------------------------------------
+
+def test_prefix_filter_equals_inverted_index(spark):
+    """The PPJoin-style prefix-filtered join must produce EXACTLY the
+    pairs of the all-postings inverted-index formulation (completeness
+    of the prefix filter) on the real gate corpus."""
+    from kinesis_app_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from kinesis_app_spark.registry_util import table
+
+    docs = table(spark, SF_DIR, "documents")
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert got == want and want
+
+
+def test_prefix_filter_hand_fixture(spark):
+    from kinesis_app_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words in this sentence here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+
+
+def test_ab_test_arms_partition_users(spark):
+    from kinesis_app_spark.registry_round3 import ab_test_analysis_events
+    from kinesis_app_spark.registry_util import table
+
+    row = ab_test_analysis_events(spark, SF_DIR).collect()[0]
+    n_users = (
+        table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert row["n_control"] + row["n_treatment"] == n_users
+    assert row["conv_control"] <= row["n_control"]
+    assert row["conv_treatment"] <= row["n_treatment"]
+    # everyone converts at this sf: z must be NULL (se = 0), not inf
+    if row["rate_control"] == 1.0 and row["rate_treatment"] == 1.0:
+        assert row["z_score"] is None
+
+
+def test_join_advisor_shapes(spark):
+    from kinesis_app_spark.registry_round3 import join_planning_advisor
+
+    rows = join_planning_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["fact_ndv"] <= r["fact_rows"]
+        assert 0 < r["hot_key_share"] <= 1
+        assert r["strategy"] in ("broadcast", "salted_shuffle", "shuffle")
+        # every dim at gate scale fits the broadcast threshold
+        assert r["strategy"] == "broadcast"
