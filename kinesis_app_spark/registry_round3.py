@@ -682,6 +682,158 @@ ORDER BY fact, dim
 """
 
 
+# =====================================================================
+# streaming anomaly detection on prior history (integer z-score state)
+# =====================================================================
+
+def streaming_anomaly_flags(spark, sf_dir):
+    """True streaming run of the per-key prior-history anomaly detector:
+    each event is judged against the exact running (n, sum, sumsq) state
+    of the events before it — integer milli-scaled statistics and a
+    squared test, so the flag set hash-matches the window oracle.
+    Scale story in streaming/ops.running_zscore_anomalies."""
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_zscore_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|anom")
+    flags = running_zscore_anomalies(
+        stream, "user_id", "ts", "event_id", "value", z=3, min_history=5
+    )
+    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=8)
+    return res.select(
+        F.col("key"), F.col("seq"), F.col("n_prior")
+    ).orderBy("key", "seq")
+
+
+STREAMING_ANOMALY_SQL = """
+WITH scaled AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000 + 0.5) AS HUGEINT) AS v
+  FROM events
+), pre AS (
+  SELECT user_id, event_id, v,
+         count(*) OVER w AS n,
+         coalesce(sum(v) OVER w, 0) AS s,
+         coalesce(sum(v * v) OVER w, 0) AS ss
+  FROM scaled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id AS key, event_id AS seq, CAST(n AS BIGINT) AS n_prior
+FROM pre
+WHERE n >= 5 AND (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
+ORDER BY key, seq
+"""
+
+
+# =====================================================================
+# mutual information between categorical columns (feature selection)
+# =====================================================================
+
+def mutual_information_pairs(spark, sf_dir):
+    """MI(X;Y) in nats for three categorical column pairs — the
+    feature-selection / drift diagnostic. Probabilities are exact
+    integer ratios; each cell's p*ln(p_xy/(p_x*p_y)) term is quantized
+    to 1e-6 BEFORE the sum so the cross-partition accumulation is
+    exact-integer (the entropy_lang_by_source discipline — the one
+    place engines legitimately diverge is double reassociation, and
+    this removes it). One (x,y) count shuffle per pair + two broadcast
+    marginal joins; the grand total is a 1-row broadcast."""
+    from pyspark.sql import DataFrame
+
+    def mi(df: DataFrame, xcol, ycol, pair_name: str) -> DataFrame:
+        base = df.select(
+            F.col(xcol).cast("string").alias("x"),
+            F.col(ycol).cast("string").alias("y"),
+        )
+        cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+        mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = cells.agg(F.sum("c").alias("n"))
+        joined = (
+            cells.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        p = F.col("c") / F.col("n")
+        ratio = (F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy"))
+        term = F.round(p * F.log(ratio) * 1e6).cast("long")
+        return joined.agg(
+            F.lit(pair_name).alias("pair"),
+            F.max("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(
+                F.sum(term.cast("decimal(30,0)")).cast("double") / 1e6, 4
+            ).alias("mi_nats"),
+        )
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        mi(od, "o_orderstatus", "o_orderpriority", "orders:status_x_priority")
+        .unionByName(
+            mi(cu, "c_mktsegment", "c_nationkey", "customer:segment_x_nation")
+        )
+        .unionByName(
+            mi(
+                ev.withColumn("dow", F.dayofweek("ts")),
+                "event_type",
+                "dow",
+                "events:type_x_dow",
+            )
+        )
+    )
+    return out.orderBy("pair")
+
+
+MUTUAL_INFO_SQL = """
+WITH src AS (
+  SELECT 'orders:status_x_priority' AS pair,
+         CAST(o_orderstatus AS VARCHAR) AS x,
+         CAST(o_orderpriority AS VARCHAR) AS y
+  FROM orders
+  UNION ALL
+  SELECT 'customer:segment_x_nation',
+         CAST(c_mktsegment AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'events:type_x_dow',
+         CAST(event_type AS VARCHAR), CAST(dayofweek(ts) AS VARCHAR)
+  FROM events
+), cells AS (
+  SELECT pair, x, y, count(*) AS c FROM src GROUP BY 1, 2, 3
+), mx AS (
+  SELECT pair, x, sum(c) AS cx FROM cells GROUP BY 1, 2
+), my AS (
+  SELECT pair, y, sum(c) AS cy FROM cells GROUP BY 1, 2
+), tot AS (
+  SELECT pair, sum(c) AS n FROM cells GROUP BY 1
+), terms AS (
+  SELECT cells.pair, n,
+         CAST(round((CAST(c AS DOUBLE) / n)
+                    * ln((c * n) / CAST(cx * cy AS DOUBLE))
+                    * 1e6) AS HUGEINT) AS term
+  FROM cells
+  JOIN mx USING (pair, x)
+  JOIN my USING (pair, y)
+  JOIN tot USING (pair)
+)
+SELECT pair, CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(CAST(sum(term) AS DOUBLE) / 1e6, 4) AS mi_nats
+FROM terms
+GROUP BY pair
+ORDER BY pair
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -705,6 +857,12 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "ab_test_analysis_events": QuerySpec(ab_test_analysis_events, AB_TEST_SQL),
     "join_planning_advisor": QuerySpec(
         join_planning_advisor, JOIN_ADVISOR_SQL
+    ),
+    "streaming_anomaly_flags": QuerySpec(
+        streaming_anomaly_flags, STREAMING_ANOMALY_SQL
+    ),
+    "mutual_information_pairs": QuerySpec(
+        mutual_information_pairs, MUTUAL_INFO_SQL
     ),
 }
 

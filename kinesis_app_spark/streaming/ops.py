@@ -243,3 +243,77 @@ def foreachbatch_running_aggregate(
         )
         return spark.createDataFrame([], schema)
     return acc
+
+
+def running_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+    z: int = 3,
+    min_history: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key streaming anomaly detector on PRIOR history: an event is
+    anomalous when its value deviates more than ``z`` standard deviations
+    from the running mean of the events BEFORE it (>= ``min_history`` of
+    them). State per key = (n, sum, sum-of-squares) of milli-scaled
+    integer values, so the statistics are exact and the flag decision is
+    pure integer arithmetic — the squared test
+    (n*v - s)^2 > z^2 * (n*ss - s^2) avoids sqrt entirely, making the
+    emitted set value-gateable against a window oracle (a float Welford
+    recursion could never hash across engines).
+
+    Within a micro-batch, rows are processed in (ts, seq) order; across
+    batches the state carries the prefix forward — so with an ordered
+    source the flag set equals the batch window semantics exactly.
+    Python-int arithmetic inside the state fn dodges int64 overflow of
+    the (n*v - s)^2 term; the per-row loop is bounded by events-per-key
+    per batch (state ops are Python-side by construction — this is not
+    the JVM hot path).
+
+    Scale notes: state is three integers per key — millions of keys fit
+    the RocksDB provider trivially; the only shuffle is the groupBy on
+    the key that the state operator requires anyway.
+    """
+
+    def flag_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        n, s, ss = int(n), int(s), int(ss)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
+        out_seq: list[int] = []
+        out_n: list[int] = []
+        for v_raw, seq in zip(pdf[value_col], pdf[seq_col]):
+            # floor(x + 0.5): half-up on both engines (python round() and
+            # numpy are half-even; DuckDB round() is half-away — floor is
+            # the one rounding all three express identically)
+            import math
+
+            v = math.floor(float(v_raw) * scale + 0.5)
+            if n >= min_history:
+                lhs = (n * v - s) ** 2
+                rhs = (z * z) * (n * ss - s * s)
+                if lhs > rhs:
+                    out_seq.append(int(seq))
+                    out_n.append(n)
+            n, s, ss = n + 1, s + v, ss + v * v
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]] * len(out_seq), dtype="int64"),
+                "seq": pd.Series(out_seq, dtype="int64"),
+                "n_prior": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        flag_fn,
+        outputStructType="key long, seq long, n_prior long",
+        stateStructType="n long, s long, ss long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -627,3 +627,108 @@ def test_join_advisor_shapes(spark):
         assert r["strategy"] in ("broadcast", "salted_shuffle", "shuffle")
         # every dim at gate scale fits the broadcast threshold
         assert r["strategy"] == "broadcast"
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 4: streaming anomaly state / mutual information
+# ---------------------------------------------------------------------
+
+def test_running_zscore_state_carries_across_batches(spark, tmp_path):
+    """The (n, s, ss) state built in batch 1 must drive flag decisions
+    in batch 2: an outlier arriving in the second micro-batch is flagged
+    against the first batch's history."""
+    import os
+    import datetime as dt
+
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_zscore_anomalies,
+    )
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(ids_vals):
+        return [
+            (1, t0 + dt.timedelta(minutes=i), i, float(v))
+            for i, v in ids_vals
+        ]
+
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(rows([(i, 10.0) for i in range(6)]), schema)
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    # second file, strictly later mtime => second micro-batch
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        rows([(6, 500.0), (7, 10.0)]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    later = max(
+        os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
+    ) + 10
+    for f in os.listdir(extra):
+        if f.endswith(".parquet"):
+            dest = os.path.join(src, "zz_" + f)
+            os.rename(os.path.join(extra, f), dest)
+            os.utime(dest, (later, later))
+
+    stream = file_stream(spark, src, batch1.schema, max_files_per_trigger=1)
+    flags = running_zscore_anomalies(
+        stream, "user_id", "ts", "event_id", "value", z=3, min_history=5
+    )
+    res = run_to_memory(
+        flags, str(tmp_path / "ckpt"), output_mode="update",
+        shuffle_partitions=4,
+    ).collect()
+    got = {(r["key"], r["seq"], r["n_prior"]) for r in res}
+    # e6 (value 500, zero-variance history of six 10.0s) flags with
+    # n_prior=6; e7 (exactly the mean) must NOT flag
+    assert got == {(1, 6, 6)}
+
+
+def test_mutual_information_extremes(spark):
+    """Independent uniform -> MI 0; identical columns -> MI ln(2)."""
+    from kinesis_app_spark.registry_round3 import mutual_information_pairs  # noqa: F401  (entry smoke below)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # reuse the inner math through a minimal replica of the term algebra
+    import math
+
+    def mi_of(rows):
+        df = spark.createDataFrame(rows, "x string, y string")
+        cells = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+        mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = cells.agg(F.sum("c").alias("n"))
+        joined = (
+            cells.join(F.broadcast(mx), "x")
+            .join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        term = F.round(
+            (F.col("c") / F.col("n"))
+            * F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+            * 1e6
+        ).cast("long")
+        return (
+            joined.agg(
+                F.round(
+                    F.sum(term.cast("decimal(30,0)")).cast("double") / 1e6, 4
+                ).alias("mi")
+            ).collect()[0]["mi"]
+        )
+
+    indep = [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 5
+    assert mi_of(indep) == 0.0
+    dep = [("a", "a"), ("b", "b")] * 10
+    assert abs(mi_of(dep) - round(math.log(2), 4)) <= 1e-4
+
+
+def test_mutual_information_entry_bounds(spark):
+    from kinesis_app_spark.registry_round3 import mutual_information_pairs
+
+    rows = mutual_information_pairs(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["mi_nats"] >= -1e-6  # MI is non-negative (quantization slack)
+        assert r["n_cells"] >= 2
