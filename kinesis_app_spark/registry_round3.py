@@ -834,6 +834,315 @@ ORDER BY pair
 """
 
 
+# =====================================================================
+# Kaplan-Meier survival (time signup -> purchase, right-censored)
+# =====================================================================
+
+def kaplan_meier_conversion(spark, sf_dir):
+    """Kaplan-Meier estimate of the signup->purchase conversion curve:
+    per user, duration in whole days from first signup to first
+    subsequent purchase, right-censored at the corpus horizon when no
+    purchase follows. Emits the KM table per duration level: n at risk,
+    events, censored, and the survival estimate.
+
+    Determinism: d_i/n_i are exact integer ratios; each level's
+    ln((n_i-d_i)/n_i) is quantized to 1e-6 BEFORE the running sum (the
+    entropy/MI discipline), so the cumulative log-survival is an exact
+    integer prefix sum and survival = exp of it, rounded 4.
+
+    Scale shape: the observation build is one groupBy(user) fold; the KM
+    recursion runs over the LEVEL table — cardinality bounded by the
+    observation span in days (hundreds), data-size-independent — so the
+    single-partition window over levels is a histogram-table window, not
+    a fact-table one (contrast the r2-weak global-ntile entries, whose
+    windows spanned the fact table itself)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t_signup"),
+            F.max(F.col("ts")).alias("t_last"),
+        )
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("t_p"))
+    )
+    horizon = e.agg(F.max("ts").alias("t_horizon"))
+    obs = (
+        per_user.filter(F.col("t_signup").isNotNull())
+        .join(purchases, "user_id", "left")
+        .filter(F.col("t_p").isNull() | (F.col("t_p") >= F.col("t_signup")))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_p").alias("t_event"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t_event").isNotNull(),
+                F.datediff(F.col("t_event"), F.col("t_signup")),
+            )
+            .otherwise(F.datediff(F.col("t_horizon"), F.col("t_signup")))
+            .cast("long")
+            .alias("dur"),
+            F.col("t_event").isNotNull().cast("int").alias("is_event"),
+        )
+    )
+    levels = obs.groupBy("dur").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    km = (
+        levels.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "log_term",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")) / F.col("n_risk")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "log_surv",
+            F.sum("log_term").over(
+                Window.orderBy("dur").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        # a level where EVERY at-risk subject converts (d == n_risk) pins
+        # survival to exactly 0 from that level on — log space can't say it
+        .withColumn(
+            "zero_seen",
+            F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(
+                Window.orderBy("dur").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    return km.select(
+        "dur",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("events"),
+        F.col("c").cast("long").alias("censored"),
+        F.when(F.col("zero_seen") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("log_surv").cast("double") / 1e6), 4))
+        .alias("survival"),
+    ).orderBy("dur")
+
+
+KAPLAN_MEIER_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id
+), horizon AS (
+  SELECT max(ts) AS t_horizon FROM events
+), obs AS (
+  SELECT CAST(CASE WHEN e.t_event IS NOT NULL
+              THEN date_diff('day', CAST(p.t_signup AS DATE), CAST(e.t_event AS DATE))
+              ELSE date_diff('day', CAST(p.t_signup AS DATE), CAST(h.t_horizon AS DATE))
+              END AS BIGINT) AS dur,
+         CASE WHEN e.t_event IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM per_user p
+  LEFT JOIN (
+    SELECT pu.user_id, min(ev.ts) AS t_event
+    FROM per_user pu
+    JOIN events ev ON ev.user_id = pu.user_id
+     AND ev.event_type = 'purchase' AND ev.ts >= pu.t_signup
+    GROUP BY pu.user_id
+  ) e ON e.user_id = p.user_id
+  CROSS JOIN horizon h
+  WHERE p.t_signup IS NOT NULL
+), levels AS (
+  SELECT dur, sum(is_event) AS d, sum(1 - is_event) AS c
+  FROM obs GROUP BY dur
+), km AS (
+  SELECT dur, d, c,
+         (SELECT count(*) FROM obs)
+           - coalesce(sum(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM levels
+), logs AS (
+  SELECT dur, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN CAST(round(ln((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+              ELSE 0 END AS log_term,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS zero_flag
+  FROM km
+)
+SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS events,
+       CAST(c AS BIGINT) AS censored,
+       CASE WHEN max(zero_flag) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(CAST(sum(log_term) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6), 4)
+            END AS survival
+FROM logs
+ORDER BY dur
+"""
+
+
+# =====================================================================
+# functional-dependency audit (data-quality profiling)
+# =====================================================================
+
+def functional_dependency_audit(spark, sf_dir):
+    """Does lhs -> rhs hold? For four candidate dependencies report the
+    lhs group count, groups violating (rhs NDV > 1), the worst group's
+    rhs NDV, and the verdict — the profiling pass schema-inference and
+    data-contract tools run before trusting a column as a key. One
+    exact-distinct aggregate per candidate (map-side combined); no joins
+    of base tables."""
+
+    def fd(df, lhs, rhs, name):
+        g = df.groupBy(F.col(lhs)).agg(
+            F.countDistinct(F.col(rhs)).alias("ndv")
+        )
+        return g.agg(
+            F.lit(name).alias("dependency"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("ndv") > 1).cast("long")).alias("n_violating"),
+            F.max("ndv").cast("long").alias("max_rhs_ndv"),
+            (F.max("ndv") <= 1).alias("holds"),
+        )
+
+    od = _t(spark, sf_dir, "orders")
+    pt = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+    out = (
+        fd(od, "o_orderkey", "o_custkey", "orders:orderkey->custkey")
+        .unionByName(
+            fd(od, "o_custkey", "o_orderpriority", "orders:custkey->priority")
+        )
+        .unionByName(fd(pt, "p_brand", "p_type", "part:brand->type"))
+        .unionByName(fd(na, "n_name", "n_regionkey", "nation:name->region"))
+    )
+    return out.orderBy("dependency")
+
+
+FD_AUDIT_SQL = """
+WITH cand AS (
+  SELECT 'orders:orderkey->custkey' AS dependency,
+         CAST(o_orderkey AS VARCHAR) AS lhs, CAST(o_custkey AS VARCHAR) AS rhs
+  FROM orders
+  UNION ALL
+  SELECT 'orders:custkey->priority',
+         CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'part:brand->type', CAST(p_brand AS VARCHAR), CAST(p_type AS VARCHAR)
+  FROM part
+  UNION ALL
+  SELECT 'nation:name->region',
+         CAST(n_name AS VARCHAR), CAST(n_regionkey AS VARCHAR)
+  FROM nation
+), g AS (
+  SELECT dependency, lhs, count(DISTINCT rhs) AS ndv
+  FROM cand GROUP BY 1, 2
+)
+SELECT dependency,
+       count(*) AS n_groups,
+       sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS n_violating,
+       max(ndv) AS max_rhs_ndv,
+       max(ndv) <= 1 AS holds
+FROM g
+GROUP BY dependency
+ORDER BY dependency
+"""
+
+
+# =====================================================================
+# Neyman allocation for stratified sampling
+# =====================================================================
+
+_NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation_plan(spark, sf_dir):
+    """Optimal (Neyman) sample allocation across customer market-segment
+    strata for a _NEYMAN_BUDGET-row sample of acctbal: n_h proportional
+    to N_h * S_h. Moments are exact decimal sums; each stratum's N_h*S_h
+    weight is quantized to integer micro-units BEFORE the normalizing
+    total (the reassociation discipline), so the final allocations are
+    exact-integer arithmetic both engines reproduce. One pass over the
+    table + a 5-row fold — the plan is computed without sampling a
+    single row."""
+    cu = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(30,8)")
+    strata = cu.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    # population stddev from exact decimal moments; weight quantized
+    var = (
+        F.col("ss").cast("double") / F.col("n_h")
+        - (F.col("s").cast("double") / F.col("n_h"))
+        * (F.col("s").cast("double") / F.col("n_h"))
+    )
+    w_q = F.round(F.col("n_h") * F.sqrt(var) * 1e6).cast("long")
+    weighted = strata.withColumn("w_q", w_q)
+    total = weighted.agg(F.sum(F.col("w_q").cast("decimal(30,0)")).alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            F.col("n_h").cast("long").alias("stratum_rows"),
+            F.round(F.sqrt(var), 4).alias("stddev"),
+            F.round(
+                F.lit(_NEYMAN_BUDGET)
+                * (F.col("w_q") / F.col("w_tot").cast("double")),
+                2,
+            ).alias("allocation"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+NEYMAN_SQL = """
+WITH strata AS (
+  SELECT c_mktsegment, count(*) AS n_h,
+         sum(CAST(c_acctbal AS DECIMAL(30,8))) AS s,
+         sum(CAST(c_acctbal AS DECIMAL(30,8)) * CAST(c_acctbal AS DECIMAL(30,8))) AS ss
+  FROM customer GROUP BY c_mktsegment
+), weighted AS (
+  SELECT c_mktsegment, n_h,
+         sqrt(CAST(ss AS DOUBLE) / n_h
+              - (CAST(s AS DOUBLE) / n_h) * (CAST(s AS DOUBLE) / n_h)) AS sd,
+         CAST(round(n_h * sqrt(CAST(ss AS DOUBLE) / n_h
+              - (CAST(s AS DOUBLE) / n_h) * (CAST(s AS DOUBLE) / n_h)) * 1e6)
+              AS BIGINT) AS w_q
+  FROM strata
+), tot AS (
+  SELECT sum(w_q) AS w_tot FROM weighted
+)
+SELECT c_mktsegment, CAST(n_h AS BIGINT) AS stratum_rows,
+       round(sd, 4) AS stddev,
+       round(1000 * (w_q / CAST(w_tot AS DOUBLE)), 2) AS allocation
+FROM weighted CROSS JOIN tot
+ORDER BY c_mktsegment
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -864,6 +1173,13 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "mutual_information_pairs": QuerySpec(
         mutual_information_pairs, MUTUAL_INFO_SQL
     ),
+    "kaplan_meier_conversion": QuerySpec(
+        kaplan_meier_conversion, KAPLAN_MEIER_SQL
+    ),
+    "functional_dependency_audit": QuerySpec(
+        functional_dependency_audit, FD_AUDIT_SQL
+    ),
+    "neyman_allocation_plan": QuerySpec(neyman_allocation_plan, NEYMAN_SQL),
 }
 
 # the prefix-filter formulation must equal the inverted-index one —

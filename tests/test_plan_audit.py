@@ -55,6 +55,9 @@ ALLOWED_NLJ: dict[str, str] = {
     "join_planning_advisor": "four 1-row dim-count broadcasts: the advisor "
     "reads statistics, never executes the joins it advises on",
     "mutual_information_pairs": "per-pair grand total: 1-row broadcast",
+    "kaplan_meier_conversion": "corpus horizon + observation total: 1-row "
+    "broadcasts; the KM window runs over the bounded level table",
+    "neyman_allocation_plan": "normalizing weight total: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
     "cross_join_region_nation": "deliberate cross join of two dimension tables",

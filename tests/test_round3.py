@@ -732,3 +732,48 @@ def test_mutual_information_entry_bounds(spark):
     for r in rows:
         assert r["mi_nats"] >= -1e-6  # MI is non-negative (quantization slack)
         assert r["n_cells"] >= 2
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 5: Kaplan-Meier / FD audit / Neyman allocation
+# ---------------------------------------------------------------------
+
+def test_kaplan_meier_curve_properties(spark):
+    from kinesis_app_spark.registry_round3 import kaplan_meier_conversion
+
+    rows = kaplan_meier_conversion(spark, SF_DIR).collect()
+    assert rows
+    prev = 1.0
+    total = rows[0]["n_risk"]
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9, r
+        prev = r["survival"]
+        assert r["events"] + r["censored"] <= r["n_risk"]
+    # risk sets telescope: each level's n_risk drops by the prior exits
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["events"] - a["censored"]
+    assert total == sum(r["events"] + r["censored"] for r in rows)
+
+
+def test_fd_audit_verdicts(spark):
+    from kinesis_app_spark.registry_round3 import functional_dependency_audit
+
+    got = {
+        r["dependency"]: r["holds"]
+        for r in functional_dependency_audit(spark, SF_DIR).collect()
+    }
+    assert got["orders:orderkey->custkey"] is True  # key FD
+    assert got["nation:name->region"] is True
+    assert got["orders:custkey->priority"] is False  # customers reorder
+    assert got["part:brand->type"] is False
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from kinesis_app_spark.registry_round3 import neyman_allocation_plan
+
+    rows = neyman_allocation_plan(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert abs(sum(r["allocation"] for r in rows) - 1000) < 0.5
+    for r in rows:
+        assert r["allocation"] > 0
+        assert r["stddev"] > 0
