@@ -1143,6 +1143,272 @@ ORDER BY c_mktsegment
 """
 
 
+# =====================================================================
+# population stability index (drift monitoring)
+# =====================================================================
+
+_PSI_BINS = 10
+
+
+def psi_drift_report(spark, sf_dir):
+    """Population Stability Index of o_totalprice between the pre- and
+    post-1997 halves: 10 fixed-width bins anchored on the REFERENCE
+    half's min/max (the monitoring convention — the baseline defines the
+    binning, the current window is scored against it), Laplace +1
+    smoothing so empty bins stay finite, per-bin contribution
+    (p-q)*ln(p/q) quantized to 1e-6. Emits the per-bin table; PSI is the
+    contribution sum (tests pin the usual <0.1/0.25 bands).
+
+    Scale shape: two conditional aggregates over one scan (FILTER-style
+    split, no self-join), bin edges from a 1-row broadcast; everything
+    else is exact-count arithmetic."""
+    od = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+    is_ref = F.col("o_orderdate") < split
+    edges = od.filter(is_ref).agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = od.crossJoin(F.broadcast(edges)).select(
+        is_ref.cast("int").alias("is_ref"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+                ).cast("int"),
+                F.lit(_PSI_BINS - 1),
+            ),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).alias("cur_n"),
+    )
+    tot = binned.agg(
+        F.sum("is_ref").alias("ref_tot"),
+        F.sum(1 - F.col("is_ref")).alias("cur_tot"),
+    )
+    p = (F.col("ref_n") + 1) / (F.col("ref_tot") + _PSI_BINS)
+    q = (F.col("cur_n") + 1) / (F.col("cur_tot") + _PSI_BINS)
+    contrib = F.round((p - q) * F.log(p / q) * 1e6).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.round(p, 6).alias("ref_pct"),
+            F.round(q, 6).alias("cur_pct"),
+            F.round(contrib.cast("double") / 1e6, 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+PSI_SQL = """
+WITH edges AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+), binned AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              THEN 1 ELSE 0 END AS is_ref,
+         greatest(0, least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS INT), 9)) AS bin
+  FROM orders CROSS JOIN edges
+), cells AS (
+  SELECT bin, sum(is_ref) AS ref_n, sum(1 - is_ref) AS cur_n
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT sum(is_ref) AS ref_tot, sum(1 - is_ref) AS cur_tot FROM binned
+)
+SELECT bin, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+       round((ref_n + 1) / CAST(ref_tot + 10 AS DOUBLE), 6) AS ref_pct,
+       round((cur_n + 1) / CAST(cur_tot + 10 AS DOUBLE), 6) AS cur_pct,
+       round(CAST(round(((ref_n + 1) / CAST(ref_tot + 10 AS DOUBLE)
+                        - (cur_n + 1) / CAST(cur_tot + 10 AS DOUBLE))
+                  * ln(((ref_n + 1) / CAST(ref_tot + 10 AS DOUBLE))
+                       / ((cur_n + 1) / CAST(cur_tot + 10 AS DOUBLE)))
+                  * 1e6) AS BIGINT) / 1e6, 6) AS psi_contrib
+FROM cells CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+# =====================================================================
+# split-conformal prediction intervals (distribution-free coverage)
+# =====================================================================
+
+_CONFORMAL_ALPHA = 0.1
+
+
+def conformal_interval_events(spark, sf_dir):
+    """Split-conformal calibration of a per-event-type mean predictor:
+    events hash-split into calibration/test, the 90% conformal quantile
+    q_hat is the EXACT ceil(0.9*(n_cal+1))-th smallest calibration
+    residual — resolved by the distributed rank-statistics probe
+    (operators/rankstats: histogram + bounded bucket probe, never a
+    global sort), and the guaranteed-coverage bound is then checked on
+    the test half. One summary row: n_cal, n_test, q_hat, coverage.
+
+    The conformal guarantee (coverage >= 1 - alpha under
+    exchangeability) is the distribution-free ML-deployment tool; its
+    entire computation here is joins + one order statistic, which is why
+    it belongs in an engine, not a model server."""
+    from kinesis_app_spark.operators.rankstats import values_at_ranks
+
+    e = _t(spark, sf_dir, "events")
+    split_bit = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    base = e.select("event_id", "event_type", "value", split_bit.alias("half"))
+    means = (
+        base.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v")
+        )
+    )
+    resid = base.join(F.broadcast(means), "event_type").select(
+        "event_id",
+        "half",
+        F.abs(F.col("value") - F.col("mean_v")).alias("r"),
+    )
+    cal = resid.filter(F.col("half") == 0)
+    n_cal = cal.count()
+    import math
+
+    k = min(math.ceil((1 - _CONFORMAL_ALPHA) * (n_cal + 1)), n_cal)
+    q_hat = values_at_ranks(cal, "r", [k - 1])[k - 1]
+    test = resid.filter(F.col("half") == 1)
+    return test.agg(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.lit(q_hat), 6).alias("q_hat"),
+        F.round(
+            F.sum((F.col("r") <= q_hat).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )
+
+
+CONFORMAL_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half
+  FROM events
+), means AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mean_v
+  FROM base WHERE half = 0 GROUP BY event_type
+), resid AS (
+  SELECT b.event_id, b.half, abs(b.value - m.mean_v) AS r
+  FROM base b JOIN means m USING (event_type)
+), cal AS (
+  SELECT r FROM resid WHERE half = 0
+), k AS (
+  SELECT least(CAST(ceil(0.9 * (count(*) + 1)) AS BIGINT), count(*)) AS k,
+         count(*) AS n_cal
+  FROM cal
+), qhat AS (
+  SELECT (SELECT r FROM cal ORDER BY r OFFSET (SELECT k - 1 FROM k) LIMIT 1) AS q,
+         (SELECT n_cal FROM k) AS n_cal
+)
+SELECT n_cal,
+       count(*) AS n_test,
+       round(q, 6) AS q_hat,
+       round(sum(CASE WHEN r <= q THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS coverage
+FROM resid CROSS JOIN qhat
+WHERE half = 1
+GROUP BY n_cal, q
+"""
+
+
+# =====================================================================
+# frequent triples (A-priori depth-3, in-row expansion)
+# =====================================================================
+
+_TRIPLE_MIN_SUPPORT = 3
+
+
+def frequent_triples_brands(spark, sf_dir):
+    """Frequent 3-itemsets of brands per order basket: the A-priori
+    extension of association_rules_brands one level deeper. Pair
+    expansion generalizes: the sorted distinct item array expands its
+    C(n,3) triples IN-ROW (codegen transform, no self-join; basket width
+    is schema-bounded at <= 7 brands here, and association_rules'
+    basket-size gate slots in front of this expansion for adversarial
+    data), then one count shuffle on the triple. Top-30 by support with
+    full tiebreaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("item")).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    triples = baskets.filter(n >= 3).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.flatten(
+                        F.transform(
+                            F.sequence(i + 1, n - 2),
+                            lambda j: F.transform(
+                                F.sequence(j + 1, n - 1),
+                                lambda k: F.struct(
+                                    F.element_at(arr, i + 1).alias("a"),
+                                    F.element_at(arr, j + 1).alias("b"),
+                                    F.element_at(arr, k + 1).alias("c"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("t")
+    )
+    return (
+        triples.groupBy(
+            F.col("t.a").alias("item_a"),
+            F.col("t.b").alias("item_b"),
+            F.col("t.c").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _TRIPLE_MIN_SUPPORT)
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b", "item_c")
+        .limit(30)
+    )
+
+
+FREQUENT_TRIPLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+       count(*) AS n_baskets
+FROM items a
+JOIN items b ON b.l_orderkey = a.l_orderkey AND b.item > a.item
+JOIN items c ON c.l_orderkey = a.l_orderkey AND c.item > b.item
+GROUP BY 1, 2, 3
+HAVING count(*) >= 3
+ORDER BY n_baskets DESC, item_a, item_b, item_c
+LIMIT 30
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -1180,6 +1446,13 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
         functional_dependency_audit, FD_AUDIT_SQL
     ),
     "neyman_allocation_plan": QuerySpec(neyman_allocation_plan, NEYMAN_SQL),
+    "psi_drift_report": QuerySpec(psi_drift_report, PSI_SQL),
+    "conformal_interval_events": QuerySpec(
+        conformal_interval_events, CONFORMAL_SQL
+    ),
+    "frequent_triples_brands": QuerySpec(
+        frequent_triples_brands, FREQUENT_TRIPLES_SQL
+    ),
 }
 
 # the prefix-filter formulation must equal the inverted-index one —

@@ -777,3 +777,44 @@ def test_neyman_allocation_sums_to_budget(spark):
     for r in rows:
         assert r["allocation"] > 0
         assert r["stddev"] > 0
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 6: PSI drift / conformal intervals / frequent triples
+# ---------------------------------------------------------------------
+
+def test_psi_contributions_nonnegative_and_binned(spark):
+    from kinesis_app_spark.registry_round3 import psi_drift_report
+
+    rows = psi_drift_report(spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    psi = sum(r["psi_contrib"] for r in rows)
+    for r in rows:
+        # (p-q)ln(p/q) >= 0 always; quantization slack only
+        assert r["psi_contrib"] >= -1e-6, r
+    # same-generator halves: drift must be below the 0.25 alarm band
+    assert 0 <= psi < 0.25, psi
+
+
+def test_conformal_coverage_near_target(spark):
+    from kinesis_app_spark.registry_round3 import conformal_interval_events
+
+    row = conformal_interval_events(spark, SF_DIR).collect()[0]
+    assert row["q_hat"] > 0
+    assert row["n_cal"] > 0 and row["n_test"] > 0
+    # 90% split-conformal guarantee, finite-sample slack
+    assert row["coverage"] >= 0.8, row
+
+
+def test_frequent_triples_ordered_and_supported(spark):
+    from kinesis_app_spark.registry_round3 import frequent_triples_brands
+
+    rows = frequent_triples_brands(spark, SF_DIR).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r["item_a"] < r["item_b"] < r["item_c"]
+        assert r["n_baskets"] >= 3
+        if prev is not None:
+            assert r["n_baskets"] <= prev
+        prev = r["n_baskets"]
