@@ -1409,6 +1409,142 @@ LIMIT 30
 """
 
 
+# =====================================================================
+# CUSUM change-point flags (max-recursion as window algebra)
+# =====================================================================
+
+def cusum_changepoints_events(spark, sf_dir):
+    """One-sided CUSUM drift flags per user: S_t = max(0, S_{t-1} + x_t
+    - k) exceeds h. The max() recursion looks sequential but is exactly
+    S_t = C_t - min(0, min_{i<=t} C_i) for the plain prefix sum C of
+    (x - k) — so the whole detector is TWO stacked windows over ONE
+    (user, ts, id) sort: a cumsum and a running min, no recursion, no
+    UDF, no second exchange. Allowance k = floor(global mean), threshold
+    h = 5k; values milli-scaled to exact integers, so the flag set
+    hash-matches across engines.
+
+    Scale shape: one Exchange on user_id shared by both window frames;
+    the 1-row global-mean broadcast is the only other input."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    scaled = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("x"),
+    )
+    kdf = scaled.agg(
+        F.floor(
+            F.sum(F.col("x").cast("decimal(30,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("k")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.sum(F.col("x") - F.col("k")).over(wall)
+    with_s = (
+        scaled.crossJoin(F.broadcast(kdf))
+        .withColumn("c", c)
+        .withColumn(
+            "s", F.col("c") - F.least(F.lit(0), F.min("c").over(wall))
+        )
+    )
+    return (
+        with_s.filter(F.col("s") > 5 * F.col("k"))
+        .select("user_id", "event_id", F.col("s").alias("cusum"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+CUSUM_SQL = """
+WITH scaled AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+  FROM events
+), k AS (
+  SELECT CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS k
+  FROM scaled
+), pre AS (
+  SELECT user_id, ts, event_id, k,
+         sum(x - k) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM scaled CROSS JOIN k
+), pre2 AS (
+  SELECT user_id, event_id, k, c,
+         min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre
+)
+SELECT user_id, event_id, c - least(0, runmin) AS cusum
+FROM pre2
+WHERE c - least(0, runmin) > 5 * k
+ORDER BY user_id, event_id
+"""
+
+
+# =====================================================================
+# Benford first-digit audit (fraud / data-quality screening)
+# =====================================================================
+
+def benford_audit_prices(spark, sf_dir):
+    """First-significant-digit distribution of o_totalprice vs Benford's
+    law, with the per-digit chi-square contribution. Digit extraction is
+    floor(x / 10^floor(log10 x)) — the identical double expression on
+    both engines; expected shares are log10(1+1/d); contributions are
+    quantized to 1e-6 before any cross-row math. A pure two-aggregate
+    pipeline (digit histogram + 1-row total)."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    cells = od.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    expected = F.log(F.lit(1.0) + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    exp_n = F.col("n") * expected
+    chi = F.round(
+        (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n * 1e6
+    ).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_pct"),
+            F.round(expected, 6).alias("benford_pct"),
+            F.round(chi.cast("double") / 1e6, 6).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT)
+           AS digit,
+         count(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+), tot AS (
+  SELECT sum(n_obs) AS n FROM cells
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs / CAST(n AS DOUBLE), 6) AS obs_pct,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_pct,
+       round(CAST(round((n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                  * (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                  / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1e6) AS BIGINT)
+             / 1e6, 6) AS chi2_contrib
+FROM cells CROSS JOIN tot
+ORDER BY digit
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -1453,6 +1589,10 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "frequent_triples_brands": QuerySpec(
         frequent_triples_brands, FREQUENT_TRIPLES_SQL
     ),
+    "cusum_changepoints_events": QuerySpec(
+        cusum_changepoints_events, CUSUM_SQL
+    ),
+    "benford_audit_prices": QuerySpec(benford_audit_prices, BENFORD_SQL),
 }
 
 # the prefix-filter formulation must equal the inverted-index one —

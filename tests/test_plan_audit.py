@@ -59,6 +59,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "broadcasts; the KM window runs over the bounded level table",
     "neyman_allocation_plan": "normalizing weight total: 1-row broadcast",
     "psi_drift_report": "reference bin edges + half totals: 1-row broadcasts",
+    "cusum_changepoints_events": "global allowance k: 1-row broadcast",
+    "benford_audit_prices": "digit-histogram total: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
     "cross_join_region_nation": "deliberate cross join of two dimension tables",

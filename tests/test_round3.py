@@ -818,3 +818,51 @@ def test_frequent_triples_ordered_and_supported(spark):
         if prev is not None:
             assert r["n_baskets"] <= prev
         prev = r["n_baskets"]
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 7: CUSUM change-points / Benford audit
+# ---------------------------------------------------------------------
+
+def test_cusum_window_algebra_equals_recursion(spark):
+    """The two-window closed form must equal the sequential
+    S_t = max(0, S_{t-1} + x_t - k) recursion computed in Python."""
+    from kinesis_app_spark.registry_round3 import cusum_changepoints_events
+    from kinesis_app_spark.registry_util import table
+
+    got = {
+        (r["user_id"], r["event_id"]): r["cusum"]
+        for r in cusum_changepoints_events(spark, SF_DIR).collect()
+    }
+    rows = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    import math
+
+    scaled = [
+        (r["user_id"], r["ts"], r["event_id"],
+         math.floor(r["value"] * 1000 + 0.5))
+        for r in rows
+    ]
+    k = math.floor(sum(x for *_, x in scaled) / len(scaled))
+    want = {}
+    by_user: dict = {}
+    for u, ts, eid, x in sorted(scaled, key=lambda t: (t[0], t[1], t[2])):
+        s = max(0, by_user.get(u, 0) + x - k)
+        by_user[u] = s
+        if s > 5 * k:
+            want[(u, eid)] = s
+    assert got == want and want
+
+
+def test_benford_audit_shape(spark):
+    from kinesis_app_spark.registry_round3 import benford_audit_prices
+
+    rows = benford_audit_prices(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["obs_pct"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_pct"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["chi2_contrib"] >= 0
