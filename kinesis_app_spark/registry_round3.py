@@ -1545,6 +1545,144 @@ ORDER BY digit
 """
 
 
+# =====================================================================
+# cascaded time rollups (reaggregation from coarser levels)
+# =====================================================================
+
+def cascaded_time_rollups(spark, sf_dir):
+    """Hour -> day -> week rollup cascade: the weekly view is computed
+    FROM the daily view, which is computed FROM the hourly view — never
+    from raw events again. Emits the weekly level; the oracle computes
+    weekly straight from the events, proving the cascade is lossless.
+
+    Scale shape: this is the materialized-rollup discipline — each level
+    reads the previous level (24x, then 7x smaller), so the daily job
+    touches |hours| rows, not |events|; measures are count + decimal sum
+    (additive, so reaggregation is exact — a median or distinct would
+    need the raw level or a mergeable sketch, stated not hidden)."""
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(30,8)")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("v"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").cast("decimal(30,8)").alias("v"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("week"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").cast("decimal(30,8)").alias("v"))
+    return weekly.select(
+        "week",
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("v", 2).cast("double").alias("value_sum"),
+    ).orderBy("week", "event_type")
+
+
+CASCADED_ROLLUP_SQL = """
+SELECT date_trunc('week', ts) AS week, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY week, event_type
+"""
+
+
+# =====================================================================
+# grouped closed-form OLS (a million small regressions as ONE aggregate)
+# =====================================================================
+
+def grouped_ols_user_trends(spark, sf_dir):
+    """Per-user OLS trend of event value over time: slope and intercept
+    from the closed-form normal equations, computed as ONE map-side-
+    combinable aggregate per user — n, Sx, Sy, Sxx, Sxy in exact
+    decimals, then two scalar divisions. The 'fit a million small
+    models' shape: no per-group iteration, no UDF, no collect — a
+    GroupBy is the trainer. Users with < 3 events or a degenerate
+    x-range are reported with null slope (contract, not a crash).
+
+    Numerical note: the time anchor sits INSIDE the data range
+    (2024-01-01). The raw-moment normal equations subtract two
+    near-equal ~n^2*mean(x)^2 terms, so an anchor far from the data
+    (epoch 1970/1995) loses ~6 significant digits to cancellation —
+    observed as a 0.7-unit intercept error on a perfect-line fixture —
+    while an in-range anchor keeps det the same magnitude as its terms.
+    Both engines compute the identical (mis)value either way; the anchor
+    choice is what makes the VALUE right, not just reproducible."""
+    e = _t(spark, sf_dir, "events")
+    # x in EXACT integer seconds since 1995-01-01 (ts is whole seconds):
+    # the moment sums are then exact decimals with no double->decimal
+    # rounding divergence; slope converts to per-hour only at the end
+    # cast(ts as long) FLOORS the sub-second part; the oracle must floor
+    # epoch() too (epoch returns a fractional double there)
+    x = F.col("ts").cast("long") - F.lit(1704067200)
+    # y milli-scaled to an exact integer (the CUSUM convention); per-row
+    # products stay inside int64 (x <= ~1e8 -> x*x <= 1e16, x*y_m <= 1e14)
+    # and only the SUMS widen to exact decimal(38,0)
+    y_m = F.floor(F.col("value") * 1000 + 0.5).cast("long")
+    base = e.select(
+        "user_id",
+        x.alias("x"),
+        y_m.alias("y"),
+        (x * x).alias("xx"),
+        (x * y_m).alias("xy"),
+    )
+    g = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("xx").cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    det = n * sxx - sx * sx
+    slope_m = (n * sxy - sx * sy) / F.nullif(det, F.lit(0.0))
+    return g.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        # milli-units/sec -> real units/hour: * 3600 / 1000 = * 3.6
+        F.when(F.col("n") >= 3, F.round(slope_m * 3.6, 4)).alias(
+            "slope_per_hour"
+        ),
+        F.when(
+            F.col("n") >= 3,
+            F.round((sy - slope_m * sx) / n / 1000.0, 4),
+        ).alias("intercept"),
+    ).orderBy("user_id")
+
+
+GROUPED_OLS_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM base GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN n >= 3 THEN round(
+         ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+         * 3.6, 4) END AS slope_per_hour,
+       CASE WHEN n >= 3 THEN round(
+         (CAST(sy AS DOUBLE)
+          - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+            * CAST(sx AS DOUBLE)) / n / 1000.0, 4) END AS intercept
+FROM g
+ORDER BY user_id
+"""
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -1593,6 +1731,12 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
         cusum_changepoints_events, CUSUM_SQL
     ),
     "benford_audit_prices": QuerySpec(benford_audit_prices, BENFORD_SQL),
+    "cascaded_time_rollups": QuerySpec(
+        cascaded_time_rollups, CASCADED_ROLLUP_SQL
+    ),
+    "grouped_ols_user_trends": QuerySpec(
+        grouped_ols_user_trends, GROUPED_OLS_SQL
+    ),
 }
 
 # the prefix-filter formulation must equal the inverted-index one —

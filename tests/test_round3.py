@@ -866,3 +866,73 @@ def test_benford_audit_shape(spark):
     assert abs(sum(r["benford_pct"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["chi2_contrib"] >= 0
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 8: cascaded rollups / grouped closed-form OLS
+# ---------------------------------------------------------------------
+
+def test_cascaded_rollup_equals_direct(spark):
+    from kinesis_app_spark.registry_round3 import cascaded_time_rollups
+    from kinesis_app_spark.registry_util import table
+
+    got = {
+        (r["week"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in cascaded_time_rollups(spark, SF_DIR).collect()
+    }
+    e = table(spark, SF_DIR, "events")
+    direct = {
+        (r["week"], r["event_type"]): (r["n"], r["v"])
+        for r in e.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("v"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_grouped_ols_recovers_perfect_line(spark):
+    import datetime as dt
+
+    from kinesis_app_spark.operators.rankstats import values_at_ranks  # noqa: F401
+    from kinesis_app_spark.registry_round3 import grouped_ols_user_trends
+
+    # route through a temp parquet dir shaped like the events table
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: y = 2*x_hours + 5 against the 2024-01-01 anchor
+    for i in range(10):
+        rows.append(
+            (100 + i, t0 + dt.timedelta(hours=i), 1, "view", 5.0 + 2.0 * i, "{}")
+        )
+    # user 2: all events at the SAME second -> degenerate x, null slope
+    for i in range(4):
+        rows.append((200 + i, t0, 2, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ols_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in grouped_ols_user_trends(spark, d).collect()
+    }
+    assert abs(got[1]["slope_per_hour"] - 2.0) < 1e-6
+    assert got[2]["slope_per_hour"] is None
+    assert got[2]["intercept"] is None
+    # the fitted line passes through the sample mean: check prediction
+    # at the first point (x0 hours since anchor)
+    # anchor == t0 == 2024-01-01, so the intercept IS the value at the
+    # first point; with a far anchor this assertion catches the
+    # cancellation bug the entry's numerical note describes
+    assert abs(got[1]["intercept"] - 5.0) < 0.01
