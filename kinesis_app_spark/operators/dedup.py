@@ -801,32 +801,38 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    order: str = "hash",
 ) -> DataFrame:
     """All pairs with Jaccard >= threshold via PREFIX FILTERING (the
     SSJoin/PPJoin family) — exact output, candidate set a fraction of the
     inverted-index self-join's.
 
-    Canonical order: shingles sorted by (document frequency ASC, shingle)
-    — one global total order, rarest first. Each doc indexes only its
-    first p = |x| - ceil(t*|x|) + 1 shingles. Completeness: J(A,B) >= t
-    implies |A^B| >= ceil(t*max(|A|,|B|)) (since min >= t*max), and an
-    intersection that avoided either prefix entirely would fit in the
-    ceil(t*|x|)-1 tail — contradiction; so every qualifying pair shares a
-    prefix shingle and the filter loses nothing (unlike the
-    max_shingle_df stop-shingle cap, which trades recall for the same
-    safety).
+    Canonical order — ANY global total order satisfies the prefix-filter
+    lemma; two are offered:
+    - ``order="hash"`` (default): shingles sorted by (xxhash64, shingle)
+      IN-ROW — the prefix is a codegen array_sort+slice inside the doc
+      row, so candidate generation adds ZERO shuffles over the plain
+      posting join.
+    - ``order="df"``: document-frequency ASCENDING — costs one extra
+      count shuffle + one join, but the prefixes then hold the RAREST
+      shingles, so the candidate join's key distribution is the cold
+      tail: the skew-tuned choice for a boilerplate-ridden corpus.
+    Both produce the IDENTICAL final pair set (verification is exact);
+    tests pin the equality.
 
-    Scale notes (100 TB):
-    - The self-join's posting list shrinks from sum(|x|) to
-      ~ (1-t)*sum(|x|) rows, and — because the canonical order is
-      df-ASCENDING — prefixes hold the RAREST shingles, so the join keys
-      are the cold tail of the frequency distribution: the skew guard
-      other formulations bolt on is built into the ordering.
-    - Verification joins the two full shingle arrays back by doc id and
-      intersects in-row (array_intersect, codegen); at petabyte scale
-      carry xxhash64(shingle) arrays so verify rows stay fixed-width.
-    - The df-count shuffle is reused for the ordering join; postings are
-      checkpointed pre-partitioned by shingle like ngram_jaccard_pairs.
+    Each doc indexes only its first p = |x| - ceil(t*|x|) + 1 shingles.
+    Completeness: J(A,B) >= t implies |A^B| >= ceil(t*max(|A|,|B|))
+    (since min >= t*max), and an intersection that avoided either prefix
+    entirely would fit in the ceil(t*|x|)-1 tail — contradiction; so
+    every qualifying pair shares a prefix shingle and the filter loses
+    nothing (unlike the max_shingle_df stop-shingle cap, which trades
+    recall for the same safety).
+
+    Scale notes (100 TB): the self-join's posting list shrinks from
+    sum(|x|) to ~ (1-t)*sum(|x|) rows. Verification joins the two full
+    shingle arrays back by doc id and intersects in-row
+    (array_intersect, codegen); at petabyte scale carry
+    xxhash64(shingle) arrays so verify rows stay fixed-width.
     """
     sh = (
         spread(df)
@@ -837,40 +843,92 @@ def prefix_filter_jaccard_pairs(
         .filter(F.size("shingles") > 0)
         .localCheckpoint()
     )
-    postings = sh.select(
-        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    )
-    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    ordered = (
-        postings.join(dfreq, "shingle")
-        .groupBy("id")
-        .agg(
-            F.max("n_sh").alias("n_sh"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
-            ).alias("ord"),
-        )
-    )
     plen = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        F.size("shingles")
+        - F.ceil(F.lit(threshold) * F.size("shingles"))
+        + 1
     ).cast("int")
-    prefix = (
-        ordered.select(
-            "id", F.explode(F.slice(F.col("ord"), F.lit(1), plen)).alias("p")
+    if order == "hash":
+        ordered_arr = F.array_sort(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.struct(
+                    F.xxhash64(s).alias("h"), s.alias("shingle")
+                ),
+            )
         )
-        .select("id", F.col("p.shingle").alias("shingle"))
-        .repartition("shingle")
-        .localCheckpoint()
-    )
+        prefix = (
+            sh.select(
+                "id",
+                F.size("shingles").alias("n"),
+                F.explode(F.slice(ordered_arr, F.lit(1), plen)).alias("p"),
+            )
+            .select("id", "n", F.col("p.shingle").alias("shingle"))
+            .localCheckpoint()
+        )
+    elif order == "df":
+        postings = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+        dfreq = postings.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("sdf")
+        )
+        ordered = (
+            postings.join(dfreq, "shingle")
+            .groupBy("id")
+            .agg(
+                F.max("n_sh").alias("n_sh"),
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
+                ).alias("ord"),
+            )
+        )
+        dlen = (
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).cast("int")
+        prefix = (
+            ordered.select(
+                "id",
+                F.col("n_sh").alias("n"),
+                F.explode(F.slice(F.col("ord"), F.lit(1), dlen)).alias("p"),
+            )
+            .select("id", "n", F.col("p.shingle").alias("shingle"))
+            .repartition("shingle")
+            .localCheckpoint()
+        )
+    else:
+        raise ValueError(f"unknown canonical order {order!r}")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # the SIZE FILTER rides the candidate join: J >= t forces
+    # t*max(|A|,|B|) <= min(|A|,|B|), so length-mismatched pairs die in
+    # the join predicate, before the distinct and the array verify
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n"))
+                * F.lit(threshold)
+                <= F.least(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    # the verify is per-row CPU (hash-set intersection of two ~|x| string
+    # arrays), and AQE coalesces the candidate shuffle by BYTES — id-pair
+    # rows are so narrow that a multi-hundred-thousand-pair candidate set
+    # coalesces to a couple of tasks, serializing the verify (observed:
+    # 3 tasks, 5.6 s -> the whole entry's cost). stats-gated spread()
+    # cannot see this (join-cardinality estimates overshoot its byte
+    # threshold), so re-widen unconditionally: one narrow exchange of
+    # 16-byte pairs, which at real scale doubles as the balancing step
+    # you want in front of a per-pair verify anyway
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -936,3 +936,38 @@ def test_grouped_ols_recovers_perfect_line(spark):
     # first point; with a far anchor this assertion catches the
     # cancellation bug the entry's numerical note describes
     assert abs(got[1]["intercept"] - 5.0) < 0.01
+
+
+def test_prefix_filter_orders_agree(spark):
+    """hash-canonical and df-ascending canonical orders must emit the
+    identical exact pair set (any global total order satisfies the
+    prefix-filter lemma)."""
+    from kinesis_app_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from kinesis_app_spark.registry_util import table
+
+    docs = table(spark, SF_DIR, "documents")
+    h = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, k=3, threshold=0.5, order="hash"
+        ).collect()
+    }
+    d = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, k=3, threshold=0.5, order="df"
+        ).collect()
+    }
+    assert h == d and h
+
+
+def test_prefix_filter_rejects_unknown_order(spark):
+    import pytest as _pytest
+
+    from kinesis_app_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from kinesis_app_spark.registry_util import table
+
+    with _pytest.raises(ValueError, match="order"):
+        prefix_filter_jaccard_pairs(
+            table(spark, SF_DIR, "documents"), order="nope"
+        ).collect()
