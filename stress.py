@@ -72,6 +72,10 @@ ENTRIES = [
     "url_canonicalize_docs",     # zero-shuffle codegen curation (r3)
     "quality_classifier_scores",  # hashed-features model apply (r3)
     "bpe_apply_tokenize",        # vocab-bounded tokenizer apply (r3)
+    "dedup_jaccard_prefix",      # prefix-filtered set-sim join (r3b)
+    "paragraph_dedup_docs",      # first-wins segment dedup, MIN winner (r3b)
+    "cusum_changepoints_events",  # two-window CUSUM over one sort (r3b)
+    "grouped_ols_user_trends",   # per-key closed-form OLS aggregate (r3b)
 ]
 
 
