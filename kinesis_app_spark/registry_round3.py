@@ -875,9 +875,15 @@ def kaplan_meier_conversion(spark, sf_dir):
     obs = (
         per_user.filter(F.col("t_signup").isNotNull())
         .join(purchases, "user_id", "left")
-        .filter(F.col("t_p").isNull() | (F.col("t_p") >= F.col("t_signup")))
+        # conditional min, NOT a row filter: a user whose purchases are
+        # all pre-signup must survive as CENSORED (a filter would drop
+        # their every joined row and erase them from the risk set)
         .groupBy("user_id", "t_signup")
-        .agg(F.min("t_p").alias("t_event"))
+        .agg(
+            F.min(
+                F.when(F.col("t_p") >= F.col("t_signup"), F.col("t_p"))
+            ).alias("t_event")
+        )
         .crossJoin(F.broadcast(horizon))
         .select(
             F.when(

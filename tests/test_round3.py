@@ -971,3 +971,36 @@ def test_prefix_filter_rejects_unknown_order(spark):
         prefix_filter_jaccard_pairs(
             table(spark, SF_DIR, "documents"), order="nope"
         ).collect()
+
+
+def test_kaplan_meier_pre_signup_purchaser_is_censored(spark):
+    """A user whose only purchases PRECEDE their signup must appear in
+    the risk set as censored, not vanish (row-filter regression)."""
+    import datetime as dt
+    import tempfile
+
+    from kinesis_app_spark.registry_round3 import kaplan_meier_conversion
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        # user 1: purchase BEFORE signup only
+        (1, t0 - dt.timedelta(days=3), 1, "purchase", 1.0, "{}"),
+        (2, t0, 1, "signup", 1.0, "{}"),
+        # user 2: converts 2 days after signup
+        (3, t0, 2, "signup", 1.0, "{}"),
+        (4, t0 + dt.timedelta(days=2), 2, "purchase", 1.0, "{}"),
+        # horizon pusher
+        (5, t0 + dt.timedelta(days=9), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="km_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = kaplan_meier_conversion(spark, d).collect()
+    total = out[0]["n_risk"]
+    assert total == 2  # both signup users in the risk set
+    assert sum(r["censored"] for r in out) == 1  # user 1 censored
+    assert sum(r["events"] for r in out) == 1  # user 2 converts
