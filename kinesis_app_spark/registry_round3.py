@@ -1689,6 +1689,30 @@ ORDER BY user_id
 """
 
 
+# =====================================================================
+# two-phase star connected components (O(log n) rounds)
+# =====================================================================
+
+def dedup_cluster_components_star(spark, sf_dir):
+    """The dedup_cluster_components pipeline with the LARGE-STAR /
+    SMALL-STAR component algorithm (Kiveris et al.) in place of
+    min-label propagation: rounds scale with log(n), not component
+    diameter — the difference between 12 rounds and 600 on a chain-
+    shaped duplicate cluster (a crawl re-crawled daily produces exactly
+    those). Same min-id labeling, same recursive-CTE oracle."""
+    from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
+    from kinesis_app_spark.operators.graph import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = connected_components_star(pairs)
+    return cc.select(
+        "id",
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(
         association_rules_brands, ASSOCIATION_RULES_SQL
@@ -1743,13 +1767,21 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     "grouped_ols_user_trends": QuerySpec(
         grouped_ols_user_trends, GROUPED_OLS_SQL
     ),
+    "dedup_cluster_components_star": QuerySpec(
+        dedup_cluster_components_star, None
+    ),
 }
 
-# the prefix-filter formulation must equal the inverted-index one —
-# same oracle, bound late to avoid a circular import at module load
+# the prefix-filter formulation must equal the inverted-index one, and
+# the star components the label-propagation one — same oracles, bound
+# late to avoid circular imports at module load
 def _bind_prefix_oracle() -> None:
     from kinesis_app_spark.registry import DEDUP_JACCARD_SQL
+    from kinesis_app_spark.registry_pipeline import DEDUP_CLUSTERS_SQL
 
     REGISTRY_ROUND3["dedup_jaccard_prefix"] = QuerySpec(
         dedup_jaccard_prefix, DEDUP_JACCARD_SQL
+    )
+    REGISTRY_ROUND3["dedup_cluster_components_star"] = QuerySpec(
+        dedup_cluster_components_star, DEDUP_CLUSTERS_SQL
     )

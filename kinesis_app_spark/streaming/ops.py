@@ -281,6 +281,8 @@ def running_zscore_anomalies(
     def flag_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         n, s, ss = state.get if state.exists else (0, 0, 0)
         n, s, ss = int(n), int(s), int(ss)
         pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -291,8 +293,6 @@ def running_zscore_anomalies(
             # floor(x + 0.5): half-up on both engines (python round() and
             # numpy are half-even; DuckDB round() is half-away — floor is
             # the one rounding all three express identically)
-            import math
-
             v = math.floor(float(v_raw) * scale + 0.5)
             if n >= min_history:
                 lhs = (n * v - s) ** 2

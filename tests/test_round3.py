@@ -1004,3 +1004,48 @@ def test_kaplan_meier_pre_signup_purchaser_is_censored(spark):
     assert total == 2  # both signup users in the risk set
     assert sum(r["censored"] for r in out) == 1  # user 1 censored
     assert sum(r["events"] for r in out) == 1  # user 2 converts
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 9: two-phase star connected components
+# ---------------------------------------------------------------------
+
+def test_star_cc_matches_label_propagation_cc(spark):
+    import random
+
+    from kinesis_app_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want and got
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """A 200-node chain: min-label propagation needs ~200 rounds; the
+    star alternation must settle in ~2*log2(n)."""
+    from kinesis_app_spark.operators.graph import connected_components_star
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    stats: dict = {}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12, stats
