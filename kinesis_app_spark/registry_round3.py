@@ -1690,6 +1690,64 @@ ORDER BY user_id
 
 
 # =====================================================================
+# streaming CUSUM (fixed allowance, the production configuration)
+# =====================================================================
+
+_SCUSUM_K = 60_000   # fixed allowance in milli-units (target-shift config)
+_SCUSUM_H = 250_000  # decision threshold: flags bursty users at every gate SF
+
+
+def streaming_cusum_flags(spark, sf_dir):
+    """True streaming CUSUM drift flags: per-key state = (C, runmin) —
+    the two integers the window-algebra closed form needs, carried
+    across micro-batches. Production CUSUM runs with a FIXED allowance
+    k (chosen from the target shift), which is what makes it streamable
+    at all: the batch entry's data-derived k needs the full corpus, the
+    detector only needs its config. Same squared-integer discipline as
+    streaming_anomaly_flags; the oracle is the batch window form with
+    the same constant."""
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_cusum_flags,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|anom")
+    flags = running_cusum_flags(
+        stream, "user_id", "ts", "event_id", "value",
+        k=_SCUSUM_K, h=_SCUSUM_H,
+    )
+    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=8)
+    return res.select("key", "seq", "cusum").orderBy("key", "seq")
+
+
+STREAMING_CUSUM_SQL = """
+WITH scaled AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+  FROM events
+), pre AS (
+  SELECT user_id, ts, event_id,
+         sum(x - 60000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM scaled
+), pre2 AS (
+  SELECT user_id, event_id, c,
+         min(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre
+)
+SELECT user_id AS key, event_id AS seq, c - least(0, runmin) AS cusum
+FROM pre2
+WHERE c - least(0, runmin) > 250000
+ORDER BY key, seq
+"""
+
+
+# =====================================================================
 # two-phase star connected components (O(log n) rounds)
 # =====================================================================
 
@@ -1769,6 +1827,9 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     ),
     "dedup_cluster_components_star": QuerySpec(
         dedup_cluster_components_star, None
+    ),
+    "streaming_cusum_flags": QuerySpec(
+        streaming_cusum_flags, STREAMING_CUSUM_SQL
     ),
 }
 

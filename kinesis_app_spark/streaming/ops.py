@@ -317,3 +317,57 @@ def running_zscore_anomalies(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+    k: int,
+    h: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key streaming one-sided CUSUM: S <- max(0, S + x - k), flag
+    rows where S crosses ``h``. The batch twin needs the two-window
+    closed form (registry cusum_changepoints_events); the stream runs
+    the recursion DIRECTLY — one integer of state per key, which is the
+    whole point of CUSUM as a production monitor. Same milli-scaled
+    exact-integer discipline as running_zscore_anomalies; rows are
+    processed in (ts, seq) order within a batch and the state carries
+    the prefix across batches."""
+
+    def flag_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (s,) = state.get if state.exists else (0,)
+        s = int(s)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
+        out_seq: list[int] = []
+        out_s: list[int] = []
+        for v_raw, seq in zip(pdf[value_col], pdf[seq_col]):
+            v = math.floor(float(v_raw) * scale + 0.5)
+            s = max(0, s + v - k)
+            if s > h:
+                out_seq.append(int(seq))
+                out_s.append(s)
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]] * len(out_seq), dtype="int64"),
+                "seq": pd.Series(out_seq, dtype="int64"),
+                "cusum": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        flag_fn,
+        outputStructType="key long, seq long, cusum long",
+        stateStructType="s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

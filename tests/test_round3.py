@@ -1049,3 +1049,60 @@ def test_star_cc_chain_converges_in_log_rounds(spark):
     }
     assert out == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 12, stats
+
+
+def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
+    """CUSUM state (one integer) must carry the running S across
+    micro-batches: a drift that accumulates over two batches flags in
+    the second even though neither batch alone crosses h."""
+    import datetime as dt
+    import os
+
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_cusum_flags,
+    )
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(ids_vals):
+        return [
+            (1, t0 + dt.timedelta(minutes=i), i, float(v)) for i, v in ids_vals
+        ]
+
+    src = str(tmp_path / "src")
+    # k=1000 (milli) = 1.0; batch1 accumulates S = 4*2 = 8000 milli-units
+    # above allowance (values 3.0, k 1.0 -> +2000 each)
+    spark.createDataFrame(
+        rows([(i, 3.0) for i in range(4)]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        rows([(4, 3.0), (5, 3.0)]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    later = max(
+        os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src)
+    ) + 10
+    for f in os.listdir(extra):
+        if f.endswith(".parquet"):
+            dest = os.path.join(src, "zz_" + f)
+            os.rename(os.path.join(extra, f), dest)
+            os.utime(dest, (later, later))
+
+    stream = file_stream(
+        spark, src, spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    # h = 9000: batch1 tops out at S=8000 (no flag); batch2's first row
+    # pushes S to 10000 — flags ONLY if state carried over
+    flags = running_cusum_flags(
+        stream, "user_id", "ts", "event_id", "value", k=1000, h=9000
+    )
+    res = run_to_memory(
+        flags, str(tmp_path / "ckpt"), output_mode="update",
+        shuffle_partitions=4,
+    ).collect()
+    got = {(r["key"], r["seq"], r["cusum"]) for r in res}
+    assert got == {(1, 4, 10000), (1, 5, 12000)}
