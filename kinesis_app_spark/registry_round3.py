@@ -1287,6 +1287,13 @@ def conformal_interval_events(spark, sf_dir):
     )
     cal = resid.filter(F.col("half") == 0)
     n_cal = cal.count()
+    if n_cal == 0:
+        # empty calibration set: no quantile exists — empty result with
+        # the stable output schema (the empty-input contract)
+        return spark.createDataFrame(
+            [],
+            "n_cal long, n_test long, q_hat double, coverage double",
+        )
     import math
 
     k = min(math.ceil((1 - _CONFORMAL_ALPHA) * (n_cal + 1)), n_cal)
