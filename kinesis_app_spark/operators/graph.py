@@ -432,3 +432,62 @@ def connected_components_star(
     roots = und.select(F.col("a").alias("id"), F.col("a").alias("component"))
     leaves = und.select(F.col("b").alias("id"), F.col("a").alias("component"))
     return roots.unionByName(leaves).distinct()
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree >= k,
+    computed by iterated peeling (drop under-degree nodes, recount,
+    repeat to fixpoint). Returns (node, core_degree) for surviving
+    nodes. Classic robustness/community preprocessing — dedup clusters
+    below a connectivity floor are usually boilerplate artifacts.
+
+    Scale shape: each round is one degree aggregate (map-side combined)
+    + one semi-join of the edge list against survivors; the edge list
+    shrinks monotonically so rounds get cheaper; lineage truncated per
+    round. Convergence is typically a handful of rounds (the peel
+    cascade length), raised as an error past ``max_rounds`` rather than
+    returning a non-fixpoint (the connected_components discipline).
+    ``stats['rounds']`` records rounds used.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = sym
+    prev_nodes = -1
+    rounds = 0
+    for _ in range(max_rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("a").localCheckpoint()
+        n_alive = alive.count()
+        if n_alive == prev_nodes:
+            break
+        prev_nodes = n_alive
+        rounds += 1
+        cur = (
+            cur.join(alive, "a")
+            .join(alive.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (
+        cur.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

@@ -309,9 +309,9 @@ def label_propagation_parts(spark, sf_dir):
 
 
 LABEL_PROPAGATION_SQL = """
-WITH items AS (
+WITH items AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1547,7 +1547,7 @@ WITH cells AS (
   SELECT sum(n_obs) AS n FROM cells
 )
 SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
-       round(n_obs / CAST(n AS DOUBLE), 6) AS obs_pct,
+       round(n_obs / nullif(CAST(n AS DOUBLE), 0), 6) AS obs_pct,
        round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_pct,
        round(CAST(round((n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
                   * (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
@@ -1697,6 +1697,149 @@ ORDER BY user_id
 
 
 # =====================================================================
+# k-core decomposition (iterated peel to fixpoint)
+# =====================================================================
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 16
+
+
+def kcore_parts(spark, sf_dir):
+    """The 3-core of the repeat-co-purchase part graph: iterated peeling
+    to fixpoint (operators/graph.k_core). The oracle unrolls
+    _KCORE_ORACLE_ROUNDS peel rounds as CTEs — past the fixpoint a peel
+    is the identity, so the unroll equals the fixpoint as long as the
+    cascade settles within it (the engine RAISES past max_rounds rather
+    than returning a non-fixpoint, so a divergence would fail loudly,
+    not silently)."""
+    from kinesis_app_spark.operators.baskets import basket_pairs
+    from kinesis_app_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        basket_pairs(li, basket_col="l_orderkey", item_col="l_partkey")
+        .filter(F.col("n_baskets") >= 2)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+    return k_core(edges, k=_KCORE_K).orderBy("node")
+
+
+def _kcore_sql() -> str:
+    base = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION
+  SELECT dst, src FROM pairs
+), alive0 AS MATERIALIZED (
+  SELECT DISTINCT a FROM sym
+)"""
+    prev = "alive0"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        base += f""", alive{i} AS MATERIALIZED (
+  SELECT s.a FROM sym s
+  JOIN {prev} x ON x.a = s.a
+  JOIN {prev} y ON y.a = s.b
+  GROUP BY s.a HAVING count(*) >= 3
+)"""
+        prev = f"alive{i}"
+    base += f"""
+SELECT s.a AS node, count(*) AS core_degree
+FROM sym s
+JOIN {prev} x ON x.a = s.a
+JOIN {prev} y ON y.a = s.b
+GROUP BY s.a
+HAVING count(*) >= 3
+ORDER BY node
+"""
+    return base
+
+
+KCORE_SQL = _kcore_sql()
+
+
+# =====================================================================
+# classifier agreement (Cohen's kappa)
+# =====================================================================
+
+def classifier_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two cheap document-quality classifiers —
+    a length rule and a lexical-diversity rule — plus the full 2x2
+    agreement table. The standard chance-corrected agreement readout a
+    labeling pipeline runs before trusting weak labels. One zero-shuffle
+    projection + one 1-row fold; kappa = (po - pe) / (1 - pe) over
+    exact-count ratios with the identical expression on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    flag_a = (F.col("n_chars") >= 200).cast("int")
+    flag_b = (
+        (F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.5
+    ).cast("int")
+    cells = d.select(flag_a.alias("a"), flag_b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("long")).alias("n00"),
+    )
+    nn = F.nullif(F.col("n").cast("double"), F.lit(0.0))
+    po = (F.col("n11") + F.col("n00")) / nn
+    pe = (
+        ((F.col("n11") + F.col("n10")) / nn)
+        * ((F.col("n11") + F.col("n01")) / nn)
+        + ((F.col("n01") + F.col("n00")) / nn)
+        * ((F.col("n10") + F.col("n00")) / nn)
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
+    )
+
+
+KAPPA_SQL = r"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                   / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE)
+              >= 0.5 THEN 1 ELSE 0 END AS b
+  FROM documents
+), cells AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+  FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) / nullif(CAST(n AS DOUBLE), 0), 6) AS po,
+       round(((n11 + n10) / nullif(CAST(n AS DOUBLE), 0)) * ((n11 + n01) / nullif(CAST(n AS DOUBLE), 0))
+             + ((n01 + n00) / nullif(CAST(n AS DOUBLE), 0)) * ((n10 + n00) / nullif(CAST(n AS DOUBLE), 0)), 6) AS pe,
+       round(((n11 + n00) / nullif(CAST(n AS DOUBLE), 0)
+              - (((n11 + n10) / nullif(CAST(n AS DOUBLE), 0)) * ((n11 + n01) / nullif(CAST(n AS DOUBLE), 0))
+                 + ((n01 + n00) / nullif(CAST(n AS DOUBLE), 0)) * ((n10 + n00) / nullif(CAST(n AS DOUBLE), 0))))
+             / nullif(1 - (((n11 + n10) / nullif(CAST(n AS DOUBLE), 0)) * ((n11 + n01) / nullif(CAST(n AS DOUBLE), 0))
+                 + ((n01 + n00) / nullif(CAST(n AS DOUBLE), 0)) * ((n10 + n00) / nullif(CAST(n AS DOUBLE), 0))), 0), 6) AS kappa
+FROM cells
+"""
+
+
+# =====================================================================
 # streaming CUSUM (fixed allowance, the production configuration)
 # =====================================================================
 
@@ -1837,6 +1980,10 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     ),
     "streaming_cusum_flags": QuerySpec(
         streaming_cusum_flags, STREAMING_CUSUM_SQL
+    ),
+    "kcore_parts": QuerySpec(kcore_parts, KCORE_SQL),
+    "classifier_agreement_kappa": QuerySpec(
+        classifier_agreement_kappa, KAPPA_SQL
     ),
 }
 

@@ -1106,3 +1106,41 @@ def test_streaming_cusum_state_carries_across_batches(spark, tmp_path):
     ).collect()
     got = {(r["key"], r["seq"], r["cusum"]) for r in res}
     assert got == {(1, 4, 10000), (1, 5, 12000)}
+
+
+# ---------------------------------------------------------------------
+# round-3 batch 11: k-core / Cohen's kappa
+# ---------------------------------------------------------------------
+
+def test_k_core_peels_cascade(spark):
+    """A triangle with a pendant chain: the chain must peel away round
+    by round (cascade), leaving exactly the triangle as the 2-core."""
+    from kinesis_app_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src bigint, dst bigint",
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(edges, k=2, stats=stats).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert stats["rounds"] >= 3  # 6, then 5, then 4 peel in sequence
+
+
+def test_k_core_empty_when_k_too_high(spark):
+    from kinesis_app_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_kappa_bounds_and_identity(spark):
+    from kinesis_app_spark.registry_round3 import classifier_agreement_kappa
+
+    row = classifier_agreement_kappa(spark, SF_DIR).collect()[0]
+    assert row["n"] == row["n11"] + row["n10"] + row["n01"] + row["n00"]
+    assert -1 <= row["kappa"] <= 1
+    assert 0 <= row["po"] <= 1 and 0 <= row["pe"] <= 1
