@@ -1697,6 +1697,120 @@ ORDER BY user_id
 
 
 # =====================================================================
+# item-item collaborative filtering (co-purchase cosine)
+# =====================================================================
+
+_ITEMSIM_MAX_BASKET = 200
+_ITEMSIM_TOPK = 5
+
+
+def itemsim_cosine_parts(spark, sf_dir):
+    """Item-item collaborative filtering: cosine similarity over the
+    customer-part interaction matrix — sim(i,j) = |U_i ^ U_j| /
+    sqrt(|U_i|·|U_j|) — with the top-5 neighbors per part. The
+    "customers who bought X also bought Y" primitive.
+
+    Scale shape: co-occurrence counts ride basket_pairs' in-row
+    expansion over per-customer item sets (size-gated — one crawler
+    account must not go quadratic); item degrees join back as a
+    broadcast (item cardinality is the catalog, not the interaction
+    log); the per-item top-k window is PARTITIONED by item. The oracle
+    replicates gate, counts, and cosine exactly."""
+    from pyspark.sql import Window
+
+    from kinesis_app_spark.operators.baskets import basket_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    inter = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    sizes = inter.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("bsz"))
+    gated = inter.join(
+        sizes.filter(F.col("bsz") <= _ITEMSIM_MAX_BASKET).select("o_custkey"),
+        "o_custkey",
+    )
+    deg = gated.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = basket_pairs(
+        gated, basket_col="o_custkey", item_col="l_partkey"
+    ).withColumnRenamed("n_baskets", "n_common")
+    directed = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_common",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_common",
+        )
+    )
+    di = deg.select(F.col("item"), F.col("d").alias("d_i"))
+    dj = deg.select(F.col("item").alias("neighbor"), F.col("d").alias("d_j"))
+    scored = (
+        directed.join(F.broadcast(di), "item")
+        .join(F.broadcast(dj), "neighbor")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("n_common") / F.sqrt(F.col("d_i") * F.col("d_j")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("n_common"), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ITEMSIM_TOPK)
+        .select(
+            "item", "neighbor", "n_common", "cosine", F.col("rank").cast("int")
+        )
+        .orderBy("item", "rank")
+    )
+
+
+ITEMSIM_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), gated AS (
+  SELECT * FROM inter
+  WHERE o_custkey IN (
+    SELECT o_custkey FROM inter GROUP BY o_custkey HAVING count(*) <= 200
+  )
+), deg AS (
+  SELECT l_partkey AS item, count(*) AS d FROM gated GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_common
+  FROM gated a JOIN gated b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), directed AS (
+  SELECT item_a AS item, item_b AS neighbor, n_common FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_common FROM pairs
+), scored AS (
+  SELECT directed.item AS item, directed.neighbor AS neighbor, n_common,
+         round(n_common / sqrt(CAST(di.d * dj.d AS DOUBLE)), 6) AS cosine
+  FROM directed
+  JOIN deg di ON di.item = directed.item
+  JOIN deg dj ON dj.item = directed.neighbor
+)
+SELECT item, neighbor, n_common, cosine,
+       CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cosine DESC, n_common DESC, neighbor) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY item, rank
+"""
+
+
+# =====================================================================
 # k-core decomposition (iterated peel to fixpoint)
 # =====================================================================
 
@@ -1982,6 +2096,7 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
         streaming_cusum_flags, STREAMING_CUSUM_SQL
     ),
     "kcore_parts": QuerySpec(kcore_parts, KCORE_SQL),
+    "itemsim_cosine_parts": QuerySpec(itemsim_cosine_parts, ITEMSIM_SQL),
     "classifier_agreement_kappa": QuerySpec(
         classifier_agreement_kappa, KAPPA_SQL
     ),

@@ -1144,3 +1144,20 @@ def test_kappa_bounds_and_identity(spark):
     assert row["n"] == row["n11"] + row["n10"] + row["n01"] + row["n00"]
     assert -1 <= row["kappa"] <= 1
     assert 0 <= row["po"] <= 1 and 0 <= row["pe"] <= 1
+
+
+def test_itemsim_cosine_properties(spark):
+    from kinesis_app_spark.registry_round3 import itemsim_cosine_parts
+
+    rows = itemsim_cosine_parts(spark, SF_DIR).collect()
+    assert rows
+    by_item: dict = {}
+    for r in rows:
+        assert 0 < r["cosine"] <= 1.0 + 1e-9
+        assert r["item"] != r["neighbor"]
+        by_item.setdefault(r["item"], []).append(r)
+    for item, nbrs in by_item.items():
+        ranks = [r["rank"] for r in nbrs]
+        assert ranks == list(range(1, len(nbrs) + 1))
+        cosines = [r["cosine"] for r in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
