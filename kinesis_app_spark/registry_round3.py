@@ -1697,6 +1697,209 @@ ORDER BY user_id
 
 
 # =====================================================================
+# join-cardinality estimation audit (optimizer engineering as data)
+# =====================================================================
+
+_CARD_BUCKETS = 64
+
+
+def join_cardinality_audit(spark, sf_dir):
+    """How good is a 64-bucket histogram estimate of an equi-join's
+    output cardinality? For two star joins report TRUE join rows
+    (computed as sum over keys of c_A(k)*c_B(k) — per-key count
+    aggregates joined, never the join itself) against the bucketed
+    estimate sum_b ca_b*cb_b/max(ndv_a_b, ndv_b_b) — the equi-depth
+    containment assumption every cost-based optimizer makes. The rel
+    error column is the number a planner reviewer actually wants.
+
+    Scale shape: two keyed count aggregates + one join on the key for
+    truth; the estimate runs on 64-bucket summaries — O(buckets), the
+    whole point of histogram statistics. The portable md5 bucket hash
+    keeps both engines in identical buckets."""
+
+    def audit(a, akey, b, bkey, name):
+        bucket = lambda c: (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % _CARD_BUCKETS
+        )
+        ca = a.groupBy(F.col(akey).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        cb = b.groupBy(F.col(bkey).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        true_rows = (
+            ca.join(cb, "k")
+            .agg(
+                F.sum(
+                    (F.col("ca") * F.col("cb")).cast("decimal(38,0)")
+                ).alias("t")
+            )
+            .select(F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"))
+        )
+        ha = ca.groupBy(bucket(F.col("k")).alias("b")).agg(
+            F.sum("ca").alias("ca"), F.count(F.lit(1)).alias("nda")
+        )
+        hb = cb.groupBy(bucket(F.col("k")).alias("b")).agg(
+            F.sum("cb").alias("cb"), F.count(F.lit(1)).alias("ndb")
+        )
+        est = (
+            ha.join(hb, "b")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("ca") * F.col("cb"))
+                        / F.greatest(F.col("nda"), F.col("ndb"))
+                    ).cast("decimal(38,0)")
+                ).alias("e")
+            )
+            .select(F.coalesce(F.col("e"), F.lit(0)).cast("long").alias("e"))
+        )
+        return (
+            true_rows.crossJoin(F.broadcast(est))
+            .select(
+                F.lit(name).alias("join_pair"),
+                F.col("t").alias("true_rows"),
+                F.col("e").alias("est_rows"),
+                F.round(
+                    (F.col("e") - F.col("t"))
+                    / F.nullif(F.col("t").cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("rel_error"),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pt = _t(spark, sf_dir, "part")
+    return (
+        audit(li, "l_orderkey", od, "o_orderkey", "lineitem-orders")
+        .unionByName(audit(li, "l_partkey", pt, "p_partkey", "lineitem-part"))
+        .orderBy("join_pair")
+    )
+
+
+JOIN_CARD_SQL = """
+WITH sides AS (
+  SELECT 'lineitem-orders' AS jp, CAST(l_orderkey AS VARCHAR) AS k, 'a' AS side FROM lineitem
+  UNION ALL
+  SELECT 'lineitem-orders', CAST(o_orderkey AS VARCHAR), 'b' FROM orders
+  UNION ALL
+  SELECT 'lineitem-part', CAST(l_partkey AS VARCHAR), 'a' FROM lineitem
+  UNION ALL
+  SELECT 'lineitem-part', CAST(p_partkey AS VARCHAR), 'b' FROM part
+), keyed AS (
+  SELECT jp, side, k, count(*) AS c FROM sides GROUP BY 1, 2, 3
+), truth AS (
+  SELECT a.jp, coalesce(sum(a.c * b.c), 0) AS true_rows
+  FROM keyed a JOIN keyed b
+    ON a.jp = b.jp AND a.k = b.k AND a.side = 'a' AND b.side = 'b'
+  GROUP BY a.jp
+), hist AS (
+  SELECT jp, side, ('0x' || substr(md5(k), 1, 8))::BIGINT % 64 AS bkt,
+         sum(c) AS c, count(*) AS nd
+  FROM keyed GROUP BY 1, 2, 3
+), est AS (
+  SELECT a.jp,
+         coalesce(sum(CAST(floor((a.c * b.c) / greatest(a.nd, b.nd)) AS BIGINT)), 0)
+           AS est_rows
+  FROM hist a JOIN hist b
+    ON a.jp = b.jp AND a.bkt = b.bkt AND a.side = 'a' AND b.side = 'b'
+  GROUP BY a.jp
+)
+SELECT t.jp AS join_pair, CAST(true_rows AS BIGINT) AS true_rows,
+       CAST(est_rows AS BIGINT) AS est_rows,
+       round((est_rows - true_rows) / nullif(CAST(true_rows AS DOUBLE), 0), 6)
+         AS rel_error
+FROM truth t JOIN est e ON e.jp = t.jp
+ORDER BY join_pair
+"""
+
+
+# =====================================================================
+# decile lift / gains table for a quality score
+# =====================================================================
+
+def score_lift_table(spark, sf_dir):
+    """Lift/gains table for the lexical-diversity score against the
+    length label: fixed-width score deciles (NOT global ntile — the
+    r2-weak lesson), per-decile positives and rate, plus cumulative
+    capture and lift reading from the best decile down. The window
+    runs over the 10-row decile table. The standard weak-label triage
+    readout for a curation classifier."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    score = F.size(F.array_distinct(toks)) / F.size(toks)
+    label = (F.col("n_chars") >= 200).cast("long")
+    binned = d.select(
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("decile"),
+        label.alias("pos"),
+    )
+    cells = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("rate"),
+            F.round(
+                F.col("cum_pos") / F.nullif(F.col("pos_tot").cast("double"), F.lit(0.0)), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("cum_pos") / F.col("cum_n"))
+                / F.nullif(
+                    F.col("pos_tot") / F.col("n_tot").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy(F.desc("decile"))
+    )
+
+
+SCORE_LIFT_SQL = r"""
+WITH binned AS (
+  SELECT least(CAST(floor(
+           (len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+            / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE))
+           * 10) AS INT), 9) AS decile,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pos
+  FROM documents
+), cells AS (
+  SELECT decile, count(*) AS n, sum(pos) AS n_pos FROM binned GROUP BY decile
+), tot AS (
+  SELECT sum(n) AS n_tot, sum(n_pos) AS pos_tot FROM cells
+)
+SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(n_pos / CAST(n AS DOUBLE), 6) AS rate,
+       round(sum(n_pos) OVER w / nullif(CAST(pos_tot AS DOUBLE), 0), 6) AS cum_capture,
+       round((sum(n_pos) OVER w / CAST(sum(n) OVER w AS DOUBLE))
+             / nullif(pos_tot / CAST(n_tot AS DOUBLE), 0), 6) AS cum_lift
+FROM cells CROSS JOIN tot
+WINDOW w AS (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile DESC
+"""
+
+
+# =====================================================================
 # item-item collaborative filtering (co-purchase cosine)
 # =====================================================================
 
@@ -2097,6 +2300,10 @@ REGISTRY_ROUND3: dict[str, QuerySpec] = {
     ),
     "kcore_parts": QuerySpec(kcore_parts, KCORE_SQL),
     "itemsim_cosine_parts": QuerySpec(itemsim_cosine_parts, ITEMSIM_SQL),
+    "join_cardinality_audit": QuerySpec(
+        join_cardinality_audit, JOIN_CARD_SQL
+    ),
+    "score_lift_table": QuerySpec(score_lift_table, SCORE_LIFT_SQL),
     "classifier_agreement_kappa": QuerySpec(
         classifier_agreement_kappa, KAPPA_SQL
     ),

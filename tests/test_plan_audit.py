@@ -61,6 +61,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "psi_drift_report": "reference bin edges + half totals: 1-row broadcasts",
     "cusum_changepoints_events": "global allowance k: 1-row broadcast",
     "benford_audit_prices": "digit-histogram total: 1-row broadcast",
+    "join_cardinality_audit": "true/estimate 1-row scalars per join pair",
+    "score_lift_table": "population totals: 1-row broadcast",
     "bloom_semi_join_lineitem": "bloom bitmap is ONE broadcast row by design",
     # --- small side bounded by operator contract (documented in docstring)
     "cross_join_region_nation": "deliberate cross join of two dimension tables",
@@ -174,6 +176,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "of the quadratic NOT-EXISTS skyline",
     "cumulative_distinct_users": "cumsum runs over per-DAY new-user "
     "counts — bounded by calendar span",
+    "score_lift_table": "cumulative window runs over the 10-row decile "
+    "table (fixed-width bins, not global ntile)",
 }
 
 
