@@ -1626,6 +1626,7 @@ from kinesis_app_spark.registry_hybrid import REGISTRY_HYBRID  # noqa: E402
 from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 from kinesis_app_spark.registry_round3 import REGISTRY_ROUND3  # noqa: E402
+from kinesis_app_spark.registry_round3b import REGISTRY_ROUND3B  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
@@ -1654,6 +1655,7 @@ from kinesis_app_spark import registry_round3 as _r3  # noqa: E402
 
 _r3._bind_prefix_oracle()
 REGISTRY.update(REGISTRY_ROUND3)
+REGISTRY.update(REGISTRY_ROUND3B)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

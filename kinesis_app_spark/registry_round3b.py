@@ -1,0 +1,759 @@
+"""Round-3 additions, batch 2: robust / nonparametric statistics and
+time-series repair over the engine surface.
+
+The reference's computation surface is a per-record callback
+(/root/reference/src/Kinesis/Coordination.hs:51-53 — no relational
+operators); these entries extend the forward-defined engine surface
+(SURVEY.md §2.2 north-star extensions) with four shapes production
+monitoring and feature pipelines lean on daily: weighted quantiles
+(order-size-weighted price points), linear-interpolation gap fill (the
+repair sibling of the existing forward-fill), the Mann-Whitney U test
+(nonparametric two-sample comparison — the A/B readout when values are
+skewed and a t-test is wrong), and Theil-Sen trends (median-of-slopes
+regression immune to outliers that wreck OLS).
+
+Scale shapes: weighted quantiles collapse to one row per (group,
+distinct value) before any window, and every window is group-
+partitioned; the interpolation windows run over the DAILY series
+(bounded by calendar span, not data size); Mann-Whitney computes
+average ranks WITHOUT a data-sized global sort via the house two-phase
+prefix-sum — per-value counts bucketed into a fixed 1024-bin histogram,
+bin offsets from a 1024-row window, within-bin prefixes from a
+bin-partitioned window (the same discipline as global_row_number);
+Theil-Sen's quadratic pair expansion is gated per group exactly like
+the association-rules basket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+
+# =====================================================================
+# weighted quantiles (order-quantity-weighted price points per brand)
+# =====================================================================
+
+def weighted_quantiles_brands(spark, sf_dir):
+    """Quantity-weighted price quartiles per part brand: the weighted
+    q-quantile is the smallest price whose cumulative quantity weight
+    reaches q of the brand's total (the left-continuous inverse-CDF
+    convention). Emits (brand, total weight, wp25/wp50/wp75).
+
+    Scale shape: the fact table collapses to one row per (brand,
+    distinct price) FIRST (one shuffle, map-side combinable), the
+    cumulative window is partitioned by brand over that reduced
+    relation, and the quantile pick is a conditional MIN — no sort of
+    raw rows, no global window. Quantities are integral doubles, so
+    every cumulative sum and q*W threshold is exact in binary and the
+    engine/oracle comparison is bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    px = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            "p_brand",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    byprice = px.groupBy("p_brand", "price").agg(F.sum("qty").alias("w"))
+    cumw = Window.partitionBy("p_brand").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byprice.withColumn("cw", F.sum("w").over(cumw))
+    tot = byprice.groupBy("p_brand").agg(F.sum("w").alias("wt"))
+    j = cum.join(tot, "p_brand")
+
+    def _wq(q: float):
+        return F.min(
+            F.when(F.col("cw") >= F.lit(q) * F.col("wt"), F.col("price"))
+        )
+
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.max("wt").cast("long").alias("w_total"),
+            _wq(0.25).alias("wp25"),
+            _wq(0.50).alias("wp50"),
+            _wq(0.75).alias("wp75"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+WEIGHTED_QUANTILES_SQL = """
+WITH byprice AS (
+  SELECT p_brand, l_extendedprice AS price, sum(l_quantity) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_extendedprice
+), cum AS (
+  SELECT p_brand, price, w,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY p_brand) AS wt
+  FROM byprice
+)
+SELECT p_brand,
+       CAST(max(wt) AS BIGINT) AS w_total,
+       min(CASE WHEN cw >= 0.25 * wt THEN price END) AS wp25,
+       min(CASE WHEN cw >= 0.50 * wt THEN price END) AS wp50,
+       min(CASE WHEN cw >= 0.75 * wt THEN price END) AS wp75
+FROM cum
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# =====================================================================
+# linear-interpolation gap fill over the daily event series
+# =====================================================================
+
+def timeseries_interpolate_linear(spark, sf_dir):
+    """Daily mean event value with missing days filled by LINEAR
+    interpolation between the nearest observed days (edges extend the
+    nearest observation flat) — the repair sibling of
+    timeseries_gapfill_ffill: ffill answers 'last known state', linear
+    interpolation answers 'best estimate of a continuous signal'.
+
+    Scale shape: the raw table collapses to one row per DAY first;
+    the calendar spine comes from a 1-row min/max broadcast + sequence;
+    the prev/next windows run over the daily series — bounded by the
+    observation span in days, data-size-independent (allowlisted like
+    autocorrelation_daily_events)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v_obs"), F.count(F.lit(1)).alias("n_obs")
+    )
+    rng = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 day)")
+        ).alias("day")
+    )
+    sp = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("n_obs").isNotNull(), F.col("day"))
+    obs_v = F.when(F.col("n_obs").isNotNull(), F.col("v_obs"))
+    sp = sp.select(
+        "day",
+        "n_obs",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.last(obs_v, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+        F.first(obs_v, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    interp = (
+        F.when(F.col("pd").isNull(), F.col("nv"))
+        .when(F.col("nd").isNull(), F.col("pv"))
+        .when(F.col("nd") == F.col("pd"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff(F.to_date("day"), F.to_date("pd"))
+            / F.datediff(F.to_date("nd"), F.to_date("pd"))
+        )
+    )
+    return sp.select(
+        "day",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        F.round(interp, 4).alias("value"),
+        F.col("n_obs").isNull().cast("int").alias("interpolated"),
+    ).orderBy("day")
+
+
+INTERPOLATE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v_obs, count(*) AS n_obs
+  FROM events GROUP BY 1
+), rng AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+), spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM rng
+), sp AS (
+  SELECT s.day, d.n_obs,
+         last_value(CASE WHEN d.n_obs IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         last_value(CASE WHEN d.n_obs IS NOT NULL THEN d.v_obs END IGNORE NULLS)
+           OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN d.n_obs IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+         first_value(CASE WHEN d.n_obs IS NOT NULL THEN d.v_obs END IGNORE NULLS)
+           OVER (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM spine s LEFT JOIN daily d USING (day)
+)
+SELECT day,
+       CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+       round(CASE WHEN pd IS NULL THEN nv
+                  WHEN nd IS NULL THEN pv
+                  WHEN nd = pd THEN pv
+                  ELSE pv + (nv - pv) * date_diff('day', pd, day)
+                       / date_diff('day', pd, nd)
+             END, 4) AS value,
+       CAST(n_obs IS NULL AS INT) AS interpolated
+FROM sp
+ORDER BY day
+"""
+
+
+# =====================================================================
+# Mann-Whitney U (nonparametric two-sample test, click vs purchase)
+# =====================================================================
+
+_MW_BINS = 1024
+
+
+def mann_whitney_events(spark, sf_dir):
+    """Mann-Whitney U comparing event `value` between click and
+    purchase events: average ranks with the standard tie correction,
+    the normal-approximation z, and the rank-biserial effect size.
+
+    Scale shape: ranks WITHOUT a data-sized global sort. The table
+    collapses to one row per DISTINCT VALUE (one shuffle); per-value
+    counts are bucketed into a fixed 1024-bin histogram anchored on a
+    1-row min/max broadcast; bin offsets come from a window over the
+    1024-row bin table (bounded, allowlisted) and within-bin prefixes
+    from a window PARTITIONED BY bin — the global_row_number two-phase
+    prefix-sum discipline applied to rank statistics. Every average
+    rank is an integer or half-integer, so the rank-sum is exact in
+    double no matter the summation order and the oracle (which ranks
+    the naive way) matches bit-for-bit."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "click").cast("long").alias("is_a"),
+        )
+    )
+    byv = ev.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("is_a").alias("ca")
+    )
+    edges = byv.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = byv.crossJoin(F.broadcast(edges)).withColumn(
+        "bin",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _MW_BINS)
+                ).cast("int"),
+                F.lit(_MW_BINS - 1),
+            ),
+        ),
+    )
+    bins = binned.groupBy("bin").agg(F.sum("c").alias("nb"))
+    w_off = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    bins = bins.withColumn(
+        "off", F.coalesce(F.sum("nb").over(w_off), F.lit(0))
+    )
+    w_in = Window.partitionBy("bin").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        binned.join(bins.select("bin", "off"), "bin")
+        .withColumn("within", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+        .withColumn(
+            "avg_rank",
+            F.col("off") + F.col("within") + (F.col("c") + 1) / F.lit(2.0),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("ra") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    sigma2 = (
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+    ) * ((n + 1) - F.col("tie") / (n * (n - F.lit(1.0))))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_click"),
+        F.col("n_b").cast("long").alias("n_purchase"),
+        u_a.alias("u_stat"),
+        F.round((u_a - mu) / F.sqrt(sigma2), 6).alias("z"),
+        F.round(
+            1 - 2 * u_a / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("rank_biserial"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH ev AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+), byv AS (
+  SELECT v, count(*) AS c, sum(is_a) AS ca FROM ev GROUP BY v
+), r AS (
+  SELECT v, c, ca,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+  FROM byv
+), agg AS (
+  SELECT sum(ca) AS n_a, sum(c - ca) AS n_b,
+         sum(ca * (cl + (c + 1) / 2.0)) AS ra,
+         sum(c * c * c - c) AS tie
+  FROM r
+)
+SELECT CAST(n_a AS BIGINT) AS n_click,
+       CAST(n_b AS BIGINT) AS n_purchase,
+       ra - n_a * (n_a + 1) / 2.0 AS u_stat,
+       round(((ra - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)
+             / sqrt((n_a * n_b / 12.0)
+                    * ((n_a + n_b + 1)
+                       - tie / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
+       round(1 - 2 * (ra - n_a * (n_a + 1) / 2.0) / (n_a * n_b), 6)
+         AS rank_biserial
+FROM agg
+"""
+
+
+# =====================================================================
+# Theil-Sen robust trend per user (median of pairwise slopes)
+# =====================================================================
+
+_TS_MIN_EVENTS = 3
+_TS_MAX_EVENTS = 40
+
+
+def theil_sen_trends(spark, sf_dir):
+    """Theil-Sen robust trend of event `value` per user: the median of
+    all pairwise slopes (value change per DAY), plus the matching
+    median intercept — the estimator that shrugs off the outliers that
+    wreck per-user OLS (cf. grouped_ols_user_trends, its classical
+    twin under the same gate).
+
+    Scale shape: the quadratic pair expansion is bounded by TRUNCATING
+    each user to their first 40 events in (ts, event_id) order (the
+    same per-group quadratic cap discipline as the association-rules
+    basket gate — truncation, not exclusion, so the output keeps one
+    row per user at every scale factor); the pair join is an equi-join
+    on user_id with the range predicate applied post-join, and the
+    median is a per-group interpolated percentile over <= 780 slope
+    values. Timestamps compare as exact unix microseconds (BIGINT in
+    both engines), so every slope is the identical IEEE division and
+    the oracle matches bit-for-bit at round-6."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value",
+        "event_id",
+    )
+    w_u = Window.partitionBy("user_id").orderBy("t", "event_id")
+    trunc = (
+        ev.withColumn("rn", F.row_number().over(w_u))
+        .filter(F.col("rn") <= _TS_MAX_EVENTS)
+        .drop("rn")
+    )
+    sizes = trunc.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    gated = trunc.join(
+        sizes.filter(F.col("n_events") >= _TS_MIN_EVENTS), "user_id"
+    )
+    x = gated.alias("x")
+    y = gated.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.user_id") == F.col("y.user_id"))
+        & (F.col("x.t") < F.col("y.t")),
+    ).select(
+        F.col("x.user_id").alias("user_id"),
+        F.col("x.n_events").alias("n_events"),
+        (
+            (F.col("y.value") - F.col("x.value"))
+            / ((F.col("y.t") - F.col("x.t")) / F.lit(86400.0e6))
+        ).alias("slope"),
+    )
+    slopes = pairs.groupBy("user_id", "n_events").agg(
+        F.expr("percentile(slope, 0.5)").alias("m")
+    )
+    resid = gated.join(slopes, "user_id").groupBy(
+        "user_id", slopes.n_events.alias("n_events"), "m"
+    ).agg(
+        F.expr(
+            "percentile(value - m * (t / 86400.0e6), 0.5)"
+        ).alias("b")
+    )
+    return resid.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("m", 6).alias("slope_per_day"),
+        F.round("b", 4).alias("intercept"),
+    ).orderBy("user_id")
+
+
+THEIL_SEN_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), trunc AS (
+  SELECT user_id, t, value FROM ev WHERE rn <= 40
+), sized AS (
+  SELECT e.*, n_events FROM trunc e JOIN (
+    SELECT user_id, count(*) AS n_events FROM trunc GROUP BY user_id
+  ) s USING (user_id)
+  WHERE n_events >= 3
+), slopes AS (
+  SELECT x.user_id, x.n_events,
+         quantile_cont((y.value - x.value)
+                       / ((y.t - x.t) / 86400.0e6), 0.5) AS m
+  FROM sized x JOIN sized y
+    ON x.user_id = y.user_id AND x.t < y.t
+  GROUP BY x.user_id, x.n_events
+)
+SELECT s.user_id,
+       CAST(s.n_events AS BIGINT) AS n_events,
+       round(s.m, 6) AS slope_per_day,
+       round(quantile_cont(e.value - s.m * (e.t / 86400.0e6), 0.5), 4)
+         AS intercept
+FROM slopes s JOIN sized e USING (user_id)
+GROUP BY s.user_id, s.n_events, s.m
+ORDER BY s.user_id
+"""
+
+
+# =====================================================================
+# token-distribution drift between source cohorts (JS divergence)
+# =====================================================================
+
+def token_drift_sources(spark, sf_dir):
+    """Jensen-Shannon token-distribution drift between the src0-src9
+    and src10-src19 document cohorts: the text counterpart of
+    psi_drift_report — PSI watches a numeric feature, this watches the
+    vocabulary itself (the first thing that moves when a crawl source
+    changes template, language mix, or spam load). Emits the top-50
+    drifting tokens with smoothed probabilities and per-token JS
+    contribution (quantized at 1e-6, the PSI convention for
+    cross-engine ln()).
+
+    Scale shape: one explode shuffle to (token, cohort) counts (the
+    same single-shuffle discipline as the LM-score entries), corpus
+    totals + vocab size as a 1-row broadcast, top-50 via
+    TakeOrderedAndProject — no global sort materializes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") < 10)
+        .cast("long")
+        .alias("is_ref"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum("is_ref").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).alias("cur_n"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("ref_tot"),
+        F.sum("cur_n").alias("cur_tot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("ref_n") + 1) / (F.col("ref_tot") + F.col("v"))
+    q = (F.col("cur_n") + 1) / (F.col("cur_tot") + F.col("v"))
+    m = (p + q) / 2
+    js_raw = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    js = F.round(js_raw * 1e6).cast("long").cast("double") / 1e6
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.round(p, 6).alias("ref_p"),
+            F.round(q, 6).alias("cur_p"),
+            F.round(js, 6).alias("js_contrib"),
+            F.abs(p - q).alias("absdiff"),
+        )
+        .orderBy(F.desc("absdiff"), "token")
+        .limit(50)
+        .drop("absdiff")
+    )
+
+
+TOKEN_DRIFT_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+              THEN 1 ELSE 0 END AS is_ref,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, sum(is_ref) AS ref_n, sum(1 - is_ref) AS cur_n
+  FROM toks GROUP BY token
+), tot AS (
+  SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot, count(*) AS v
+  FROM counts
+), scored AS (
+  SELECT token,
+         CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+         (ref_n + 1) / CAST(ref_tot + v AS DOUBLE) AS p,
+         (cur_n + 1) / CAST(cur_tot + v AS DOUBLE) AS q
+  FROM counts CROSS JOIN tot
+)
+SELECT token, ref_n, cur_n,
+       round(p, 6) AS ref_p,
+       round(q, 6) AS cur_p,
+       round(CAST(round((0.5 * p * ln(p / ((p + q) / 2))
+                         + 0.5 * q * ln(q / ((p + q) / 2))) * 1e6)
+                  AS BIGINT) / 1e6, 6) AS js_contrib
+FROM scored
+ORDER BY abs(p - q) DESC, token
+LIMIT 50
+"""
+
+
+# =====================================================================
+# sorted-neighborhood record linkage (the SNM blocking alternative)
+# =====================================================================
+
+_SNM_WINDOW = 4
+
+
+def sorted_neighborhood_linkage(spark, sf_dir):
+    """Record linkage via the classic Sorted-Neighborhood Method over
+    the same dirtied customer list as record_linkage_customers: sort
+    dirty+clean together on a noise-stable key (the last-5-digit name
+    suffix), slide a window of 4 positions, verify candidates with
+    levenshtein <= 1. SNM trades the hash-block's recall guarantee for
+    a FIXED candidate budget (w per record) — the standard choice when
+    block keys skew (one hot block = one hot task; SNM cannot produce
+    one).
+
+    Scale shape: the global sort position comes from global_row_number
+    (range-partition + offset, no single-task window); the w-window
+    pair generation is an EQUI-join on the rid-div-w bucket (each left
+    row probes its own and the next bucket — the gaps-and-islands
+    neighbor-bucket trick), never a band nested-loop."""
+    from kinesis_app_spark.operators.scale import global_row_number
+    from kinesis_app_spark.registry_analytics import _dirty_customers
+
+    c = _t(spark, sf_dir, "customer")
+    dirty = _dirty_customers(c).select(
+        "custkey", "name", F.lit("d").alias("tag")
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.lit("c").alias("tag"),
+    )
+    both = dirty.unionByName(clean).withColumn(
+        "sortkey", F.substring("name", 14, 5)
+    )
+    ordered = global_row_number(both, ["sortkey", "tag", "custkey"])
+    ordered = ordered.withColumn(
+        "b", F.floor(F.col("rid") / _SNM_WINDOW)
+    )
+    left = ordered.select(
+        F.col("rid").alias("rid_i"),
+        F.col("custkey").alias("ck_i"),
+        F.col("name").alias("name_i"),
+        F.col("tag").alias("tag_i"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    right = ordered.select(
+        F.col("rid").alias("rid_j"),
+        F.col("custkey").alias("ck_j"),
+        F.col("name").alias("name_j"),
+        F.col("tag").alias("tag_j"),
+        F.col("b").alias("jb"),
+    )
+    cand = left.join(right, "jb").filter(
+        (F.col("rid_j") - F.col("rid_i") >= 1)
+        & (F.col("rid_j") - F.col("rid_i") <= _SNM_WINDOW)
+        & (F.col("tag_i") != F.col("tag_j"))
+    )
+    dist = F.levenshtein(F.col("name_i"), F.col("name_j"))
+    return (
+        cand.filter(dist <= 1)
+        .select(
+            F.when(F.col("tag_i") == "d", F.col("ck_i"))
+            .otherwise(F.col("ck_j"))
+            .alias("custkey_l"),
+            F.when(F.col("tag_i") == "d", F.col("ck_j"))
+            .otherwise(F.col("ck_i"))
+            .alias("custkey_r"),
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("custkey_l", "custkey_r")
+    )
+
+
+SNM_LINKAGE_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS custkey,
+         CASE
+           WHEN c_custkey % 10 = 7 THEN substr(c_name, 1, 9) || 'XX' || substr(c_name, 12, 7)
+           WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 8)
+           ELSE c_name
+         END AS name, 'd' AS tag
+  FROM customer
+), clean AS (
+  SELECT c_custkey AS custkey, c_name AS name, 'c' AS tag FROM customer
+), both_t AS (
+  SELECT *, substr(name, 14, 5) AS sortkey FROM dirty
+  UNION ALL
+  SELECT *, substr(name, 14, 5) AS sortkey FROM clean
+), ordered AS (
+  SELECT *, row_number() OVER (ORDER BY sortkey, tag, custkey) AS rid
+  FROM both_t
+)
+SELECT CASE WHEN i.tag = 'd' THEN i.custkey ELSE j.custkey END AS custkey_l,
+       CASE WHEN i.tag = 'd' THEN j.custkey ELSE i.custkey END AS custkey_r,
+       CAST(levenshtein(i.name, j.name) AS INT) AS dist
+FROM ordered i JOIN ordered j
+  ON j.rid - i.rid BETWEEN 1 AND 4 AND i.tag <> j.tag
+WHERE levenshtein(i.name, j.name) <= 1
+ORDER BY custkey_l, custkey_r
+"""
+
+
+# =====================================================================
+# Kendall tau-b rank correlation per nation (bounded pair expansion)
+# =====================================================================
+
+_KT_MAX_PER_NATION = 200
+
+
+def kendall_tau_nations(spark, sf_dir):
+    """Kendall tau-b between a customer's account balance and their
+    order count, per nation: the rank-correlation complement of the
+    Pearson matrix (corr_matrix_lineitem) — concordance survives the
+    monotone-but-nonlinear relationships Pearson misses, and tau-b's
+    tie correction handles the heavily-tied order counts honestly.
+
+    Scale shape: the fact table collapses to one row per customer
+    first; the quadratic pair expansion is bounded by a deterministic
+    per-nation cap (first 200 custkeys — truncation, not exclusion,
+    per the Theil-Sen discipline) and the pair join is an equi-join on
+    nationkey. All counts are exact integers, so tau-b is one IEEE
+    division and the oracle matches bit-for-bit."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    per_cust = (
+        cu.join(
+            od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")),
+            cu.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+    w_n = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    capped = (
+        per_cust.withColumn("rn", F.row_number().over(w_n))
+        .filter(F.col("rn") <= _KT_MAX_PER_NATION)
+        .drop("rn")
+    )
+    x = capped.alias("x")
+    y = capped.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.c_nationkey") == F.col("y.c_nationkey"))
+        & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+    ).select(
+        F.col("x.c_nationkey").alias("nationkey"),
+        (F.col("x.c_acctbal") - F.col("y.c_acctbal")).alias("db"),
+        (F.col("x.n_orders") - F.col("y.n_orders")).alias("dn"),
+    )
+    agg = pairs.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("db") * F.col("dn") > 0).cast("long")).alias("conc"),
+        F.sum((F.col("db") * F.col("dn") < 0).cast("long")).alias("disc"),
+        F.sum((F.col("db") == 0).cast("long")).alias("tie_bal"),
+        F.sum((F.col("dn") == 0).cast("long")).alias("tie_ord"),
+    )
+    denom = F.sqrt(
+        (F.col("n_pairs") - F.col("tie_bal")).cast("double")
+        * (F.col("n_pairs") - F.col("tie_ord")).cast("double")
+    )
+    tau = F.when(
+        denom > 0,
+        F.round((F.col("conc") - F.col("disc")) / denom, 6),
+    )
+    return (
+        agg.join(F.broadcast(na), agg.nationkey == na.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            tau.alias("tau_b"),
+        )
+        .orderBy("n_name")
+    )
+
+
+KENDALL_TAU_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         coalesce(n_orders, 0) AS n_orders
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+  ) o ON c_custkey = o_custkey
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_custkey) AS rn
+    FROM per_cust
+  ) WHERE rn <= 200
+), pairs AS (
+  SELECT x.c_nationkey AS nationkey,
+         x.c_acctbal - y.c_acctbal AS db,
+         x.n_orders - y.n_orders AS dn
+  FROM capped x JOIN capped y
+    ON x.c_nationkey = y.c_nationkey AND x.c_custkey < y.c_custkey
+), agg AS (
+  SELECT nationkey, count(*) AS n_pairs,
+         sum(CASE WHEN db * dn > 0 THEN 1 ELSE 0 END) AS conc,
+         sum(CASE WHEN db * dn < 0 THEN 1 ELSE 0 END) AS disc,
+         sum(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS tie_bal,
+         sum(CASE WHEN dn = 0 THEN 1 ELSE 0 END) AS tie_ord
+  FROM pairs GROUP BY nationkey
+)
+SELECT n_name,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CASE WHEN (n_pairs - tie_bal) * (n_pairs - tie_ord) > 0
+            THEN round((conc - disc)
+                       / sqrt(CAST(n_pairs - tie_bal AS DOUBLE)
+                              * CAST(n_pairs - tie_ord AS DOUBLE)), 6)
+       END AS tau_b
+FROM agg JOIN nation ON nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+REGISTRY_ROUND3B: dict[str, QuerySpec] = {
+    "weighted_quantiles_brands": QuerySpec(
+        weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
+    ),
+    "timeseries_interpolate_linear": QuerySpec(
+        timeseries_interpolate_linear, INTERPOLATE_SQL
+    ),
+    "mann_whitney_events": QuerySpec(mann_whitney_events, MANN_WHITNEY_SQL),
+    "theil_sen_trends": QuerySpec(theil_sen_trends, THEIL_SEN_SQL),
+    "token_drift_sources": QuerySpec(token_drift_sources, TOKEN_DRIFT_SQL),
+    "sorted_neighborhood_linkage": QuerySpec(
+        sorted_neighborhood_linkage, SNM_LINKAGE_SQL
+    ),
+    "kendall_tau_nations": QuerySpec(kendall_tau_nations, KENDALL_TAU_SQL),
+}

@@ -37,6 +37,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "chi_square_events": "grand-total/dof marginals: 1-row broadcast",
     "lang_rebalance_plan": "corpus token total + lang count: 1-row broadcast",
     "seasonality_dow_index": "overall day/event totals: 1-row broadcast",
+    "mann_whitney_events": "histogram min/max anchor: 1-row broadcast",
+    "token_drift_sources": "corpus totals + vocab size: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -178,6 +180,15 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "counts — bounded by calendar span",
     "score_lift_table": "cumulative window runs over the 10-row decile "
     "table (fixed-width bins, not global ntile)",
+    "timeseries_interpolate_linear": "prev/next windows run over the "
+    "DAILY series — bounded by the observation span in days, "
+    "data-size-independent (same bound as autocorrelation_daily_events)",
+    "mann_whitney_events": "offset window runs over the fixed 1024-bin "
+    "histogram table, not rows — the rank prefix sums are "
+    "bin-partitioned (two-phase prefix-sum discipline)",
+    "sorted_neighborhood_linkage": "global windows run over "
+    "PER-PARTITION OFFSETS inside global_row_number (one row per range "
+    "partition), not rows — same bound as global_row_ids_orders",
 }
 
 

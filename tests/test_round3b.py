@@ -1,0 +1,317 @@
+"""Round-3 batch 2: weighted quantiles, linear-interpolation gap fill,
+Mann-Whitney U, Theil-Sen trends — semantic tests on hand-computable
+fixtures (the cross-engine value gate covers the real tables)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from kinesis_app_spark.registry_round3b import (
+    mann_whitney_events,
+    theil_sen_trends,
+    timeseries_interpolate_linear,
+    weighted_quantiles_brands,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_dir(spark, rows) -> str:
+    d = tempfile.mkdtemp(prefix="r3b_fixture_")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    return d
+
+
+def _trade_dir(spark, lineitem_rows, part_rows) -> str:
+    d = tempfile.mkdtemp(prefix="r3b_trade_")
+    spark.createDataFrame(
+        lineitem_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        part_rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    return d
+
+
+# ---------------------------------------------------------------------
+# weighted quantiles
+# ---------------------------------------------------------------------
+
+def test_weighted_quantiles_left_continuous_inverse_cdf(spark):
+    """W = 1+1+2 = 4: wp25 is the first price with cw >= 1 (10), wp50
+    needs cw >= 2 (20), wp75 needs cw >= 3 (30 — the weight-2 price
+    carries both remaining quarters)."""
+    t = dt.datetime(2024, 1, 1)
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (2, 1, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", t),
+        (3, 1, 1, 1, 2.0, 30.0, 0.0, 0.0, "N", "O", t),
+    ]
+    pt = [(1, "p", "B1", "t", 1, 1.0)]
+    got = weighted_quantiles_brands(spark, _trade_dir(spark, li, pt)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["p_brand"], r["w_total"]) == ("B1", 4)
+    assert (r["wp25"], r["wp50"], r["wp75"]) == (10.0, 20.0, 30.0)
+
+
+def test_weighted_quantiles_duplicate_prices_merge(spark):
+    """Equal prices merge their weights BEFORE the cumulative walk, so
+    the quantile never splits a price level (and ties can't make the
+    pick order-dependent): three rows at price 10 (total w 3 of 4)
+    cover wp25/50/75 entirely."""
+    t = dt.datetime(2024, 1, 1)
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (4, 1, 1, 1, 1.0, 99.0, 0.0, 0.0, "N", "O", t),
+    ]
+    pt = [(1, "p", "B1", "t", 1, 1.0)]
+    r = weighted_quantiles_brands(spark, _trade_dir(spark, li, pt)).collect()[0]
+    assert (r["wp25"], r["wp50"], r["wp75"]) == (10.0, 10.0, 10.0)
+
+
+# ---------------------------------------------------------------------
+# linear interpolation
+# ---------------------------------------------------------------------
+
+def test_interpolate_linear_fills_interior_gap(spark):
+    """Observed day1=10, day4=40 -> day2=20, day3=30, flagged
+    interpolated; observed days keep their mean and flag 0."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(hours=1), 1, "view", 5.0, "{}"),
+        (2, t0 + dt.timedelta(hours=2), 1, "view", 15.0, "{}"),
+        (3, t0 + dt.timedelta(days=3, hours=4), 1, "view", 40.0, "{}"),
+    ]
+    got = {
+        r["day"].day: r
+        for r in timeseries_interpolate_linear(
+            spark, _events_dir(spark, rows)
+        ).collect()
+    }
+    assert len(got) == 4
+    assert got[1]["value"] == 10.0 and got[1]["interpolated"] == 0
+    assert got[1]["n_obs"] == 2
+    assert got[2]["value"] == 20.0 and got[2]["interpolated"] == 1
+    assert got[3]["value"] == 30.0 and got[3]["interpolated"] == 1
+    assert got[4]["value"] == 40.0 and got[4]["interpolated"] == 0
+
+
+def test_interpolate_linear_edges_extend_flat(spark):
+    """A gap with no earlier observation takes the next value; the
+    spine is bounded by observed days so trailing gaps can't occur —
+    single-day series degenerates to itself."""
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [(1, t0, 1, "view", 7.0, "{}")]
+    got = timeseries_interpolate_linear(
+        spark, _events_dir(spark, rows)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == 7.0 and got[0]["interpolated"] == 0
+
+
+# ---------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------
+
+def test_mann_whitney_matches_direct_rank_computation(spark):
+    """Fixture with ties across AND within groups; expected values from
+    the textbook average-rank formula computed inline."""
+    t0 = dt.datetime(2024, 1, 1)
+    clicks = [1.0, 2.0, 3.0, 3.0, 10.0]
+    purchases = [3.0, 4.0, 5.0, 6.0]
+    rows = [
+        (i, t0, 1, "click", v, "{}") for i, v in enumerate(clicks)
+    ] + [
+        (100 + i, t0, 2, "purchase", v, "{}")
+        for i, v in enumerate(purchases)
+    ] + [
+        (200, t0, 3, "view", 999.0, "{}")  # other types excluded
+    ]
+    r = mann_whitney_events(spark, _events_dir(spark, rows)).collect()[0]
+
+    # textbook: average ranks over the pooled sample
+    pooled = sorted(clicks + purchases)
+    import collections
+
+    cnt = collections.Counter(pooled)
+    c_less, avg_rank = 0, {}
+    for v in sorted(cnt):
+        avg_rank[v] = c_less + (cnt[v] + 1) / 2.0
+        c_less += cnt[v]
+    ra = sum(avg_rank[v] for v in clicks)
+    n_a, n_b = len(clicks), len(purchases)
+    u_a = ra - n_a * (n_a + 1) / 2.0
+    tie = sum(c**3 - c for c in cnt.values())
+    n = n_a + n_b
+    sigma2 = (n_a * n_b / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+    z = (u_a - n_a * n_b / 2.0) / sigma2**0.5
+
+    assert (r["n_click"], r["n_purchase"]) == (n_a, n_b)
+    assert r["u_stat"] == u_a
+    assert abs(r["z"] - z) < 1e-6
+    assert abs(r["rank_biserial"] - (1 - 2 * u_a / (n_a * n_b))) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# Theil-Sen
+# ---------------------------------------------------------------------
+
+def test_theil_sen_ignores_outlier_ols_cannot(spark):
+    """y = 3/day + 7 with one wild outlier: the median of pairwise
+    slopes stays exactly 3.0/day (most pairs avoid the outlier)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", 7.0 + 3.0 * i, "{}")
+        for i in range(6)
+    ]
+    rows.append((6, t0 + dt.timedelta(days=6), 1, "view", 1000.0, "{}"))
+    r = theil_sen_trends(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["n_events"] == 7
+    assert r["slope_per_day"] == 3.0
+    # intercept = median(v - 3*t_days) over the 7 points; 6 exact
+    # points share the identical residual, so the median IS it
+    t_days0 = (t0 - dt.datetime(1970, 1, 1)).total_seconds() / 86400.0
+    assert abs(r["intercept"] - round(7.0 - 3.0 * t_days0, 4)) < 1e-6
+
+
+def test_theil_sen_small_users_excluded_large_truncated(spark):
+    """Users below 3 events drop out; a user beyond the 40-event cap is
+    truncated to the FIRST 40 in time order, not excluded."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=1), 1, "view", 2.0, "{}"),
+    ]
+    rows += [
+        (100 + i, t0 + dt.timedelta(hours=i), 2, "view", float(i), "{}")
+        for i in range(50)
+    ]
+    got = {
+        r["user_id"]: r
+        for r in theil_sen_trends(spark, _events_dir(spark, rows)).collect()
+    }
+    assert 1 not in got
+    assert got[2]["n_events"] == 40
+    assert got[2]["slope_per_day"] == 24.0  # 1.0/hour
+
+
+# ---------------------------------------------------------------------
+# token drift
+# ---------------------------------------------------------------------
+
+def test_token_drift_smoothed_probabilities(spark):
+    """Hand-checkable two-doc corpus: vocab {aa,bb,cc} (V=3), 4 tokens
+    per cohort, Laplace +1 -> p = (n+1)/7; bb and cc are exact mirror
+    images across the cohorts."""
+    from kinesis_app_spark.registry_round3b import token_drift_sources
+
+    d = tempfile.mkdtemp(prefix="r3b_docs_")
+    spark.createDataFrame(
+        [
+            (1, "aa aa bb bb", "en", "src1", 11),
+            (2, "aa aa cc cc", "en", "src11", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["token"]: r for r in token_drift_sources(spark, d).collect()}
+    assert set(got) == {"aa", "bb", "cc"}
+    assert (got["aa"]["ref_n"], got["aa"]["cur_n"]) == (2, 2)
+    assert got["aa"]["ref_p"] == got["aa"]["cur_p"] == round(3 / 7, 6)
+    assert got["aa"]["js_contrib"] == 0.0  # no drift on aa
+    assert got["bb"]["ref_p"] == got["cc"]["cur_p"] == round(3 / 7, 6)
+    assert got["bb"]["cur_p"] == got["cc"]["ref_p"] == round(1 / 7, 6)
+    # bb and cc are mirror images -> identical JS contribution
+    assert got["bb"]["js_contrib"] == got["cc"]["js_contrib"] > 0
+
+
+# ---------------------------------------------------------------------
+# sorted-neighborhood linkage
+# ---------------------------------------------------------------------
+
+def test_snm_contains_every_hash_block_true_pair(spark):
+    """Same dirt, different blocking: every true (self) pair the
+    hash-block linkage finds must also fall inside the SNM window —
+    identical suffixes sort adjacent. Distance-2 dirt (custkey%10==7)
+    must still be rejected by the verify stage."""
+    from kinesis_app_spark.registry_analytics import (
+        record_linkage_customers,
+    )
+    from kinesis_app_spark.registry_round3b import (
+        sorted_neighborhood_linkage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hash_pairs = {
+        (r["custkey_l"], r["custkey_r"])
+        for r in record_linkage_customers(spark, sf).collect()
+    }
+    snm = sorted_neighborhood_linkage(spark, sf).collect()
+    snm_pairs = {(r["custkey_l"], r["custkey_r"]) for r in snm}
+    assert hash_pairs <= snm_pairs
+    assert all(r["dist"] <= 1 for r in snm)
+    # distance-2 dirt never links to its own clean record
+    assert not any(
+        l == r and l % 10 == 7 for (l, r) in snm_pairs
+    )
+
+
+# ---------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------
+
+def test_kendall_tau_perfect_concordance_and_inversion(spark):
+    """Nation A: balance and order count rise together -> tau_b = 1;
+    nation B: perfectly inverted -> tau_b = -1."""
+    from kinesis_app_spark.registry_round3b import kendall_tau_nations
+
+    d = tempfile.mkdtemp(prefix="r3b_kt_")
+    t = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    custs = [
+        (1, "Customer#000000001", 0, 10.0, "SEG"),
+        (2, "Customer#000000002", 0, 20.0, "SEG"),
+        (3, "Customer#000000003", 0, 30.0, "SEG"),
+        (4, "Customer#000000004", 1, 10.0, "SEG"),
+        (5, "Customer#000000005", 1, 20.0, "SEG"),
+        (6, "Customer#000000006", 1, 30.0, "SEG"),
+    ]
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    orders = []
+    ok = 0
+    # nation A: order count follows balance; nation B: inverted
+    for ck, n in [(1, 1), (2, 2), (3, 3), (4, 3), (5, 2), (6, 1)]:
+        for _ in range(n):
+            ok += 1
+            orders.append((ok, ck, "O", 1.0, t, "1-URGENT"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["n_name"]: r for r in kendall_tau_nations(spark, d).collect()}
+    assert got["A"]["tau_b"] == 1.0
+    assert got["B"]["tau_b"] == -1.0
+    assert got["A"]["n_pairs"] == 3 and got["A"]["concordant"] == 3
+    assert got["B"]["discordant"] == 3
