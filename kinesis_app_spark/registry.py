@@ -1627,6 +1627,7 @@ from kinesis_app_spark.registry_sources import REGISTRY_SOURCES  # noqa: E402
 from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 from kinesis_app_spark.registry_round3 import REGISTRY_ROUND3  # noqa: E402
 from kinesis_app_spark.registry_round3b import REGISTRY_ROUND3B  # noqa: E402
+from kinesis_app_spark.registry_mleval import REGISTRY_MLEVAL  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
@@ -1656,6 +1657,7 @@ from kinesis_app_spark import registry_round3 as _r3  # noqa: E402
 _r3._bind_prefix_oracle()
 REGISTRY.update(REGISTRY_ROUND3)
 REGISTRY.update(REGISTRY_ROUND3B)
+REGISTRY.update(REGISTRY_MLEVAL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,6 +39,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "seasonality_dow_index": "overall day/event totals: 1-row broadcast",
     "mann_whitney_events": "histogram min/max anchor: 1-row broadcast",
     "token_drift_sources": "corpus totals + vocab size: 1-row broadcast",
+    "classifier_auc_docs": "histogram min/max anchor: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -189,6 +190,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "sorted_neighborhood_linkage": "global windows run over "
     "PER-PARTITION OFFSETS inside global_row_number (one row per range "
     "partition), not rows — same bound as global_row_ids_orders",
+    "classifier_auc_docs": "offset window runs over the fixed 1024-bin "
+    "histogram table, not rows — same two-phase prefix-sum bound as "
+    "mann_whitney_events",
 }
 
 
