@@ -742,6 +742,161 @@ ORDER BY n_name
 """
 
 
+# =====================================================================
+# STL-style decomposition of the daily event series
+# =====================================================================
+
+def stl_decompose_daily(spark, sf_dir):
+    """Classical additive decomposition of the daily mean event value:
+    trend = 7-day centered moving average (partial at the edges),
+    seasonal = centered day-of-week means of the detrended series,
+    residual = the rest — the moving-average core of STL without the
+    loess refinement (deterministic, hence value-gateable; full STL's
+    iterated loess is a driver-side statsmodels call on the SAME
+    bounded daily series if ever needed).
+
+    Scale shape: the raw table collapses to one row per DAY first; all
+    windows run over the daily series (bounded by calendar span —
+    allowlisted); the seasonal profile is a 7-row broadcast and the
+    centering constant a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    dt = daily.withColumn("trend", F.avg("v").over(w_ma)).withColumn(
+        "detr", F.col("v") - F.col("trend")
+    )
+    dow = dt.groupBy(F.dayofweek("day").alias("dw")).agg(
+        F.avg("detr").alias("s_raw")
+    )
+    center = dow.agg(F.avg("s_raw").alias("s_mean"))
+    seasonal = dow.crossJoin(F.broadcast(center)).select(
+        "dw", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        dt.join(F.broadcast(seasonal), F.dayofweek("day") == F.col("dw"))
+        .select(
+            "day",
+            F.round("v", 4).alias("value"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+STL_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1
+), dt AS (
+  SELECT day, v,
+         avg(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend
+  FROM daily
+), dow AS (
+  SELECT dayofweek(day) + 1 AS dw, avg(v - trend) AS s_raw
+  FROM dt GROUP BY 1
+), seasonal AS (
+  SELECT dw, s_raw - (SELECT avg(s_raw) FROM dow) AS seasonal FROM dow
+)
+SELECT day,
+       round(v, 4) AS value,
+       round(trend, 4) AS trend,
+       round(seasonal, 4) AS seasonal,
+       round(v - trend - seasonal, 4) AS residual
+FROM dt JOIN seasonal ON dayofweek(day) + 1 = dw
+ORDER BY day
+"""
+
+
+# =====================================================================
+# EWMA smoothing of the daily series (closed form, no recursion)
+# =====================================================================
+
+_EWMA_ALPHA = 0.3
+
+
+def ewma_daily_trend(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily mean event
+    value (alpha = 0.3, s_1 = x_1) plus the one-step-ahead forecast
+    error |x_t - s_{t-1}| — the monitoring smoother behind every
+    'is today off-trend?' alert.
+
+    The recursion is rewritten in closed form so it is pure window
+    algebra (no iterative state): s_t = alpha * sum_{i<=t} r^(t-i) x_i
+    + r^(t-1) (1-alpha-...) — concretely, a running sum of x_i * r^-i
+    rescaled by r^t, with the s_1 = x_1 boundary carried by
+    first_value. r^-i grows only over the bounded calendar span, so
+    the rescaling stays in double range by construction.
+
+    Scale shape: one groupBy to the daily series, then bounded
+    windows (allowlisted, same bound as the interpolation entry)."""
+    r = 1.0 - _EWMA_ALPHA
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    w_all = Window.orderBy("day")
+    w_cum = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        daily.withColumn("t", F.row_number().over(w_all))
+        .withColumn("u", F.col("v") * F.pow(F.lit(r), -F.col("t")))
+        .withColumn("usum", F.sum("u").over(w_cum))
+        .withColumn("x1", F.first("v").over(w_cum))
+        .withColumn("u1", F.first("u").over(w_cum))
+    )
+    ewma = F.when(F.col("t") == 1, F.col("v")).otherwise(
+        F.lit(_EWMA_ALPHA)
+        * F.pow(F.lit(r), F.col("t"))
+        * (F.col("usum") - F.col("u1"))
+        + F.pow(F.lit(r), F.col("t") - 1) * F.col("x1")
+    )
+    d = d.withColumn("ewma", ewma)
+    prev = F.lag("ewma").over(w_all)
+    return d.select(
+        "day",
+        F.round("v", 4).alias("value"),
+        F.round("ewma", 4).alias("ewma"),
+        F.round(F.abs(F.col("v") - prev), 4).alias("forecast_abs_err"),
+    ).orderBy("day")
+
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, v,
+         row_number() OVER (ORDER BY day) AS t,
+         v * pow(0.7, -row_number() OVER (ORDER BY day)) AS u
+  FROM daily
+), c AS (
+  SELECT day, v, t, u,
+         sum(u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS usum,
+         first_value(v) OVER (ORDER BY day) AS x1,
+         first_value(u) OVER (ORDER BY day) AS u1
+  FROM d
+), e AS (
+  SELECT day, v,
+         CASE WHEN t = 1 THEN v
+              ELSE 0.3 * pow(0.7, t) * (usum - u1) + pow(0.7, t - 1) * x1
+         END AS ewma
+  FROM c
+)
+SELECT day,
+       round(v, 4) AS value,
+       round(ewma, 4) AS ewma,
+       round(abs(v - lag(ewma) OVER (ORDER BY day)), 4) AS forecast_abs_err
+FROM e
+ORDER BY day
+"""
+
+
 REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "weighted_quantiles_brands": QuerySpec(
         weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
@@ -756,4 +911,6 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
         sorted_neighborhood_linkage, SNM_LINKAGE_SQL
     ),
     "kendall_tau_nations": QuerySpec(kendall_tau_nations, KENDALL_TAU_SQL),
+    "stl_decompose_daily": QuerySpec(stl_decompose_daily, STL_SQL),
+    "ewma_daily_trend": QuerySpec(ewma_daily_trend, EWMA_SQL),
 }

@@ -40,6 +40,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "mann_whitney_events": "histogram min/max anchor: 1-row broadcast",
     "token_drift_sources": "corpus totals + vocab size: 1-row broadcast",
     "classifier_auc_docs": "histogram min/max anchor: 1-row broadcast",
+    "stl_decompose_daily": "seasonal centering constant: 1-row broadcast "
+    "(the 7-row dow profile is a BHJ)",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -193,6 +195,10 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "classifier_auc_docs": "offset window runs over the fixed 1024-bin "
     "histogram table, not rows — same two-phase prefix-sum bound as "
     "mann_whitney_events",
+    "stl_decompose_daily": "moving-average windows run over the DAILY "
+    "series — bounded by the observation span in days",
+    "ewma_daily_trend": "closed-form EWMA windows run over the DAILY "
+    "series — bounded by the observation span in days",
 }
 
 

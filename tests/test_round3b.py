@@ -211,6 +211,72 @@ def test_theil_sen_small_users_excluded_large_truncated(spark):
 
 
 # ---------------------------------------------------------------------
+# STL decomposition / EWMA
+# ---------------------------------------------------------------------
+
+def test_stl_pure_weekly_pattern_interior_residual_zero(spark):
+    """28 days of a pure period-7 signal: for interior days the 7-day
+    centered MA is the constant weekly mean, the seasonal term recovers
+    the dow offset, and the residual vanishes."""
+    from kinesis_app_spark.registry_round3b import stl_decompose_daily
+
+    t0 = dt.datetime(2024, 1, 1)
+    weekly = [10.0, 12.0, 8.0, 14.0, 6.0, 11.0, 9.0]
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", weekly[i % 7], "{}")
+        for i in range(28)
+    ]
+    got = stl_decompose_daily(spark, _events_dir(spark, rows)).collect()
+    assert len(got) == 28
+
+    # independent reimplementation of the textbook definition
+    xs = [weekly[i % 7] for i in range(28)]
+    trend = []
+    for i in range(28):
+        lo, hi = max(0, i - 3), min(28, i + 4)
+        trend.append(sum(xs[lo:hi]) / (hi - lo))
+    detr = [x - t for x, t in zip(xs, trend)]
+    dows = [
+        (t0 + dt.timedelta(days=i)).isoweekday() % 7 + 1 for i in range(28)
+    ]
+    groups: dict[int, list[float]] = {}
+    for d_, dw in zip(detr, dows):
+        groups.setdefault(dw, []).append(d_)
+    s_raw = {k: sum(v) / len(v) for k, v in groups.items()}
+    s_mean = sum(s_raw.values()) / len(s_raw)
+    for i, r in enumerate(got):
+        assert abs(r["trend"] - trend[i]) < 1e-3
+        assert abs(r["seasonal"] - (s_raw[dows[i]] - s_mean)) < 1e-3
+        assert (
+            abs(r["residual"] - (detr[i] - (s_raw[dows[i]] - s_mean))) < 1e-3
+        )
+    mean = sum(weekly) / 7
+    for r in got[3:-3]:  # interior: full MA window -> flat trend
+        assert abs(r["trend"] - mean) < 1e-3
+
+
+def test_ewma_matches_recursive_reference(spark):
+    from kinesis_app_spark.registry_round3b import ewma_daily_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    xs = [10.0, 14.0, 6.0, 9.0, 20.0, 3.0, 11.0, 12.0]
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", xs[i], "{}")
+        for i in range(len(xs))
+    ]
+    got = ewma_daily_trend(spark, _events_dir(spark, rows)).collect()
+    s = xs[0]
+    want = [s]
+    for x in xs[1:]:
+        s = 0.3 * x + 0.7 * s
+        want.append(s)
+    for r, w, x in zip(got, want, xs):
+        assert abs(r["ewma"] - w) < 1e-3, (r, w)
+    assert got[0]["forecast_abs_err"] is None
+    assert abs(got[1]["forecast_abs_err"] - abs(xs[1] - want[0])) < 1e-3
+
+
+# ---------------------------------------------------------------------
 # token drift
 # ---------------------------------------------------------------------
 
