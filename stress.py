@@ -76,6 +76,11 @@ ENTRIES = [
     "paragraph_dedup_docs",      # first-wins segment dedup, MIN winner (r3b)
     "cusum_changepoints_events",  # two-window CUSUM over one sort (r3b)
     "grouped_ols_user_trends",   # per-key closed-form OLS aggregate (r3b)
+    "weighted_quantiles_brands",  # per-group cumulative-weight quantile (r3c)
+    "mann_whitney_events",       # two-phase binned rank statistics (r3c)
+    "theil_sen_trends",          # capped per-group pair expansion (r3c)
+    "sorted_neighborhood_linkage",  # global_row_number + bucket join (r3c)
+    "classifier_auc_docs",       # rank-identity AUC over logit levels (r3c)
 ]
 
 
