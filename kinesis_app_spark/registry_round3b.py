@@ -897,6 +897,189 @@ ORDER BY day
 """
 
 
+# =====================================================================
+# Zipf rank-frequency fit over the token distribution
+# =====================================================================
+
+_ZIPF_TOP = 1000
+
+
+def zipf_fit_tokens(spark, sf_dir):
+    """Zipf's-law health check of the corpus token distribution: take
+    the top-1000 tokens by frequency, regress ln(freq) on ln(rank)
+    (closed-form OLS), and report the slope (a healthy natural-language
+    corpus sits near -1; template/spam-heavy corpora flatten), the
+    intercept, and R^2. One row.
+
+    Scale shape: one explode shuffle to token counts; the top-1000 cut
+    is TakeOrderedAndProject (per-partition heaps, no global sort); the
+    rank window and the OLS run over the FIXED 1000-row head
+    (allowlisted bound). Ties broken by token so the rank assignment —
+    and therefore the fit — is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), "token").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), "token")
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+ZIPF_SQL = r"""
+WITH counts AS (
+  SELECT token, count(*) AS freq
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+  ) GROUP BY token
+), top AS (
+  SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 1000
+), pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+), agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+         AS intercept,
+       round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+FROM agg
+"""
+
+
+# =====================================================================
+# vocabulary growth checkpoints (Heaps'-law read)
+# =====================================================================
+
+_VG_BUCKETS = 10
+
+
+def vocab_growth_checkpoints(spark, sf_dir):
+    """Vocabulary growth curve: split the corpus into 10 doc-id-range
+    buckets and report, at each cumulative checkpoint, the token count
+    and the DISTINCT vocabulary seen so far — the Heaps'-law read that
+    tells you whether more crawl keeps buying new vocabulary or the
+    corpus has saturated (a dedup/quality signal at the corpus level).
+
+    Scale shape: cumulative distinct WITHOUT re-scanning per
+    checkpoint — each token contributes its FIRST bucket (one groupBy
+    min), then the per-bucket first-appearance counts cumulate over the
+    10-row checkpoint table (bounded window). Token totals cumulate the
+    same way. One explode shuffle total."""
+    docs = _t(spark, sf_dir, "documents")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), (F.max("doc_id") + 1).alias("hi")
+    )
+    toks = (
+        docs.select("doc_id", F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "token",
+            F.least(
+                F.lit(_VG_BUCKETS - 1),
+                F.floor(
+                    (F.col("doc_id") - F.col("lo"))
+                    * _VG_BUCKETS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ).alias("bucket"),
+        )
+    )
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    totals = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        totals.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum(F.coalesce("new_vocab", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH rng AS (
+  SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents
+), toks AS (
+  SELECT token,
+         least(9, CAST(floor((doc_id - lo) * 10 / (hi - lo)) AS INT)) AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+  ) CROSS JOIN rng
+), first_seen AS (
+  SELECT bucket, count(*) AS new_vocab FROM (
+    SELECT token, min(bucket) AS bucket FROM toks GROUP BY token
+  ) GROUP BY bucket
+), totals AS (
+  SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket
+)
+SELECT bucket,
+       CAST(sum(n_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS tokens_cum,
+       CAST(sum(coalesce(new_vocab, 0)) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum
+FROM totals LEFT JOIN first_seen USING (bucket)
+ORDER BY bucket
+"""
+
+
 REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "weighted_quantiles_brands": QuerySpec(
         weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
@@ -913,4 +1096,8 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "kendall_tau_nations": QuerySpec(kendall_tau_nations, KENDALL_TAU_SQL),
     "stl_decompose_daily": QuerySpec(stl_decompose_daily, STL_SQL),
     "ewma_daily_trend": QuerySpec(ewma_daily_trend, EWMA_SQL),
+    "zipf_fit_tokens": QuerySpec(zipf_fit_tokens, ZIPF_SQL),
+    "vocab_growth_checkpoints": QuerySpec(
+        vocab_growth_checkpoints, VOCAB_GROWTH_SQL
+    ),
 }

@@ -42,6 +42,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "classifier_auc_docs": "histogram min/max anchor: 1-row broadcast",
     "stl_decompose_daily": "seasonal centering constant: 1-row broadcast "
     "(the 7-row dow profile is a BHJ)",
+    "vocab_growth_checkpoints": "doc-id range anchor: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -199,6 +200,10 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "series — bounded by the observation span in days",
     "ewma_daily_trend": "closed-form EWMA windows run over the DAILY "
     "series — bounded by the observation span in days",
+    "zipf_fit_tokens": "rank window runs over the fixed top-1000 head "
+    "(TakeOrderedAndProject output), bounded by the operator contract",
+    "vocab_growth_checkpoints": "cumulative window runs over the 10-row "
+    "checkpoint table (fixed bucket count)",
 }
 
 

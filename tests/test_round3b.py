@@ -306,6 +306,57 @@ def test_token_drift_smoothed_probabilities(spark):
 
 
 # ---------------------------------------------------------------------
+# Zipf fit / vocabulary growth
+# ---------------------------------------------------------------------
+
+def test_zipf_exact_power_law_recovers_slope(spark):
+    """freq(rank) = 1024 * rank^-1 exactly (ranks 1..8, counts 1024/r
+    rounded to powers of two so ln is exact-ish): slope -> -1, r2 -> 1."""
+    from kinesis_app_spark.registry_round3b import zipf_fit_tokens
+
+    d = tempfile.mkdtemp(prefix="r3b_zipf_")
+    # token t_r appears 2^(8-r) times => freq halves as rank doubles:
+    # ln(freq) = ln(256) - ln(2)*r is linear in r, NOT in ln(r) —
+    # instead build freq = 840/r exactly (840 divisible by 1..8)
+    words = []
+    for r in range(1, 9):
+        words += [f"t{r:02d}"] * (840 // r)
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "src1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = zipf_fit_tokens(spark, d).collect()[0]
+    assert r["n_tokens_fit"] == 8
+    assert abs(r["zipf_slope"] - (-1.0)) < 1e-3
+    assert r["r2"] > 0.9999
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    from kinesis_app_spark.registry_round3b import vocab_growth_checkpoints
+
+    sf = "/root/testdata/sf0.001"
+    rows = vocab_growth_checkpoints(spark, sf).collect()
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+    vocab = [r["vocab_cum"] for r in rows]
+    toks = [r["tokens_cum"] for r in rows]
+    assert all(a <= b for a, b in zip(vocab, vocab[1:]))
+    assert all(a < b for a, b in zip(toks, toks[1:]))
+    assert vocab[-1] <= toks[-1]
+    # final checkpoint = whole-corpus truth
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("tok")
+    )
+    assert toks[-1] == t.count()
+    assert vocab[-1] == t.distinct().count()
+
+
+# ---------------------------------------------------------------------
 # sorted-neighborhood linkage
 # ---------------------------------------------------------------------
 
