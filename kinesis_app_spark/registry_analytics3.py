@@ -531,10 +531,132 @@ ORDER BY i, j
 """
 
 
+# =====================================================================
+# PCA top component via power iteration over the exact covariance
+# =====================================================================
+
+_PCA_ITERS = 8
+
+
+def _q(x: float, dp: int) -> float:
+    """DuckDB round() semantics (half away from zero) — the shared
+    quantization that pins every power-iteration step to a grid so the
+    engine's and the oracle's float paths cannot drift apart."""
+    import math
+
+    scale = 10.0 ** dp
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding corpus: 8 power-
+    iteration steps on the EXACT covariance matrix (the value-gated
+    embedding_covariance output), emitting per-dimension loadings, the
+    dominant eigenvalue (Rayleigh quotient) and the explained-variance
+    ratio (eigenvalue / trace).
+
+    Determinism across engines is by construction, not luck: the
+    covariance is already quantized to 8 dp (and exact by the int64
+    Gram discipline), and every iteration step re-quantizes the
+    matvec, the norm, and the normalized vector to 9 dp with the same
+    rounding rule — both engines walk the identical grid, so the
+    unrolled-CTE oracle hash-matches.
+
+    Scale shape: the distributed heavy lift is the covariance reduce
+    (d² cells regardless of corpus size, see embedding_covariance);
+    the eigensolve itself is O(d²) per step on a d x d = 64 x 64
+    matrix — collected to the driver under the documented d(d+1)/2 =
+    2080-row bound, exactly where any production system solves it."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = 1 + max(r["i"] for r in cov_rows)
+    c = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        c[r["i"]][r["j"]] = r["cov"]
+        c[r["j"]][r["i"]] = r["cov"]
+    import math
+
+    # all-ones start: e_1 can be exactly orthogonal (under C) to the
+    # dominant component when the data has block structure; the uniform
+    # vector overlaps every axis
+    v = [_q(1.0 / math.sqrt(d), 9)] * d
+
+    for _ in range(_PCA_ITERS):
+        mv = [_q(sum(c[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
+        norm = _q(math.sqrt(sum(x * x for x in mv)), 9)
+        v = [_q(x / norm, 9) for x in mv]
+    mv = [_q(sum(c[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
+    lam = _q(sum(a * b for a, b in zip(v, mv)), 6)
+    trace = sum(c[i][i] for i in range(d))
+    evr = _q(lam / trace, 6)
+    out = [
+        (i, _q(v[i], 6), lam, evr)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, eigenvalue double, evr double"
+    ).orderBy("dim")
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power iteration as CTEs over the covariance CTE —
+    generated, not hand-written, so the iteration count and rounding
+    rule stay in one place."""
+    cov_cte = EMBEDDING_COV_SQL.strip().rstrip().removesuffix("ORDER BY i, j").strip()
+    # wrap: cov query (upper triangle) -> symmetric matrix
+    parts = [
+        f"WITH covq AS MATERIALIZED ({cov_cte}),",
+        "sym AS MATERIALIZED (",
+        "  SELECT i, j, cov FROM covq",
+        "  UNION ALL",
+        "  SELECT j AS i, i AS j, cov FROM covq WHERE i <> j",
+        "),",
+        "dims AS MATERIALIZED (SELECT DISTINCT i FROM sym),",
+        "v0 AS (",
+        "  SELECT i AS d,",
+        "         round(1.0 / sqrt((SELECT count(*) FROM dims)), 9) AS val",
+        "  FROM dims",
+        "),",
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        parts += [
+            f"mv{k} AS MATERIALIZED (",
+            f"  SELECT s.i AS d, round(sum(s.cov * v.val), 9) AS val",
+            f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
+            "),",
+            f"n{k} AS (SELECT round(sqrt(sum(val * val)), 9) AS nrm FROM mv{k}),",
+            f"v{k} AS MATERIALIZED (SELECT d, round(val / nrm, 9) AS val"
+            f" FROM mv{k} CROSS JOIN n{k}),",
+        ]
+        prev = f"v{k}"
+    parts += [
+        "mvf AS (",
+        f"  SELECT s.i AS d, round(sum(s.cov * v.val), 9) AS val",
+        f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
+        "),",
+        "lam AS (",
+        f"  SELECT round(sum(v.val * m.val), 6) AS l",
+        f"  FROM {prev} v JOIN mvf m USING (d)",
+        "),",
+        "tr AS (SELECT sum(cov) AS t FROM covq WHERE i = j)",
+        "SELECT CAST(v.d AS INT) AS dim,",
+        "       round(v.val, 6) AS loading,",
+        "       l AS eigenvalue,",
+        "       round(l / t, 6) AS evr",
+        f"FROM {prev} v CROSS JOIN lam CROSS JOIN tr",
+        "ORDER BY dim",
+    ]
+    return "\n".join(parts)
+
+
+PCA_POWER_SQL = _pca_oracle_sql()
+
+
 REGISTRY_ANALYTICS3 = {
     "incremental_agg_maintenance": QuerySpec(
         incremental_agg_maintenance, INCREMENTAL_AGG_SQL
     ),
+    "pca_power_iteration": QuerySpec(pca_power_iteration, PCA_POWER_SQL),
     "gdpr_erasure_report": QuerySpec(gdpr_erasure_report, GDPR_SQL),
     "embedding_covariance": QuerySpec(embedding_covariance, EMBEDDING_COV_SQL),
     "session_paths_topk": QuerySpec(session_paths_topk, SESSION_PATHS_SQL),

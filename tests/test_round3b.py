@@ -388,6 +388,35 @@ def test_snm_contains_every_hash_block_true_pair(spark):
 
 
 # ---------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------
+
+def test_pca_recovers_dominant_axis(spark):
+    """Variance concentrated on axis 3 (values ±10) with tiny
+    deterministic noise elsewhere: the top component must align with
+    e3 (|loading| ~ 1), eigenvalue ~ var(x3) = 100, unit norm."""
+    from kinesis_app_spark.registry_analytics3 import pca_power_iteration
+
+    d = tempfile.mkdtemp(prefix="r3b_pca_")
+    rows = []
+    dim = 8
+    for i in range(200):
+        v = [((i * 7 + j) % 5) * 0.01 for j in range(dim)]
+        v[3] = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, v, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = pca_power_iteration(spark, d).collect()
+    assert len(got) == dim
+    loadings = {r["dim"]: r["loading"] for r in got}
+    assert abs(abs(loadings[3]) - 1.0) < 1e-3
+    assert abs(got[0]["eigenvalue"] - 100.0) < 0.5
+    assert abs(sum(v * v for v in loadings.values()) - 1.0) < 1e-3
+    assert 0.99 < got[0]["evr"] <= 1.0
+
+
+# ---------------------------------------------------------------------
 # Kendall tau-b
 # ---------------------------------------------------------------------
 
