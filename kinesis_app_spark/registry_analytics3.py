@@ -532,88 +532,116 @@ ORDER BY i, j
 
 
 # =====================================================================
-# PCA top component via power iteration over the exact covariance
+# PCA top component via INTEGER-EXACT power iteration
 # =====================================================================
 
 _PCA_ITERS = 8
 
 
 def _q(x: float, dp: int) -> float:
-    """DuckDB round() semantics (half away from zero) — the shared
-    quantization that pins every power-iteration step to a grid so the
-    engine's and the oracle's float paths cannot drift apart."""
+    """DuckDB round() semantics (half away from zero) on a shared
+    input — used only on values both engines already hold bit-equal."""
     import math
 
     scale = 10.0 ** dp
     return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
 
+def _iround(x: float) -> int:
+    """Round-half-away-from-zero to int — DuckDB round(x) at 0 dp."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _power_iterate(cov_rows):
+    """Integer-exact power iteration: returns (v_int 1e-9 units, C_int
+    1e-8 units, d).
+
+    Why integers: a float formulation diverged between engines — one
+    quantized norm landing a summation-order ULP on a grid boundary
+    shifted every loading by ~4e-8 (observed at sf0.001), enough to
+    flip a downstream projection's last rounded digit. Here every SUM
+    is over exact integers (matvec in 1e-17 units fits int64; the
+    squared-norm uses arbitrary precision / HUGEINT), so both engines
+    hold bit-identical values at every step; the only float ops are
+    scalar sqrt/divide on identical inputs, which IEEE 754 makes
+    deterministic."""
+    import math
+
+    d = 1 + max(r["i"] for r in cov_rows)
+    c = [[0] * d for _ in range(d)]
+    for r in cov_rows:
+        ci = _iround(r["cov"] * 1e8)
+        c[r["i"]][r["j"]] = ci
+        c[r["j"]][r["i"]] = ci
+    v = [_iround(1e9 / math.sqrt(d))] * d
+    for _ in range(_PCA_ITERS):
+        mv = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(float(sum(m * m for m in mv)))
+        v = [_iround(float(m) / nrm * 1e9) for m in mv]
+    return v, c, d
+
+
 def pca_power_iteration(spark, sf_dir):
     """Top principal component of the embedding corpus: 8 power-
     iteration steps on the EXACT covariance matrix (the value-gated
-    embedding_covariance output), emitting per-dimension loadings, the
-    dominant eigenvalue (Rayleigh quotient) and the explained-variance
-    ratio (eigenvalue / trace).
+    embedding_covariance output scaled to 1e-8 integers), emitting
+    per-dimension loadings, the dominant eigenvalue (Rayleigh
+    quotient) and the explained-variance ratio (eigenvalue / trace).
 
     Determinism across engines is by construction, not luck: the
-    covariance is already quantized to 8 dp (and exact by the int64
-    Gram discipline), and every iteration step re-quantizes the
-    matvec, the norm, and the normalized vector to 9 dp with the same
-    rounding rule — both engines walk the identical grid, so the
-    unrolled-CTE oracle hash-matches.
+    iteration state is INTEGER at every step (see _power_iterate), so
+    the unrolled-CTE oracle holds bit-identical vectors; all float
+    scalar ops run on identical inputs. The all-ones start vector
+    avoids the orthogonal-start failure on block-structured data.
 
     Scale shape: the distributed heavy lift is the covariance reduce
-    (d² cells regardless of corpus size, see embedding_covariance);
-    the eigensolve itself is O(d²) per step on a d x d = 64 x 64
+    (d^2 cells regardless of corpus size, see embedding_covariance);
+    the eigensolve itself is O(d^2) per step on a d x d = 64 x 64
     matrix — collected to the driver under the documented d(d+1)/2 =
     2080-row bound, exactly where any production system solves it."""
     cov_rows = embedding_covariance(spark, sf_dir).collect()
-    d = 1 + max(r["i"] for r in cov_rows)
-    c = [[0.0] * d for _ in range(d)]
-    for r in cov_rows:
-        c[r["i"]][r["j"]] = r["cov"]
-        c[r["j"]][r["i"]] = r["cov"]
-    import math
-
-    # all-ones start: e_1 can be exactly orthogonal (under C) to the
-    # dominant component when the data has block structure; the uniform
-    # vector overlaps every axis
-    v = [_q(1.0 / math.sqrt(d), 9)] * d
-
-    for _ in range(_PCA_ITERS):
-        mv = [_q(sum(c[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
-        norm = _q(math.sqrt(sum(x * x for x in mv)), 9)
-        v = [_q(x / norm, 9) for x in mv]
-    mv = [_q(sum(c[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
-    lam = _q(sum(a * b for a, b in zip(v, mv)), 6)
-    trace = sum(c[i][i] for i in range(d))
-    evr = _q(lam / trace, 6)
+    v, c, d = _power_iterate(cov_rows)
+    mvf = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+    lam_num = sum(a * b for a, b in zip(v, mvf))  # 1e-26 units
+    lam = _iround(float(lam_num) / 1e20) / 1e6
+    tr = sum(c[i][i] for i in range(d))  # 1e-8 units
+    evr = (
+        _iround(
+            (float(lam_num) / 1e26) / (float(tr) / 1e8) * 1e6
+        )
+        / 1e6
+    )
     out = [
-        (i, _q(v[i], 6), lam, evr)
-        for i in range(d)
+        (i, _iround(x / 1000.0) / 1e6, lam, evr) for i, x in enumerate(v)
     ]
     return spark.createDataFrame(
         out, "dim int, loading double, eigenvalue double, evr double"
     ).orderBy("dim")
 
 
-def _pca_oracle_sql() -> str:
-    """Unrolled power iteration as CTEs over the covariance CTE —
-    generated, not hand-written, so the iteration count and rounding
-    rule stay in one place."""
+def _pca_chain() -> tuple[list[str], str]:
+    """Shared CTE chain for the unrolled INTEGER power iteration
+    (generated, not hand-written, so the iteration count and scaling
+    stay in one place). Returns (WITH-parts, loadings CTE name); the
+    loadings relation holds (d, val) with val in 1e-9 integer units."""
     cov_cte = EMBEDDING_COV_SQL.strip().rstrip().removesuffix("ORDER BY i, j").strip()
-    # wrap: cov query (upper triangle) -> symmetric matrix
     parts = [
         f"WITH covq AS MATERIALIZED ({cov_cte}),",
+        "cint AS MATERIALIZED (",
+        "  SELECT i, j, CAST(round(cov * 1e8) AS BIGINT) AS c FROM covq",
+        "),",
         "sym AS MATERIALIZED (",
-        "  SELECT i, j, cov FROM covq",
+        "  SELECT i, j, c FROM cint",
         "  UNION ALL",
-        "  SELECT j AS i, i AS j, cov FROM covq WHERE i <> j",
+        "  SELECT j AS i, i AS j, c FROM cint WHERE i <> j",
         "),",
         "dims AS MATERIALIZED (SELECT DISTINCT i FROM sym),",
         "v0 AS (",
         "  SELECT i AS d,",
-        "         round(1.0 / sqrt((SELECT count(*) FROM dims)), 9) AS val",
+        "         CAST(round(1e9 / sqrt((SELECT count(*) FROM dims)))",
+        "              AS BIGINT) AS val",
         "  FROM dims",
         "),",
     ]
@@ -621,28 +649,40 @@ def _pca_oracle_sql() -> str:
     for k in range(1, _PCA_ITERS + 1):
         parts += [
             f"mv{k} AS MATERIALIZED (",
-            f"  SELECT s.i AS d, round(sum(s.cov * v.val), 9) AS val",
+            "  SELECT s.i AS d, CAST(sum(s.c * v.val) AS BIGINT) AS val",
             f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
             "),",
-            f"n{k} AS (SELECT round(sqrt(sum(val * val)), 9) AS nrm FROM mv{k}),",
-            f"v{k} AS MATERIALIZED (SELECT d, round(val / nrm, 9) AS val"
+            f"n{k} AS (SELECT sqrt(CAST(sum(CAST(val AS HUGEINT) * val)"
+            f" AS DOUBLE)) AS nrm FROM mv{k}),",
+            f"v{k} AS MATERIALIZED (SELECT d,"
+            " CAST(round(CAST(val AS DOUBLE) / nrm * 1e9) AS BIGINT) AS val"
             f" FROM mv{k} CROSS JOIN n{k}),",
         ]
         prev = f"v{k}"
+    return parts, prev
+
+
+def _pca_oracle_sql() -> str:
+    parts, prev = _pca_chain()
     parts += [
         "mvf AS (",
-        f"  SELECT s.i AS d, round(sum(s.cov * v.val), 9) AS val",
+        "  SELECT s.i AS d, CAST(sum(s.c * v.val) AS BIGINT) AS val",
         f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
         "),",
         "lam AS (",
-        f"  SELECT round(sum(v.val * m.val), 6) AS l",
+        "  SELECT CAST(round(CAST(sum(CAST(v.val AS HUGEINT) * m.val)"
+        " AS DOUBLE) / 1e20) AS BIGINT) / 1e6 AS l,",
+        "         CAST(sum(CAST(v.val AS HUGEINT) * m.val) AS DOUBLE)"
+        " AS lraw",
         f"  FROM {prev} v JOIN mvf m USING (d)",
         "),",
-        "tr AS (SELECT sum(cov) AS t FROM covq WHERE i = j)",
+        "tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cint WHERE i = j)",
         "SELECT CAST(v.d AS INT) AS dim,",
-        "       round(v.val, 6) AS loading,",
+        "       CAST(round(CAST(v.val AS DOUBLE) / 1000.0) AS BIGINT) / 1e6"
+        " AS loading,",
         "       l AS eigenvalue,",
-        "       round(l / t, 6) AS evr",
+        "       CAST(round((lraw / 1e26) / (CAST(t AS DOUBLE) / 1e8) * 1e6)"
+        " AS BIGINT) / 1e6 AS evr",
         f"FROM {prev} v CROSS JOIN lam CROSS JOIN tr",
         "ORDER BY dim",
     ]
@@ -652,11 +692,108 @@ def _pca_oracle_sql() -> str:
 PCA_POWER_SQL = _pca_oracle_sql()
 
 
+def pca_project_embeddings(spark, sf_dir):
+    """Project every embedding onto the top principal component
+    (mean-centered): pc1 = <x, v> - <mean, v> — the whitening /
+    drift-scoring read that turns the eigensolve into a per-vector
+    feature. Loadings come from the same INTEGER power iteration as
+    pca_power_iteration; the centering constant folds the per-dim
+    means into one exact rational, so the per-row value is a single
+    exact integer scaled at the end — no float accumulates anywhere
+    (embeddings are exact 1e-6 integers by the corpus construction,
+    the same property embedding_covariance exploits).
+
+    Scale shape: the corpus-side work is one posexplode + broadcast
+    join on the 64-row loadings table + an exact int64 per-vector sum
+    — embeddings are scanned once and never shuffled whole. Driver
+    state is the d(d+1)/2 covariance collect + d column sums, both
+    dimension-bounded."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    v, _c, d = _power_iterate(cov_rows)
+    emb = _t(spark, sf_dir, "embeddings")
+    xi = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    sums = (
+        emb.select(F.posexplode(xi).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = sums[0]["n"]
+    col_sums = {r["d"]: r["sd"] for r in sums}
+    # c0 numerator in 1e-15 * n units: sum_d (col_sum_d * v_d)
+    c0_num = sum(col_sums[i] * v[i] for i in sorted(col_sums))
+    ldf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(v)], "d int, val long"
+    )
+    dot = (
+        emb.select("vec_id", F.posexplode(xi).alias("d", "x"))
+        .join(F.broadcast(ldf), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("val")).alias("dot_int"))
+    )
+    # pc1 = (dot_int*n - c0_num) / (n*1e15), rounded to 4 dp via the
+    # integer grid: y2 = NUM / (n*1e11); pc1 = round0(y2)/1e4 — round
+    # at 0 dp agrees between Spark (HALF_UP) and DuckDB (half away)
+    # for every double, including exact .5
+    num = F.col("dot_int").cast("decimal(38,0)") * F.lit(n) - F.lit(
+        c0_num
+    ).cast("decimal(38,0)")
+    y2 = num.cast("double") / F.lit(float(n) * 1e11)
+    return dot.select(
+        "vec_id", (F.round(y2).cast("long") / F.lit(1e4)).alias("pc1")
+    ).orderBy("vec_id")
+
+
+def _pca_project_sql() -> str:
+    parts, prev = _pca_chain()
+    parts += [
+        "emb AS MATERIALIZED (",
+        "  SELECT vec_id,",
+        "         list_transform(embedding,",
+        "                        x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT))"
+        " AS v",
+        "  FROM embeddings",
+        "),",
+        "colsums AS MATERIALIZED (",
+        "  SELECT i.i AS d, CAST(sum(e.v[i.i + 1]) AS BIGINT) AS sd",
+        "  FROM emb e, UNNEST(generate_series(0, len(e.v) - 1)) AS i(i)",
+        "  GROUP BY 1",
+        "),",
+        "nn AS (SELECT count(*) AS n FROM emb),",
+        "c0 AS (",
+        "  SELECT CAST(sum(CAST(s.sd AS HUGEINT) * l.val) AS HUGEINT) AS cn",
+        f"  FROM colsums s JOIN {prev} l USING (d)",
+        "),",
+        "proj AS (",
+        "  SELECT e.vec_id, CAST(sum(e.v[i.i + 1] * l.val) AS BIGINT)"
+        " AS dot_int",
+        "  FROM emb e, UNNEST(generate_series(0, len(e.v) - 1)) AS i(i)",
+        f"       JOIN {prev} l ON l.d = i.i",
+        "  GROUP BY e.vec_id",
+        ")",
+        "SELECT vec_id,",
+        "       CAST(round(CAST(CAST(dot_int AS HUGEINT) * n - cn AS DOUBLE)",
+        "                  / (CAST(n AS DOUBLE) * 1e11)) AS BIGINT) / 1e4"
+        " AS pc1",
+        "FROM proj CROSS JOIN c0 CROSS JOIN nn",
+        "ORDER BY vec_id",
+    ]
+    return "\n".join(parts)
+
+
+PCA_PROJECT_SQL = _pca_project_sql()
+
 REGISTRY_ANALYTICS3 = {
     "incremental_agg_maintenance": QuerySpec(
         incremental_agg_maintenance, INCREMENTAL_AGG_SQL
     ),
     "pca_power_iteration": QuerySpec(pca_power_iteration, PCA_POWER_SQL),
+    "pca_project_embeddings": QuerySpec(
+        pca_project_embeddings, PCA_PROJECT_SQL
+    ),
     "gdpr_erasure_report": QuerySpec(gdpr_erasure_report, GDPR_SQL),
     "embedding_covariance": QuerySpec(embedding_covariance, EMBEDDING_COV_SQL),
     "session_paths_topk": QuerySpec(session_paths_topk, SESSION_PATHS_SQL),

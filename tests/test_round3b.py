@@ -415,6 +415,18 @@ def test_pca_recovers_dominant_axis(spark):
     assert abs(sum(v * v for v in loadings.values()) - 1.0) < 1e-3
     assert 0.99 < got[0]["evr"] <= 1.0
 
+    # the projection must carry the component's variance: var(pc1) on
+    # the same fixture equals the eigenvalue, and pc1 is mean-centered
+    from kinesis_app_spark.registry_analytics3 import (
+        pca_project_embeddings,
+    )
+
+    pc1 = [r["pc1"] for r in pca_project_embeddings(spark, d).collect()]
+    mean = sum(pc1) / len(pc1)
+    var = sum((x - mean) ** 2 for x in pc1) / len(pc1)
+    assert abs(mean) < 1e-3
+    assert abs(var - got[0]["eigenvalue"]) < 0.5
+
 
 # ---------------------------------------------------------------------
 # Kendall tau-b
