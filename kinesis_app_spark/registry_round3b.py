@@ -1080,6 +1080,188 @@ ORDER BY bucket
 """
 
 
+# =====================================================================
+# binary-segmentation changepoint (single best split)
+# =====================================================================
+
+def binary_segmentation_split(spark, sf_dir):
+    """Single best changepoint of the daily mean event series by binary
+    segmentation: the split s maximizing the between-segment sum of
+    squares n1*n2/n * (mean1-mean2)^2 — the classic complement to the
+    CUSUM detector (cusum_changepoints_events finds sustained drifts;
+    this finds the single strongest level shift, and recursing on the
+    halves is the standard multi-changepoint extension). Emits the
+    argmax split with both segment means and the BSS score.
+
+    Scale shape: the corpus collapses to the daily series; candidate
+    splits are evaluated from ONE cumulative-sum pass (bounded window,
+    allowlisted), and the argmax orders by the 1e-6-QUANTIZED score
+    (then day) so a last-ULP difference between engines cannot flip
+    the winner."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("v").over(w).alias("cs"),
+    )
+    tot = cum.agg(
+        F.max("t").alias("n"), F.max("cs").alias("cstot")
+    )
+    c = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("t") >= 2) & (F.col("t") <= F.col("n") - 2)
+    )
+    n1 = F.col("t").cast("double")
+    n2 = (F.col("n") - F.col("t")).cast("double")
+    m1 = F.col("cs") / n1
+    m2 = (F.col("cstot") - F.col("cs")) / n2
+    bss = n1 * n2 / F.col("n").cast("double") * (m1 - m2) * (m1 - m2)
+    scored = c.select(
+        "day",
+        F.round(bss * 1e6).cast("long").alias("bss_q"),
+        F.round(m1, 4).alias("left_mean"),
+        F.round(m2, 4).alias("right_mean"),
+    )
+    return (
+        scored.orderBy(F.desc("bss_q"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            "left_mean",
+            "right_mean",
+            (F.col("bss_q").cast("double") / 1e6).alias("bss"),
+        )
+    )
+
+
+BINSEG_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS t,
+         sum(v) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM daily
+), tot AS (
+  SELECT max(t) AS n, max(cs) AS cstot FROM cum
+), scored AS (
+  SELECT day,
+         CAST(round(t * (n - t) / CAST(n AS DOUBLE)
+               * (cs / t - (cstot - cs) / (n - t))
+               * (cs / t - (cstot - cs) / (n - t)) * 1e6) AS BIGINT) AS bss_q,
+         round(cs / t, 4) AS left_mean,
+         round((cstot - cs) / (n - t), 4) AS right_mean
+  FROM cum CROSS JOIN tot
+  WHERE t >= 2 AND t <= n - 2
+)
+SELECT day AS split_day, left_mean, right_mean,
+       CAST(bss_q AS DOUBLE) / 1e6 AS bss
+FROM scored
+ORDER BY bss_q DESC, day
+LIMIT 1
+"""
+
+
+# =====================================================================
+# ABC (Pareto) classification of parts by revenue
+# =====================================================================
+
+def abc_classification_parts(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue: parts are
+    ranked by revenue descending and classified A while the PRIOR
+    cumulative share is < 80%, B until < 95%, else C — the inventory
+    analysis that tells a 100 TB warehouse which fraction of keys
+    carries the volume (and therefore where skew mitigation pays).
+
+    Scale shape: revenue quantizes PER ROW — price and discount are
+    exact 2-dp values, so cents_e * (100 - disc_pct) is an exact long
+    in 1e-4-dollar units BEFORE any sum (a per-part round of a float
+    sum hit .5-cent boundaries and flipped 14/2000 parts between
+    engines); every cumulative sum and threshold comparison is then
+    exact-integer cross-engine; the descending rank comes from global_row_number
+    (range-partition + offsets, never a single-task window) and the
+    running total reuses the same two-phase pattern: block sums over
+    rid-div-1024 blocks, a bounded window over the block table, and a
+    block-partitioned within prefix."""
+    from kinesis_app_spark.operators.scale import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents_e = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents_e * (100 - d_pct)).alias("rev_u4")
+    )
+    ordered = global_row_number(
+        per_part.select(
+            (-F.col("rev_u4")).alias("neg_rev"), "l_partkey", "rev_u4"
+        ),
+        ["neg_rev", "l_partkey"],
+    ).select("rid", "l_partkey", "rev_u4")
+    blocked = ordered.withColumn("blk", F.floor(F.col("rid") / 1024))
+    blk_tot = blocked.groupBy("blk").agg(F.sum("rev_u4").alias("bs"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_tot = blk_tot.withColumn(
+        "off", F.coalesce(F.sum("bs").over(w_blk), F.lit(0))
+    )
+    w_in = Window.partitionBy("blk").orderBy("rid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_part.agg(F.sum("rev_u4").alias("grand"))
+    cum = (
+        blocked.join(blk_tot.select("blk", "off"), "blk")
+        .withColumn(
+            "prior", F.col("off") + F.coalesce(F.sum("rev_u4").over(w_in), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = (
+        F.when(F.col("prior") * 100 < F.col("grand") * 80, "A")
+        .when(F.col("prior") * 100 < F.col("grand") * 95, "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        "rid",
+        "l_partkey",
+        "rev_u4",
+        (F.col("prior") + F.col("rev_u4")).alias("cum_u4"),
+        F.round((F.col("prior") + F.col("rev_u4")) / F.col("grand"), 6).alias(
+            "cum_share"
+        ),
+        cls.alias("abc_class"),
+    ).orderBy("rid")
+
+
+ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_u4
+  FROM lineitem GROUP BY l_partkey
+), ordered AS (
+  SELECT l_partkey, rev_u4,
+         row_number() OVER (ORDER BY rev_u4 DESC, l_partkey) AS rid,
+         coalesce(sum(rev_u4) OVER (ORDER BY rev_u4 DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+         sum(rev_u4) OVER () AS grand
+  FROM per_part
+)
+SELECT rid, l_partkey, rev_u4,
+       prior + rev_u4 AS cum_u4,
+       round((prior + rev_u4) / CAST(grand AS DOUBLE), 6) AS cum_share,
+       CASE WHEN prior * 100 < grand * 80 THEN 'A'
+            WHEN prior * 100 < grand * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ordered
+ORDER BY rid
+"""
+
+
 REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "weighted_quantiles_brands": QuerySpec(
         weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
@@ -1099,5 +1281,11 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "zipf_fit_tokens": QuerySpec(zipf_fit_tokens, ZIPF_SQL),
     "vocab_growth_checkpoints": QuerySpec(
         vocab_growth_checkpoints, VOCAB_GROWTH_SQL
+    ),
+    "binary_segmentation_split": QuerySpec(
+        binary_segmentation_split, BINSEG_SQL
+    ),
+    "abc_classification_parts": QuerySpec(
+        abc_classification_parts, ABC_SQL
     ),
 }

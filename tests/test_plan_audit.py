@@ -43,6 +43,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "stl_decompose_daily": "seasonal centering constant: 1-row broadcast "
     "(the 7-row dow profile is a BHJ)",
     "vocab_growth_checkpoints": "doc-id range anchor: 1-row broadcast",
+    "binary_segmentation_split": "series total (n, cstot): 1-row broadcast",
+    "abc_classification_parts": "grand-total revenue: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -204,6 +206,11 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "(TakeOrderedAndProject output), bounded by the operator contract",
     "vocab_growth_checkpoints": "cumulative window runs over the 10-row "
     "checkpoint table (fixed bucket count)",
+    "binary_segmentation_split": "cumulative-sum window runs over the "
+    "DAILY series — bounded by the observation span in days",
+    "abc_classification_parts": "global windows run over PER-PARTITION "
+    "OFFSETS (global_row_number) and the rid-div-1024 BLOCK table — "
+    "both bounded partition/block counts, not rows",
 }
 
 

@@ -306,6 +306,58 @@ def test_token_drift_smoothed_probabilities(spark):
 
 
 # ---------------------------------------------------------------------
+# binary segmentation / ABC classification
+# ---------------------------------------------------------------------
+
+def test_binseg_finds_level_shift(spark):
+    """Mean 10 for days 0-9, mean 30 for days 10-19: the best split is
+    the last day of the low segment (t = 10 -> day 10 in 1-based spine,
+    i.e. 2024-01-10), with segment means 10 and 30."""
+    from kinesis_app_spark.registry_round3b import binary_segmentation_split
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        v = 10.0 if i < 10 else 30.0
+        rows.append((i, t0 + dt.timedelta(days=i), 1, "view", v, "{}"))
+    r = binary_segmentation_split(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["split_day"] == dt.datetime(2024, 1, 10)
+    assert r["left_mean"] == 10.0
+    assert r["right_mean"] == 30.0
+    # BSS at the true split: n1*n2/n*(m1-m2)^2 = 10*10/20*400 = 2000
+    assert abs(r["bss"] - 2000.0) < 1e-3
+
+
+def test_abc_classes_on_pareto_fixture(spark):
+    """One whale part (80 units of revenue), one mid (15), eight tiny
+    (about 5 total): whale -> A, mid -> B, tail -> C; cum_share ends at
+    1.0 and rids are dense from 1."""
+    from kinesis_app_spark.registry_round3b import abc_classification_parts
+
+    t = dt.datetime(2024, 1, 1)
+    li = []
+    # l_extendedprice carries the revenue; discount 0
+    amounts = {1: 8000.0, 2: 1500.0}
+    for pk in range(3, 11):
+        amounts[pk] = 62.5  # 8 x 62.5 = 500
+    ok = 0
+    for pk, amt in amounts.items():
+        ok += 1
+        li.append((ok, pk, 1, 1, 1.0, amt, 0.0, 0.0, "N", "O", t))
+    pt = [(pk, "p", "B", "t", 1, 1.0) for pk in amounts]
+    d = _trade_dir(spark, li, pt)
+    rows = abc_classification_parts(spark, d).collect()
+    assert [r["rid"] for r in rows] == list(range(1, 11))
+    by_pk = {r["l_partkey"]: r for r in rows}
+    assert by_pk[1]["abc_class"] == "A"
+    assert by_pk[2]["abc_class"] == "B"
+    assert all(by_pk[pk]["abc_class"] == "C" for pk in range(3, 11))
+    assert rows[-1]["cum_share"] == 1.0
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+
+
+# ---------------------------------------------------------------------
 # Zipf fit / vocabulary growth
 # ---------------------------------------------------------------------
 
