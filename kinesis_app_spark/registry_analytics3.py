@@ -575,12 +575,20 @@ def _power_iterate(cov_rows):
         ci = _iround(r["cov"] * 1e8)
         c[r["i"]][r["j"]] = ci
         c[r["j"]][r["i"]] = ci
+    v = _iterate_matrix(c, d)
+    return v, c, d
+
+
+def _iterate_matrix(c, d):
+    """The quantized integer iteration core over an integer matrix."""
+    import math
+
     v = [_iround(1e9 / math.sqrt(d))] * d
     for _ in range(_PCA_ITERS):
         mv = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
         nrm = math.sqrt(float(sum(m * m for m in mv)))
         v = [_iround(float(m) / nrm * 1e9) for m in mv]
-    return v, c, d
+    return v
 
 
 def pca_power_iteration(spark, sf_dir):
@@ -645,21 +653,30 @@ def _pca_chain() -> tuple[list[str], str]:
         "  FROM dims",
         "),",
     ]
-    prev = "v0"
+    parts += _pca_iter_parts("sym", "v0", "")
+    return parts, f"v{_PCA_ITERS}"
+
+
+def _pca_iter_parts(mat: str, start: str, tag: str) -> list[str]:
+    """Unrolled iteration CTEs over matrix CTE ``mat`` starting from
+    vector CTE ``start``; CTE names suffixed with ``tag`` so a second
+    (deflated) chain can coexist in one statement."""
+    parts: list[str] = []
+    prev = start
     for k in range(1, _PCA_ITERS + 1):
         parts += [
-            f"mv{k} AS MATERIALIZED (",
+            f"mv{tag}{k} AS MATERIALIZED (",
             "  SELECT s.i AS d, CAST(sum(s.c * v.val) AS BIGINT) AS val",
-            f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
+            f"  FROM {mat} s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
             "),",
-            f"n{k} AS (SELECT sqrt(CAST(sum(CAST(val AS HUGEINT) * val)"
-            f" AS DOUBLE)) AS nrm FROM mv{k}),",
-            f"v{k} AS MATERIALIZED (SELECT d,"
+            f"n{tag}{k} AS (SELECT sqrt(CAST(sum(CAST(val AS HUGEINT) * val)"
+            f" AS DOUBLE)) AS nrm FROM mv{tag}{k}),",
+            f"v{tag}{k} AS MATERIALIZED (SELECT d,"
             " CAST(round(CAST(val AS DOUBLE) / nrm * 1e9) AS BIGINT) AS val"
-            f" FROM mv{k} CROSS JOIN n{k}),",
+            f" FROM mv{tag}{k} CROSS JOIN n{tag}{k}),",
         ]
-        prev = f"v{k}"
-    return parts, prev
+        prev = f"v{tag}{k}"
+    return parts
 
 
 def _pca_oracle_sql() -> str:
@@ -786,6 +803,110 @@ def _pca_project_sql() -> str:
 
 PCA_PROJECT_SQL = _pca_project_sql()
 
+
+def pca_top2_deflation(spark, sf_dir):
+    """Top TWO principal components via Hotelling deflation: solve the
+    first component, subtract lambda1 * v1 v1^T from the covariance,
+    and power-iterate the deflated matrix — the standard route to a
+    small top-k basis (whitening, 2-D corpus maps) without a full
+    eigensolver. Emits (component, dim, loading, eigenvalue).
+
+    The deflated matrix stays INTEGER: the rank-one correction is
+    rounded to the covariance's own 1e-8 grid with a shared float
+    expression evaluated on bit-identical inputs, so both engines
+    iterate the identical deflated matrix (same discipline as
+    _power_iterate). Scale shape: unchanged — one distributed
+    covariance reduce; two driver-side O(d^2)-per-step solves under
+    the documented dimension bound."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    v1, c, d = _power_iterate(cov_rows)
+
+    def _lam_num(mat, vec):
+        mvf = [
+            sum(mat[i][j] * vec[j] for j in range(d)) for i in range(d)
+        ]
+        return sum(a * b for a, b in zip(vec, mvf))
+
+    lam1_num = _lam_num(c, v1)
+    lam1 = _iround(float(lam1_num) / 1e20) / 1e6
+    lraw = float(lam1_num)
+    c2 = [
+        [
+            c[i][j]
+            - _iround(
+                (lraw / 1e26) * (v1[i] / 1e9) * (v1[j] / 1e9) * 1e8
+            )
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v2 = _iterate_matrix(c2, d)
+    lam2 = _iround(float(_lam_num(c2, v2)) / 1e20) / 1e6
+    rows = [
+        (1, i, _iround(x / 1000.0) / 1e6, lam1) for i, x in enumerate(v1)
+    ] + [
+        (2, i, _iround(x / 1000.0) / 1e6, lam2) for i, x in enumerate(v2)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigenvalue double"
+    ).orderBy("component", "dim")
+
+
+def _pca_top2_sql() -> str:
+    parts, prev = _pca_chain()
+    parts += [
+        "mvf1 AS (",
+        "  SELECT s.i AS d, CAST(sum(s.c * v.val) AS BIGINT) AS val",
+        f"  FROM sym s JOIN {prev} v ON s.j = v.d GROUP BY s.i",
+        "),",
+        "lam1 AS (",
+        "  SELECT CAST(round(CAST(sum(CAST(v.val AS HUGEINT) * m.val)"
+        " AS DOUBLE) / 1e20) AS BIGINT) / 1e6 AS l,",
+        "         CAST(sum(CAST(v.val AS HUGEINT) * m.val) AS DOUBLE)"
+        " AS lraw",
+        f"  FROM {prev} v JOIN mvf1 m USING (d)",
+        "),",
+        "sym2 AS MATERIALIZED (",
+        "  SELECT s.i, s.j,",
+        "         s.c - CAST(round((l.lraw / 1e26) * (vi.val / 1e9)",
+        "                          * (vj.val / 1e9) * 1e8) AS BIGINT) AS c",
+        f"  FROM sym s JOIN {prev} vi ON vi.d = s.i",
+        f"       JOIN {prev} vj ON vj.d = s.j CROSS JOIN lam1 l",
+        "),",
+        "vb0 AS (",
+        "  SELECT i AS d,",
+        "         CAST(round(1e9 / sqrt((SELECT count(*) FROM dims)))",
+        "              AS BIGINT) AS val",
+        "  FROM dims",
+        "),",
+        *_pca_iter_parts("sym2", "vb0", "b"),
+        "mvf2 AS (",
+        "  SELECT s.i AS d, CAST(sum(s.c * v.val) AS BIGINT) AS val",
+        f"  FROM sym2 s JOIN vb{_PCA_ITERS} v ON s.j = v.d GROUP BY s.i",
+        "),",
+        "lam2 AS (",
+        "  SELECT CAST(round(CAST(sum(CAST(v.val AS HUGEINT) * m.val)"
+        " AS DOUBLE) / 1e20) AS BIGINT) / 1e6 AS l",
+        f"  FROM vb{_PCA_ITERS} v JOIN mvf2 m USING (d)",
+        ")",
+        "SELECT 1 AS component, CAST(v.d AS INT) AS dim,",
+        "       CAST(round(CAST(v.val AS DOUBLE) / 1000.0) AS BIGINT) / 1e6"
+        " AS loading,",
+        "       l.l AS eigenvalue",
+        f"FROM {prev} v CROSS JOIN lam1 l",
+        "UNION ALL",
+        "SELECT 2 AS component, CAST(v.d AS INT) AS dim,",
+        "       CAST(round(CAST(v.val AS DOUBLE) / 1000.0) AS BIGINT) / 1e6"
+        " AS loading,",
+        "       l.l AS eigenvalue",
+        f"FROM vb{_PCA_ITERS} v CROSS JOIN lam2 l",
+        "ORDER BY component, dim",
+    ]
+    return "\n".join(parts)
+
+
+PCA_TOP2_SQL = _pca_top2_sql()
+
 REGISTRY_ANALYTICS3 = {
     "incremental_agg_maintenance": QuerySpec(
         incremental_agg_maintenance, INCREMENTAL_AGG_SQL
@@ -794,6 +915,7 @@ REGISTRY_ANALYTICS3 = {
     "pca_project_embeddings": QuerySpec(
         pca_project_embeddings, PCA_PROJECT_SQL
     ),
+    "pca_top2_deflation": QuerySpec(pca_top2_deflation, PCA_TOP2_SQL),
     "gdpr_erasure_report": QuerySpec(gdpr_erasure_report, GDPR_SQL),
     "embedding_covariance": QuerySpec(embedding_covariance, EMBEDDING_COV_SQL),
     "session_paths_topk": QuerySpec(session_paths_topk, SESSION_PATHS_SQL),

@@ -1262,6 +1262,76 @@ ORDER BY rid
 """
 
 
+# =====================================================================
+# time-weighted average over irregular samples (TWAP)
+# =====================================================================
+
+def time_weighted_avg_users(spark, sf_dir):
+    """Time-weighted average event value per user: each value 'holds'
+    until the user's next event, so the mean weights by holding
+    DURATION, not by sample count — the correct average for
+    irregularly-sampled state (balances, prices, gauge metrics), where
+    the plain mean over-weights busy periods.
+
+    Scale shape: one per-user window (lead) over one keyed sort; the
+    weighted sum is exact int64 — value in exact milli-units times
+    duration in exact microseconds (magnitudes bounded by the
+    observation span) — so both engines agree bit-for-bit before the
+    single final division."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = ev.select(
+        "user_id",
+        "v_milli",
+        (F.lead("t").over(w) - F.col("t")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_us").alias("total_us"),
+            F.sum(F.col("v_milli") * F.col("dur_us")).alias("wv"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            "total_us",
+            F.round(
+                F.col("wv") / (F.col("total_us").cast("double") * 1000.0), 4
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 1000) AS BIGINT) AS v_milli, event_id
+  FROM events
+), seg AS (
+  SELECT user_id, v_milli,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+           AS dur_us
+  FROM ev
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       CAST(sum(dur_us) AS BIGINT) AS total_us,
+       round(sum(v_milli * dur_us)
+             / (CAST(sum(dur_us) AS DOUBLE) * 1000.0), 4) AS twap
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "weighted_quantiles_brands": QuerySpec(
         weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
@@ -1287,5 +1357,8 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     ),
     "abc_classification_parts": QuerySpec(
         abc_classification_parts, ABC_SQL
+    ),
+    "time_weighted_avg_users": QuerySpec(
+        time_weighted_avg_users, TWAP_SQL
     ),
 }

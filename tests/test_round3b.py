@@ -480,6 +480,51 @@ def test_pca_recovers_dominant_axis(spark):
     assert abs(var - got[0]["eigenvalue"]) < 0.5
 
 
+def test_pca_top2_deflation_finds_second_axis(spark):
+    """Variance on axis 3 (+-10) and an independent +-4 signal on axis
+    5: deflation must yield component 1 ~ e3 (eig ~ 100) and component
+    2 ~ e5 (eig ~ 16), mutually orthogonal."""
+    from kinesis_app_spark.registry_analytics3 import pca_top2_deflation
+
+    d = tempfile.mkdtemp(prefix="r3b_pca2_")
+    rows = []
+    dim = 8
+    for i in range(400):
+        v = [0.0] * dim
+        v[3] = 10.0 if i % 2 == 0 else -10.0
+        v[5] = 4.0 if (i // 2) % 2 == 0 else -4.0  # independent of axis 3
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = pca_top2_deflation(spark, d).collect()
+    c1 = {r["dim"]: r for r in got if r["component"] == 1}
+    c2 = {r["dim"]: r for r in got if r["component"] == 2}
+    assert abs(abs(c1[3]["loading"]) - 1.0) < 1e-3
+    assert abs(c1[3]["eigenvalue"] - 100.0) < 0.5
+    assert abs(abs(c2[5]["loading"]) - 1.0) < 1e-3
+    assert abs(c2[5]["eigenvalue"] - 16.0) < 0.2
+    dot = sum(c1[i]["loading"] * c2[i]["loading"] for i in range(dim))
+    assert abs(dot) < 1e-3
+
+
+def test_twap_weights_by_holding_duration(spark):
+    """Value 10 held for 3 hours then 40 held for 1 hour: twap =
+    (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
+    from kinesis_app_spark.registry_round3b import time_weighted_avg_users
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 10.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 1, "view", 40.0, "{}"),
+        (3, t0 + dt.timedelta(hours=4), 1, "view", 99.0, "{}"),  # no hold
+    ]
+    r = time_weighted_avg_users(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["n_segments"] == 2
+    assert r["total_us"] == 4 * 3600 * 1_000_000
+    assert r["twap"] == 17.5
+
+
 # ---------------------------------------------------------------------
 # Kendall tau-b
 # ---------------------------------------------------------------------
