@@ -1332,6 +1332,46 @@ ORDER BY user_id
 """
 
 
+def streaming_twap_users(spark, sf_dir):
+    """TRUE streaming TWAP: the stateful twin of
+    time_weighted_avg_users — per-key state carries the open holding
+    segment (last event's timestamp + value) plus the int64 weighted
+    accumulators across micro-batches, so a segment that spans a batch
+    boundary is closed exactly when its ending event arrives. Same
+    milli-value x exact-microsecond integer discipline, same oracle.
+    The sentinel forces a second micro-batch (sentinel key excluded
+    from the output), so the state store round-trips under the value
+    gate; the segment-SPANNING-batches case is pinned by
+    tests/test_round3b.py with a two-file staggered source."""
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import run_to_memory, running_twap
+
+    import datetime as _dt
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stream, ckpt = _mk_stream(
+        spark,
+        ev,
+        cache_key=f"{sf_dir}|twap",
+        sentinel_row=(-1, _dt.datetime(2030, 1, 1), -1, 0.0),
+        max_files_per_trigger=1,
+    )
+    out = running_twap(stream, "user_id", "ts", "event_id", "value")
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_segments").alias("n_segments"),
+            F.max("total_us").alias("total_us"),
+            F.expr("max_by(twap, n_segments)").alias("twap"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
 REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "weighted_quantiles_brands": QuerySpec(
         weighted_quantiles_brands, WEIGHTED_QUANTILES_SQL
@@ -1361,4 +1401,5 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "time_weighted_avg_users": QuerySpec(
         time_weighted_avg_users, TWAP_SQL
     ),
+    "streaming_twap_users": QuerySpec(streaming_twap_users, TWAP_SQL),
 }

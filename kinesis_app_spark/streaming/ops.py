@@ -371,3 +371,72 @@ def running_cusum_flags(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key streaming time-weighted average: state = (last event's
+    timestamp + milli-scaled value, accumulated weighted sum, accumulated
+    duration) — four integers, carried across micro-batches, closing the
+    open holding segment when the next event arrives (possibly batches
+    later). Emits the running (n_segments, total_us, twap) per key per
+    batch; the LAST emit equals the batch operator
+    (registry_round3b.time_weighted_avg_users) exactly because every
+    accumulation is int64 — same milli-value x exact-microsecond
+    discipline.
+
+    Scale: state is O(1) per key; rows are processed in (ts, seq) order
+    within a batch and the open segment is the only cross-batch carry."""
+
+    def twap_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            last_t, last_v, wv, dur, nseg = state.get
+        else:
+            last_t, last_v, wv, dur, nseg = None, 0, 0, 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
+        for ts, v_raw in zip(pdf[ts_col], pdf[value_col]):
+            t = int(ts.value // 1000)  # pandas ns -> us
+            v = int(math.floor(float(v_raw) * scale + 0.5))
+            if last_t is not None:
+                d = t - last_t
+                wv += last_v * d
+                dur += d
+                nseg += 1
+            last_t, last_v = t, v
+        state.update((last_t, last_v, wv, dur, nseg))
+        # half-away-from-zero at 1e-4 — the rounding DuckDB's round()
+        # applies in the oracle (Python's round() is banker's)
+        if dur > 0:
+            y = wv / (float(dur) * scale)
+            twap = math.copysign(math.floor(abs(y) * 1e4 + 0.5), y) / 1e4
+        else:
+            twap = None
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_segments": pd.Series([nseg], dtype="int64"),
+                "total_us": pd.Series([dur], dtype="int64"),
+                "twap": pd.Series([twap], dtype="float64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        twap_fn,
+        outputStructType=(
+            "user_id long, n_segments long, total_us long, twap double"
+        ),
+        stateStructType="last_t long, last_v long, wv long, dur long, nseg long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -508,6 +508,60 @@ def test_pca_top2_deflation_finds_second_axis(spark):
     assert abs(dot) < 1e-3
 
 
+def test_streaming_twap_closes_segment_across_batches(spark):
+    """A holding segment that SPANS two micro-batches must be closed
+    with the full duration: events (t=0h, v=10) in file 1 and (t=3h,
+    v=40), (t=4h, v=99) in file 2 (mtime-staggered, one file per
+    trigger) — final twap = (10*3 + 40*1)/4 = 17.5, same as batch."""
+    import os
+    import time
+
+    from kinesis_app_spark.streaming.ops import run_to_memory, running_twap
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tempfile.mkdtemp(prefix="r3b_twapstream_")
+    ckpt = tempfile.mkdtemp(prefix="r3b_twapckpt_")
+    df1 = spark.createDataFrame(
+        [(1, t0, 1, 10.0)], "user_id long, ts timestamp, event_id long, value double"
+    )
+    df2 = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(hours=3), 2, 40.0),
+            (1, t0 + dt.timedelta(hours=4), 3, 99.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    # second file with a LATER mtime so maxFilesPerTrigger=1 consumes
+    # it in a second micro-batch
+    d2 = tempfile.mkdtemp(prefix="r3b_twapf2_")
+    df2.coalesce(1).write.mode("overwrite").parquet(d2)
+    part2 = [f for f in os.listdir(d2) if f.endswith(".parquet")][0]
+    dst = os.path.join(src, "part-batch2.parquet")
+    os.rename(os.path.join(d2, part2), dst)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime
+        for f in os.listdir(src)
+        if f != "part-batch2.parquet"
+    )
+    os.utime(dst, (newest + 5, newest + 5))
+
+    stream = file_stream(spark, src, df1.schema, max_files_per_trigger=1)
+    out = running_twap(stream, "user_id", "ts", "event_id", "value")
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=4)
+    rows = res.filter(res.user_id == 1).collect()
+    # two emits (one per batch); the final one carries the closed spans
+    assert len(rows) == 2
+    final = max(rows, key=lambda r: r["n_segments"])
+    assert final["n_segments"] == 2
+    assert final["total_us"] == 4 * 3600 * 1_000_000
+    assert final["twap"] == 17.5
+    # the batch-1 emit saw only the open segment: nothing accumulated
+    first = min(rows, key=lambda r: r["n_segments"])
+    assert first["n_segments"] == 0 and first["twap"] is None
+
+
 def test_twap_weights_by_holding_duration(spark):
     """Value 10 held for 3 hours then 40 held for 1 hour: twap =
     (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
