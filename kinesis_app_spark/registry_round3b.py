@@ -1,27 +1,26 @@
-"""Round-3 additions, batch 2: robust / nonparametric statistics and
-time-series repair over the engine surface.
+"""Round-3 additions, batch 2: robust / nonparametric statistics,
+time-series repair and decomposition, corpus-health reads, and the
+linkage / classification staples around them.
 
 The reference's computation surface is a per-record callback
 (/root/reference/src/Kinesis/Coordination.hs:51-53 — no relational
 operators); these entries extend the forward-defined engine surface
-(SURVEY.md §2.2 north-star extensions) with four shapes production
-monitoring and feature pipelines lean on daily: weighted quantiles
-(order-size-weighted price points), linear-interpolation gap fill (the
-repair sibling of the existing forward-fill), the Mann-Whitney U test
-(nonparametric two-sample comparison — the A/B readout when values are
-skewed and a t-test is wrong), and Theil-Sen trends (median-of-slopes
-regression immune to outliers that wreck OLS).
+(SURVEY.md §2.2 north-star extensions): weighted quantiles,
+linear-interpolation gap fill, Mann-Whitney U, Theil-Sen trends,
+Jensen-Shannon token drift, sorted-neighborhood linkage, Kendall
+tau-b, STL-style decomposition, closed-form EWMA, Zipf rank-frequency
+fit, vocabulary-growth checkpoints, binary-segmentation changepoints,
+ABC/Pareto classification, and batch + TRUE-streaming time-weighted
+averages.
 
-Scale shapes: weighted quantiles collapse to one row per (group,
-distinct value) before any window, and every window is group-
-partitioned; the interpolation windows run over the DAILY series
-(bounded by calendar span, not data size); Mann-Whitney computes
-average ranks WITHOUT a data-sized global sort via the house two-phase
-prefix-sum — per-value counts bucketed into a fixed 1024-bin histogram,
-bin offsets from a 1024-row window, within-bin prefixes from a
-bin-partitioned window (the same discipline as global_row_number);
-Theil-Sen's quadratic pair expansion is gated per group exactly like
-the association-rules basket cap.
+Recurring scale shapes (details per entry): collapse to the reduced
+relation (distinct values, daily series, per-part totals) BEFORE any
+window; rank statistics via the two-phase binned prefix sum instead of
+a data-sized global sort (the global_row_number discipline); quadratic
+pair expansions capped per group by TRUNCATION (output keeps one row
+per group at every SF); cumulative totals via block prefix sums; and
+exact-integer accumulation wherever a float sum could land a
+summation-order ULP on a rounding boundary.
 """
 
 from __future__ import annotations
