@@ -610,6 +610,10 @@ def pca_power_iteration(spark, sf_dir):
     matrix — collected to the driver under the documented d(d+1)/2 =
     2080-row bound, exactly where any production system solves it."""
     cov_rows = embedding_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus: no components, not a crash
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double, evr double"
+        )
     v, c, d = _power_iterate(cov_rows)
     mvf = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
     lam_num = sum(a * b for a, b in zip(v, mvf))  # 1e-26 units
@@ -726,6 +730,8 @@ def pca_project_embeddings(spark, sf_dir):
     state is the d(d+1)/2 covariance collect + d column sums, both
     dimension-bounded."""
     cov_rows = embedding_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus: nothing to project
+        return spark.createDataFrame([], "vec_id long, pc1 double")
     v, _c, d = _power_iterate(cov_rows)
     emb = _t(spark, sf_dir, "embeddings")
     xi = F.transform(
@@ -819,6 +825,10 @@ def pca_top2_deflation(spark, sf_dir):
     covariance reduce; two driver-side O(d^2)-per-step solves under
     the documented dimension bound."""
     cov_rows = embedding_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus: no components, not a crash
+        return spark.createDataFrame(
+            [], "component int, dim int, loading double, eigenvalue double"
+        )
     v1, c, d = _power_iterate(cov_rows)
 
     def _lam_num(mat, vec):
