@@ -1331,6 +1331,114 @@ ORDER BY user_id
 """
 
 
+# =====================================================================
+# seasonal-naive forecast backtest
+# =====================================================================
+
+def seasonal_naive_backtest(spark, sf_dir):
+    """Backtest of the seasonal-naive forecaster (prediction = the
+    value 7 days earlier) over the daily mean event series: per-day
+    absolute/percentage errors aggregated to MAE, RMSE and MAPE — the
+    baseline every fancier forecaster must beat, and the harness shape
+    (lag-k join + error aggregate) any backtest reuses.
+
+    Scale shape: day-collapsed series, one bounded lag window, one
+    1-row aggregate; errors quantized at 1e-6 before the mean so the
+    cross-engine comparison is exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "day", "v", F.lag("v", 7).over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    abs_err = F.round(F.abs(F.col("v") - F.col("pred")) * 1e6).cast("long")
+    sq_err = F.round(
+        (F.col("v") - F.col("pred")) * (F.col("v") - F.col("pred")) * 1e6
+    ).cast("long")
+    ape = F.round(
+        F.abs(F.col("v") - F.col("pred")) / F.col("v") * 1e6
+    ).cast("long")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(abs_err) / 1e6, 4).alias("mae"),
+        F.round(F.sqrt(F.avg(sq_err) / 1e6), 4).alias("rmse"),
+        F.round(F.avg(ape) / 1e4, 4).alias("mape_pct"),
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT day, v, lag(v, 7) OVER (ORDER BY day) AS pred FROM daily
+)
+SELECT count(*) AS n_days,
+       round(avg(CAST(round(abs(v - pred) * 1e6) AS BIGINT)) / 1e6, 4)
+         AS mae,
+       round(sqrt(avg(CAST(round((v - pred) * (v - pred) * 1e6) AS BIGINT))
+                  / 1e6), 4) AS rmse,
+       round(avg(CAST(round(abs(v - pred) / v * 1e6) AS BIGINT)) / 1e4, 4)
+         AS mape_pct
+FROM scored
+WHERE pred IS NOT NULL
+"""
+
+
+# =====================================================================
+# dedup cluster-size histogram (corpus duplication profile)
+# =====================================================================
+
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Counts-of-counts over exact-duplicate clusters: how many
+    fingerprint groups have 1, 2, 3, ... members, plus each size's
+    share of removable rows — the one-page duplication profile that
+    decides whether near-dup passes are even worth running on a crawl
+    snapshot.
+
+    Scale shape: two keyed aggregations of hashes (fingerprint ->
+    size -> histogram), shuffles carry (md5, count) only; the share
+    denominator is a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_rows"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).alias("removable"),
+            F.round(
+                (F.col("sz") - 1) * F.col("n_clusters") / F.col("n_docs"), 6
+            ).alias("removable_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_HISTOGRAM_SQL = """
+WITH sizes AS (
+  SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY md5(text)
+), hist AS (
+  SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz
+), tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       n_clusters,
+       sz * n_clusters AS n_rows,
+       (sz - 1) * n_clusters AS removable,
+       round((sz - 1) * n_clusters / CAST(n_docs AS DOUBLE), 6)
+         AS removable_share
+FROM hist CROSS JOIN tot
+ORDER BY cluster_size
+"""
+
+
 def streaming_twap_users(spark, sf_dir):
     """TRUE streaming TWAP: the stateful twin of
     time_weighted_avg_users — per-key state carries the open holding
@@ -1401,4 +1509,10 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
         time_weighted_avg_users, TWAP_SQL
     ),
     "streaming_twap_users": QuerySpec(streaming_twap_users, TWAP_SQL),
+    "seasonal_naive_backtest": QuerySpec(
+        seasonal_naive_backtest, SEASONAL_NAIVE_SQL
+    ),
+    "dedup_cluster_size_histogram": QuerySpec(
+        dedup_cluster_size_histogram, DEDUP_HISTOGRAM_SQL
+    ),
 }

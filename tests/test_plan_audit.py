@@ -45,6 +45,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "vocab_growth_checkpoints": "doc-id range anchor: 1-row broadcast",
     "binary_segmentation_split": "series total (n, cstot): 1-row broadcast",
     "abc_classification_parts": "grand-total revenue: 1-row broadcast",
+    "dedup_cluster_size_histogram": "corpus doc count: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "
@@ -211,6 +212,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "abc_classification_parts": "global windows run over PER-PARTITION "
     "OFFSETS (global_row_number) and the rid-div-1024 BLOCK table — "
     "both bounded partition/block counts, not rows",
+    "seasonal_naive_backtest": "lag-7 window runs over the DAILY series "
+    "— bounded by the observation span in days",
 }
 
 

@@ -562,6 +562,46 @@ def test_streaming_twap_closes_segment_across_batches(spark):
     assert first["n_segments"] == 0 and first["twap"] is None
 
 
+def test_seasonal_naive_backtest_perfect_weekly_signal(spark):
+    """A pure period-7 signal forecasts itself perfectly: MAE = RMSE =
+    MAPE = 0 over the 21 scored days."""
+    from kinesis_app_spark.registry_round3b import seasonal_naive_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    weekly = [10.0, 12.0, 8.0, 14.0, 6.0, 11.0, 9.0]
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", weekly[i % 7], "{}")
+        for i in range(28)
+    ]
+    r = seasonal_naive_backtest(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["n_days"] == 21
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["mape_pct"] == 0.0
+
+
+def test_dedup_histogram_counts_of_counts(spark):
+    """3 copies of A, 2 of B, 1 of C: sizes {3:1, 2:1, 1:1}, removable
+    3 of 6 rows."""
+    from kinesis_app_spark.registry_round3b import (
+        dedup_cluster_size_histogram,
+    )
+
+    d = tempfile.mkdtemp(prefix="r3b_dhist_")
+    docs = (
+        [(i, "text A", "en", "src1", 6) for i in range(3)]
+        + [(10 + i, "text B", "en", "src1", 6) for i in range(2)]
+        + [(20, "text C", "en", "src1", 6)]
+    )
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["cluster_size"]: r for r in dedup_cluster_size_histogram(spark, d).collect()}
+    assert {k: v["n_clusters"] for k, v in got.items()} == {1: 1, 2: 1, 3: 1}
+    assert got[3]["removable"] == 2 and got[2]["removable"] == 1
+    assert sum(r["n_rows"] for r in got.values()) == 6
+    assert abs(sum(r["removable_share"] for r in got.values()) - 0.5) < 1e-6
+
+
 def test_twap_weights_by_holding_duration(spark):
     """Value 10 held for 3 hours then 40 held for 1 hour: twap =
     (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
