@@ -1332,6 +1332,211 @@ ORDER BY user_id
 
 
 # =====================================================================
+# per-user behavioral sequence entropy
+# =====================================================================
+
+def sequence_entropy_users(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type BIGRAM distribution
+    (consecutive pairs in time order): low entropy = scripted/bot-like
+    behavior, high = diverse organic sessions — the behavioral
+    predictability score fraud and quality pipelines bucket users by.
+    Emits raw and max-normalized entropy.
+
+    Scale shape: one per-user lag window (the sessionize shuffle
+    shape), bigram counts per user via a keyed aggregate, entropy as a
+    second keyed aggregate over (user, bigram) counts — everything
+    partitioned by user_id, nothing global."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            "user_id",
+            F.concat_ws(">", "prev_type", "event_type").alias("bigram"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = big.groupBy("user_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+    )
+    h = F.log(F.col("n_bigrams")) - F.col("clogc") / F.col("n_bigrams")
+    return per_user.select(
+        "user_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(h, 4).alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(h / F.log(F.col("n_distinct").cast("double")), 4),
+        ).alias("entropy_norm"),
+    ).orderBy("user_id")
+
+
+SEQUENCE_ENTROPY_SQL = """
+WITH big AS (
+  SELECT user_id,
+         concat_ws('>', lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id), event_type) AS bigram,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+  FROM events
+), cnt AS (
+  SELECT user_id, bigram, count(*) AS c
+  FROM big WHERE prev_type IS NOT NULL
+  GROUP BY user_id, bigram
+), per_user AS (
+  SELECT user_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clogc
+  FROM cnt GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(ln(n_bigrams) - clogc / n_bigrams, 4) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN round((ln(n_bigrams) - clogc / n_bigrams)
+                       / ln(CAST(n_distinct AS DOUBLE)), 4)
+       END AS entropy_norm
+FROM per_user
+ORDER BY user_id
+"""
+
+
+# =====================================================================
+# retention-curve exponential fit
+# =====================================================================
+
+def retention_curve_fit(spark, sf_dir):
+    """Pooled weekly retention curve fit: rate(k) = users active k
+    weeks after their first touch / users in cohorts OLD ENOUGH to be
+    observed at offset k, then a log-linear OLS on ln(rate) for k >= 1
+    — the exponential-decay read (weekly retention multiplier and
+    half-life) product analytics fits on every cohort table.
+
+    Scale shape: reuses the cohort_retention shuffles (two keyed
+    aggregations on user_id); the curve itself is offsets-x-1 rows
+    (bounded by the observation span in weeks) and the OLS is a 1-row
+    closed form over it."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cells = (
+        act.join(first, "user_id")
+        .select(
+            "cw",
+            (F.datediff(F.col("wk").cast("date"), F.col("cw").cast("date")) / 7)
+            .cast("int")
+            .alias("k"),
+        )
+        .groupBy("cw", "k")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    sizes = cells.filter(F.col("k") == 0).select(
+        "cw", F.col("users").alias("cohort_n")
+    )
+    maxw = ev.agg(F.max(F.date_trunc("week", F.col("ts"))).alias("mw"))
+    eligible = sizes.crossJoin(F.broadcast(maxw)).select(
+        "cw",
+        "cohort_n",
+        (F.datediff(F.col("mw").cast("date"), F.col("cw").cast("date")) / 7)
+        .cast("int")
+        .alias("max_k"),
+    )
+    rates = (
+        cells.join(eligible, "cw")
+        .filter(F.col("k") <= F.col("max_k"))
+        .groupBy("k")
+        .agg(
+            F.sum("users").alias("active"),
+            F.sum("cohort_n").alias("base"),
+        )
+        .filter(F.col("k") >= 1)
+        .select(
+            "k",
+            (F.col("active") / F.col("base")).alias("rate"),
+        )
+    )
+    pts = rates.select(
+        F.col("k").cast("double").alias("x"), F.log("rate").alias("y")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    den = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    b = F.when(
+        den != 0, (F.col("sxy") - F.col("sx") * F.col("sy") / n) / den
+    )
+    # b = 0 (perfect retention) or a degenerate single-offset curve
+    # yields NULL half-life, not a division error
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(F.exp(b), 4).alias("weekly_retention_multiplier"),
+        F.when(b < 0, F.round(-F.log(F.lit(2.0)) / b, 4)).alias(
+            "half_life_weeks"
+        ),
+    )
+
+
+RETENTION_FIT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), cells AS (
+  SELECT f.cw, CAST(datediff('day', f.cw, a.wk) / 7 AS INT) AS k,
+         count(*) AS users
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cw, users AS cohort_n FROM cells WHERE k = 0
+), maxw AS (
+  SELECT max(date_trunc('week', ts)) AS mw FROM events
+), eligible AS (
+  SELECT cw, cohort_n,
+         CAST(datediff('day', cw, mw) / 7 AS INT) AS max_k
+  FROM sizes CROSS JOIN maxw
+), rates AS (
+  SELECT k, sum(users) / CAST(sum(cohort_n) AS DOUBLE) AS rate
+  FROM cells JOIN eligible USING (cw)
+  WHERE k <= max_k
+  GROUP BY k
+  HAVING k >= 1
+), pts AS (
+  SELECT CAST(k AS DOUBLE) AS x, ln(rate) AS y FROM rates
+), agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round(exp((sxy - sx * sy / n)
+                 / nullif(sxx - sx * sx / n, 0)), 4)
+         AS weekly_retention_multiplier,
+       CASE WHEN (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0) < 0
+            THEN round(-ln(2.0) / ((sxy - sx * sy / n)
+                       / nullif(sxx - sx * sx / n, 0)), 4)
+       END AS half_life_weeks
+FROM agg
+"""
+
+
+# =====================================================================
 # seasonal-naive forecast backtest
 # =====================================================================
 
@@ -1515,4 +1720,8 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "dedup_cluster_size_histogram": QuerySpec(
         dedup_cluster_size_histogram, DEDUP_HISTOGRAM_SQL
     ),
+    "sequence_entropy_users": QuerySpec(
+        sequence_entropy_users, SEQUENCE_ENTROPY_SQL
+    ),
+    "retention_curve_fit": QuerySpec(retention_curve_fit, RETENTION_FIT_SQL),
 }

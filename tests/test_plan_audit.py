@@ -46,6 +46,7 @@ ALLOWED_NLJ: dict[str, str] = {
     "binary_segmentation_split": "series total (n, cstot): 1-row broadcast",
     "abc_classification_parts": "grand-total revenue: 1-row broadcast",
     "dedup_cluster_size_histogram": "corpus doc count: 1-row broadcast",
+    "retention_curve_fit": "corpus max-week anchor: 1-row broadcast",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "

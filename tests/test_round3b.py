@@ -602,6 +602,59 @@ def test_dedup_histogram_counts_of_counts(spark):
     assert abs(sum(r["removable_share"] for r in got.values()) - 0.5) < 1e-6
 
 
+def test_sequence_entropy_scripted_vs_diverse(spark):
+    """User 1 repeats the same bigram (entropy 0); user 2 alternates
+    between two bigrams uniformly (entropy ln 2, normalized 1)."""
+    import math
+
+    from kinesis_app_spark.registry_round3b import sequence_entropy_users
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", 1.0, "{}")
+        for i in range(5)
+    ]
+    types = ["click", "view", "click", "view", "click"]
+    rows += [
+        (100 + i, t0 + dt.timedelta(minutes=i), 2, types[i], 1.0, "{}")
+        for i in range(5)
+    ]
+    got = {
+        r["user_id"]: r
+        for r in sequence_entropy_users(spark, _events_dir(spark, rows)).collect()
+    }
+    assert got[1]["entropy"] == 0.0 and got[1]["entropy_norm"] is None
+    assert got[2]["n_bigrams"] == 4 and got[2]["n_distinct"] == 2
+    assert abs(got[2]["entropy"] - math.log(2)) < 1e-3
+    assert got[2]["entropy_norm"] == 1.0
+
+
+def test_retention_fit_recovers_exponential_decay(spark):
+    """Synthetic cohort where exactly half the remaining users return
+    each subsequent week: weekly multiplier -> 0.5, half-life 1 week."""
+    from kinesis_app_spark.registry_round3b import retention_curve_fit
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    # 16 users in the week-0 cohort; user u returns in week k while
+    # u < 16 / 2^k  (16, 8, 4, 2 active at k=0..3)
+    for u in range(16):
+        for k in range(4):
+            if u < 16 // (2 ** k):
+                eid += 1
+                rows.append(
+                    (eid, t0 + dt.timedelta(weeks=k), u, "view", 1.0, "{}")
+                )
+    # anchor user keeping the observation window open to week 3
+    eid += 1
+    rows.append((eid, t0 + dt.timedelta(weeks=3), 99, "view", 1.0, "{}"))
+    r = retention_curve_fit(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["n_points"] == 3
+    assert abs(r["weekly_retention_multiplier"] - 0.5) < 0.02
+    assert abs(r["half_life_weeks"] - 1.0) < 0.05
+
+
 def test_twap_weights_by_holding_duration(spark):
     """Value 10 held for 3 hours then 40 held for 1 hour: twap =
     (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
