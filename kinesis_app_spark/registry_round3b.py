@@ -1537,6 +1537,252 @@ FROM agg
 
 
 # =====================================================================
+# weekly harmonic regression (seasonality as closed-form OLS)
+# =====================================================================
+
+def harmonic_regression_daily(spark, sf_dir):
+    """Weekly seasonality as REGRESSION: fit v_t = a + b sin(2pi t/7)
+    + c cos(2pi t/7) over the daily mean series by closed-form
+    3-parameter OLS (Cramer on the normal equations) and report the
+    amplitude, peak phase (in days) and R^2 — the parametric
+    complement of stl_decompose_daily (a smooth two-coefficient
+    seasonal instead of 7 free dow means; the amplitude/R^2 pair says
+    whether the weekly cycle is real and how big).
+
+    Determinism: sin/cos/atan2 are libm calls that may differ at the
+    last ULP across engines, so the regressors are QUANTIZED to the
+    1e-9 grid before any product and the phase is computed from
+    already-rounded coefficients — the PSI ln() convention applied to
+    trigonometry. All windows/aggregates run over the bounded daily
+    series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    t = F.row_number().over(Window.orderBy("day")).cast("double")
+    ang = t * (2.0 * 3.141592653589793 / 7.0)
+
+    def q9(col):
+        return F.round(col * 1e9).cast("long").cast("double") / 1e9
+
+    pts = daily.select(
+        "v",
+        q9(F.sin(ang)).alias("x1"),
+        q9(F.cos(ang)).alias("x2"),
+    )
+    a = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("v").alias("sy"),
+        F.sum(F.col("x1") * F.col("v")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("v")).alias("s2y"),
+        F.sum(F.col("v") * F.col("v")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    # Cramer's rule on the 3x3 normal equations [n s1 s2; s1 s11 s12;
+    # s2 s12 s22] [a b c]^T = [sy s1y s2y]^T
+    det = (
+        n * (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+        - F.col("s1") * (F.col("s1") * F.col("s22") - F.col("s12") * F.col("s2"))
+        + F.col("s2") * (F.col("s1") * F.col("s12") - F.col("s11") * F.col("s2"))
+    )
+    det_a = (
+        F.col("sy") * (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+        - F.col("s1") * (F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"))
+        + F.col("s2") * (F.col("s1y") * F.col("s12") - F.col("s11") * F.col("s2y"))
+    )
+    det_b = (
+        n * (F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"))
+        - F.col("sy") * (F.col("s1") * F.col("s22") - F.col("s12") * F.col("s2"))
+        + F.col("s2") * (F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"))
+    )
+    det_c = (
+        n * (F.col("s11") * F.col("s2y") - F.col("s1y") * F.col("s12"))
+        - F.col("s1") * (F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"))
+        + F.col("sy") * (F.col("s1") * F.col("s12") - F.col("s11") * F.col("s2"))
+    )
+    ca = F.round(det_a / det, 6)
+    cb = F.round(det_b / det, 6)
+    cc = F.round(det_c / det, 6)
+    # SSE via the quadratic form: syy - 2(a sy + b s1y + c s2y)
+    #                                 + [a b c] M [a b c]^T
+    sse = (
+        F.col("syy")
+        - 2 * (ca * F.col("sy") + cb * F.col("s1y") + cc * F.col("s2y"))
+        + (
+            ca * (ca * n + cb * F.col("s1") + cc * F.col("s2"))
+            + cb * (ca * F.col("s1") + cb * F.col("s11") + cc * F.col("s12"))
+            + cc * (ca * F.col("s2") + cb * F.col("s12") + cc * F.col("s22"))
+        )
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        ca.alias("mean_level"),
+        F.round(F.sqrt(cb * cb + cc * cc), 4).alias("amplitude"),
+        F.round(
+            F.atan2(cc, cb) * (7.0 / (2.0 * 3.141592653589793)), 4
+        ).alias("peak_phase_days"),
+        F.round(1 - sse / sst, 4).alias("r2"),
+    )
+
+
+HARMONIC_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1
+), pts AS (
+  SELECT v,
+         CAST(round(sin(row_number() OVER (ORDER BY day)
+              * (2.0 * 3.141592653589793 / 7.0)) * 1e9) AS BIGINT) / 1e9 AS x1,
+         CAST(round(cos(row_number() OVER (ORDER BY day)
+              * (2.0 * 3.141592653589793 / 7.0)) * 1e9) AS BIGINT) / 1e9 AS x2
+  FROM daily
+), a AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(v) AS sy, sum(x1 * v) AS s1y, sum(x2 * v) AS s2y,
+         sum(v * v) AS syy
+  FROM pts
+), solved AS (
+  SELECT n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy,
+         round((sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)), 6) AS ca,
+         round((n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)), 6) AS cb,
+         round((n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - s1 * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s12 - s11 * s2)), 6) AS cc
+  FROM a
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ca AS mean_level,
+       round(sqrt(cb * cb + cc * cc), 4) AS amplitude,
+       round(atan2(cc, cb) * (7.0 / (2.0 * 3.141592653589793)), 4)
+         AS peak_phase_days,
+       round(1 - (syy - 2 * (ca * sy + cb * s1y + cc * s2y)
+                  + (ca * (ca * n + cb * s1 + cc * s2)
+                     + cb * (ca * s1 + cb * s11 + cc * s12)
+                     + cc * (ca * s2 + cb * s12 + cc * s22)))
+                 / (syy - sy * sy / n), 4) AS r2
+FROM solved
+"""
+
+
+# =====================================================================
+# Markov next-event prediction with temporal train/test eval
+# =====================================================================
+
+_MARKOV_SPLIT = "2024-01-16"
+
+
+def markov_next_event_eval(spark, sf_dir):
+    """First-order Markov next-event predictor evaluated the honest
+    way — TEMPORAL split (train before 2024-01-16, test after), the
+    same discipline train_test_split_docs applies to corpora: learn
+    argmax(next | prev) transition counts on train bigrams, score
+    accuracy per antecedent on test bigrams. The eval-harness shape
+    (temporal split -> fit -> join predictions -> per-class accuracy)
+    is what any sequence-model baseline reuses.
+
+    Scale shape: bigrams from user-partitioned lag windows; the model
+    is |event types| rows joined back as a broadcast; ties in the
+    argmax break on (count desc, type asc) so the fitted model is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(_MARKOV_SPLIT).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    train = pairs.filter(F.col("ts") < split)
+    test = pairs.filter(F.col("prev_ts") >= split)
+    # deterministic argmax: count desc, type asc — via a plain window
+    # over the |types|^2-row count table (bounded relation)
+    wm = Window.partitionBy("prev_type").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    model = (
+        train.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("predicted"))
+    )
+    scored = test.join(F.broadcast(model), "prev_type", "left")
+    return (
+        scored.groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("event_type") == F.col("predicted")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted",
+            "n_test",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_test"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("prev_type")
+    )
+
+
+MARKOV_EVAL_SQL = """
+WITH pairs AS (
+  SELECT ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), train AS (
+  SELECT * FROM pairs
+  WHERE prev_type IS NOT NULL AND ts < TIMESTAMP '2024-01-16 00:00:00'
+), test AS (
+  SELECT * FROM pairs
+  WHERE prev_type IS NOT NULL AND prev_ts >= TIMESTAMP '2024-01-16 00:00:00'
+), model AS (
+  SELECT prev_type, event_type AS predicted FROM (
+    SELECT prev_type, event_type, count(*) AS c,
+           row_number() OVER (PARTITION BY prev_type
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM train GROUP BY prev_type, event_type
+  ) WHERE rn = 1
+)
+SELECT t.prev_type, m.predicted,
+       count(*) AS n_test,
+       sum(CASE WHEN t.event_type = m.predicted THEN 1 ELSE 0 END)
+         AS n_correct,
+       round(sum(CASE WHEN t.event_type = m.predicted THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM test t LEFT JOIN model m USING (prev_type)
+GROUP BY t.prev_type, m.predicted
+ORDER BY t.prev_type
+"""
+
+
+# =====================================================================
 # seasonal-naive forecast backtest
 # =====================================================================
 
@@ -1724,4 +1970,10 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
         sequence_entropy_users, SEQUENCE_ENTROPY_SQL
     ),
     "retention_curve_fit": QuerySpec(retention_curve_fit, RETENTION_FIT_SQL),
+    "markov_next_event_eval": QuerySpec(
+        markov_next_event_eval, MARKOV_EVAL_SQL
+    ),
+    "harmonic_regression_daily": QuerySpec(
+        harmonic_regression_daily, HARMONIC_SQL
+    ),
 }

@@ -215,6 +215,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "both bounded partition/block counts, not rows",
     "seasonal_naive_backtest": "lag-7 window runs over the DAILY series "
     "— bounded by the observation span in days",
+    "harmonic_regression_daily": "row-number regressor index runs over "
+    "the DAILY series — bounded by the observation span in days",
 }
 
 

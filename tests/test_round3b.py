@@ -655,6 +655,64 @@ def test_retention_fit_recovers_exponential_decay(spark):
     assert abs(r["half_life_weeks"] - 1.0) < 0.05
 
 
+def test_markov_eval_learns_deterministic_chain(spark):
+    """Train: click is ALWAYS followed by view. Test window repeats the
+    pattern -> accuracy 1.0 for prev=click; an antecedent whose test
+    continuation flips gets 0."""
+    from kinesis_app_spark.registry_round3b import markov_next_event_eval
+
+    rows = []
+    eid = 0
+    # train period: 10 x (click -> view) for user 1
+    t = dt.datetime(2024, 1, 2)
+    for i in range(10):
+        for typ in ("click", "view"):
+            eid += 1
+            rows.append(
+                (eid, t + dt.timedelta(minutes=eid), 1, typ, 1.0, "{}")
+            )
+    # test period (after 2024-01-16): 4 x (click -> view), plus
+    # (view -> error) twice while train had (view -> click) majority
+    t2 = dt.datetime(2024, 1, 20)
+    seq = ["click", "view", "click", "view", "error", "view", "error"]
+    for i, typ in enumerate(seq):
+        eid += 1
+        rows.append((eid, t2 + dt.timedelta(minutes=i), 1, typ, 1.0, "{}"))
+    got = {
+        r["prev_type"]: r
+        for r in markov_next_event_eval(spark, _events_dir(spark, rows)).collect()
+    }
+    assert got["click"]["predicted"] == "view"
+    assert got["click"]["accuracy"] == 1.0
+    # train saw view->click only, so prev=view predicts click; the test
+    # continuations for prev=view are click, error, error -> 1/3
+    assert got["view"]["predicted"] == "click"
+    assert got["view"]["n_test"] == 3
+    assert got["view"]["accuracy"] == 0.333333
+
+
+def test_harmonic_regression_recovers_sine(spark):
+    """v_t = 20 + 5 sin(2pi t/7): amplitude -> 5, level -> 20, R^2 -> 1
+    (regressors quantized identically, so recovery is near-exact)."""
+    import math
+
+    from kinesis_app_spark.registry_round3b import harmonic_regression_daily
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(28):
+        t = i + 1  # row_number is 1-based
+        v = 20.0 + 5.0 * math.sin(2 * math.pi * t / 7.0)
+        rows.append((i, t0 + dt.timedelta(days=i), 1, "view", v, "{}"))
+    r = harmonic_regression_daily(spark, _events_dir(spark, rows)).collect()[0]
+    assert r["n_days"] == 28
+    assert abs(r["mean_level"] - 20.0) < 1e-3
+    assert abs(r["amplitude"] - 5.0) < 1e-3
+    assert r["r2"] > 0.9999
+    # pure sine: b = 5, c = 0 -> atan2(0, 5) = 0 phase
+    assert abs(r["peak_phase_days"]) < 1e-2
+
+
 def test_twap_weights_by_holding_duration(spark):
     """Value 10 held for 3 hours then 40 held for 1 hour: twap =
     (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
