@@ -1537,6 +1537,122 @@ FROM agg
 
 
 # =====================================================================
+# Poisson-bootstrap confidence interval (deterministic)
+# =====================================================================
+
+_BOOT_B = 50
+
+
+def bootstrap_ci_purchase_mean(spark, sf_dir):
+    """95% bootstrap CI for the mean purchase value via the POISSON
+    bootstrap — the map-reduce-native bootstrap (Chamandy et al.):
+    each row independently receives a Poisson(1) weight per replicate,
+    so no replicate ever needs a global resample. Randomness is a
+    PORTABLE md5 hash of (event_id, replicate), making the whole
+    procedure deterministic and cross-engine reproducible; weights
+    come from the exact Poisson(1) inverse CDF ladder.
+
+    Scale shape: one pass over the filtered measurement column
+    replicated x50 by a bounded grid explode; per-replicate sums are
+    exact int64 (milli-scaled values x small integer weights); the
+    percentile runs over the 50-row replicate-means table. At 100 TB,
+    bootstrap a fixed calibration sample (the estimator needs
+    statistical, not corpus, scale)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        )
+    )
+    b = F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    rep = ev.select("event_id", "v_milli", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+    # Poisson(1) inverse-CDF ladder: P(0)=.367879, P(<=1)=.735759,
+    # P(<=2)=.919699, P(<=3)=.981012, else 4
+    w = (
+        F.when(u < 0.367879, 0)
+        .when(u < 0.735759, 1)
+        .when(u < 0.919699, 2)
+        .when(u < 0.981012, 3)
+        .otherwise(4)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("v_milli")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            (F.col("ws") / (F.col("wn") * F.lit(1000.0))).alias("m")
+        )
+    )
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("v_milli")) / 1000.0, 4).alias("mean_value"),
+    )
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+    return base.crossJoin(ci).select(
+        F.col("n").cast("long").alias("n"),
+        "mean_value",
+        "ci_lo",
+        "ci_hi",
+        "n_boot",
+    )
+
+
+BOOTSTRAP_CI_SQL = """
+WITH ev AS (
+  SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS v_milli
+  FROM events WHERE event_type = 'purchase'
+), rep AS (
+  SELECT event_id, v_milli, b.b AS b,
+         (('0x' || substr(md5(concat_ws(':', event_id, b.b)), 1, 8))::BIGINT
+          % 1000000) / 1e6 AS u
+  FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 50)) AS b) b
+), weighted AS (
+  SELECT b, v_milli,
+         CASE WHEN u < 0.367879 THEN 0
+              WHEN u < 0.735759 THEN 1
+              WHEN u < 0.919699 THEN 2
+              WHEN u < 0.981012 THEN 3
+              ELSE 4 END AS w
+  FROM rep
+), means AS (
+  SELECT b, sum(w * v_milli) / (sum(w) * 1000.0) AS m
+  FROM weighted GROUP BY b HAVING sum(w) > 0
+), ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_boot,
+         round(quantile_cont(m, 0.025), 4) AS ci_lo,
+         round(quantile_cont(m, 0.975), 4) AS ci_hi
+  FROM means
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(avg(v_milli) / 1000.0, 4) AS mean_value
+  FROM ev
+)
+SELECT n, mean_value, ci_lo, ci_hi, n_boot
+FROM base CROSS JOIN ci
+"""
+
+
+# =====================================================================
 # weekly harmonic regression (seasonality as closed-form OLS)
 # =====================================================================
 
@@ -1975,5 +2091,8 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     ),
     "harmonic_regression_daily": QuerySpec(
         harmonic_regression_daily, HARMONIC_SQL
+    ),
+    "bootstrap_ci_purchase_mean": QuerySpec(
+        bootstrap_ci_purchase_mean, BOOTSTRAP_CI_SQL
     ),
 }

@@ -47,6 +47,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "abc_classification_parts": "grand-total revenue: 1-row broadcast",
     "dedup_cluster_size_histogram": "corpus doc count: 1-row broadcast",
     "retention_curve_fit": "corpus max-week anchor: 1-row broadcast",
+    "bootstrap_ci_purchase_mean": "base-mean row x 1-row CI frame: "
+    "O(1) by construction (both sides are single-row aggregates)",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "

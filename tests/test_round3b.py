@@ -713,6 +713,30 @@ def test_harmonic_regression_recovers_sine(spark):
     assert abs(r["peak_phase_days"]) < 1e-2
 
 
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """On a fixture with a known mean, the 95% Poisson-bootstrap CI
+    must bracket the point estimate and shrink around it; the
+    procedure is deterministic, so rerunning yields identical bounds."""
+    from kinesis_app_spark.registry_round3b import (
+        bootstrap_ci_purchase_mean,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "purchase", 10.0 + (i % 5), "{}")
+        for i in range(200)
+    ]
+    d = _events_dir(spark, rows)
+    r1 = bootstrap_ci_purchase_mean(spark, d).collect()[0]
+    r2 = bootstrap_ci_purchase_mean(spark, d).collect()[0]
+    assert r1 == r2  # deterministic
+    assert r1["n"] == 200 and r1["n_boot"] == 50
+    assert abs(r1["mean_value"] - 12.0) < 1e-6  # mean of 10..14 uniform
+    assert r1["ci_lo"] <= r1["mean_value"] <= r1["ci_hi"]
+    # sd ~ 1.41/sqrt(200) ~ 0.1 -> the CI must be tight around 12
+    assert r1["ci_hi"] - r1["ci_lo"] < 1.0
+
+
 def test_twap_weights_by_holding_duration(spark):
     """Value 10 held for 3 hours then 40 held for 1 hour: twap =
     (10*3 + 40*1) / 4 = 17.5 — the plain mean (25) would be wrong."""
