@@ -1537,6 +1537,83 @@ FROM agg
 
 
 # =====================================================================
+# near-dup threshold calibration (Jaccard similarity histogram)
+# =====================================================================
+
+def jaccard_threshold_calibration(spark, sf_dir):
+    """The histogram that PICKS the dedup threshold: exact trigram
+    Jaccard over every candidate pair (>= 1 shared shingle), bucketed
+    into 20 fixed-width similarity bins with the descending cumulative
+    pair count — read the valley between the noise mode and the
+    duplicate mode, that is your threshold. Operating the dedup
+    pipeline is part of the pipeline: dedup_ngram_jaccard assumes 0.5,
+    this entry is where 0.5 comes from.
+
+    Scale shape: identical join volume to the threshold-0.5 entry (the
+    inverted-index posting join with the hot-shingle DF guard computes
+    ALL co-shingle pairs before any threshold); the histogram collapses
+    the pair set to <= 20 rows, and the cumulative window runs over
+    that bounded bin table."""
+    from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    binned = pairs.select(
+        F.least(F.lit(19), F.floor(F.col("jaccard") * 20).cast("int")).alias(
+            "bin"
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            "bin",
+            F.round(F.col("bin") / 20.0, 2).alias("j_lo"),
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+        )
+        .orderBy("bin")
+    )
+
+
+JACCARD_CALIBRATION_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM norm
+  WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), hist AS (
+  SELECT least(19, CAST(floor(jac * 20) AS INT)) AS bin, count(*) AS n_pairs
+  FROM j GROUP BY 1
+)
+SELECT bin, round(bin / 20.0, 2) AS j_lo, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS pairs_at_or_above
+FROM hist
+ORDER BY bin
+"""
+
+
+# =====================================================================
 # Poisson-bootstrap confidence interval (deterministic)
 # =====================================================================
 
@@ -2094,5 +2171,8 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     ),
     "bootstrap_ci_purchase_mean": QuerySpec(
         bootstrap_ci_purchase_mean, BOOTSTRAP_CI_SQL
+    ),
+    "jaccard_threshold_calibration": QuerySpec(
+        jaccard_threshold_calibration, JACCARD_CALIBRATION_SQL
     ),
 }

@@ -219,6 +219,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "— bounded by the observation span in days",
     "harmonic_regression_daily": "row-number regressor index runs over "
     "the DAILY series — bounded by the observation span in days",
+    "jaccard_threshold_calibration": "cumulative window runs over the "
+    "fixed 20-bin similarity histogram",
 }
 
 

@@ -713,6 +713,37 @@ def test_harmonic_regression_recovers_sine(spark):
     assert abs(r["peak_phase_days"]) < 1e-2
 
 
+def test_jaccard_calibration_bimodal_fixture(spark):
+    """Two exact near-dup docs (J ~ 1) and unrelated docs sharing one
+    shingle (low J): the histogram must show mass in a top bin and a
+    bottom bin, with pairs_at_or_above monotone non-increasing."""
+    from kinesis_app_spark.registry_round3b import (
+        jaccard_threshold_calibration,
+    )
+
+    d = tempfile.mkdtemp(prefix="r3b_jcal_")
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "src1", 30),
+        (2, "alpha beta gamma delta epsilon eta", "en", "src1", 30),
+        (3, "alpha beta gamma unrelated words entirely", "en", "src1", 30),
+        (4, "totally different text with no overlap at all", "en", "src1", 30),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = jaccard_threshold_calibration(spark, d).collect()
+    assert rows, "candidate pairs must exist"
+    bins = {r["bin"]: r for r in rows}
+    # docs 1/2 share 4 of 6 shingles -> J = 4/8? shingles are trigrams:
+    # doc1 has 4 trigrams, overlap 3 -> J = 3/5 = 0.6 -> bin 12
+    assert max(bins) >= 12
+    assert min(bins) <= 4  # the weak cross-pair lands low
+    above = [r["pairs_at_or_above"] for r in sorted(rows, key=lambda r: -r["bin"])]
+    assert all(a <= b for a, b in zip(above, above[1:]))
+    assert above[-1] == sum(r["n_pairs"] for r in rows)
+
+
 def test_bootstrap_ci_brackets_true_mean(spark):
     """On a fixture with a known mean, the 95% Poisson-bootstrap CI
     must bracket the point estimate and shrink around it; the
