@@ -1537,6 +1537,64 @@ FROM agg
 
 
 # =====================================================================
+# streaming KMV distinct (stateful mergeable sketch)
+# =====================================================================
+
+def streaming_kmv_distinct(spark, sf_dir):
+    """TRUE streaming distinct-count sketch: per-event-type KMV state
+    (the k smallest distinct portable hashes) merged across
+    micro-batches — the streaming twin of kmv_grouped_distinct with
+    the IDENTICAL 60-bit md5 hash and (k-1)/h_k estimate, so the same
+    cross-engine oracle value-gates the stream's approximate answer,
+    not just an error envelope. The sentinel forces a second
+    micro-batch; KMV is a mergeable sketch, so the cross-batch union
+    of states is exactly the batch sketch.
+
+    Scale: 512 bytes of state per key; contrast exact streaming
+    count-distinct whose state grows with the keyspace."""
+    from kinesis_app_spark.registry_analytics4 import _KMV_K
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_kmv_distinct,
+    )
+    import datetime as _dt
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    stream, ckpt = _mk_stream(
+        spark,
+        ev,
+        cache_key=f"{sf_dir}|kmv",
+        sentinel_row=("__sentinel__", -1),
+        max_files_per_trigger=1,
+    )
+    out = running_kmv_distinct(stream, "event_type", "user_id", k=_KMV_K)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    final = (
+        res.filter(F.col("key") != "__sentinel__")
+        .groupBy(F.col("key").alias("event_type"))
+        .agg(F.expr("max_by(est, nb)").alias("est_distinct"))
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return (
+        final.join(truth, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
 # near-dup threshold calibration (Jaccard similarity histogram)
 # =====================================================================
 
@@ -2175,4 +2233,16 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "jaccard_threshold_calibration": QuerySpec(
         jaccard_threshold_calibration, JACCARD_CALIBRATION_SQL
     ),
+    "streaming_kmv_distinct": QuerySpec(streaming_kmv_distinct, None),
 }
+
+
+def _bind_kmv_oracle() -> None:
+    from kinesis_app_spark.registry_analytics4 import KMV_GROUPED_SQL
+
+    REGISTRY_ROUND3B["streaming_kmv_distinct"] = QuerySpec(
+        streaming_kmv_distinct, KMV_GROUPED_SQL
+    )
+
+
+_bind_kmv_oracle()

@@ -440,3 +440,70 @@ def running_twap(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-key streaming K-minimum-values distinct sketch: state = the
+    k smallest distinct portable hashes (plus a batch counter), merged
+    across micro-batches — the streaming twin of the batch
+    kmv_grouped_distinct entry, down to the identical 60-bit md5 hash
+    and the identical (k-1)/h_k estimate, so the SAME cross-engine
+    oracle value-gates the stream.
+
+    Scale: state is a bounded k-double array per key (k=64 -> 512
+    bytes), merge cost is O(batch + k log k) per key per batch — the
+    canonical mergeable-sketch shape (any two states union by keeping
+    the k smallest of their union)."""
+
+    def kmv_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        if state.exists:
+            prev, nb = state.get
+            seen = set(prev)
+        else:
+            seen, nb = set(), 0
+        for pdf in pdfs:
+            for uid in pdf[id_col]:
+                h = (
+                    int(
+                        hashlib.md5(str(int(uid)).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    / float(1 << 60)
+                )
+                seen.add(h)
+        hashes = sorted(seen)[:k]
+        nb += 1
+        state.update((hashes, nb))
+        n = len(hashes)
+        if n < k:
+            est = float(n)
+        else:
+            raw = (k - 1) / hashes[-1]
+            # half-away-from-zero at 2 dp — matches the batch twin's
+            # F.round and the DuckDB oracle on the same double
+            est = math.floor(raw * 100 + 0.5) / 100
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]], dtype="object"),
+                "est": pd.Series([est], dtype="float64"),
+                "nb": pd.Series([nb], dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        kmv_fn,
+        outputStructType="key string, est double, nb long",
+        stateStructType="hashes array<double>, nb long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -744,6 +744,63 @@ def test_jaccard_calibration_bimodal_fixture(spark):
     assert above[-1] == sum(r["n_pairs"] for r in rows)
 
 
+def test_streaming_kmv_merges_sketches_across_batches(spark):
+    """Users split across two micro-batches with overlap: the merged
+    KMV state must equal the single-batch sketch over the union — the
+    mergeability property that makes the sketch streamable."""
+    import os
+
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_kmv_distinct,
+    )
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    src = tempfile.mkdtemp(prefix="r3b_kmvstream_")
+    ckpt = tempfile.mkdtemp(prefix="r3b_kmvckpt_")
+    schema = "event_type string, user_id long"
+    df1 = spark.createDataFrame(
+        [("click", u) for u in range(0, 60)], schema
+    )
+    df2 = spark.createDataFrame(
+        [("click", u) for u in range(40, 120)], schema  # overlaps 40-59
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    d2 = tempfile.mkdtemp(prefix="r3b_kmvf2_")
+    df2.coalesce(1).write.mode("overwrite").parquet(d2)
+    part2 = [f for f in os.listdir(d2) if f.endswith(".parquet")][0]
+    dst = os.path.join(src, "part-batch2.parquet")
+    os.rename(os.path.join(d2, part2), dst)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime
+        for f in os.listdir(src)
+        if f != "part-batch2.parquet"
+    )
+    os.utime(dst, (newest + 5, newest + 5))
+
+    stream = file_stream(spark, src, df1.schema, max_files_per_trigger=1)
+    out = running_kmv_distinct(stream, "event_type", "user_id", k=64)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=4)
+    rows = sorted(res.collect(), key=lambda r: r["nb"])
+    assert len(rows) == 2
+    # batch 1: 60 distinct < k=64 -> sketch IS the exact count
+    assert rows[0]["est"] == 60.0
+    # batch 2 merged: 120 distinct > k -> estimate near the truth and
+    # EQUAL to the one-shot sketch over the union (mergeability)
+    import hashlib
+
+    hs = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
+        for u in range(0, 120)
+    )[:64]
+    import math
+
+    want = math.floor((63 / hs[-1]) * 100 + 0.5) / 100
+    assert rows[1]["est"] == want
+    assert abs(rows[1]["est"] - 120) / 120 < 0.35  # sketch-grade accuracy
+
+
 def test_bootstrap_ci_brackets_true_mean(spark):
     """On a fixture with a known mean, the 95% Poisson-bootstrap CI
     must bracket the point estimate and shrink around it; the
