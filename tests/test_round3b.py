@@ -887,3 +887,83 @@ def test_kendall_tau_perfect_concordance_and_inversion(spark):
     assert got["B"]["tau_b"] == -1.0
     assert got["A"]["n_pairs"] == 3 and got["A"]["concordant"] == 3
     assert got["B"]["discordant"] == 3
+
+
+def test_streaming_twap_resumes_from_state_store(spark, tmp_path):
+    """The open holding segment survives a QUERY RESTART: run on file 1,
+    stop, append file 2, rerun on the same checkpoint — the segment
+    opened before the restart closes with the full duration, equal to
+    the batch operator over all events."""
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.registry_round3b import time_weighted_avg_users
+    from kinesis_app_spark.streaming.ops import running_twap
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    src = str(tmp_path / "twap_in")
+    ckpt = str(tmp_path / "twap_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    first = spark.createDataFrame(
+        [(1, t0, 1, 10.0), (1, t0 + dt.timedelta(hours=1), 2, 30.0)], schema
+    )
+    second = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=5), 3, 99.0)], schema
+    )
+    first.coalesce(1).write.parquet(src)
+
+    out: dict[int, tuple] = {}
+
+    def run_once():
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                prev = out.get(r["user_id"])
+                if prev is None or r["n_segments"] >= prev[0]:
+                    out[r["user_id"]] = (
+                        r["n_segments"],
+                        r["total_us"],
+                        r["twap"],
+                    )
+
+        q = (
+            running_twap(
+                file_stream(spark, src, first.schema),
+                "user_id",
+                "ts",
+                "event_id",
+                "value",
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert out[1][0] == 1  # one closed segment before the restart
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n_seg, total_us, twap = out[1]
+    assert n_seg == 2
+    assert total_us == 5 * 3600 * 1_000_000
+    # (10*1h + 30*4h) / 5h = 26.0 — the 4h segment SPANS the restart
+    assert twap == 26.0
+
+    # equals the batch operator over the full event set
+    d = tempfile.mkdtemp(prefix="r3b_twap_all_")
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 10.0, "{}"),
+            (2, t0 + dt.timedelta(hours=1), 1, "view", 30.0, "{}"),
+            (3, t0 + dt.timedelta(hours=5), 1, "view", 99.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    b = time_weighted_avg_users(spark, d).collect()[0]
+    assert (b["n_segments"], b["total_us"], b["twap"]) == (
+        n_seg,
+        total_us,
+        twap,
+    )
