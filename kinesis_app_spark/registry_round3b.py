@@ -1537,6 +1537,94 @@ FROM agg
 
 
 # =====================================================================
+# cross-source duplication matrix (crawl forensics)
+# =====================================================================
+
+def cross_source_duplication_matrix(spark, sf_dir):
+    """WHERE the near-duplicates come from: every J >= 0.5 pair labeled
+    with its (source_a, source_b) combination — within-source mass
+    means a source re-crawls itself, cross-source mass means mirrors /
+    syndication, and the matrix decides whether dedup should run
+    per-source (cheap) or global (necessary). Emits the unordered
+    source-pair counts with mean similarity.
+
+    Scale shape: rides the exact inverted-index pair join (hot-shingle
+    guarded), then two BROADCAST joins against the doc->source map —
+    pairs never re-shuffle on text; the matrix is |sources|^2-bounded."""
+    from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    labeled = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+            (F.col("source_x") == F.col("source_y")).alias("within_source"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+  FROM norm
+  WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), labeled AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y,
+         jaccard
+  FROM pairs
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
+)
+SELECT source_x, source_y,
+       count(*) AS n_pairs,
+       round(avg(jaccard), 4) AS mean_jaccard,
+       source_x = source_y AS within_source
+FROM labeled
+GROUP BY source_x, source_y
+ORDER BY source_x, source_y
+"""
+
+
+# =====================================================================
 # streaming KMV distinct (stateful mergeable sketch)
 # =====================================================================
 
@@ -2234,6 +2322,9 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
         jaccard_threshold_calibration, JACCARD_CALIBRATION_SQL
     ),
     "streaming_kmv_distinct": QuerySpec(streaming_kmv_distinct, None),
+    "cross_source_duplication_matrix": QuerySpec(
+        cross_source_duplication_matrix, CROSS_SOURCE_DUP_SQL
+    ),
 }
 
 

@@ -967,3 +967,32 @@ def test_streaming_twap_resumes_from_state_store(spark, tmp_path):
         total_us,
         twap,
     )
+
+
+def test_cross_source_matrix_separates_within_and_cross(spark):
+    """Near-identical docs within src1 and a mirror across src1/src2:
+    both cells appear, labeled within/cross correctly."""
+    from kinesis_app_spark.registry_round3b import (
+        cross_source_duplication_matrix,
+    )
+
+    d = tempfile.mkdtemp(prefix="r3b_xsrc_")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, base, "en", "src1", 40),
+        (2, base + " iota", "en", "src1", 45),       # within-src1 dup
+        (3, base + " kappa", "en", "src2", 45),      # cross src1/src2
+        (4, "completely different text here now", "en", "src3", 30),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        (r["source_x"], r["source_y"]): r
+        for r in cross_source_duplication_matrix(spark, d).collect()
+    }
+    assert rows[("src1", "src1")]["within_source"] is True
+    assert rows[("src1", "src2")]["within_source"] is False
+    assert all(r["mean_jaccard"] >= 0.5 for r in rows.values())
+    assert ("src3", "src3") not in rows  # no duplicates -> no cell
