@@ -1537,6 +1537,52 @@ FROM agg
 
 
 # =====================================================================
+# streaming sequence entropy (stateful bigram counts)
+# =====================================================================
+
+def streaming_sequence_entropy(spark, sf_dir):
+    """TRUE streaming behavioral entropy: per-user state carries the
+    LAST event type (so a bigram spanning micro-batches is counted
+    exactly once) plus the exact bigram count table — the stateful
+    twin of sequence_entropy_users under the same oracle. Sentinel
+    forces a second micro-batch so the state-store round trip runs
+    under the value gate."""
+    import datetime as _dt
+
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_sequence_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream, ckpt = _mk_stream(
+        spark,
+        ev,
+        cache_key=f"{sf_dir}|seqent",
+        sentinel_row=(-1, _dt.datetime(2030, 1, 1), -1, "view"),
+        max_files_per_trigger=1,
+    )
+    out = running_sequence_entropy(
+        stream, "user_id", "ts", "event_id", "event_type"
+    )
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    final = (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_bigrams").alias("n_bigrams"),
+            F.expr("max_by(n_distinct, nb)").alias("n_distinct"),
+            F.expr("max_by(entropy, nb)").alias("entropy"),
+            F.expr("max_by(entropy_norm, nb)").alias("entropy_norm"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
+# =====================================================================
 # cross-source duplication matrix (crawl forensics)
 # =====================================================================
 
@@ -2324,6 +2370,9 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "streaming_kmv_distinct": QuerySpec(streaming_kmv_distinct, None),
     "cross_source_duplication_matrix": QuerySpec(
         cross_source_duplication_matrix, CROSS_SOURCE_DUP_SQL
+    ),
+    "streaming_sequence_entropy": QuerySpec(
+        streaming_sequence_entropy, SEQUENCE_ENTROPY_SQL
     ),
 }
 

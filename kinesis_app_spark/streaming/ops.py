@@ -507,3 +507,78 @@ def running_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_sequence_entropy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-key streaming bigram-entropy: state = (the LAST event type —
+    so the bigram spanning a micro-batch boundary is counted exactly
+    once — plus the bigram count table serialized as canonical JSON and
+    a batch counter). Emits the running entropy per key per batch; the
+    final emit equals the batch operator
+    (registry_round3b.sequence_entropy_users) because the counts are
+    exact integers and the entropy fold iterates keys in sorted order
+    (deterministic summation).
+
+    Scale: state is O(distinct bigrams per key) — bounded by
+    |event types|^2, independent of stream length."""
+
+    def ent_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import json
+        import math
+
+        if state.exists:
+            last, cj, nb = state.get
+            counts = json.loads(cj)
+        else:
+            last, counts, nb = None, {}, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
+        for typ in pdf[type_col]:
+            if last is not None:
+                k = f"{last}>{typ}"
+                counts[k] = counts.get(k, 0) + 1
+            last = typ
+        nb += 1
+        state.update((last, json.dumps(counts, sort_keys=True), nb))
+        n = sum(c for _, c in sorted(counts.items()))
+        nd = len(counts)
+        if n > 0:
+            clogc = sum(c * math.log(c) for _, c in sorted(counts.items()))
+            h = math.log(n) - clogc / n
+            ent = math.floor(h * 1e4 + 0.5) / 1e4
+            norm = (
+                math.floor((h / math.log(nd)) * 1e4 + 0.5) / 1e4
+                if nd > 1
+                else None
+            )
+        else:
+            ent, norm = None, None
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_bigrams": pd.Series([n], dtype="int64"),
+                "n_distinct": pd.Series([nd], dtype="int64"),
+                "entropy": pd.Series([ent], dtype="float64"),
+                "entropy_norm": pd.Series([norm], dtype="float64"),
+                "nb": pd.Series([nb], dtype="int64"),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        ent_fn,
+        outputStructType=(
+            "user_id long, n_bigrams long, n_distinct long, "
+            "entropy double, entropy_norm double, nb long"
+        ),
+        stateStructType="last_type string, counts string, nb long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -996,3 +996,70 @@ def test_cross_source_matrix_separates_within_and_cross(spark):
     assert rows[("src1", "src2")]["within_source"] is False
     assert all(r["mean_jaccard"] >= 0.5 for r in rows.values())
     assert ("src3", "src3") not in rows  # no duplicates -> no cell
+
+
+def test_streaming_entropy_counts_boundary_bigram_once(spark):
+    """A bigram spanning two micro-batches (last event of file 1 ->
+    first event of file 2) must be counted exactly once: final counts
+    equal the batch operator over the full sequence."""
+    import os
+
+    from kinesis_app_spark.registry_round3b import sequence_entropy_users
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_sequence_entropy,
+    )
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    src = tempfile.mkdtemp(prefix="r3b_entstream_")
+    ckpt = tempfile.mkdtemp(prefix="r3b_entckpt_")
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    seq1 = ["click", "view", "click"]
+    seq2 = ["view", "click", "view"]  # boundary bigram click>view
+    df1 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=i), i, s) for i, s in enumerate(seq1)],
+        schema,
+    )
+    df2 = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=10 + i), 10 + i, s)
+            for i, s in enumerate(seq2)
+        ],
+        schema,
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    d2 = tempfile.mkdtemp(prefix="r3b_entf2_")
+    df2.coalesce(1).write.mode("overwrite").parquet(d2)
+    part2 = [f for f in os.listdir(d2) if f.endswith(".parquet")][0]
+    dst = os.path.join(src, "part-batch2.parquet")
+    os.rename(os.path.join(d2, part2), dst)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime
+        for f in os.listdir(src)
+        if f != "part-batch2.parquet"
+    )
+    os.utime(dst, (newest + 5, newest + 5))
+
+    stream = file_stream(spark, src, df1.schema, max_files_per_trigger=1)
+    out = running_sequence_entropy(
+        stream, "user_id", "ts", "event_id", "event_type"
+    )
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=4)
+    final = max(res.collect(), key=lambda r: r["nb"])
+    # full sequence: c v c | v c v -> bigrams c>v x3, v>c x2 (5 total)
+    assert final["n_bigrams"] == 5
+    assert final["n_distinct"] == 2
+
+    # equals the batch operator over the same events
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, s, 1.0, "{}")
+        for i, s in enumerate(seq1)
+    ] + [
+        (10 + i, t0 + dt.timedelta(minutes=10 + i), 1, s, 1.0, "{}")
+        for i, s in enumerate(seq2)
+    ]
+    b = sequence_entropy_users(spark, _events_dir(spark, rows)).collect()[0]
+    assert (b["n_bigrams"], b["n_distinct"]) == (5, 2)
+    assert b["entropy"] == final["entropy"]
+    assert b["entropy_norm"] == final["entropy_norm"]
