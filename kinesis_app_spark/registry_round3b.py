@@ -1537,6 +1537,83 @@ FROM agg
 
 
 # =====================================================================
+# differentially-private noisy counts (deterministic Laplace)
+# =====================================================================
+
+_DP_EPSILON = 1.0
+
+
+def dp_noisy_nation_counts(spark, sf_dir):
+    """Laplace-mechanism noisy release of per-nation customer counts
+    (sensitivity 1, epsilon 1) — the privacy-suite capstone after
+    k-anonymity / l-diversity / t-closeness: those AUDIT a dataset,
+    this RELEASES an aggregate. Noise is Laplace(1/eps) via the exact
+    inverse CDF -b*sign(u-.5)*ln(1-2|u-.5|) on a PORTABLE hash-uniform
+    u — deterministic so the mechanism itself sits under the
+    cross-engine value gate. In production swap the hash for a secure
+    RNG; hash-determinism is the TEST harness property (it also models
+    seeded-noise releases, where re-running a report must not leak a
+    fresh noise draw).
+
+    Scale shape: one keyed count + pure per-row arithmetic; the ln()
+    term is quantized at 1e-6 (the PSI convention)."""
+    cu = _t(spark, sf_dir, "customer")
+    counts = cu.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("c_nationkey"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+    centered = u - 0.5
+    b = 1.0 / _DP_EPSILON
+    noise_raw = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(1 - 2 * F.abs(centered))
+    )
+    noise = F.round(noise_raw * 1e6).cast("long").cast("double") / 1e6
+    return counts.select(
+        "c_nationkey",
+        "true_n",
+        F.round(noise, 6).alias("noise"),
+        F.greatest(
+            F.lit(0),
+            F.round(F.col("true_n") + noise).cast("long"),
+        ).alias("noisy_n"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    ).orderBy("c_nationkey")
+
+
+DP_NOISY_SQL = """
+WITH counts AS (
+  SELECT c_nationkey, count(*) AS true_n FROM customer GROUP BY c_nationkey
+), noised AS (
+  SELECT c_nationkey, true_n,
+         CAST(round(
+           (-1.0 * sign((('0x' || substr(md5('dp:' || c_nationkey), 1, 8))::BIGINT
+                         % 1000000) / 1e6 - 0.5)
+            * ln(1 - 2 * abs((('0x' || substr(md5('dp:' || c_nationkey), 1, 8))::BIGINT
+                              % 1000000) / 1e6 - 0.5))) * 1e6)
+           AS BIGINT) / 1e6 AS noise
+  FROM counts
+)
+SELECT c_nationkey, true_n,
+       round(noise, 6) AS noise,
+       greatest(0, CAST(round(true_n + noise) AS BIGINT)) AS noisy_n,
+       1.0 AS epsilon
+FROM noised
+ORDER BY c_nationkey
+"""
+
+
+# =====================================================================
 # streaming sequence entropy (stateful bigram counts)
 # =====================================================================
 
@@ -2373,6 +2450,9 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     ),
     "streaming_sequence_entropy": QuerySpec(
         streaming_sequence_entropy, SEQUENCE_ENTROPY_SQL
+    ),
+    "dp_noisy_nation_counts": QuerySpec(
+        dp_noisy_nation_counts, DP_NOISY_SQL
     ),
 }
 

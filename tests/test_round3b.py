@@ -1063,3 +1063,20 @@ def test_streaming_entropy_counts_boundary_bigram_once(spark):
     assert (b["n_bigrams"], b["n_distinct"]) == (5, 2)
     assert b["entropy"] == final["entropy"]
     assert b["entropy_norm"] == final["entropy_norm"]
+
+
+def test_dp_noise_is_laplace_shaped_and_deterministic(spark):
+    """The hash-Laplace mechanism: reruns identical, noise centered
+    near 0 with the Laplace(1) scale, and noisy counts floor at 0."""
+    from kinesis_app_spark.registry_round3b import dp_noisy_nation_counts
+
+    sf = "/root/testdata/sf0.001"
+    r1 = dp_noisy_nation_counts(spark, sf).collect()
+    r2 = dp_noisy_nation_counts(spark, sf).collect()
+    assert r1 == r2
+    noises = [r["noise"] for r in r1]
+    assert all(abs(x) < 15 for x in noises)  # Laplace(1) tail sanity
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+    for r in r1:
+        assert r["noisy_n"] >= 0
+        assert abs(r["noisy_n"] - (r["true_n"] + r["noise"])) <= 0.5 + 1e-9
