@@ -81,6 +81,11 @@ ENTRIES = [
     "theil_sen_trends",          # capped per-group pair expansion (r3c)
     "sorted_neighborhood_linkage",  # global_row_number + bucket join (r3c)
     "classifier_auc_docs",       # rank-identity AUC over logit levels (r3c)
+    "itemsim_cosine_parts",      # support-pruned co-purchase CF (r3c fix)
+    "abc_classification_parts",  # global_row_number + block prefix (r3c)
+    "sequence_entropy_users",    # user-partitioned bigram entropy (r3c)
+    "time_weighted_avg_users",   # exact int64 duration-weighted mean (r3c)
+    "jaccard_threshold_calibration",  # all-candidate similarity histogram (r3c)
 ]
 
 
