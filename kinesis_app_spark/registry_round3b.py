@@ -1537,6 +1537,100 @@ FROM agg
 
 
 # =====================================================================
+# functional-dependency discovery (pairwise strength profile)
+# =====================================================================
+
+_FD_COLS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_orderkey",
+]
+
+
+def fd_discovery_orders(spark, sf_dir):
+    """Pairwise functional-dependency DISCOVERY over orders columns:
+    for every ordered pair X -> Y, strength = sum over x of max_y
+    count(x, y) / n — 1.0 means X determines Y exactly (o_orderkey ->
+    everything), values near 1/|Y| mean independence. The profiling
+    complement of functional_dependency_audit: the audit CHECKS
+    declared FDs, this FINDS candidates (the first step of schema
+    normalization / key detection on an unknown table).
+
+    Scale shape: one (X, Y) count aggregate per pair (map-side
+    combinable, reusing the same scan), per-X max as a keyed aggregate
+    — never a window — and a 1-row total broadcast; the pair loop is
+    over the COLUMN list (12 pairs), not data."""
+    od = _t(spark, sf_dir, "orders")
+    tot = od.agg(F.count(F.lit(1)).alias("n"))
+    outs = []
+    for x in _FD_COLS:
+        for y in _FD_COLS:
+            if x == y:
+                continue
+            cells = od.groupBy(
+                F.col(x).cast("string").alias("xv"),
+                F.col(y).cast("string").alias("yv"),
+            ).agg(F.count(F.lit(1)).alias("c"))
+            per_x = cells.groupBy("xv").agg(F.max("c").alias("mx"))
+            outs.append(
+                per_x.agg(
+                    F.lit(x).alias("determinant"),
+                    F.lit(y).alias("dependent"),
+                    F.sum("mx").cast("long").alias("max_consistent"),
+                )
+            )
+    from functools import reduce
+
+    all_pairs = reduce(lambda a, b: a.unionByName(b), outs)
+    return (
+        all_pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "determinant",
+            "dependent",
+            "max_consistent",
+            F.round(F.col("max_consistent") / F.col("n"), 6).alias(
+                "fd_strength"
+            ),
+            (F.col("max_consistent") == F.col("n")).alias("exact_fd"),
+        )
+        .orderBy("determinant", "dependent")
+    )
+
+
+def _fd_discovery_sql() -> str:
+    blocks = []
+    for x in _FD_COLS:
+        for y in _FD_COLS:
+            if x == y:
+                continue
+            blocks.append(f"""
+  SELECT '{x}' AS determinant, '{y}' AS dependent,
+         CAST(sum(mx) AS BIGINT) AS max_consistent
+  FROM (
+    SELECT max(c) AS mx FROM (
+      SELECT CAST({x} AS VARCHAR) AS xv, CAST({y} AS VARCHAR) AS yv,
+             count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ) GROUP BY xv
+  )""")
+    union = "\n  UNION ALL".join(blocks)
+    return f"""
+WITH tot AS (SELECT count(*) AS n FROM orders),
+pairs AS ({union}
+)
+SELECT determinant, dependent, max_consistent,
+       round(max_consistent / CAST(n AS DOUBLE), 6) AS fd_strength,
+       max_consistent = n AS exact_fd
+FROM pairs CROSS JOIN tot
+ORDER BY determinant, dependent
+"""
+
+
+FD_DISCOVERY_SQL = _fd_discovery_sql()
+
+
+# =====================================================================
 # differentially-private noisy counts (deterministic Laplace)
 # =====================================================================
 
@@ -2454,6 +2548,7 @@ REGISTRY_ROUND3B: dict[str, QuerySpec] = {
     "dp_noisy_nation_counts": QuerySpec(
         dp_noisy_nation_counts, DP_NOISY_SQL
     ),
+    "fd_discovery_orders": QuerySpec(fd_discovery_orders, FD_DISCOVERY_SQL),
 }
 
 

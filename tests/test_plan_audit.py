@@ -49,6 +49,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "retention_curve_fit": "corpus max-week anchor: 1-row broadcast",
     "bootstrap_ci_purchase_mean": "base-mean row x 1-row CI frame: "
     "O(1) by construction (both sides are single-row aggregates)",
+    "fd_discovery_orders": "12-row pair-strength table x 1-row total: "
+    "O(1) by construction",
     "zorder_layout_audit": "linear-layout max-orderkey anchor: 1-row "
     "broadcast (z-order branch is shuffle-free arithmetic)",
     "approx_distinct_kmv": "1-row sketch estimate x 1-row true count: "

@@ -1080,3 +1080,22 @@ def test_dp_noise_is_laplace_shaped_and_deterministic(spark):
     for r in r1:
         assert r["noisy_n"] >= 0
         assert abs(r["noisy_n"] - (r["true_n"] + r["noise"])) <= 0.5 + 1e-9
+
+
+def test_fd_discovery_key_column_determines_everything(spark):
+    """o_orderkey is the primary key: every X = o_orderkey pair must be
+    an exact FD (strength 1.0); a status column cannot determine the
+    key on any non-degenerate table."""
+    from kinesis_app_spark.registry_round3b import fd_discovery_orders
+
+    rows = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_discovery_orders(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) == 12
+    for dep in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        r = rows[("o_orderkey", dep)]
+        assert r["exact_fd"] is True and r["fd_strength"] == 1.0
+    r = rows[("o_orderstatus", "o_orderkey")]
+    assert r["exact_fd"] is False and r["fd_strength"] < 0.1
+    assert all(0 < r["fd_strength"] <= 1.0 for r in rows.values())
