@@ -1624,7 +1624,9 @@ def grouped_ols_user_trends(spark, sf_dir):
     Both engines compute the identical (mis)value either way; the anchor
     choice is what makes the VALUE right, not just reproducible."""
     e = _t(spark, sf_dir, "events")
-    # x in EXACT integer seconds since 1995-01-01 (ts is whole seconds):
+    # x in EXACT integer seconds since 2024-01-01 (1704067200 — the
+    # in-range anchor the docstring's cancellation analysis requires;
+    # ts is whole seconds):
     # the moment sums are then exact decimals with no double->decimal
     # rounding divergence; slope converts to per-hour only at the end
     # cast(ts as long) FLOORS the sub-second part; the oracle must floor

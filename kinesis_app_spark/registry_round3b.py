@@ -1361,12 +1361,22 @@ def sequence_entropy_users(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # each c*ln(c) term quantized to a 1e-6 integer grid BEFORE the sum:
+    # integer addition is associative, so cross-partition summation order
+    # can't land a last-ULP difference on the 4-dp rounding boundary (the
+    # MI/PSI/KM reassociation discipline; terms are >= 0 so HALF_UP
+    # matches DuckDB's half-away-from-zero)
     per_user = big.groupBy("user_id").agg(
         F.sum("c").alias("n_bigrams"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        F.sum(
+            F.round(F.col("c") * F.log("c") * 1e6).cast("long")
+        ).alias("clogc_u6"),
     )
-    h = F.log(F.col("n_bigrams")) - F.col("clogc") / F.col("n_bigrams")
+    h = (
+        F.log(F.col("n_bigrams"))
+        - F.col("clogc_u6") / 1e6 / F.col("n_bigrams")
+    )
     return per_user.select(
         "user_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
@@ -1393,15 +1403,15 @@ WITH big AS (
   GROUP BY user_id, bigram
 ), per_user AS (
   SELECT user_id, sum(c) AS n_bigrams, count(*) AS n_distinct,
-         sum(c * ln(c)) AS clogc
+         sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS clogc_u6
   FROM cnt GROUP BY user_id
 )
 SELECT user_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(n_distinct AS BIGINT) AS n_distinct,
-       round(ln(n_bigrams) - clogc / n_bigrams, 4) AS entropy,
+       round(ln(n_bigrams) - clogc_u6 / 1e6 / n_bigrams, 4) AS entropy,
        CASE WHEN n_distinct > 1
-            THEN round((ln(n_bigrams) - clogc / n_bigrams)
+            THEN round((ln(n_bigrams) - clogc_u6 / 1e6 / n_bigrams)
                        / ln(CAST(n_distinct AS DOUBLE)), 4)
        END AS entropy_norm
 FROM per_user
@@ -2288,8 +2298,14 @@ def markov_next_event_eval(spark, sf_dir):
         scored.groupBy("prev_type", "predicted")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
+            # coalesce per term: when predicted is NULL (antecedent unseen
+            # in training) the comparison is NULL and a bare sum() would be
+            # NULL, but the oracle's CASE ... ELSE 0 yields 0 — match it
             F.sum(
-                (F.col("event_type") == F.col("predicted")).cast("long")
+                F.coalesce(
+                    (F.col("event_type") == F.col("predicted")).cast("long"),
+                    F.lit(0),
+                )
             ).alias("n_correct"),
         )
         .select(
@@ -2482,6 +2498,10 @@ def streaming_twap_users(spark, sf_dir):
             F.max("total_us").alias("total_us"),
             F.expr("max_by(twap, n_segments)").alias("twap"),
         )
+        # a key with exactly one event has no closed segment: the batch
+        # twin and TWAP_SQL drop it (dur_us IS NOT NULL), so the stream
+        # must too — running_twap still emits its open-segment state row
+        .filter(F.col("n_segments") > 0)
     )
     return final.orderBy("user_id")
 

@@ -407,7 +407,11 @@ def running_twap(
         pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
         for ts, v_raw in zip(pdf[ts_col], pdf[value_col]):
             t = int(ts.value // 1000)  # pandas ns -> us
-            v = int(math.floor(float(v_raw) * scale + 0.5))
+            # sign-aware half-away-from-zero, matching the batch twin's
+            # F.round(value*1000) and DuckDB's round() for negatives
+            # (floor(v*s+0.5) alone rounds -1.5 milli to -1, not -2)
+            fv = float(v_raw)
+            v = int(math.copysign(math.floor(abs(fv) * scale + 0.5), fv))
             if last_t is not None:
                 d = t - last_t
                 wv += last_v * d
@@ -551,8 +555,14 @@ def running_sequence_entropy(
         n = sum(c for _, c in sorted(counts.items()))
         nd = len(counts)
         if n > 0:
-            clogc = sum(c * math.log(c) for _, c in sorted(counts.items()))
-            h = math.log(n) - clogc / n
+            # each term quantized to the 1e-6 integer grid before the sum
+            # (terms >= 0, so floor(x+0.5) == HALF_UP) — matches the batch
+            # twin's reassociation-proof clogc_u6 aggregate exactly
+            clogc_u6 = sum(
+                math.floor(c * math.log(c) * 1e6 + 0.5)
+                for _, c in sorted(counts.items())
+            )
+            h = math.log(n) - clogc_u6 / 1e6 / n
             ent = math.floor(h * 1e4 + 0.5) / 1e4
             norm = (
                 math.floor((h / math.log(nd)) * 1e4 + 0.5) / 1e4
