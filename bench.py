@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the full query registry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] in
+$SPARK_GRAFT_BENCH_PASSES (default 3) INTERLEAVED passes and prints ONE
+JSON line with storm-resistant per-query median/min totals plus the
+pass-1 first-shot totals for cross-round continuity.
 
 Each query is executed to completion with the noop sink (full computation,
 no driver collect — measures engine time, not result transfer).
@@ -51,65 +52,67 @@ def main() -> int:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name, spec in registry.REGISTRY.items():
-        try:
-            timings[name] = run_once(name, spec)
-            print(f"BENCH {timings[name]:8.2f}s {name}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — a failed query must not hide the rest
-            timings[name] = -1.0
-            print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+    # Storm-resistant timing (round-3 finding): this box shows multi-
+    # minute contention storms that inflated the r3 headline ~1.33x
+    # UNIFORMLY (trivial and heavy queries alike — see STRESS.md and
+    # VERDICT r3 "Performance"). A single sequential pass cannot separate
+    # a storm from a plan regression, so the registry is timed in N
+    # INTERLEAVED passes (whole registry, then again): a storm lands on
+    # different queries each pass, and per-query min/median recover the
+    # machine's actual cost. First-shot (pass 1) is kept for continuity
+    # with BENCH_r01-r03; every raw timing ships in the artifact so no
+    # discipline is selectively optimistic.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    passes: dict[str, list[float]] = {n: [] for n in registry.REGISTRY}
+    for p in range(n_passes):
+        for name, spec in registry.REGISTRY.items():
+            try:
+                t = run_once(name, spec)
+                passes[name].append(t)
+                print(f"BENCH p{p + 1} {t:8.2f}s {name}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — a failed query must not hide the rest
+                passes[name].append(-1.0)
+                print(f"BENCH ERROR p{p + 1} {name}: {e}", file=sys.stderr)
 
-    # Contention-spike mitigation: this box shows intermittent multi-
-    # second interference (the same query measured 2 s and 18 s minutes
-    # apart — see STRESS.md). Queries whose single-shot time exceeds a
-    # spike threshold are re-timed once. BOTH timings are preserved in
-    # the artifact (first_shot + retry) so the record is not selectively
-    # optimistic: the headline totals are reported for each discipline —
-    # `value` uses first-shot-only (no retry benefit anywhere), and
-    # `value_min` uses min(first, retry) where a retry ran.
-    first_shot = dict(timings)
-    retries: dict[str, float] = {}
-    ok = sorted(t for t in timings.values() if t >= 0)
-    if ok:
-        median = ok[len(ok) // 2]
-        spike = max(3.0, 3 * median)
-        for name, t in list(timings.items()):
-            if t >= spike:
-                try:
-                    t2 = run_once(name, registry.REGISTRY[name])
-                    retries[name] = t2
-                    timings[name] = min(t, t2)
-                    print(
-                        f"BENCH RETRY {t:8.2f}s -> {t2:8.2f}s {name}",
-                        file=sys.stderr,
-                    )
-                except Exception:  # noqa: BLE001 — keep the first timing
-                    pass
+    def _agg(ts: list[float], pick) -> float:
+        ok = sorted(t for t in ts if t >= 0)
+        return pick(ok) if ok else -1.0
+
+    first_shot = {n: (ts[0] if ts else -1.0) for n, ts in passes.items()}
+    q_min = {n: _agg(ts, lambda s: s[0]) for n, ts in passes.items()}
+    q_median = {
+        n: _agg(ts, lambda s: s[len(s) // 2]) for n, ts in passes.items()
+    }
 
     total_first = round(sum(t for t in first_shot.values() if t >= 0), 3)
-    total_min = round(sum(t for t in timings.values() if t >= 0), 3)
-    n_ok = sum(1 for t in timings.values() if t >= 0)
+    total_min = round(sum(t for t in q_min.values() if t >= 0), 3)
+    total_median = round(sum(t for t in q_median.values() if t >= 0), 3)
+    n_ok = sum(1 for t in q_min.values() if t >= 0)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     summary = {
         "metric": "registry_total_runtime",
-        # headline = first-shot total: every query timed exactly once,
-        # no selective retry benefit (ADVICE r2: one-sided bias)
-        "value": total_first,
+        # headline = storm-resistant per-query-median total over the
+        # interleaved passes (the r3 verdict's requested discipline)
+        "value": total_median,
         "unit": "sec",
         "sf": float(sf) if sf else sf_dir,
         # the registry GROWS every round (114 -> 285+ queries): totals are
         # not comparable across rounds, per-query mean is
         "n_queries": n_ok,
-        "sec_per_query": round(total_first / max(n_ok, 1), 3),
+        "n_passes": n_passes,
+        "sec_per_query_median": round(total_median / max(n_ok, 1), 3),
         "value_min": total_min,
         "sec_per_query_min": round(total_min / max(n_ok, 1), 3),
-        "n_retried": len(retries),
+        # pass-1-only continuity numbers (comparable to BENCH_r01-r03)
+        "value_first_shot": total_first,
+        "sec_per_query": round(total_first / max(n_ok, 1), 3),
     }
-    # full record (per-query first-shot + retry timings) for the judge
+    # full record (every raw per-pass timing) for the judge
     full = dict(summary)
     full["queries_first_shot"] = first_shot
-    full["queries_retry"] = retries
+    full["queries_min"] = q_min
+    full["queries_median"] = q_median
+    full["queries_passes"] = passes
     result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_RESULT.json")
     with open(result_path, "w") as fh:
@@ -120,7 +123,7 @@ def main() -> int:
     # 285-entry dict overflowed it in r1/r2, leaving BENCH_r{N} unparsed)
     line = json.dumps(summary, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
-    return 1 if any(t < 0 for t in timings.values()) else 0
+    return 1 if any(t < 0 for t in q_min.values()) else 0
 
 
 if __name__ == "__main__":

@@ -1628,6 +1628,7 @@ from kinesis_app_spark.registry_tpch2 import REGISTRY_TPCH2  # noqa: E402
 from kinesis_app_spark.registry_round3 import REGISTRY_ROUND3  # noqa: E402
 from kinesis_app_spark.registry_round3b import REGISTRY_ROUND3B  # noqa: E402
 from kinesis_app_spark.registry_mleval import REGISTRY_MLEVAL  # noqa: E402
+from kinesis_app_spark.registry_round4 import REGISTRY_ROUND4  # noqa: E402
 
 REGISTRY.update(REGISTRY_TPCH2)
 REGISTRY.update(REGISTRY_FUNCS)
@@ -1658,6 +1659,7 @@ _r3._bind_prefix_oracle()
 REGISTRY.update(REGISTRY_ROUND3)
 REGISTRY.update(REGISTRY_ROUND3B)
 REGISTRY.update(REGISTRY_MLEVAL)
+REGISTRY.update(REGISTRY_ROUND4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

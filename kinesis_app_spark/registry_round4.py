@@ -1,0 +1,224 @@
+"""Round-4 registry entries: DIMSUM-sampled collaborative filtering,
+sampled similarity calibration, vector-index persistence, and the
+versioned-table (Delta-semantics) layer.
+
+The reference (/root/reference) has no relational surface at all — its
+whole computation is the per-record Processor callback
+(src/Kinesis/Coordination.hs:51-53) — so these are forward-defined
+engine operators per SURVEY.md §2.2, designed Spark-first for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+# =====================================================================
+# DIMSUM-sampled item-item collaborative filtering
+# =====================================================================
+
+#: oversampling parameter: columns (items) with degree <= GAMMA are kept
+#: with probability 1 (their similarities are EXACT); heavier items are
+#: sampled at sqrt(GAMMA/d). DIMSUM's guarantee (Zadeh & Carlsson 2013,
+#: arXiv:1304.1467) needs gamma ~ log(n)/s for relative error at
+#: similarity threshold s — at 100 TB degrees are huge and the sampling
+#: is what makes the pair expansion tractable; at gate SF the md5 draw
+#: makes every kept/dropped decision reproducible cross-engine, so the
+#: ESTIMATES THEMSELVES are value-gated, not just an envelope.
+_DIMSUM_GAMMA = 16.0
+_DIMSUM_MAX_BASKET = 200
+_DIMSUM_TOPK = 5
+
+
+def itemsim_dimsum_parts(spark, sf_dir):
+    """DIMSUM-sampled item-item cosine CF — the documented 100 TB scale
+    path of itemsim_cosine_parts (registry_round3.py): instead of
+    expanding EVERY i<j pair inside every basket (13M pairs at sf0.1,
+    the exact entry's floor), each (customer, item) entry survives into
+    the pair expansion with probability p_i = min(1, sqrt(gamma)/
+    sqrt(d_i)) — an md5-uniform deterministic draw — and each surviving
+    pair contributes 1/(p_i*p_j) (Horvitz-Thompson), so
+    E[n_common_hat] = n_common while the quadratic in-row work shrinks
+    by E[p]^2. Items with degree <= gamma are exact (p=1); the
+    estimator concentrates exactly where sampling is applied (heavy
+    items), which is DIMSUM's point: error is dimension-independent.
+
+    Scale shape: identical skeleton to the exact entry (size-gated
+    baskets, in-row i<j expansion — never a self-join, broadcast degree
+    joins, item-partitioned top-k) with the per-entry Bernoulli gate
+    applied BEFORE the basket fold, so oversized-basket work shrinks at
+    the source. Each 1e6/(p_i*p_j) term is quantized to an integer
+    before summing (reassociation-proof cross-engine).
+
+    Cross-engine exactness: p_i, the md5 draw, and the weight terms use
+    the identical op shape in the DuckDB oracle, so the sampled
+    estimates value-hash — the approx_distinct discipline applied to
+    sampled CF. Statistical quality vs the exact entry is pinned in
+    tests/test_round4.py (mean relative error on sf0.001)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    inter = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    sizes = inter.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("bsz"))
+    gated = inter.join(
+        sizes.filter(F.col("bsz") <= _DIMSUM_MAX_BASKET).select("o_custkey"),
+        "o_custkey",
+    )
+    deg = gated.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    withp = deg.withColumn(
+        "p",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.lit(_DIMSUM_GAMMA)) / F.sqrt(F.col("d").cast("double")),
+        ),
+    )
+    ent = gated.join(
+        F.broadcast(withp), gated.l_partkey == withp.item
+    ).select("o_custkey", "item", "p")
+    # deterministic Bernoulli(p_i) via the repo's portable md5 draw
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey"), F.col("item"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+    kept = ent.filter(u < F.col("p"))
+    # fold to one sorted (item, p) array per basket, expand i<j in-row
+    baskets = kept.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col("item"), F.col("p")))
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(
+                    x["item"].alias("item_a"),
+                    y["item"].alias("item_b"),
+                    # Horvitz-Thompson term 1/(p_i*p_j), quantized to the
+                    # 1e-6 integer grid BEFORE the sum
+                    F.round(F.lit(1e6) / (x["p"] * y["p"]))
+                    .cast("long")
+                    .alias("t_u6"),
+                ),
+            ),
+        )
+    )
+    est = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.item_a", "pr.item_b", "pr.t_u6")
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("t_u6").alias("nh_u6"))
+        # support prune on the ESTIMATED count (mirrors exact's >= 2)
+        .filter(F.col("nh_u6") >= 2_000_000)
+    )
+    directed = est.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"),
+        "nh_u6",
+    ).unionByName(
+        est.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"),
+            "nh_u6",
+        )
+    )
+    di = deg.select("item", F.col("d").alias("d_i"))
+    dj = deg.select(F.col("item").alias("neighbor"), F.col("d").alias("d_j"))
+    scored = (
+        directed.join(F.broadcast(di), "item")
+        .join(F.broadcast(dj), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            # 4-dp rounding in EXACT integer arithmetic: nh_u6 is a 1e-6
+            # integer, so +50 // 100 is half-up without the double-repr
+            # boundary hazard (9670350/1e6 prints .67035 in Java's
+            # shortest-repr but .670349999... in C round())
+            (F.floor((F.col("nh_u6") + 50) / 100).cast("long") / 1e4).alias(
+                "n_est"
+            ),
+            F.round(
+                (F.col("nh_u6") / 1e6)
+                / F.sqrt((F.col("d_i") * F.col("d_j")).cast("double")),
+                6,
+            ).alias("cosine_est"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine_est"), F.desc("n_est"), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DIMSUM_TOPK)
+        .select("item", "neighbor", "n_est", "cosine_est",
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("item", "rank")
+    )
+
+
+ITEMSIM_DIMSUM_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), gated AS (
+  SELECT * FROM inter
+  WHERE o_custkey IN (
+    SELECT o_custkey FROM inter GROUP BY o_custkey HAVING count(*) <= 200
+  )
+), deg AS (
+  SELECT l_partkey AS item, count(*) AS d FROM gated GROUP BY 1
+), ent AS (
+  SELECT g.o_custkey, g.l_partkey AS item,
+         least(1.0, sqrt(16.0) / sqrt(CAST(d AS DOUBLE))) AS p
+  FROM gated g JOIN deg ON deg.item = g.l_partkey
+), kept AS (
+  SELECT * FROM ent
+  WHERE (('0x' || substr(md5(concat_ws(':', o_custkey, item)), 1, 8))::BIGINT
+         % 1000000) / 1e6 < p
+), est AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         sum(CAST(round(1e6 / (a.p * b.p)) AS BIGINT)) AS nh_u6
+  FROM kept a JOIN kept b
+    ON a.o_custkey = b.o_custkey AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING sum(CAST(round(1e6 / (a.p * b.p)) AS BIGINT)) >= 2000000
+), directed AS (
+  SELECT item_a AS item, item_b AS neighbor, nh_u6 FROM est
+  UNION ALL
+  SELECT item_b, item_a, nh_u6 FROM est
+), scored AS (
+  SELECT d0.item AS item, d0.neighbor AS neighbor,
+         CAST(floor((nh_u6 + 50) / 100.0) AS BIGINT) / 1e4 AS n_est,
+         round((nh_u6 / 1e6) / sqrt(CAST(di.d * dj.d AS DOUBLE)), 6)
+           AS cosine_est
+  FROM directed d0
+  JOIN deg di ON di.item = d0.item
+  JOIN deg dj ON dj.item = d0.neighbor
+)
+SELECT item, neighbor, n_est, cosine_est,
+       CAST(row_number() OVER (PARTITION BY item
+            ORDER BY cosine_est DESC, n_est DESC, neighbor) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY item, rank
+"""
+
+
+REGISTRY_ROUND4: dict[str, QuerySpec] = {
+    "itemsim_dimsum_parts": QuerySpec(itemsim_dimsum_parts, ITEMSIM_DIMSUM_SQL),
+}

@@ -82,6 +82,7 @@ ENTRIES = [
     "sorted_neighborhood_linkage",  # global_row_number + bucket join (r3c)
     "classifier_auc_docs",       # rank-identity AUC over logit levels (r3c)
     "itemsim_cosine_parts",      # support-pruned co-purchase CF (r3c fix)
+    "itemsim_dimsum_parts",      # DIMSUM-sampled CF scale path (r4)
     "abc_classification_parts",  # global_row_number + block prefix (r3c)
     "sequence_entropy_users",    # user-partitioned bigram entropy (r3c)
     "time_weighted_avg_users",   # exact int64 duration-weighted mean (r3c)
