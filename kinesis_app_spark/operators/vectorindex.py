@@ -1,0 +1,380 @@
+"""Persistent vector indexes: build-once / query-many ANN.
+
+The fused operators (operators/similarity.py ivf_topk, pq_topk) retrain
+their coarse centroids / codebooks inside every query — fine for a
+one-shot job, wrong for production ANN where one nightly build serves
+millions of queries. This module splits the lifecycle:
+
+- ``ivf_build(corpus, index_dir)`` writes the index as plain parquet
+  tables: ``centroids`` (cell, centv) and ``postings`` — the inverted
+  file — PARTITIONED BY cell, so a query probing nprobe of C cells
+  prunes (C - nprobe)/C of the data at the DIRECTORY level (Spark
+  partition pruning, visible as PartitionFilters in the scan).
+- ``ivf_query(spark, index_dir, queries)`` touches ONLY the index
+  tables: centroids (tiny, broadcast) to pick probe cells, then a
+  partition-pruned postings scan for exact rescoring. The corpus
+  DataFrame is not an input — there is nothing to recompute.
+
+At 100 TB the build is the one full-corpus job (scan + broadcast
+centroid argmax + partitioned write, no corpus shuffle besides the
+write's cell clustering); queries read back only the probed cells.
+
+The reference (/root/reference) has no vector surface at all (its
+computation surface is the Processor callback,
+src/Kinesis/Coordination.hs:51-53); this is engine surface per
+SURVEY.md §2.2 north-star similarity search.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.functions.vector import cosine_similarity
+from kinesis_app_spark.operators.relational import top_k_per_group
+from kinesis_app_spark.operators.similarity import kmeans_refine
+from kinesis_app_spark.operators.util import spread
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    refine_iterations: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist an IVF index under ``index_dir``.
+
+    Layout (all plain parquet — readable by any engine):
+      centroids.parquet   (cell int, centv array<float>)
+      postings.parquet/   partitioned by cell: (vec_id, embedding)
+      manifest.json/      1 row: n_centroids, n_rows, dims, vec/id cols
+
+    Centroid seeding/refinement is the deterministic discipline of
+    ivf_topk (first n_centroids vectors by id, optional Lloyd passes) so
+    a fused query and a persisted build+query agree bit-for-bit.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+            F.col(vec_col).alias("centv"),
+        )
+    )
+    if refine_iterations:
+        cents = kmeans_refine(
+            corpus, cents, iterations=refine_iterations, vec_col=vec_col
+        )
+    cents = cents.cache()
+    cents.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    )
+
+    c = spread(corpus).select(id_col, vec_col)
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_cos", cosine_similarity(F.col(vec_col), F.col("centv"))
+    )
+    assigned = top_k_per_group(
+        scored.drop("centv"),
+        keys=[id_col],
+        order=[F.col("cell_cos").desc(), F.col("cell").asc()],
+        k=1,
+    ).select("cell", id_col, vec_col)
+    # the inverted file: one directory per cell -> query-time partition
+    # pruning; maxRecordsPerFile keeps cells splittable at scale
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "postings.parquet")
+    )
+
+    spark = corpus.sparkSession
+    dims = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    n_rows = corpus.count()
+    spark.createDataFrame(
+        [
+            (
+                int(n_centroids),
+                int(n_rows),
+                int(dims[0]["d"]) if dims else 0,
+                vec_col,
+                id_col,
+            )
+        ],
+        "n_centroids int, n_rows long, dims int, vec_col string, id_col string",
+    ).coalesce(1).write.mode("overwrite").json(
+        os.path.join(index_dir, "manifest.json")
+    )
+    cents.unpersist()
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index: centroids + probed postings cells
+    only — the corpus is never an input and nothing is retrained.
+
+    Probe-cell selection runs on the broadcast centroid table; the
+    bounded probed-cell set (|Q| * nprobe ids at most) is collected and
+    pushed into the postings scan as an isin partition filter, so the
+    scan's PartitionFilters prune unprobed cells at file-listing time.
+    Returns (query_id, neighbor_id, cos, rank) — the shared ANN shape.
+    """
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_cos", cosine_similarity(F.col("qv"), F.col("centv"))
+    )
+    q_probed = top_k_per_group(
+        q_scored.drop("centv"),
+        keys=["query_id"],
+        order=[F.col("cell_cos").desc(), F.col("cell").asc()],
+        k=nprobe,
+    ).select("query_id", "qv", "cell")
+    # bounded by construction: |queries| * nprobe cell ids
+    probe_cells = sorted(
+        {r["cell"] for r in q_probed.select("cell").distinct().collect()}
+    )
+    postings = spark.read.parquet(
+        os.path.join(index_dir, "postings.parquet")
+    ).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        postings.select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .join(F.broadcast(q_probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "cos"),
+        keys=["query_id"],
+        order=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
+def pq_build(
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 16,
+    train_max: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist a product-quantization index.
+
+    Layout:
+      codebooks.parquet  (subspace int, code int, centv array<double>)
+      codes.parquet      (vec_id, codes array<int>, embedding) — the
+                         original vector rides along for exact rerank,
+                         the production PQ-with-rerank layout
+      manifest.json      (m, n_codes, dims, n_rows)
+
+    Training is the deterministic bounded sample of pq_topk (stride
+    sample capped at train_max, Lloyd x5, first-rows init) so fused and
+    persisted paths agree exactly.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    stride = max(1, n // train_max)
+    train_rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_max)
+        .collect()
+    )
+    if not train_rows:
+        raise ValueError("pq_build: empty corpus")
+    train = np.array([r[vec_col] for r in train_rows], dtype=np.float64)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"pq_build: dim {d} not divisible by m={m}")
+    sub = d // m
+    codebooks = np.empty((m, n_codes, sub))
+    for s in range(m):
+        x = train[:, s * sub : (s + 1) * sub]
+        cb = x[:n_codes].copy()
+        for _ in range(5):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = x[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean(axis=0)
+        codebooks[s] = cb
+
+    spark.createDataFrame(
+        [
+            (s, c, [float(v) for v in codebooks[s, c]])
+            for s in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks.parquet")
+    )
+
+    bcb = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        import pandas as pd
+
+        cb = bcb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = c_mat[:, s * sub : (s + 1) * sub]
+                d2 = ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    spread(corpus.select(id_col, vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes array<int>, {vec_col} array<float>"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes.parquet"))
+
+    spark.createDataFrame(
+        [(m, n_codes, int(d), int(n))],
+        "m int, n_codes int, dims int, n_rows long",
+    ).coalesce(1).write.mode("overwrite").json(
+        os.path.join(index_dir, "manifest.json")
+    )
+
+
+def pq_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted PQ index: codebooks -> per-query ADC lookup
+    tables (driver-side, tiny), one scan of the codes table for
+    compressed-domain candidates, exact rerank on the stored vectors.
+    The corpus is never an input; no codebook is retrained.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mani = spark.read.json(os.path.join(index_dir, "manifest.json")).collect()[0]
+    m, n_codes, d = int(mani["m"]), int(mani["n_codes"]), int(mani["dims"])
+    sub = d // m
+    cb_rows = spark.read.parquet(
+        os.path.join(index_dir, "codebooks.parquet")
+    ).collect()
+    codebooks = np.empty((m, n_codes, sub))
+    for r in cb_rows:
+        codebooks[r["subspace"], r["code"]] = r["centv"]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    q_mat[:, s * sub : (s + 1) * sub] @ codebooks[s, c]
+                    for c in range(n_codes)
+                ],
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    btab = spark.sparkContext.broadcast(tables)
+    top = rerank_factor * k + 1
+
+    def kernel(batches):
+        qi, tab = bq_ids.value, btab.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            t = min(top, len(c_ids))
+            for j in range(len(qi)):
+                approx = tab[j, np.arange(m)[None, :], codes].sum(axis=1)
+                idx = np.argpartition(-approx, t - 1)[:t]
+                out_q.extend([qi[j]] * len(idx))
+                out_n.extend(c_ids[idx])
+                out_s.extend(approx[idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx": out_s}
+            )
+
+    codes_tbl = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    partial = codes_tbl.select(id_col, "codes").mapInPandas(
+        kernel, "query_id long, neighbor_id long, approx double"
+    )
+    cand = top_k_per_group(
+        partial.filter(F.col("neighbor_id") != F.col("query_id")),
+        keys=["query_id"],
+        order=[F.col("approx").desc(), F.col("neighbor_id").asc()],
+        k=rerank_factor * k,
+        rank_col="__crank",
+        keep_rank=False,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand.join(
+            codes_tbl.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+        )
+    )
+    return top_k_per_group(
+        rescored.select("query_id", "neighbor_id", "cos"),
+        keys=["query_id"],
+        order=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    )

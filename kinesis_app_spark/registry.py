@@ -1659,6 +1659,9 @@ _r3._bind_prefix_oracle()
 REGISTRY.update(REGISTRY_ROUND3)
 REGISTRY.update(REGISTRY_ROUND3B)
 REGISTRY.update(REGISTRY_MLEVAL)
+from kinesis_app_spark import registry_round4 as _r4  # noqa: E402
+
+_r4._bind_knn_oracle()
 REGISTRY.update(REGISTRY_ROUND4)
 
 

@@ -1,9 +1,12 @@
 """Round-4 operator tests: DIMSUM-sampled itemsim statistical quality
-vs the exact entry, and Horvitz-Thompson exactness on unsampled items."""
+vs the exact entry, Horvitz-Thompson exactness on unsampled items, and
+persisted vector indexes (build-once/query-many, partition pruning,
+query path independent of the corpus)."""
 
 from __future__ import annotations
 
 import math
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -82,3 +85,108 @@ def test_dimsum_estimates_track_exact_counts(spark):
     vy = math.sqrt(sum((y - my) ** 2 for y in ys))
     r = cov / (vx * vy) if vx > 0 and vy > 0 else 0.0
     assert r > 0.6, f"estimate/exact correlation too weak: {r:.3f}"
+
+
+# ---------- persisted vector indexes ----------
+
+def _build_ivf(spark, tmp_path, **kw):
+    from kinesis_app_spark.operators import vectorindex as VI
+    from kinesis_app_spark.registry_util import table as _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    VI.ivf_build(emb, idx, **kw)
+    return emb, idx
+
+
+def test_ivf_query_prunes_unprobed_cells(spark, tmp_path):
+    """With nprobe=2 of 16 cells, the postings scan must read ONLY the
+    probed cell directories: partition pruning visible both in the plan
+    (PartitionFilters) and in the actual input files."""
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    import re
+
+    emb, idx = _build_ivf(spark, tmp_path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = VI.ivf_query(spark, idx, queries, k=5, nprobe=2)
+    res.collect()
+    # the postings scan must carry a static cell IN (...) partition
+    # filter whose set is the probed cells — not all 16 (inputFiles()
+    # can't show this: it lists the relation's files pre-pruning)
+    # (anchor on the filter itself: Spark truncates the scan's Location
+    # string at 100 chars, so the postings path may not appear verbatim)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert m, "postings scan has no static cell IN partition filter"
+    probed = {int(c) for c in m.group(1).split(",")}
+    assert 0 < len(probed) <= 3 * 2 < 16, probed  # <= |Q| * nprobe
+
+
+def test_ivf_query_runs_without_corpus(spark, tmp_path):
+    """The query path must touch ONLY the index tables: build from a
+    throwaway COPY of the corpus, delete the copy, query again — the
+    index answers without any corpus access or retraining."""
+    from kinesis_app_spark.operators import vectorindex as VI
+    from kinesis_app_spark.registry_util import table as _t
+
+    corpus_copy = str(tmp_path / "corpus")
+    _t(spark, SF_DIR, "embeddings").write.parquet(corpus_copy)
+    emb_copy = spark.read.parquet(corpus_copy)
+    idx = str(tmp_path / "idx")
+    VI.ivf_build(emb_copy, idx, n_centroids=16)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb_copy.filter(F.col("vec_id") < 5).collect()
+    ]
+    shutil.rmtree(corpus_copy)  # corpus gone; only the index remains
+    qdf = spark.createDataFrame(
+        queries, "vec_id long, embedding array<float>"
+    )
+    out = VI.ivf_query(spark, idx, qdf, k=5, nprobe=16).collect()
+    assert len(out) == 5 * 5
+
+
+def test_ivf_persisted_full_probe_equals_brute_force(spark, tmp_path):
+    """nprobe = n_centroids probes every cell: the persisted path must
+    reproduce exact brute-force top-k bit-for-bit."""
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb, idx = _build_ivf(spark, tmp_path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=16).collect()
+    }
+    assert got == exact
+
+
+def test_pq_persisted_matches_fused(spark, tmp_path):
+    """The persisted PQ path (build once, query from the index tables)
+    must equal the fused pq_topk at identical parameters."""
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+    from kinesis_app_spark.registry_util import table as _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "pq_idx")
+    VI.pq_build(emb, idx, m=32, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    fused = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in SIM.pq_topk(
+            emb, queries, k=5, m=32, n_codes=16, rerank_factor=12
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in VI.pq_query(
+            spark, idx, queries, k=5, rerank_factor=12
+        ).collect()
+    }
+    assert got == fused
