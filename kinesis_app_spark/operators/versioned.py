@@ -1,0 +1,180 @@
+"""Minimal versioned-table layer: Delta-semantics (MERGE + time travel +
+optimistic concurrency) emulated over immutable parquet + JSON manifests.
+
+``delta-spark`` is not installed in this container (verified
+ImportError), but the SEMANTICS a 100 TB deployment relies on are
+engine-expressible without it:
+
+- every version is an immutable set of parquet files under
+  ``<table>/data/v<NNNNN>_<token>/``; nothing is ever rewritten in
+  place, so any historical version stays readable (time travel);
+- a version is COMMITTED by creating ``<table>/_manifest/<NNNNN>.json``
+  with O_CREAT|O_EXCL — the same put-if-absent primitive Delta's
+  commit protocol needs from its log store. Two writers racing to
+  commit the same version: exactly one create succeeds, the loser gets
+  ``VersionConflictError`` and must rebase (re-read, re-merge, retry);
+- MERGE is the engine's own ``cdc.apply_changes`` (full-outer-join
+  upsert/delete with latest-wins compaction) applied copy-on-write:
+  read version N, merge, write the new file set, commit N+1.
+
+Scale notes: the merge itself is one key-shuffled full-outer join (AQE
+broadcasts small change batches); the commit is O(1) metadata. This
+emulation rewrites the full snapshot per version — the honest cost of
+copy-on-write without file-level pruning; a production table format
+rewrites only touched files, which is an optimization of the write
+path, not a semantic difference. Manifests use the local filesystem's
+atomic-create; on an object store this primitive comes from the log
+store (as it does for Delta on S3).
+
+The reference has no tables at all (opaque stream records,
+/root/reference/src/Kinesis/Coordination.hs:51-53); this closes
+SURVEY.md §2.2's lakehouse gap oracle-checkably.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesis_app_spark.operators.cdc import apply_changes
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first: rebase and retry."""
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"{version:05d}.json")
+
+
+def vt_latest_version(table_dir: str) -> int:
+    """Highest committed version, or -1 for a nonexistent table."""
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return -1
+    versions = [
+        int(f[:-5])
+        for f in os.listdir(mdir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(versions) if versions else -1
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} does not exist"
+        )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_data(df: DataFrame, table_dir: str, version: int) -> str:
+    token = uuid.uuid4().hex[:8]
+    data_dir = os.path.join(table_dir, "data", f"v{version:05d}_{token}")
+    df.write.parquet(data_dir)
+    return data_dir
+
+
+def _commit(
+    table_dir: str, version: int, data_dir: str, n_rows: int, operation: str
+) -> None:
+    """Atomic put-if-absent commit; on loss, remove the orphaned files."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    manifest = {
+        "version": version,
+        "data_dir": data_dir,
+        "n_rows": n_rows,
+        "operation": operation,
+    }
+    path = _manifest_path(table_dir, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise VersionConflictError(
+            f"version {version} of {table_dir} was committed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+
+
+def vt_create(df: DataFrame, table_dir: str) -> int:
+    """Create the table at version 0 from ``df``. Errors if it exists."""
+    if vt_latest_version(table_dir) >= 0:
+        raise FileExistsError(f"table {table_dir} already exists")
+    data_dir = _write_data(df, table_dir, 0)
+    n = df.sparkSession.read.parquet(data_dir).count()
+    _commit(table_dir, 0, data_dir, n, "CREATE")
+    return 0
+
+
+def vt_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table — latest, or ``VERSION AS OF`` when given."""
+    if version is None:
+        version = vt_latest_version(table_dir)
+        if version < 0:
+            raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    return spark.read.parquet(manifest["data_dir"])
+
+
+def vt_merge(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """MERGE INTO, copy-on-write, optimistically-concurrent.
+
+    Reads the latest snapshot, applies ``changes`` via
+    ``cdc.apply_changes``, writes the new immutable file set, and
+    commits the next version. ``expected_version`` is the version this
+    writer based its changes on: if another commit landed in between,
+    ``VersionConflictError`` is raised BEFORE any data is written (and
+    the create-race is still resolved atomically at commit time).
+    """
+    base = vt_latest_version(table_dir)
+    if base < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    if expected_version is not None and base != expected_version:
+        raise VersionConflictError(
+            f"expected version {expected_version}, table is at {base}"
+        )
+    snapshot = vt_read(spark, table_dir, base)
+    merged = apply_changes(
+        snapshot, changes, keys=keys, op_col=op_col, seq_col=seq_col
+    )
+    new_version = base + 1
+    data_dir = _write_data(merged, table_dir, new_version)
+    n = spark.read.parquet(data_dir).count()
+    _commit(table_dir, new_version, data_dir, n, "MERGE")
+    return new_version
+
+
+def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(version, operation, n_rows) per committed version — the DESCRIBE
+    HISTORY surface (no wall-clock columns: the gate needs determinism)."""
+    latest = vt_latest_version(table_dir)
+    rows = []
+    for v in range(latest + 1):
+        m = _read_manifest(table_dir, v)
+        rows.append((m["version"], m["operation"], m["n_rows"]))
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_rows long"
+    )

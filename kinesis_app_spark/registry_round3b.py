@@ -1935,7 +1935,13 @@ def jaccard_threshold_calibration(spark, sf_dir):
     inverted-index posting join with the hot-shingle DF guard computes
     ALL co-shingle pairs before any threshold); the histogram collapses
     the pair set to <= 20 rows, and the cumulative window runs over
-    that bounded bin table."""
+    that bounded bin table.
+
+    AT 100 TB RUN THE SAMPLED SIBLING INSTEAD (registry_round4
+    jaccard_calibration_sampled): calibration needs statistical scale,
+    not corpus scale — the deterministic md5 doc sample cuts pair work
+    by rate^2 while preserving the threshold valley; this all-pairs
+    form is the gate/diagnostic variant."""
     from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")

@@ -296,8 +296,352 @@ def knn_pq_persisted(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
+# =====================================================================
+# versioned table layer (MERGE + time travel + optimistic concurrency)
+# =====================================================================
+
+_VT_ROOT = "/tmp/kinesis_versioned"
+
+#: the 6-column order-snapshot schema shared by all versioned entries
+_VT_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _vt_orders_table(spark, sf_dir) -> str:
+    """Build (once per sf_dir) the 3-version orders table:
+
+      v0 CREATE  = the full orders snapshot
+      v1 MERGE   = update batch (every %7 key: price+10, X-UPDATED)
+      v2 MERGE   = delete batch (%13 keys) + insert batch (%97 keys+10M)
+
+    Deterministic content, so every read below is oracle-replayable."""
+    import os
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT_ROOT, f"orders_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    if os.path.exists(marker):
+        return table_dir
+    if os.path.isdir(table_dir):  # partial build from a dead run
+        import shutil
+
+        shutil.rmtree(table_dir)
+    o = _t(spark, sf_dir, "orders").select(*_VT_COLS)
+    VT.vt_create(o, table_dir)
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("X-UPDATED").alias("o_orderpriority"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    VT.vt_merge(
+        spark, table_dir, updates, keys=["o_orderkey"], seq_col="seq",
+        expected_version=0,
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        *_VT_COLS, F.lit("D").alias("op"), F.lit(2).alias("seq")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    VT.vt_merge(
+        spark, table_dir, deletes.unionByName(inserts),
+        keys=["o_orderkey"], seq_col="seq", expected_version=1,
+    )
+    open(marker, "w").close()
+    return table_dir
+
+
+#: SQL replay of v1 (the update merge applied to orders)
+_VT_V1_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'X-UPDATED'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
+def versioned_merge_read_latest(spark, sf_dir):
+    """Read the LATEST version of the versioned orders table (v2 =
+    create + update merge + delete/insert merge, each an immutable
+    parquet file set committed by an atomic put-if-absent manifest —
+    operators/versioned.py, the engine's Delta-semantics layer). The
+    oracle replays both merges in SQL over the raw orders table:
+    read(N) == replay of N merges is exactly the versioned-table
+    correctness contract."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_orders_table(spark, sf_dir)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_LATEST_SQL = f"""
+WITH v1 AS ({_VT_V1_SQL})
+SELECT * FROM v1 WHERE o_orderkey % 13 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate, 'NEW'
+FROM orders WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
+def versioned_time_travel_v1(spark, sf_dir):
+    """VERSION AS OF 1: after v2's deletes and inserts landed, v1 must
+    still read EXACTLY as the first merge left it — time travel over
+    immutable file sets (nothing was rewritten in place). The oracle
+    replays only merge #1."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_orders_table(spark, sf_dir)
+    return VT.vt_read(spark, table_dir, version=1).orderBy("o_orderkey")
+
+
+VERSIONED_V1_SQL = _VT_V1_SQL + " ORDER BY o_orderkey"
+
+
+def versioned_history_audit(spark, sf_dir):
+    """DESCRIBE HISTORY of the versioned table: (version, operation,
+    n_rows) per commit. Row counts are predictable from the merge
+    batches, so the whole commit log is value-gated: v0 = |orders|,
+    v1 = |orders| (pure update), v2 = |orders| - |%13 deletes| +
+    |%97 inserts|."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_orders_table(spark, sf_dir)
+    return VT.vt_history(spark, table_dir).orderBy("version")
+
+
+VERSIONED_HISTORY_SQL = """
+SELECT CAST(0 AS INT) AS version, 'CREATE' AS operation,
+       (SELECT count(*) FROM orders) AS n_rows
+UNION ALL
+SELECT 1, 'MERGE', (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 2, 'MERGE',
+       (SELECT count(*) FROM orders)
+       - (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+       + (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
+ORDER BY version
+"""
+
+
+# =====================================================================
+# sampled threshold calibration (the 100 TB path for the histogram)
+# =====================================================================
+
+_CALIB_SAMPLE_RATE = 0.5
+
+
+def jaccard_calibration_sampled(spark, sf_dir):
+    """Sample-first sibling of jaccard_threshold_calibration — the
+    documented scale path (r3 verdict nit #3): the calibration
+    histogram needs STATISTICAL scale, not corpus scale, so the corpus
+    is cut to a deterministic md5-uniform doc sample BEFORE the posting
+    join; candidate-pair work shrinks by rate^2 (both endpoints must
+    survive) while the threshold valley's position — all the histogram
+    is read for — is preserved. The md5 draw makes the sample identical
+    cross-engine, so the sampled histogram is fully value-gated (the
+    lateness_report_events discipline).
+
+    At 100 TB: run THIS entry (tune the rate so the sample holds a few
+    million docs), read the valley, then run the thresholded dedup at
+    full scale with the calibrated threshold."""
+    from kinesis_app_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+    sampled = docs.filter(u < F.lit(_CALIB_SAMPLE_RATE))
+    pairs = ngram_jaccard_pairs(sampled, threshold=0.0)
+    binned = pairs.select(
+        F.least(F.lit(19), F.floor(F.col("jaccard") * 20).cast("int")).alias(
+            "bin"
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            "bin",
+            F.round(F.col("bin") / 20.0, 2).alias("j_lo"),
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+        )
+        .orderBy("bin")
+    )
+
+
+JACCARD_CALIB_SAMPLED_SQL = r"""
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 1000000) / 1e6 < 0.5
+), norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM sampled
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))])
+           AS shingles
+  FROM norm
+  WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), postings AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM postings a
+  JOIN postings b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), hist AS (
+  SELECT least(19, CAST(floor(jac * 20) AS INT)) AS bin, count(*) AS n_pairs
+  FROM j GROUP BY 1
+)
+SELECT bin, round(bin / 20.0, 2) AS j_lo, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS pairs_at_or_above
+FROM hist
+ORDER BY bin
+"""
+
+
+# =====================================================================
+# TTL state expiry (streaming sessions with event-time timers)
+# =====================================================================
+
+_TTL_SECONDS = 21600  # 6h session gap / state TTL
+
+
+def streaming_ttl_sessions(spark, sf_dir):
+    """Streaming per-user session stats under TTL STATE EXPIRY: state
+    lives only 6h of event time past a user's last event, then the
+    EventTimeTimeout timer fires, the final row is emitted and
+    ``state.remove()`` frees the store (streaming/ops.py
+    running_sessions_ttl — the transformWithState TTL story on the
+    supported applyInPandasWithState API; the protobuf blocker is
+    re-verified in streaming/ops.py's module docstring). Because
+    nothing is emitted until expiry, the stream's output equals batch
+    gaps-and-islands sessionization exactly — the SQL oracle.
+
+    Two mtime-staggered sentinels are required, not one: the first
+    ADVANCES the watermark past every deadline, the second runs the
+    batch in which the unlocked timers FIRE."""
+    import datetime as _dt
+
+    from kinesis_app_spark.registry_streaming import _mk_stream
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_sessions_ttl,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    stream, ckpt = _mk_stream(
+        spark,
+        ev,
+        cache_key=f"{sf_dir}|ttl_sessions",
+        sentinel_row=[
+            (-1, _dt.datetime(2030, 1, 1), -1),
+            (-2, _dt.datetime(2031, 1, 1), -2),
+        ],
+        max_files_per_trigger=1,
+    )
+    out = running_sessions_ttl(
+        stream.withWatermark("ts", "0 seconds"),
+        "user_id",
+        "ts",
+        "event_id",
+        ttl_seconds=_TTL_SECONDS,
+    )
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    return res.filter(F.col("user_id") >= 0).orderBy("user_id")
+
+
+STREAMING_TTL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+), marks AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > {_TTL_SECONDS}000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT user_id, t, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+), per AS (
+  SELECT user_id, max(sid) AS n_sessions, count(*) AS total_events
+  FROM sess GROUP BY user_id
+), last AS (
+  SELECT s.user_id, count(*) AS last_session_events
+  FROM sess s JOIN per p ON s.user_id = p.user_id AND s.sid = p.n_sessions
+  GROUP BY s.user_id
+)
+SELECT p.user_id,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(last_session_events AS BIGINT) AS last_session_events,
+       CAST(total_events AS BIGINT) AS total_events
+FROM per p JOIN last l ON p.user_id = l.user_id
+ORDER BY p.user_id
+"""
+
+
 REGISTRY_ROUND4: dict[str, QuerySpec] = {
     "itemsim_dimsum_parts": QuerySpec(itemsim_dimsum_parts, ITEMSIM_DIMSUM_SQL),
+    "streaming_ttl_sessions": QuerySpec(
+        streaming_ttl_sessions, STREAMING_TTL_SQL
+    ),
+    "jaccard_calibration_sampled": QuerySpec(
+        jaccard_calibration_sampled, JACCARD_CALIB_SAMPLED_SQL
+    ),
+    "versioned_merge_read_latest": QuerySpec(
+        versioned_merge_read_latest, VERSIONED_LATEST_SQL
+    ),
+    "versioned_time_travel_v1": QuerySpec(
+        versioned_time_travel_v1, VERSIONED_V1_SQL
+    ),
+    "versioned_history_audit": QuerySpec(
+        versioned_history_audit, VERSIONED_HISTORY_SQL
+    ),
 }
 
 

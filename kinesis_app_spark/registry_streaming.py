@@ -78,7 +78,17 @@ def _mk_stream(
             out = out.unionByName(df)
         out.coalesce(1).write.mode("overwrite").parquet(src)
         if sentinel_row is not None:
-            _append_sentinel(spark, src, df.schema, sentinel_row)
+            # a LIST of rows appends one mtime-staggered file per row —
+            # N sentinels yield N extra micro-batches (EventTimeTimeout
+            # needs one batch to ADVANCE the watermark and a later batch
+            # to FIRE the timers it unlocked)
+            rows = (
+                sentinel_row
+                if isinstance(sentinel_row, list)
+                else [sentinel_row]
+            )
+            for r in rows:
+                _append_sentinel(spark, src, df.schema, r)
         if cache_key:
             _SRC_CACHE[cache_key] = src
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")

@@ -21,9 +21,17 @@ is bounded (SURVEY.md §7.4).
 Note on APIs: Spark 4's ``transformWithStateInPandas`` (the successor
 stateful API: multiple named states, timers, TTL) is the intended upgrade
 path for ``running_count_per_key``, but its Python runner needs a working
-``google.protobuf`` which this container lacks (verified: the streaming
-runner crashes with ImportError on init), so the operators here stay on
-``applyInPandasWithState``, which is fully supported.
+``google.protobuf`` which this container lacks. Re-verified this round
+(round 4): ``StatefulProcessor`` imports and the query plans, but the
+first micro-batch dies with "TransformWithStateInPySpark driver worker
+exited unexpectedly (crashed)" — the runner's protobuf import — and the
+container has no protobuf wheel, no site-packages copy, and no installer
+access, so vendoring is not possible either. The TTL/state-expiry
+SEMANTICS are delivered on the supported API instead:
+``running_sessions_ttl`` uses ``GroupStateTimeout.EventTimeTimeout`` +
+``state.setTimeoutTimestamp`` + ``state.remove()`` — per-key state that
+EXPIRES when the watermark passes its deadline, which is the 100 TB
+bounded-state answer (idle keys cost nothing after ttl).
 """
 
 from __future__ import annotations
@@ -591,4 +599,81 @@ def running_sequence_entropy(
         stateStructType="last_type string, counts string, nb long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_sessions_ttl(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    ttl_seconds: int,
+) -> DataFrame:
+    """Per-key session statistics with TTL STATE EXPIRY — the bounded-
+    state discipline a 100 TB stream needs: a key's state lives only
+    ``ttl_seconds`` of event time past its last event, then the event-
+    time timer fires, the final row is emitted, and ``state.remove()``
+    frees the store. Idle keys cost nothing after the TTL; without
+    expiry, per-key state grows with the key universe forever.
+
+    Semantics: events split into sessions on gaps > ttl (processed in
+    (ts, seq) order, cross-batch exact via the carried last-event
+    timestamp); NOTHING is emitted until the key expires, then exactly
+    one row (key, n_sessions, last_session_events, total_events) — so
+    the final output equals the batch gaps-and-islands sessionization,
+    which is the oracle.
+
+    Mechanics: requires a watermark on ``ts_col``;
+    ``setTimeoutTimestamp(last_event + ttl)`` arms the timer, the batch
+    AFTER the watermark passes it calls the function with
+    ``state.hasTimedOut`` and an empty row iterator. State is 4 int64s
+    per live key. (This is Spark 4 transformWithState's TTL story on
+    the fully-supported applyInPandasWithState API — see the module
+    docstring for the verified transformWithState blocker.)"""
+    ttl_us = ttl_seconds * 1_000_000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n_sess, cur_n, total, _last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_sessions": pd.Series([n_sess], dtype="int64"),
+                    "last_session_events": pd.Series([cur_n], dtype="int64"),
+                    "total_events": pd.Series([total], dtype="int64"),
+                }
+            )
+            return
+        if state.exists:
+            n_sess, cur_n, total, last_us = state.get
+        else:
+            n_sess, cur_n, total, last_us = 0, 0, 0, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col], ignore_index=True)
+        for ts in pdf[ts_col]:
+            t = int(ts.value // 1000)  # pandas ns -> us
+            if last_us is None or t - last_us > ttl_us:
+                n_sess += 1
+                cur_n = 1
+            else:
+                cur_n += 1
+            total += 1
+            last_us = t
+        state.update((n_sess, cur_n, total, last_us))
+        # arm the expiry timer: watermark passing (last event + ttl)
+        # fires hasTimedOut in a later batch
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_seconds * 1000)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_sessions long, last_session_events long, "
+            "total_events long"
+        ),
+        stateStructType="n_sess long, cur_n long, total long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -190,3 +190,161 @@ def test_pq_persisted_matches_fused(spark, tmp_path):
         ).collect()
     }
     assert got == fused
+
+
+# ---------- versioned table: optimistic concurrency ----------
+
+def _mk_vt(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    VT.vt_create(df, table)
+    return VT, table
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, op string")
+
+
+def test_versioned_stale_writer_conflicts(spark, tmp_path):
+    """A writer that based its merge on version 0 must abort once
+    another commit moved the table to version 1 (read-set conflict)."""
+    import pytest
+
+    VT, table = _mk_vt(spark, tmp_path)
+    VT.vt_merge(
+        spark, table, _changes(spark, [(2, "B", "U")]), keys=["k"],
+        expected_version=0,
+    )
+    with pytest.raises(VT.VersionConflictError):
+        VT.vt_merge(
+            spark, table, _changes(spark, [(3, "C", "U")]), keys=["k"],
+            expected_version=0,  # stale: table is at 1 now
+        )
+    # rebase succeeds and sees the first writer's row
+    v2 = VT.vt_merge(
+        spark, table, _changes(spark, [(3, "C", "U")]), keys=["k"],
+        expected_version=1,
+    )
+    assert v2 == 2
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert rows == {1: "a", 2: "B", 3: "C"}
+
+
+def test_versioned_commit_race_loses_atomically(spark, tmp_path):
+    """The put-if-absent commit: if the next manifest appears between a
+    writer's read and its commit, the commit must fail AND the loser's
+    orphaned data files must be cleaned up."""
+    import glob
+    import os
+
+    import pytest
+
+    VT, table = _mk_vt(spark, tmp_path)
+    # interpose: another writer commits version 1 while ours is writing
+    orig_write = VT._write_data
+
+    def racing_write(df, table_dir, version):
+        data_dir = orig_write(df, table_dir, version)
+        if version == 1 and not os.path.exists(
+            VT._manifest_path(table_dir, 1)
+        ):
+            # the winner's commit lands with its OWN (already written)
+            # file set while our writer is still flushing data
+            win_dir = os.path.join(table_dir, "data", "v00001_winner")
+            os.makedirs(win_dir, exist_ok=True)
+            os.makedirs(VT._manifest_dir(table_dir), exist_ok=True)
+            with open(VT._manifest_path(table_dir, 1), "w") as fh:
+                fh.write(
+                    '{"version": 1, "data_dir": "%s", "n_rows": 3, '
+                    '"operation": "MERGE"}' % win_dir
+                )
+        return data_dir
+
+    VT._write_data = racing_write
+    try:
+        with pytest.raises(VT.VersionConflictError):
+            VT.vt_merge(
+                spark, table, _changes(spark, [(1, "z", "U")]), keys=["k"]
+            )
+    finally:
+        VT._write_data = orig_write
+    # loser's data dir was rolled back: only v0's and the winner's remain
+    dirs = glob.glob(os.path.join(table, "data", "v*"))
+    assert len(dirs) == 2, dirs
+
+
+def test_versioned_time_travel_immutable(spark, tmp_path):
+    """Older versions read identically after later merges (immutable
+    file sets; nothing rewritten in place)."""
+    VT, table = _mk_vt(spark, tmp_path)
+    v0_before = sorted(
+        (r["k"], r["v"]) for r in VT.vt_read(spark, table, 0).collect()
+    )
+    VT.vt_merge(
+        spark, table,
+        _changes(spark, [(1, "zz", "U"), (2, None, "D")]), keys=["k"],
+    )
+    v0_after = sorted(
+        (r["k"], r["v"]) for r in VT.vt_read(spark, table, 0).collect()
+    )
+    assert v0_before == v0_after == [(1, "a"), (2, "b"), (3, "c")]
+    latest = sorted(
+        (r["k"], r["v"]) for r in VT.vt_read(spark, table).collect()
+    )
+    assert latest == [(1, "zz"), (3, "c")]
+
+
+# ---------- TTL state expiry ----------
+
+def test_ttl_sessions_expire_and_state_is_removed(spark, tmp_path):
+    """running_sessions_ttl: sessions split on gaps > ttl, one final row
+    per key at expiry, and — the TTL point — the state store holds NO
+    live state for expired keys afterwards (state.remove() freed it)."""
+    import datetime as dt
+
+    from kinesis_app_spark.registry_streaming import _append_sentinel
+    from kinesis_app_spark.streaming.ops import (
+        run_to_memory,
+        running_sessions_ttl,
+    )
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long"
+    rows = [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=30), 2),
+        (1, t0 + dt.timedelta(hours=4), 3),  # gap 3.5h > ttl 1h
+        (2, t0 + dt.timedelta(hours=1), 4),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    df.coalesce(1).write.parquet(src)
+    _append_sentinel(spark, src, df.schema, (-1, dt.datetime(2030, 1, 1), -1))
+    _append_sentinel(spark, src, df.schema, (-2, dt.datetime(2031, 1, 1), -2))
+    stream = file_stream(spark, src, df.schema, max_files_per_trigger=1)
+    out = running_sessions_ttl(
+        stream.withWatermark("ts", "0 seconds"),
+        "user_id", "ts", "event_id", ttl_seconds=3600,
+    )
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=4)
+    got = {
+        r["user_id"]: (
+            r["n_sessions"], r["last_session_events"], r["total_events"]
+        )
+        for r in res.filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {1: (2, 1, 3), 2: (1, 1, 1)}
+    # exactly one emission per expired key
+    assert res.filter(F.col("user_id") >= 0).count() == 2
+    # the TTL guarantee: expired keys left NOTHING in the state store
+    state = (
+        spark.read.format("statestore").load(ckpt).select("key.*")
+    )
+    live = {r[0] for r in state.collect()}
+    assert live.isdisjoint({1, 2}), f"expired keys still in store: {live}"
