@@ -40,6 +40,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kinesis_app_spark.operators.cdc import apply_changes
 
@@ -178,3 +179,98 @@ def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, operation string, n_rows long"
     )
+
+
+def vt_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_cols: Sequence[str],
+    max_records_per_file: int = 65536,
+) -> int:
+    """OPTIMIZE: rewrite the latest snapshot range-clustered on
+    ``cluster_cols`` and commit it as a new version with IDENTICAL rows
+    — the table-maintenance half of a lakehouse (compaction + layout),
+    distinct from MERGE which changes data. Range clustering gives
+    disjoint per-file key ranges, so parquet footer min/max skipping
+    prunes on the cluster key afterwards (the engine's
+    parquet_compaction_orders discipline applied to the versioned
+    layer). Old versions stay readable — OPTIMIZE is just another
+    immutable file set."""
+    base = vt_latest_version(table_dir)
+    if base < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    df = vt_read(spark, table_dir, base)
+    # sortWithinPartitions matters even with range partitioning: AQE can
+    # coalesce a small range shuffle to fewer partitions, and
+    # maxRecordsPerFile then chops each task's UNSORTED stream into
+    # overlapping-range files — the local sort keeps every emitted file
+    # a contiguous key span
+    clustered = df.repartitionByRange(
+        *[F.col(c) for c in cluster_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in cluster_cols])
+    new_version = base + 1
+    token = uuid.uuid4().hex[:8]
+    data_dir = os.path.join(table_dir, "data", f"v{new_version:05d}_{token}")
+    clustered.write.option(
+        "maxRecordsPerFile", max_records_per_file
+    ).parquet(data_dir)
+    n = spark.read.parquet(data_dir).count()
+    _commit(table_dir, new_version, data_dir, n, "OPTIMIZE")
+    return new_version
+
+
+def vt_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change data feed between two versions: every row labeled
+    ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage} (Delta CDF's row vocabulary), derived by a
+    key-keyed full-outer join of the two immutable snapshots with
+    null-safe value comparison. One shuffle per side on the key; at
+    scale diff the two versions' file-level stats first to prune
+    untouched ranges (not needed here — the emulation has no file
+    statistics index)."""
+    keys = list(keys)
+    before = vt_read(spark, table_dir, v_from)
+    after = vt_read(spark, table_dir, v_to)
+    value_cols = [c for c in before.columns if c not in keys]
+    a = before.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in value_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    b = after.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    j = a.join(b, keys, "full_outer")
+    differs = None
+    for c in value_cols:
+        d = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        differs = d if differs is None else (differs | d)
+
+    def image(side: str, label: str) -> DataFrame:
+        return sel.select(
+            F.lit(label).alias("_change_type"),
+            *keys,
+            *[F.col(f"__{side}_{c}").alias(c) for c in value_cols],
+        )
+
+    out = []
+    sel = j.filter(F.col("__in_a").isNull())
+    out.append(image("b", "insert"))
+    sel = j.filter(F.col("__in_b").isNull())
+    out.append(image("a", "delete"))
+    upd = j.filter(
+        F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull() & differs
+    )
+    sel = upd
+    out.append(image("a", "update_preimage"))
+    out.append(image("b", "update_postimage"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

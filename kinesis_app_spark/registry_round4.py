@@ -316,9 +316,10 @@ _VT_COLS = [
 def _vt_orders_table(spark, sf_dir) -> str:
     """Build (once per sf_dir) the 3-version orders table:
 
-      v0 CREATE  = the full orders snapshot
-      v1 MERGE   = update batch (every %7 key: price+10, X-UPDATED)
-      v2 MERGE   = delete batch (%13 keys) + insert batch (%97 keys+10M)
+      v0 CREATE   = the full orders snapshot
+      v1 MERGE    = update batch (every %7 key: price+10, X-UPDATED)
+      v2 MERGE    = delete batch (%13 keys) + insert batch (%97 keys+10M)
+      v3 OPTIMIZE = range-clustered rewrite on o_orderkey (same rows)
 
     Deterministic content, so every read below is oracle-replayable."""
     import os
@@ -326,7 +327,7 @@ def _vt_orders_table(spark, sf_dir) -> str:
     from kinesis_app_spark.operators import versioned as VT
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    table_dir = os.path.join(_VT_ROOT, f"orders_{tag}")
+    table_dir = os.path.join(_VT_ROOT, f"orders4_{tag}")
     marker = os.path.join(table_dir, "_DONE")
     if os.path.exists(marker):
         return table_dir
@@ -367,6 +368,7 @@ def _vt_orders_table(spark, sf_dir) -> str:
         spark, table_dir, deletes.unionByName(inserts),
         keys=["o_orderkey"], seq_col="seq", expected_version=1,
     )
+    VT.vt_optimize(spark, table_dir, cluster_cols=["o_orderkey"])
     open(marker, "w").close()
     return table_dir
 
@@ -443,7 +445,50 @@ SELECT 2, 'MERGE',
        (SELECT count(*) FROM orders)
        - (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
        + (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
+UNION ALL
+SELECT 3, 'OPTIMIZE',
+       (SELECT count(*) FROM orders)
+       - (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+       + (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
 ORDER BY version
+"""
+
+
+def versioned_changes_cdf(spark, sf_dir):
+    """Change data feed v0 -> v3 of the versioned orders table: every
+    row labeled insert / delete / update_preimage / update_postimage
+    (Delta CDF's vocabulary) via a key-keyed full-outer diff of the two
+    immutable snapshots. Diffing against v3 (the post-OPTIMIZE file
+    set) also gates OPTIMIZE's contract — table maintenance must not
+    change data, so the CDF vs v0 is exactly the two merges' effect:
+    updates are the %7 keys that survived the %13 delete, deletes the
+    %13 keys, inserts the %97+10M keys — each class arithmetically
+    replayed by the oracle."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_orders_table(spark, sf_dir)
+    return VT.vt_changes(
+        spark, table_dir, v_from=0, v_to=3, keys=["o_orderkey"]
+    ).orderBy("_change_type", "o_orderkey")
+
+
+VERSIONED_CDF_SQL = """
+SELECT 'delete' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'insert', o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate,
+       'NEW'
+FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT 'update_preimage', o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+UNION ALL
+SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 10.0, o_orderdate, 'X-UPDATED'
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+ORDER BY _change_type, o_orderkey
 """
 
 
@@ -641,6 +686,9 @@ REGISTRY_ROUND4: dict[str, QuerySpec] = {
     ),
     "versioned_history_audit": QuerySpec(
         versioned_history_audit, VERSIONED_HISTORY_SQL
+    ),
+    "versioned_changes_cdf": QuerySpec(
+        versioned_changes_cdf, VERSIONED_CDF_SQL
     ),
 }
 

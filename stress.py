@@ -116,17 +116,22 @@ def build_scaled_dir(spark, k: int) -> str:
             # explosion instead of corpus growth. A per-replica vowel
             # rotation (translate, pure codegen) changes most tokens and
             # therefore most shingles.
-            # 10-letter alphabet => rotation period 10 covers the default
-            # k=10 with no repeats (a 5-vowel alphabet made replicas r and
-            # r+5 near-dups of each other); k > 10 would need a longer
-            # alphabet or a second rotation
+            # 10-letter alphabet => rotation period 10 covers k<=10 with
+            # no repeats (a 5-vowel alphabet made replicas r and r+5
+            # near-dups of each other); for k>10 a SECOND disjoint
+            # alphabet rotates by r//10, so replicas collide only when
+            # both r%10 and r//10 match — i.e. never, up to k=100
             alpha = "aeiounrstl"
+            alpha2 = "bcdgmpvwxz"
             rot = F.col("text")
             for r in range(1, k):
                 vr = alpha[r % len(alpha):] + alpha[: r % len(alpha)]
-                rot = F.when(
-                    F.col("__r") == r, F.translate("text", alpha, vr)
-                ).otherwise(rot)
+                step = F.translate("text", alpha, vr)
+                r2 = (r // 10) * 3 % len(alpha2)
+                if r2:
+                    vr2 = alpha2[r2:] + alpha2[:r2]
+                    step = F.translate(step, alpha2, vr2)
+                rot = F.when(F.col("__r") == r, step).otherwise(rot)
             df = df.withColumn(
                 "text",
                 F.concat(rot, F.lit(" replica"), F.col("__r").cast("string")),
@@ -155,6 +160,9 @@ def time_entry(spark, name: str, sf_dir: str, reps: int = 3) -> float:
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional entry filter: `python stress.py 30 dedup_minhash_lsh ...`
+    # runs only the named entries (the x30 dedup-family probe)
+    entries = sys.argv[2:] or ENTRIES
     spark = get_spark(app_name="kinesis-stress", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled_dir(spark, k)
@@ -168,7 +176,7 @@ def main() -> int:
     ).mode("overwrite").save()
 
     results = {}
-    for name in ENTRIES:
+    for name in entries:
         # interleave the two scales so a multi-minute contention storm
         # (see STRESS.md) hits both sides' windows, not just one
         base = big = float("inf")

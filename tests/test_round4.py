@@ -348,3 +348,67 @@ def test_ttl_sessions_expire_and_state_is_removed(spark, tmp_path):
     )
     live = {r[0] for r in state.collect()}
     assert live.isdisjoint({1, 2}), f"expired keys still in store: {live}"
+
+
+def test_versioned_optimize_preserves_data_and_clusters(spark, tmp_path):
+    """OPTIMIZE commits a row-identical version whose files carry
+    DISJOINT key ranges (range clustering -> footer min/max skipping)."""
+    import glob
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "vt")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("string").alias("v"),
+    )
+    # shuffle the layout so pre-OPTIMIZE files interleave key ranges
+    VT.vt_create(df.repartition(8, "v"), table)
+    v1 = VT.vt_optimize(
+        spark, table, cluster_cols=["k"], max_records_per_file=2000
+    )
+    assert v1 == 1
+    before = sorted(r["k"] for r in VT.vt_read(spark, table, 0).collect())
+    after = sorted(r["k"] for r in VT.vt_read(spark, table, 1).collect())
+    assert before == after == list(range(10000))
+    hist = {r["version"]: r["operation"] for r in
+            VT.vt_history(spark, table).collect()}
+    assert hist == {0: "CREATE", 1: "OPTIMIZE"}
+    # disjoint per-file key ranges in the optimized version
+    data_dir = VT._read_manifest(table, 1)["data_dir"]
+    spans = []
+    for f in glob.glob(f"{data_dir}/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        spans.append((pdf["lo"], pdf["hi"]))
+    spans.sort()
+    assert len(spans) >= 4  # maxRecordsPerFile split the table
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2, f"overlapping file ranges: {(l1,h1)} {(l2,h2)}"
+
+
+def test_versioned_cdf_roundtrip_reconstructs(spark, tmp_path):
+    """Applying the CDF of v0->vN onto v0 must reconstruct vN (the
+    consumer contract of a change feed)."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    VTmod, table = VT, str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    VT.vt_create(df, table)
+    ch = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (9, "i", "U")],
+        "k long, v string, op string",
+    )
+    VT.vt_merge(spark, table, ch, keys=["k"])
+    cdf = VT.vt_changes(spark, table, 0, 1, keys=["k"]).collect()
+    base = {r["k"]: r["v"] for r in VT.vt_read(spark, table, 0).collect()}
+    for r in cdf:
+        if r["_change_type"] in ("insert", "update_postimage"):
+            base[r["k"]] = r["v"]
+        elif r["_change_type"] == "delete":
+            base.pop(r["k"])
+    target = {r["k"]: r["v"] for r in VT.vt_read(spark, table, 1).collect()}
+    assert base == target == {1: "a", 2: "B", 4: "d", 9: "i"}
