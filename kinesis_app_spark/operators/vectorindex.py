@@ -127,7 +127,14 @@ def ivf_query(
     pushed into the postings scan as an isin partition filter, so the
     scan's PartitionFilters prune unprobed cells at file-listing time.
     Returns (query_id, neighbor_id, cos, rank) — the shared ANN shape.
+    An index built over an EMPTY corpus answers every query with zero
+    rows (manifest short-circuit) — empty partitions are routine at
+    scale and must not crash the read path.
     """
+    empty = "query_id long, neighbor_id long, cos double, rank int"
+    mani = spark.read.json(os.path.join(index_dir, "manifest.json")).collect()
+    if mani and int(mani[0]["n_rows"]) == 0:
+        return spark.createDataFrame([], empty)
     cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -145,6 +152,8 @@ def ivf_query(
     probe_cells = sorted(
         {r["cell"] for r in q_probed.select("cell").distinct().collect()}
     )
+    if not probe_cells:  # empty query set: nothing to probe
+        return spark.createDataFrame([], empty)
     postings = spark.read.parquet(
         os.path.join(index_dir, "postings.parquet")
     ).filter(F.col("cell").isin(probe_cells))
@@ -205,7 +214,23 @@ def pq_build(
         .collect()
     )
     if not train_rows:
-        raise ValueError("pq_build: empty corpus")
+        # empty corpus: a valid (empty) index — queries answer 0 rows
+        spark.createDataFrame(
+            [], "subspace int, code int, centv array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "codebooks.parquet")
+        )
+        spark.createDataFrame(
+            [], f"{id_col} long, codes array<int>, {vec_col} array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "codes.parquet")
+        )
+        spark.createDataFrame(
+            [(m, n_codes, 0, 0)], "m int, n_codes int, dims int, n_rows long"
+        ).coalesce(1).write.mode("overwrite").json(
+            os.path.join(index_dir, "manifest.json")
+        )
+        return
     train = np.array([r[vec_col] for r in train_rows], dtype=np.float64)
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     d = train.shape[1]
@@ -291,6 +316,10 @@ def pq_query(
 
     mani = spark.read.json(os.path.join(index_dir, "manifest.json")).collect()[0]
     m, n_codes, d = int(mani["m"]), int(mani["n_codes"]), int(mani["dims"])
+    if int(mani["n_rows"]) == 0:  # index over an empty corpus
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     sub = d // m
     cb_rows = spark.read.parquet(
         os.path.join(index_dir, "codebooks.parquet")

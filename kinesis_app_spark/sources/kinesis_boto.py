@@ -23,14 +23,31 @@ Parity map (reference -> here):
 Scale posture: the BATCH reader is the high-throughput path — per-shard
 tasks run ``GetRecords`` loops executor-side in parallel, yielding one
 Arrow RecordBatch per fetch (never per-row pickling), so a backfill of a
-large resharded stream fans out across the cluster. The STREAMING reader
-uses ``SimpleDataSourceStreamReader`` (driver-side prefetch), which is the
-documented-right choice for a control-plane-rate tail; Kinesis's own
-per-shard caps (2 MB/s read) mean a single driver thread tails a handful
-of shards fine, and a 100 TB replay should use the batch reader over an
-offset range instead. Sequence numbers are kept as their native opaque
-decimal STRINGS (they exceed int64); ordering comparisons go through
-``int()``.
+large resharded stream fans out across the cluster. TWO streaming
+readers (option ``readerMode``):
+
+- ``simple`` (default): ``SimpleDataSourceStreamReader`` — driver-side
+  prefetch with exact {shardId: seq} offsets; right for a
+  control-plane-rate tail (Kinesis's own per-shard caps mean a single
+  driver thread tails a handful of shards fine).
+- ``partitioned`` (round 4): a full ``DataSourceStreamReader`` that
+  plans one InputPartition PER SHARD per micro-batch, so executors run
+  the GetRecords loops in parallel — the high-rate / many-shard tail
+  path that removes the driver-side caveat. Offsets are arrival-TIME
+  bounds ({"ts_us": T}): Kinesis has no cheap "end offset" metadata
+  call (unlike Kafka), so the planner pins a timestamp instead and
+  ``read`` takes exactly the records with start < arrival <= end via a
+  native ``AT_TIMESTAMP`` iterator — no data moves at planning time,
+  and replay of a committed range is deterministic because arrival
+  timestamps are server-assigned and immutable. Boundary discipline:
+  per-shard arrival times are non-decreasing (one sequencer per
+  shard), records with arrival == start are skipped (they belonged to
+  the previous batch), ``planningLagSeconds`` (default 0) backs the
+  bound off the wall clock for deployments worried about in-flight
+  puts landing "before" an already-planned bound.
+
+Sequence numbers are kept as their native opaque decimal STRINGS (they
+exceed int64); ordering comparisons go through ``int()``.
 
 The PRODUCER half lives here too (``KinesisBotoWriter`` /
 ``KinesisBotoStreamWriter``): PutRecords with the API's 500-record/5 MiB
@@ -50,6 +67,7 @@ import time
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -90,6 +108,8 @@ def _conn_opts(options) -> dict:
         "starting_position": options.get(
             "startingposition", "TRIM_HORIZON"
         ).upper(),
+        "reader_mode": options.get("readermode", "simple").lower(),
+        "planning_lag_s": float(options.get("planninglagseconds", 0.0)),
     }
 
 
@@ -254,6 +274,23 @@ class KinesisBotoDataSource(DataSource):
                 "stream; startingPosition must be TRIM_HORIZON"
             )
         return KinesisBotoBatchReader(conn)
+
+    def streamReader(self, schema):
+        """Partition-planned streaming reader — one task per shard per
+        micro-batch — behind ``readerMode=partitioned``. Raising
+        PySparkNotImplementedError in the default mode makes Spark fall
+        back to simpleStreamReader (pyspark's documented dispatch)."""
+        conn = _conn_opts(self.options)
+        if conn["reader_mode"] != "partitioned":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        if not conn["stream"]:
+            raise ValueError("kinesis_boto: streamName option is required")
+        return KinesisPartitionedStreamReader(conn)
 
     def simpleStreamReader(self, schema):
         conn = _conn_opts(self.options)
@@ -455,6 +492,154 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         # offsets are durable in the checkpoint log — the engine-side
         # replacement for the reference's Redis _shardSeq writeback
         # (src/Kinesis/Coordination.hs:343-359)
+        pass
+
+
+class _KShardTsRange(InputPartition):
+    """One shard's (start_us, end_us] arrival-time slice of a micro-batch."""
+
+    def __init__(self, shard_id: str, conn: dict, start_us: int, end_us: int):
+        self.shard_id = shard_id
+        self.conn = conn
+        self.start_us = start_us
+        self.end_us = end_us
+
+
+class KinesisPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel micro-batch tail: ``partitions(start, end)``
+    emits one InputPartition per shard, so N shards drain N-way
+    parallel across the cluster — the reference's one-worker-per-shard
+    layout (src/Kinesis/Coordination.hs:248-257) at executor scale.
+
+    Offset design: Kafka exposes end offsets as a metadata call, so its
+    planner pins {partition: offset}. Kinesis has no such call — the
+    only way to learn a shard's last sequence number is to READ the
+    shard, which must not happen on the driver at planning time. The
+    planner therefore pins an arrival-TIME bound {"ts_us": T}
+    (monotonically non-decreasing across batches) and ``read`` takes
+    exactly the records with start < arrival <= end:
+
+    - the iterator starts at the shard's native ``AT_TIMESTAMP(start)``
+      position (TRIM_HORIZON for the epoch bound 0), so per-batch work
+      is proportional to NEW records, never the retained stream;
+    - arrival timestamps are assigned by the shard's sequencer at
+      ingest and are immutable and non-decreasing within a shard, so a
+      committed (start, end] range replays deterministically after a
+      restart, records on the start boundary are exactly the previous
+      batch's tail (skipped), and the scan stops at the first record
+      past end;
+    - ``planningLagSeconds`` backs T off the wall clock for
+      deployments where an in-flight PutRecords could be assigned an
+      arrival time just under an already-planned bound (the Kafka-less
+      protocol's one race); 0 is right when producers and the planner
+      do not overlap within a clock tick.
+    """
+
+    def __init__(self, conn: dict):
+        self.conn = conn
+        self._client_obj = None
+        self._last_ts_us = 0
+
+    def _cli(self):
+        if self._client_obj is None:
+            self._client_obj = _client(self.conn)
+        return self._client_obj
+
+    def initialOffset(self):
+        pos = self.conn["starting_position"]
+        if pos == "TRIM_HORIZON":
+            return {"ts_us": 0}
+        if pos == "LATEST":
+            return {"ts_us": self._now_us()}
+        raise ValueError(
+            "kinesis_boto partitioned streaming supports startingPosition "
+            f"TRIM_HORIZON or LATEST; got {pos}"
+        )
+
+    def _now_us(self) -> int:
+        lag_us = int(self.conn["planning_lag_s"] * 1_000_000)
+        return max(0, int(time.time() * 1_000_000) - lag_us)
+
+    def latestOffset(self):
+        self._last_ts_us = max(self._last_ts_us, self._now_us())
+        return {"ts_us": self._last_ts_us}
+
+    def partitions(self, start: dict, end: dict):
+        shards = _list_shards(
+            self._cli(), self.conn["stream"], self.conn["max_retries"]
+        )
+        return [
+            _KShardTsRange(
+                s["ShardId"], self.conn, start["ts_us"], end["ts_us"]
+            )
+            for s in shards
+        ]
+
+    def read(self, partition: _KShardTsRange):
+        conn = partition.conn
+        client = _client(conn)
+        if partition.start_us <= 0:
+            kwargs = {"ShardIteratorType": "TRIM_HORIZON"}
+        else:
+            kwargs = {
+                "ShardIteratorType": "AT_TIMESTAMP",
+                "Timestamp": dt.datetime.fromtimestamp(
+                    partition.start_us / 1e6, tz=dt.timezone.utc
+                ),
+            }
+        try:
+            it = _with_retries(
+                lambda: client.get_shard_iterator(
+                    StreamName=conn["stream"],
+                    ShardId=partition.shard_id,
+                    **kwargs,
+                ),
+                conn["max_retries"],
+            )["ShardIterator"]
+        except Exception as e:  # noqa: BLE001
+            if "ResourceNotFound" in type(e).__name__ + str(e):
+                return  # expired/deleted shard: records live in old batches
+            raise
+        while it:
+            resp = _with_retries(
+                lambda i=it: client.get_records(
+                    ShardIterator=i, Limit=conn["max_fetch"]
+                ),
+                conn["max_retries"],
+            )
+            rows = []
+            past_end = False
+            for r in resp["Records"]:
+                ts = _to_utc_naive(r.get("ApproximateArrivalTimestamp"))
+                ts_us = (
+                    int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+                    if ts is not None
+                    else 0
+                )
+                if ts_us <= partition.start_us:
+                    continue  # previous batch's boundary tail
+                if ts_us > partition.end_us:
+                    past_end = True  # per-shard arrival is non-decreasing
+                    break
+                rows.append(
+                    (
+                        partition.shard_id,
+                        r["SequenceNumber"],
+                        r["PartitionKey"],
+                        bytes(r["Data"]),
+                        ts,
+                    )
+                )
+            if rows:
+                yield _rows_batch(rows)
+            if past_end:
+                return
+            it = resp.get("NextShardIterator")
+            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+                return
+
+    def commit(self, end: dict):
+        # bounds are durable in the checkpoint log; nothing external
         pass
 
 
