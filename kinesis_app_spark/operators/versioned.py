@@ -88,7 +88,8 @@ def _write_data(df: DataFrame, table_dir: str, version: int) -> str:
 
 
 def _commit(
-    table_dir: str, version: int, data_dir: str, n_rows: int, operation: str
+    table_dir: str, version: int, data_dir: str, n_rows: int, operation: str,
+    batch_id: int | None = None,
 ) -> None:
     """Atomic put-if-absent commit; on loss, remove the orphaned files."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
@@ -98,6 +99,11 @@ def _commit(
         "n_rows": n_rows,
         "operation": operation,
     }
+    if batch_id is not None:
+        # streaming epoch ledger: foreachBatch idempotence (Delta's
+        # txnAppId/txnVersion discipline) — a replayed epoch finds its
+        # batch_id already committed and skips
+        manifest["batch_id"] = int(batch_id)
     path = _manifest_path(table_dir, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -140,6 +146,7 @@ def vt_merge(
     op_col: str = "op",
     seq_col: str | None = None,
     expected_version: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE INTO, copy-on-write, optimistically-concurrent.
 
@@ -164,7 +171,7 @@ def vt_merge(
     new_version = base + 1
     data_dir = _write_data(merged, table_dir, new_version)
     n = spark.read.parquet(data_dir).count()
-    _commit(table_dir, new_version, data_dir, n, "MERGE")
+    _commit(table_dir, new_version, data_dir, n, "MERGE", batch_id=batch_id)
     return new_version
 
 
@@ -274,3 +281,50 @@ def vt_changes(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def vt_committed_batch_ids(table_dir: str) -> set[int]:
+    """Streaming-epoch ledger: every batch_id a committed version
+    carries (see ``vt_foreach_batch_merger``)."""
+    out: set[int] = set()
+    for v in range(vt_latest_version(table_dir) + 1):
+        m = _read_manifest(table_dir, v)
+        if "batch_id" in m:
+            out.add(int(m["batch_id"]))
+    return out
+
+
+def vt_foreach_batch_merger(
+    spark: SparkSession,
+    table_dir: str,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+):
+    """foreachBatch sink that MERGEs each micro-batch into the versioned
+    table EXACTLY ONCE: the epoch's batch_id is written into the commit
+    manifest, and a replayed epoch (at-least-once delivery after a
+    restart) finds its batch_id in the ledger and skips — Delta's
+    txnAppId/txnVersion idempotence discipline on this layer, and the
+    engine-side version of the reference's ack/checkpoint protocol
+    (src/Kinesis/Coordination.hs:329-337: progress recorded durably so
+    redelivery cannot double-apply).
+
+    Usage: ``stream.writeStream.foreachBatch(vt_foreach_batch_merger(
+    spark, table, keys=["k"], seq_col="seq"))``.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in vt_committed_batch_ids(table_dir):
+            return  # replayed epoch: already merged
+        vt_merge(
+            spark,
+            table_dir,
+            batch_df,
+            keys=keys,
+            op_col=op_col,
+            seq_col=seq_col,
+            batch_id=int(batch_id),
+        )
+
+    return apply_batch

@@ -1662,6 +1662,7 @@ REGISTRY.update(REGISTRY_MLEVAL)
 from kinesis_app_spark import registry_round4 as _r4  # noqa: E402
 
 _r4._bind_knn_oracle()
+_r4._bind_streaming_vt_oracle()
 REGISTRY.update(REGISTRY_ROUND4)
 
 

@@ -493,6 +493,81 @@ ORDER BY _change_type, o_orderkey
 
 
 # =====================================================================
+# streaming MERGE into the versioned table (epoch-idempotent sink)
+# =====================================================================
+
+def streaming_versioned_merge(spark, sf_dir):
+    """The change feed streamed INTO the versioned-table layer: two
+    mtime-ordered micro-batches (upserts, then deletes+inserts) flow
+    through ``vt_foreach_batch_merger`` — each epoch is one
+    optimistically-committed MERGE version carrying its batch_id in the
+    manifest, so a replayed epoch (at-least-once delivery after a
+    restart) finds itself in the ledger and SKIPS instead of
+    double-applying (Delta's txnVersion idempotence; the reference's
+    ack/checkpoint discipline, src/Kinesis/Coordination.hs:329-337).
+    Final table state must equal the one-shot batch merge — the same
+    oracle as the plain-parquet streaming_cdc_apply entry, now with the
+    commit protocol underneath. Replay idempotence itself is pinned in
+    tests/test_round4.py (same batch re-applied, history unchanged)."""
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_cdc import _cdc_changes
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    o = _t(spark, sf_dir, "orders")
+    batch1, batch2 = _cdc_changes(o)
+    src = tempfile.mkdtemp(prefix="vtm_stream_src_")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    first_files = set(os.listdir(src))
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime for f in first_files
+    )
+    for f in set(os.listdir(src)) - first_files:
+        os.utime(os.path.join(src, f), (newest + 5, newest + 5))
+
+    table = os.path.join(
+        tempfile.gettempdir(), f"vtm_{uuid.uuid4().hex[:12]}"
+    )
+    VT.vt_create(o, table)
+    ckpt = tempfile.mkdtemp(prefix="vtm_stream_ckpt_")
+    stream = file_stream(spark, src, batch1.schema, max_files_per_trigger=1)
+    (
+        stream.writeStream.foreachBatch(
+            VT.vt_foreach_batch_merger(
+                spark, table, keys=["o_orderkey"], seq_col="seq"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = VT.vt_read(spark, table)
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2
+            ).cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _bind_streaming_vt_oracle() -> None:
+    from kinesis_app_spark.registry_cdc import STREAMING_CDC_SQL
+
+    REGISTRY_ROUND4["streaming_versioned_merge"] = QuerySpec(
+        streaming_versioned_merge, STREAMING_CDC_SQL
+    )
+
+
+# =====================================================================
 # sampled threshold calibration (the 100 TB path for the histogram)
 # =====================================================================
 

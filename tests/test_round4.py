@@ -412,3 +412,62 @@ def test_versioned_cdf_roundtrip_reconstructs(spark, tmp_path):
             base.pop(r["k"])
     target = {r["k"]: r["v"] for r in VT.vt_read(spark, table, 1).collect()}
     assert base == target == {1: "a", 2: "B", 4: "d", 9: "i"}
+
+
+def test_versioned_stream_merger_skips_replayed_epoch(spark, tmp_path):
+    """The foreachBatch merger's batch_id ledger: re-applying an
+    already-committed epoch is a no-op (history unchanged), a new epoch
+    commits — the exactly-once contract under at-least-once replay."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        table,
+    )
+    merger = VT.vt_foreach_batch_merger(spark, table, keys=["k"])
+    ch = spark.createDataFrame([(2, "B", "U")], "k long, v string, op string")
+    merger(ch, 0)
+    assert VT.vt_latest_version(table) == 1
+    merger(ch, 0)  # replayed epoch: must skip
+    assert VT.vt_latest_version(table) == 1
+    merger(
+        spark.createDataFrame([(3, "c", "U")], "k long, v string, op string"),
+        1,
+    )
+    assert VT.vt_latest_version(table) == 2
+    assert VT.vt_committed_batch_ids(table) == {0, 1}
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_ivf_append_then_full_probe_equals_brute_force(spark, tmp_path):
+    """Incremental maintenance: build on the first half of the corpus,
+    append the second half against the FROZEN centroids — a full-probe
+    query over the appended index must equal brute force over the
+    whole corpus (and the manifest row count must track the append)."""
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+    from kinesis_app_spark.registry_util import table as _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    VI.ivf_build(half, idx, n_centroids=16)
+    VI.ivf_append(rest, idx)
+    import os
+
+    mani = spark.read.json(os.path.join(idx, "manifest.json")).collect()[0]
+    assert int(mani["n_rows"]) == n
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=16).collect()
+    }
+    assert got == exact
