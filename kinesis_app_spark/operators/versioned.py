@@ -135,6 +135,11 @@ def vt_read(
         if version < 0:
             raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, version)
+    if manifest.get("vacuumed"):
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} was vacuumed; earliest "
+            "readable version is the oldest non-vacuumed manifest"
+        )
     return spark.read.parquet(manifest["data_dir"])
 
 
@@ -328,3 +333,33 @@ def vt_foreach_batch_merger(
         )
 
     return apply_batch
+
+
+def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
+    """VACUUM: delete the data files of versions older than the last
+    ``retain_last`` — the storage-reclaim half of table maintenance
+    (copy-on-write keeps every version's full file set, so retention is
+    what bounds disk at 100 TB). Vacuumed manifests stay, marked
+    ``vacuumed: true``: history remains auditable, but reading a
+    vacuumed version raises a clear error instead of a missing-file
+    stack (the Delta VACUUM contract). The latest version can never be
+    vacuumed. Returns the list of vacuumed version numbers."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    keep_from = max(0, latest - max(1, retain_last) + 1)
+    vacuumed = []
+    for v in range(keep_from):
+        m = _read_manifest(table_dir, v)
+        if m.get("vacuumed"):
+            continue
+        shutil.rmtree(m["data_dir"], ignore_errors=True)
+        m["vacuumed"] = True
+        # single-writer metadata update (vacuum is a maintenance job,
+        # not a concurrent commit): rewrite in place via temp + rename
+        tmp = _manifest_path(table_dir, v) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, _manifest_path(table_dir, v))
+        vacuumed.append(v)
+    return vacuumed

@@ -83,6 +83,9 @@ ALLOWED_NLJ: dict[str, str] = {
     "range_join_price_bands": "band table is a tiny broadcast dimension",
     "knn_brute_force": "query set broadcast (|Q| small); corpus scanned once",
     "knn_ivf": "centroid table broadcast; probe prunes cells",
+    "knn_ivf_persisted": "centroid table broadcast (read from the "
+    "persisted index); probe prunes postings cells via PartitionFilters "
+    "(asserted in tests/test_round4.py)",
     "radius_search": "query set broadcast (|Q| small); corpus scanned once",
     "retrieval_eval_metrics": "query set broadcast (|Q| small, KNN shape); "
     "corpus scanned once",
@@ -223,6 +226,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "the DAILY series — bounded by the observation span in days",
     "jaccard_threshold_calibration": "cumulative window runs over the "
     "fixed 20-bin similarity histogram",
+    "jaccard_calibration_sampled": "same fixed 20-bin histogram window "
+    "as jaccard_threshold_calibration (the sampled scale sibling)",
 }
 
 

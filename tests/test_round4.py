@@ -471,3 +471,40 @@ def test_ivf_append_then_full_probe_equals_brute_force(spark, tmp_path):
         for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=16).collect()
     }
     assert got == exact
+
+
+def test_versioned_vacuum_reclaims_and_guards(spark, tmp_path):
+    """VACUUM deletes old versions' files, keeps the history auditable,
+    never touches the retained tail, and reading a vacuumed version
+    raises a clear error (not a missing-file stack)."""
+    import glob
+    import os
+
+    import pytest
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    for i, tag in enumerate(["b", "c", "d"]):
+        VT.vt_merge(
+            spark, table,
+            spark.createDataFrame(
+                [(i + 2, tag, "U")], "k long, v string, op string"
+            ),
+            keys=["k"],
+        )
+    assert VT.vt_latest_version(table) == 3
+    gone = VT.vt_vacuum(table, retain_last=2)
+    assert gone == [0, 1]
+    assert len(glob.glob(os.path.join(table, "data", "v*"))) == 2
+    # retained versions still read; history still lists all 4 commits
+    assert VT.vt_read(spark, table, 2).count() == 3
+    assert VT.vt_read(spark, table, 3).count() == 4
+    assert VT.vt_history(spark, table).count() == 4
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        VT.vt_read(spark, table, 0)
+    # idempotent: a second vacuum finds nothing new
+    assert VT.vt_vacuum(table, retain_last=2) == []
