@@ -213,6 +213,46 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def banded_minhash(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH banding over a (id, shingles) frame
+    — the shared signature kernel of minhash_lsh_pairs and the persisted
+    dedup index (operators/dedupindex.py).
+
+    One row per (doc, hash index) via explode, then a groupBy onto
+    bands; the single-projection alternative (signature array sliced per
+    band) triggers CollapseProject inlining that recomputes the whole
+    signature 16x per row (measured 489s -> ~4s at sf0.1). Shuffles
+    carry 8-byte minhashes, never text."""
+    rows_per_band = num_hashes // bands
+    mh = sh.select(
+        "id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select(
+        "id",
+        "i",
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.col("i"), s))
+        ).alias("mh"),
+    )
+    return mh.groupBy(
+        "id", (F.col("i") / rows_per_band).cast("int").alias("band_idx")
+    ).agg(
+        F.xxhash64(
+            F.col("band_idx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ),
+        ).alias("band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -238,37 +278,11 @@ def minhash_lsh_pairs(
     sf0.1 for this shape). The explode materializes shingles once per doc;
     the band groupBy shuffles 8-byte minhashes, never text.
     """
-    rows_per_band = num_hashes // bands
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-
-    mh = sh.select(
-        "id",
-        "shingles",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).select(
-        "id",
-        "i",
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.col("i"), s))
-        ).alias("mh"),
-    )
-    banded = mh.groupBy(
-        "id", (F.col("i") / rows_per_band).cast("int").alias("band_idx")
-    ).agg(
-        F.xxhash64(
-            F.col("band_idx"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                ",",
-            ),
-        ).alias("band_hash")
-    )
+    banded = banded_minhash(sh, num_hashes=num_hashes, bands=bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

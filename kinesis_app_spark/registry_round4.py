@@ -493,6 +493,136 @@ ORDER BY _change_type, o_orderkey
 
 
 # =====================================================================
+# persisted near-dup index (build once, screen every batch)
+# =====================================================================
+
+_DEDUP_IDX_BATCH_RATE = 0.3  # md5-u(doc_id) < rate -> incoming batch
+
+
+def _dedup_index_dir(spark, sf_dir) -> str:
+    """Build (once per sf_dir) the dedup index over the CORPUS split
+    (md5-u(doc_id) >= 0.3) of documents."""
+    import os
+
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    idx = os.path.join("/tmp/kinesis_dedup_index", f"docs_{tag}")
+    marker = os.path.join(idx, "_BUILT")
+    if os.path.exists(marker):
+        return idx
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(_md5_u("doc_id") >= F.lit(_DEDUP_IDX_BATCH_RATE))
+    DI.dedup_index_build(corpus, idx)
+    open(marker, "w").close()
+    return idx
+
+
+def _md5_u(col: str):
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000000
+    ) / 1e6
+
+
+def dedup_index_screen_docs(spark, sf_dir):
+    """Production incremental dedup: a deterministic 30% batch split of
+    documents screened against the PERSISTED index built over the other
+    70% (operators/dedupindex.py — fingerprints + LSH bands + shingle
+    sets as parquet; the corpus text is never re-read). Verdict per
+    batch doc: exact_dup (stored-fingerprint match, lowest corpus id),
+    near_dup (banded candidate whose exact Jaccard vs the STORED
+    shingle set >= 0.5; best match by jaccard desc, id asc), or new.
+
+    Value gate: verdicts are exact-verified, so with banding recall 1.0
+    at gate SFs (the dedup_minhash_lsh discipline) the whole screen
+    equals the exact batch-x-corpus posting join + md5 fingerprint
+    match, which the oracle replays arithmetically. The screen-then-add
+    loop (accepted docs appended, future batches dedup against them) is
+    pinned in tests/test_round4.py."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    idx = _dedup_index_dir(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(_md5_u("doc_id") < F.lit(_DEDUP_IDX_BATCH_RATE))
+    return DI.dedup_index_screen(spark, idx, batch, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_INDEX_SCREEN_SQL = r"""
+WITH u AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1e6 AS u
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM u WHERE u >= 0.3
+), batch AS (
+  SELECT doc_id, text FROM u WHERE u < 0.3
+), exact AS (
+  SELECT b.doc_id, min(c.doc_id) AS dup_of
+  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+  GROUP BY 1
+), normb AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM batch
+), shb AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))])
+           AS shingles
+  FROM normb WHERE len(toks) >= 3
+), normc AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM corpus
+), shc AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(toks) - 1, 1))])
+           AS shingles
+  FROM normc WHERE len(toks) >= 3
+), sizesb AS (SELECT doc_id, len(shingles) AS n_sh FROM shb),
+sizesc AS (SELECT doc_id, len(shingles) AS n_sh FROM shc),
+postb AS (SELECT doc_id, unnest(shingles) AS shingle FROM shb),
+postc AS (SELECT doc_id, unnest(shingles) AS shingle FROM shc),
+inter AS (
+  SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS n_inter
+  FROM postb b JOIN postc c ON b.shingle = c.shingle
+  GROUP BY 1, 2
+), jac AS (
+  SELECT bid, cid,
+         n_inter / (sb.n_sh + sc.n_sh - n_inter) AS j
+  FROM inter
+  JOIN sizesb sb ON sb.doc_id = bid
+  JOIN sizesc sc ON sc.doc_id = cid
+  WHERE n_inter / (sb.n_sh + sc.n_sh - n_inter) >= 0.5
+), near AS (
+  SELECT bid AS doc_id, cid AS dup_of, round(j, 4) AS jaccard
+  FROM (
+    SELECT bid, cid, j,
+           row_number() OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rn
+    FROM jac
+  )
+  WHERE rn = 1 AND bid NOT IN (SELECT doc_id FROM exact)
+)
+SELECT doc_id, 'exact_dup' AS verdict, dup_of, 1.0 AS jaccard FROM exact
+UNION ALL
+SELECT doc_id, 'near_dup', dup_of, jaccard FROM near
+UNION ALL
+SELECT doc_id, 'new', NULL, NULL
+FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+  AND doc_id NOT IN (SELECT doc_id FROM near)
+ORDER BY doc_id
+"""
+
+
+# =====================================================================
 # streaming MERGE into the versioned table (epoch-idempotent sink)
 # =====================================================================
 
@@ -752,6 +882,9 @@ REGISTRY_ROUND4: dict[str, QuerySpec] = {
     ),
     "jaccard_calibration_sampled": QuerySpec(
         jaccard_calibration_sampled, JACCARD_CALIB_SAMPLED_SQL
+    ),
+    "dedup_index_screen_docs": QuerySpec(
+        dedup_index_screen_docs, DEDUP_INDEX_SCREEN_SQL
     ),
     "versioned_merge_read_latest": QuerySpec(
         versioned_merge_read_latest, VERSIONED_LATEST_SQL

@@ -508,3 +508,51 @@ def test_versioned_vacuum_reclaims_and_guards(spark, tmp_path):
         VT.vt_read(spark, table, 0)
     # idempotent: a second vacuum finds nothing new
     assert VT.vt_vacuum(table, retain_last=2) == []
+
+
+def test_dedup_index_screen_add_rescreen_loop(spark, tmp_path):
+    """The production ingestion loop: build an index over a seed corpus,
+    screen a batch (exact dup / near dup / new verdicts), ADD the new
+    docs, then rescreen — previously-new docs must now be caught (as
+    exact dups of themselves), and a near-variant of an added doc must
+    be flagged against the ADDED doc, not just the seed corpus."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    DI.dedup_index_build(corpus, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact of 1
+            (11, "the quick brown fox jumps over the lazy dog tonight"),  # near of 1
+            (12, "a genuinely novel document with fresh content here"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    v1 = {r["doc_id"]: (r["verdict"], r["dup_of"])
+          for r in DI.dedup_index_screen(spark, idx, batch).collect()}
+    assert v1[10] == ("exact_dup", 1)
+    assert v1[11][0] == "near_dup" and v1[11][1] == 1
+    assert v1[12] == ("new", None)
+
+    accepted = batch.filter(F.col("doc_id") == 12)
+    DI.dedup_index_add(spark, idx, accepted)
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, "a genuinely novel document with fresh content here"),  # exact of 12
+            (21, "a genuinely novel document with fresh content there"),  # near of 12
+        ],
+        "doc_id long, text string",
+    )
+    v2 = {r["doc_id"]: (r["verdict"], r["dup_of"])
+          for r in DI.dedup_index_screen(spark, idx, batch2).collect()}
+    assert v2[20] == ("exact_dup", 12)
+    assert v2[21][0] == "near_dup" and v2[21][1] == 12
