@@ -83,6 +83,11 @@ ENTRIES = [
     "classifier_auc_docs",       # rank-identity AUC over logit levels (r3c)
     "itemsim_cosine_parts",      # support-pruned co-purchase CF (r3c fix)
     "itemsim_dimsum_parts",      # DIMSUM-sampled CF scale path (r4)
+    "fd_discovery_orders",       # one-scan inline() FD grid (r4 rewrite)
+    "dedup_index_screen_docs",   # persisted-index batch screen (r4)
+    "knn_ivf_persisted",         # partition-pruned index query (r4)
+    "jaccard_calibration_sampled",  # md5-sampled calibration (r4)
+    "versioned_merge_read_latest",  # versioned-table read path (r4)
     "abc_classification_parts",  # global_row_number + block prefix (r3c)
     "sequence_entropy_users",    # user-partitioned bigram entropy (r3c)
     "time_weighted_avg_users",   # exact int64 duration-weighted mean (r3c)
