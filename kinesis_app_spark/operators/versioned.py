@@ -152,6 +152,7 @@ def vt_merge(
     seq_col: str | None = None,
     expected_version: int | None = None,
     batch_id: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO, copy-on-write, optimistically-concurrent.
 
@@ -161,6 +162,13 @@ def vt_merge(
     writer based its changes on: if another commit landed in between,
     ``VersionConflictError`` is raised BEFORE any data is written (and
     the create-race is still resolved atomically at commit time).
+
+    ``merge_schema=True`` is Delta's schema-evolution-on-MERGE: columns
+    present in ``changes`` but not in the snapshot are ADDED (null for
+    every pre-existing row); without it an unexpected column raises —
+    silent column drops are how pipelines lose data. Old versions keep
+    their old schema (evolution is forward-only, like the table
+    formats).
     """
     base = vt_latest_version(table_dir)
     if base < 0:
@@ -170,6 +178,19 @@ def vt_merge(
             f"expected version {expected_version}, table is at {base}"
         )
     snapshot = vt_read(spark, table_dir, base)
+    reserved = {op_col, seq_col}
+    extra = [
+        f for f in changes.schema.fields
+        if f.name not in snapshot.columns and f.name not in reserved
+    ]
+    if extra and not merge_schema:
+        raise ValueError(
+            f"vt_merge: changes carry new columns "
+            f"{[f.name for f in extra]}; pass merge_schema=True to evolve "
+            "the table schema (refusing to silently drop them)"
+        )
+    for f in extra:
+        snapshot = snapshot.withColumn(f.name, F.lit(None).cast(f.dataType))
     merged = apply_changes(
         snapshot, changes, keys=keys, op_col=op_col, seq_col=seq_col
     )
@@ -353,6 +374,10 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
         m = _read_manifest(table_dir, v)
         if m.get("vacuumed"):
             continue
+        if m.get("external"):
+            # shallow-cloned version: the data files belong to the
+            # SOURCE table — deleting them here would corrupt it
+            continue
         shutil.rmtree(m["data_dir"], ignore_errors=True)
         m["vacuumed"] = True
         # single-writer metadata update (vacuum is a maintenance job,
@@ -363,3 +388,27 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
         os.replace(tmp, _manifest_path(table_dir, v))
         vacuumed.append(v)
     return vacuumed
+
+
+def vt_clone(table_dir: str, clone_dir: str) -> int:
+    """SHALLOW CLONE: copy the commit manifests; the (immutable) data
+    files are SHARED with the source — a zero-copy fork for
+    experiments/backfills, exactly Delta's CLONE semantics. New commits
+    on the clone write under the clone's own data dir, so the source is
+    never touched. Cloned versions are marked ``external: true`` and
+    ``vt_vacuum`` skips them: vacuuming a clone must never delete files
+    the SOURCE still references (the classic shallow-clone VACUUM
+    hazard, guarded here by construction). Returns the cloned latest
+    version."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    if vt_latest_version(clone_dir) >= 0:
+        raise FileExistsError(f"clone target {clone_dir} already exists")
+    os.makedirs(_manifest_dir(clone_dir), exist_ok=True)
+    for v in range(latest + 1):
+        m = _read_manifest(table_dir, v)
+        m["external"] = True  # data files belong to the source table
+        with open(_manifest_path(clone_dir, v), "w") as fh:
+            json.dump(m, fh)
+    return latest

@@ -492,6 +492,50 @@ ORDER BY _change_type, o_orderkey
 """
 
 
+def versioned_schema_evolution(spark, sf_dir):
+    """Schema evolution on MERGE (Delta's mergeSchema): a change batch
+    carrying a NEW column (o_channel) merges with merge_schema=True —
+    the column is added to the table, null for every pre-existing row,
+    populated for the merged keys; without the flag vt_merge REFUSES
+    (silently dropping an unknown column is how pipelines lose data —
+    the refusal is pinned in tests/test_round4.py). Old versions keep
+    the old schema (forward-only evolution, as in the table formats)."""
+    import os
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT_ROOT, f"orders_evo_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    if not os.path.exists(marker):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(*_VT_COLS)
+        VT.vt_create(o, table_dir)
+        evolved = o.filter(F.col("o_orderkey") % 5 == 0).select(
+            *_VT_COLS,
+            F.lit("web").alias("o_channel"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+        VT.vt_merge(
+            spark, table_dir, evolved, keys=["o_orderkey"], seq_col="seq",
+            merge_schema=True,
+        )
+        open(marker, "w").close()
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_EVOLUTION_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'web' END AS o_channel
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # =====================================================================
 # persisted near-dup index (build once, screen every batch)
 # =====================================================================
@@ -897,6 +941,9 @@ REGISTRY_ROUND4: dict[str, QuerySpec] = {
     ),
     "versioned_changes_cdf": QuerySpec(
         versioned_changes_cdf, VERSIONED_CDF_SQL
+    ),
+    "versioned_schema_evolution": QuerySpec(
+        versioned_schema_evolution, VERSIONED_EVOLUTION_SQL
     ),
 }
 

@@ -556,3 +556,59 @@ def test_dedup_index_screen_add_rescreen_loop(spark, tmp_path):
           for r in DI.dedup_index_screen(spark, idx, batch2).collect()}
     assert v2[20] == ("exact_dup", 12)
     assert v2[21][0] == "near_dup" and v2[21][1] == 12
+
+
+def test_versioned_merge_refuses_silent_column_drop(spark, tmp_path):
+    """A change batch with an unknown column must raise without
+    merge_schema=True — dropping it silently loses data."""
+    import pytest
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    VTmod, table = _mk_vt(spark, tmp_path)
+    ch = spark.createDataFrame(
+        [(2, "B", "extra", "U")], "k long, v string, w string, op string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        VT.vt_merge(spark, table, ch, keys=["k"])
+    v1 = VT.vt_merge(spark, table, ch, keys=["k"], merge_schema=True)
+    rows = {r["k"]: (r["v"], r["w"])
+            for r in VT.vt_read(spark, table, v1).collect()}
+    assert rows == {1: ("a", None), 2: ("B", "extra"), 3: ("c", None)}
+    # old version keeps the old schema (forward-only evolution)
+    assert "w" not in VT.vt_read(spark, table, 0).columns
+
+
+def test_versioned_shallow_clone_shares_files_and_guards_vacuum(
+    spark, tmp_path
+):
+    """CLONE copies manifests only (zero-copy fork); commits on the
+    clone never touch the source, and vacuuming the clone must NOT
+    delete the source's shared data files (external-version guard)."""
+    import glob
+    import os
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    VTmod, table = _mk_vt(spark, tmp_path)
+    VT.vt_merge(
+        spark, table, _changes(spark, [(2, "B", "U")]), keys=["k"]
+    )
+    clone = str(tmp_path / "clone")
+    assert VT.vt_clone(table, clone) == 1
+    # clone reads identically, sharing the source's files
+    assert sorted(
+        (r["k"], r["v"]) for r in VT.vt_read(spark, clone).collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+    assert glob.glob(os.path.join(clone, "data", "v*")) == []
+    # diverge the clone; source unaffected
+    VT.vt_merge(spark, clone, _changes(spark, [(9, "z", "U")]), keys=["k"])
+    assert VT.vt_latest_version(clone) == 2
+    assert VT.vt_latest_version(table) == 1
+    assert VT.vt_read(spark, table).count() == 3
+    # vacuum the clone hard: external (shared) versions are skipped, so
+    # every source file survives and the source still reads
+    gone = VT.vt_vacuum(clone, retain_last=1)
+    assert gone == []  # v0/v1 are external; v2 is the retained tail
+    assert len(glob.glob(os.path.join(table, "data", "v*"))) == 2
+    assert VT.vt_read(spark, table, 0).count() == 3
