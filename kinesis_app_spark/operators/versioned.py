@@ -153,6 +153,7 @@ def vt_merge(
     expected_version: int | None = None,
     batch_id: int | None = None,
     merge_schema: bool = False,
+    check: str | None = None,
 ) -> int:
     """MERGE INTO, copy-on-write, optimistically-concurrent.
 
@@ -169,6 +170,11 @@ def vt_merge(
     silent column drops are how pipelines lose data. Old versions keep
     their old schema (evolution is forward-only, like the table
     formats).
+
+    ``check`` is a CHECK-constraint SQL predicate evaluated over the
+    MERGED result BEFORE anything is written: any violating row aborts
+    the merge (no version is committed, the table is untouched) — the
+    quality gate belongs in the commit path, not a day-later audit.
     """
     base = vt_latest_version(table_dir)
     if base < 0:
@@ -194,6 +200,13 @@ def vt_merge(
     merged = apply_changes(
         snapshot, changes, keys=keys, op_col=op_col, seq_col=seq_col
     )
+    if check is not None:
+        n_bad = merged.filter(f"NOT ({check})").count()
+        if n_bad:
+            raise ValueError(
+                f"vt_merge: CHECK ({check}) violated by {n_bad} row(s); "
+                "merge aborted, no version committed"
+            )
     new_version = base + 1
     data_dir = _write_data(merged, table_dir, new_version)
     n = spark.read.parquet(data_dir).count()
@@ -369,6 +382,14 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     keep_from = max(0, latest - max(1, retain_last) + 1)
+    # RESTORE commits re-reference an older version's data dir, so the
+    # same dir can back several versions: never delete a dir a RETAINED
+    # version still points at (file-level reference counting, the job
+    # a table format's log does)
+    referenced = {
+        _read_manifest(table_dir, v)["data_dir"]
+        for v in range(keep_from, latest + 1)
+    }
     vacuumed = []
     for v in range(keep_from):
         m = _read_manifest(table_dir, v)
@@ -378,6 +399,8 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
             # shallow-cloned version: the data files belong to the
             # SOURCE table — deleting them here would corrupt it
             continue
+        if m["data_dir"] in referenced:
+            continue  # still backs a retained version (RESTORE target)
         shutil.rmtree(m["data_dir"], ignore_errors=True)
         m["vacuumed"] = True
         # single-writer metadata update (vacuum is a maintenance job,
@@ -412,3 +435,29 @@ def vt_clone(table_dir: str, clone_dir: str) -> int:
         with open(_manifest_path(clone_dir, v), "w") as fh:
             json.dump(m, fh)
     return latest
+
+
+def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
+    """RESTORE TO VERSION AS OF: commit a NEW version whose data is the
+    target version's (zero-copy — the new manifest references the old
+    immutable file set; ``vt_vacuum`` is reference-aware so the shared
+    dir survives as long as any retained version points at it). History
+    is append-only: a restore never rewrites the log, it adds a commit
+    — the audit trail keeps both the mistake and the fix."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    target = _read_manifest(table_dir, version)
+    if target.get("vacuumed"):
+        raise FileNotFoundError(
+            f"cannot restore to vacuumed version {version}"
+        )
+    new_version = latest + 1
+    _commit(
+        table_dir,
+        new_version,
+        target["data_dir"],
+        int(target["n_rows"]),
+        f"RESTORE({version})",
+    )
+    return new_version

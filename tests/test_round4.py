@@ -612,3 +612,53 @@ def test_versioned_shallow_clone_shares_files_and_guards_vacuum(
     assert gone == []  # v0/v1 are external; v2 is the retained tail
     assert len(glob.glob(os.path.join(table, "data", "v*"))) == 2
     assert VT.vt_read(spark, table, 0).count() == 3
+
+
+def test_versioned_restore_and_reference_aware_vacuum(spark, tmp_path):
+    """RESTORE commits a zero-copy re-reference of an old version;
+    VACUUM must then NOT delete the shared data dir while any retained
+    version points at it — file-level reference counting."""
+    import glob
+    import os
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    VTmod, table = _mk_vt(spark, tmp_path)            # v0: {1:a,2:b,3:c}
+    VT.vt_merge(spark, table,
+                _changes(spark, [(2, None, "D")]), keys=["k"])  # v1: drop 2
+    v2 = VT.vt_restore(spark, table, 0)               # v2 == v0 content
+    assert v2 == 2
+    assert sorted(r["k"] for r in VT.vt_read(spark, table).collect()) == [
+        1, 2, 3,
+    ]
+    hist = {r["version"]: r["operation"]
+            for r in VT.vt_history(spark, table).collect()}
+    assert hist[2] == "RESTORE(0)"
+    # vacuum retaining only v2: v0's dir is SHARED with v2 -> survives;
+    # v1's dir goes
+    gone = VT.vt_vacuum(table, retain_last=1)
+    assert gone == [1]
+    assert len(glob.glob(os.path.join(table, "data", "v*"))) == 1
+    assert VT.vt_read(spark, table).count() == 3  # still readable
+
+
+def test_versioned_merge_check_constraint_aborts(spark, tmp_path):
+    """A CHECK-violating merge aborts BEFORE commit: no new version, no
+    file writes, table untouched; a clean merge with the same predicate
+    passes."""
+    import pytest
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    VTmod, table = _mk_vt(spark, tmp_path)
+    with pytest.raises(ValueError, match="CHECK"):
+        VT.vt_merge(
+            spark, table, _changes(spark, [(2, None, "U")]), keys=["k"],
+            check="v IS NOT NULL",
+        )
+    assert VT.vt_latest_version(table) == 0
+    v1 = VT.vt_merge(
+        spark, table, _changes(spark, [(2, "B", "U")]), keys=["k"],
+        check="v IS NOT NULL",
+    )
+    assert v1 == 1
