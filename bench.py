@@ -63,8 +63,20 @@ def main() -> int:
     # with BENCH_r01-r03; every raw timing ships in the artifact so no
     # discipline is selectively optimistic.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # wall-clock budget: if a contention storm drags a completed pass
+    # past this, later passes are skipped (min/median fall back to the
+    # passes that ran) — a parseable artifact beats a killed run
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+    t_start = time.perf_counter()
     passes: dict[str, list[float]] = {n: [] for n in registry.REGISTRY}
     for p in range(n_passes):
+        if p > 0 and time.perf_counter() - t_start > budget_s:
+            print(
+                f"BENCH BUDGET: skipping pass {p + 1}+ "
+                f"({time.perf_counter() - t_start:.0f}s > {budget_s:.0f}s)",
+                file=sys.stderr,
+            )
+            break
         for name, spec in registry.REGISTRY.items():
             try:
                 t = run_once(name, spec)
@@ -99,7 +111,8 @@ def main() -> int:
         # the registry GROWS every round (114 -> 285+ queries): totals are
         # not comparable across rounds, per-query mean is
         "n_queries": n_ok,
-        "n_passes": n_passes,
+        # ACTUAL completed passes (budget guard may have trimmed them)
+        "n_passes": max((len(ts) for ts in passes.values()), default=0),
         "sec_per_query_median": round(total_median / max(n_ok, 1), 3),
         "value_min": total_min,
         "sec_per_query_min": round(total_min / max(n_ok, 1), 3),
