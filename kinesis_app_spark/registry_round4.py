@@ -16,6 +16,41 @@ from pyspark.sql import functions as F
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 # =====================================================================
+# cache discipline for disk-persisted builds
+# =====================================================================
+
+def _table_sig(sf_dir: str, name: str) -> str:
+    """Content fingerprint (total size + newest mtime) of a source
+    table. Every /tmp-cached build below stores this in its marker: the
+    driver REGENERATES /root/testdata between rounds (the events ts
+    type has literally changed across rounds), and an entry serving a
+    cache built from last round's data would fail the value gate — the
+    marker must be a function of the data, not just the path."""
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        tot, mt = 0, 0
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            tot += st.st_size
+            mt = max(mt, st.st_mtime_ns)
+        return f"{tot}:{mt}"
+    st = os.stat(p)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _fresh_marker(marker: str, sig: str) -> bool:
+    """True iff the marker exists AND records the current source sig."""
+    import os
+
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return fh.read().strip() == sig
+
+
+# =====================================================================
 # DIMSUM-sampled item-item collaborative filtering
 # =====================================================================
 
@@ -233,13 +268,18 @@ def _index_dir(kind: str, sf_dir: str) -> str:
     return os.path.join(_INDEX_ROOT, f"{kind}_{tag}")
 
 
-def _ensure_built(build_fn, index_dir: str) -> str:
+def _ensure_built(build_fn, index_dir: str, sig: str) -> str:
     import os
+    import shutil
 
     marker = os.path.join(index_dir, "_BUILT")
-    if not os.path.exists(marker):
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(index_dir):  # stale (prior round's data) build
+            shutil.rmtree(index_dir)
         build_fn(index_dir)
-        open(marker, "w").close()
+        os.makedirs(index_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(sig)
     return index_dir
 
 
@@ -264,6 +304,7 @@ def knn_ivf_persisted(spark, sf_dir):
     idx = _ensure_built(
         lambda d: VI.ivf_build(emb, d, n_centroids=16),
         _index_dir("ivf", sf_dir),
+        _table_sig(sf_dir, "embeddings"),
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return VI.ivf_query(spark, idx, queries, k=5, nprobe=14).withColumn(
@@ -289,6 +330,7 @@ def knn_pq_persisted(spark, sf_dir):
     idx = _ensure_built(
         lambda d: VI.pq_build(emb, d, m=32, n_codes=16),
         _index_dir("pq", sf_dir),
+        _table_sig(sf_dir, "embeddings"),
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return VI.pq_query(
@@ -329,9 +371,10 @@ def _vt_orders_table(spark, sf_dir) -> str:
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     table_dir = os.path.join(_VT_ROOT, f"orders4_{tag}")
     marker = os.path.join(table_dir, "_DONE")
-    if os.path.exists(marker):
+    sig = _table_sig(sf_dir, "orders")
+    if _fresh_marker(marker, sig):
         return table_dir
-    if os.path.isdir(table_dir):  # partial build from a dead run
+    if os.path.isdir(table_dir):  # partial or stale (prior round) build
         import shutil
 
         shutil.rmtree(table_dir)
@@ -369,7 +412,8 @@ def _vt_orders_table(spark, sf_dir) -> str:
         keys=["o_orderkey"], seq_col="seq", expected_version=1,
     )
     VT.vt_optimize(spark, table_dir, cluster_cols=["o_orderkey"])
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(sig)
     return table_dir
 
 
@@ -508,7 +552,8 @@ def versioned_schema_evolution(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     table_dir = os.path.join(_VT_ROOT, f"orders_evo_{tag}")
     marker = os.path.join(table_dir, "_DONE")
-    if not os.path.exists(marker):
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
         if os.path.isdir(table_dir):
             shutil.rmtree(table_dir)
         o = _t(spark, sf_dir, "orders").select(*_VT_COLS)
@@ -523,7 +568,8 @@ def versioned_schema_evolution(spark, sf_dir):
             spark, table_dir, evolved, keys=["o_orderkey"], seq_col="seq",
             merge_schema=True,
         )
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(sig)
     return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
 
 
@@ -550,15 +596,21 @@ def _dedup_index_dir(spark, sf_dir) -> str:
 
     from kinesis_app_spark.operators import dedupindex as DI
 
+    import shutil
+
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
     idx = os.path.join("/tmp/kinesis_dedup_index", f"docs_{tag}")
     marker = os.path.join(idx, "_BUILT")
-    if os.path.exists(marker):
+    sig = _table_sig(sf_dir, "documents")
+    if _fresh_marker(marker, sig):
         return idx
+    if os.path.isdir(idx):  # stale (prior round's data) build
+        shutil.rmtree(idx)
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(_md5_u("doc_id") >= F.lit(_DEDUP_IDX_BATCH_RATE))
     DI.dedup_index_build(corpus, idx)
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(sig)
     return idx
 
 
