@@ -718,6 +718,178 @@ ORDER BY doc_id
 """
 
 
+def streaming_dedup_index_ingest(spark, sf_dir):
+    """The persisted-index ingestion loop AS A STREAM (the round-4
+    capstone): two mtime-ordered document micro-batches flow through
+    foreachBatch; each epoch SCREENS against the index
+    (exact/near/new), appends its NEW docs via dedup_index_add, and
+    records the verdicts — so batch 2 dedups against batch 1's
+    accepted docs, not just the seed corpus. That cross-batch
+    dependency is the value gate's point: the oracle computes batch 1's
+    verdicts vs the corpus, derives its 'new' set, and screens batch 2
+    against corpus + batch-1-news — sequential screen-and-add replayed
+    declaratively. The index is built fresh per call (adds mutate it;
+    a cached index would double-add on rerun).
+
+    Split: corpus u >= 0.3 (the persisted index), batch 1 u < 0.15,
+    batch 2 u in [0.15, 0.3)."""
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.streaming.sources import file_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(_md5_u("doc_id") >= F.lit(0.3))
+    b1 = docs.filter(_md5_u("doc_id") < F.lit(0.15))
+    b2 = docs.filter(
+        (_md5_u("doc_id") >= F.lit(0.15)) & (_md5_u("doc_id") < F.lit(0.3))
+    )
+    idx = os.path.join(
+        tempfile.gettempdir(), f"dedup_stream_idx_{uuid.uuid4().hex[:12]}"
+    )
+    DI.dedup_index_build(corpus, idx)
+
+    src = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    first_files = set(os.listdir(src))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    newest = max(
+        os.stat(os.path.join(src, f)).st_mtime for f in first_files
+    )
+    for f in set(os.listdir(src)) - first_files:
+        os.utime(os.path.join(src, f), (newest + 5, newest + 5))
+
+    out_dir = tempfile.mkdtemp(prefix="dedup_stream_out_")
+
+    def ingest(batch_df, epoch_id):
+        verdicts = DI.dedup_index_screen(
+            spark, idx, batch_df, threshold=0.5
+        ).localCheckpoint(eager=True)  # pin BEFORE the add mutates the index
+        DI.dedup_index_add(
+            spark, idx,
+            batch_df.join(
+                verdicts.filter(F.col("verdict") == "new").select("doc_id"),
+                "doc_id",
+            ),
+        )
+        verdicts.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    stream = file_stream(spark, src, b1.schema, max_files_per_trigger=1)
+    (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "verdict", "dup_of", "jaccard")
+        .orderBy("doc_id")
+    )
+
+
+STREAMING_DEDUP_INDEX_SQL = r"""
+WITH u AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1e6 AS u
+  FROM documents
+), corpus0 AS (
+  SELECT doc_id, text FROM u WHERE u >= 0.3
+), b1 AS (
+  SELECT doc_id, text FROM u WHERE u < 0.15
+), b2 AS (
+  SELECT doc_id, text FROM u WHERE u >= 0.15 AND u < 0.3
+), shAll AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 1, 1))])
+           AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS toks
+    FROM u
+  )
+  WHERE len(toks) >= 3
+), sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shAll),
+post AS (SELECT doc_id, unnest(shingles) AS shingle FROM shAll),
+-- epoch 1: batch 1 vs the seed corpus
+ex1 AS (
+  SELECT b.doc_id, min(c.doc_id) AS dup_of
+  FROM b1 b JOIN corpus0 c ON md5(b.text) = md5(c.text)
+  GROUP BY 1
+), jac1 AS (
+  SELECT pb.doc_id AS bid, pc.doc_id AS cid,
+         count(*) / (sb.n_sh + sc.n_sh - count(*)) AS j
+  FROM post pb
+  JOIN post pc ON pb.shingle = pc.shingle
+  JOIN sizes sb ON sb.doc_id = pb.doc_id
+  JOIN sizes sc ON sc.doc_id = pc.doc_id
+  WHERE pb.doc_id IN (SELECT doc_id FROM b1)
+    AND pc.doc_id IN (SELECT doc_id FROM corpus0)
+  GROUP BY pb.doc_id, pc.doc_id, sb.n_sh, sc.n_sh
+  HAVING count(*) / (sb.n_sh + sc.n_sh - count(*)) >= 0.5
+), near1 AS (
+  SELECT bid AS doc_id, cid AS dup_of, round(j, 4) AS jaccard
+  FROM (SELECT bid, cid, j, row_number()
+          OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rn FROM jac1)
+  WHERE rn = 1 AND bid NOT IN (SELECT doc_id FROM ex1)
+), v1 AS (
+  SELECT doc_id, 'exact_dup' AS verdict, dup_of, 1.0 AS jaccard FROM ex1
+  UNION ALL SELECT doc_id, 'near_dup', dup_of, jaccard FROM near1
+  UNION ALL
+  SELECT doc_id, 'new', NULL, NULL FROM b1
+  WHERE doc_id NOT IN (SELECT doc_id FROM ex1)
+    AND doc_id NOT IN (SELECT doc_id FROM near1)
+), corpus1 AS (  -- the index after epoch 1's adds
+  SELECT doc_id, text FROM corpus0
+  UNION ALL
+  SELECT b.doc_id, b.text FROM b1 b
+  WHERE b.doc_id IN (SELECT doc_id FROM v1 WHERE verdict = 'new')
+),
+-- epoch 2: batch 2 vs corpus + batch-1 news
+ex2 AS (
+  SELECT b.doc_id, min(c.doc_id) AS dup_of
+  FROM b2 b JOIN corpus1 c ON md5(b.text) = md5(c.text)
+  GROUP BY 1
+), jac2 AS (
+  SELECT pb.doc_id AS bid, pc.doc_id AS cid,
+         count(*) / (sb.n_sh + sc.n_sh - count(*)) AS j
+  FROM post pb
+  JOIN post pc ON pb.shingle = pc.shingle
+  JOIN sizes sb ON sb.doc_id = pb.doc_id
+  JOIN sizes sc ON sc.doc_id = pc.doc_id
+  WHERE pb.doc_id IN (SELECT doc_id FROM b2)
+    AND pc.doc_id IN (SELECT doc_id FROM corpus1)
+  GROUP BY pb.doc_id, pc.doc_id, sb.n_sh, sc.n_sh
+  HAVING count(*) / (sb.n_sh + sc.n_sh - count(*)) >= 0.5
+), near2 AS (
+  SELECT bid AS doc_id, cid AS dup_of, round(j, 4) AS jaccard
+  FROM (SELECT bid, cid, j, row_number()
+          OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rn FROM jac2)
+  WHERE rn = 1 AND bid NOT IN (SELECT doc_id FROM ex2)
+), v2 AS (
+  SELECT doc_id, 'exact_dup' AS verdict, dup_of, 1.0 AS jaccard FROM ex2
+  UNION ALL SELECT doc_id, 'near_dup', dup_of, jaccard FROM near2
+  UNION ALL
+  SELECT doc_id, 'new', NULL, NULL FROM b2
+  WHERE doc_id NOT IN (SELECT doc_id FROM ex2)
+    AND doc_id NOT IN (SELECT doc_id FROM near2)
+)
+SELECT doc_id, verdict, dup_of, jaccard FROM v1
+UNION ALL
+SELECT doc_id, verdict, dup_of, jaccard FROM v2
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # streaming MERGE into the versioned table (epoch-idempotent sink)
 # =====================================================================
@@ -981,6 +1153,9 @@ REGISTRY_ROUND4: dict[str, QuerySpec] = {
     ),
     "dedup_index_screen_docs": QuerySpec(
         dedup_index_screen_docs, DEDUP_INDEX_SCREEN_SQL
+    ),
+    "streaming_dedup_index_ingest": QuerySpec(
+        streaming_dedup_index_ingest, STREAMING_DEDUP_INDEX_SQL
     ),
     "versioned_merge_read_latest": QuerySpec(
         versioned_merge_read_latest, VERSIONED_LATEST_SQL
