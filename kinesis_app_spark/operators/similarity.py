@@ -216,6 +216,7 @@ def ivf_topk(
     refine_iterations: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file (IVF) partitioning.
 
@@ -224,6 +225,13 @@ def ivf_topk(
     (kmeans_refine) tighten the cells. Corpus assignment = argmax cosine vs
     broadcast centroids (single corpus scan); each query probes its nprobe
     nearest cells.
+
+    ``cell_quantize=d`` rounds the centroid-affinity scores to d decimals
+    BEFORE the argmax/probe ranking (ties then break on cell asc): cell
+    assignment becomes portable across engines — a last-ULP difference in
+    two engines' dot products can otherwise flip an argmax — which is
+    what lets the aggressively-pruned path itself sit under a value gate
+    instead of only a recall test.
     """
     cents = (
         corpus.orderBy(F.col(id_col))
@@ -239,9 +247,10 @@ def ivf_topk(
         )
 
     def assign(df: DataFrame, vcol: str, out: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cell_cos", cosine_similarity(F.col(vcol), F.col("centv"))
-        )
+        aff = cosine_similarity(F.col(vcol), F.col("centv"))
+        if cell_quantize is not None:
+            aff = F.round(aff, cell_quantize)
+        scored = df.crossJoin(F.broadcast(cents)).withColumn("cell_cos", aff)
         return top_k_per_group(
             scored.drop("centv"),
             keys=[df.columns[0]],

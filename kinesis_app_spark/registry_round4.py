@@ -254,6 +254,73 @@ ORDER BY item, rank
 """
 
 
+def knn_ivf_pruned(spark, sf_dir):
+    """IVF at AGGRESSIVE pruning (nprobe=4 of 16) under the FULL value
+    gate — not just a recall test: with centroid-affinity scores
+    quantized to 6dp before the argmax/probe ranking (ties on cell
+    asc), cell assignment is bit-portable, so DuckDB can replay the
+    entire approximate pipeline — seed centroids, corpus argmax
+    assignment, per-query probe ranking, candidate scoring, top-k —
+    and the APPROXIMATE ANSWER ITSELF hash-matches. This closes the
+    one gap in the ANN gate story: knn_ivf gates exactness at
+    conservative nprobe, this entry gates the pruned path a production
+    deployment actually runs. Recall vs brute force at these params
+    stays covered in tests/test_operators.py."""
+    from kinesis_app_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, cell_quantize=6
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+KNN_IVF_PRUNED_SQL = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+), corpus_aff AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.centv::DOUBLE[]), 6) AS aff
+  FROM embeddings e CROSS JOIN cents c
+), corpus_cell AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY aff DESC, cell) AS rn
+    FROM corpus_aff
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+), q_aff AS (
+  SELECT q.vec_id, q.embedding, c.cell,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.centv::DOUBLE[]), 6) AS aff
+  FROM q CROSS JOIN cents c
+), q_probe AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY aff DESC, cell) AS rn
+    FROM q_aff
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT qp.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         round(list_cosine_similarity(cc.embedding::DOUBLE[],
+                                      qp.embedding::DOUBLE[]), 6) AS cos
+  FROM q_probe qp JOIN corpus_cell cc ON cc.cell = qp.cell
+  WHERE cc.vec_id != qp.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+FROM cand
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 # =====================================================================
 # persisted vector indexes (build once, query many)
 # =====================================================================
@@ -1145,6 +1212,7 @@ ORDER BY p.user_id
 
 REGISTRY_ROUND4: dict[str, QuerySpec] = {
     "itemsim_dimsum_parts": QuerySpec(itemsim_dimsum_parts, ITEMSIM_DIMSUM_SQL),
+    "knn_ivf_pruned": QuerySpec(knn_ivf_pruned, KNN_IVF_PRUNED_SQL),
     "streaming_ttl_sessions": QuerySpec(
         streaming_ttl_sessions, STREAMING_TTL_SQL
     ),

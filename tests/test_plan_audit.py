@@ -83,6 +83,8 @@ ALLOWED_NLJ: dict[str, str] = {
     "range_join_price_bands": "band table is a tiny broadcast dimension",
     "knn_brute_force": "query set broadcast (|Q| small); corpus scanned once",
     "knn_ivf": "centroid table broadcast; probe prunes cells",
+    "knn_ivf_pruned": "same centroid-broadcast shape as knn_ivf "
+    "(aggressive-nprobe, quantized-affinity twin)",
     "knn_ivf_persisted": "centroid table broadcast (read from the "
     "persisted index); probe prunes postings cells via PartitionFilters "
     "(asserted in tests/test_round4.py)",
@@ -188,6 +190,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "LEVEL table — bounded by observation span in days",
     "knn_ivf": "windows run over the centroid seed table / query-bounded "
     "result set (|Q| x k rows) — bounded by operator contract",
+    "knn_ivf_pruned": "same bounded windows as knn_ivf (seed table + "
+    "query-bounded results)",
     "skyline_orders": "running-min runs over ONE ROW PER DISTINCT PRICE "
     "(the group summary), not the orders table — the O(n log n) rewrite "
     "of the quadratic NOT-EXISTS skyline",
