@@ -90,6 +90,24 @@ def main() -> int:
         ok = sorted(t for t in ts if t >= 0)
         return pick(ok) if ok else -1.0
 
+    # a query that errored in SOME passes but succeeded in others is
+    # FLAKY: its min/median recover from the good passes, but the run
+    # must still flag it (round-4 advice — the single-pass harness
+    # surfaced any error via exit code; interleaving must not hide them)
+    err_counts = {
+        n: sum(1 for t in ts if t < 0) for n, ts in passes.items()
+    }
+    flaky = sorted(
+        n for n, ts in passes.items()
+        if err_counts[n] and any(t >= 0 for t in ts)
+    )
+    for n in flaky:
+        print(
+            f"BENCH FLAKY {n}: {err_counts[n]}/{len(passes[n])} passes "
+            "errored",
+            file=sys.stderr,
+        )
+
     first_shot = {n: (ts[0] if ts else -1.0) for n, ts in passes.items()}
     q_min = {n: _agg(ts, lambda s: s[0]) for n, ts in passes.items()}
     q_median = {
@@ -119,6 +137,9 @@ def main() -> int:
         # pass-1-only continuity numbers (comparable to BENCH_r01-r03)
         "value_first_shot": total_first,
         "sec_per_query": round(total_first / max(n_ok, 1), 3),
+        # intermittently-erroring queries (succeeded in >=1 pass): 0 is
+        # the healthy value; nonzero exits 2 so the driver sees it
+        "n_flaky": len(flaky),
     }
     # full record (every raw per-pass timing) for the judge
     full = dict(summary)
@@ -126,6 +147,7 @@ def main() -> int:
     full["queries_min"] = q_min
     full["queries_median"] = q_median
     full["queries_passes"] = passes
+    full["queries_flaky"] = {n: err_counts[n] for n in flaky}
     result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_RESULT.json")
     with open(result_path, "w") as fh:
@@ -136,7 +158,11 @@ def main() -> int:
     # 285-entry dict overflowed it in r1/r2, leaving BENCH_r{N} unparsed)
     line = json.dumps(summary, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
-    return 1 if any(t < 0 for t in q_min.values()) else 0
+    if any(t < 0 for t in q_min.values()):
+        return 1  # some query failed in EVERY pass
+    if flaky:
+        return 2  # every query has a good pass, but some also errored
+    return 0
 
 
 if __name__ == "__main__":

@@ -27,15 +27,43 @@ SURVEY.md §2.2 north-star similarity search.
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_app_spark.functions.vector import cosine_similarity
 from kinesis_app_spark.operators.relational import top_k_per_group
 from kinesis_app_spark.operators.similarity import kmeans_refine
 from kinesis_app_spark.operators.util import spread
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic single-writer manifest update: temp file + ``os.replace``
+    — a crash mid-update leaves the OLD manifest intact (Spark's
+    ``mode("overwrite")`` deletes-then-writes, which can leave NO
+    manifest; round-4 advice). Legacy directory-form manifests (written
+    by Spark in earlier rounds) are cleared first."""
+    import shutil
+
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.isdir(path):  # legacy Spark-written manifest directory
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _read_manifest(spark: SparkSession, index_dir: str) -> dict:
+    """Manifest as a plain dict; reads both the current single-file form
+    and the legacy Spark-written directory form."""
+    path = os.path.join(index_dir, "manifest.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return spark.read.json(path).collect()[0].asDict()
 
 
 def ivf_build(
@@ -90,22 +118,17 @@ def ivf_build(
         os.path.join(index_dir, "postings.parquet")
     )
 
-    spark = corpus.sparkSession
     dims = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
     n_rows = corpus.count()
-    spark.createDataFrame(
-        [
-            (
-                int(n_centroids),
-                int(n_rows),
-                int(dims[0]["d"]) if dims else 0,
-                vec_col,
-                id_col,
-            )
-        ],
-        "n_centroids int, n_rows long, dims int, vec_col string, id_col string",
-    ).coalesce(1).write.mode("overwrite").json(
-        os.path.join(index_dir, "manifest.json")
+    _write_manifest(
+        index_dir,
+        {
+            "n_centroids": int(n_centroids),
+            "n_rows": int(n_rows),
+            "dims": int(dims[0]["d"]) if dims else 0,
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
     )
     cents.unpersist()
 
@@ -132,8 +155,8 @@ def ivf_query(
     scale and must not crash the read path.
     """
     empty = "query_id long, neighbor_id long, cos double, rank int"
-    mani = spark.read.json(os.path.join(index_dir, "manifest.json")).collect()
-    if mani and int(mani[0]["n_rows"]) == 0:
+    mani = _read_manifest(spark, index_dir)
+    if int(mani["n_rows"]) == 0:
         return spark.createDataFrame([], empty)
     cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     q = queries.select(
@@ -225,10 +248,8 @@ def pq_build(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "codes.parquet")
         )
-        spark.createDataFrame(
-            [(m, n_codes, 0, 0)], "m int, n_codes int, dims int, n_rows long"
-        ).coalesce(1).write.mode("overwrite").json(
-            os.path.join(index_dir, "manifest.json")
+        _write_manifest(
+            index_dir, {"m": m, "n_codes": n_codes, "dims": 0, "n_rows": 0}
         )
         return
     train = np.array([r[vec_col] for r in train_rows], dtype=np.float64)
@@ -289,11 +310,9 @@ def pq_build(
         encode, f"{id_col} long, codes array<int>, {vec_col} array<float>"
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes.parquet"))
 
-    spark.createDataFrame(
-        [(m, n_codes, int(d), int(n))],
-        "m int, n_codes int, dims int, n_rows long",
-    ).coalesce(1).write.mode("overwrite").json(
-        os.path.join(index_dir, "manifest.json")
+    _write_manifest(
+        index_dir,
+        {"m": m, "n_codes": n_codes, "dims": int(d), "n_rows": int(n)},
     )
 
 
@@ -314,7 +333,7 @@ def pq_query(
     import numpy as np
     import pandas as pd
 
-    mani = spark.read.json(os.path.join(index_dir, "manifest.json")).collect()[0]
+    mani = _read_manifest(spark, index_dir)
     m, n_codes, d = int(mani["m"]), int(mani["n_codes"]), int(mani["dims"])
     if int(mani["n_rows"]) == 0:  # index over an empty corpus
         return spark.createDataFrame(
@@ -432,6 +451,15 @@ def ivf_append(
     """
     spark = corpus_delta.sparkSession
     cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    if not cents.limit(1).count():
+        # an index built over an EMPTY corpus has no centroids: nothing
+        # could be assigned, yet bumping n_rows would make ivf_query
+        # bypass its empty-index short-circuit and read a postings dir
+        # with no files — refuse loudly instead of losing the delta
+        raise ValueError(
+            "ivf_append: index has no centroids (built over an empty "
+            "corpus) — run ivf_build over the delta instead"
+        )
     c = spread(corpus_delta).select(id_col, vec_col)
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
         "cell_cos", cosine_similarity(F.col(vec_col), F.col("centv"))
@@ -442,23 +470,14 @@ def ivf_append(
         order=[F.col("cell_cos").desc(), F.col("cell").asc()],
         k=1,
     ).select("cell", id_col, vec_col)
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "postings.parquet")
-    )
-    n_new = corpus_delta.count()
-    mani_dir = os.path.join(index_dir, "manifest.json")
-    mani = spark.read.json(mani_dir).collect()[0].asDict()
-    mani["n_rows"] = int(mani["n_rows"]) + int(n_new)
-    # rewrite the manifest via a temp + rename (single-writer metadata)
-    spark.createDataFrame(
-        [
-            (
-                int(mani["n_centroids"]),
-                int(mani["n_rows"]),
-                int(mani["dims"]),
-                mani["vec_col"],
-                mani["id_col"],
-            )
-        ],
-        "n_centroids int, n_rows long, dims int, vec_col string, id_col string",
-    ).coalesce(1).write.mode("overwrite").json(mani_dir)
+    # Observation rides the write: n_rows grows by the rows ACTUALLY
+    # appended (one per delta id), measured on the write itself — not by
+    # a separate corpus_delta.count() that could disagree with it
+    obs = Observation()
+    assigned.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "postings.parquet"))
+    n_new = int(obs.get["n"])
+    mani = _read_manifest(spark, index_dir)
+    mani["n_rows"] = int(mani["n_rows"]) + n_new
+    _write_manifest(index_dir, mani)

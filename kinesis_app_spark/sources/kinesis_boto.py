@@ -42,9 +42,10 @@ readers (option ``readerMode``):
   timestamps are server-assigned and immutable. Boundary discipline:
   per-shard arrival times are non-decreasing (one sequencer per
   shard), records with arrival == start are skipped (they belonged to
-  the previous batch), ``planningLagSeconds`` (default 0) backs the
-  bound off the wall clock for deployments worried about in-flight
-  puts landing "before" an already-planned bound.
+  the previous batch), ``planningLagSeconds`` (default 2) backs the
+  bound off the wall clock so an in-flight put or clock skew can
+  never stamp a record at-or-before an already-planned bound
+  (set 0 only on clock-synchronized rigs probing the boundary).
 
 Sequence numbers are kept as their native opaque decimal STRINGS (they
 exceed int64); ordering comparisons go through ``int()``.
@@ -109,7 +110,14 @@ def _conn_opts(options) -> dict:
             "startingposition", "TRIM_HORIZON"
         ).upper(),
         "reader_mode": options.get("readermode", "simple").lower(),
-        "planning_lag_s": float(options.get("planninglagseconds", 0.0)),
+        # default 2 s: the partitioned planner's arrival-time bound must
+        # trail the wall clock far enough that an in-flight put (or
+        # driver-vs-Kinesis clock skew) cannot be stamped at-or-before an
+        # already-planned bound after the executor read drained to tip —
+        # with 0 such a record lands <= start of the NEXT batch and is
+        # skipped forever (round-4 advice). 0 remains available for
+        # clock-synchronized test rigs probing the boundary protocol.
+        "planning_lag_s": float(options.get("planninglagseconds", 2.0)),
     }
 
 
@@ -528,11 +536,13 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
       restart, records on the start boundary are exactly the previous
       batch's tail (skipped), and the scan stops at the first record
       past end;
-    - ``planningLagSeconds`` backs T off the wall clock for
-      deployments where an in-flight PutRecords could be assigned an
-      arrival time just under an already-planned bound (the Kafka-less
-      protocol's one race); 0 is right when producers and the planner
-      do not overlap within a clock tick.
+    - ``planningLagSeconds`` (default 2) backs T off the wall clock:
+      an in-flight PutRecords or driver-vs-Kinesis clock skew could
+      otherwise assign an arrival time just under an already-planned
+      bound AFTER the executor read drained to tip — the next batch
+      would then skip the record as ts <= start, permanently (the
+      Kafka-less protocol's one race). 0 is for clock-synchronized
+      test rigs probing the boundary protocol itself.
     """
 
     def __init__(self, conn: dict):
@@ -550,7 +560,13 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         if pos == "TRIM_HORIZON":
             return {"ts_us": 0}
         if pos == "LATEST":
-            return {"ts_us": self._now_us()}
+            # UN-lagged now: LATEST means "skip everything already in the
+            # stream", so the initial bound must not reach back into
+            # history; latestOffset() clamps to >= this via _last_ts_us,
+            # so the lagged planner can never emit end < start
+            now = int(time.time() * 1_000_000)
+            self._last_ts_us = max(self._last_ts_us, now)
+            return {"ts_us": now}
         raise ValueError(
             "kinesis_boto partitioned streaming supports startingPosition "
             f"TRIM_HORIZON or LATEST; got {pos}"
@@ -611,16 +627,25 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             past_end = False
             for r in resp["Records"]:
                 ts = _to_utc_naive(r.get("ApproximateArrivalTimestamp"))
-                ts_us = (
-                    int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
-                    if ts is not None
-                    else 0
-                )
-                if ts_us <= partition.start_us:
+                if ts is None:
+                    # a record the server did not stamp cannot be placed
+                    # in any arrival window; treating it as ts=0 would
+                    # skip it FOREVER (<= start of every batch) — take it
+                    # in the batch that first scans it instead
+                    ts_us = None
+                else:
+                    ts_us = int(
+                        ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+                    )
+                if ts_us is not None and ts_us <= partition.start_us:
                     continue  # previous batch's boundary tail
-                if ts_us > partition.end_us:
-                    past_end = True  # per-shard arrival is non-decreasing
-                    break
+                if ts_us is not None and ts_us > partition.end_us:
+                    # AWS documents arrival stamps as only APPROXIMATE:
+                    # keep scanning the rest of THIS response (jitter at
+                    # the boundary must not lose a straddling record),
+                    # then stop fetching
+                    past_end = True
+                    continue
                 rows.append(
                     (
                         partition.shard_id,

@@ -85,7 +85,11 @@ def test_partitions_one_per_shard_and_shard_local_reads(moto_ep):
     _put(client, "ppart", 30, "a")
     time.sleep(0.05)
 
-    rdr = KinesisPartitionedStreamReader(_conn(moto_ep, "ppart"))
+    # lag 0: this test's clock IS the server's clock (same box), and it
+    # asserts records put "just now" land inside the current bound
+    rdr = KinesisPartitionedStreamReader(
+        _conn(moto_ep, "ppart", planningLagSeconds="0")
+    )
     start = rdr.initialOffset()
     assert start == {"ts_us": 0}
     end = rdr.latestOffset()
@@ -116,7 +120,9 @@ def test_arrival_time_bounds_are_exclusive_start_inclusive_end(moto_ep):
 
     client = _kinesis_client(moto_ep)
     client.create_stream(StreamName="pbound", ShardCount=1)
-    rdr = KinesisPartitionedStreamReader(_conn(moto_ep, "pbound"))
+    rdr = KinesisPartitionedStreamReader(
+        _conn(moto_ep, "pbound", planningLagSeconds="0")
+    )
     t0 = rdr.initialOffset()
 
     _put(client, "pbound", 5, "w1")
