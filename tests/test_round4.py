@@ -201,7 +201,10 @@ def _mk_vt(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
     )
-    VT.vt_create(df, table)
+    # single file: these tests reason about which whole FILE SETS die;
+    # a 3-file layout would (correctly) carry untouched key ranges
+    # forward by reference, which the round-5 carry-forward tests cover
+    VT.vt_create(df.coalesce(1), table)
     return VT, table
 
 
@@ -476,7 +479,11 @@ def test_ivf_append_then_full_probe_equals_brute_force(spark, tmp_path):
 def test_versioned_vacuum_reclaims_and_guards(spark, tmp_path):
     """VACUUM deletes old versions' files, keeps the history auditable,
     never touches the retained tail, and reading a vacuumed version
-    raises a clear error (not a missing-file stack)."""
+    raises a clear error (not a missing-file stack). Each merge here
+    also UPDATES k=1, so its key range spans every existing file and
+    each version genuinely rewrites its whole file set — old versions'
+    files are dead, the case vacuum exists to reclaim (carry-forward
+    sharing is covered in tests/test_round5.py)."""
     import glob
     import os
 
@@ -486,13 +493,15 @@ def test_versioned_vacuum_reclaims_and_guards(spark, tmp_path):
 
     table = str(tmp_path / "vt")
     VT.vt_create(
-        spark.createDataFrame([(1, "a")], "k long, v string"), table
+        spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1),
+        table,
     )
     for i, tag in enumerate(["b", "c", "d"]):
         VT.vt_merge(
             spark, table,
             spark.createDataFrame(
-                [(i + 2, tag, "U")], "k long, v string, op string"
+                [(1, f"u{tag}", "U"), (i + 2, tag, "U")],
+                "k long, v string, op string",
             ),
             keys=["k"],
         )

@@ -1,0 +1,232 @@
+"""Round-5 surfaces: file-level pruned copy-on-write MERGE (carry
+untouched files by reference, per-file key stats in manifests),
+file-level reference-counted VACUUM, CHECK validated from the written
+files (single merge execution), CDF file-diff pruning + evolved-column
+diffs, and RESTORE provenance propagation."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators import versioned as VT
+
+
+def _clustered_table(spark, tmp_path, n=100, files=4):
+    """A table whose files hold disjoint key ranges (create + OPTIMIZE
+    — the layout a production table maintains for exactly this)."""
+    table = str(tmp_path / "vt")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_optimize(
+        spark, table, cluster_cols=["k"], max_records_per_file=n // files
+    )
+    return table
+
+
+def _manifest(table, version):
+    with open(VT._manifest_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def test_pruned_merge_carries_untouched_files_by_reference(spark, tmp_path):
+    """A merge whose change keys hit ONE file's range rewrites that file
+    only: every other file appears in the new manifest with an
+    IDENTICAL path (byte-level carry-forward, nothing re-written), and
+    the merged table still reads exactly right."""
+    table = _clustered_table(spark, tmp_path)
+    v_base = VT.vt_latest_version(table)
+    base_files = {f["path"]: f for f in _manifest(table, v_base)["files"]}
+    assert len(base_files) >= 3  # the pruning claim needs >1 file
+
+    # keys 1..3 live in the lowest-range file only
+    ch = spark.createDataFrame(
+        [(1, -1, "U"), (2, None, "D"), (3, -3, "U")],
+        "k long, v long, op string",
+    )
+    stamp_before = {
+        p: os.stat(p).st_mtime_ns for p in base_files
+    }
+    v_new = VT.vt_merge(spark, table, ch, keys=["k"])
+    new_files = {f["path"]: f for f in _manifest(table, v_new)["files"]}
+
+    carried = set(base_files) & set(new_files)
+    rewritten_old = set(base_files) - set(new_files)
+    assert len(rewritten_old) == 1, (
+        f"exactly the low-range file should be replaced: {rewritten_old}"
+    )
+    assert len(carried) == len(base_files) - 1
+    for p in carried:
+        # carried by reference: same path, untouched bytes on disk
+        assert os.stat(p).st_mtime_ns == stamp_before[p]
+        assert new_files[p]["n_rows"] == base_files[p]["n_rows"]
+
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    expect = {k: k * 2 for k in range(100)}
+    expect[1] = -1
+    expect[3] = -3
+    del expect[2]
+    assert got == expect
+    # n_rows is manifest arithmetic (carried counts + new file counts)
+    assert _manifest(table, v_new)["n_rows"] == 99
+
+    # CDF across the pruned merge reports exactly the three changes
+    cdf = VT.vt_changes(spark, table, v_base, v_new, keys=["k"]).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type == {
+        "delete": {2},
+        "update_preimage": {1, 3},
+        "update_postimage": {1, 3},
+    }
+
+
+def test_pure_insert_merge_touches_no_existing_file(spark, tmp_path):
+    """Inserts whose keys land beyond every file's range carry the
+    ENTIRE old file set forward and write only the new rows."""
+    table = _clustered_table(spark, tmp_path)
+    v_base = VT.vt_latest_version(table)
+    base_paths = {f["path"] for f in _manifest(table, v_base)["files"]}
+    ch = spark.createDataFrame(
+        [(1000, 1, "U"), (1001, 2, "U")], "k long, v long, op string"
+    )
+    v_new = VT.vt_merge(spark, table, ch, keys=["k"])
+    new_paths = {f["path"] for f in _manifest(table, v_new)["files"]}
+    assert base_paths <= new_paths  # every old file carried
+    assert len(new_paths - base_paths) >= 1  # plus the insert file(s)
+    assert VT.vt_read(spark, table).count() == 102
+
+
+def test_vacuum_file_level_reference_counting(spark, tmp_path):
+    """An aged version whose files are ALL shared with the retained
+    tail stays readable (deleting them would corrupt the tail); once a
+    later full rewrite makes them dead, vacuum reclaims them."""
+    table = _clustered_table(spark, tmp_path)  # v0 create, v1 optimize
+    ch = spark.createDataFrame([(1000, 1, "U")], "k long, v long, op string")
+    VT.vt_merge(spark, table, ch, keys=["k"])  # v2: carries ALL of v1
+    # v0 (the pre-optimize layout) is genuinely dead; v1 is FULLY shared
+    # with the retained v2 — deleting its files would corrupt the tail
+    assert VT.vt_vacuum(table, retain_last=1) == [0]
+    assert VT.vt_read(spark, table, 1).count() == 100  # still readable
+    # a full rewrite (optimize) makes v1..v2's exclusive files dead
+    VT.vt_optimize(spark, table, cluster_cols=["k"])  # v3
+    gone = VT.vt_vacuum(table, retain_last=1)
+    assert gone == [1, 2]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        VT.vt_read(spark, table, 1)
+    assert VT.vt_read(spark, table).count() == 101
+
+
+def test_check_constraint_validates_written_files_only_once(
+    spark, tmp_path
+):
+    """CHECK is validated from the files the merge already wrote (one
+    merge execution); a violation unstages them — no version, no
+    leftover staging directory."""
+    table = _clustered_table(spark, tmp_path)
+    v_base = VT.vt_latest_version(table)
+    dirs_before = set(glob.glob(os.path.join(table, "data", "v*")))
+    bad = spark.createDataFrame(
+        [(5, None, "U")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="CHECK"):
+        VT.vt_merge(spark, table, bad, keys=["k"], check="v IS NOT NULL")
+    assert VT.vt_latest_version(table) == v_base
+    assert set(glob.glob(os.path.join(table, "data", "v*"))) == dirs_before
+    ok = spark.createDataFrame([(5, 55, "U")], "k long, v long, op string")
+    v_new = VT.vt_merge(spark, table, ok, keys=["k"], check="v IS NOT NULL")
+    assert v_new == v_base + 1
+    assert {
+        r["v"] for r in VT.vt_read(spark, table).filter("k = 5").collect()
+    } == {55}
+
+
+def test_schema_evolution_diffs_and_null_fills_carried_files(
+    spark, tmp_path
+):
+    """Schema evolution under pruned merge: carried files lack the new
+    column and must read as null; the CDF between the versions reports
+    a row whose ONLY change is in the evolved column (round-4 advice:
+    the diff must use the UNION of the two schemas)."""
+    table = _clustered_table(spark, tmp_path)
+    v_base = VT.vt_latest_version(table)
+    ch = spark.createDataFrame(
+        [(1, 2, "web", "U")], "k long, v long, chan string, op string"
+    )
+    v_new = VT.vt_merge(
+        spark, table, ch, keys=["k"], merge_schema=True
+    )
+    latest = VT.vt_read(spark, table)
+    assert latest.schema.names == ["k", "v", "chan"]
+    rows = {r["k"]: (r["v"], r["chan"]) for r in latest.collect()}
+    assert rows[1] == (2, "web")  # v unchanged (1*2=2): only chan changed
+    assert rows[50] == (100, None)  # carried file: evolved column null
+    cdf = VT.vt_changes(spark, table, v_base, v_new, keys=["k"]).collect()
+    upd = {
+        r["k"]: (r["_change_type"], r["chan"])
+        for r in cdf
+        if r["_change_type"].startswith("update")
+    }
+    # k=1's only change is the evolved column — it MUST be reported
+    assert set(upd) == {1}
+    post = [
+        r for r in cdf if r["_change_type"] == "update_postimage"
+    ]
+    assert [(r["k"], r["v"], r["chan"]) for r in post] == [(1, 2, "web")]
+
+
+def test_restore_propagates_external_flag(spark, tmp_path):
+    """Restoring a shallow clone to a cloned (external) version must
+    commit an EXTERNAL manifest: the restored commit's files are
+    source-owned, and a later vacuum on the clone must leave the
+    source's data intact (round-4 advice)."""
+    table = str(tmp_path / "src")
+    VT.vt_create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ).coalesce(1),
+        table,
+    )
+    clone = str(tmp_path / "clone")
+    VT.vt_clone(table, clone)
+    # diverge the clone (own files), then restore it to the cloned v0
+    VT.vt_merge(
+        spark, clone,
+        spark.createDataFrame(
+            [(1, "zz", "U"), (2, "yy", "U")], "k long, v string, op string"
+        ),
+        keys=["k"],
+    )
+    v_restored = VT.vt_restore(spark, clone, 0)
+    assert _manifest(clone, v_restored).get("external") is True
+    # age everything out but the restored head: source data must survive
+    VT.vt_vacuum(clone, retain_last=1)
+    assert VT.vt_read(spark, table, 0).count() == 2  # source intact
+    assert VT.vt_read(spark, clone, v_restored).count() == 2
+
+
+def test_optimize_stats_power_later_pruned_merges(spark, tmp_path):
+    """OPTIMIZE's per-file stats are what make the NEXT merge prune: a
+    point update after optimize rewrites one file, not the table."""
+    table = str(tmp_path / "vt")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"], max_records_per_file=100)
+    v1 = VT.vt_latest_version(table)
+    n_files = len(_manifest(table, v1)["files"])
+    assert n_files >= 8
+    ch = spark.createDataFrame([(500, -1, "U")], "k long, v long, op string")
+    v2 = VT.vt_merge(spark, table, ch, keys=["k"])
+    old = {f["path"] for f in _manifest(table, v1)["files"]}
+    new = {f["path"] for f in _manifest(table, v2)["files"]}
+    assert len(old - new) == 1  # exactly one file rewritten
+    assert VT.vt_read(spark, table).filter("k = 500").collect()[0]["v"] == -1
