@@ -194,3 +194,105 @@ def dedup_index_add(
     banded_minhash(sh, num_hashes=_NUM_HASHES, bands=_BANDS).write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "bands.parquet"))
+
+
+#: the index's physical tables and the key each is probed/clustered on
+_TABLES = {
+    "fingerprints.parquet": ["fp"],
+    "shingles.parquet": ["id"],
+    "bands.parquet": ["band_idx", "band_hash"],
+}
+
+
+def _n_parquet_files(table_dir: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, names in os.walk(table_dir)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def _rewrite_swap(
+    df: DataFrame, table_dir: str, max_records_per_file: int | None = None
+) -> None:
+    """Materialize ``df`` (which reads FROM ``table_dir``) into a fresh
+    directory, then swap it in. Single-writer maintenance discipline
+    (the vt_vacuum contract): reads racing the two renames can fail and
+    retry; a crash between them is recovered by moving ``.compact``
+    back by hand — acceptable for an offline maintenance job, and the
+    index data itself is never in a partial state (the new directory is
+    complete before the first rename)."""
+    import shutil
+
+    tmp = table_dir + ".compact"
+    trash = table_dir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = df.write
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(tmp)  # executes the read of table_dir -> complete copy
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(table_dir, trash)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def dedup_index_optimize(
+    spark: SparkSession,
+    index_dir: str,
+    max_records_per_file: int = 1 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Compact the index tables: the screen->add ingestion loop appends
+    one small file set per micro-batch, and at production cadence
+    (thousands of epochs) the probe joins pay one file-open per tiny
+    file — the classic small-file death of exactly this architecture.
+    Each table is rewritten range-clustered on its probe key
+    (fingerprints by fp, shingles by doc id, bands by band hash), so
+    compaction also buys parquet footer min/max skipping on the keys
+    every screen joins on — the engine's parquet_compaction_orders
+    discipline applied to the index. Screen verdicts are bit-identical
+    before and after (same rows, different file layout) — pinned in
+    tests/test_round5.py. Returns {table: (files_before, files_after)}.
+    """
+    out = {}
+    for name, keys in _TABLES.items():
+        tdir = os.path.join(index_dir, name)
+        before = _n_parquet_files(tdir)
+        df = spark.read.parquet(tdir)
+        clustered = df.repartitionByRange(
+            *[F.col(c) for c in keys]
+        ).sortWithinPartitions(*[F.col(c) for c in keys])
+        _rewrite_swap(clustered, tdir, max_records_per_file)
+        out[name] = (before, _n_parquet_files(tdir))
+    return out
+
+
+def dedup_index_remove(
+    spark: SparkSession,
+    index_dir: str,
+    removed: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Deletion propagation (the GDPR-erasure path into the persisted
+    index): drop the given doc ids from fingerprints, shingles, AND
+    bands, so no future screen can name an erased doc as ``dup_of`` —
+    erasure from the fact tables alone is incomplete while the index
+    still references the doc. Erasure sets are small: each table is
+    rewritten through a broadcast anti-join on its id column. Returns
+    the number of indexed docs actually removed."""
+    ids = removed.select(F.col(id_col).alias("id")).distinct()
+    n_removed = (
+        spark.read.parquet(os.path.join(index_dir, "fingerprints.parquet"))
+        .join(F.broadcast(ids), "id", "left_semi")
+        .count()
+    )
+    if n_removed == 0:
+        return 0
+    for name in _TABLES:
+        tdir = os.path.join(index_dir, name)
+        kept = spark.read.parquet(tdir).join(
+            F.broadcast(ids), "id", "left_anti"
+        )
+        _rewrite_swap(kept, tdir)
+    return int(n_removed)

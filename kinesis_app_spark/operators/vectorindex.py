@@ -133,6 +133,27 @@ def ivf_build(
     cents.unpersist()
 
 
+def _guard_query_set(queries: DataFrame, max_queries: int, op: str) -> None:
+    """Refuse query sets past the documented bound with a clear error
+    instead of a driver OOM (the SemDeDup fat-cluster-guard
+    discipline). Both ANN query paths hold per-query state driver-side
+    or in a broadcast (ivf: the probe table; pq: the ADC lookup
+    tables), so |Q| must stay dimension-sized. For BULK query sets,
+    invert the layout: broadcast the INDEX tables and stream the
+    queries through mapInPandas (the shape brute_force_topk_np uses) or
+    run bounded query batches. The count probe is limit(bound+1) — it
+    never scans more than bound+1 rows."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{op}: query set exceeds max_queries={max_queries} (the "
+            "per-query probe/ADC state is driver/broadcast-resident); "
+            "batch the queries, raise max_queries deliberately, or "
+            "stream queries through a mapInPandas scan against the "
+            "broadcast index for bulk sets"
+        )
+
+
 def ivf_query(
     spark: SparkSession,
     index_dir: str,
@@ -141,6 +162,7 @@ def ivf_query(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Query a persisted IVF index: centroids + probed postings cells
     only — the corpus is never an input and nothing is retrained.
@@ -158,6 +180,7 @@ def ivf_query(
     mani = _read_manifest(spark, index_dir)
     if int(mani["n_rows"]) == 0:
         return spark.createDataFrame([], empty)
+    _guard_query_set(queries, max_queries, "ivf_query")
     cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -324,6 +347,7 @@ def pq_query(
     rerank_factor: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = 50_000,
 ) -> DataFrame:
     """Query a persisted PQ index: codebooks -> per-query ADC lookup
     tables (driver-side, tiny), one scan of the codes table for
@@ -339,6 +363,7 @@ def pq_query(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
+    _guard_query_set(queries, max_queries, "pq_query")
     sub = d // m
     cb_rows = spark.read.parquet(
         os.path.join(index_dir, "codebooks.parquet")
@@ -481,3 +506,105 @@ def ivf_append(
     mani = _read_manifest(spark, index_dir)
     mani["n_rows"] = int(mani["n_rows"]) + n_new
     _write_manifest(index_dir, mani)
+
+
+def _n_parquet_files(table_dir: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, names in os.walk(table_dir)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def ivf_optimize(
+    spark: SparkSession,
+    index_dir: str,
+    max_records_per_file: int = 1 << 20,
+) -> tuple[int, int]:
+    """Compact the postings table: every ``ivf_append`` leaves one small
+    file set per touched cell, and at nightly-delta cadence the
+    per-cell directories accumulate files until each probed cell pays
+    hundreds of file opens — the small-file problem, landing exactly on
+    the query path's pruned scan. Rewrites the postings hash-clustered
+    so each cell's rows land in one task (one file per cell, split only
+    past ``max_records_per_file``), preserving the cell partitioning —
+    query results are bit-identical before and after (pinned in
+    tests/test_round5.py), and the manifest is untouched (same rows).
+    Single-writer maintenance, like the engine's vt_vacuum. Returns
+    (files_before, files_after)."""
+    import shutil
+
+    if int(_read_manifest(spark, index_dir)["n_rows"]) == 0:
+        return 0, 0  # empty index: no postings files to compact
+    pdir = os.path.join(index_dir, "postings.parquet")
+    before = _n_parquet_files(pdir)
+    postings = spark.read.parquet(pdir)
+    tmp = pdir + ".compact"
+    trash = pdir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        postings.repartition(F.col("cell"))
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(pdir, trash)
+    os.rename(tmp, pdir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return before, _n_parquet_files(pdir)
+
+
+def ivf_remove(
+    spark: SparkSession,
+    index_dir: str,
+    removed: DataFrame,
+    id_col: str | None = None,
+) -> int:
+    """Deletion propagation (the GDPR-erasure path into the persisted
+    ANN index): drop the given vector ids from the postings, so no
+    future ``ivf_query`` can return an erased vector as a neighbor.
+    Cell-targeted rewrite: one semi-join scan finds the (bounded by
+    n_centroids) cells holding removed ids and how many rows die; only
+    THOSE cell partitions are rewritten — at scale a removal batch
+    touches a handful of cells, not the corpus-sized postings table. A
+    cell emptied by the removal is deleted outright (dynamic partition
+    overwrite would silently leave its old files in place). The
+    manifest's n_rows drops by the rows actually removed. Returns that
+    count."""
+    import shutil
+
+    mani = _read_manifest(spark, index_dir)
+    if int(mani["n_rows"]) == 0:
+        return 0  # empty index: nothing to erase (and no postings files)
+    id_col = id_col or mani.get("id_col", "vec_id")
+    pdir = os.path.join(index_dir, "postings.parquet")
+    ids = removed.select(F.col(id_col).alias(id_col)).distinct()
+    postings = spark.read.parquet(pdir)
+    hit = (
+        postings.join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: at most n_centroids rows
+    if not hit:
+        return 0
+    cells = sorted(int(r["cell"]) for r in hit)
+    n_removed = int(sum(r["n"] for r in hit))
+    kept = postings.filter(F.col("cell").isin(cells)).join(
+        F.broadcast(ids), id_col, "left_anti"
+    )
+    tmp = pdir + ".rewrite"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # materialize the kept rows BEFORE touching the live cell dirs
+    kept.repartition(F.col("cell")).write.partitionBy("cell").parquet(tmp)
+    for c in cells:
+        shutil.rmtree(os.path.join(pdir, f"cell={c}"), ignore_errors=True)
+        rebuilt = os.path.join(tmp, f"cell={c}")
+        if os.path.isdir(rebuilt):  # absent => the cell is now empty
+            os.rename(rebuilt, os.path.join(pdir, f"cell={c}"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    mani["n_rows"] = int(mani["n_rows"]) - n_removed
+    _write_manifest(index_dir, mani)
+    return n_removed

@@ -1664,6 +1664,11 @@ from kinesis_app_spark import registry_round4 as _r4  # noqa: E402
 _r4._bind_knn_oracle()
 _r4._bind_streaming_vt_oracle()
 REGISTRY.update(REGISTRY_ROUND4)
+from kinesis_app_spark import registry_round5 as _r5  # noqa: E402
+from kinesis_app_spark.registry_round5 import REGISTRY_ROUND5  # noqa: E402
+
+_r5._bind_knn_oracle()
+REGISTRY.update(REGISTRY_ROUND5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

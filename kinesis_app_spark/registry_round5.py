@@ -1,0 +1,215 @@
+"""Round-5 registry entries: persisted-index MAINTENANCE — compaction
+(the small-file problem of the screen->add / build->append ingestion
+loops) and deletion propagation (GDPR erasure reaching INTO the stored
+indexes, not just the fact tables).
+
+Each entry pairs the Spark path with a DuckDB oracle that replays the
+maintained index's semantics arithmetically: compaction must be
+invisible to values (same rows, new layout — the oracle is the
+UNCHANGED screen/knn oracle), and erasure must be exactly "the same
+index built without the erased rows" (the oracle filters them out of
+its corpus CTE).
+
+The reference (/root/reference) has no index surface at all (opaque
+stream records, src/Kinesis/Coordination.hs:51-53); this is engine
+surface per SURVEY.md §2.2 north-star dedup / similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_round4 import (
+    DEDUP_INDEX_SCREEN_SQL,
+    _ensure_built,
+    _index_dir,
+    _md5_u,
+    _table_sig,
+)
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+#: erasure predicate over CORPUS doc ids, mirrored in the oracle SQL
+_ERASE_DOC_PRED = "doc_id % 11 = 0"
+_ERASE_VEC_PRED = "vec_id % 9 = 0"
+
+
+def dedup_index_compacted_screen(spark, sf_dir):
+    """The ingestion loop's maintenance half: the corpus is indexed in
+    TWO appends (build over u in [0.3, 0.65), dedup_index_add of
+    u >= 0.65), then dedup_index_optimize rewrites every index table
+    range-clustered on its probe key (fingerprints by fp, shingles by
+    doc id, bands by band hash) with the appended small file sets
+    collapsed — the engine's parquet-compaction discipline applied to
+    the index tables (operators/dedupindex.py:dedup_index_optimize;
+    file-count collapse is pinned in tests/test_round5.py). The screen
+    that follows must be value-identical to screening an
+    in-one-go-built index, so the oracle is EXACTLY
+    dedup_index_screen_docs' oracle: compaction that changes any
+    verdict is corruption, and this entry would hash-mismatch."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(d):
+        u = _md5_u("doc_id")
+        DI.dedup_index_build(
+            docs.filter((u >= F.lit(0.3)) & (u < F.lit(0.65))), d
+        )
+        part_b = docs.filter(u >= F.lit(0.65))
+        if part_b.limit(1).count():
+            DI.dedup_index_add(spark, d, part_b)
+        DI.dedup_index_optimize(spark, d)
+
+    idx = _ensure_built(
+        build,
+        _index_dir("dedup_opt", sf_dir),
+        _table_sig(sf_dir, "documents"),
+    )
+    batch = docs.filter(_md5_u("doc_id") < F.lit(0.3))
+    return DI.dedup_index_screen(spark, idx, batch, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+def dedup_index_erasure_screen(spark, sf_dir):
+    """Deletion propagation into the persisted near-dup index: corpus
+    docs matching the erasure predicate (doc_id % 11 = 0) are removed
+    from fingerprints, bands, AND shingles
+    (operators/dedupindex.py:dedup_index_remove) — without this, a GDPR
+    erasure that cleared the fact tables would still let a screen name
+    the erased doc as dup_of (the round-4 verdict's compliance gap).
+    The screen after removal must equal a screen against an index that
+    NEVER contained those docs, which is exactly what the oracle
+    computes: the same screen replay with the erased ids filtered out
+    of its corpus CTE. Verdicts that previously pointed at erased docs
+    fall through to the next-best surviving match or 'new' — all
+    arithmetic, all value-gated."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(d):
+        corpus = docs.filter(_md5_u("doc_id") >= F.lit(0.3))
+        DI.dedup_index_build(corpus, d)
+        DI.dedup_index_remove(
+            spark, d, corpus.filter(_ERASE_DOC_PRED).select("doc_id")
+        )
+
+    idx = _ensure_built(
+        build,
+        _index_dir("dedup_rm", sf_dir),
+        _table_sig(sf_dir, "documents"),
+    )
+    batch = docs.filter(_md5_u("doc_id") < F.lit(0.3))
+    return DI.dedup_index_screen(spark, idx, batch, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
+#: the erasure oracle is the screen oracle with the erased ids filtered
+#: out of the corpus CTE (the corpus CTE is the single place the SQL
+#: selects u >= 0.3 — asserted at import time below)
+_CORPUS_SELECT = "SELECT doc_id, text FROM u WHERE u >= 0.3"
+assert DEDUP_INDEX_SCREEN_SQL.count(_CORPUS_SELECT) == 1
+DEDUP_INDEX_ERASURE_SQL = DEDUP_INDEX_SCREEN_SQL.replace(
+    _CORPUS_SELECT,
+    f"{_CORPUS_SELECT} AND NOT ({_ERASE_DOC_PRED})",
+    1,
+)
+
+
+def knn_ivf_compacted(spark, sf_dir):
+    """IVF index maintenance, compaction half: built over the even half
+    of the corpus, ivf_append'ed with the odd half (the nightly-delta
+    path — one small file set per touched cell), then ivf_optimize
+    rewrites the postings one-file-per-cell preserving the cell
+    partitioning (operators/vectorindex.py:ivf_optimize; the file-count
+    collapse and bit-identical results are pinned in
+    tests/test_round5.py). Queried at nprobe = n_centroids, the result
+    equals brute force over the full corpus BY CONSTRUCTION (every cell
+    probed), so the entry is value-gated against the shared brute-force
+    KNN oracle — any row compaction lost or duplicated would
+    hash-mismatch."""
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(d):
+        evens = emb.filter(F.col("vec_id") % 2 == 0)
+        odds = emb.filter(F.col("vec_id") % 2 == 1)
+        VI.ivf_build(evens, d, n_centroids=16)
+        if odds.limit(1).count() and evens.limit(1).count():
+            VI.ivf_append(odds, d)
+        VI.ivf_optimize(spark, d)
+
+    idx = _ensure_built(
+        build,
+        _index_dir("ivf_opt", sf_dir),
+        _table_sig(sf_dir, "embeddings"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return VI.ivf_query(spark, idx, queries, k=5, nprobe=16).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def knn_ivf_erased(spark, sf_dir):
+    """Deletion propagation into the persisted ANN index: vectors
+    matching the erasure predicate (vec_id % 9 = 0) are removed from
+    the postings via a CELL-TARGETED rewrite (one bounded semi-join
+    finds the affected cells; only those partitions are rewritten —
+    operators/vectorindex.py:ivf_remove), and the manifest row count
+    drops by exactly the survivors' complement. Queried at
+    nprobe = n_centroids the result equals brute force over the
+    SURVIVING corpus, which is what the oracle computes (the brute-force
+    KNN SQL with the erased ids filtered out of the corpus side; the
+    query set is unchanged — erased users may still query, they must
+    simply never be RETURNED)."""
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(d):
+        VI.ivf_build(emb, d, n_centroids=16)
+        VI.ivf_remove(spark, d, emb.filter(_ERASE_VEC_PRED).select("vec_id"))
+
+    idx = _ensure_built(
+        build,
+        _index_dir("ivf_rm", sf_dir),
+        _table_sig(sf_dir, "embeddings"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return VI.ivf_query(spark, idx, queries, k=5, nprobe=16).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+REGISTRY_ROUND5: dict[str, QuerySpec] = {
+    "dedup_index_compacted_screen": QuerySpec(
+        dedup_index_compacted_screen, DEDUP_INDEX_SCREEN_SQL
+    ),
+    "dedup_index_erasure_screen": QuerySpec(
+        dedup_index_erasure_screen, DEDUP_INDEX_ERASURE_SQL
+    ),
+}
+
+
+def _bind_knn_oracle() -> None:
+    """Late-bind the shared brute-force oracle (registry.py imports this
+    module, so a top-level import would be circular)."""
+    from kinesis_app_spark.registry import KNN_SQL
+
+    REGISTRY_ROUND5["knn_ivf_compacted"] = QuerySpec(
+        knn_ivf_compacted, KNN_SQL
+    )
+    _CORPUS_JOIN = "JOIN embeddings c ON c.vec_id != q.vec_id"
+    assert KNN_SQL.count(_CORPUS_JOIN) == 1
+    REGISTRY_ROUND5["knn_ivf_erased"] = QuerySpec(
+        knn_ivf_erased,
+        KNN_SQL.replace(
+            _CORPUS_JOIN,
+            f"JOIN (SELECT * FROM embeddings WHERE NOT ({_ERASE_VEC_PRED})) "
+            "c ON c.vec_id != q.vec_id",
+            1,
+        ),
+    )

@@ -118,6 +118,14 @@ def _conn_opts(options) -> dict:
         # skipped forever (round-4 advice). 0 remains available for
         # clock-synchronized test rigs probing the boundary protocol.
         "planning_lag_s": float(options.get("planninglagseconds", 2.0)),
+        # maxOffsetsPerTrigger analogue for the arrival-time protocol:
+        # cap how far one micro-batch's bound may advance past the last
+        # planned bound, so a TRIM_HORIZON start drains a multi-day
+        # backlog in bounded batches instead of making micro-batch 1 the
+        # entire retained stream (the reference's configRecordBatch,
+        # src/Kinesis/Types.hs:79-80, re-expressed for time bounds).
+        # 0 = unbounded (the pre-round-5 behavior).
+        "max_batch_s": float(options.get("maxbatchseconds", 0.0)),
     }
 
 
@@ -549,38 +557,116 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         self.conn = conn
         self._client_obj = None
         self._last_ts_us = 0
+        self._anchor_us: int | None = None
 
     def _cli(self):
         if self._client_obj is None:
             self._client_obj = _client(self.conn)
         return self._client_obj
 
-    def initialOffset(self):
+    def _oldest_arrival_us(self):
+        """Earliest arrival timestamp across shards (one Limit=1 peek
+        per shard, driver-side, once per cold start) — anchors the
+        rate-limited TRIM_HORIZON start at the BACKLOG HEAD, so the
+        maxBatchSeconds cap measures from the oldest retained record
+        instead of from epoch 0. None when the stream is empty."""
+        client = self._cli()
+        oldest = None
+        for s in _list_shards(
+            client, self.conn["stream"], self.conn["max_retries"]
+        ):
+            try:
+                it = _with_retries(
+                    lambda sid=s["ShardId"]: client.get_shard_iterator(
+                        StreamName=self.conn["stream"],
+                        ShardId=sid,
+                        ShardIteratorType="TRIM_HORIZON",
+                    ),
+                    self.conn["max_retries"],
+                )["ShardIterator"]
+                recs = _with_retries(
+                    lambda i=it: client.get_records(ShardIterator=i, Limit=1),
+                    self.conn["max_retries"],
+                )["Records"]
+            except Exception as e:  # noqa: BLE001
+                if "ResourceNotFound" in type(e).__name__ + str(e):
+                    continue
+                raise
+            for r in recs:
+                ts = _to_utc_naive(r.get("ApproximateArrivalTimestamp"))
+                if ts is None:
+                    continue
+                ts_us = int(
+                    ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+                )
+                if oldest is None or ts_us < oldest:
+                    oldest = ts_us
+        return oldest
+
+    def _ensure_anchor(self) -> int:
+        """The stream's starting bound, established by whichever
+        planning call runs FIRST — the engine calls latestOffset before
+        initialOffset on a fresh query, so the anchor cannot be derived
+        inside initialOffset alone (clamping it to a bound the first
+        latestOffset already emitted would pin the start at "now" and
+        silently skip the whole backlog below it).
+
+        TRIM_HORIZON: 0 — or, with maxBatchSeconds set, the backlog
+        head (one Limit=1 peek per shard) minus a second, so the cap
+        measures from the oldest retained record instead of epoch 0.
+        LATEST: un-lagged now — skip exactly what is already in the
+        stream, and never let the lagged planner emit end < start."""
+        if self._anchor_us is not None:
+            return self._anchor_us
         pos = self.conn["starting_position"]
         if pos == "TRIM_HORIZON":
-            return {"ts_us": 0}
-        if pos == "LATEST":
-            # UN-lagged now: LATEST means "skip everything already in the
-            # stream", so the initial bound must not reach back into
-            # history; latestOffset() clamps to >= this via _last_ts_us,
-            # so the lagged planner can never emit end < start
-            now = int(time.time() * 1_000_000)
-            self._last_ts_us = max(self._last_ts_us, now)
-            return {"ts_us": now}
-        raise ValueError(
-            "kinesis_boto partitioned streaming supports startingPosition "
-            f"TRIM_HORIZON or LATEST; got {pos}"
-        )
+            anchor = 0
+            if self.conn["max_batch_s"] > 0:
+                oldest = self._oldest_arrival_us()
+                if oldest is not None:
+                    anchor = max(0, oldest - 1_000_000)
+        elif pos == "LATEST":
+            anchor = int(time.time() * 1_000_000)
+        else:
+            raise ValueError(
+                "kinesis_boto partitioned streaming supports "
+                f"startingPosition TRIM_HORIZON or LATEST; got {pos}"
+            )
+        self._anchor_us = anchor
+        self._last_ts_us = max(self._last_ts_us, anchor)
+        return anchor
+
+    def initialOffset(self):
+        return {"ts_us": self._ensure_anchor()}
 
     def _now_us(self) -> int:
         lag_us = int(self.conn["planning_lag_s"] * 1_000_000)
         return max(0, int(time.time() * 1_000_000) - lag_us)
 
     def latestOffset(self):
-        self._last_ts_us = max(self._last_ts_us, self._now_us())
+        self._ensure_anchor()
+        now = self._now_us()
+        cap_s = self.conn["max_batch_s"]
+        if cap_s > 0 and self._last_ts_us > 0:
+            # bounded advance: one trigger consumes at most cap_s
+            # seconds of arrival time past the last planned bound, so a
+            # backlog drains across many bounded batches. After a
+            # restart the planner relearns its position from the first
+            # partitions()/commit() call (replay recovery); until then
+            # the cap measures from the anchor, which is never ahead of
+            # the checkpointed position.
+            end = min(now, self._last_ts_us + int(cap_s * 1_000_000))
+        else:
+            end = now
+        self._last_ts_us = max(self._last_ts_us, end)
         return {"ts_us": self._last_ts_us}
 
     def partitions(self, start: dict, end: dict):
+        # replayed batches (restart recovery) re-teach the planner its
+        # position so the NEXT latestOffset caps from the right bound
+        self._last_ts_us = max(
+            self._last_ts_us, int(start["ts_us"]), int(end["ts_us"])
+        )
         shards = _list_shards(
             self._cli(), self.conn["stream"], self.conn["max_retries"]
         )
@@ -664,8 +750,11 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 return
 
     def commit(self, end: dict):
-        # bounds are durable in the checkpoint log; nothing external
-        pass
+        # bounds are durable in the checkpoint log; nothing external.
+        # Also track the committed bound: with maxBatchSeconds this is a
+        # second way (besides partitions()) a restarted planner relearns
+        # its position before the next capped advance.
+        self._last_ts_us = max(self._last_ts_us, int(end["ts_us"]))
 
 
 # ---------------------------------------------------------------------

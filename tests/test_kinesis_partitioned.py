@@ -253,3 +253,130 @@ def test_partitioned_latest_start_skips_history(spark, moto_ep, tmp_path):
     got = spark.read.parquet(out)
     payloads = {bytes(r["data"]).decode() for r in got.collect()}
     assert payloads == {f"new-{i}" for i in range(10)}
+
+
+def test_max_batch_seconds_drains_backlog_in_bounded_batches(moto_ep):
+    """maxBatchSeconds (the maxOffsetsPerTrigger analogue for arrival-
+    time offsets): a pre-loaded backlog spanning several seconds of
+    arrival time drains across >= 3 bounded batches — micro-batch 1 is
+    NOT the whole retained stream — with no gaps and no duplicates."""
+    from kinesis_app_spark.sources.kinesis_boto import (
+        KinesisPartitionedStreamReader,
+    )
+
+    client = _kinesis_client(moto_ep)
+    client.create_stream(StreamName="pcap", ShardCount=2)
+    for wave in range(3):  # backlog spanning ~3.6s of arrival time
+        _put(client, "pcap", 10, f"w{wave}")
+        time.sleep(1.2)  # moto arrival stamps are second-granular
+
+    rdr = KinesisPartitionedStreamReader(
+        _conn(
+            moto_ep, "pcap",
+            planningLagSeconds="0", maxBatchSeconds="1",
+        )
+    )
+    start = rdr.initialOffset()
+    # anchored at the backlog head, not epoch 0 and not "now"
+    assert start["ts_us"] > 0
+
+    def drain(s, e):
+        out = []
+        for p in rdr.partitions(s, e):
+            for b in rdr.read(p):
+                out.extend(
+                    bytes(x).decode() for x in b.column("data").to_pylist()
+                )
+        return out
+
+    batches = []
+    cur = start
+    for _ in range(30):  # far more triggers than needed
+        end = rdr.latestOffset()
+        assert end["ts_us"] - cur["ts_us"] <= 1_000_000  # bounded advance
+        if end["ts_us"] > cur["ts_us"]:
+            rows = drain(cur, end)
+            if rows:
+                batches.append(rows)
+        cur = end
+        got = sum(len(b) for b in batches)
+        if got >= 30:
+            break
+        time.sleep(0.3)
+    all_rows = [r for b in batches for r in b]
+    assert sorted(all_rows) == sorted(
+        f"w{w}-{i}" for w in range(3) for i in range(10)
+    )  # no gaps, no duplicates
+    assert len(batches) >= 3  # the backlog drained in bounded pieces
+
+
+def test_max_batch_seconds_restart_mid_backlog_exactly_once(
+    spark, moto_ep, tmp_path
+):
+    """Full streaming topology with the per-trigger cap: a pre-loaded
+    multi-second backlog drains across several epochs; the query is
+    stopped mid-backlog and restarted from the checkpoint — 30 rows
+    total, no duplicates, no gaps, and the records landed across >= 3
+    distinct epochs (bounded batches, not one monster batch)."""
+    client = _kinesis_client(moto_ep)
+    client.create_stream(StreamName="pcaptail", ShardCount=2)
+    for wave in range(3):
+        _put(client, "pcaptail", 10, f"c{wave}")
+        time.sleep(1.2)
+
+    from kinesis_app_spark.sources.kinesis_boto import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until(n_rows: int, timeout: float = 90.0):
+        stream = (
+            spark.readStream.format("kinesis_boto")
+            .option("streamName", "pcaptail")
+            .option("readerMode", "partitioned")
+            .option("planningLagSeconds", "0")
+            .option("maxBatchSeconds", "1")
+            .option("endpointUrl", moto_ep)
+            .option("region", "us-east-1")
+            .option("accessKeyId", "testing")
+            .option("secretAccessKey", "testing")
+            .load()
+        )
+
+        from pyspark.sql import functions as F
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= n_rows:
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            raise TimeoutError(f"sink never reached {n_rows} rows")
+        finally:
+            q.stop()
+
+    run_until(10)   # stop mid-backlog
+    run_until(30)   # restart from the checkpoint, finish the drain
+
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert got.select("shardId", "sequenceNumber").distinct().count() == 30
+    payloads = {bytes(r["data"]).decode() for r in got.collect()}
+    assert payloads == {f"c{w}-{i}" for w in range(3) for i in range(10)}
+    # bounded batches: the records arrived across >= 3 distinct epochs
+    assert got.select("epoch").distinct().count() >= 3

