@@ -92,7 +92,124 @@ ENTRIES = [
     "sequence_entropy_users",    # user-partitioned bigram entropy (r3c)
     "time_weighted_avg_users",   # exact int64 duration-weighted mean (r3c)
     "jaccard_threshold_calibration",  # all-candidate similarity histogram (r3c)
+    "dedup_index_compacted_screen",   # appended+compacted index screen (r5)
+    "knn_ivf_erased",                 # erasure-pruned index query (r5)
 ]
+
+
+# ---------------------------------------------------------------------
+# Round-5 steady-state points: FIXED workload against a GROWING index /
+# table (the r4 verdict's open question — "the steady-state question is
+# index-side growth", not batch-side). The batch / query set / change
+# batch is pinned to BASE_SF in both runs; only the index (or versioned
+# table) side scales with sf_dir, so the ratio isolates index-side cost:
+#   - screen: fixed batch vs 10x corpus index -> probe joins scan the
+#     bigger stored tables; ratio bounds the per-batch steady-state cost
+#   - ivf query: fixed 10 queries vs 10x postings -> probed cells are
+#     10x fatter; partition pruning keeps unprobed cells free
+#   - pruned merge: fixed narrow change batch vs 10x clustered table ->
+#     file-level pruning should make this FLAT (same files touched
+#     regardless of table size) — the round-5 lakehouse claim
+# ---------------------------------------------------------------------
+
+
+def _tagged(prefix: str, sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/kinesis_stress_r5/{prefix}_{h}"
+
+
+def _grown_dedup_index(spark, sf_dir: str) -> str:
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.registry_round4 import _md5_u
+
+    idx = _tagged("dedup", sf_dir)
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        DI.dedup_index_build(
+            docs.filter(_md5_u("doc_id") >= F.lit(0.3)), idx
+        )
+        open(marker, "w").close()
+    return idx
+
+
+def _screen_fixed_batch(spark, sf_dir: str):
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.registry_round4 import _md5_u
+
+    idx = _grown_dedup_index(spark, sf_dir)
+    batch = load_table(spark, BASE_SF, "documents").filter(
+        _md5_u("doc_id") < F.lit(0.3)
+    )
+    return DI.dedup_index_screen(spark, idx, batch, threshold=0.5)
+
+
+def _grown_ivf_index(spark, sf_dir: str) -> str:
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    idx = _tagged("ivf", sf_dir)
+    marker = os.path.join(idx, "_DONE")
+    if not os.path.exists(marker):
+        VI.ivf_build(
+            load_table(spark, sf_dir, "embeddings"), idx, n_centroids=16
+        )
+        open(marker, "w").close()
+    return idx
+
+
+def _ivf_query_fixed(spark, sf_dir: str):
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    idx = _grown_ivf_index(spark, sf_dir)
+    queries = load_table(spark, BASE_SF, "embeddings").filter(
+        F.col("vec_id") < 10
+    )
+    return VI.ivf_query(spark, idx, queries, k=5, nprobe=4)
+
+
+def _grown_vt_table(spark, sf_dir: str) -> str:
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = _tagged("vt", sf_dir)
+    marker = os.path.join(table, "_STRESS_DONE")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table)
+        VT.vt_optimize(
+            spark, table, cluster_cols=["o_orderkey"],
+            max_records_per_file=65536,
+        )
+        open(marker, "w").close()
+    return table
+
+
+def _pruned_merge_fixed_batch(spark, sf_dir: str):
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = _grown_vt_table(spark, sf_dir)
+    changes = (
+        load_table(spark, BASE_SF, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < 4000)  # one clustered file's span
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("op", F.lit("U"))
+    )
+    VT.vt_merge(spark, table, changes, keys=["o_orderkey"])
+    return None  # the timed work IS the merge write
+
+
+#: name -> callable(spark, sf_dir) returning a DataFrame to noop-write
+#: (or None when the callable already performed its write)
+SPECIAL = {
+    "screen_fixed_batch_grown_index": _screen_fixed_batch,
+    "ivf_query_fixed_queries_grown_index": _ivf_query_fixed,
+    "versioned_pruned_merge_fixed_batch": _pruned_merge_fixed_batch,
+}
+ENTRIES += list(SPECIAL)
 
 
 def build_scaled_dir(spark, k: int) -> str:
@@ -154,11 +271,12 @@ def time_entry(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     standard estimator for 'the machine's actual cost' under spiky
     interference."""
     best = float("inf")
+    fn = SPECIAL.get(name) or registry.REGISTRY[name].fn
     for _ in range(reps):
         t0 = time.perf_counter()
-        registry.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        df = fn(spark, sf_dir)
+        if df is not None:
+            df.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
