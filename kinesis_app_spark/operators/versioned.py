@@ -790,3 +790,205 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
     # must not delete the target version's (shared) data
     _commit(table_dir, new_version, out)
     return new_version
+
+
+# ---------------------------------------------------------------------
+# stats-pruned scan + predicate DML (DELETE / UPDATE) — round 5
+# ---------------------------------------------------------------------
+
+#: simple conjunctive filters: (column, op, value) with op in _OPS
+_OPS = {"<", "<=", ">", ">=", "=", "=="}
+
+
+def _filter_may_match(file_entry: dict, filters) -> bool:
+    """Can this file contain a row satisfying ALL the filters? False
+    only when some filter is provably unsatisfiable against the file's
+    min/max — missing stats or exotic ops mean "possibly" (conservative,
+    exactly the _file_intersects discipline)."""
+    fstats = file_entry.get("stats") or {}
+    for col, op, value in filters:
+        st = fstats.get(col)
+        jv = _json_stat(value)
+        if not st or None in st or jv is None or op not in _OPS:
+            continue
+        lo, hi = st
+        if op in ("=", "=="):
+            if jv < lo or jv > hi:
+                return False
+        elif op == "<" and lo >= jv:
+            return False
+        elif op == "<=" and lo > jv:
+            return False
+        elif op == ">" and hi <= jv:
+            return False
+        elif op == ">=" and hi < jv:
+            return False
+    return True
+
+
+def _filters_to_column(filters):
+    cond = None
+    for col, op, value in filters:
+        c = F.col(col)
+        if op == "<":
+            term = c < F.lit(value)
+        elif op == "<=":
+            term = c <= F.lit(value)
+        elif op == ">":
+            term = c > F.lit(value)
+        elif op == ">=":
+            term = c >= F.lit(value)
+        elif op in ("=", "=="):
+            term = c == F.lit(value)
+        else:
+            raise ValueError(f"vt filters support ops {_OPS}; got {op!r}")
+        cond = term if cond is None else (cond & term)
+    return cond if cond is not None else F.lit(True)
+
+
+def vt_scan(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned read (the data-skipping half of the manifest's
+    per-file min/max): files whose stats prove no row can satisfy the
+    conjunctive ``filters`` are never opened — on an OPTIMIZE-clustered
+    table a point/range read touches a handful of files out of
+    thousands, before parquet footer skipping even runs. The exact
+    filters are then applied to the surviving rows, so the result is
+    identical to ``vt_read(...).filter(...)`` (value-gated in the
+    registry); pruning is a file-listing optimization, never a
+    semantics change."""
+    if version is None:
+        version = vt_latest_version(table_dir)
+        if version < 0:
+            raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    if manifest.get("vacuumed"):
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} was vacuumed"
+        )
+    filters = list(filters)
+    if "files" in manifest:
+        schema = _manifest_schema(manifest)
+        survivors = [
+            f["path"] for f in manifest["files"]
+            if _filter_may_match(f, filters)
+        ]
+        df = _read_snapshot_files(spark, survivors, schema)
+    else:  # pre-round-5 manifest: no stats to prune on
+        df = vt_read(spark, table_dir, version)
+    return df.filter(_filters_to_column(filters))
+
+
+def _predicate_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+    operation: str,
+    rewrite_fn,
+    expected_version: int | None,
+) -> int:
+    """Shared shape of predicate DML: files that MAY hold matching rows
+    are rewritten through ``rewrite_fn(df, predicate)``; every other
+    file is carried forward by reference — DELETE/UPDATE cost scales
+    with the matched key range, not the table."""
+    base = vt_latest_version(table_dir)
+    if base < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    if expected_version is not None and base != expected_version:
+        raise VersionConflictError(
+            f"expected version {expected_version}, table is at {base}"
+        )
+    manifest = _read_manifest(table_dir, base)
+    filters = list(filters)
+    pred = _filters_to_column(filters)
+    if "files" in manifest:
+        schema = _manifest_schema(manifest)
+        touched = [
+            f for f in manifest["files"] if _filter_may_match(f, filters)
+        ]
+        t_paths = {f["path"] for f in touched}
+        carried = [f for f in manifest["files"] if f["path"] not in t_paths]
+        snapshot = _read_snapshot_files(
+            spark, [f["path"] for f in touched], schema
+        )
+    else:  # pre-round-5 manifest: full rewrite
+        carried = []
+        snapshot = vt_read(spark, table_dir, base)
+        schema = snapshot.schema
+    rewritten = rewrite_fn(snapshot, pred)
+    new_version = base + 1
+    data_dir, new_files = _write_files_with_stats(
+        rewritten, table_dir, new_version
+    )
+    _commit(
+        table_dir,
+        new_version,
+        {
+            "data_dir": data_dir,
+            "files": carried + new_files,
+            "n_rows": sum(f["n_rows"] for f in carried + new_files),
+            "schema": schema.jsonValue(),
+            "operation": operation,
+        },
+        cleanup_dir=data_dir,
+    )
+    return new_version
+
+
+def vt_delete(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+    expected_version: int | None = None,
+) -> int:
+    """DELETE FROM ... WHERE <conjunctive filters>, file-pruned: only
+    files whose stats admit a matching row are rewritten (keeping their
+    non-matching rows); the rest carry forward by reference. Commits a
+    new version labeled DELETE."""
+    return _predicate_rewrite(
+        spark, table_dir, filters, "DELETE",
+        lambda df, pred: df.filter(~pred),
+        expected_version,
+    )
+
+
+def vt_update(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+    assignments: dict,
+    expected_version: int | None = None,
+) -> int:
+    """UPDATE ... SET col = <sql expr> WHERE <conjunctive filters>,
+    file-pruned like vt_delete. ``assignments`` maps EXISTING columns
+    to SQL expressions evaluated over the matching rows (non-matching
+    rows in a rewritten file keep their values byte-for-byte). New
+    columns belong to schema evolution (vt_merge merge_schema), not
+    UPDATE — an unknown column raises."""
+
+    def apply(df: DataFrame, pred):
+        for col in assignments:
+            if col not in df.columns:
+                raise ValueError(
+                    f"vt_update: unknown column {col!r}; UPDATE cannot "
+                    "add columns (use vt_merge with merge_schema=True)"
+                )
+        out = df
+        for col, expr in assignments.items():
+            out = out.withColumn(
+                col,
+                F.when(pred, F.expr(expr))
+                .otherwise(F.col(col))
+                # pin the column's original type: a rewritten file must
+                # stay schema-identical to the carried files
+                .cast(df.schema[col].dataType),
+            )
+        return out
+
+    return _predicate_rewrite(
+        spark, table_dir, filters, "UPDATE", apply, expected_version
+    )

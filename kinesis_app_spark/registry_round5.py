@@ -213,3 +213,122 @@ def _bind_knn_oracle() -> None:
             1,
         ),
     )
+
+
+# =====================================================================
+# versioned-table predicate DML + stats-pruned scan (round 5)
+# =====================================================================
+
+_VT5_ROOT = "/tmp/kinesis_versioned"
+_DML_DELETE_BELOW = 600     # DELETE WHERE o_orderkey <= 600
+_DML_UPDATE_ABOVE = 1000    # UPDATE ... WHERE o_orderkey > 1000
+
+
+def _vt_dml_table(spark, sf_dir) -> str:
+    """Build (once per sf_dir) the DML demonstration table:
+
+      v0 CREATE   = orders snapshot (6 columns)
+      v1 OPTIMIZE = range-clustered on o_orderkey, small files — the
+                    layout that makes predicate DML prune
+      v2 DELETE   = o_orderkey <= 600 (file-pruned: only low files
+                    rewritten, the rest carried by reference)
+      v3 UPDATE   = o_totalprice += 100.0 WHERE o_orderkey > 1000
+                    (file-pruned likewise)
+    """
+    import os
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT5_ROOT, f"orders_dml_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    if _fresh_marker(marker, sig):
+        return table_dir
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    VT.vt_create(o, table_dir)
+    VT.vt_optimize(
+        spark, table_dir, cluster_cols=["o_orderkey"],
+        max_records_per_file=256,
+    )
+    VT.vt_delete(
+        spark, table_dir, [("o_orderkey", "<=", _DML_DELETE_BELOW)]
+    )
+    VT.vt_update(
+        spark, table_dir,
+        [("o_orderkey", ">", _DML_UPDATE_ABOVE)],
+        {"o_totalprice": "o_totalprice + 100.0"},
+    )
+    with open(marker, "w") as fh:
+        fh.write(sig)
+    return table_dir
+
+
+#: SQL replay of the DELETE + UPDATE applied to raw orders
+_VT5_DML_SQL_CORE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey > {_DML_UPDATE_ABOVE}
+            THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey > {_DML_DELETE_BELOW}
+"""
+
+
+def versioned_dml_delete_update(spark, sf_dir):
+    """Predicate DML on the versioned table: DELETE WHERE and UPDATE
+    SET ... WHERE, both FILE-PRUNED — only files whose per-file key
+    stats admit a matching row are rewritten, everything else carries
+    forward by reference (operators/versioned.py vt_delete/vt_update;
+    pruning pinned in tests/test_round5.py — a predicate outside every
+    file's range is a metadata-only commit). The oracle replays both
+    statements arithmetically over raw orders: read(latest) == replay
+    is exactly the DML correctness contract, and the history labels
+    (CREATE/OPTIMIZE/DELETE/UPDATE) stay auditable."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_dml_table(spark, sf_dir)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_DML_SQL = _VT5_DML_SQL_CORE + " ORDER BY o_orderkey"
+
+
+def versioned_stats_pruned_scan(spark, sf_dir):
+    """Data skipping from the manifest's per-file min/max: a key-range
+    vt_scan on the OPTIMIZE-clustered table opens only the files whose
+    stats admit a match (file-listing-level pruning, before parquet
+    footer skipping even runs; open-file count < total pinned in
+    tests/test_round5.py) and then applies the exact filter — so the
+    result must equal read+filter, which is what the oracle computes
+    over raw orders with the same DML replay and range predicate."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_dml_table(spark, sf_dir)
+    return VT.vt_scan(
+        spark, table_dir,
+        [("o_orderkey", ">=", 700), ("o_orderkey", "<=", 1100)],
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_PRUNED_SCAN_SQL = f"""
+WITH replay AS ({_VT5_DML_SQL_CORE})
+SELECT * FROM replay
+WHERE o_orderkey >= 700 AND o_orderkey <= 1100
+ORDER BY o_orderkey
+"""
+
+REGISTRY_ROUND5["versioned_dml_delete_update"] = QuerySpec(
+    versioned_dml_delete_update, VERSIONED_DML_SQL
+)
+REGISTRY_ROUND5["versioned_stats_pruned_scan"] = QuerySpec(
+    versioned_stats_pruned_scan, VERSIONED_PRUNED_SCAN_SQL
+)
