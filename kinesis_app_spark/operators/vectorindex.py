@@ -608,3 +608,154 @@ def ivf_remove(
     mani["n_rows"] = int(mani["n_rows"]) - n_removed
     _write_manifest(index_dir, mani)
     return n_removed
+
+
+def _pq_encode_writer(spark, codebooks, m, sub, vec_col, id_col):
+    """mapInPandas encode kernel against a broadcast codebook tensor —
+    shared by pq_build-shaped jobs over any vector frame."""
+    import numpy as np
+
+    bcb = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        import pandas as pd
+
+        cb = bcb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = c_mat[:, s * sub : (s + 1) * sub]
+                d2 = ((x[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return encode
+
+
+def pq_append(
+    corpus_delta: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental PQ maintenance: encode ONLY the new vectors against
+    the EXISTING (frozen) codebooks and append their codes — the
+    ivf_append discipline for the compressed index. Freezing codebooks
+    is the standard PQ trade: quantization error drifts as the corpus
+    distribution moves; rebuild (pq_build) when a rerank-recall audit
+    says so. Exact-rerank results remain exact regardless (the stored
+    vector rides along), which is what the tests pin."""
+    import numpy as np
+
+    spark = corpus_delta.sparkSession
+    mani = _read_manifest(spark, index_dir)
+    m, n_codes, d = int(mani["m"]), int(mani["n_codes"]), int(mani["dims"])
+    if int(mani["n_rows"]) == 0 or d == 0:
+        raise ValueError(
+            "pq_append: index has no trained codebooks (built over an "
+            "empty corpus) — run pq_build over the delta instead"
+        )
+    sub = d // m
+    cb_rows = spark.read.parquet(
+        os.path.join(index_dir, "codebooks.parquet")
+    ).collect()
+    codebooks = np.empty((m, n_codes, sub))
+    for r in cb_rows:
+        codebooks[r["subspace"], r["code"]] = r["centv"]
+    encode = _pq_encode_writer(spark, codebooks, m, sub, vec_col, id_col)
+    obs = Observation()
+    (
+        spread(corpus_delta.select(id_col, vec_col))
+        .mapInPandas(
+            encode, f"{id_col} long, codes array<int>, {vec_col} array<float>"
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "codes.parquet"))
+    )
+    mani["n_rows"] = int(mani["n_rows"]) + int(obs.get["n"])
+    _write_manifest(index_dir, mani)
+
+
+def pq_remove(
+    spark: SparkSession,
+    index_dir: str,
+    removed: DataFrame,
+    id_col: str | None = None,
+) -> int:
+    """Deletion propagation into the PQ index: erased vector ids leave
+    the codes table (broadcast anti-join + materialize-then-swap, the
+    dedup-index discipline — the codes table is not partitioned, so the
+    cell-targeted path has no analogue here), and the manifest count
+    drops. Returns the rows actually removed."""
+    import shutil
+
+    mani = _read_manifest(spark, index_dir)
+    if int(mani["n_rows"]) == 0:
+        return 0
+    id_col = id_col or "vec_id"
+    cdir = os.path.join(index_dir, "codes.parquet")
+    ids = removed.select(F.col(id_col).alias(id_col)).distinct()
+    codes = spark.read.parquet(cdir)
+    n_removed = codes.join(F.broadcast(ids), id_col, "left_semi").count()
+    if n_removed == 0:
+        return 0
+    kept = codes.join(F.broadcast(ids), id_col, "left_anti")
+    tmp = cdir + ".rewrite"
+    trash = cdir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.parquet(tmp)  # materialize BEFORE touching the live table
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(cdir, trash)
+    os.rename(tmp, cdir)
+    shutil.rmtree(trash, ignore_errors=True)
+    mani["n_rows"] = int(mani["n_rows"]) - int(n_removed)
+    _write_manifest(index_dir, mani)
+    return int(n_removed)
+
+
+def pq_optimize(
+    spark: SparkSession,
+    index_dir: str,
+    max_records_per_file: int = 1 << 20,
+) -> tuple[int, int]:
+    """Compact the codes table (one small file set per pq_append at
+    production cadence): rewrite range-clustered on the id — which also
+    buys footer min/max skipping for the rerank's id-keyed self-join.
+    Results are bit-identical before/after. Returns (files_before,
+    files_after)."""
+    import shutil
+
+    if int(_read_manifest(spark, index_dir)["n_rows"]) == 0:
+        return 0, 0
+    cdir = os.path.join(index_dir, "codes.parquet")
+    before = _n_parquet_files(cdir)
+    mani = _read_manifest(spark, index_dir)
+    id_col = "vec_id" if "vec_id" in [
+        f.name for f in spark.read.parquet(cdir).schema.fields
+    ] else spark.read.parquet(cdir).schema.fields[0].name
+    codes = spark.read.parquet(cdir)
+    clustered = codes.repartitionByRange(F.col(id_col)).sortWithinPartitions(
+        F.col(id_col)
+    )
+    tmp = cdir + ".compact"
+    trash = cdir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    clustered.write.option(
+        "maxRecordsPerFile", max_records_per_file
+    ).parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(cdir, trash)
+    os.rename(tmp, cdir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return before, _n_parquet_files(cdir)

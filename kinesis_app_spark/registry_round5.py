@@ -204,14 +204,15 @@ def _bind_knn_oracle() -> None:
     )
     _CORPUS_JOIN = "JOIN embeddings c ON c.vec_id != q.vec_id"
     assert KNN_SQL.count(_CORPUS_JOIN) == 1
-    REGISTRY_ROUND5["knn_ivf_erased"] = QuerySpec(
-        knn_ivf_erased,
-        KNN_SQL.replace(
-            _CORPUS_JOIN,
-            f"JOIN (SELECT * FROM embeddings WHERE NOT ({_ERASE_VEC_PRED})) "
-            "c ON c.vec_id != q.vec_id",
-            1,
-        ),
+    erased_oracle = KNN_SQL.replace(
+        _CORPUS_JOIN,
+        f"JOIN (SELECT * FROM embeddings WHERE NOT ({_ERASE_VEC_PRED})) "
+        "c ON c.vec_id != q.vec_id",
+        1,
+    )
+    REGISTRY_ROUND5["knn_ivf_erased"] = QuerySpec(knn_ivf_erased, erased_oracle)
+    REGISTRY_ROUND5["knn_pq_maintained"] = QuerySpec(
+        knn_pq_maintained, erased_oracle
     )
 
 
@@ -332,3 +333,38 @@ REGISTRY_ROUND5["versioned_dml_delete_update"] = QuerySpec(
 REGISTRY_ROUND5["versioned_stats_pruned_scan"] = QuerySpec(
     versioned_stats_pruned_scan, VERSIONED_PRUNED_SCAN_SQL
 )
+
+
+def knn_pq_maintained(spark, sf_dir):
+    """The FULL PQ index lifecycle under one value gate: built over the
+    even half, pq_append'ed with the odd half against FROZEN codebooks
+    (the nightly-delta path), vec_id % 9 erasure propagated via
+    pq_remove, and the appended small files collapsed by pq_optimize —
+    then queried with exact rerank. Because the stored vectors make the
+    rerank exact, a wide-enough rerank equals brute force over the
+    SURVIVING corpus no matter how the frozen codebooks quantize the
+    appended half — so the whole maintained lifecycle rides the same
+    filtered brute-force oracle as knn_ivf_erased (rerank width 16x
+    verified exact at sf0.001/0.01/0.1)."""
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def build(d):
+        evens = emb.filter(F.col("vec_id") % 2 == 0)
+        odds = emb.filter(F.col("vec_id") % 2 == 1)
+        VI.pq_build(evens, d, m=32, n_codes=16)
+        if odds.limit(1).count() and evens.limit(1).count():
+            VI.pq_append(odds, d)
+        VI.pq_remove(spark, d, emb.filter(_ERASE_VEC_PRED).select("vec_id"))
+        VI.pq_optimize(spark, d)
+
+    idx = _ensure_built(
+        build,
+        _index_dir("pq_mnt", sf_dir),
+        _table_sig(sf_dir, "embeddings"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return VI.pq_query(
+        spark, idx, queries, k=5, rerank_factor=16
+    ).withColumn("rank", F.col("rank").cast("int"))

@@ -486,3 +486,98 @@ def test_vt_dml_on_no_matching_files_is_metadata_only(spark, tmp_path):
     m = _manifest(table, v_new)
     assert {f["path"] for f in m["files"]} == base_paths
     assert m["n_rows"] == 100
+
+
+# ---------- PQ index lifecycle: append / remove / compact ----------
+
+def test_pq_append_then_big_rerank_equals_brute_force(spark, tmp_path):
+    """Codes appended against FROZEN codebooks: with rerank wide enough
+    the exact-rerank result equals brute force over old+new regardless
+    of quantization drift (the stored vectors make rerank exact) — the
+    pq twin of the ivf_append contract."""
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _emb5(spark, n=64, d=8)
+    idx = str(tmp_path / "pq")
+    VI.pq_build(emb.filter(F.col("vec_id") < 32), idx, m=4, n_codes=8)
+    VI.pq_append(emb.filter(F.col("vec_id") >= 32), idx)
+    assert int(VI._read_manifest(spark, idx)["n_rows"]) == 64
+    queries = emb.filter(F.col("vec_id") < 5)
+    have = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 6), r["rank"])
+        for r in VI.pq_query(
+            spark, idx, queries, k=5, rerank_factor=13
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 6), r["rank"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    )
+    assert have == want
+
+
+def test_pq_remove_and_optimize(spark, tmp_path):
+    """Erased ids never return as neighbors (and the result equals
+    brute force over survivors at full-width rerank); compaction
+    collapses the appended files with bit-identical results."""
+    import os
+
+    from kinesis_app_spark.operators import similarity as SIM
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    emb = _emb5(spark, n=48, d=8)
+    idx = str(tmp_path / "pq")
+    VI.pq_build(emb.filter(F.col("vec_id") < 16), idx, m=4, n_codes=8)
+    for lo in (16, 24, 32, 40):
+        VI.pq_append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 8)
+            ),
+            idx,
+        )
+    removed_ids = [3, 17, 33]
+    removed = spark.createDataFrame(
+        [(i,) for i in removed_ids], "vec_id long"
+    )
+    assert VI.pq_remove(spark, idx, removed) == 3
+    assert int(VI._read_manifest(spark, idx)["n_rows"]) == 45
+    queries = emb.filter(F.col("vec_id") < 4)
+    r1 = sorted(
+        tuple(r)
+        for r in VI.pq_query(
+            spark, idx, queries, k=5, rerank_factor=9
+        ).collect()
+    )
+    assert not {x[1] for x in r1} & set(removed_ids)
+    survivors = emb.join(removed, "vec_id", "left_anti")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 6), r["rank"])
+        for r in SIM.brute_force_topk(survivors, queries, k=5).collect()
+    )
+    assert [(a, b, round(c, 6), d) for a, b, c, d in r1] == want
+    before, after = VI.pq_optimize(spark, idx)
+    assert after < before, (before, after)
+    r2 = sorted(
+        tuple(r)
+        for r in VI.pq_query(
+            spark, idx, queries, k=5, rerank_factor=9
+        ).collect()
+    )
+    assert r1 == r2
+    # removing unknown ids is a no-op
+    assert VI.pq_remove(
+        spark, idx, spark.createDataFrame([(999,)], "vec_id long")
+    ) == 0
+
+
+def test_pq_append_on_empty_index_raises(spark, tmp_path):
+    from kinesis_app_spark.operators import vectorindex as VI
+
+    idx = str(tmp_path / "pq")
+    VI.pq_build(_emb5(spark).filter(F.lit(False)), idx, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="codebooks"):
+        VI.pq_append(_emb5(spark, n=8), idx)
+    assert VI.pq_remove(
+        spark, idx, _emb5(spark, n=4).select("vec_id")
+    ) == 0  # empty index: nothing to erase
