@@ -461,21 +461,70 @@ def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) interleave of the columns' RANK spaces — pure
+    column arithmetic, whole-stage-codegen friendly (no UDF):
+
+    1. per column, percent_rank over the column's own order maps any
+       orderable type (ints, doubles, strings, dates) onto [0, 1] —
+       rank space, so skew and type don't matter;
+    2. scale to ``bits``-bit integers;
+    3. interleave the bits of all columns into one long.
+
+    Sorting by the interleaved key gives every file a tight min/max
+    range on EVERY participating column simultaneously — the property
+    range clustering only delivers for the leading column. The
+    percent_rank is one window per column over a global order; at 100
+    TB replace with an approx-quantile binning (the standard Z-order
+    implementation trade) — same key shape, sampled boundaries."""
+    from pyspark.sql import Window as W
+
+    ranked = df
+    rcols = []
+    for c in cols:
+        rc = f"__zr_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            (
+                F.percent_rank().over(W.orderBy(F.col(c)))
+                * ((1 << bits) - 1)
+            ).cast("long"),
+        )
+        rcols.append(rc)
+    z = F.lit(0).cast("long")
+    n = len(rcols)
+    for b in range(bits):
+        for i, rc in enumerate(rcols):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1)),
+                b * n + i,
+            ).cast("long")
+    return ranked.withColumn("__zorder", z), rcols
+
+
 def vt_optimize(
     spark: SparkSession,
     table_dir: str,
     cluster_cols: Sequence[str],
     max_records_per_file: int = 65536,
+    zorder: bool = False,
 ) -> int:
-    """OPTIMIZE: rewrite the latest snapshot range-clustered on
+    """OPTIMIZE: rewrite the latest snapshot clustered on
     ``cluster_cols`` and commit it as a new version with IDENTICAL rows
     — the table-maintenance half of a lakehouse (compaction + layout),
-    distinct from MERGE which changes data. Range clustering gives
-    disjoint per-file key ranges, recorded in the new manifest's
-    per-file stats — which is exactly what makes SUBSEQUENT merges on
-    the cluster key prune to a few files (and gives parquet footer
-    min/max skipping on reads). Old versions stay readable — OPTIMIZE
-    is just another immutable file set."""
+    distinct from MERGE which changes data.
+
+    Default (range clustering): disjoint per-file ranges on the LEADING
+    column — what makes subsequent merges/scans on that column prune to
+    a few files. ``zorder=True`` (Delta's OPTIMIZE ZORDER BY): rows are
+    ordered by the Morton interleave of the columns' rank spaces, so
+    every file gets a tight min/max range on EVERY cluster column —
+    ``vt_scan`` then prunes on ANY of them, not just the first (pinned
+    in tests/test_round5.py: a filter on the second column alone opens
+    a strict subset of files after zorder, but not after plain range
+    clustering). Either way the per-file stats land in the manifest and
+    old versions stay readable — OPTIMIZE is just another immutable
+    file set."""
     base = vt_latest_version(table_dir)
     if base < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
@@ -486,9 +535,17 @@ def vt_optimize(
     # maxRecordsPerFile then chops each task's UNSORTED stream into
     # overlapping-range files — the local sort keeps every emitted file
     # a contiguous key span
-    clustered = df.repartitionByRange(
-        *[F.col(c) for c in cluster_cols]
-    ).sortWithinPartitions(*[F.col(c) for c in cluster_cols])
+    if zorder and len(cluster_cols) > 1:
+        zdf, rcols = _zorder_key(df, cluster_cols)
+        clustered = (
+            zdf.repartitionByRange(F.col("__zorder"))
+            .sortWithinPartitions(F.col("__zorder"))
+            .drop("__zorder", *rcols)
+        )
+    else:
+        clustered = df.repartitionByRange(
+            *[F.col(c) for c in cluster_cols]
+        ).sortWithinPartitions(*[F.col(c) for c in cluster_cols])
     new_version = base + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(table_dir, "data", f"v{new_version:05d}_{token}")

@@ -368,3 +368,61 @@ def knn_pq_maintained(spark, sf_dir):
     return VI.pq_query(
         spark, idx, queries, k=5, rerank_factor=16
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def versioned_zorder_scan(spark, sf_dir):
+    """OPTIMIZE ZORDER (Delta's multi-dimension clustering): the orders
+    snapshot rewritten in Morton-interleave order of (o_custkey,
+    o_totalprice) rank spaces — pure column arithmetic, no UDF
+    (operators/versioned.py:_zorder_key) — so every file carries a
+    tight min/max on BOTH columns and vt_scan prunes on either (a
+    second-column-only filter opens a strict file subset after zorder
+    but not after range clustering — pinned in tests/test_round5.py).
+    The entry value-gates the row contract: a two-dimensional range
+    vt_scan over the z-ordered table must equal the raw-orders SQL
+    replay exactly — clustering is layout, never semantics."""
+    import os
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT5_ROOT, f"orders_z_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir,
+            cluster_cols=["o_custkey", "o_totalprice"],
+            max_records_per_file=256, zorder=True,
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_scan(
+        spark, table_dir,
+        [
+            ("o_custkey", ">=", 30), ("o_custkey", "<=", 60),
+            ("o_totalprice", ">=", 50000.0),
+            ("o_totalprice", "<=", 150000.0),
+        ],
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_ZORDER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_custkey >= 30 AND o_custkey <= 60
+  AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+ORDER BY o_orderkey
+"""
+
+REGISTRY_ROUND5["versioned_zorder_scan"] = QuerySpec(
+    versioned_zorder_scan, VERSIONED_ZORDER_SQL
+)

@@ -581,3 +581,54 @@ def test_pq_append_on_empty_index_raises(spark, tmp_path):
     assert VI.pq_remove(
         spark, idx, _emb5(spark, n=4).select("vec_id")
     ) == 0  # empty index: nothing to erase
+
+
+def test_vt_optimize_zorder_prunes_on_every_cluster_column(
+    spark, tmp_path
+):
+    """OPTIMIZE ZORDER: after Morton clustering on (a, b), a vt_scan
+    filter on b ALONE opens a strict subset of files — plain range
+    clustering on (a, b) gives b no locality at all (a is unique, so
+    the lead column absorbs the whole sort). Rows identical either
+    way."""
+    table = str(tmp_path / "vt")
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        # b is a decorrelated permutation of the same domain: bit-mixed
+        ((F.col("id") * 2654435761) % n).alias("b"),
+        (F.col("id") % 7).alias("v"),
+    )
+    VT.vt_create(df.coalesce(1), table)
+    # plain range clustering on (a, b): a is unique -> b unsorted
+    VT.vt_optimize(
+        spark, table, cluster_cols=["a", "b"], max_records_per_file=256
+    )
+    v_range = VT.vt_latest_version(table)
+    n_files = len(_manifest(table, v_range)["files"])
+    assert n_files >= 8
+    b_filter = [("b", ">=", 100), ("b", "<", 200)]
+    opened_range = len(VT.vt_scan(spark, table, b_filter).inputFiles())
+    assert opened_range == n_files  # no b-locality under range clustering
+
+    VT.vt_optimize(
+        spark, table, cluster_cols=["a", "b"], max_records_per_file=256,
+        zorder=True,
+    )
+    v_z = VT.vt_latest_version(table)
+    nz_files = len(_manifest(table, v_z)["files"])
+    opened_z = len(VT.vt_scan(spark, table, b_filter).inputFiles())
+    assert opened_z < nz_files, (opened_z, nz_files)
+    # and the a-dimension still prunes too (the Z-curve trade: both
+    # dimensions get locality, neither gets perfect locality)
+    a_filter = [("a", ">=", 100), ("a", "<", 200)]
+    assert len(VT.vt_scan(spark, table, a_filter).inputFiles()) < nz_files
+    # OPTIMIZE contract: identical rows
+    got = sorted(
+        (r["a"], r["b"], r["v"])
+        for r in VT.vt_read(spark, table, v_z).collect()
+    )
+    want = sorted(
+        (r["a"], r["b"], r["v"]) for r in df.collect()
+    )
+    assert got == want
