@@ -1049,3 +1049,33 @@ def vt_update(
     return _predicate_rewrite(
         spark, table_dir, filters, "UPDATE", apply, expected_version
     )
+
+
+def vt_merge_retry(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    max_attempts: int = 5,
+    **merge_kwargs,
+) -> int:
+    """The rebase loop ``VersionConflictError`` demands: each attempt
+    re-reads the CURRENT latest version (so the merge is re-planned
+    against the winner's data — file pruning re-evaluates too) and
+    retries the commit. This is Delta's optimistic-concurrency retry
+    made explicit; deterministic change batches make the retry safe to
+    re-execute (the loser's staged files were already cleaned up by the
+    conflict path). Raises the final ``VersionConflictError`` after
+    ``max_attempts`` — livelock under extreme contention is the
+    caller's signal to serialize writers."""
+    last_err: VersionConflictError | None = None
+    for _ in range(max(1, max_attempts)):
+        try:
+            return vt_merge(
+                spark, table_dir, changes, keys=keys,
+                expected_version=vt_latest_version(table_dir),
+                **merge_kwargs,
+            )
+        except VersionConflictError as e:
+            last_err = e
+    raise last_err

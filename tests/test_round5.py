@@ -632,3 +632,51 @@ def test_vt_optimize_zorder_prunes_on_every_cluster_column(
         (r["a"], r["b"], r["v"]) for r in df.collect()
     )
     assert got == want
+
+
+def test_vt_merge_retry_rebases_past_a_concurrent_commit(spark, tmp_path):
+    """A writer losing the commit race retries against the winner's
+    version and lands on top of it — both changes survive."""
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+        table,
+    )
+    orig_write = VT._write_data
+    interposed = {"done": False}
+
+    def racing_write(df, table_dir, version):
+        data_dir = orig_write(df, table_dir, version)
+        if not interposed["done"]:
+            interposed["done"] = True
+            # the winner lands version `version` first, with real files
+            win = VT._write_data(
+                spark.createDataFrame([(9, "w")], "k long, v string"),
+                table_dir, version,
+            )
+            files = VT._collect_file_stats(
+                spark, win,
+                spark.createDataFrame([(9, "w")], "k long, v string").schema,
+            )
+            VT._commit(table_dir, version, {
+                "data_dir": win, "files": files, "n_rows": 1,
+                "schema": spark.createDataFrame(
+                    [(9, "w")], "k long, v string").schema.jsonValue(),
+                "operation": "MERGE",
+            })
+        return data_dir
+
+    VT._write_data = racing_write
+    try:
+        v = VT.vt_merge_retry(
+            spark, table,
+            spark.createDataFrame([(2, "B", "U")], "k long, v string, op string"),
+            keys=["k"],
+        )
+    finally:
+        VT._write_data = orig_write
+    assert v == 2  # rebased onto the winner's v1
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    # the rebase saw the winner's snapshot ({9: w}) and merged on top
+    assert rows == {9: "w", 2: "B"}
