@@ -426,3 +426,40 @@ ORDER BY o_orderkey
 REGISTRY_ROUND5["versioned_zorder_scan"] = QuerySpec(
     versioned_zorder_scan, VERSIONED_ZORDER_SQL
 )
+
+
+def versioned_dml_cdf(spark, sf_dir):
+    """Change data feed ACROSS the predicate-DML versions (v1 clustered
+    snapshot -> v2 DELETE -> v3 UPDATE): the diff labels exactly the
+    deleted key range and the updated rows' pre/post images — and under
+    manifest v2 the CDF reads only each side's EXCLUSIVE files (the
+    carried-forward files are path-identical in both manifests and
+    contribute nothing), so diffing a 10,000-file table after a pruned
+    DML touches a handful of files per side. Oracle: the two DML
+    statements' effects replayed arithmetically over raw orders."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table_dir = _vt_dml_table(spark, sf_dir)
+    return VT.vt_changes(
+        spark, table_dir, v_from=1, v_to=3, keys=["o_orderkey"]
+    ).orderBy("_change_type", "o_orderkey")
+
+
+VERSIONED_DML_CDF_SQL = f"""
+SELECT 'delete' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey <= {_DML_DELETE_BELOW}
+UNION ALL
+SELECT 'update_preimage', o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey > {_DML_UPDATE_ABOVE}
+UNION ALL
+SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 100.0, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey > {_DML_UPDATE_ABOVE}
+ORDER BY _change_type, o_orderkey
+"""
+
+REGISTRY_ROUND5["versioned_dml_cdf"] = QuerySpec(
+    versioned_dml_cdf, VERSIONED_DML_CDF_SQL
+)
