@@ -1668,6 +1668,7 @@ from kinesis_app_spark import registry_round5 as _r5  # noqa: E402
 from kinesis_app_spark.registry_round5 import REGISTRY_ROUND5  # noqa: E402
 
 _r5._bind_knn_oracle()
+_r5._bind_vt_v1_oracle()
 REGISTRY.update(REGISTRY_ROUND5)
 
 

@@ -463,3 +463,50 @@ ORDER BY _change_type, o_orderkey
 REGISTRY_ROUND5["versioned_dml_cdf"] = QuerySpec(
     versioned_dml_cdf, VERSIONED_DML_CDF_SQL
 )
+
+
+def versioned_clone_restore_read(spark, sf_dir):
+    """SHALLOW CLONE + RESTORE under the value gate: the 4-version
+    orders table is cloned (manifests copied, data files SHARED with
+    the source — zero copy), and the CLONE is restored to version 1
+    (a new commit re-referencing v1's immutable files; the source is
+    never touched — restores on a clone stay external, so no vacuum
+    can ever reach source data). Reading the restored clone must equal
+    the v1 replay (the update merge applied to orders) — the same
+    oracle as versioned_time_travel_v1, arrived at through clone +
+    restore instead of VERSION AS OF, which is exactly the
+    zero-copy-fork contract."""
+    import os
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import (
+        _fresh_marker,
+        _vt_orders_table,
+    )
+
+    src_table = _vt_orders_table(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    clone_dir = os.path.join(_VT5_ROOT, f"orders_clone_{tag}")
+    marker = os.path.join(clone_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(clone_dir):
+            shutil.rmtree(clone_dir)
+        VT.vt_clone(src_table, clone_dir)
+        VT.vt_restore(spark, clone_dir, 1)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_read(spark, clone_dir).orderBy("o_orderkey")
+
+
+def _bind_vt_v1_oracle() -> None:
+    """Late-bind the v1-replay oracle shared with versioned_time_travel_v1
+    (registry_round4 is imported at module top, but VERSIONED_V1_SQL is
+    defined there after our import in registry.py's import order — bind
+    with the other late oracles for symmetry)."""
+    from kinesis_app_spark.registry_round4 import VERSIONED_V1_SQL
+
+    REGISTRY_ROUND5["versioned_clone_restore_read"] = QuerySpec(
+        versioned_clone_restore_read, VERSIONED_V1_SQL
+    )
