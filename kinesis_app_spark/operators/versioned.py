@@ -461,43 +461,126 @@ def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
-def _zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
-    """Morton (Z-order) interleave of the columns' RANK spaces — pure
-    column arithmetic, whole-stage-codegen friendly (no UDF):
+#: Z-order sampling knobs: enough sample rows for stable boundaries at
+#: any table size, and a bin-resolution cap (2^8 bins/column) — file
+#: pruning only needs resolution ~ the file count of one OPTIMIZE job,
+#: and the bin expression costs O(boundaries) comparisons per row.
+_ZORDER_SAMPLE_ROWS = 200_000
+_ZORDER_MAX_BITS = 8
 
-    1. per column, percent_rank over the column's own order maps any
-       orderable type (ints, doubles, strings, dates) onto [0, 1] —
-       rank space, so skew and type don't matter;
-    2. scale to ``bits``-bit integers;
-    3. interleave the bits of all columns into one long.
+
+def _zorder_norm(df: DataFrame, c: str):
+    """An order-preserving primitive embedding of any stat-able column
+    type: numerics/dates/timestamps to double (precision loss past 2^53
+    only coarsens bin boundaries, never breaks ordering of the sort
+    key), strings kept as strings."""
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, DateType):
+        return F.unix_date(col).cast("double"), True
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return col.cast("timestamp").cast("double"), True
+    if isinstance(dt, NumericType):
+        return col.cast("double"), True
+    return col.cast("string"), False
+
+
+def _zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_rows: int | None = None,
+):
+    """Morton (Z-order) interleave of the columns' sampled rank-BIN
+    spaces — pure column arithmetic, no UDF, no global sort:
+
+    1. per column, values map to quantile bins: approxQuantile (one
+       distributed Greenwald–Khanna pass over all numeric/date/
+       timestamp columns at once) or a seeded row sample (strings)
+       yields ``2^bits - 1`` boundaries; the row's bin is the count of
+       boundaries <= its value (a literal-array filter — JVM-side,
+       O(boundaries) per row). Rank bins, so skew and type don't
+       matter — the standard Z-order implementation trade (sampled
+       boundaries instead of exact ranks), replacing round 5's
+       percent_rank over a partition-less global window that funneled
+       the whole table through one task;
+    2. interleave the bin bits of all columns into one long. The
+       per-column width is clamped so every shift lands strictly below
+       bit 63: Java's shiftleft masks shifts mod 64, so the old 16-bit
+       default at >= 4 columns silently collided different columns'
+       bits (and at 4 columns reached the sign bit, sorting those rows
+       first) — round-6 ADVICE fix.
 
     Sorting by the interleaved key gives every file a tight min/max
     range on EVERY participating column simultaneously — the property
-    range clustering only delivers for the leading column. The
-    percent_rank is one window per column over a global order; at 100
-    TB replace with an approx-quantile binning (the standard Z-order
-    implementation trade) — same key shape, sampled boundaries."""
-    from pyspark.sql import Window as W
+    range clustering only delivers for the leading column."""
+    n = len(cols)
+    bits = max(1, min(bits, 63 // n, _ZORDER_MAX_BITS))
+    n_bounds = (1 << bits) - 1
+
+    norm_exprs: dict[str, object] = {}
+    numeric_cols: list[str] = []
+    string_cols: list[str] = []
+    for c in cols:
+        e, is_num = _zorder_norm(df, c)
+        norm_exprs[c] = e
+        (numeric_cols if is_num else string_cols).append(c)
+
+    ndf = df.select(
+        *[norm_exprs[c].alias(f"__zn_{c}") for c in cols]
+    )
+    probs = [(j + 1) / (n_bounds + 1) for j in range(n_bounds)]
+    boundaries: dict[str, list] = {}
+    if numeric_cols:
+        qs = ndf.stat.approxQuantile(
+            [f"__zn_{c}" for c in numeric_cols], probs, 0.001
+        )
+        for c, q in zip(numeric_cols, qs):
+            boundaries[c] = sorted({v for v in q if v is not None})
+    if string_cols:
+        if n_rows is None:
+            n_rows = df.count()
+        frac = min(1.0, _ZORDER_SAMPLE_ROWS / max(int(n_rows), 1))
+        samp = (
+            ndf.select(*[f"__zn_{c}" for c in string_cols])
+            .sample(fraction=frac, seed=2931)
+            .collect()
+        )
+        for c in string_cols:
+            vals = sorted(
+                r[f"__zn_{c}"] for r in samp if r[f"__zn_{c}"] is not None
+            )
+            if vals:
+                step = max(1, len(vals) // (n_bounds + 1))
+                boundaries[c] = sorted(
+                    {vals[min(j * step, len(vals) - 1)]
+                     for j in range(1, n_bounds + 1)}
+                )
+            else:
+                boundaries[c] = []
 
     ranked = df
     rcols = []
     for c in cols:
         rc = f"__zr_{c}"
-        ranked = ranked.withColumn(
-            rc,
-            (
-                F.percent_rank().over(W.orderBy(F.col(c)))
-                * ((1 << bits) - 1)
-            ).cast("long"),
-        )
+        bnds = boundaries.get(c) or []
+        if not bnds:
+            binned = F.lit(0).cast("long")  # constant/all-null column
+        else:
+            e = norm_exprs[c]
+            # bin = #boundaries <= value; null value -> every predicate
+            # null -> bin 0 (nulls-first, matching ascending sort order)
+            binned = F.size(
+                F.filter(F.lit(bnds), lambda b: b <= e)
+            ).cast("long")
+        ranked = ranked.withColumn(rc, binned)
         rcols.append(rc)
     z = F.lit(0).cast("long")
-    n = len(rcols)
     for b in range(bits):
         for i, rc in enumerate(rcols):
             z = z + F.shiftleft(
                 F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1)),
-                b * n + i,
+                b * n + i,  # clamped: always < 63 (sign bit untouched)
             ).cast("long")
     return ranked.withColumn("__zorder", z), rcols
 
@@ -536,7 +619,9 @@ def vt_optimize(
     # overlapping-range files — the local sort keeps every emitted file
     # a contiguous key span
     if zorder and len(cluster_cols) > 1:
-        zdf, rcols = _zorder_key(df, cluster_cols)
+        zdf, rcols = _zorder_key(
+            df, cluster_cols, n_rows=manifest.get("n_rows")
+        )
         clustered = (
             zdf.repartitionByRange(F.col("__zorder"))
             .sortWithinPartitions(F.col("__zorder"))

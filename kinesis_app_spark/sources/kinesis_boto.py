@@ -129,6 +129,26 @@ def _conn_opts(options) -> dict:
         # target from the FIRST latestOffset, which a cap bounds to one
         # window — the cap is for continuous tails, not one-shot drains.
         "max_batch_s": float(options.get("maxbatchseconds", 0.0)),
+        # planner-state directory for maxBatchSeconds (round 6): the
+        # planner persists its last EMITTED arrival bound here so a
+        # restarted process resumes capping from a position that is
+        # never behind the checkpoint (every checkpointed bound was
+        # emitted, and every emission is persisted first). Without it a
+        # clean restart's first latestOffset runs UNCAPPED once (safe
+        # but unbounded — see latestOffset). Must live and die with the
+        # query's checkpointLocation: deleting one but not the other
+        # falls back to the uncapped-once path.
+        "planner_state_dir": options.get("plannerstatedir") or None,
+        # how far past a batch's end bound the executor scan keeps
+        # looking for out-of-order stragglers before stopping (round 6:
+        # the stop rule is a pure function of (start, end, this
+        # constant) — never of GetRecords response framing — so a
+        # committed batch replays to the identical record set). AWS
+        # documents arrival stamps as approximate; sub-second reorder is
+        # the observed envelope, 1 s covers it. Changing the value
+        # between a run and its restart changes replay membership:
+        # treat it as fixed per checkpoint, like planningLagSeconds.
+        "boundary_jitter_s": float(options.get("boundaryjitterseconds", 1.0)),
     }
 
 
@@ -561,6 +581,46 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         self._client_obj = None
         self._last_ts_us = 0
         self._anchor_us: int | None = None
+        # Whether THIS process has learned a real stream position — from
+        # partitions()/commit() (replay recovery), from the persisted
+        # planner state (clean restart with plannerStateDir), or from
+        # its own first emission. The maxBatchSeconds cap must not be
+        # applied before then: capping from the anchor can emit a bound
+        # BEHIND a checkpoint this process cannot see, and Spark records
+        # that regressed bound as a batch end — the NEXT batch then
+        # starts from it and re-reads committed arrival windows
+        # (duplicate delivery; reproduced with a probe source, round 6).
+        self._position_learned = False
+        persisted = self._read_planner_state()
+        if persisted is not None:
+            self._last_ts_us = max(self._last_ts_us, persisted)
+            self._position_learned = True
+
+    def _planner_state_path(self) -> str | None:
+        d = self.conn.get("planner_state_dir")
+        if not d:
+            return None
+        return os.path.join(d, f"{self.conn['stream']}.planner_ts_us")
+
+    def _read_planner_state(self) -> int | None:
+        path = self._planner_state_path()
+        if not path or not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None  # unreadable state: uncapped-once fallback
+
+    def _write_planner_state(self, ts_us: int) -> None:
+        path = self._planner_state_path()
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(int(ts_us)))
+        os.replace(tmp, path)  # atomic: readers see old or new, never torn
 
     def _cli(self):
         if self._client_obj is None:
@@ -640,6 +700,13 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return anchor
 
     def initialOffset(self):
+        # the engine only asks for an initial offset when there is NO
+        # checkpoint — the anchor IS the query's true position, so the
+        # maxBatchSeconds cap is safe from here on. (On a fresh query
+        # the engine calls latestOffset BEFORE initialOffset, so this
+        # alone cannot bound the very first engine-planned batch — that
+        # is what plannerStateDir is for.)
+        self._position_learned = True
         return {"ts_us": self._ensure_anchor()}
 
     def _now_us(self) -> int:
@@ -650,18 +717,35 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         self._ensure_anchor()
         now = self._now_us()
         cap_s = self.conn["max_batch_s"]
-        if cap_s > 0 and self._last_ts_us > 0:
+        # The cap may be applied only from a position that is provably
+        # at-or-ahead of the checkpoint: one this process learned from
+        # partitions()/commit()/its own emissions, or the persisted
+        # planner state (which is written BEFORE every emission, so it
+        # is never behind any checkpointed bound). With plannerStateDir
+        # configured and no state file, the query is genuinely fresh
+        # (no bound was ever emitted), so the anchor itself is safe.
+        # Otherwise — a clean restart without planner state — the
+        # checkpointed offset is invisible here and capping from the
+        # anchor could emit a bound BEHIND it; Spark would record that
+        # regressed bound as a batch end and the following batch would
+        # re-read committed arrival windows. Uncapped "now" is never
+        # behind any committed bound, so the one uncapped batch is safe
+        # (merely unbounded once); capping resumes immediately after.
+        cap_ok = self._position_learned or (
+            self._planner_state_path() is not None
+        )
+        if cap_s > 0 and cap_ok and self._last_ts_us > 0:
             # bounded advance: one trigger consumes at most cap_s
             # seconds of arrival time past the last planned bound, so a
-            # backlog drains across many bounded batches. After a
-            # restart the planner relearns its position from the first
-            # partitions()/commit() call (replay recovery); until then
-            # the cap measures from the anchor, which is never ahead of
-            # the checkpointed position.
+            # backlog drains across many bounded batches.
             end = min(now, self._last_ts_us + int(cap_s * 1_000_000))
         else:
             end = now
         self._last_ts_us = max(self._last_ts_us, end)
+        self._position_learned = True
+        # persist BEFORE returning: the state file must never lag a
+        # bound Spark might record in its offset log
+        self._write_planner_state(self._last_ts_us)
         return {"ts_us": self._last_ts_us}
 
     def partitions(self, start: dict, end: dict):
@@ -670,6 +754,7 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         self._last_ts_us = max(
             self._last_ts_us, int(start["ts_us"]), int(end["ts_us"])
         )
+        self._position_learned = True
         shards = _list_shards(
             self._cli(), self.conn["stream"], self.conn["max_retries"]
         )
@@ -705,6 +790,30 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             if "ResourceNotFound" in type(e).__name__ + str(e):
                 return  # expired/deleted shard: records live in old batches
             raise
+        # Batch membership must be a pure function of (start, end) and
+        # the shard's record sequence — NEVER of GetRecords response
+        # framing — or a checkpoint replay can emit a different record
+        # set than the original run (losing a record forever, or
+        # double-reading one). Two round-6 rules deliver that:
+        #
+        # - STOP rule: scan until the first record stamped past
+        #   end + boundaryJitterSeconds. AWS documents arrival stamps as
+        #   approximate, so an out-of-order straddler (ts <= end) can be
+        #   sequenced AFTER a past-end record; scanning a fixed jitter
+        #   allowance past the bound picks it up on every run, whereas
+        #   "finish the current response" (round 5) made its inclusion
+        #   depend on how the service chunked responses.
+        # - UNSTAMPED rule: a record with no ApproximateArrivalTimestamp
+        #   inherits the batch classification of the nearest PRECEDING
+        #   stamped record in sequence order ("carry"). That is stable
+        #   across replays (the preceding stamped record is a fixed
+        #   property of the shard), puts the record in exactly one batch
+        #   (the one that takes its predecessor), and an unstamped HEAD
+        #   record (no predecessor) belongs to the first-ever batch
+        #   (TRIM_HORIZON scan, start_us <= 0) — every later scan
+        #   classifies it as the previous batch's tail.
+        jitter_us = int(conn["boundary_jitter_s"] * 1_000_000)
+        carry = "current" if partition.start_us <= 0 else "prev"
         while it:
             resp = _with_retries(
                 lambda i=it: client.get_records(
@@ -713,40 +822,41 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 conn["max_retries"],
             )
             rows = []
-            past_end = False
+            stop = False
             for r in resp["Records"]:
                 ts = _to_utc_naive(r.get("ApproximateArrivalTimestamp"))
                 if ts is None:
-                    # a record the server did not stamp cannot be placed
-                    # in any arrival window; treating it as ts=0 would
-                    # skip it FOREVER (<= start of every batch) — take it
-                    # in the batch that first scans it instead
-                    ts_us = None
+                    cls = carry  # unstamped: predecessor's batch
                 else:
                     ts_us = int(
                         ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
                     )
-                if ts_us is not None and ts_us <= partition.start_us:
-                    continue  # previous batch's boundary tail
-                if ts_us is not None and ts_us > partition.end_us:
-                    # AWS documents arrival stamps as only APPROXIMATE:
-                    # keep scanning the rest of THIS response (jitter at
-                    # the boundary must not lose a straddling record),
-                    # then stop fetching
-                    past_end = True
-                    continue
-                rows.append(
-                    (
-                        partition.shard_id,
-                        r["SequenceNumber"],
-                        r["PartitionKey"],
-                        bytes(r["Data"]),
-                        ts,
+                    if ts_us <= partition.start_us:
+                        cls = "prev"  # previous batch's boundary tail
+                    elif ts_us <= partition.end_us:
+                        cls = "current"
+                    else:
+                        cls = "next"
+                        if ts_us > partition.end_us + jitter_us:
+                            # chunk-independent scan boundary: no
+                            # straddler can be sequenced beyond the
+                            # jitter allowance
+                            stop = True
+                            break
+                    carry = cls
+                if cls == "current":
+                    rows.append(
+                        (
+                            partition.shard_id,
+                            r["SequenceNumber"],
+                            r["PartitionKey"],
+                            bytes(r["Data"]),
+                            ts,
+                        )
                     )
-                )
             if rows:
                 yield _rows_batch(rows)
-            if past_end:
+            if stop:
                 return
             it = resp.get("NextShardIterator")
             if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
@@ -758,6 +868,7 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # second way (besides partitions()) a restarted planner relearns
         # its position before the next capped advance.
         self._last_ts_us = max(self._last_ts_us, int(end["ts_us"]))
+        self._position_learned = True
 
 
 # ---------------------------------------------------------------------

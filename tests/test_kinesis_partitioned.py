@@ -337,6 +337,12 @@ def test_max_batch_seconds_restart_mid_backlog_exactly_once(
             .option("readerMode", "partitioned")
             .option("planningLagSeconds", "0")
             .option("maxBatchSeconds", "1")
+            # round 6: the engine plans a fresh query's FIRST batch from
+            # a latestOffset that fires before initialOffset, and a
+            # restarted planner cannot see the checkpoint — the planner
+            # state file is what keeps the cap both bounded and safe
+            # across the stop/restart below
+            .option("plannerStateDir", str(tmp_path / "planner"))
             .option("endpointUrl", moto_ep)
             .option("region", "us-east-1")
             .option("accessKeyId", "testing")
