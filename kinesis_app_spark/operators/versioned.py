@@ -198,6 +198,70 @@ def _write_files_with_stats(
     return data_dir, files
 
 
+#: key-SET pruning bound: up to this many distinct change keys are
+#: collected to the driver (bounded memory) and tested against each
+#: file's [min,max]; above it the merge falls back to the interval test
+#: (one global [min,max] per key column). The interval test degrades to
+#: a full rewrite when a batch touches both key extremes — the common
+#: shape of real CDC batches — so the key-set path is the default and
+#: the interval path the documented large-batch fallback.
+_PRUNE_MAX_KEYS = 100_000
+
+
+def _change_key_sets(
+    changes: DataFrame, keys: Sequence[str], max_keys: int = _PRUNE_MAX_KEYS
+) -> dict | None:
+    """The change batch's DISTINCT key values per stat-able key column
+    — Delta's key-level file pruning. Returns ``{"n": distinct-tuple
+    count, "cols": {col: (sorted values, has_null)}}``, or None when the
+    batch exceeds ``max_keys`` distinct tuples or no key column is
+    stat-able (callers then fall back to interval pruning). The
+    ``limit(max_keys + 1)`` bounds the driver collect BY CONSTRUCTION —
+    an oversized batch never materializes driver-side."""
+    scols = [k for k in keys if k in _stats_cols(changes.schema)]
+    if not scols:
+        return None
+    rows = changes.select(*scols).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        return None
+    cols = {}
+    for c in scols:
+        vals = []
+        has_null = False
+        for r in rows:
+            jv = _json_stat(r[c])
+            if jv is None:
+                has_null = has_null or r[c] is None
+            else:
+                vals.append(jv)
+        cols[c] = (sorted(set(vals)), has_null)
+    return {"n": len(rows), "cols": cols}
+
+
+def _file_hits_key_set(file_entry: dict, key_cols: dict) -> bool:
+    """Does SOME actual change key fall inside this file's [min, max]?
+    Per key column: binary-search the sorted key values for the first
+    one >= file min and check it is <= file max. A column with null keys
+    or missing stats cannot disprove a match (conservative). Multi-
+    column keys are tested per-column independently — a file passing
+    every column may still hold no matching TUPLE, which only keeps an
+    extra file (conservative, never wrong)."""
+    import bisect
+
+    fstats = file_entry.get("stats") or {}
+    for c, (vals, has_null) in key_cols.items():
+        if has_null or not vals:
+            continue  # null/unrangeable keys cannot disprove: keep
+        st = fstats.get(c)
+        if not st or None in st:
+            continue
+        lo, hi = st
+        i = bisect.bisect_left(vals, lo)
+        if i >= len(vals) or vals[i] > hi:
+            return False  # no change key lands inside [lo, hi]
+    return True
+
+
 def _change_key_stats(changes: DataFrame, keys: Sequence[str]) -> tuple[int, dict]:
     """(row count, {key: [min, max]}) of the change batch — the tiny agg
     that funds file pruning. Keys without stat-able types get no entry
@@ -328,15 +392,20 @@ def vt_merge(
     batch_id: int | None = None,
     merge_schema: bool = False,
     check: str | None = None,
+    max_prune_keys: int = _PRUNE_MAX_KEYS,
 ) -> int:
     """MERGE INTO, file-level copy-on-write, optimistically-concurrent.
 
     Reads the latest manifest, REWRITES ONLY the files whose per-file
-    key min/max intersects the change batch's key range (every other
-    file is carried into the new manifest by reference — byte-identical
-    on disk), and commits the next version. At 100 TB this is the
-    difference between an hourly merge writing a few files and a
-    full-table rewrite per commit. ``expected_version`` is the version
+    key min/max contains some ACTUAL change-batch key (key-set pruning;
+    batches beyond ``max_prune_keys`` distinct keys use the coarser
+    global-interval test instead — the documented fallback). Every
+    other file is carried into the new manifest by reference —
+    byte-identical on disk — and the next version is committed. At 100
+    TB this is the difference between an hourly merge writing a few
+    files and a full-table rewrite per commit — including for the
+    common CDC shape where one batch touches scattered keys across the
+    whole key domain. ``expected_version`` is the version
     this writer based its changes on: if another commit landed in
     between, ``VersionConflictError`` is raised BEFORE any data is
     written (and the create-race is still resolved atomically at commit
@@ -383,22 +452,37 @@ def vt_merge(
         )
     evolved = StructType(list(schema.fields) + list(extra))
 
-    # file pruning: one tiny agg over the change batch, then an
-    # interval-overlap test per manifest file — no data is read for the
-    # carried-forward set
+    # file pruning (round 6: key-SET, not interval): collect the change
+    # batch's distinct keys (bounded by _PRUNE_MAX_KEYS) and keep a file
+    # only if some ACTUAL key falls inside its [min,max] — a batch
+    # touching both key extremes of a clustered table rewrites two
+    # files, where the round-5 interval test intersected every file and
+    # silently degraded to a full-snapshot rewrite. Oversized batches
+    # fall back to the interval test (one tiny agg). No data is read
+    # for the carried-forward set either way.
     if "files" in manifest:
-        n_changes, chg_stats = _change_key_stats(changes, keys)
-        if n_changes == 0:
-            touched, carried = [], list(manifest["files"])
-        else:
-            touched = [
-                f for f in manifest["files"]
-                if _file_intersects(f, chg_stats, keys)
-            ]
-            t_paths = {f["path"] for f in touched}
-            carried = [
-                f for f in manifest["files"] if f["path"] not in t_paths
-            ]
+        key_sets = _change_key_sets(changes, keys, max_keys=max_prune_keys)
+        if key_sets is not None:
+            if key_sets["n"] == 0:
+                touched = []
+            else:
+                touched = [
+                    f for f in manifest["files"]
+                    if _file_hits_key_set(f, key_sets["cols"])
+                ]
+        else:  # > max_prune_keys distinct keys: interval fallback
+            n_changes, chg_stats = _change_key_stats(changes, keys)
+            if n_changes == 0:
+                touched = []
+            else:
+                touched = [
+                    f for f in manifest["files"]
+                    if _file_intersects(f, chg_stats, keys)
+                ]
+        t_paths = {f["path"] for f in touched}
+        carried = [
+            f for f in manifest["files"] if f["path"] not in t_paths
+        ]
         snapshot = _read_snapshot_files(
             spark, [f["path"] for f in touched], evolved
         )

@@ -208,6 +208,100 @@ def test_unstamped_head_record_belongs_to_the_first_batch(monkeypatch):
 
 
 # ---------------------------------------------------------------------
+# key-set (not interval) MERGE file pruning
+# ---------------------------------------------------------------------
+
+
+def _clustered_table(spark, tmp_path, n=100, files=4):
+    table = str(tmp_path / "vt")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_optimize(
+        spark, table, cluster_cols=["k"], max_records_per_file=n // files
+    )
+    return table
+
+
+def _files(table, version):
+    import json
+
+    with open(VT._manifest_path(table, version)) as fh:
+        return {f["path"]: f for f in json.load(fh)["files"]}
+
+
+def test_scattered_extreme_keys_rewrite_only_their_files(spark, tmp_path):
+    """A 2-key change batch touching BOTH key extremes rewrites exactly
+    the 2 files holding those keys. Round 5's interval pruning reduced
+    the batch to one global [min,max] — such a batch intersected EVERY
+    file and silently degraded to a full-snapshot rewrite (the common
+    shape of real CDC batches)."""
+    table = _clustered_table(spark, tmp_path)
+    v0 = VT.vt_latest_version(table)
+    base = _files(table, v0)
+    assert len(base) >= 4
+    ch = spark.createDataFrame(
+        [(0, -1, "U"), (99, -99, "U")], "k long, v long, op string"
+    )
+    v1 = VT.vt_merge(spark, table, ch, keys=["k"])
+    new = _files(table, v1)
+    rewritten = set(base) - set(new)
+    assert len(rewritten) == 2, (
+        f"exactly the two extreme-range files should be replaced: "
+        f"{sorted(rewritten)}"
+    )
+    assert len(set(base) & set(new)) == len(base) - 2  # rest carried
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    expect = {k: k * 2 for k in range(100)}
+    expect[0], expect[99] = -1, -99
+    assert got == expect
+
+
+def test_key_set_pruning_falls_back_above_the_key_bound(spark, tmp_path):
+    """Above max_prune_keys distinct keys the merge uses the interval
+    test (bounded driver memory) — results identical, pruning coarser."""
+    table = _clustered_table(spark, tmp_path)
+    ch = spark.createDataFrame(
+        [(0, -1, "U"), (99, -99, "U")], "k long, v long, op string"
+    )
+    v0 = VT.vt_latest_version(table)
+    base = _files(table, v0)
+    v1 = VT.vt_merge(spark, table, ch, keys=["k"], max_prune_keys=1)
+    new = _files(table, v1)
+    # interval [0, 99] spans every file: full rewrite (the r5 behavior)
+    assert not (set(base) & set(new))
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert got[0] == -1 and got[99] == -99 and got[50] == 100
+
+
+def test_multi_column_key_pruning_is_conservative(spark, tmp_path):
+    """Composite keys: per-column key-set tests keep at least the files
+    that could hold a matching tuple; rows always merge correctly."""
+    table = str(tmp_path / "vt2")
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k1"),
+        (F.col("id") / F.lit(10)).cast("long").alias("k2"),
+        F.col("id").alias("v"),
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_optimize(spark, table, cluster_cols=["k1", "k2"],
+                   max_records_per_file=25)
+    ch = spark.createDataFrame(
+        [(3, 7, -1, "U"), (3, 8, None, "D")],
+        "k1 long, k2 long, v long, op string",
+    )
+    VT.vt_merge(spark, table, ch, keys=["k1", "k2"])
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in VT.vt_read(spark, table).collect()
+    }
+    assert got[(3, 7)] == -1
+    assert (3, 8) not in got
+    assert len(got) == 99
+
+
+# ---------------------------------------------------------------------
 # Z-order key: 63-bit safety + no global-order window
 # ---------------------------------------------------------------------
 
