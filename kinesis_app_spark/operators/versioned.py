@@ -6,10 +6,15 @@ with FILE-LEVEL copy-on-write since round 5.
 ImportError), but the SEMANTICS a 100 TB deployment relies on are
 engine-expressible without it:
 
-- every version is an immutable SET OF PARQUET FILES listed in its
-  manifest (``files``: path + row count + per-column min/max stats);
-  nothing is ever rewritten in place, so any historical version stays
-  readable (time travel);
+- every version is an immutable SET OF PARQUET FILES described by its
+  manifest — since round 6 as incremental ``add``/``remove`` ACTIONS
+  against the parent version, with a full ``files`` snapshot (path +
+  row count + per-column min/max stats) every ``_CHECKPOINT_EVERY``
+  commits (Delta's checkpoint discipline: commit payload is O(files
+  touched), never O(total files), and ``vt_files`` reconstructs any
+  version from at most one checkpoint + N-1 action lists). Nothing is
+  ever rewritten in place, so any historical version stays readable
+  (time travel);
 - a version is COMMITTED by creating ``<table>/_manifest/<NNNNN>.json``
   with O_CREAT|O_EXCL — the same put-if-absent primitive Delta's
   commit protocol needs from its log store. Two writers racing to
@@ -67,6 +72,14 @@ from kinesis_app_spark.operators.cdc import apply_changes
 #: merges or filters on
 _STATS_MAX_COLS = 32
 
+#: round 6: commits store incremental add/remove ACTIONS instead of the
+#: complete file list, with a full-snapshot checkpoint every N versions
+#: (Delta's _last_checkpoint discipline). Commit payload is then O(files
+#: touched), not O(total files) — the difference between an hourly merge
+#: writing a few hundred bytes of metadata and serializing a 10^6-file
+#: listing per commit — and reconstruction reads at most N manifests.
+_CHECKPOINT_EVERY = 10
+
 
 class VersionConflictError(RuntimeError):
     """Another writer committed this version first: rebase and retry."""
@@ -80,11 +93,49 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_manifest_dir(table_dir), f"{version:05d}.json")
 
 
+def _last_pointer_path(table_dir: str) -> str:
+    return os.path.join(_manifest_dir(table_dir), "_last")
+
+
+def _advance_last_pointer(table_dir: str, version: int) -> None:
+    """Monotone ``_last`` hint, updated after every successful commit.
+    Purely an optimization: a writer dying between commit and pointer
+    update leaves a stale value, which ``vt_latest_version`` heals by
+    probing forward — and racing writers can only write values the
+    forward probe walks past."""
+    path = _last_pointer_path(table_dir)
+    try:
+        with open(path) as fh:
+            cur = int(fh.read().strip())
+    except (OSError, ValueError):
+        cur = -1
+    if version <= cur:
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(str(int(version)))
+    os.replace(tmp, path)
+
+
 def vt_latest_version(table_dir: str) -> int:
-    """Highest committed version, or -1 for a nonexistent table."""
+    """Highest committed version, or -1 for a nonexistent table. Reads
+    the ``_last`` pointer and probes forward from it (O(1 + commits
+    since the pointer moved)) instead of listing the manifest directory
+    — at thousands of commits the per-call directory listing was the
+    remaining O(versions) metadata term. Tables without a pointer
+    (pre-round-6, or clones made by hand) fall back to the listing."""
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
         return -1
+    try:
+        with open(_last_pointer_path(table_dir)) as fh:
+            v = int(fh.read().strip())
+    except (OSError, ValueError):
+        v = -1
+    if v >= 0 and os.path.exists(_manifest_path(table_dir, v)):
+        while os.path.exists(_manifest_path(table_dir, v + 1)):
+            v += 1  # stale-pointer healing
+        return v
     versions = [
         int(f[:-5])
         for f in os.listdir(mdir)
@@ -101,6 +152,55 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         )
     with open(path) as fh:
         return json.load(fh)
+
+
+def vt_files(table_dir: str, version: int) -> list[dict] | None:
+    """The version's complete per-file manifest entries (path, n_rows,
+    stats), reconstructed from the nearest full-snapshot checkpoint plus
+    the incremental ``add``/``remove`` actions committed since — at most
+    ``_CHECKPOINT_EVERY`` manifest reads. Returns None for a
+    pre-round-5 manifest (one opaque data dir, no file list)."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        m = _read_manifest(table_dir, v)
+        if "files" in m:
+            files = {f["path"]: f for f in m["files"]}
+            break
+        if "add" not in m and "remove" not in m:
+            return None  # pre-round-5 manifest: no file-level metadata
+        chain.append(m)
+        v -= 1
+        if v < 0:
+            raise ValueError(
+                f"incremental manifest chain of {table_dir} has no "
+                "checkpoint below version {version}"
+            )
+    for m in reversed(chain):  # oldest incremental first
+        for p in m.get("remove", []):
+            files.pop(p, None)
+        for f in m.get("add", []):
+            files[f["path"]] = f
+    return sorted(files.values(), key=lambda f: f["path"])
+
+
+def _incremental_or_full(
+    new_version: int,
+    parent_files: list[dict] | None,
+    carried: list[dict],
+    new_files: list[dict],
+    touched_paths: Sequence[str],
+) -> dict:
+    """The commit's file payload: incremental ``add``/``remove`` actions
+    when the parent is resolvable and this is not a checkpoint version;
+    the complete ``files`` list otherwise. Either form reconstructs to
+    ``carried + new_files``."""
+    if parent_files is None or new_version % _CHECKPOINT_EVERY == 0:
+        return {"files": carried + new_files}
+    return {
+        "add": new_files,
+        "remove": sorted(touched_paths),
+    }
 
 
 # ---------------------------------------------------------------------
@@ -318,6 +418,7 @@ def _commit(table_dir: str, version: int, manifest: dict,
         ) from None
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
+    _advance_last_pointer(table_dir, version)
 
 
 def vt_create(df: DataFrame, table_dir: str) -> int:
@@ -372,10 +473,11 @@ def vt_read(
             f"version {version} of {table_dir} was vacuumed; earliest "
             "readable version is the oldest non-vacuumed manifest"
         )
-    if "files" in manifest:
+    files = vt_files(table_dir, version)
+    if files is not None:
         schema = _manifest_schema(manifest)
         return _read_snapshot_files(
-            spark, [f["path"] for f in manifest["files"]], schema
+            spark, [f["path"] for f in files], schema
         )
     # pre-round-5 manifest: one opaque data dir per version
     return spark.read.parquet(manifest["data_dir"])
@@ -460,14 +562,15 @@ def vt_merge(
     # silently degraded to a full-snapshot rewrite. Oversized batches
     # fall back to the interval test (one tiny agg). No data is read
     # for the carried-forward set either way.
-    if "files" in manifest:
+    parent_files = vt_files(table_dir, base)
+    if parent_files is not None:
         key_sets = _change_key_sets(changes, keys, max_keys=max_prune_keys)
         if key_sets is not None:
             if key_sets["n"] == 0:
                 touched = []
             else:
                 touched = [
-                    f for f in manifest["files"]
+                    f for f in parent_files
                     if _file_hits_key_set(f, key_sets["cols"])
                 ]
         else:  # > max_prune_keys distinct keys: interval fallback
@@ -476,12 +579,12 @@ def vt_merge(
                 touched = []
             else:
                 touched = [
-                    f for f in manifest["files"]
+                    f for f in parent_files
                     if _file_intersects(f, chg_stats, keys)
                 ]
         t_paths = {f["path"] for f in touched}
         carried = [
-            f for f in manifest["files"] if f["path"] not in t_paths
+            f for f in parent_files if f["path"] not in t_paths
         ]
         snapshot = _read_snapshot_files(
             spark, [f["path"] for f in touched], evolved
@@ -518,10 +621,14 @@ def vt_merge(
             )
     out = {
         "data_dir": data_dir,
-        "files": carried + new_files,
         "n_rows": sum(f["n_rows"] for f in carried + new_files),
         "schema": evolved.jsonValue(),
         "operation": "MERGE",
+        **_incremental_or_full(
+            new_version, parent_files, carried, new_files,
+            [f["path"] for f in touched] if parent_files is not None
+            else [],
+        ),
     }
     if batch_id is not None:
         # streaming epoch ledger: foreachBatch idempotence (Delta's
@@ -762,9 +869,11 @@ def vt_changes(
     m_b = _read_manifest(table_dir, v_to)
     schema_a = _manifest_schema(m_a)
     schema_b = _manifest_schema(m_b)
-    if "files" in m_a and "files" in m_b:
-        paths_a = {f["path"] for f in m_a["files"]}
-        paths_b = {f["path"] for f in m_b["files"]}
+    files_a = vt_files(table_dir, v_from)
+    files_b = vt_files(table_dir, v_to)
+    if files_a is not None and files_b is not None:
+        paths_a = {f["path"] for f in files_a}
+        paths_b = {f["path"] for f in files_b}
         common = paths_a & paths_b
         before = _read_snapshot_files(
             spark, sorted(paths_a - common), schema_a
@@ -869,9 +978,10 @@ def vt_foreach_batch_merger(
     return apply_batch
 
 
-def _version_files(manifest: dict) -> list[str] | None:
-    if "files" in manifest:
-        return [f["path"] for f in manifest["files"]]
+def _version_file_paths(table_dir: str, version: int) -> list[str] | None:
+    files = vt_files(table_dir, version)
+    if files is not None:
+        return [f["path"] for f in files]
     return None
 
 
@@ -898,7 +1008,7 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
     referenced_dirs: set[str] = set()
     for v in range(keep_from, latest + 1):
         m = _read_manifest(table_dir, v)
-        fl = _version_files(m)
+        fl = _version_file_paths(table_dir, v)
         if fl is None:
             referenced_dirs.add(m["data_dir"])
         else:
@@ -914,7 +1024,7 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
             # SOURCE table — never delete, never mark (the path guard
             # below would also refuse, but skipping keeps it readable)
             continue
-        fl = _version_files(m)
+        fl = _version_file_paths(table_dir, v)
         if fl is None:
             # pre-round-5 manifest: one opaque dir per version
             if m["data_dir"] in referenced_dirs:
@@ -979,6 +1089,7 @@ def vt_clone(table_dir: str, clone_dir: str) -> int:
         m["external"] = True  # data files belong to the source table
         with open(_manifest_path(clone_dir, v), "w") as fh:
             json.dump(m, fh)
+    _advance_last_pointer(clone_dir, latest)
     return latest
 
 
@@ -1006,8 +1117,11 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
         "n_rows": int(target["n_rows"]),
         "operation": f"RESTORE({version})",
     }
-    if "files" in target:
-        out["files"] = target["files"]
+    target_files = vt_files(table_dir, version)
+    if target_files is not None:
+        # a restore is a full snapshot by nature (its file set has no
+        # relation to the current latest): commit it as a checkpoint
+        out["files"] = target_files
     if target.get("schema") is not None:
         out["schema"] = target["schema"]
     if target.get("external"):
@@ -1097,11 +1211,11 @@ def vt_scan(
             f"version {version} of {table_dir} was vacuumed"
         )
     filters = list(filters)
-    if "files" in manifest:
+    files = vt_files(table_dir, version)
+    if files is not None:
         schema = _manifest_schema(manifest)
         survivors = [
-            f["path"] for f in manifest["files"]
-            if _filter_may_match(f, filters)
+            f["path"] for f in files if _filter_may_match(f, filters)
         ]
         df = _read_snapshot_files(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on
@@ -1131,18 +1245,20 @@ def _predicate_rewrite(
     manifest = _read_manifest(table_dir, base)
     filters = list(filters)
     pred = _filters_to_column(filters)
-    if "files" in manifest:
+    parent_files = vt_files(table_dir, base)
+    if parent_files is not None:
         schema = _manifest_schema(manifest)
         touched = [
-            f for f in manifest["files"] if _filter_may_match(f, filters)
+            f for f in parent_files if _filter_may_match(f, filters)
         ]
         t_paths = {f["path"] for f in touched}
-        carried = [f for f in manifest["files"] if f["path"] not in t_paths]
+        carried = [f for f in parent_files if f["path"] not in t_paths]
         snapshot = _read_snapshot_files(
             spark, [f["path"] for f in touched], schema
         )
     else:  # pre-round-5 manifest: full rewrite
         carried = []
+        touched = []
         snapshot = vt_read(spark, table_dir, base)
         schema = snapshot.schema
     rewritten = rewrite_fn(snapshot, pred)
@@ -1155,10 +1271,13 @@ def _predicate_rewrite(
         new_version,
         {
             "data_dir": data_dir,
-            "files": carried + new_files,
             "n_rows": sum(f["n_rows"] for f in carried + new_files),
             "schema": schema.jsonValue(),
             "operation": operation,
+            **_incremental_or_full(
+                new_version, parent_files, carried, new_files,
+                [f["path"] for f in touched],
+            ),
         },
         cleanup_dir=data_dir,
     )

@@ -35,6 +35,13 @@ def _manifest(table, version):
         return json.load(fh)
 
 
+def _vfiles(table, version):
+    """Resolved per-file entries (round 6: manifests are incremental
+    add/remove actions with periodic checkpoints — vt_files reconstructs
+    the full list)."""
+    return {f["path"]: f for f in VT.vt_files(table, version)}
+
+
 def test_pruned_merge_carries_untouched_files_by_reference(spark, tmp_path):
     """A merge whose change keys hit ONE file's range rewrites that file
     only: every other file appears in the new manifest with an
@@ -42,7 +49,7 @@ def test_pruned_merge_carries_untouched_files_by_reference(spark, tmp_path):
     the merged table still reads exactly right."""
     table = _clustered_table(spark, tmp_path)
     v_base = VT.vt_latest_version(table)
-    base_files = {f["path"]: f for f in _manifest(table, v_base)["files"]}
+    base_files = _vfiles(table, v_base)
     assert len(base_files) >= 3  # the pruning claim needs >1 file
 
     # keys 1..3 live in the lowest-range file only
@@ -54,7 +61,7 @@ def test_pruned_merge_carries_untouched_files_by_reference(spark, tmp_path):
         p: os.stat(p).st_mtime_ns for p in base_files
     }
     v_new = VT.vt_merge(spark, table, ch, keys=["k"])
-    new_files = {f["path"]: f for f in _manifest(table, v_new)["files"]}
+    new_files = _vfiles(table, v_new)
 
     carried = set(base_files) & set(new_files)
     rewritten_old = set(base_files) - set(new_files)
@@ -93,12 +100,12 @@ def test_pure_insert_merge_touches_no_existing_file(spark, tmp_path):
     ENTIRE old file set forward and write only the new rows."""
     table = _clustered_table(spark, tmp_path)
     v_base = VT.vt_latest_version(table)
-    base_paths = {f["path"] for f in _manifest(table, v_base)["files"]}
+    base_paths = set(_vfiles(table, v_base))
     ch = spark.createDataFrame(
         [(1000, 1, "U"), (1001, 2, "U")], "k long, v long, op string"
     )
     v_new = VT.vt_merge(spark, table, ch, keys=["k"])
-    new_paths = {f["path"] for f in _manifest(table, v_new)["files"]}
+    new_paths = set(_vfiles(table, v_new))
     assert base_paths <= new_paths  # every old file carried
     assert len(new_paths - base_paths) >= 1  # plus the insert file(s)
     assert VT.vt_read(spark, table).count() == 102
@@ -222,12 +229,12 @@ def test_optimize_stats_power_later_pruned_merges(spark, tmp_path):
     VT.vt_create(df.coalesce(1), table)
     VT.vt_optimize(spark, table, cluster_cols=["k"], max_records_per_file=100)
     v1 = VT.vt_latest_version(table)
-    n_files = len(_manifest(table, v1)["files"])
+    n_files = len(_vfiles(table, v1))
     assert n_files >= 8
     ch = spark.createDataFrame([(500, -1, "U")], "k long, v long, op string")
     v2 = VT.vt_merge(spark, table, ch, keys=["k"])
-    old = {f["path"] for f in _manifest(table, v1)["files"]}
-    new = {f["path"] for f in _manifest(table, v2)["files"]}
+    old = set(_vfiles(table, v1))
+    new = set(_vfiles(table, v2))
     assert len(old - new) == 1  # exactly one file rewritten
     assert VT.vt_read(spark, table).filter("k = 500").collect()[0]["v"] == -1
 
@@ -429,7 +436,7 @@ def test_vt_scan_prunes_files_by_stats(spark, tmp_path):
     """A range read on the cluster key opens only the files whose
     min/max admit a match — and returns exactly read+filter."""
     table = _clustered_table(spark, tmp_path)
-    total = len(_manifest(table, VT.vt_latest_version(table))["files"])
+    total = len(_vfiles(table, VT.vt_latest_version(table)))
     scanned = VT.vt_scan(spark, table, [("k", ">=", 10), ("k", "<", 20)])
     opened = len(scanned.inputFiles())
     assert opened < total, (opened, total)
@@ -443,11 +450,11 @@ def test_vt_scan_prunes_files_by_stats(spark, tmp_path):
 def test_vt_delete_prunes_and_removes(spark, tmp_path):
     table = _clustered_table(spark, tmp_path)
     v_base = VT.vt_latest_version(table)
-    base_paths = {f["path"] for f in _manifest(table, v_base)["files"]}
+    base_paths = set(_vfiles(table, v_base))
     v_new = VT.vt_delete(spark, table, [("k", "<", 10)])
     m = _manifest(table, v_new)
     assert m["operation"] == "DELETE"
-    new_paths = {f["path"] for f in m["files"]}
+    new_paths = set(_vfiles(table, v_new))
     assert len(base_paths - new_paths) == 1  # only the low file rewritten
     assert m["n_rows"] == 90
     assert sorted(r["k"] for r in VT.vt_read(spark, table).collect()) == (
@@ -460,13 +467,13 @@ def test_vt_delete_prunes_and_removes(spark, tmp_path):
 def test_vt_update_prunes_and_applies(spark, tmp_path):
     table = _clustered_table(spark, tmp_path)
     v_base = VT.vt_latest_version(table)
-    base_paths = {f["path"] for f in _manifest(table, v_base)["files"]}
+    base_paths = set(_vfiles(table, v_base))
     v_new = VT.vt_update(
         spark, table, [("k", ">=", 90)], {"v": "v * 100 + 7"}
     )
     m = _manifest(table, v_new)
     assert m["operation"] == "UPDATE"
-    assert len(base_paths - {f["path"] for f in m["files"]}) == 1
+    assert len(base_paths - set(_vfiles(table, v_new))) == 1
     rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
     assert rows[95] == 95 * 2 * 100 + 7
     assert rows[50] == 100  # untouched (carried file, same bytes)
@@ -481,10 +488,10 @@ def test_vt_dml_on_no_matching_files_is_metadata_only(spark, tmp_path):
     ALL files forward — a metadata-only commit."""
     table = _clustered_table(spark, tmp_path)
     v_base = VT.vt_latest_version(table)
-    base_paths = {f["path"] for f in _manifest(table, v_base)["files"]}
+    base_paths = set(_vfiles(table, v_base))
     v_new = VT.vt_delete(spark, table, [("k", ">", 10_000)])
     m = _manifest(table, v_new)
-    assert {f["path"] for f in m["files"]} == base_paths
+    assert set(_vfiles(table, v_new)) == base_paths
     assert m["n_rows"] == 100
 
 
@@ -605,7 +612,7 @@ def test_vt_optimize_zorder_prunes_on_every_cluster_column(
         spark, table, cluster_cols=["a", "b"], max_records_per_file=256
     )
     v_range = VT.vt_latest_version(table)
-    n_files = len(_manifest(table, v_range)["files"])
+    n_files = len(_vfiles(table, v_range))
     assert n_files >= 8
     b_filter = [("b", ">=", 100), ("b", "<", 200)]
     opened_range = len(VT.vt_scan(spark, table, b_filter).inputFiles())
@@ -616,7 +623,7 @@ def test_vt_optimize_zorder_prunes_on_every_cluster_column(
         zorder=True,
     )
     v_z = VT.vt_latest_version(table)
-    nz_files = len(_manifest(table, v_z)["files"])
+    nz_files = len(_vfiles(table, v_z))
     opened_z = len(VT.vt_scan(spark, table, b_filter).inputFiles())
     assert opened_z < nz_files, (opened_z, nz_files)
     # and the a-dimension still prunes too (the Z-curve trade: both

@@ -225,10 +225,7 @@ def _clustered_table(spark, tmp_path, n=100, files=4):
 
 
 def _files(table, version):
-    import json
-
-    with open(VT._manifest_path(table, version)) as fh:
-        return {f["path"]: f for f in json.load(fh)["files"]}
+    return {f["path"]: f for f in VT.vt_files(table, version)}
 
 
 def test_scattered_extreme_keys_rewrite_only_their_files(spark, tmp_path):
@@ -302,6 +299,106 @@ def test_multi_column_key_pruning_is_conservative(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# incremental manifest commits + checkpoints + _last pointer
+# ---------------------------------------------------------------------
+
+
+def _raw_manifest(table, version):
+    import json
+
+    with open(VT._manifest_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def test_commit_payload_is_independent_of_table_file_count(
+    spark, tmp_path
+):
+    """A point merge into a MANY-file table commits add/remove actions
+    for the touched files only — the manifest JSON does not re-list the
+    table. (Round 5 serialized the complete file list per commit:
+    O(total files) metadata per hourly merge at 10^5-10^6 files.)"""
+    table = str(tmp_path / "vt")
+    df = spark.range(4096).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"],
+                   max_records_per_file=64)  # v1: 64 files
+    n_total = len(VT.vt_files(table, 1))
+    assert n_total >= 64
+    ch = spark.createDataFrame([(7, -7, "U")], "k long, v long, op string")
+    v2 = VT.vt_merge(spark, table, ch, keys=["k"])
+    m = _raw_manifest(table, v2)
+    assert "files" not in m  # incremental, not a full re-listing
+    assert len(m["remove"]) == 1 and len(m["add"]) >= 1
+    # the payload names ~2 files regardless of the table's 64
+    assert len(m["add"]) + len(m["remove"]) <= 4
+    # and the resolved view reconstructs the full set exactly
+    resolved = VT.vt_files(table, v2)
+    assert len(resolved) == n_total  # one removed, one added
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert got[7] == -7 and got[8] == 16 and len(got) == 4096
+
+
+def test_checkpoint_every_n_commits_bounds_the_chain(spark, tmp_path):
+    """Every _CHECKPOINT_EVERY-th version stores the full file list, so
+    reconstruction reads at most N manifests; intermediate versions stay
+    incremental and every version time-travels correctly."""
+    table = str(tmp_path / "vt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VT.vt_create(df.coalesce(1), table)  # v0 (checkpoint by definition)
+    for i in range(1, 13):  # v1..v12: point merges
+        ch = spark.createDataFrame(
+            [(int(i), -int(i), "U")], "k long, v long, op string"
+        )
+        VT.vt_merge(spark, table, ch, keys=["k"])
+    ckpt_versions = [
+        v for v in range(13) if "files" in _raw_manifest(table, v)
+    ]
+    assert 10 in ckpt_versions  # the periodic checkpoint landed
+    assert all(
+        "add" in _raw_manifest(table, v)
+        for v in range(1, 13) if v % VT._CHECKPOINT_EVERY != 0
+    )
+    # every version still reconstructs and reads
+    for v in (0, 5, 10, 12):
+        assert VT.vt_read(spark, table, v).count() == 100
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert all(got[i] == -i for i in range(1, 13))
+    # history, CDF and vacuum still work over the incremental log
+    assert VT.vt_history(spark, table).count() == 13
+    cdf = VT.vt_changes(spark, table, 11, 12, keys=["k"]).collect()
+    assert {r["_change_type"] for r in cdf} == {
+        "update_preimage", "update_postimage"
+    }
+    VT.vt_vacuum(table, retain_last=2)
+    assert VT.vt_read(spark, table).count() == 100
+
+
+def test_latest_version_pointer_heals_and_falls_back(spark, tmp_path):
+    """vt_latest_version reads the _last pointer; a stale pointer is
+    healed by forward probing and a missing one falls back to listing."""
+    import os
+
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(1, 1)], "k long, v long").coalesce(1), table
+    )
+    ch = spark.createDataFrame([(2, 2, "U")], "k long, v long, op string")
+    VT.vt_merge(spark, table, ch, keys=["k"])
+    assert VT.vt_latest_version(table) == 1
+    # stale pointer (writer died between commit and pointer update)
+    with open(VT._last_pointer_path(table), "w") as fh:
+        fh.write("0")
+    assert VT.vt_latest_version(table) == 1  # forward-probe healing
+    # missing pointer (pre-round-6 table): listing fallback
+    os.remove(VT._last_pointer_path(table))
+    assert VT.vt_latest_version(table) == 1
+
+
+# ---------------------------------------------------------------------
 # Z-order key: 63-bit safety + no global-order window
 # ---------------------------------------------------------------------
 
@@ -355,10 +452,7 @@ def test_zorder_4col_scan_prunes_on_a_trailing_column(spark, tmp_path):
         max_records_per_file=128, zorder=True,
     )
     v = VT.vt_latest_version(table)
-    with open(VT._manifest_path(table, v)) as fh:
-        import json
-
-        n_files = len(json.load(fh)["files"])
+    n_files = len(VT.vt_files(table, v))
     assert n_files >= 8
     d_filter = [("d", ">=", 0), ("d", "<", 128)]
     opened = len(VT.vt_scan(spark, table, d_filter).inputFiles())
