@@ -203,6 +203,36 @@ def _incremental_or_full(
     }
 
 
+def _commit_delta(
+    table_dir: str, version: int
+) -> tuple[list[dict], set[str]] | None:
+    """One commit's (added file entries, removed paths) — read directly
+    from an incremental manifest's actions, or derived by snapshot diff
+    for checkpoint/full manifests (paths are immutable once written, so
+    set difference IS the commit's file delta). Returns None when
+    file-level metadata is absent (pre-round-5 manifests): the caller
+    must treat such a commit as conflicting with everything. This is the
+    input to Delta-style conflict detection: a concurrent commit is
+    compatible with a staged merge iff it removed none of the merge's
+    read files and added no file whose key stats admit a merge key."""
+    m = _read_manifest(table_dir, version)
+    if "add" in m or "remove" in m:
+        return list(m.get("add", [])), set(m.get("remove", []))
+    if "files" not in m:
+        return None
+    cur = vt_files(table_dir, version)
+    if version == 0:
+        return list(cur), set()
+    prev = vt_files(table_dir, version - 1)
+    if prev is None:
+        return None
+    prev_paths = {f["path"] for f in prev}
+    cur_by = {f["path"]: f for f in cur}
+    added = [f for p, f in sorted(cur_by.items()) if p not in prev_paths]
+    removed = {p for p in prev_paths if p not in cur_by}
+    return added, removed
+
+
 # ---------------------------------------------------------------------
 # per-file statistics (the data-skipping index carried in manifests)
 # ---------------------------------------------------------------------
@@ -508,10 +538,18 @@ def vt_merge(
     files and a full-table rewrite per commit — including for the
     common CDC shape where one batch touches scattered keys across the
     whole key domain. ``expected_version`` is the version
-    this writer based its changes on: if another commit landed in
-    between, ``VersionConflictError`` is raised BEFORE any data is
-    written (and the create-race is still resolved atomically at commit
-    time).
+    this writer based its changes on — the merge PLANS against that
+    snapshot, and commits through Delta-style conflict detection
+    (round 6): if other commits landed in between, each intervening
+    commit's file delta (``_commit_delta``) is checked against this
+    merge's read set — compatible iff no intervening commit REMOVED a
+    file this merge read/rewrote, ADDED a file whose key stats admit
+    one of this merge's change keys, or changed the schema. Disjoint
+    writers (the common multi-writer shape: different key ranges of the
+    same table) then BOTH commit, the loser without re-executing its
+    join — it re-derives its carried set from the winner's manifest and
+    takes the next version. Overlap raises ``VersionConflictError``
+    (the staged files are cleaned up) and ``vt_merge_retry`` rebases.
 
     ``merge_schema=True`` is Delta's schema-evolution-on-MERGE: columns
     present in ``changes`` but not in the snapshot are ADDED (null for
@@ -529,12 +567,13 @@ def vt_merge(
     runs against the files already written, not by re-executing the
     plan.
     """
-    base = vt_latest_version(table_dir)
-    if base < 0:
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
-    if expected_version is not None and base != expected_version:
+    base = latest if expected_version is None else expected_version
+    if base > latest:
         raise VersionConflictError(
-            f"expected version {expected_version}, table is at {base}"
+            f"expected version {expected_version}, table is at {latest}"
         )
     manifest = _read_manifest(table_dir, base)
     schema = _manifest_schema(manifest)
@@ -563,6 +602,9 @@ def vt_merge(
     # fall back to the interval test (one tiny agg). No data is read
     # for the carried-forward set either way.
     parent_files = vt_files(table_dir, base)
+    key_sets = None
+    chg_stats: dict | None = None
+    n_changes = -1
     if parent_files is not None:
         key_sets = _change_key_sets(changes, keys, max_keys=max_prune_keys)
         if key_sets is not None:
@@ -591,6 +633,7 @@ def vt_merge(
         )
     else:  # pre-round-5 manifest: no stats, rewrite the full snapshot
         carried = []
+        t_paths: set[str] = set()
         snapshot = spark.read.parquet(manifest["data_dir"])
         for f in extra:
             snapshot = snapshot.withColumn(
@@ -619,24 +662,103 @@ def vt_merge(
                 f"vt_merge: CHECK ({check}) violated by {n_bad} row(s); "
                 "merge aborted, no version committed"
             )
-    out = {
-        "data_dir": data_dir,
-        "n_rows": sum(f["n_rows"] for f in carried + new_files),
-        "schema": evolved.jsonValue(),
-        "operation": "MERGE",
-        **_incremental_or_full(
-            new_version, parent_files, carried, new_files,
-            [f["path"] for f in touched] if parent_files is not None
-            else [],
-        ),
-    }
-    if batch_id is not None:
-        # streaming epoch ledger: foreachBatch idempotence (Delta's
-        # txnAppId/txnVersion discipline) — a replayed epoch finds its
-        # batch_id already committed and skips
-        out["batch_id"] = int(batch_id)
-    _commit(table_dir, new_version, out, cleanup_dir=data_dir)
-    return new_version
+    def _mk_manifest(parent: list[dict] | None, carried_now: list[dict],
+                     version: int) -> dict:
+        out = {
+            "data_dir": data_dir,
+            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "schema": evolved.jsonValue(),
+            "operation": "MERGE",
+            **_incremental_or_full(
+                version, parent, carried_now, new_files,
+                sorted(t_paths) if parent is not None else [],
+            ),
+        }
+        if batch_id is not None:
+            # streaming epoch ledger: foreachBatch idempotence (Delta's
+            # txnAppId/txnVersion discipline) — a replayed epoch finds
+            # its batch_id already committed and skips
+            out["batch_id"] = int(batch_id)
+        return out
+
+    if parent_files is None:
+        # pre-round-5 manifest: no file-level metadata, so no conflict
+        # detection is possible — any race loses outright (old behavior)
+        _commit(
+            table_dir, new_version, _mk_manifest(None, carried, new_version),
+            cleanup_dir=data_dir,
+        )
+        return new_version
+
+    def _added_file_hits(fe: dict) -> bool:
+        """Could a concurrently ADDED file contain a row matching one of
+        this merge's change keys? Uses whichever pruning statistic this
+        merge computed (key set, else interval); no statistic means
+        conservative yes."""
+        if key_sets is not None:
+            return key_sets["n"] > 0 and _file_hits_key_set(
+                fe, key_sets["cols"]
+            )
+        if chg_stats is not None:
+            return n_changes != 0 and _file_intersects(fe, chg_stats, keys)
+        return True
+
+    # Delta-style optimistic commit: try the next version; on losing the
+    # race, check every intervening commit's file delta against this
+    # merge's read set (touched files + change keys). Disjoint writers
+    # commit without re-executing the join — carried files are re-derived
+    # from the winner's manifest (the winner removed none of OUR files,
+    # so they are all still present); overlap cleans up and raises.
+    base_schema_json = json.dumps(manifest.get("schema"), sort_keys=True)
+    validated_to = base
+    while True:
+        try:
+            _commit(
+                table_dir, new_version,
+                _mk_manifest(parent_files, carried, new_version),
+            )
+            return new_version
+        except VersionConflictError:
+            latest = vt_latest_version(table_dir)
+            reason = None
+            for v in range(validated_to + 1, latest + 1):
+                delta = _commit_delta(table_dir, v)
+                if delta is None:
+                    reason = f"version {v} carries no file-level metadata"
+                    break
+                added, removed = delta
+                hit = removed & t_paths
+                if hit:
+                    reason = (
+                        f"version {v} removed file(s) this merge read: "
+                        f"{sorted(hit)[:3]}"
+                    )
+                    break
+                clash = next(
+                    (fe for fe in added if _added_file_hits(fe)), None
+                )
+                if clash is not None:
+                    reason = (
+                        f"version {v} added a file overlapping this "
+                        f"merge's change keys: {clash['path']}"
+                    )
+                    break
+            if reason is None:
+                latest_m = _read_manifest(table_dir, latest)
+                if (json.dumps(latest_m.get("schema"), sort_keys=True)
+                        != base_schema_json):
+                    reason = "a concurrent commit changed the table schema"
+            if reason is not None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise VersionConflictError(
+                    f"vt_merge on {table_dir}: {reason}; rebase and retry"
+                ) from None
+            parent_files = vt_files(table_dir, latest)
+            carried = [
+                f for f in parent_files if f["path"] not in t_paths
+            ]
+            validated_to = latest
+            new_version = latest + 1
 
 
 def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -976,6 +1098,64 @@ def vt_foreach_batch_merger(
         )
 
     return apply_batch
+
+
+def vt_stream_changes(
+    spark: SparkSession,
+    table_dir: str,
+    keys: Sequence[str],
+    ledger_path: str,
+    apply_fn,
+    end_version: int | None = None,
+) -> list[int]:
+    """AvailableNow-style change-feed tail: the streaming consumer of
+    ``vt_changes``. Every committed version of the table is delivered to
+    ``apply_fn(changes_df, version)`` exactly once per ledger — version
+    0 as an all-``insert`` batch, each later version as its CDF against
+    the previous version (which under manifest v2 reads only the two
+    sides' EXCLUSIVE files, so tailing a pruned merge costs O(files
+    touched), not O(table)). Progress is recorded in ``ledger_path``
+    (atomic tmp+rename) AFTER ``apply_fn`` returns, so a crash between
+    apply and record redelivers exactly that one version on restart —
+    at-least-once at the version boundary, exactly-once end-to-end when
+    the sink is version-idempotent (``vt_foreach_batch_merger``'s
+    batch_id ledger with ``batch_id=version``, or a deterministic
+    overwrite). This is the production topology the CDF exists for:
+    downstream tables tail an upstream versioned table the way the
+    reference's consumer loop tails a shard
+    (/root/reference/src/Kinesis/Coordination.hs:100-107), with the
+    version ledger playing the checkpoint's role.
+
+    Returns the versions processed this run (empty when caught up).
+    ``end_version`` caps the tail (defaults to the current latest) —
+    the AvailableNow contract: process what exists, then return."""
+    try:
+        with open(ledger_path) as fh:
+            last = int(fh.read().strip())
+    except (OSError, ValueError):
+        last = -1
+    latest = vt_latest_version(table_dir)
+    if end_version is not None:
+        latest = min(latest, end_version)
+    processed: list[int] = []
+    for v in range(last + 1, latest + 1):
+        if v == 0:
+            snap = vt_read(spark, table_dir, 0)
+            value_cols = [c for c in snap.columns if c not in keys]
+            changes = snap.select(
+                F.lit("insert").alias("_change_type"),
+                *keys,
+                *value_cols,
+            )
+        else:
+            changes = vt_changes(spark, table_dir, v - 1, v, keys)
+        apply_fn(changes, v)
+        tmp = f"{ledger_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, ledger_path)
+        processed.append(v)
+    return processed
 
 
 def _version_file_paths(table_dir: str, version: int) -> list[str] | None:
@@ -1353,9 +1533,14 @@ def vt_merge_retry(
     retries the commit. This is Delta's optimistic-concurrency retry
     made explicit; deterministic change batches make the retry safe to
     re-execute (the loser's staged files were already cleaned up by the
-    conflict path). Raises the final ``VersionConflictError`` after
-    ``max_attempts`` — livelock under extreme contention is the
-    caller's signal to serialize writers."""
+    conflict path). Since round 6, DISJOINT races never reach this
+    loop: ``vt_merge`` itself resolves them metadata-only (conflict
+    detection over intervening commits' file deltas), so a rebase here
+    means the writers genuinely overlapped — the retry re-executes the
+    join against the winner's rows, which is the only correct answer.
+    Raises the final ``VersionConflictError`` after ``max_attempts`` —
+    livelock under extreme contention is the caller's signal to
+    serialize writers."""
     last_err: VersionConflictError | None = None
     for _ in range(max(1, max_attempts)):
         try:

@@ -1,0 +1,270 @@
+"""Round-6 registry entries: the change-feed STREAMING source — a
+downstream aggregate table that TAILS an upstream versioned table's CDF
+version by version (operators/versioned.py:vt_stream_changes) and is
+maintained incrementally, never recomputed. This is the production
+topology the lakehouse layer exists for: ingestion MERGEs land on the
+upstream table, and every downstream rollup follows by applying each
+version's delta — the reference's consumer loop
+(/root/reference/src/Kinesis/Coordination.hs:100-107) re-expressed over
+table versions, with the version ledger playing the checkpoint's role.
+
+The oracle recomputes the final rollup from raw orders with the DML
+history replayed arithmetically — streamed-incremental == batch-
+recompute is exactly the IVM correctness contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.registry_round4 import _fresh_marker, _table_sig
+from kinesis_app_spark.registry_util import QuerySpec, table as _t
+
+_VT6_ROOT = "/tmp/kinesis_versioned"
+
+
+def vt_cdf_rollup_applier(spark, downstream_dir: str, group_col: str,
+                          price_col: str):
+    """The apply_fn half of the CDF-tailing topology: one upstream
+    version's change batch becomes a per-group (Δcount, Δsum) delta —
+    insert/update_postimage add, delete/update_preimage subtract, so a
+    row migrating between groups debits one and credits the other with
+    no special casing — and the delta is MERGEd into the downstream
+    rollup table keyed by group. Only the AFFECTED groups of the
+    downstream table are read (semi-join against the delta's keys), so
+    the maintenance cost scales with the delta, never the rollup; the
+    upstream version number doubles as the merge's batch_id, making a
+    redelivered version (crash between apply and ledger advance) a
+    no-op — the exactly-once composition vt_stream_changes documents.
+    Decimal accumulation keeps subtract-then-add exact."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    def apply(changes, version):
+        if version in VT.vt_committed_batch_ids(downstream_dir):
+            return  # redelivered version: already applied
+        sgn = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta = changes.groupBy(group_col).agg(
+            F.sum(sgn).alias("__n_delta"),
+            F.sum(
+                sgn.cast("decimal(30,8)")
+                * F.col(price_col).cast("decimal(30,8)")
+            ).alias("__p_delta"),
+        )
+        cur = (
+            VT.vt_read(spark, downstream_dir)
+            .join(F.broadcast(delta.select(group_col)), group_col,
+                  "left_semi")
+        )
+        merged = cur.join(delta, group_col, "full_outer").select(
+            group_col,
+            (F.coalesce(F.col("n_orders"), F.lit(0))
+             + F.coalesce(F.col("__n_delta"), F.lit(0))).alias("n_orders"),
+            (F.coalesce(F.col("price_sum"),
+                        F.lit(0).cast("decimal(30,8)"))
+             + F.coalesce(F.col("__p_delta"),
+                          F.lit(0).cast("decimal(30,8)")))
+            .cast("decimal(30,8)").alias("price_sum"),
+        )
+        ops = merged.withColumn(
+            "op", F.when(F.col("n_orders") <= 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+        )
+        VT.vt_merge(
+            spark, downstream_dir, ops, keys=[group_col],
+            batch_id=version,
+        )
+
+    return apply
+
+
+def _cdf_stream_tables(spark, sf_dir) -> str:
+    """Build (once per sf_dir) the upstream 4-version orders table and
+    tail it into the downstream rollup:
+
+      upstream v0 CREATE = orders WHERE o_orderkey % 3 <> 0
+      upstream v1 MERGE  = insert the remaining third
+      upstream v2 MERGE  = o_totalprice += 50 WHERE o_custkey % 10 = 0
+      upstream v3 MERGE  = delete WHERE o_orderkey % 7 = 0
+
+    then vt_stream_changes delivers v0..v3 to the rollup applier.
+    Returns the downstream table dir."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    up = os.path.join(_VT6_ROOT, f"orders_cdfsrc_{tag}")
+    down = os.path.join(_VT6_ROOT, f"orders_cdfagg_{tag}")
+    marker = os.path.join(down, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if _fresh_marker(marker, sig):
+        return down
+    for d in (up, down):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    VT.vt_create(o.filter(F.col("o_orderkey") % 3 != 0), up)
+    VT.vt_merge(
+        spark, up,
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn("op", F.lit("U")),
+        keys=["o_orderkey"],
+    )
+    VT.vt_merge(
+        spark, up,
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        .withColumn("op", F.lit("U")),
+        keys=["o_orderkey"],
+    )
+    VT.vt_merge(
+        spark, up,
+        o.filter(F.col("o_orderkey") % 7 == 0).withColumn("op", F.lit("D")),
+        keys=["o_orderkey"],
+    )
+    VT.vt_create(
+        spark.createDataFrame(
+            [],
+            "o_orderstatus string, n_orders long, price_sum decimal(30,8)",
+        ),
+        down,
+    )
+    VT.vt_stream_changes(
+        spark, up, keys=["o_orderkey"],
+        ledger_path=os.path.join(down, "_cdf_ledger"),
+        apply_fn=vt_cdf_rollup_applier(
+            spark, down, "o_orderstatus", "o_totalprice"
+        ),
+    )
+    with open(marker, "w") as fh:
+        fh.write(sig)
+    return down
+
+
+def versioned_cdf_stream_agg(spark, sf_dir):
+    """Change-feed streaming source, value-gated end to end: a rollup
+    table (orders count + price mass per status) maintained ONLY by
+    tailing the upstream versioned table's CDF across four versions —
+    create, late-arriving insert batch, price update, GDPR-style delete
+    — one delta merge per version, never a recompute
+    (vt_stream_changes + vt_cdf_rollup_applier; restart-mid-stream
+    exactly-once is pinned in tests/test_round6.py). The oracle
+    recomputes the same rollup from raw orders with the version
+    history's effects applied arithmetically: streamed == recomputed is
+    the IVM contract, and any double-applied or dropped version would
+    shift a count or a price mass and hash-mismatch."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    down = _cdf_stream_tables(spark, sf_dir)
+    return (
+        VT.vt_read(spark, down)
+        .select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round("price_sum", 2).cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+VERSIONED_CDF_STREAM_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_custkey % 10 = 0
+                      THEN CAST(o_totalprice AS DECIMAL(30,8)) + 50.0
+                      ELSE CAST(o_totalprice AS DECIMAL(30,8)) END),
+             2)::DOUBLE AS price_sum
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def versioned_disjoint_writers(spark, sf_dir):
+    """Disjoint-commit optimistic concurrency under the value gate
+    (Delta's conflict-detection rules on the manifest layer): two
+    writers base their merges on the SAME version — writer A bumps
+    prices on the low key range and commits; writer B (now stale,
+    expected_version pinned to the common base) bumps the high range,
+    loses the version race, and must commit via the metadata-only fast
+    path: every intervening commit's file delta is checked against B's
+    read set (no removed file B read, no added file whose stats admit
+    one of B's keys, no schema change), B's carried set is re-derived
+    from A's manifest, and B's already-written files commit at the next
+    version — the join never re-executes
+    (operators/versioned.py:vt_merge; overlap/schema/DML races pinned
+    in tests/test_round6.py). The oracle applies BOTH updates to raw
+    orders: if either writer's commit were lost, double-applied, or B
+    resurrected a file A rewrote, a price mass would shift and the
+    hash would mismatch."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_race_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )
+        base = 1  # the optimized snapshot both writers read
+        VT.vt_merge(
+            spark, table_dir,
+            o.filter(F.col("o_orderkey") <= 200)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+            .withColumn("op", F.lit("U")),
+            keys=["o_orderkey"], expected_version=base,
+        )
+        # writer B raced from the same base: disjoint keys, so this
+        # commit must take the fast path, NOT raise
+        v_b = VT.vt_merge(
+            spark, table_dir,
+            o.filter(
+                (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 4800)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(20.0))
+            .withColumn("op", F.lit("U")),
+            keys=["o_orderkey"], expected_version=base,
+        )
+        assert v_b == 3, v_b
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_DISJOINT_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey <= 200 THEN o_totalprice + 10.0
+            WHEN o_orderkey >= 4000 AND o_orderkey < 4800
+                 THEN o_totalprice + 20.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+REGISTRY_ROUND6: dict[str, QuerySpec] = {
+    "versioned_cdf_stream_agg": QuerySpec(
+        versioned_cdf_stream_agg, VERSIONED_CDF_STREAM_SQL
+    ),
+    "versioned_disjoint_writers": QuerySpec(
+        versioned_disjoint_writers, VERSIONED_DISJOINT_SQL
+    ),
+}
