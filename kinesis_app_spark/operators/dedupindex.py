@@ -268,6 +268,59 @@ def dedup_index_optimize(
     return out
 
 
+#: per-call erasure sets above this many distinct ids skip the
+#: file-targeted path (driver collect bounded by construction) and fall
+#: back to the full anti-join rewrite
+_ERASE_MAX_IDS = 1_000_000
+
+
+def _file_id_range_hits(sorted_ids: list, mn, mx) -> bool:
+    """Does some erased id land inside this file's [min,max] id range?
+    Missing stats mean 'possibly' (conservative)."""
+    import bisect
+
+    if mn is None or mx is None:
+        return True
+    i = bisect.bisect_left(sorted_ids, mn)
+    return i < len(sorted_ids) and sorted_ids[i] <= mx
+
+
+def _partial_rewrite_swap(
+    kept: DataFrame, table_dir: str, untouched_paths: list[str]
+) -> None:
+    """_rewrite_swap for a FILE SUBSET: ``kept`` (the touched files'
+    surviving rows) is materialized into the fresh directory, the
+    untouched files are carried in as hardlinks (byte-identical,
+    metadata-only cost — part-file names are uuid-unique so links never
+    collide), and the directory is swapped with the same two-rename
+    discipline. Write cost is O(touched files), not O(index)."""
+    import shutil
+
+    tmp = table_dir + ".compact"
+    trash = table_dir + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.parquet(tmp)  # executes the read of the touched files
+    for p in untouched_paths:
+        dst = os.path.join(tmp, os.path.basename(p))
+        try:
+            os.link(p, dst)
+        except OSError:  # cross-device / no-hardlink filesystem
+            shutil.copy2(p, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(table_dir, trash)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _local_path(p: str) -> str:
+    """_metadata.file_path URIs ("file:///x") to plain local paths."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
 def dedup_index_remove(
     spark: SparkSession,
     index_dir: str,
@@ -278,8 +331,21 @@ def dedup_index_remove(
     index): drop the given doc ids from fingerprints, shingles, AND
     bands, so no future screen can name an erased doc as ``dup_of`` —
     erasure from the fact tables alone is incomplete while the index
-    still references the doc. Erasure sets are small: each table is
-    rewritten through a broadcast anti-join on its id column. Returns
+    still references the doc.
+
+    FILE-TARGETED (round 6): each table's per-file id min/max (one
+    column-pruned ``_metadata.file_path`` agg) is tested against the
+    collected erasure set, and only files that can hold an erased id
+    are rewritten through the broadcast anti-join — untouched files are
+    carried forward byte-identical (hardlinks into the swapped
+    directory). After ``dedup_index_optimize`` the shingle table is
+    range-clustered on id, so a k-id erasure rewrites a strict file
+    subset there (pinned in tests/test_round6.py); fingerprints/bands
+    cluster on their probe keys, so their per-file id ranges are wide
+    and pruning helps only when ids correlate with layout — but the
+    carry-forward never costs more than the old full rewrite. Erasure
+    sets beyond ``_ERASE_MAX_IDS`` distinct ids fall back to the full
+    rewrite (the driver collect is bounded by construction). Returns
     the number of indexed docs actually removed."""
     ids = removed.select(F.col(id_col).alias("id")).distinct()
     n_removed = (
@@ -289,10 +355,34 @@ def dedup_index_remove(
     )
     if n_removed == 0:
         return 0
+    id_rows = ids.limit(_ERASE_MAX_IDS + 1).collect()
+    sorted_ids = (
+        sorted(r["id"] for r in id_rows if r["id"] is not None)
+        if len(id_rows) <= _ERASE_MAX_IDS
+        else None
+    )
     for name in _TABLES:
         tdir = os.path.join(index_dir, name)
-        kept = spark.read.parquet(tdir).join(
+        df = spark.read.parquet(tdir)
+        if sorted_ids is None:
+            _rewrite_swap(df.join(F.broadcast(ids), "id", "left_anti"), tdir)
+            continue
+        stats = (
+            df.groupBy(F.col("_metadata.file_path").alias("__p"))
+            .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+            .collect()
+        )  # bounded: one row per index file
+        touched, untouched = [], []
+        for r in stats:
+            p = _local_path(r["__p"])
+            if _file_id_range_hits(sorted_ids, r["__mn"], r["__mx"]):
+                touched.append(p)
+            else:
+                untouched.append(p)
+        if not touched:
+            continue  # no file can hold an erased id: metadata-only
+        kept = spark.read.parquet(*touched).join(
             F.broadcast(ids), "id", "left_anti"
         )
-        _rewrite_swap(kept, tdir)
+        _partial_rewrite_swap(kept, tdir, untouched)
     return int(n_removed)

@@ -572,7 +572,19 @@ def ivf_remove(
     cell emptied by the removal is deleted outright (dynamic partition
     overwrite would silently leave its old files in place). The
     manifest's n_rows drops by the rows actually removed. Returns that
-    count."""
+    count.
+
+    Crash safety (round 6): each live cell dir is renamed ASIDE (to a
+    sibling holding area outside the postings dir, so partition
+    discovery never sees it) before the rebuilt dir is renamed in —
+    the ``_rewrite_swap`` discipline. A crash at any point leaves every
+    cell's rows in exactly one of {live, holding}, and the recovery
+    preamble on the next call restores any parked cell whose live dir
+    is missing — no surviving row can be lost, which matters because
+    erasure jobs are exactly the jobs auditors replay. (A crash after
+    the swap but before the manifest update leaves ``n_rows``
+    over-counting until the next successful maintenance call — metadata
+    staleness, never data loss.)"""
     import shutil
 
     mani = _read_manifest(spark, index_dir)
@@ -580,6 +592,17 @@ def ivf_remove(
         return 0  # empty index: nothing to erase (and no postings files)
     id_col = id_col or mani.get("id_col", "vec_id")
     pdir = os.path.join(index_dir, "postings.parquet")
+    old_dir = pdir + ".old-erase"
+    # recovery from a prior interrupted removal: a cell parked in the
+    # holding area whose live dir is missing was mid-swap — restore it
+    # BEFORE reading the postings (the park happens only after the
+    # rebuilt copy is complete, so restore-then-redo is always correct)
+    if os.path.isdir(old_dir):
+        for name in os.listdir(old_dir):
+            live = os.path.join(pdir, name)
+            if not os.path.exists(live):
+                os.rename(os.path.join(old_dir, name), live)
+        shutil.rmtree(old_dir, ignore_errors=True)
     ids = removed.select(F.col(id_col).alias(id_col)).distinct()
     postings = spark.read.parquet(pdir)
     hit = (
@@ -599,11 +622,16 @@ def ivf_remove(
     shutil.rmtree(tmp, ignore_errors=True)
     # materialize the kept rows BEFORE touching the live cell dirs
     kept.repartition(F.col("cell")).write.partitionBy("cell").parquet(tmp)
+    os.makedirs(old_dir, exist_ok=True)
     for c in cells:
-        shutil.rmtree(os.path.join(pdir, f"cell={c}"), ignore_errors=True)
+        live = os.path.join(pdir, f"cell={c}")
         rebuilt = os.path.join(tmp, f"cell={c}")
+        if os.path.isdir(live):
+            # park the live dir aside FIRST — never delete the only copy
+            os.rename(live, os.path.join(old_dir, f"cell={c}"))
         if os.path.isdir(rebuilt):  # absent => the cell is now empty
-            os.rename(rebuilt, os.path.join(pdir, f"cell={c}"))
+            os.rename(rebuilt, live)
+    shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     mani["n_rows"] = int(mani["n_rows"]) - n_removed
     _write_manifest(index_dir, mani)
