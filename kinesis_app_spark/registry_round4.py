@@ -104,6 +104,13 @@ def itemsim_dimsum_parts(spark, sf_dir):
         sizes.filter(F.col("bsz") <= _DIMSUM_MAX_BASKET).select("o_custkey"),
         "o_custkey",
     )
+    # gated feeds THREE consumers (degree table, entry gate, basket
+    # fold). Leaving the sharing to AQE's exchange reuse is bimodal in
+    # practice — when reuse fails to fire, each consumer re-runs the
+    # lineitem⋈orders+distinct subtree and the query flips ~2× slower
+    # (observed 8 s / 16 s on identical passes). localCheckpoint pins
+    # the shared scan structurally: computed once, read thrice.
+    gated = gated.localCheckpoint(eager=False)
     deg = gated.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("d")
     )
