@@ -281,7 +281,131 @@ def time_entry(spark, name: str, sf_dir: str, reps: int = 3) -> float:
     return round(best, 3)
 
 
+# ---------------------------------------------------------------------
+# Round-6: WRITE-path churn — the r5 slice proved reads stay flat under
+# index growth; these loops prove the MAINTENANCE CYCLE itself stays
+# flat: N screen->add(->optimize) cycles and N pruned merges
+# (->optimize), per-cycle cost recorded. The claim under test: periodic
+# compaction keeps per-cycle cost flat as the accumulated index/table
+# grows — no upward slope across cycles, and no post-optimize regression.
+# ---------------------------------------------------------------------
+
+_CHURN_OPTIMIZE_EVERY = 4
+
+
+def _churn_dedup(spark, cycles: int) -> list[dict]:
+    import shutil
+
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.registry_round4 import _md5_u
+
+    idx = "/tmp/kinesis_stress_r6/dedup_churn"
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = load_table(spark, BASE_SF, "documents")
+    u = _md5_u("doc_id")
+    width = 1.0 / (cycles + 1)
+    DI.dedup_index_build(docs.filter(u < F.lit(width)), idx)
+    rows = []
+    for i in range(1, cycles + 1):
+        batch = docs.filter(
+            (u >= F.lit(i * width)) & (u < F.lit((i + 1) * width))
+        )
+        t0 = time.perf_counter()
+        DI.dedup_index_screen(spark, idx, batch, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_screen = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        DI.dedup_index_add(spark, idx, batch)
+        t_add = time.perf_counter() - t0
+        t_opt = 0.0
+        if i % _CHURN_OPTIMIZE_EVERY == 0:
+            t0 = time.perf_counter()
+            DI.dedup_index_optimize(spark, idx)
+            t_opt = time.perf_counter() - t0
+        rows.append({
+            "cycle": i,
+            "screen_s": round(t_screen, 3),
+            "add_s": round(t_add, 3),
+            "optimize_s": round(t_opt, 3),
+            "index_files": DI._n_parquet_files(idx),
+        })
+        print(f"CHURN dedup cycle {i}: screen {t_screen:.2f}s "
+              f"add {t_add:.2f}s opt {t_opt:.2f}s "
+              f"files {rows[-1]['index_files']}", file=sys.stderr)
+    return rows
+
+
+def _churn_merge(spark, cycles: int) -> list[dict]:
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = "/tmp/kinesis_stress_r6/merge_churn"
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, BASE_SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    VT.vt_create(o, table)
+    VT.vt_optimize(
+        spark, table, cluster_cols=["o_orderkey"],
+        max_records_per_file=65536,
+    )
+    rows = []
+    for i in range(1, cycles + 1):
+        # a SCATTERED fixed-size batch (the r6 key-set pruning target):
+        # two narrow slices from opposite ends of the key domain
+        lo, hi = 1000 + i * 64, 500_000 - i * 64
+        changes = o.filter(
+            ((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 512))
+            | ((F.col("o_orderkey") >= hi) & (F.col("o_orderkey") < hi + 512))
+        ).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(float(i))
+        ).withColumn("op", F.lit("U"))
+        t0 = time.perf_counter()
+        v = VT.vt_merge(spark, table, changes, keys=["o_orderkey"])
+        t_merge = time.perf_counter() - t0
+        m = VT._read_manifest(table, v)
+        t_opt = 0.0
+        if i % _CHURN_OPTIMIZE_EVERY == 0:
+            t0 = time.perf_counter()
+            VT.vt_optimize(
+                spark, table, cluster_cols=["o_orderkey"],
+                max_records_per_file=65536,
+            )
+            t_opt = time.perf_counter() - t0
+        rows.append({
+            "cycle": i,
+            "merge_s": round(t_merge, 3),
+            "optimize_s": round(t_opt, 3),
+            "files_rewritten": len(m.get("add", m.get("files", []))),
+            "commit_bytes": os.path.getsize(
+                VT._manifest_path(table, v)
+            ),
+        })
+        print(f"CHURN merge cycle {i}: merge {t_merge:.2f}s "
+              f"opt {t_opt:.2f}s rewrote {rows[-1]['files_rewritten']} "
+              f"commit {rows[-1]['commit_bytes']}B", file=sys.stderr)
+    return rows
+
+
+def churn_main(cycles: int) -> int:
+    spark = get_spark(app_name="kinesis-churn", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {
+        "mode": "churn",
+        "cycles": cycles,
+        "dedup": _churn_dedup(spark, cycles),
+        "merge": _churn_merge(spark, cycles),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "churn":
+        return churn_main(int(sys.argv[2]) if len(sys.argv) > 2 else 12)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # optional entry filter: `python stress.py 30 dedup_minhash_lsh ...`
     # runs only the named entries (the x30 dedup-family probe)
