@@ -1670,8 +1670,10 @@ from kinesis_app_spark.registry_round5 import REGISTRY_ROUND5  # noqa: E402
 _r5._bind_knn_oracle()
 _r5._bind_vt_v1_oracle()
 REGISTRY.update(REGISTRY_ROUND5)
+from kinesis_app_spark import registry_round6 as _r6  # noqa: E402
 from kinesis_app_spark.registry_round6 import REGISTRY_ROUND6  # noqa: E402
 
+_r6._bind_erasure_oracle()
 REGISTRY.update(REGISTRY_ROUND6)
 
 

@@ -260,6 +260,93 @@ ORDER BY o_orderkey
 """
 
 
+def vt_cdf_index_applier(spark, index_dir: str, id_col: str = "doc_id"):
+    """The apply_fn that keeps a persisted NEAR-DUP INDEX in sync with a
+    versioned corpus table by tailing its CDF: removals first (delete +
+    update_preimage ids dropped from every probe table via the
+    file-targeted erasure), then additions (insert + update_postimage
+    docs built/appended), so an updated document is re-indexed under its
+    new text. This closes the compliance loop END TO END: a GDPR DELETE
+    lands on the lakehouse table as a normal DML commit, and the index
+    follows by tailing the change feed — nobody has to remember to also
+    call the index's erase. Version 0 (all-insert) builds the index."""
+    from kinesis_app_spark.operators import dedupindex as DI
+
+    def apply(changes, version):
+        dels = changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col)
+        if version > 0 and dels.limit(1).count():
+            DI.dedup_index_remove(spark, index_dir, dels)
+        ins = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, "text")
+        if version == 0:
+            DI.dedup_index_build(ins, index_dir)
+        elif ins.limit(1).count():
+            DI.dedup_index_add(spark, index_dir, ins)
+
+    return apply
+
+
+def dedup_index_cdf_maintenance(spark, sf_dir):
+    """Rounds 5 and 6 composed: the accepted corpus lives in a VERSIONED
+    table (v0 CREATE = u in [0.3, 0.65), v1 MERGE = insert u >= 0.65,
+    v2 MERGE-delete = the GDPR cohort doc_id % 11 = 0), and the persisted
+    near-dup index is maintained ONLY by tailing that table's change
+    feed (vt_stream_changes + vt_cdf_index_applier) — inserts become
+    index appends, the DELETE becomes file-targeted index erasure,
+    exactly once per version. The screen that follows must equal a
+    screen against an index built in one shot over the FINAL corpus
+    (same per-doc probe rows either way), so the entry rides
+    DEDUP_INDEX_ERASURE_SQL unchanged: the oracle replays the screen
+    with the erased cohort filtered out of its corpus CTE — if the tail
+    dropped a version, double-applied one, or the erasure missed a
+    probe table, a verdict would shift and the hash would mismatch."""
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import (
+        _ensure_built,
+        _index_dir,
+        _md5_u,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def build(d):
+        import shutil
+
+        up = d + "_upstream"
+        shutil.rmtree(up, ignore_errors=True)
+        u = _md5_u("doc_id")
+        corpus = docs.select("doc_id", "text")
+        VT.vt_create(
+            corpus.filter((u >= F.lit(0.3)) & (u < F.lit(0.65))), up
+        )
+        ins = corpus.filter(u >= F.lit(0.65)).withColumn("op", F.lit("U"))
+        VT.vt_merge(spark, up, ins, keys=["doc_id"])
+        gdpr = (
+            corpus.filter((u >= F.lit(0.3)) & F.expr("doc_id % 11 = 0"))
+            .withColumn("op", F.lit("D"))
+        )
+        VT.vt_merge(spark, up, gdpr, keys=["doc_id"])
+        VT.vt_stream_changes(
+            spark, up, keys=["doc_id"],
+            ledger_path=os.path.join(d, "_cdf_ledger"),
+            apply_fn=vt_cdf_index_applier(spark, d),
+        )
+
+    idx = _ensure_built(
+        build,
+        _index_dir("dedup_cdf", sf_dir),
+        _table_sig(sf_dir, "documents"),
+    )
+    batch = docs.filter(_md5_u("doc_id") < F.lit(0.3))
+    return DI.dedup_index_screen(spark, idx, batch, threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
 REGISTRY_ROUND6: dict[str, QuerySpec] = {
     "versioned_cdf_stream_agg": QuerySpec(
         versioned_cdf_stream_agg, VERSIONED_CDF_STREAM_SQL
@@ -268,3 +355,13 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
         versioned_disjoint_writers, VERSIONED_DISJOINT_SQL
     ),
 }
+
+
+def _bind_erasure_oracle() -> None:
+    """Late-bind DEDUP_INDEX_ERASURE_SQL from registry_round5 (imported
+    by registry.py after this module would need it at top level)."""
+    from kinesis_app_spark.registry_round5 import DEDUP_INDEX_ERASURE_SQL
+
+    REGISTRY_ROUND6["dedup_index_cdf_maintenance"] = QuerySpec(
+        dedup_index_cdf_maintenance, DEDUP_INDEX_ERASURE_SQL
+    )

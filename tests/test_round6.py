@@ -325,3 +325,28 @@ def test_disjoint_delete_then_merge_fast_path(spark, tmp_path):
     assert v == 2
     rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
     assert len(rows) == 90 and rows[95] == "B"
+
+
+def test_four_threaded_writers_all_commit(spark, tmp_path):
+    """Four REAL concurrent writers (threads sharing the session) merge
+    disjoint key ranges through vt_merge_retry: every writer must land
+    (fast path or rebase), and the final state must equal sequential
+    application — the multi-writer contract end to end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = _mk_clustered(spark, tmp_path)
+    ranges = [(5, "W0"), (35, "W1"), (65, "W2"), (95, "W3")]
+
+    def write(args):
+        k, tag = args
+        return VT.vt_merge_retry(
+            spark, table, _chg(spark, [(k, tag, "U")]), keys=["k"],
+            max_attempts=10,
+        )
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(write, ranges))
+    assert sorted(versions) == [1, 2, 3, 4]
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert len(rows) == 100
+    for k, tag in ranges:
+        assert rows[k] == tag
