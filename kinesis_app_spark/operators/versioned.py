@@ -703,19 +703,41 @@ def vt_merge(
             return n_changes != 0 and _file_intersects(fe, chg_stats, keys)
         return True
 
-    # Delta-style optimistic commit: try the next version; on losing the
-    # race, check every intervening commit's file delta against this
-    # merge's read set (touched files + change keys). Disjoint writers
-    # commit without re-executing the join — carried files are re-derived
-    # from the winner's manifest (the winner removed none of OUR files,
-    # so they are all still present); overlap cleans up and raises.
-    base_schema_json = json.dumps(manifest.get("schema"), sort_keys=True)
+    return _commit_optimistic(
+        table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
+        t_paths, data_dir, parent_files, carried, new_version,
+        _mk_manifest, _added_file_hits, "vt_merge",
+    )
+
+
+def _commit_optimistic(
+    table_dir: str,
+    base: int,
+    base_schema_json: str,
+    t_paths: set[str],
+    data_dir: str,
+    parent_files: list[dict],
+    carried: list[dict],
+    new_version: int,
+    mk_manifest,
+    added_hits,
+    op_name: str,
+) -> int:
+    """Delta-style optimistic commit, shared by MERGE and predicate DML:
+    try the next version; on losing the race, check every intervening
+    commit's file delta against this writer's read set — no removed file
+    it read (``t_paths``), no added file its predicate/keys could match
+    (``added_hits``), no schema change. Disjoint writers commit without
+    re-executing — carried files are re-derived from the winner's
+    manifest (the winner removed none of OUR files, so they are all
+    still present); overlap cleans up the staged files and raises for
+    the caller's rebase loop."""
     validated_to = base
     while True:
         try:
             _commit(
                 table_dir, new_version,
-                _mk_manifest(parent_files, carried, new_version),
+                mk_manifest(parent_files, carried, new_version),
             )
             return new_version
         except VersionConflictError:
@@ -730,17 +752,15 @@ def vt_merge(
                 hit = removed & t_paths
                 if hit:
                     reason = (
-                        f"version {v} removed file(s) this merge read: "
+                        f"version {v} removed file(s) this writer read: "
                         f"{sorted(hit)[:3]}"
                     )
                     break
-                clash = next(
-                    (fe for fe in added if _added_file_hits(fe)), None
-                )
+                clash = next((fe for fe in added if added_hits(fe)), None)
                 if clash is not None:
                     reason = (
                         f"version {v} added a file overlapping this "
-                        f"merge's change keys: {clash['path']}"
+                        f"writer's keys/predicate: {clash['path']}"
                     )
                     break
             if reason is None:
@@ -751,7 +771,7 @@ def vt_merge(
             if reason is not None:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise VersionConflictError(
-                    f"vt_merge on {table_dir}: {reason}; rebase and retry"
+                    f"{op_name} on {table_dir}: {reason}; rebase and retry"
                 ) from None
             parent_files = vt_files(table_dir, latest)
             carried = [
@@ -1414,13 +1434,19 @@ def _predicate_rewrite(
     """Shared shape of predicate DML: files that MAY hold matching rows
     are rewritten through ``rewrite_fn(df, predicate)``; every other
     file is carried forward by reference — DELETE/UPDATE cost scales
-    with the matched key range, not the table."""
-    base = vt_latest_version(table_dir)
-    if base < 0:
+    with the matched key range, not the table. Commits through the same
+    disjoint-commit conflict resolution as ``vt_merge`` (round 6): a
+    racing DML whose predicate's file set is disjoint from the
+    intervening commits' deltas lands metadata-only; a winner-added
+    file the predicate could match forces the rebase. ``expected_
+    version`` pins the planning snapshot, like vt_merge."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
-    if expected_version is not None and base != expected_version:
+    base = latest if expected_version is None else expected_version
+    if base > latest:
         raise VersionConflictError(
-            f"expected version {expected_version}, table is at {base}"
+            f"expected version {expected_version}, table is at {latest}"
         )
     manifest = _read_manifest(table_dir, base)
     filters = list(filters)
@@ -1439,6 +1465,7 @@ def _predicate_rewrite(
     else:  # pre-round-5 manifest: full rewrite
         carried = []
         touched = []
+        t_paths = set()
         snapshot = vt_read(spark, table_dir, base)
         schema = snapshot.schema
     rewritten = rewrite_fn(snapshot, pred)
@@ -1446,22 +1473,31 @@ def _predicate_rewrite(
     data_dir, new_files = _write_files_with_stats(
         rewritten, table_dir, new_version
     )
-    _commit(
-        table_dir,
-        new_version,
-        {
+
+    def _mk_manifest(parent, carried_now, version):
+        return {
             "data_dir": data_dir,
-            "n_rows": sum(f["n_rows"] for f in carried + new_files),
+            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
             "schema": schema.jsonValue(),
             "operation": operation,
             **_incremental_or_full(
-                new_version, parent_files, carried, new_files,
-                [f["path"] for f in touched],
+                version, parent, carried_now, new_files,
+                sorted(t_paths) if parent is not None else [],
             ),
-        },
-        cleanup_dir=data_dir,
+        }
+
+    if parent_files is None:
+        _commit(
+            table_dir, new_version, _mk_manifest(None, carried, new_version),
+            cleanup_dir=data_dir,
+        )
+        return new_version
+    return _commit_optimistic(
+        table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
+        t_paths, data_dir, parent_files, carried, new_version,
+        _mk_manifest, lambda fe: _filter_may_match(fe, filters),
+        f"vt_{operation.lower()}",
     )
-    return new_version
 
 
 def vt_delete(

@@ -327,6 +327,28 @@ def test_disjoint_delete_then_merge_fast_path(spark, tmp_path):
     assert len(rows) == 90 and rows[95] == "B"
 
 
+def test_predicate_dml_fast_path_and_conflict(spark, tmp_path):
+    """Predicate DML rides the same conflict resolution: a stale-base
+    DELETE whose predicate's file set is disjoint from the intervening
+    merge commits metadata-only; an overlapping UPDATE raises."""
+    table = _mk_clustered(spark, tmp_path)
+    VT.vt_merge(
+        spark, table, _chg(spark, [(95, "A", "U")]), keys=["k"],
+        expected_version=0,
+    )
+    v = VT.vt_delete(
+        spark, table, [("k", "<", 10)], expected_version=0
+    )
+    assert v == 2
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert len(rows) == 90 and rows[95] == "A" and 5 not in rows
+    with pytest.raises(VT.VersionConflictError):
+        VT.vt_update(
+            spark, table, [("k", ">=", 90)], {"v": "'X'"},
+            expected_version=0,  # stale AND overlapping the merge's file
+        )
+
+
 def test_four_threaded_writers_all_commit(spark, tmp_path):
     """Four REAL concurrent writers (threads sharing the session) merge
     disjoint key ranges through vt_merge_retry: every writer must land
