@@ -986,6 +986,90 @@ def vt_optimize(
     return new_version
 
 
+def vt_compact(
+    spark: SparkSession,
+    table_dir: str,
+    min_rows_per_file: int = 1 << 20,
+    max_records_per_file: int | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Incremental OPTIMIZE (Delta's bin-packing compaction): coalesce
+    ONLY the files below ``min_rows_per_file`` into full-size files and
+    carry every already-large file forward by reference — at 100 TB you
+    never rewrite the whole table to fix the small-file debt a
+    streaming MERGE sink accretes; you sweep the tail. Unlike
+    ``vt_optimize`` (full clustered rewrite), compaction reads exactly
+    the small files, so its cost scales with the DEBT, not the table.
+
+    Commits through the shared disjoint-commit conflict resolution with
+    an always-false added-file test: a concurrent MERGE that added or
+    rewrote OTHER files co-commits with the compaction (the compaction
+    re-derives its carried set from the winner), and only a commit that
+    removed one of the small files being compacted forces a retry —
+    exactly Delta's OPTIMIZE-vs-writer concurrency story. Returns the
+    new version (or the current latest when <2 small files exist —
+    nothing to do, no commit)."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    base = latest if expected_version is None else expected_version
+    manifest = _read_manifest(table_dir, base)
+    parent_files = vt_files(table_dir, base)
+    if parent_files is None:
+        raise ValueError(
+            "vt_compact needs a file-level manifest (round-5+ table)"
+        )
+    small = [f for f in parent_files if f["n_rows"] < min_rows_per_file]
+    if len(small) < 2:
+        return latest  # no debt to sweep
+    t_paths = {f["path"] for f in small}
+    carried = [f for f in parent_files if f["path"] not in t_paths]
+    schema = _manifest_schema(manifest)
+    n_small_rows = sum(f["n_rows"] for f in small)
+    target = max(1, min_rows_per_file)
+    n_out = max(1, -(-n_small_rows // target))  # ceil
+    df = _read_snapshot_files(
+        spark, sorted(t_paths), schema
+    ).coalesce(n_out)
+    new_version = base + 1
+    data_dir = _write_data_with_opts(
+        df, table_dir, new_version, max_records_per_file
+    )
+    new_files = _collect_file_stats(spark, data_dir, schema)
+    if not new_files:
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+    def _mk_manifest(parent, carried_now, version):
+        return {
+            "data_dir": data_dir,
+            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "schema": schema.jsonValue(),
+            "operation": "COMPACT",
+            **_incremental_or_full(
+                version, parent, carried_now, new_files, sorted(t_paths)
+            ),
+        }
+
+    return _commit_optimistic(
+        table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
+        t_paths, data_dir, parent_files, carried, new_version,
+        _mk_manifest, lambda fe: False, "vt_compact",
+    )
+
+
+def _write_data_with_opts(
+    df: DataFrame, table_dir: str, version: int,
+    max_records_per_file: int | None,
+) -> str:
+    token = uuid.uuid4().hex[:8]
+    data_dir = os.path.join(table_dir, "data", f"v{version:05d}_{token}")
+    w = df.write
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.parquet(data_dir)
+    return data_dir
+
+
 def vt_changes(
     spark: SparkSession,
     table_dir: str,
@@ -1127,6 +1211,7 @@ def vt_stream_changes(
     ledger_path: str,
     apply_fn,
     end_version: int | None = None,
+    max_versions: int | None = None,
 ) -> list[int]:
     """AvailableNow-style change-feed tail: the streaming consumer of
     ``vt_changes``. Every committed version of the table is delivered to
@@ -1148,7 +1233,11 @@ def vt_stream_changes(
 
     Returns the versions processed this run (empty when caught up).
     ``end_version`` caps the tail (defaults to the current latest) —
-    the AvailableNow contract: process what exists, then return."""
+    the AvailableNow contract: process what exists, then return.
+    ``max_versions`` bounds one call's work (the maxFilesPerTrigger /
+    maxOffsetsPerTrigger analogue on this layer): a consumer restarted
+    behind a long history drains it across bounded calls instead of one
+    giant batch, each call exactly-once under the same ledger."""
     try:
         with open(ledger_path) as fh:
             last = int(fh.read().strip())
@@ -1157,6 +1246,8 @@ def vt_stream_changes(
     latest = vt_latest_version(table_dir)
     if end_version is not None:
         latest = min(latest, end_version)
+    if max_versions is not None:
+        latest = min(latest, last + max(1, int(max_versions)))
     processed: list[int] = []
     for v in range(last + 1, latest + 1):
         if v == 0:

@@ -260,6 +260,58 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_compact_read(spark, sf_dir):
+    """Incremental OPTIMIZE under the value gate: the orders snapshot is
+    created as 16 deliberately-small files (the debt a streaming MERGE
+    sink accretes), a predicate UPDATE lands, and vt_compact sweeps ONLY
+    the small files into full-size ones — files already at size carry by
+    reference, so compaction cost scales with the debt, not the table
+    (operators/versioned.py:vt_compact; the sweep/carry split and the
+    OPTIMIZE-vs-writer co-commit are pinned in tests/test_round6.py).
+    Reading the compacted table must equal the raw-orders replay of the
+    one UPDATE — compaction is layout, never semantics; a row lost or
+    doubled by the sweep would hash-mismatch."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_compact_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o.repartition(16), table_dir)
+        VT.vt_update(
+            spark, table_dir, [("o_custkey", ">=", 0)],
+            {"o_totalprice": "CASE WHEN o_custkey % 13 = 0 "
+                             "THEN o_totalprice + 5.0 "
+                             "ELSE o_totalprice END"},
+        )
+        before = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
+        VT.vt_compact(spark, table_dir, min_rows_per_file=1 << 20)
+        after = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
+        # an empty table has no debt to sweep (compaction no-ops)
+        assert after < before or before <= 1, (before, after)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_COMPACT_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_custkey % 13 = 0 THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def vt_cdf_index_applier(spark, index_dir: str, id_col: str = "doc_id"):
     """The apply_fn that keeps a persisted NEAR-DUP INDEX in sync with a
     versioned corpus table by tailing its CDF: removals first (delete +
@@ -353,6 +405,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_disjoint_writers": QuerySpec(
         versioned_disjoint_writers, VERSIONED_DISJOINT_SQL
+    ),
+    "versioned_compact_read": QuerySpec(
+        versioned_compact_read, VERSIONED_COMPACT_SQL
     ),
 }
 

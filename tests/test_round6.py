@@ -111,6 +111,108 @@ def test_concurrent_schema_change_conflicts(spark, tmp_path):
         )
 
 
+# ---------- incremental small-file compaction ----------
+
+def _insert_single(spark, table, k):
+    VT.vt_merge(
+        spark, table, _chg(spark, [(k, f"n{k}", "U")]), keys=["k"]
+    )
+
+
+def test_vt_compact_sweeps_small_files_only(spark, tmp_path):
+    """vt_compact coalesces ONLY the files below the threshold; every
+    already-large file carries forward by path (byte-identical), and
+    row content is unchanged."""
+    table = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    VT.vt_create(df.repartition(10), table)  # 10 × ~10-row files
+    v1 = VT.vt_compact(
+        spark, table, min_rows_per_file=50, max_records_per_file=50
+    )
+    assert v1 == 1
+    files1 = VT.vt_files(table, 1)
+    # 10 small files swept into a handful (coalesce target 2, plus at
+    # most one maxRecordsPerFile spill), rows intact
+    assert 2 <= len(files1) <= 3
+    assert sum(f["n_rows"] for f in files1) == 100
+    # two trickle inserts land as two 1-row files
+    _insert_single(spark, table, 200)
+    _insert_single(spark, table, 201)
+    files3 = VT.vt_files(table, 3)
+    big_paths = {f["path"] for f in files3 if f["n_rows"] >= 50}
+    small_n = len(files3) - len(big_paths)
+    assert small_n >= 2
+    v4 = VT.vt_compact(spark, table, min_rows_per_file=50)
+    assert v4 == 4
+    files4 = VT.vt_files(table, 4)
+    # full-size files carried by path; every small file swept away
+    small_paths = {f["path"] for f in files3} - big_paths
+    paths4 = {f["path"] for f in files4}
+    assert big_paths <= paths4
+    assert not (small_paths & paths4)
+    assert len(files4) < len(files3)
+    assert VT.vt_read(spark, table).count() == 102
+    m = VT._read_manifest(table, 4)
+    assert m["operation"] == "COMPACT"
+    # nothing to sweep -> no commit
+    assert VT.vt_compact(spark, table, min_rows_per_file=50) == 4
+
+
+def test_vt_compact_co_commits_with_disjoint_merge(spark, tmp_path):
+    """Delta's OPTIMIZE-vs-writer story: a merge that lands between the
+    compaction's read and its commit co-commits when it touched files
+    the compaction did not read; a merge that removed one of the small
+    files being compacted forces the conflict."""
+    table = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    VT.vt_create(df.repartitionByRange(2, "k"), table)  # 2 big files
+    _insert_single(spark, table, 200)
+    _insert_single(spark, table, 201)  # two small files, version 2
+    # a racing merge rewrites a BIG file (k=5) after the compaction's base
+    VT.vt_merge(spark, table, _chg(spark, [(5, "RACE", "U")]), keys=["k"])
+    v = VT.vt_compact(
+        spark, table, min_rows_per_file=10, expected_version=2
+    )
+    assert v == 4  # fast path: committed on top of the racing merge
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert rows[5] == "RACE" and rows[200] == "n200" and len(rows) == 102
+    # overlap: a delete that kills one of the small files conflicts
+    VT.vt_merge(spark, table, _chg(spark, [(300, "x", "U")]), keys=["k"])
+    VT.vt_merge(spark, table, _chg(spark, [(301, "y", "U")]), keys=["k"])
+    base = VT.vt_latest_version(table)
+    VT.vt_merge(spark, table, _chg(spark, [(300, None, "D")]), keys=["k"])
+    with pytest.raises(VT.VersionConflictError):
+        VT.vt_compact(
+            spark, table, min_rows_per_file=10, expected_version=base
+        )
+
+
+def test_stream_changes_max_versions_bounds_each_call(spark, tmp_path):
+    """max_versions drains a long history across bounded calls — the
+    maxOffsetsPerTrigger analogue on the CDF layer."""
+    from kinesis_app_spark.registry_round6 import vt_cdf_rollup_applier
+
+    up = _mk_upstream(spark, tmp_path)
+    down = _mk_downstream(spark, tmp_path)
+    ledger = str(tmp_path / "ledger")
+    applier = vt_cdf_rollup_applier(spark, down, "g", "x")
+    seen = []
+    while True:
+        got = VT.vt_stream_changes(
+            spark, up, ["k"], ledger, applier, max_versions=1
+        )
+        if not got:
+            break
+        assert len(got) == 1
+        seen += got
+    assert seen == [0, 1, 2]
+    assert _read_rollup(spark, down) == _expect_rollup(spark, up)
+
+
 # ---------- file-targeted dedup-index erasure (round-6 task 5) ----------
 
 def _docs6(spark, n=120):
