@@ -80,6 +80,11 @@ _STATS_MAX_COLS = 32
 #: listing per commit — and reconstruction reads at most N manifests.
 _CHECKPOINT_EVERY = 10
 
+#: disjoint-commit fast-path retries before a writer declares
+#: starvation (each retry is driver-side metadata, never a re-executed
+#: join — the bound exists so pathological contention surfaces)
+_COMMIT_MAX_SPINS = 50
+
 
 class VersionConflictError(RuntimeError):
     """Another writer committed this version first: rebase and retry."""
@@ -731,9 +736,11 @@ def _commit_optimistic(
     re-executing — carried files are re-derived from the winner's
     manifest (the winner removed none of OUR files, so they are all
     still present); overlap cleans up the staged files and raises for
-    the caller's rebase loop."""
+    the caller's rebase loop. Bounded spins: under a hostile stream of
+    disjoint commits the loop gives up after ``_COMMIT_MAX_SPINS``
+    (cheap metadata retries, but starvation must surface, not hang)."""
     validated_to = base
-    while True:
+    for _spin in range(_COMMIT_MAX_SPINS):
         try:
             _commit(
                 table_dir, new_version,
@@ -779,6 +786,11 @@ def _commit_optimistic(
             ]
             validated_to = latest
             new_version = latest + 1
+    shutil.rmtree(data_dir, ignore_errors=True)
+    raise VersionConflictError(
+        f"{op_name} on {table_dir}: starved by {_COMMIT_MAX_SPINS} "
+        "consecutive commit races; serialize writers"
+    )
 
 
 def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
