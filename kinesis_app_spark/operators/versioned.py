@@ -438,10 +438,24 @@ def _commit(table_dir: str, version: int, manifest: dict,
             cleanup_dir: str | None = None) -> None:
     """Atomic put-if-absent commit. On losing the race, the orphaned
     files this writer created (``cleanup_dir`` — never carried-forward
-    files, which belong to committed versions) are removed."""
+    files, which belong to committed versions) are removed.
+
+    Checkpoint commits also CONSOLIDATE the streaming batch-id ledger
+    (``batch_ids`` = every batch_id committed so far): the per-epoch
+    idempotence probe (``vt_committed_batch_ids``) then walks back at
+    most one checkpoint interval instead of the whole history — without
+    this, a foreachBatch merge sink pays O(versions) manifest reads per
+    epoch, quadratic over a stream's life."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     manifest = dict(manifest)
     manifest["version"] = version
+    if "files" in manifest and version > 0:
+        ids = _committed_batch_ids_upto(table_dir, version - 1)
+        if "batch_id" in manifest:
+            ids.add(int(manifest["batch_id"]))
+        # written even when empty: the ledger's presence is what bounds
+        # every later probe's backward walk to one checkpoint interval
+        manifest["batch_ids"] = sorted(ids)
     path = _manifest_path(table_dir, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1169,15 +1183,30 @@ def vt_changes(
     return res
 
 
-def vt_committed_batch_ids(table_dir: str) -> set[int]:
-    """Streaming-epoch ledger: every batch_id a committed version
-    carries (see ``vt_foreach_batch_merger``)."""
+def _committed_batch_ids_upto(table_dir: str, version: int) -> set[int]:
+    """Every batch_id committed at or below ``version``: walk backward
+    accumulating per-commit ``batch_id`` fields until a manifest with a
+    consolidated ``batch_ids`` ledger (written at checkpoint commits)
+    absorbs the rest — O(checkpoint interval) reads on round-6 tables,
+    full-history fallback on older ones."""
     out: set[int] = set()
-    for v in range(vt_latest_version(table_dir) + 1):
+    for v in range(version, -1, -1):
         m = _read_manifest(table_dir, v)
         if "batch_id" in m:
             out.add(int(m["batch_id"]))
+        if "batch_ids" in m:
+            out.update(int(b) for b in m["batch_ids"])
+            break
     return out
+
+
+def vt_committed_batch_ids(table_dir: str) -> set[int]:
+    """Streaming-epoch ledger: every batch_id a committed version
+    carries (see ``vt_foreach_batch_merger``)."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        return set()
+    return _committed_batch_ids_upto(table_dir, latest)
 
 
 def vt_foreach_batch_merger(

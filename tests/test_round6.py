@@ -111,6 +111,42 @@ def test_concurrent_schema_change_conflicts(spark, tmp_path):
         )
 
 
+# ---------- consolidated streaming batch-id ledger ----------
+
+def test_batch_id_ledger_consolidates_at_checkpoints(spark, tmp_path):
+    """Checkpoint commits absorb the cumulative batch-id set, so the
+    per-epoch idempotence probe walks back at most one checkpoint
+    interval instead of the whole history."""
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(0, "z")], "k long, v string"), table
+    )
+    for i in range(12):
+        VT.vt_merge(
+            spark, table, _chg(spark, [(i + 1, f"v{i}", "U")]),
+            keys=["k"], batch_id=100 + i,
+        )
+    assert VT.vt_committed_batch_ids(table) == set(range(100, 112))
+    # the checkpoint version carries the consolidated ledger
+    m10 = VT._read_manifest(table, 10)
+    assert "files" in m10 and set(m10["batch_ids"]) == set(range(100, 110))
+    # the probe's walk stops at the nearest ledger: versions below the
+    # checkpoint are never read
+    reads = []
+    real = VT._read_manifest
+
+    def counting(table_dir, version):
+        reads.append(version)
+        return real(table_dir, version)
+
+    VT._read_manifest = counting
+    try:
+        assert VT.vt_committed_batch_ids(table) == set(range(100, 112))
+    finally:
+        VT._read_manifest = real
+    assert min(reads) == 10
+
+
 # ---------- incremental small-file compaction ----------
 
 def _insert_single(spark, table, k):
