@@ -1518,6 +1518,138 @@ def _filters_to_column(filters):
     return cond if cond is not None else F.lit(True)
 
 
+#: per-file bloom buckets: modulus and the saturation cap above which a
+#: file's bucket set stops pruning and is stored as null (a file that
+#: contains most buckets can never be skipped anyway, so storing its
+#: set would be manifest bloat with no skipping value)
+_BLOOM_M = 4096
+_BLOOM_SATURATION = 0.8
+
+
+def vt_index_bloom(
+    spark: SparkSession,
+    table_dir: str,
+    cols: Sequence[str],
+    m: int = _BLOOM_M,
+) -> int:
+    """Per-file BLOOM-bucket index for secondary-key point lookups —
+    the pruning min/max stats cannot give: on a table clustered by
+    orderkey, every file spans the full custkey range, so a
+    ``o_custkey = k`` scan opens everything; with each file's set of
+    ``xxhash64 % m`` buckets in the manifest, a point lookup opens only
+    the files whose bucket set contains the literal's bucket (expected
+    false-positive rate ≈ distinct-values-per-file / m). This is
+    Delta's bloom-filter-index idea carried on the manifest.
+
+    INCREMENTAL: only files LACKING a bloom for some requested column
+    are read (one column-pruned ``_metadata.file_path`` agg over those
+    files) — rerunning after a merge indexes just the rewritten files,
+    so the maintenance job costs O(new files). Carried entries keep
+    their blooms through every commit for free (file entries travel
+    whole). A file whose bucket set exceeds ``_BLOOM_SATURATION * m``
+    stores null (saturated: unskippable anyway). Buckets are stored as
+    sorted ints in the manifest JSON — fine at this scale; a 100 TB
+    deployment would base64 a real bitmap or hold them in sidecar index
+    files (Delta's layout), same semantics. Commits a metadata-only
+    BLOOM version (no data written, n_rows unchanged). Returns the new
+    version, or the current latest when every file is already indexed."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    manifest = _read_manifest(table_dir, latest)
+    files = vt_files(table_dir, latest)
+    if files is None:
+        raise ValueError(
+            "vt_index_bloom needs a file-level manifest (round-5+ table)"
+        )
+    cols = list(cols)
+    todo = [
+        f for f in files
+        if any(c not in (f.get("bloom") or {}) for c in cols)
+    ]
+    if not todo:
+        return latest
+    schema = _manifest_schema(manifest)
+    aggs = [
+        F.sort_array(
+            F.collect_set((F.abs(F.xxhash64(F.col(c))) % m).cast("int"))
+        ).alias(f"__b_{c}")
+        for c in cols
+    ]
+    rows = (
+        spark.read.schema(schema)
+        .parquet(*[f["path"] for f in todo])
+        .groupBy(F.col("_metadata.file_path").alias("__p"))
+        .agg(*aggs)
+        .collect()
+    )  # bounded: one row per un-indexed file
+    by_path = {_normalize_path(r["__p"]): r for r in rows}
+    cap = int(m * _BLOOM_SATURATION)
+    updated = []
+    for f in todo:
+        e = dict(f)
+        bloom = dict(e.get("bloom") or {})
+        r = by_path.get(f["path"])
+        for c in cols:
+            buckets = list(r[f"__b_{c}"]) if r is not None else []
+            bloom[c] = (
+                {"m": int(m), "b": buckets} if len(buckets) <= cap
+                else {"m": int(m), "b": None}  # saturated
+            )
+        e["bloom"] = bloom
+        updated.append(e)
+    t_paths = {f["path"] for f in todo}
+    carried = [f for f in files if f["path"] not in t_paths]
+    new_version = latest + 1
+    out = {
+        "data_dir": manifest.get("data_dir"),
+        "n_rows": int(manifest["n_rows"]),
+        "schema": manifest.get("schema"),
+        "operation": "BLOOM",
+        **_incremental_or_full(
+            new_version, files, carried, updated, sorted(t_paths)
+        ),
+    }
+    _commit(table_dir, new_version, out)
+    return new_version
+
+
+def _bloom_buckets_for(spark, schema: StructType, eq_filters, ms):
+    """Driver-side bucket of each equality literal for every modulus in
+    play — computed with the SAME xxhash64 the index used (hash output
+    depends on the input TYPE, so the literal is cast to the column's
+    schema type first). One tiny local job, no table data touched."""
+    exprs = []
+    names = []
+    for i, (c, v) in enumerate(eq_filters):
+        dt = schema[c].dataType
+        for mm in ms:
+            exprs.append(
+                (F.abs(F.xxhash64(F.lit(v).cast(dt))) % mm)
+                .cast("int").alias(f"_{i}_{mm}")
+            )
+            names.append((c, mm, f"_{i}_{mm}"))
+    if not exprs:
+        return {}
+    row = spark.range(1).select(*exprs).collect()[0]
+    return {(c, mm): int(row[alias]) for c, mm, alias in names}
+
+
+def _bloom_may_match(file_entry: dict, eq_filters, buckets) -> bool:
+    """False only when some equality literal's bucket is provably absent
+    from the file's bucket set — missing or saturated blooms mean
+    'possibly' (the _file_intersects discipline)."""
+    bloom = file_entry.get("bloom") or {}
+    for c, _v in eq_filters:
+        bl = bloom.get(c)
+        if not bl or bl.get("b") is None:
+            continue
+        key = (c, int(bl["m"]))
+        if key in buckets and buckets[key] not in set(bl["b"]):
+            return False
+    return True
+
+
 def vt_scan(
     spark: SparkSession,
     table_dir: str,
@@ -1528,11 +1660,13 @@ def vt_scan(
     per-file min/max): files whose stats prove no row can satisfy the
     conjunctive ``filters`` are never opened — on an OPTIMIZE-clustered
     table a point/range read touches a handful of files out of
-    thousands, before parquet footer skipping even runs. The exact
-    filters are then applied to the surviving rows, so the result is
-    identical to ``vt_read(...).filter(...)`` (value-gated in the
-    registry); pruning is a file-listing optimization, never a
-    semantics change."""
+    thousands, before parquet footer skipping even runs. Equality
+    filters additionally prune through the per-file BLOOM buckets when
+    ``vt_index_bloom`` has indexed the column (secondary-key point
+    lookups on a table clustered by something else). The exact filters
+    are then applied to the surviving rows, so the result is identical
+    to ``vt_read(...).filter(...)`` (value-gated in the registry);
+    pruning is a file-listing optimization, never a semantics change."""
     if version is None:
         version = vt_latest_version(table_dir)
         if version < 0:
@@ -1546,8 +1680,22 @@ def vt_scan(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
+        eq = [
+            (c, v) for c, op, v in filters
+            if op in ("=", "==")
+            and any((f.get("bloom") or {}).get(c) for f in files)
+        ]
+        ms = {
+            int(bl["m"])
+            for f in files
+            for c, _v in eq
+            if (bl := (f.get("bloom") or {}).get(c))
+        }
+        buckets = _bloom_buckets_for(spark, schema, eq, sorted(ms))
         survivors = [
-            f["path"] for f in files if _filter_may_match(f, filters)
+            f["path"] for f in files
+            if _filter_may_match(f, filters)
+            and _bloom_may_match(f, eq, buckets)
         ]
         df = _read_snapshot_files(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on

@@ -312,6 +312,54 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_bloom_scan(spark, sf_dir):
+    """Secondary-key point lookup through the manifest's per-file BLOOM
+    buckets: the table is clustered on o_orderkey (so every file spans
+    the full o_custkey range and min/max stats prune NOTHING for a
+    custkey probe), then vt_index_bloom stores each file's set of
+    xxhash64(o_custkey) % m buckets, and the o_custkey = 42 vt_scan
+    opens only files whose bucket set contains 42's bucket — expected
+    open-file share ≈ distinct-custkeys-per-file / m (the strict-subset
+    pruning is pinned in tests/test_round6.py; the index is incremental
+    — only files lacking a bloom are read on re-run). The oracle is the
+    plain filter replay over raw orders: bloom pruning is a file-listing
+    optimization and must never change a row."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_bloom_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )
+        VT.vt_index_bloom(spark, table_dir, ["o_custkey"])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_scan(
+        spark, table_dir, [("o_custkey", "=", 42)]
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_BLOOM_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey = 42
+ORDER BY o_orderkey
+"""
+
+
 def vt_cdf_index_applier(spark, index_dir: str, id_col: str = "doc_id"):
     """The apply_fn that keeps a persisted NEAR-DUP INDEX in sync with a
     versioned corpus table by tailing its CDF: removals first (delete +
@@ -408,6 +456,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_compact_read": QuerySpec(
         versioned_compact_read, VERSIONED_COMPACT_SQL
+    ),
+    "versioned_bloom_scan": QuerySpec(
+        versioned_bloom_scan, VERSIONED_BLOOM_SQL
     ),
 }
 

@@ -111,6 +111,82 @@ def test_concurrent_schema_change_conflicts(spark, tmp_path):
         )
 
 
+# ---------- per-file bloom buckets (secondary-key skipping) ----------
+
+def test_bloom_index_prunes_secondary_key_point_lookup(spark, tmp_path):
+    """On a table clustered by k, min/max stats cannot prune a lookup on
+    the scattered column s — the per-file bloom buckets can: the scan
+    must open a strict file subset and return exactly the filter
+    replay."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("s"),
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    v = VT.vt_index_bloom(spark, table, ["s"])
+    assert v == 1
+    assert VT._read_manifest(table, 1)["operation"] == "BLOOM"
+    # observe which files the scan opens
+    opened = []
+    real = VT._read_snapshot_files
+
+    def spy(spark_, paths, schema):
+        opened.append(list(paths))
+        return real(spark_, paths, schema)
+
+    VT._read_snapshot_files = spy
+    try:
+        got = sorted(
+            r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 5)]).collect()
+        )
+    finally:
+        VT._read_snapshot_files = real
+    expect = sorted(
+        r["k"] for r in df.filter("s = 5").collect()
+    )
+    assert got == expect and got  # non-trivial result
+    n_total = len(VT.vt_files(table, 1))
+    assert len(opened[0]) < n_total  # bloom actually skipped files
+    # idempotent: everything indexed -> no new commit
+    assert VT.vt_index_bloom(spark, table, ["s"]) == 1
+
+
+def test_bloom_index_is_incremental_across_merges(spark, tmp_path):
+    """A merge rewrites some files (their blooms drop with them); the
+    next vt_index_bloom reads ONLY the un-indexed files, and the scan
+    stays exact across the mix of old and new blooms."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("s"),
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    VT.vt_index_bloom(spark, table, ["s"])
+    # rewrite one key's file: that file's bloom is gone, others keep theirs
+    chg = spark.createDataFrame([(5, 999, "U")], "k long, s long, op string")
+    VT.vt_merge(spark, table, chg, keys=["k"])
+    files = VT.vt_files(table, 2)
+    missing = [f for f in files if "bloom" not in f]
+    assert missing and len(missing) < len(files)
+    v = VT.vt_index_bloom(spark, table, ["s"])
+    assert v == 3
+    assert all("bloom" in f for f in VT.vt_files(table, 3))
+    got = sorted(
+        r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 999)]).collect()
+    )
+    assert got == [5]
+    # the old value at k=5 is gone; its former bucket no longer matches 5
+    got5 = sorted(
+        r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 5)]).collect()
+    )
+    assert 5 not in got5 or df.filter("s = 5 and k = 5").count() == 0
+
+
 # ---------- consolidated streaming batch-id ledger ----------
 
 def test_batch_id_ledger_consolidates_at_checkpoints(spark, tmp_path):
