@@ -94,6 +94,10 @@ ENTRIES = [
     "jaccard_threshold_calibration",  # all-candidate similarity histogram (r3c)
     "dedup_index_compacted_screen",   # appended+compacted index screen (r5)
     "knn_ivf_erased",                 # erasure-pruned index query (r5)
+    "versioned_cdf_stream_agg",       # CDF tail + incremental rollup (r6)
+    "versioned_compact_read",         # small-file sweep + read (r6)
+    "versioned_bloom_scan",           # secondary-key bloom skip (r6)
+    "dedup_index_cdf_maintenance",    # CDF-tailed index maintenance (r6)
 ]
 
 
