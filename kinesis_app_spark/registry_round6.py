@@ -187,6 +187,155 @@ ORDER BY o_orderstatus
 """
 
 
+def versioned_cdf_source_batch(spark, sf_dir):
+    """The change feed as a REAL Spark data source (sources/vt_cdf.py),
+    batch flavor — Delta's ``table_changes`` equivalent: every committed
+    version of the 4-version upstream orders table as one DataFrame of
+    (_commit_version, _change_type, *row), planned as per-file snapshot
+    partitions for v0 and key-range-grouped manifest-diff partitions for
+    v1..v3 (only each commit's exclusive files are read). The oracle
+    replays the ENTIRE feed arithmetically from raw orders — v0/v1
+    inserts split by the %3 residue, v2's pre+post images of the +50
+    price bump, v3's deletes carrying the bumped preimage — so one row
+    mis-labeled, dropped, duplicated, or carrying the wrong image value
+    hash-mismatches."""
+    from kinesis_app_spark.sources import vt_cdf as SRC
+
+    SRC.register(spark)
+    _cdf_stream_tables(spark, sf_dir)  # ensures the upstream is built
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    up = os.path.join(_VT6_ROOT, f"orders_cdfsrc_{tag}")
+    return (
+        spark.read.format("vt_cdf")
+        .option("path", up).option("keys", "o_orderkey")
+        .load()
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    )
+
+
+VERSIONED_CDF_SOURCE_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+)
+SELECT * FROM (
+    SELECT 0::BIGINT AS "_commit_version", 'insert' AS "_change_type",
+           o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM base WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, 'insert', o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, 'update_preimage', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice
+    FROM base WHERE o_custkey % 10 = 0
+    UNION ALL
+    SELECT 2, 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 50.0
+    FROM base WHERE o_custkey % 10 = 0
+    UNION ALL
+    SELECT 3, 'delete', o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 50.0
+                ELSE o_totalprice END
+    FROM base WHERE o_orderkey % 7 = 0
+)
+ORDER BY "_commit_version", "_change_type", o_orderkey
+"""
+
+
+def versioned_cdf_readstream_agg(spark, sf_dir):
+    """The vt_cdf STREAMING reader end to end: the downstream rollup is
+    maintained by a genuine ``readStream.format("vt_cdf")`` query —
+    Spark's offset log (versions ARE the offsets) replaces the hand
+    ledger of versioned_cdf_stream_agg — draining the same 4-version
+    upstream through foreachBatch into one signed delta merge
+    (insert/postimage add, delete/preimage subtract), idempotent under
+    epoch replay via the downstream table's batch-id ledger. Same oracle
+    as the ledger twin: streamed-incremental == batch-recompute, so a
+    dropped/duplicated version or a mis-signed image shifts a count or a
+    price mass and hash-mismatches."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as SRC
+
+    SRC.register(spark)
+    _cdf_stream_tables(spark, sf_dir)  # ensures the upstream is built
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    up = os.path.join(_VT6_ROOT, f"orders_cdfsrc_{tag}")
+    down = os.path.join(_VT6_ROOT, f"orders_cdfrs_{tag}")
+    marker = os.path.join(down, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(down):
+            shutil.rmtree(down)
+        VT.vt_create(
+            spark.createDataFrame(
+                [],
+                "o_orderstatus string, n_orders long, "
+                "price_sum decimal(30,8)",
+            ),
+            down,
+        )
+
+        def apply_batch(changes, batch_id):
+            if batch_id in VT.vt_committed_batch_ids(down):
+                return  # replayed epoch: already applied
+            sgn = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            delta = changes.groupBy("o_orderstatus").agg(
+                F.sum(sgn).alias("__n_delta"),
+                F.sum(
+                    sgn.cast("decimal(30,8)")
+                    * F.col("o_totalprice").cast("decimal(30,8)")
+                ).alias("__p_delta"),
+            )
+            cur = VT.vt_read(spark, down).join(
+                F.broadcast(delta.select("o_orderstatus")),
+                "o_orderstatus", "left_semi",
+            )
+            merged = cur.join(delta, "o_orderstatus", "full_outer").select(
+                "o_orderstatus",
+                (F.coalesce(F.col("n_orders"), F.lit(0))
+                 + F.coalesce(F.col("__n_delta"), F.lit(0)))
+                .alias("n_orders"),
+                (F.coalesce(F.col("price_sum"),
+                            F.lit(0).cast("decimal(30,8)"))
+                 + F.coalesce(F.col("__p_delta"),
+                              F.lit(0).cast("decimal(30,8)")))
+                .cast("decimal(30,8)").alias("price_sum"),
+            )
+            ops = merged.withColumn(
+                "op", F.when(F.col("n_orders") <= 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+            )
+            VT.vt_merge(spark, down, ops, keys=["o_orderstatus"],
+                        batch_id=batch_id)
+
+        q = (
+            spark.readStream.format("vt_cdf")
+            .option("path", up).option("keys", "o_orderkey")
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(down, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return (
+        VT.vt_read(spark, down)
+        .select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round("price_sum", 2).cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def versioned_disjoint_writers(spark, sf_dir):
     """Disjoint-commit optimistic concurrency under the value gate
     (Delta's conflict-detection rules on the manifest layer): two
@@ -450,6 +599,12 @@ def dedup_index_cdf_maintenance(spark, sf_dir):
 REGISTRY_ROUND6: dict[str, QuerySpec] = {
     "versioned_cdf_stream_agg": QuerySpec(
         versioned_cdf_stream_agg, VERSIONED_CDF_STREAM_SQL
+    ),
+    "versioned_cdf_source_batch": QuerySpec(
+        versioned_cdf_source_batch, VERSIONED_CDF_SOURCE_SQL
+    ),
+    "versioned_cdf_readstream_agg": QuerySpec(
+        versioned_cdf_readstream_agg, VERSIONED_CDF_STREAM_SQL
     ),
     "versioned_disjoint_writers": QuerySpec(
         versioned_disjoint_writers, VERSIONED_DISJOINT_SQL

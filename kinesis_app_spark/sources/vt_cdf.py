@@ -1,0 +1,472 @@
+"""Versioned-table change feed as a REAL Spark data source (``vt_cdf``).
+
+Round 6 shipped ``vt_stream_changes`` — an AvailableNow-style driver loop
+that tails a versioned table's CDF with its own file ledger. This module
+is the genuine Structured Streaming integration of the same feed: a
+Python DataSource (the engine's established custom-source discipline —
+``sources/fake_kinesis.py``, ``sources/kinesis_boto.py``) whose OFFSETS
+ARE VERSION NUMBERS, so the stream checkpoint replaces the hand-rolled
+ledger and every downstream consumer gets Spark's own exactly-once
+offset tracking, restart recovery, and trigger semantics for free:
+
+    spark.readStream.format("vt_cdf")
+         .option("path", table_dir).option("keys", "o_orderkey")
+         .load()                       # _commit_version, _change_type, *cols
+
+This is the production "downstream tables tail an upstream table"
+topology — the reference's consumer loop over a shard
+(/root/reference/src/Kinesis/Coordination.hs:100-107) re-expressed over
+table versions, with Spark's offset log playing the role the reference
+gave Redis checkpoints (Coordination.hs:343-359).
+
+Physical plan (the scale story):
+
+- **Version 0 = snapshot-as-inserts, one input partition PER FILE** — no
+  join, no driver materialization; the initial load parallelizes like
+  any parquet scan.
+- **Version v>0 = manifest file-diff, partitioned by KEY RANGE**: only
+  the two sides' EXCLUSIVE files are read (paths common to both
+  manifests are immutable identical bytes and cancel before planning —
+  the same pruning as ``vt_changes``), and the exclusive files are
+  grouped into connected components of key-range overlap using the
+  manifest's per-file min/max stats. Rows with equal keys always share
+  a component (both their files contain that key), so each component
+  diffs INDEPENDENTLY in its own task — a clustered table's pruned
+  merge yields many small, parallel diff tasks instead of one
+  shuffle-everything join. Per-version cost is O(files touched by the
+  commit), never O(table).
+- The diff itself runs Arrow-native inside each task (pyarrow read →
+  ArrowDtype pandas merge → Arrow batch out): null-safe value equality
+  with Spark's NaN==NaN semantics, matching ``vt_changes`` row for row.
+
+Rate limiting follows the connector's hard-won planner discipline
+(``sources/kinesis_boto.py``): ``maxVersionsPerTrigger`` caps how far
+one micro-batch advances, but ONLY once the planner has learned a real
+position from partitions()/commit() — a cap anchored before that could
+emit a bound behind a clean restart's checkpoint and re-deliver
+committed versions (the round-6 ADVICE regression, avoided here by
+construction). Version manifests are immutable, so read(start, end) is
+a pure function of the offset pair — committed batches replay to
+identical record sets at every retry granularity.
+
+Contract notes: keys must be unique per version (the MERGE invariant);
+schema is the LATEST version's (forward evolution null-pads older
+files, same as ``vt_read``); a version below the earliest non-vacuumed
+manifest cannot be tailed (clear error, not a missing-file stack).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructField, StructType
+
+from kinesis_app_spark.operators import versioned as VT
+
+__all__ = ["VersionedCdfDataSource", "register"]
+
+
+# ---------------------------------------------------------------------
+# planning (driver side: manifest JSON only — no data reads)
+# ---------------------------------------------------------------------
+
+
+class _CdfSlice(InputPartition):
+    """One input partition: a v0 snapshot file (``kind='snapshot'``) or
+    one key-range component of a version's exclusive-file diff
+    (``kind='diff'``). Carries everything read() needs — executors
+    never touch the manifest directory."""
+
+    def __init__(self, version: int, kind: str, before: list[str],
+                 after: list[str], keys: list[str], schema_json: str):
+        self.version = version
+        self.kind = kind
+        self.before = before
+        self.after = after
+        self.keys = keys
+        self.schema_json = schema_json
+
+
+def _table_schema(table_dir: str) -> StructType:
+    latest = VT.vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(
+            f"vt_cdf: no committed version in {table_dir}"
+        )
+    schema = VT._manifest_schema(VT._read_manifest(table_dir, latest))
+    if schema is None:
+        raise ValueError(
+            f"vt_cdf: {table_dir} has a pre-round-5 manifest without a "
+            "stored schema; rewrite the table (vt_optimize) to tail it"
+        )
+    return schema
+
+
+def _cdf_schema(table_dir: str) -> StructType:
+    base = _table_schema(table_dir)
+    from pyspark.sql.types import LongType, StringType
+
+    return StructType(
+        [
+            StructField("_commit_version", LongType(), False),
+            StructField("_change_type", StringType(), False),
+        ]
+        + [
+            # every table column must admit nulls: schema evolution
+            # null-pads files written before a column existed, and the
+            # delete/preimage sides null-pad evolved columns too
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in base.fields
+        ]
+    )
+
+
+def _key_range(entry: dict, key: str):
+    st = entry.get("stats", {}).get(key)
+    if not st or st[0] is None or st[1] is None:
+        return None
+    return st[0], st[1]
+
+
+def _group_by_key_range(files_a: list[dict], files_b: list[dict],
+                        key: str) -> list[tuple[list[str], list[str]]]:
+    """Connected components of [min,max]-overlap on the first key column
+    across BOTH sides' exclusive files. Two rows with the same key live
+    in files whose ranges both contain that key, so they always land in
+    the same component — each component's diff is independent and runs
+    as its own task. Files without usable stats collapse everything to
+    one component (conservative, correct)."""
+    entries = []
+    for side, files in (("a", files_a), ("b", files_b)):
+        for f in files:
+            rng = _key_range(f, key)
+            if rng is None:
+                return [([f["path"] for f in files_a],
+                         [f["path"] for f in files_b])]
+            entries.append((rng[0], rng[1], side, f["path"]))
+    if not entries:
+        return []
+    try:
+        entries.sort(key=lambda e: (e[0], e[1]))
+    except TypeError:  # mixed stat types (shouldn't happen): one group
+        return [([f["path"] for f in files_a],
+                 [f["path"] for f in files_b])]
+    groups: list[tuple[list[str], list[str]]] = []
+    cur_hi = None
+    for lo, hi, side, path in entries:
+        if cur_hi is None or lo > cur_hi:
+            groups.append(([], []))
+            cur_hi = hi
+        else:
+            cur_hi = max(cur_hi, hi)
+        groups[-1][0 if side == "a" else 1].append(path)
+    return groups
+
+
+def _plan_version(table_dir: str, version: int, keys: list[str],
+                  schema_json: str) -> list[_CdfSlice]:
+    m = VT._read_manifest(table_dir, version)
+    if m.get("vacuumed"):
+        raise FileNotFoundError(
+            f"vt_cdf: version {version} of {table_dir} was vacuumed; "
+            "start the stream at the earliest non-vacuumed version"
+        )
+    if version == 0:
+        files = VT.vt_files(table_dir, 0)
+        if files is None:  # pre-round-5 manifest: one opaque dir
+            return [_CdfSlice(0, "snapshot_dir", [], [m["data_dir"]],
+                              keys, schema_json)]
+        return [
+            _CdfSlice(0, "snapshot", [], [f["path"]], keys, schema_json)
+            for f in files
+        ]
+    files_a = VT.vt_files(table_dir, version - 1)
+    files_b = VT.vt_files(table_dir, version)
+    if files_a is None or files_b is None:
+        prev = VT._read_manifest(table_dir, version - 1)
+        return [_CdfSlice(version, "diff_dir", [prev["data_dir"]],
+                          [m["data_dir"]], keys, schema_json)]
+    paths_a = {f["path"] for f in files_a}
+    paths_b = {f["path"] for f in files_b}
+    excl_a = [f for f in files_a if f["path"] not in paths_b]
+    excl_b = [f for f in files_b if f["path"] not in paths_a]
+    if not excl_a and not excl_b:
+        return []  # metadata-only commit (bloom index, ledger, ...)
+    return [
+        _CdfSlice(version, "diff", ga, gb, keys, schema_json)
+        for ga, gb in _group_by_key_range(excl_a, excl_b, keys[0])
+    ]
+
+
+# ---------------------------------------------------------------------
+# execution (task side: pyarrow read -> Arrow-exact diff -> Arrow out)
+# ---------------------------------------------------------------------
+
+
+def _arrow_target(schema_json: str):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(StructType.fromJson(__import__("json").loads(
+        schema_json
+    )))
+
+
+def _list_parquet(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _read_padded(paths: list[str], target):
+    """Read files and pad/cast to the table columns of ``target`` (the
+    CDF schema minus its two prepended fields) — forward schema
+    evolution null-pads, exactly like ``vt_read``'s explicit schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(target)[2:]  # table columns (after the two CDF fields)
+    out = []
+    for p in paths:
+        t = pq.read_table(p)
+        arrays = []
+        for f in cols:
+            if f.name in t.column_names:
+                arrays.append(t[f.name].combine_chunks().cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        out.append(pa.table(dict(zip([f.name for f in cols], arrays))))
+    if not out:
+        return pa.table(
+            {f.name: pa.nulls(0, f.type) for f in cols}
+        )
+    return pa.concat_tables(out)
+
+
+def _emit(table, target, version: int, change_type):
+    """Prepend (_commit_version, _change_type) and emit RecordBatches in
+    the source schema. ``change_type`` is a string for the snapshot path
+    or a pandas Series for the diff path."""
+    import pyarrow as pa
+
+    n = table.num_rows
+    arrays = [
+        pa.array([version] * n, pa.int64()),
+        (pa.array([change_type] * n, pa.string())
+         if isinstance(change_type, str)
+         else pa.array(change_type, pa.string())),
+    ]
+    for f in list(target)[2:]:
+        arrays.append(table[f.name].combine_chunks())
+    yield from pa.table(
+        dict(zip([f.name for f in target], arrays))
+    ).cast(target).combine_chunks().to_batches()
+
+
+def _null_safe_eq(a, b, typ):
+    """Spark eqNullSafe with Spark's NaN==NaN semantics, elementwise."""
+    import pyarrow.types as pt
+
+    both_na = a.isna() & b.isna()
+    eq = (a == b).fillna(False)
+    if pt.is_floating(typ):
+        eq = eq | ((a != a).fillna(False) & (b != b).fillna(False))
+    return eq | both_na
+
+
+def _read_slice(partition: _CdfSlice):
+    import pandas as pd
+    import pyarrow as pa
+
+    target = _arrow_target(partition.schema_json)
+    if partition.kind in ("snapshot", "snapshot_dir"):
+        paths = (partition.after if partition.kind == "snapshot"
+                 else _list_parquet(partition.after[0]))
+        tbl = _read_padded(paths, target)
+        yield from _emit(tbl, target, partition.version, "insert")
+        return
+    before_paths = (partition.before if partition.kind == "diff"
+                    else _list_parquet(partition.before[0]))
+    after_paths = (partition.after if partition.kind == "diff"
+                   else _list_parquet(partition.after[0]))
+    before = _read_padded(before_paths, target)
+    after = _read_padded(after_paths, target)
+    keys = partition.keys
+    vals = [f.name for f in list(target)[2:] if f.name not in keys]
+    typs = {f.name: f.type for f in target}
+    bdf = before.to_pandas(types_mapper=pd.ArrowDtype)
+    adf = after.to_pandas(types_mapper=pd.ArrowDtype)
+    m = bdf.merge(adf, on=keys, how="outer", suffixes=("__a", "__b"),
+                  indicator=True)
+    differs = None
+    for c in vals:
+        d = ~_null_safe_eq(m[f"{c}__a"], m[f"{c}__b"], typs[c])
+        differs = d if differs is None else (differs | d)
+
+    def side(rows, which: str):
+        out = rows[keys].copy()
+        for c in vals:
+            out[c] = rows[f"{c}__{which}"]
+        return out
+
+    upd = m[(m["_merge"] == "both") & differs] if vals else m.iloc[0:0]
+    parts = [
+        (side(m[m["_merge"] == "right_only"], "b"), "insert"),
+        (side(m[m["_merge"] == "left_only"], "a"), "delete"),
+        (side(upd, "a"), "update_preimage"),
+        (side(upd, "b"), "update_postimage"),
+    ]
+    frames, labels = [], []
+    for df, label in parts:
+        if len(df):
+            frames.append(df)
+            labels.extend([label] * len(df))
+    if not frames:
+        return
+    res = pd.concat(frames, ignore_index=True)
+    cols = [f.name for f in list(target)[2:]]
+    tbl = pa.table({
+        c: pa.Array.from_pandas(res[c], type=typs[c]) for c in cols
+    })
+    yield from _emit(tbl, target, partition.version, pd.Series(labels))
+
+
+# ---------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------
+
+
+def _common_opts(options) -> tuple[str, list[str], int, str]:
+    path = options.get("path")
+    if not path:
+        raise ValueError("vt_cdf: option 'path' (the table dir) is required")
+    keys_raw = options.get("keys", "")
+    keys = [k.strip() for k in keys_raw.split(",") if k.strip()]
+    if not keys:
+        raise ValueError(
+            "vt_cdf: option 'keys' (comma-separated merge key columns) "
+            "is required — the CDF diff joins snapshots on them"
+        )
+    start = int(options.get("startingversion", 0))
+    schema_json = __import__("json").dumps(
+        _cdf_schema(path).jsonValue()
+    )
+    return path, keys, start, schema_json
+
+
+class VersionedCdfBatchReader(DataSourceReader):
+    """``spark.read.format("vt_cdf")`` — the bounded twin (Delta's
+    ``table_changes``): every version in [startingVersion, endVersion]
+    as one DataFrame, planned with the same per-file snapshot and
+    key-range diff partitions as the stream."""
+
+    def __init__(self, options):
+        self.path, self.keys, self.start, self.schema_json = _common_opts(
+            options
+        )
+        latest = VT.vt_latest_version(self.path)
+        self.end = int(options.get("endversion", latest))
+        if self.end > latest:
+            raise ValueError(
+                f"vt_cdf: endVersion {self.end} > latest {latest}"
+            )
+
+    def partitions(self):
+        slices = []
+        for v in range(self.start, self.end + 1):
+            slices.extend(
+                _plan_version(self.path, v, self.keys, self.schema_json)
+            )
+        return slices or [
+            # Spark requires >=1 partition; an empty slice yields nothing
+            _CdfSlice(self.start, "diff", [], [], self.keys,
+                      self.schema_json)
+        ]
+
+    def read(self, partition: _CdfSlice):
+        return _read_slice(partition)
+
+
+class VersionedCdfStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset = {"version": next undelivered}.
+
+    ``latestOffset`` derives the available end from the table's manifest
+    state (never reader-local counters), so a fresh instance against an
+    old checkpoint can never plan a backwards batch. The
+    ``maxVersionsPerTrigger`` cap applies only after partitions()/
+    commit() has taught this planner a real position — before that the
+    first call runs uncapped once (bounded by the table's history),
+    which is the safe direction; a cap anchored anywhere else can land
+    BEHIND a clean restart's checkpoint and re-deliver committed
+    versions (the kinesis_boto round-6 lesson, applied here by
+    construction). Python stream sources fall back to single-batch
+    execution under Trigger.AvailableNow (Spark logs the fallback), so
+    an availableNow drain arrives as ONE micro-batch and the cap only
+    shapes processingTime tails — same behavior as the engine's Kinesis
+    readers."""
+
+    def __init__(self, options):
+        self.path, self.keys, self.start, self.schema_json = _common_opts(
+            options
+        )
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self._planned: int | None = None
+
+    def initialOffset(self):
+        return {"version": self.start}
+
+    def latestOffset(self):
+        end = VT.vt_latest_version(self.path) + 1
+        if self.max_versions > 0 and self._planned is not None:
+            end = min(end, self._planned + self.max_versions)
+        return {"version": max(end, self.start)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        self._planned = max(self._planned or 0, hi)
+        slices = []
+        for v in range(lo, hi):
+            slices.extend(
+                _plan_version(self.path, v, self.keys, self.schema_json)
+            )
+        return slices or [
+            _CdfSlice(lo, "diff", [], [], self.keys, self.schema_json)
+        ]
+
+    def read(self, partition: _CdfSlice):
+        return _read_slice(partition)
+
+    def commit(self, end: dict):
+        self._planned = max(self._planned or 0, int(end["version"]))
+
+
+class VersionedCdfDataSource(DataSource):
+    """Options: path (table dir, required), keys (comma-separated merge
+    keys, required), startingVersion (default 0 — v0 arrives as
+    snapshot-as-inserts), endVersion (batch reads only, default latest),
+    maxVersionsPerTrigger (stream rate limit, default unbounded)."""
+
+    @classmethod
+    def name(cls):
+        return "vt_cdf"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("vt_cdf: option 'path' is required")
+        return _cdf_schema(path)
+
+    def reader(self, schema):
+        return VersionedCdfBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return VersionedCdfStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VersionedCdfDataSource)
