@@ -1396,6 +1396,23 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
             json.dump(m, fh)
         os.replace(tmp, _manifest_path(table_dir, v))
         vacuumed.append(v)
+    # sweep bloom sidecars no RETAINED version references (aged manifests
+    # may still name them, but their file entries are already
+    # unreachable once the version is vacuumed) — same ownership rule as
+    # data files: only sidecars under THIS table's dir are deleted
+    sc_dir = _bloom_sidecar_dir(table_dir)
+    if os.path.isdir(sc_dir):
+        referenced_sc = set()
+        for v in range(keep_from, latest + 1):
+            fl = vt_files(table_dir, v) or []
+            for f in fl:
+                for bl in (f.get("bloom") or {}).values():
+                    if "sc" in bl:
+                        referenced_sc.add(os.path.abspath(bl["sc"]))
+        for name in os.listdir(sc_dir):
+            p = os.path.abspath(os.path.join(sc_dir, name))
+            if p.endswith(".parquet") and p not in referenced_sc:
+                os.remove(p)
     return vacuumed
 
 
@@ -1526,6 +1543,68 @@ _BLOOM_M = 4096
 _BLOOM_SATURATION = 0.8
 
 
+def _bloom_sidecar_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_index", "bloom")
+
+
+def _bloom_bitmap(buckets, m: int) -> bytes:
+    """Bucket set -> bitmap bytes (m/8 long, bit i = bucket i present).
+    Constant size per (file, column) regardless of density — the 'real
+    bitmap in sidecar index files' representation the round-6 JSON
+    bucket lists documented as the 100 TB follow-up."""
+    bm = bytearray((m + 7) // 8)
+    for b in buckets:
+        bm[b >> 3] |= 1 << (b & 7)
+    return bytes(bm)
+
+
+def _bloom_write_sidecar(sidecar: str, recs: list[tuple]) -> None:
+    """Write one sidecar parquet of (file path, column, m, bitmap|null)
+    rows — a driver-side pyarrow write (one row per newly indexed
+    file×column, bounded by the incremental todo set)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "path": pa.array([r[0] for r in recs], pa.string()),
+            "col": pa.array([r[1] for r in recs], pa.string()),
+            "m": pa.array([r[2] for r in recs], pa.int32()),
+            "bitmap": pa.array([r[3] for r in recs], pa.binary()),
+        }),
+        sidecar,
+    )
+
+
+def _bloom_load_sidecars(files: list[dict], cols: set[str]) -> dict:
+    """{(file path, col): bitmap bytes | None} for every surviving file
+    entry whose bloom points at a sidecar — each referenced sidecar
+    parquet is read ONCE (column-pruned, filtered to the probed
+    columns). Driver-side metadata work: one row per (indexed file,
+    col), the same cardinality the JSON representation carried inline."""
+    import pyarrow.parquet as pq
+
+    wanted = set()
+    for f in files:
+        for c, bl in (f.get("bloom") or {}).items():
+            if c in cols and "sc" in bl:
+                wanted.add(bl["sc"])
+    out: dict = {}
+    for sc in sorted(wanted):
+        try:
+            t = pq.read_table(sc, filters=[("col", "in", list(cols))])
+        except (FileNotFoundError, OSError):
+            continue  # swept sidecar (e.g. source-table vacuum seen
+            # through a clone): no bitmap -> no pruning, still correct
+        for path, col, bm in zip(
+            t["path"].to_pylist(), t["col"].to_pylist(),
+            t["bitmap"].to_pylist()
+        ):
+            out[(path, col)] = bm
+    return out
+
+
 def vt_index_bloom(
     spark: SparkSession,
     table_dir: str,
@@ -1548,11 +1627,16 @@ def vt_index_bloom(
     their blooms through every commit for free (file entries travel
     whole). A file whose bucket set exceeds ``_BLOOM_SATURATION * m``
     stores null (saturated: unskippable anyway). Buckets are stored as
-    sorted ints in the manifest JSON — fine at this scale; a 100 TB
-    deployment would base64 a real bitmap or hold them in sidecar index
-    files (Delta's layout), same semantics. Commits a metadata-only
-    BLOOM version (no data written, n_rows unchanged). Returns the new
-    version, or the current latest when every file is already indexed."""
+    a REAL BITMAP (m/8 bytes per file×column, density-independent) in a
+    parquet SIDECAR under ``_index/bloom/`` — Delta's index-file layout
+    — one sidecar written per maintenance run; the manifest entry
+    carries only {"m", "sc": sidecar path}, so manifest JSON (and every
+    checkpoint commit's full file list) stays O(files), never
+    O(files × buckets). Pre-sidecar inline entries ({"m","b"}) remain
+    readable; sidecar files no retained version references are swept by
+    ``vt_vacuum``. Commits a metadata-only BLOOM version (no data
+    written, n_rows unchanged). Returns the new version, or the current
+    latest when every file is already indexed."""
     latest = vt_latest_version(table_dir)
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
@@ -1585,6 +1669,10 @@ def vt_index_bloom(
     )  # bounded: one row per un-indexed file
     by_path = {_normalize_path(r["__p"]): r for r in rows}
     cap = int(m * _BLOOM_SATURATION)
+    sidecar = os.path.join(
+        _bloom_sidecar_dir(table_dir), f"{uuid.uuid4().hex[:12]}.parquet"
+    )
+    recs: list[tuple] = []
     updated = []
     for f in todo:
         e = dict(f)
@@ -1592,12 +1680,15 @@ def vt_index_bloom(
         r = by_path.get(f["path"])
         for c in cols:
             buckets = list(r[f"__b_{c}"]) if r is not None else []
-            bloom[c] = (
-                {"m": int(m), "b": buckets} if len(buckets) <= cap
-                else {"m": int(m), "b": None}  # saturated
+            bm = (
+                _bloom_bitmap(buckets, m) if len(buckets) <= cap
+                else None  # saturated: stored null, unskippable
             )
+            recs.append((f["path"], c, int(m), bm))
+            bloom[c] = {"m": int(m), "sc": sidecar}
         e["bloom"] = bloom
         updated.append(e)
+    _bloom_write_sidecar(sidecar, recs)
     t_paths = {f["path"] for f in todo}
     carried = [f for f in files if f["path"] not in t_paths]
     new_version = latest + 1
@@ -1635,17 +1726,29 @@ def _bloom_buckets_for(spark, schema: StructType, eq_filters, ms):
     return {(c, mm): int(row[alias]) for c, mm, alias in names}
 
 
-def _bloom_may_match(file_entry: dict, eq_filters, buckets) -> bool:
+def _bloom_may_match(file_entry: dict, eq_filters, buckets,
+                     sidecars: dict | None = None) -> bool:
     """False only when some equality literal's bucket is provably absent
     from the file's bucket set — missing or saturated blooms mean
-    'possibly' (the _file_intersects discipline)."""
+    'possibly' (the _file_intersects discipline). Sidecar entries test a
+    bitmap bit from ``sidecars`` ({(path, col): bytes|None}); legacy
+    inline entries test the stored bucket list."""
     bloom = file_entry.get("bloom") or {}
     for c, _v in eq_filters:
         bl = bloom.get(c)
-        if not bl or bl.get("b") is None:
+        if not bl:
             continue
         key = (c, int(bl["m"]))
-        if key in buckets and buckets[key] not in set(bl["b"]):
+        if key not in buckets:
+            continue
+        probe = buckets[key]
+        if "sc" in bl:
+            bm = (sidecars or {}).get((file_entry["path"], c))
+            if bm is None:  # saturated or sidecar row missing: possibly
+                continue
+            if not (bm[probe >> 3] & (1 << (probe & 7))):
+                return False
+        elif bl.get("b") is not None and probe not in set(bl["b"]):
             return False
     return True
 
@@ -1692,10 +1795,13 @@ def vt_scan(
             if (bl := (f.get("bloom") or {}).get(c))
         }
         buckets = _bloom_buckets_for(spark, schema, eq, sorted(ms))
+        # stats-prune FIRST, then load only the sidecars the min/max
+        # survivors reference (one pyarrow read per sidecar file)
+        stat_ok = [f for f in files if _filter_may_match(f, filters)]
+        sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in eq})
         survivors = [
-            f["path"] for f in files
-            if _filter_may_match(f, filters)
-            and _bloom_may_match(f, eq, buckets)
+            f["path"] for f in stat_ok
+            if _bloom_may_match(f, eq, buckets, sidecars)
         ]
         df = _read_snapshot_files(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on

@@ -586,3 +586,132 @@ def test_four_threaded_writers_all_commit(spark, tmp_path):
     assert len(rows) == 100
     for k, tag in ranges:
         assert rows[k] == tag
+
+
+# ---------- bloom bitmap sidecar (round-6 follow-up) ----------
+
+def test_bloom_sidecar_keeps_manifest_small_and_prunes(spark, tmp_path):
+    """The bloom index stores bitmaps in a parquet sidecar; the manifest
+    entry carries only {m, sidecar path}, so manifest JSON stays O(files)
+    regardless of bucket density — and pruning still opens a strict file
+    subset that returns exactly the filter replay."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 211).alias("s"),
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    VT.vt_index_bloom(spark, table, ["s"])
+    files = VT.vt_files(table, 1)
+    for f in files:
+        bl = f["bloom"]["s"]
+        assert "sc" in bl and "b" not in bl
+        assert _os.path.exists(bl["sc"])
+    # the whole manifest stays small: no bucket lists inline
+    raw = open(VT._manifest_path(table, 1)).read()
+    assert len(raw) < 20_000
+    assert '"b":' not in raw
+    # sidecar rows: one per (file, col), bitmap is m/8 bytes or null
+    import pyarrow.parquet as pq
+    sc = pq.read_table(files[0]["bloom"]["s"]["sc"])
+    assert set(sc.column_names) == {"path", "col", "m", "bitmap"}
+    bms = [b for b in sc["bitmap"].to_pylist() if b is not None]
+    assert bms and all(len(b) == VT._BLOOM_M // 8 for b in bms)
+    # pruning still exact and strict-subset
+    opened = []
+    real = VT._read_snapshot_files
+
+    def spy(spark_, paths, schema):
+        opened.append(list(paths))
+        return real(spark_, paths, schema)
+
+    VT._read_snapshot_files = spy
+    try:
+        got = sorted(
+            r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 5)]).collect()
+        )
+    finally:
+        VT._read_snapshot_files = real
+    assert got == sorted(r["k"] for r in df.filter("s = 5").collect())
+    assert got and len(opened[0]) < len(files)
+
+
+def test_bloom_legacy_inline_entries_still_prune(spark, tmp_path):
+    """Pre-sidecar manifests carried {"m","b"} bucket lists inline —
+    they must keep pruning unchanged (compat path)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 53).alias("s")
+    )
+    VT.vt_create(df.repartitionByRange(4, "k"), table)
+    VT.vt_index_bloom(spark, table, ["s"])
+    # rewrite the manifest's blooms into the legacy inline form
+    import pyarrow.parquet as pq
+    m = VT._read_manifest(table, 1)
+    m.pop("add", None)
+    m.pop("remove", None)
+    m["files"] = VT.vt_files(table, 1)
+    for f in m["files"]:
+        bl = f["bloom"]["s"]
+        t = pq.read_table(bl["sc"])
+        rows = {
+            (p, c): bm for p, c, bm in zip(
+                t["path"].to_pylist(), t["col"].to_pylist(),
+                t["bitmap"].to_pylist(),
+            )
+        }
+        bm = rows[(f["path"], "s")]
+        buckets = [
+            i for i in range(VT._BLOOM_M)
+            if bm[i >> 3] & (1 << (i & 7))
+        ]
+        f["bloom"]["s"] = {"m": VT._BLOOM_M, "b": buckets}
+    with open(VT._manifest_path(table, 1), "w") as fh:
+        _json.dump(m, fh)
+    got = sorted(
+        r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 5)]).collect()
+    )
+    assert got == sorted(r["k"] for r in df.filter("s = 5").collect())
+
+
+def test_vacuum_sweeps_unreferenced_bloom_sidecars(spark, tmp_path):
+    """A bloom whose indexed files were all rewritten leaves a dangling
+    sidecar once the referencing versions age out — vt_vacuum sweeps it;
+    sidecars any retained version references survive."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("s")
+    )
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_index_bloom(spark, table, ["s"])       # v1: sidecar A
+    first_sc = VT.vt_files(table, 1)[0]["bloom"]["s"]["sc"]
+    # rewrite EVERY file (single-file table, full-range update)
+    VT.vt_update(
+        spark, table, [("k", ">=", 0)], {"s": "s + 100"}
+    )                                            # v2: file replaced
+    VT.vt_index_bloom(spark, table, ["s"])       # v3: sidecar B
+    second_sc = VT.vt_files(table, 3)[0]["bloom"]["s"]["sc"]
+    assert first_sc != second_sc
+    VT.vt_vacuum(table, retain_last=2)           # retains v2, v3
+    assert not _os.path.exists(first_sc)         # A: unreferenced, swept
+    assert _os.path.exists(second_sc)            # B: referenced, kept
+    got = sorted(
+        r["k"] for r in VT.vt_scan(spark, table, [("s", "=", 105)]).collect()
+    )
+    assert got == sorted(
+        r["k"] for r in df.filter("s % 13 = 5 and s = 5").collect()
+    )
