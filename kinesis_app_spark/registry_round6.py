@@ -596,6 +596,130 @@ def dedup_index_cdf_maintenance(spark, sf_dir):
     )
 
 
+def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
+    """THE full production topology in one value-gated entry — every
+    layer the engine built, composed end to end and fresh per call:
+
+      Kinesis-shaped source  ->  epoch-idempotent streaming MERGE
+      (fake_kinesis stream)      into a VERSIONED upstream table
+                             ->  vt_cdf readStream (versions = offsets)
+                             ->  foreachBatch signed-delta rollup into a
+                                 versioned downstream table
+
+    Two ingestion waves drain a growing bounded stream from ONE
+    checkpoint (wave 2 resumes at the wave-1 offsets and delivers only
+    seqs 150..249 — the reference's AfterSequenceNumber resume,
+    src/Kinesis/Kinesis.hs:54-77, through Spark's offset log), giving
+    the upstream table two MERGE commits; the CDF stream then tails
+    v0..v2 and maintains the per-user rollup incrementally. The oracle
+    recomputes the rollup arithmetically from the deterministic payload
+    rule ((shard*7919+seq)%100): a record lost between ANY two layers,
+    a double-applied epoch, or a mis-signed delta shifts a count or a
+    seq mass and hash-mismatches."""
+    import tempfile
+    import uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.fake_kinesis import register as reg_fk
+
+    reg_fk(spark)
+    CDF.register(spark)
+    run = uuid.uuid4().hex[:12]
+    up = os.path.join(tempfile.gettempdir(), f"pkl_up_{run}")
+    down = os.path.join(tempfile.gettempdir(), f"pkl_down_{run}")
+    ckpt1 = os.path.join(tempfile.gettempdir(), f"pkl_ck1_{run}")
+    ckpt2 = os.path.join(tempfile.gettempdir(), f"pkl_ck2_{run}")
+    VT.vt_create(
+        spark.createDataFrame([], "shard int, seq long, usr int"), up
+    )
+    merger = VT.vt_foreach_batch_merger(spark, up, keys=["shard", "seq"])
+
+    def ingest_wave(records_per_shard: int) -> None:
+        parsed = (
+            spark.readStream.format("fake_kinesis")
+            .option("numShards", "4")
+            .option("recordsPerShard", str(records_per_shard))
+            .load()
+            .select(
+                F.from_json(
+                    F.col("data").cast("string"),
+                    "shard int, seq long, user int",
+                ).alias("p")
+            )
+            .select(
+                F.col("p.shard").alias("shard"),
+                F.col("p.seq").alias("seq"),
+                F.col("p.user").alias("usr"),
+                F.lit("U").alias("op"),
+            )
+        )
+        (
+            parsed.writeStream.foreachBatch(merger)
+            .option("checkpointLocation", ckpt1)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+
+    ingest_wave(150)   # upstream v1: seqs 0..149 per shard
+    ingest_wave(250)   # upstream v2: the stream GREW; resume delivers
+    #                    only 150..249 from the shared checkpoint
+    (
+        spark.readStream.format("vt_cdf")
+        .option("path", up).option("keys", "shard,seq")
+        .load()
+        .writeStream.foreachBatch(
+            vt_cdf_rollup_applier(spark, _mk_rollup(spark, down), "usr",
+                                  "seq")
+        )
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    out = (
+        VT.vt_read(spark, down)
+        .select(
+            "usr",
+            F.col("n_orders").cast("long").alias("n_events"),
+            F.col("price_sum").cast("long").alias("seq_sum"),
+        )
+        .orderBy("usr")
+        .localCheckpoint(eager=True)  # materialize before the teardown
+    )
+    import shutil
+
+    for d in (up, down, ckpt1, ckpt2):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _mk_rollup(spark, down: str) -> str:
+    from kinesis_app_spark.operators import versioned as VT
+
+    VT.vt_create(
+        spark.createDataFrame(
+            [], "usr int, n_orders long, price_sum decimal(30,8)"
+        ),
+        down,
+    )
+    return down
+
+
+PIPELINE_KINESIS_LAKEHOUSE_SQL = """
+WITH recs AS (
+    SELECT s.shard, q.seq, (s.shard * 7919 + q.seq) % 100 AS usr
+    FROM (SELECT unnest(range(0, 4)) AS shard) s
+    CROSS JOIN (SELECT unnest(range(0, 250)) AS seq) q
+)
+SELECT usr, count(*) AS n_events, sum(seq)::BIGINT AS seq_sum
+FROM recs
+GROUP BY usr
+ORDER BY usr
+"""
+
+
 REGISTRY_ROUND6: dict[str, QuerySpec] = {
     "versioned_cdf_stream_agg": QuerySpec(
         versioned_cdf_stream_agg, VERSIONED_CDF_STREAM_SQL
@@ -605,6 +729,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_cdf_readstream_agg": QuerySpec(
         versioned_cdf_readstream_agg, VERSIONED_CDF_STREAM_SQL
+    ),
+    "pipeline_kinesis_lakehouse_rollup": QuerySpec(
+        pipeline_kinesis_lakehouse_rollup, PIPELINE_KINESIS_LAKEHOUSE_SQL
     ),
     "versioned_disjoint_writers": QuerySpec(
         versioned_disjoint_writers, VERSIONED_DISJOINT_SQL
