@@ -1485,8 +1485,10 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
 # stats-pruned scan + predicate DML (DELETE / UPDATE) — round 5
 # ---------------------------------------------------------------------
 
-#: simple conjunctive filters: (column, op, value) with op in _OPS
-_OPS = {"<", "<=", ">", ">=", "=", "=="}
+#: simple conjunctive filters: (column, op, value) with op in _OPS;
+#: "in" takes a list/tuple of literals (SQL IN — the multi-point probe
+#: shape of GDPR id lists and dimension-key lookups)
+_OPS = {"<", "<=", ">", ">=", "=", "==", "in"}
 
 
 def _filter_may_match(file_entry: dict, filters) -> bool:
@@ -1497,10 +1499,19 @@ def _filter_may_match(file_entry: dict, filters) -> bool:
     fstats = file_entry.get("stats") or {}
     for col, op, value in filters:
         st = fstats.get(col)
-        jv = _json_stat(value)
-        if not st or None in st or jv is None or op not in _OPS:
+        if not st or None in st or op not in _OPS:
             continue
         lo, hi = st
+        if op == "in":
+            jvs = [_json_stat(v) for v in value]
+            if jvs and all(
+                jv is not None and (jv < lo or jv > hi) for jv in jvs
+            ):
+                return False  # every probed literal outside [min,max]
+            continue
+        jv = _json_stat(value)
+        if jv is None:
+            continue
         if op in ("=", "=="):
             if jv < lo or jv > hi:
                 return False
@@ -1529,6 +1540,8 @@ def _filters_to_column(filters):
             term = c >= F.lit(value)
         elif op in ("=", "=="):
             term = c == F.lit(value)
+        elif op == "in":
+            term = c.isin(list(value))
         else:
             raise ValueError(f"vt filters support ops {_OPS}; got {op!r}")
         cond = term if cond is None else (cond & term)
@@ -1705,51 +1718,67 @@ def vt_index_bloom(
     return new_version
 
 
-def _bloom_buckets_for(spark, schema: StructType, eq_filters, ms):
-    """Driver-side bucket of each equality literal for every modulus in
+#: above this many probe literals, a filter skips bloom pruning (min/max
+#: stats still apply) — bounds the driver-side hash job by construction
+_BLOOM_MAX_PROBES = 1024
+
+
+def _bloom_buckets_for(spark, schema: StructType, probes, ms):
+    """Driver-side bucket of every probe literal for every modulus in
     play — computed with the SAME xxhash64 the index used (hash output
-    depends on the input TYPE, so the literal is cast to the column's
-    schema type first). One tiny local job, no table data touched."""
+    depends on the input TYPE, so literals are cast to the column's
+    schema type first). ``probes`` is [(col, [literals])] — one entry
+    per "="/"in" filter. One tiny local job, no table data touched.
+    Returns {(probe_idx, m): [bucket per literal]}."""
     exprs = []
     names = []
-    for i, (c, v) in enumerate(eq_filters):
+    for i, (c, vals) in enumerate(probes):
         dt = schema[c].dataType
-        for mm in ms:
-            exprs.append(
-                (F.abs(F.xxhash64(F.lit(v).cast(dt))) % mm)
-                .cast("int").alias(f"_{i}_{mm}")
-            )
-            names.append((c, mm, f"_{i}_{mm}"))
+        for j, v in enumerate(vals):
+            for mm in ms:
+                exprs.append(
+                    (F.abs(F.xxhash64(F.lit(v).cast(dt))) % mm)
+                    .cast("int").alias(f"_{i}_{j}_{mm}")
+                )
+                names.append((i, j, mm))
     if not exprs:
         return {}
     row = spark.range(1).select(*exprs).collect()[0]
-    return {(c, mm): int(row[alias]) for c, mm, alias in names}
+    out: dict = {}
+    for i, j, mm in names:
+        out.setdefault((i, mm), []).append(int(row[f"_{i}_{j}_{mm}"]))
+    return out
 
 
-def _bloom_may_match(file_entry: dict, eq_filters, buckets,
+def _bloom_may_match(file_entry: dict, probes, buckets,
                      sidecars: dict | None = None) -> bool:
-    """False only when some equality literal's bucket is provably absent
-    from the file's bucket set — missing or saturated blooms mean
-    'possibly' (the _file_intersects discipline). Sidecar entries test a
-    bitmap bit from ``sidecars`` ({(path, col): bytes|None}); legacy
-    inline entries test the stored bucket list."""
+    """False only when some filter's EVERY probe bucket is provably
+    absent from the file's bucket set ("=" is a 1-literal probe, "in" an
+    any-of probe) — missing or saturated blooms mean 'possibly' (the
+    _file_intersects discipline). Sidecar entries test bitmap bits from
+    ``sidecars`` ({(path, col): bytes|None}); legacy inline entries test
+    the stored bucket list."""
     bloom = file_entry.get("bloom") or {}
-    for c, _v in eq_filters:
+    for i, (c, _vals) in enumerate(probes):
         bl = bloom.get(c)
         if not bl:
             continue
-        key = (c, int(bl["m"]))
+        key = (i, int(bl["m"]))
         if key not in buckets:
             continue
-        probe = buckets[key]
+        probe_buckets = buckets[key]
         if "sc" in bl:
             bm = (sidecars or {}).get((file_entry["path"], c))
             if bm is None:  # saturated or sidecar row missing: possibly
                 continue
-            if not (bm[probe >> 3] & (1 << (probe & 7))):
+            if not any(
+                bm[b >> 3] & (1 << (b & 7)) for b in probe_buckets
+            ):
                 return False
-        elif bl.get("b") is not None and probe not in set(bl["b"]):
-            return False
+        elif bl.get("b") is not None:
+            present = set(bl["b"])
+            if not any(b in present for b in probe_buckets):
+                return False
     return True
 
 
@@ -1763,10 +1792,12 @@ def vt_scan(
     per-file min/max): files whose stats prove no row can satisfy the
     conjunctive ``filters`` are never opened — on an OPTIMIZE-clustered
     table a point/range read touches a handful of files out of
-    thousands, before parquet footer skipping even runs. Equality
-    filters additionally prune through the per-file BLOOM buckets when
-    ``vt_index_bloom`` has indexed the column (secondary-key point
-    lookups on a table clustered by something else). The exact filters
+    thousands, before parquet footer skipping even runs. Equality and
+    IN-list filters additionally prune through the per-file BLOOM
+    buckets when ``vt_index_bloom`` has indexed the column — an "in"
+    probe keeps a file if ANY listed literal's bit is set (the GDPR
+    id-list / dimension-key lookup shape; lists beyond
+    ``_BLOOM_MAX_PROBES`` fall back to stats-only). The exact filters
     are then applied to the surviving rows, so the result is identical
     to ``vt_read(...).filter(...)`` (value-gated in the registry);
     pruning is a file-listing optimization, never a semantics change."""
@@ -1783,25 +1814,29 @@ def vt_scan(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
-        eq = [
-            (c, v) for c, op, v in filters
-            if op in ("=", "==")
+        probes = [
+            (c, [v] if op in ("=", "==") else list(v))
+            for c, op, v in filters
+            if op in ("=", "==", "in")
             and any((f.get("bloom") or {}).get(c) for f in files)
         ]
+        probes = [
+            p for p in probes if len(p[1]) <= _BLOOM_MAX_PROBES
+        ]  # oversized IN lists: min/max stats still apply
         ms = {
             int(bl["m"])
             for f in files
-            for c, _v in eq
+            for c, _vals in probes
             if (bl := (f.get("bloom") or {}).get(c))
         }
-        buckets = _bloom_buckets_for(spark, schema, eq, sorted(ms))
+        buckets = _bloom_buckets_for(spark, schema, probes, sorted(ms))
         # stats-prune FIRST, then load only the sidecars the min/max
         # survivors reference (one pyarrow read per sidecar file)
         stat_ok = [f for f in files if _filter_may_match(f, filters)]
-        sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in eq})
+        sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in probes})
         survivors = [
             f["path"] for f in stat_ok
-            if _bloom_may_match(f, eq, buckets, sidecars)
+            if _bloom_may_match(f, probes, buckets, sidecars)
         ]
         df = _read_snapshot_files(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on

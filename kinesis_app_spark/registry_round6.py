@@ -509,6 +509,33 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_in_list_scan(spark, sf_dir):
+    """IN-list data skipping under the value gate — the GDPR id-list /
+    dimension-key lookup shape: ``o_custkey IN (...)`` on the
+    orderkey-clustered table prunes through the bloom bitmaps (a file
+    opens only if ANY listed literal's bit is set; min/max stats prune
+    nothing here because every file spans the full custkey range).
+    Shares the bloom table versioned_bloom_scan builds. The oracle is
+    the plain IN filter replay over raw orders — pruning must never
+    change a row."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    versioned_bloom_scan(spark, sf_dir)  # ensures the indexed table
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_bloom_{tag}")
+    return VT.vt_scan(
+        spark, table_dir, [("o_custkey", "in", [42, 77, 913])]
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_IN_LIST_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (42, 77, 913)
+ORDER BY o_orderkey
+"""
+
+
 def vt_cdf_index_applier(spark, index_dir: str, id_col: str = "doc_id"):
     """The apply_fn that keeps a persisted NEAR-DUP INDEX in sync with a
     versioned corpus table by tailing its CDF: removals first (delete +
@@ -741,6 +768,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_bloom_scan": QuerySpec(
         versioned_bloom_scan, VERSIONED_BLOOM_SQL
+    ),
+    "versioned_in_list_scan": QuerySpec(
+        versioned_in_list_scan, VERSIONED_IN_LIST_SQL
     ),
 }
 

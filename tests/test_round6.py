@@ -715,3 +715,56 @@ def test_vacuum_sweeps_unreferenced_bloom_sidecars(spark, tmp_path):
     assert got == sorted(
         r["k"] for r in df.filter("s % 13 = 5 and s = 5").collect()
     )
+
+
+def test_in_list_scan_prunes_and_matches_filter_replay(spark, tmp_path):
+    """IN-list filters prune through both min/max stats and the bloom
+    bitmaps (a file survives if ANY listed literal could be present) and
+    return exactly the isin() replay — on scan AND predicate DELETE."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 211).alias("s"),
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    VT.vt_index_bloom(spark, table, ["s"])
+    opened = []
+    real = VT._read_snapshot_files
+
+    def spy(spark_, paths, schema):
+        opened.append(list(paths))
+        return real(spark_, paths, schema)
+
+    VT._read_snapshot_files = spy
+    try:
+        got = sorted(
+            r["k"] for r in VT.vt_scan(
+                spark, table, [("s", "in", [5, 77])]
+            ).collect()
+        )
+        # range IN-list on the clustered column prunes via min/max alone
+        got_k = sorted(
+            r["k"] for r in VT.vt_scan(
+                spark, table, [("k", "in", [3, 397])]
+            ).collect()
+        )
+    finally:
+        VT._read_snapshot_files = real
+    assert got == sorted(
+        r["k"] for r in df.filter(F.col("s").isin(5, 77)).collect()
+    )
+    n_total = len(VT.vt_files(table, 1))
+    assert got and len(opened[0]) < n_total     # bloom-pruned
+    assert got_k == [3, 397]
+    assert len(opened[1]) == 2                  # stats-pruned: 2 files
+    # predicate DELETE with an IN list rewrites only admitting files
+    v = VT.vt_delete(spark, table, [("k", "in", [3, 397])])
+    assert sorted(
+        r["k"] for r in VT.vt_read(spark, table, v).filter(
+            F.col("k").isin(3, 397)
+        ).collect()
+    ) == []
+    delta = VT._commit_delta(table, v)
+    assert delta is not None and len(delta[1]) == 2  # 2 files removed
