@@ -206,12 +206,35 @@ def _pruned_merge_fixed_batch(spark, sf_dir: str):
     return None  # the timed work IS the merge write
 
 
+def _cdf_tail_fixed_commit(spark, sf_dir: str):
+    """Tail ONE pruned-merge commit's CDF through the vt_cdf batch
+    source on the grown table: the diff plans only the commit's
+    exclusive files (key-range-grouped), so the tail cost must track
+    the fixed change batch, never the table size."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as SRC
+
+    SRC.register(spark)
+    table = _grown_vt_table(spark, sf_dir)
+    if VT.vt_latest_version(table) < 2:
+        _pruned_merge_fixed_batch(spark, sf_dir)  # ensure a merge commit
+    latest = VT.vt_latest_version(table)
+    return (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "o_orderkey")
+        .option("startingVersion", str(latest))
+        .option("endVersion", str(latest))
+        .load()
+    )
+
+
 #: name -> callable(spark, sf_dir) returning a DataFrame to noop-write
 #: (or None when the callable already performed its write)
 SPECIAL = {
     "screen_fixed_batch_grown_index": _screen_fixed_batch,
     "ivf_query_fixed_queries_grown_index": _ivf_query_fixed,
     "versioned_pruned_merge_fixed_batch": _pruned_merge_fixed_batch,
+    "cdf_tail_fixed_commit_grown_table": _cdf_tail_fixed_commit,
 }
 ENTRIES += list(SPECIAL)
 
