@@ -159,6 +159,63 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+#: checkpoint manifests at or above this many file entries spill the
+#: list to a parquet sidecar (Delta's parquet-checkpoint discipline):
+#: at 10^5-10^6 files, JSON-encoding the full list per checkpoint is
+#: the remaining metadata hot spot — parquet keeps it columnar,
+#: compressed, and loadable without parsing megabytes of JSON
+_CHECKPOINT_PQ_MIN = 10_000
+
+
+def _write_files_pq(table_dir: str, version: int, files: list[dict]) -> str:
+    """Spill a checkpoint's file list to a parquet sidecar under
+    ``_manifest/`` (driver-side pyarrow write). Stats/bloom dicts ride
+    as JSON strings per row — they are opaque to the columnar layout
+    and tiny relative to the path column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(
+        _manifest_dir(table_dir),
+        f"files_{version:05d}_{uuid.uuid4().hex[:8]}.parquet",
+    )
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "path": pa.array([f["path"] for f in files], pa.string()),
+            "n_rows": pa.array(
+                [int(f["n_rows"]) for f in files], pa.int64()
+            ),
+            "stats": pa.array(
+                [json.dumps(f.get("stats")) for f in files], pa.string()
+            ),
+            "bloom": pa.array(
+                [json.dumps(f["bloom"]) if "bloom" in f else None
+                 for f in files],
+                pa.string(),
+            ),
+        }),
+        out,
+    )
+    return out
+
+
+def _read_files_pq(path: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    out = []
+    for p, n, st, bl in zip(
+        t["path"].to_pylist(), t["n_rows"].to_pylist(),
+        t["stats"].to_pylist(), t["bloom"].to_pylist()
+    ):
+        e = {"path": p, "n_rows": int(n), "stats": json.loads(st)}
+        if bl is not None:
+            e["bloom"] = json.loads(bl)
+        out.append(e)
+    return out
+
+
 def vt_files(table_dir: str, version: int) -> list[dict] | None:
     """The version's complete per-file manifest entries (path, n_rows,
     stats), reconstructed from the nearest full-snapshot checkpoint plus
@@ -171,6 +228,11 @@ def vt_files(table_dir: str, version: int) -> list[dict] | None:
         m = _read_manifest(table_dir, v)
         if "files" in m:
             files = {f["path"]: f for f in m["files"]}
+            break
+        if "files_pq" in m:  # parquet-spilled checkpoint
+            files = {
+                f["path"]: f for f in _read_files_pq(m["files_pq"])
+            }
             break
         if "add" not in m and "remove" not in m:
             return None  # pre-round-5 manifest: no file-level metadata
@@ -223,7 +285,7 @@ def _commit_delta(
     m = _read_manifest(table_dir, version)
     if "add" in m or "remove" in m:
         return list(m.get("add", [])), set(m.get("remove", []))
-    if "files" not in m:
+    if "files" not in m and "files_pq" not in m:
         return None
     cur = vt_files(table_dir, version)
     if version == 0:
@@ -449,7 +511,18 @@ def _commit(table_dir: str, version: int, manifest: dict,
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     manifest = dict(manifest)
     manifest["version"] = version
-    if "files" in manifest and version > 0:
+    if (
+        "files" in manifest
+        and len(manifest["files"]) >= _CHECKPOINT_PQ_MIN
+    ):
+        # huge checkpoint: spill the file list to a parquet sidecar so
+        # the manifest JSON stays small (written BEFORE the atomic
+        # commit; an orphan sidecar from a lost race is tiny and inert)
+        manifest["files_pq"] = _write_files_pq(
+            table_dir, version, manifest["files"]
+        )
+        manifest["n_files"] = len(manifest.pop("files"))
+    if ("files" in manifest or "files_pq" in manifest) and version > 0:
         ids = _committed_batch_ids_upto(table_dir, version - 1)
         if "batch_id" in manifest:
             ids.add(int(manifest["batch_id"]))

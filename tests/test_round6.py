@@ -768,3 +768,46 @@ def test_in_list_scan_prunes_and_matches_filter_replay(spark, tmp_path):
     ) == []
     delta = VT._commit_delta(table, v)
     assert delta is not None and len(delta[1]) == 2  # 2 files removed
+
+
+def test_parquet_checkpoint_manifest_spill(spark, tmp_path, monkeypatch):
+    """Checkpoint manifests at/above _CHECKPOINT_PQ_MIN file entries
+    spill the list to a parquet sidecar (Delta's parquet-checkpoint
+    discipline): the manifest JSON stays small, and every reader —
+    vt_files, vt_read, merge pruning, conflict detection, the batch-id
+    ledger — reconstructs identically."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(VT, "_CHECKPOINT_PQ_MIN", 4)
+    table = str(tmp_path / "vt")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("s")
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    m0 = VT._read_manifest(table, 0)
+    assert "files_pq" in m0 and "files" not in m0
+    assert m0["n_files"] == 8 and os.path.exists(m0["files_pq"])
+    files = VT.vt_files(table, 0)
+    assert len(files) == 8
+    assert all(f["stats"]["k"] is not None for f in files)
+    assert VT.vt_read(spark, table).count() == 200
+    # a pruned merge against the spilled checkpoint still prunes
+    chg = spark.createDataFrame([(5, 999, "U")], "k long, s long, op string")
+    VT.vt_merge(spark, table, chg, keys=["k"], batch_id=77)
+    m1 = VT._read_manifest(table, 1)
+    assert "add" in m1 and len(m1["remove"]) == 1  # one file rewritten
+    assert VT.vt_committed_batch_ids(table) == {77}
+    got = {r["k"]: r["s"] for r in VT.vt_read(spark, table).collect()}
+    assert got[5] == 999 and len(got) == 200
+    # the CDF source diffs the spilled-checkpoint version normally
+    from kinesis_app_spark.sources import vt_cdf as SRC
+    SRC.register(spark)
+    cdf = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k").load()
+        .filter(F.col("_commit_version") == 1)
+    )
+    types = {r["_change_type"] for r in cdf.collect()}
+    assert types == {"update_preimage", "update_postimage"}
