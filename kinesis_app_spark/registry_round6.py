@@ -102,7 +102,12 @@ def _cdf_stream_tables(spark, sf_dir) -> str:
     down = os.path.join(_VT6_ROOT, f"orders_cdfagg_{tag}")
     marker = os.path.join(down, "_DONE")
     sig = _table_sig(sf_dir, "orders")
-    if _fresh_marker(marker, sig):
+    # the marker lives on the downstream but vouches for BOTH dirs (the
+    # vt_cdf entries read the upstream directly): a manually-cleared
+    # upstream must invalidate it
+    if _fresh_marker(marker, sig) and os.path.isdir(
+        os.path.join(up, "_manifest")
+    ):
         return down
     for d in (up, down):
         if os.path.isdir(d):

@@ -84,13 +84,18 @@ class _CdfSlice(InputPartition):
     never touch the manifest directory."""
 
     def __init__(self, version: int, kind: str, before: list[str],
-                 after: list[str], keys: list[str], schema_json: str):
+                 after: list[str], keys: list[str], schema_json: str,
+                 key_bounds: tuple | None = None):
         self.version = version
         self.kind = kind
         self.before = before
         self.after = after
         self.keys = keys
         self.schema_json = schema_json
+        #: (lo, hi) half-open sub-range on keys[0] for split oversized
+        #: components (None end = unbounded); pushed into the parquet
+        #: read so each sub-task touches only matching row groups
+        self.key_bounds = key_bounds
 
 
 def _table_schema(table_dir: str) -> StructType:
@@ -135,7 +140,7 @@ def _key_range(entry: dict, key: str):
 
 
 def _group_by_key_range(files_a: list[dict], files_b: list[dict],
-                        key: str) -> list[tuple[list[str], list[str]]]:
+                        key: str) -> list[tuple[list[dict], list[dict]]]:
     """Connected components of [min,max]-overlap on the first key column
     across BOTH sides' exclusive files. Two rows with the same key live
     in files whose ranges both contain that key, so they always land in
@@ -147,26 +152,72 @@ def _group_by_key_range(files_a: list[dict], files_b: list[dict],
         for f in files:
             rng = _key_range(f, key)
             if rng is None:
-                return [([f["path"] for f in files_a],
-                         [f["path"] for f in files_b])]
-            entries.append((rng[0], rng[1], side, f["path"]))
+                return [(files_a, files_b)]
+            entries.append((rng[0], rng[1], side, f))
     if not entries:
         return []
     try:
         entries.sort(key=lambda e: (e[0], e[1]))
     except TypeError:  # mixed stat types (shouldn't happen): one group
-        return [([f["path"] for f in files_a],
-                 [f["path"] for f in files_b])]
-    groups: list[tuple[list[str], list[str]]] = []
+        return [(files_a, files_b)]
+    groups: list[tuple[list[dict], list[dict]]] = []
     cur_hi = None
-    for lo, hi, side, path in entries:
+    for lo, hi, side, f in entries:
         if cur_hi is None or lo > cur_hi:
             groups.append(([], []))
             cur_hi = hi
         else:
             cur_hi = max(cur_hi, hi)
-        groups[-1][0 if side == "a" else 1].append(path)
+        groups[-1][0 if side == "a" else 1].append(f)
     return groups
+
+
+#: a diff component above this many rows (both sides summed) is split
+#: into key sub-ranges so one commit that rewrote many overlapping
+#: files cannot become a single unbounded-memory task
+_DIFF_SPLIT_ROWS = 4_000_000
+
+
+def _split_component(ga: list[dict], gb: list[dict], key: str):
+    """Sub-split an oversized component at its files' range-start
+    boundaries: every sub-range then intersects only a bounded run of
+    each side's (range-sorted) files, and the reader pushes the bounds
+    into the parquet scan — task memory tracks the sub-range, not the
+    component. Non-numeric key stats (ISO date strings, etc.) stay
+    unsplit: the bound literal must be typable into the parquet filter."""
+    total = sum(int(f.get("n_rows", 0)) for f in ga + gb)
+    if total <= _DIFF_SPLIT_ROWS:
+        return [(ga, gb, None)]
+    los = sorted(
+        {_key_range(f, key)[0] for f in ga + gb}
+    )
+    if len(los) < 2 or not all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in los
+    ):
+        return [(ga, gb, None)]
+    n_sub = min(len(los), max(2, -(-total // _DIFF_SPLIT_ROWS)))
+    step = max(1, len(los) // n_sub)
+    cuts = los[step::step]
+    bounds = []
+    prev = None
+    for c in cuts:
+        bounds.append((prev, c))
+        prev = c
+    bounds.append((prev, None))
+
+    def hits(f, lo, hi):
+        flo, fhi = _key_range(f, key)
+        return (hi is None or flo < hi) and (lo is None or fhi >= lo)
+
+    return [
+        (
+            [f for f in ga if hits(f, lo, hi)],
+            [f for f in gb if hits(f, lo, hi)],
+            (lo, hi),
+        )
+        for lo, hi in bounds
+    ]
 
 
 def _plan_version(table_dir: str, version: int, keys: list[str],
@@ -199,8 +250,13 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
     if not excl_a and not excl_b:
         return []  # metadata-only commit (bloom index, ledger, ...)
     return [
-        _CdfSlice(version, "diff", ga, gb, keys, schema_json)
+        _CdfSlice(
+            version, "diff",
+            [f["path"] for f in sa], [f["path"] for f in sb],
+            keys, schema_json, key_bounds=kb,
+        )
         for ga, gb in _group_by_key_range(excl_a, excl_b, keys[0])
+        for sa, sb, kb in _split_component(ga, gb, keys[0])
     ]
 
 
@@ -223,17 +279,29 @@ def _list_parquet(d: str) -> list[str]:
     )
 
 
-def _read_padded(paths: list[str], target):
+def _read_padded(paths: list[str], target, key: str | None = None,
+                 bounds: tuple | None = None):
     """Read files and pad/cast to the table columns of ``target`` (the
     CDF schema minus its two prepended fields) — forward schema
-    evolution null-pads, exactly like ``vt_read``'s explicit schema."""
+    evolution null-pads, exactly like ``vt_read``'s explicit schema.
+    ``bounds`` (a half-open key sub-range from a split component) is
+    pushed into the parquet read as row-group filters."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    filters = None
+    if bounds is not None and key is not None:
+        lo, hi = bounds
+        conj = []
+        if lo is not None:
+            conj.append((key, ">=", lo))
+        if hi is not None:
+            conj.append((key, "<", hi))
+        filters = conj or None
     cols = list(target)[2:]  # table columns (after the two CDF fields)
     out = []
     for p in paths:
-        t = pq.read_table(p)
+        t = pq.read_table(p, filters=filters)
         arrays = []
         for f in cols:
             if f.name in t.column_names:
@@ -294,9 +362,11 @@ def _read_slice(partition: _CdfSlice):
                     else _list_parquet(partition.before[0]))
     after_paths = (partition.after if partition.kind == "diff"
                    else _list_parquet(partition.after[0]))
-    before = _read_padded(before_paths, target)
-    after = _read_padded(after_paths, target)
     keys = partition.keys
+    before = _read_padded(before_paths, target, keys[0],
+                          partition.key_bounds)
+    after = _read_padded(after_paths, target, keys[0],
+                         partition.key_bounds)
     vals = [f.name for f in list(target)[2:] if f.name not in keys]
     typs = {f.name: f.type for f in target}
     bdf = before.to_pandas(types_mapper=pd.ArrowDtype)

@@ -128,7 +128,10 @@ def test_group_by_key_range_components():
           {"path": "a2", "stats": {"k": [500, 599]}}]
     fb = [{"path": "b1", "stats": {"k": [50, 120]}},
           {"path": "b2", "stats": {"k": [560, 700]}}]
-    groups = SRC._group_by_key_range(fa, fb, "k")
+    groups = [
+        ([f["path"] for f in ga], [f["path"] for f in gb])
+        for ga, gb in SRC._group_by_key_range(fa, fb, "k")
+    ]
     assert groups == [(["a1"], ["b1"]), (["a2"], ["b2"])]
     # one side spanning both ranges collapses them into one component
     fb_wide = [{"path": "bw", "stats": {"k": [10, 650]}}]
@@ -278,3 +281,69 @@ def test_missing_options_raise(spark):
     d = _mk_table(spark, "opts")
     with pytest.raises(Exception, match="keys"):
         spark.read.format("vt_cdf").option("path", d).load().count()
+
+
+def test_oversized_component_sub_splits(spark, monkeypatch):
+    """A commit that rewrote many mutually-overlapping files would diff
+    in ONE task; above _DIFF_SPLIT_ROWS the component is split into key
+    sub-ranges (pushed into the parquet read), and the result is still
+    byte-equal to vt_changes."""
+    monkeypatch.setattr(SRC, "_DIFF_SPLIT_ROWS", 100)
+    d = os.path.join(ROOT, "subsplit")
+    df = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("double").alias("v")
+    )
+    # HASH-partitioned v0: every file spans ~the full key range, so the
+    # full-range update's before+after files form ONE wide component
+    VT.vt_create(df.repartition(4), d)
+    VT.vt_update(spark, d, [("k", ">=", 0)], {"v": "v + 1.0"})
+    schema_json = __import__("json").dumps(SRC._cdf_schema(d).jsonValue())
+    slices = SRC._plan_version(d, 1, ["k"], schema_json)
+    assert len(slices) > 1
+    assert all(s.key_bounds is not None for s in slices)
+    # half-open sub-ranges tile the key space: first open below, last
+    # open above, interiors contiguous
+    bounds = sorted(
+        (s.key_bounds for s in slices),
+        key=lambda b: (b[0] is not None, b[0] if b[0] is not None else 0),
+    )
+    assert bounds[0][0] is None and bounds[-1][1] is None
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", d).option("keys", "k").load()
+        .filter(F.col("_commit_version") == 1)
+    )
+    assert _canon(got.drop("_commit_version")) == _canon(
+        VT.vt_changes(spark, d, 0, 1, ["k"])
+    )
+
+
+def test_split_component_unit(monkeypatch):
+    """Unit contract of the sub-splitter: oversized components cut at
+    file range-start boundaries into half-open tiles that cover the key
+    line; small components and non-numeric stats stay whole."""
+    monkeypatch.setattr(SRC, "_DIFF_SPLIT_ROWS", 100)
+    ga = [{"path": f"a{i}", "n_rows": 60,
+           "stats": {"k": [i * 10, 1000]}} for i in range(4)]
+    gb = [{"path": f"b{i}", "n_rows": 60,
+           "stats": {"k": [i * 10 + 5, 1000]}} for i in range(4)]
+    small_a = [{"path": "sa", "n_rows": 20, "stats": {"k": [0, 9]}}]
+    small_b = [{"path": "sb", "n_rows": 20, "stats": {"k": [3, 12]}}]
+    subs = SRC._split_component(ga, gb, "k")
+    assert len(subs) > 1
+    bounds = [kb for _a, _b, kb in subs]
+    assert bounds[0][0] is None and bounds[-1][1] is None
+    for (l1, h1), (l2, h2) in zip(bounds, bounds[1:]):
+        assert h1 == l2  # contiguous half-open tiles
+    # every sub-slice keeps only files whose range intersects its tile
+    for sa, sb, (lo, hi) in subs:
+        for f in sa + sb:
+            flo, fhi = f["stats"]["k"]
+            assert (hi is None or flo < hi) and (lo is None or fhi >= lo)
+    # under the threshold: untouched
+    small = SRC._split_component(small_a, small_b, "k")
+    assert small == [(small_a, small_b, None)]
+    # non-numeric stats (ISO dates): conservative, no split
+    gs = [{"path": "x", "n_rows": 500,
+           "stats": {"k": ["2024-01-01", "2024-12-31"]}}]
+    assert SRC._split_component(gs, gs, "k")[0][2] is None
