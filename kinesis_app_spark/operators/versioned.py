@@ -582,9 +582,16 @@ def _read_snapshot_files(
 
 
 def vt_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession, table_dir: str, version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Read the table — latest, or ``VERSION AS OF`` when given."""
+    """Read the table — latest, ``VERSION AS OF`` when ``version`` is
+    given, or ``TIMESTAMP AS OF`` when ``timestamp`` (epoch float or
+    datetime) is given (resolved via ``vt_version_at_timestamp``)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = vt_version_at_timestamp(table_dir, timestamp)
     if version is None:
         version = vt_latest_version(table_dir)
         if version < 0:
@@ -878,6 +885,34 @@ def _commit_optimistic(
         f"{op_name} on {table_dir}: starved by {_COMMIT_MAX_SPINS} "
         "consecutive commit races; serialize writers"
     )
+
+
+def vt_version_at_timestamp(table_dir: str, ts) -> int:
+    """``TIMESTAMP AS OF`` resolution (Delta's rule): the LATEST version
+    whose commit time is at or before ``ts``. Commit time is the
+    manifest file's mtime — the atomic O_EXCL manifest creation IS the
+    commit, and committed manifests are immutable except for VACUUM's
+    tombstone rewrite (which only touches versions that are no longer
+    readable anyway, so their drift is harmless). ``ts`` is a unix
+    epoch float or a datetime. Raises when ``ts`` predates version 0 —
+    the Delta error contract — and clamps to the latest version when
+    ``ts`` is in the future."""
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    chosen = None
+    for v in range(latest + 1):
+        if os.stat(_manifest_path(table_dir, v)).st_mtime <= ts:
+            chosen = v
+        else:
+            break  # commit times are monotone by construction
+    if chosen is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {table_dir}"
+        )
+    return chosen
 
 
 def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -811,3 +811,32 @@ def test_parquet_checkpoint_manifest_spill(spark, tmp_path, monkeypatch):
     )
     types = {r["_change_type"] for r in cdf.collect()}
     assert types == {"update_preimage", "update_postimage"}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the latest version committed at or
+    before the probe time (Delta's rule); probes before v0 raise,
+    future probes clamp to latest."""
+    import time as _time
+
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(0, "a")], "k long, v string"), table
+    )
+    _time.sleep(0.05)
+    VT.vt_merge(spark, table, _chg(spark, [(1, "b", "U")]), keys=["k"])
+    _time.sleep(0.05)
+    VT.vt_merge(spark, table, _chg(spark, [(2, "c", "U")]), keys=["k"])
+    t0 = os.stat(VT._manifest_path(table, 0)).st_mtime
+    t1 = os.stat(VT._manifest_path(table, 1)).st_mtime
+    t2 = os.stat(VT._manifest_path(table, 2)).st_mtime
+    assert VT.vt_version_at_timestamp(table, (t0 + t1) / 2) == 0
+    assert VT.vt_version_at_timestamp(table, (t1 + t2) / 2) == 1
+    assert VT.vt_version_at_timestamp(table, t2 + 1000) == 2
+    assert VT.vt_read(
+        spark, table, timestamp=(t1 + t2) / 2
+    ).count() == 2
+    with pytest.raises(ValueError, match="predates"):
+        VT.vt_version_at_timestamp(table, t0 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        VT.vt_read(spark, table, version=1, timestamp=t1)
