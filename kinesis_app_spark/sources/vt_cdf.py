@@ -117,6 +117,14 @@ def _cdf_schema(table_dir: str) -> StructType:
     base = _table_schema(table_dir)
     from pyspark.sql.types import LongType, StringType
 
+    clash = {"_commit_version", "_change_type"} & {
+        f.name for f in base.fields
+    }
+    if clash:
+        raise ValueError(
+            f"vt_cdf: table columns {sorted(clash)} collide with the CDF "
+            "metadata columns"
+        )
     return StructType(
         [
             StructField("_commit_version", LongType(), False),
@@ -188,9 +196,12 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
     total = sum(int(f.get("n_rows", 0)) for f in ga + gb)
     if total <= _DIFF_SPLIT_ROWS:
         return [(ga, gb, None)]
-    los = sorted(
-        {_key_range(f, key)[0] for f in ga + gb}
-    )
+    ranges = [_key_range(f, key) for f in ga + gb]
+    if any(r is None for r in ranges):
+        # un-statted file in the (conservative single) component: the
+        # bounds cannot place its rows — stay whole
+        return [(ga, gb, None)]
+    los = sorted({r[0] for r in ranges})
     if len(los) < 2 or not all(
         isinstance(v, (int, float)) and not isinstance(v, bool)
         for v in los
@@ -237,10 +248,16 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
             _CdfSlice(0, "snapshot", [], [f["path"]], keys, schema_json)
             for f in files
         ]
+    prev = VT._read_manifest(table_dir, version - 1)
+    if prev.get("vacuumed"):
+        raise FileNotFoundError(
+            f"vt_cdf: version {version} diffs against vacuumed version "
+            f"{version - 1} of {table_dir}; start the stream at the "
+            "earliest non-vacuumed version + 1"
+        )
     files_a = VT.vt_files(table_dir, version - 1)
     files_b = VT.vt_files(table_dir, version)
     if files_a is None or files_b is None:
-        prev = VT._read_manifest(table_dir, version - 1)
         return [_CdfSlice(version, "diff_dir", [prev["data_dir"]],
                           [m["data_dir"]], keys, schema_json)]
     paths_a = {f["path"] for f in files_a}

@@ -347,3 +347,33 @@ def test_split_component_unit(monkeypatch):
     gs = [{"path": "x", "n_rows": 500,
            "stats": {"k": ["2024-01-01", "2024-12-31"]}}]
     assert SRC._split_component(gs, gs, "k")[0][2] is None
+
+
+def test_split_component_tolerates_missing_stats(monkeypatch):
+    """An un-statted file inside an oversized (conservative) component
+    must not crash the splitter — it stays one whole slice."""
+    monkeypatch.setattr(SRC, "_DIFF_SPLIT_ROWS", 10)
+    ga = [{"path": "a", "n_rows": 50, "stats": {"k": [0, 9]}},
+          {"path": "a2", "n_rows": 50, "stats": {}}]
+    gb = [{"path": "b", "n_rows": 50, "stats": {"k": [5, 20]}}]
+    assert SRC._split_component(ga, gb, "k") == [(ga, gb, None)]
+
+
+def test_diff_against_vacuumed_parent_raises(spark, tmp_path):
+    d = str(tmp_path / "vt")
+    VT.vt_create(spark.createDataFrame([(0, "a")], "k long, v string"), d)
+    for i in range(1, 4):
+        VT.vt_merge(
+            spark, d,
+            spark.createDataFrame([(i, "x", "U")],
+                                  "k long, v string, op string"),
+            keys=["k"],
+        )
+    VT.vt_vacuum(d, retain_last=2)  # v0, v1 vacuumed (if files died)
+    schema_json = __import__("json").dumps(SRC._cdf_schema(d).jsonValue())
+    vacuumed = [
+        v for v in range(4) if VT._read_manifest(d, v).get("vacuumed")
+    ]
+    for v in vacuumed:
+        with pytest.raises(FileNotFoundError):
+            SRC._plan_version(d, v + 1, ["k"], schema_json)
