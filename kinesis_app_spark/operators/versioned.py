@@ -50,6 +50,7 @@ import datetime
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -511,6 +512,10 @@ def _commit(table_dir: str, version: int, manifest: dict,
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     manifest = dict(manifest)
     manifest["version"] = version
+    # wall-clock commit instant for TIMESTAMP AS OF (never exposed on
+    # any value-gated surface; survives VACUUM's tombstone rewrite,
+    # which bumps the manifest file's mtime)
+    manifest["committed_at"] = time.time()
     if (
         "files" in manifest
         and len(manifest["files"]) >= _CHECKPOINT_PQ_MIN
@@ -888,15 +893,15 @@ def _commit_optimistic(
 
 
 def vt_version_at_timestamp(table_dir: str, ts) -> int:
-    """``TIMESTAMP AS OF`` resolution (Delta's rule): the LATEST version
-    whose commit time is at or before ``ts``. Commit time is the
-    manifest file's mtime — the atomic O_EXCL manifest creation IS the
-    commit, and committed manifests are immutable except for VACUUM's
-    tombstone rewrite (which only touches versions that are no longer
-    readable anyway, so their drift is harmless). ``ts`` is a unix
-    epoch float or a datetime. Raises when ``ts`` predates version 0 —
-    the Delta error contract — and clamps to the latest version when
-    ``ts`` is in the future."""
+    """``TIMESTAMP AS OF`` resolution (Delta's rule): the LATEST
+    READABLE version whose commit time is at or before ``ts``. Commit
+    time is the ``committed_at`` the manifest recorded at its atomic
+    creation; manifests that predate the field fall back to file mtime
+    (immutable unless VACUUM rewrote them — but vacuumed versions are
+    skipped here, exactly as Delta refuses them as travel targets).
+    ``ts`` is a unix epoch float or a datetime. Raises when ``ts``
+    predates the earliest readable commit — the Delta error contract —
+    and clamps to the latest version when ``ts`` is in the future."""
     if isinstance(ts, datetime.datetime):
         ts = ts.timestamp()
     latest = vt_latest_version(table_dir)
@@ -904,13 +909,19 @@ def vt_version_at_timestamp(table_dir: str, ts) -> int:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     chosen = None
     for v in range(latest + 1):
-        if os.stat(_manifest_path(table_dir, v)).st_mtime <= ts:
+        m = _read_manifest(table_dir, v)
+        if m.get("vacuumed"):
+            continue  # not a readable travel target; its original
+            # commit time was lost to the tombstone rewrite anyway
+        t = m.get("committed_at")
+        if t is None:
+            t = os.stat(_manifest_path(table_dir, v)).st_mtime
+        if t <= ts:
             chosen = v
-        else:
-            break  # commit times are monotone by construction
     if chosen is None:
         raise ValueError(
-            f"timestamp {ts} predates the first commit of {table_dir}"
+            f"timestamp {ts} predates the earliest readable commit of "
+            f"{table_dir}"
         )
     return chosen
 

@@ -840,3 +840,29 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         VT.vt_version_at_timestamp(table, t0 - 10)
     with pytest.raises(ValueError, match="not both"):
         VT.vt_read(spark, table, version=1, timestamp=t1)
+
+
+def test_timestamp_as_of_survives_vacuum(spark, tmp_path):
+    """VACUUM's tombstone rewrite bumps old manifests' mtimes; resolution
+    must use the recorded commit instant and skip vacuumed versions, so
+    a probe after a later commit still resolves (the mtime-monotonicity
+    trap)."""
+    import time as _time
+
+    table = str(tmp_path / "vt")
+    VT.vt_create(
+        spark.createDataFrame([(0, "a")], "k long, v string"), table
+    )
+    _time.sleep(0.05)
+    VT.vt_merge(spark, table, _chg(spark, [(0, "b", "U")]), keys=["k"])
+    _time.sleep(0.05)
+    VT.vt_merge(spark, table, _chg(spark, [(0, "c", "U")]), keys=["k"])
+    t1 = VT._read_manifest(table, 1)["committed_at"]
+    t2 = VT._read_manifest(table, 2)["committed_at"]
+    VT.vt_vacuum(table, retain_last=2)  # rewrites v0's manifest (mtime!)
+    assert VT._read_manifest(table, 0).get("vacuumed")
+    assert VT.vt_version_at_timestamp(table, (t1 + t2) / 2) == 1
+    assert VT.vt_version_at_timestamp(table, t2 + 100) == 2
+    # a probe before the earliest READABLE commit raises
+    with pytest.raises(ValueError, match="earliest readable"):
+        VT.vt_version_at_timestamp(table, t1 - 100)
