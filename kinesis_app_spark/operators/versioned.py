@@ -181,6 +181,13 @@ def _write_files_pq(table_dir: str, version: int, files: list[dict]) -> str:
         f"files_{version:05d}_{uuid.uuid4().hex[:8]}.parquet",
     )
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    def extra(f):
+        rest = {
+            k: v for k, v in f.items()
+            if k not in ("path", "n_rows", "stats", "bloom")
+        }
+        return json.dumps(rest) if rest else None
+
     pq.write_table(
         pa.table({
             "path": pa.array([f["path"] for f in files], pa.string()),
@@ -195,6 +202,8 @@ def _write_files_pq(table_dir: str, version: int, files: list[dict]) -> str:
                  for f in files],
                 pa.string(),
             ),
+            # any other entry fields (e.g. "clustered") as opaque JSON
+            "extra": pa.array([extra(f) for f in files], pa.string()),
         }),
         out,
     )
@@ -205,14 +214,20 @@ def _read_files_pq(path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
+    xs = (
+        t["extra"].to_pylist() if "extra" in t.column_names
+        else [None] * t.num_rows
+    )
     out = []
-    for p, n, st, bl in zip(
+    for p, n, st, bl, x in zip(
         t["path"].to_pylist(), t["n_rows"].to_pylist(),
-        t["stats"].to_pylist(), t["bloom"].to_pylist()
+        t["stats"].to_pylist(), t["bloom"].to_pylist(), xs
     ):
         e = {"path": p, "n_rows": int(n), "stats": json.loads(st)}
         if bl is not None:
             e["bloom"] = json.loads(bl)
+        if x is not None:
+            e.update(json.loads(x))
         out.append(e)
     return out
 
@@ -1116,6 +1131,10 @@ def vt_optimize(
         "maxRecordsPerFile", max_records_per_file
     ).parquet(data_dir)
     files = _collect_file_stats(spark, data_dir, df.schema)
+    for f in files:
+        # clustering provenance: lets vt_cluster_incremental recognize
+        # already-clustered files and rewrite only the debt
+        f["clustered"] = list(cluster_cols)
     _commit(
         table_dir,
         new_version,
@@ -1129,6 +1148,88 @@ def vt_optimize(
         cleanup_dir=data_dir,
     )
     return new_version
+
+
+def vt_cluster_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_cols: Sequence[str],
+    max_records_per_file: int | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Liquid-clustering-style incremental OPTIMIZE: rewrite ONLY the
+    files not yet clustered on ``cluster_cols`` (merge/DML rewrites and
+    fresh appends — the clustering DEBT), carrying every
+    already-clustered file by reference. Cost scales with the debt,
+    never the table: at 100 TB you never re-sort 100 TB because an
+    hourly merge landed, you sweep the new files into their own
+    clustered run. The table then holds a few clustered RUNS, each a
+    set of disjoint key spans — a point lookup opens at most one file
+    PER RUN (the LSM trade Databricks' liquid clustering makes), and a
+    periodic full ``vt_optimize`` collapses the runs to one.
+
+    Commits through the shared disjoint-commit conflict resolution with
+    an always-false added-file test (layout never conflicts with
+    content): concurrent merges on other files co-commit; only a commit
+    that removed one of the debt files forces a retry. Returns the new
+    version, or the current latest when there is no debt."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    base = latest if expected_version is None else expected_version
+    manifest = _read_manifest(table_dir, base)
+    parent_files = vt_files(table_dir, base)
+    if parent_files is None:
+        raise ValueError(
+            "vt_cluster_incremental needs a file-level manifest"
+        )
+    cols = list(cluster_cols)
+    debt = [f for f in parent_files if f.get("clustered") != cols]
+    if not debt:
+        return latest
+    t_paths = {f["path"] for f in debt}
+    carried = [f for f in parent_files if f["path"] not in t_paths]
+    schema = _manifest_schema(manifest)
+    df = _read_snapshot_files(spark, sorted(t_paths), schema)
+    if len(cols) > 1:
+        zdf, rcols = _zorder_key(
+            df, cols, n_rows=sum(f["n_rows"] for f in debt)
+        )
+        clustered = (
+            zdf.repartitionByRange(F.col("__zorder"))
+            .sortWithinPartitions(F.col("__zorder"))
+            .drop("__zorder", *rcols)
+        )
+    else:
+        clustered = df.repartitionByRange(
+            *[F.col(c) for c in cols]
+        ).sortWithinPartitions(*[F.col(c) for c in cols])
+    new_version = base + 1
+    data_dir = _write_data_with_opts(
+        clustered, table_dir, new_version, max_records_per_file
+    )
+    new_files = _collect_file_stats(spark, data_dir, schema)
+    if not new_files:
+        shutil.rmtree(data_dir, ignore_errors=True)
+    for f in new_files:
+        f["clustered"] = cols
+
+    def _mk_manifest(parent, carried_now, version):
+        return {
+            "data_dir": data_dir,
+            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "schema": schema.jsonValue(),
+            "operation": "CLUSTER",
+            **_incremental_or_full(
+                version, parent, carried_now, new_files, sorted(t_paths)
+            ),
+        }
+
+    return _commit_optimistic(
+        table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
+        t_paths, data_dir, parent_files, carried, new_version,
+        _mk_manifest, lambda fe: False, "vt_cluster_incremental",
+    )
 
 
 def vt_compact(

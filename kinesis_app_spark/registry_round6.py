@@ -466,6 +466,69 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_cluster_incremental(spark, sf_dir):
+    """Liquid-clustering-style incremental OPTIMIZE under the value
+    gate: the orderkey-clustered orders table takes a narrow-band price
+    MERGE (whose rewrites lose their clustering marker — the debt), and
+    vt_cluster_incremental sweeps ONLY that debt into its own clustered
+    run, carrying every still-clustered file by reference — layout cost
+    scales with the merge, never the table, and a point lookup opens at
+    most one file per run (the only-debt rewrite and the run bound are
+    pinned in tests/test_round6.py). Reading the re-clustered table must
+    equal the raw-orders replay of the one MERGE — clustering is
+    layout, never semantics."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_liquid_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )
+        VT.vt_merge(
+            spark, table_dir,
+            o.filter(
+                (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 300)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(3.0))
+            .withColumn("op", F.lit("U")),
+            keys=["o_orderkey"],
+        )
+        v = VT.vt_cluster_incremental(
+            spark, table_dir, ["o_orderkey"], max_records_per_file=256
+        )
+        files = VT.vt_files(table_dir, v)
+        assert all(
+            f.get("clustered") == ["o_orderkey"] for f in files
+        ), "debt survived the incremental clustering"
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_scan(
+        spark, table_dir, [("o_orderkey", ">=", 0)]
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_LIQUID_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey >= 100 AND o_orderkey < 300
+            THEN o_totalprice + 3.0 ELSE o_totalprice END AS o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def versioned_bloom_scan(spark, sf_dir):
     """Secondary-key point lookup through the manifest's per-file BLOOM
     buckets: the table is clustered on o_orderkey (so every file spans
@@ -988,6 +1051,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_in_list_scan": QuerySpec(
         versioned_in_list_scan, VERSIONED_IN_LIST_SQL
+    ),
+    "versioned_cluster_incremental": QuerySpec(
+        versioned_cluster_incremental, VERSIONED_LIQUID_SQL
     ),
 }
 

@@ -866,3 +866,95 @@ def test_timestamp_as_of_survives_vacuum(spark, tmp_path):
     # a probe before the earliest READABLE commit raises
     with pytest.raises(ValueError, match="earliest readable"):
         VT.vt_version_at_timestamp(table, t1 - 100)
+
+
+def test_incremental_clustering_rewrites_only_debt(spark, tmp_path):
+    """vt_cluster_incremental sweeps only files NOT yet clustered on the
+    requested columns (merge rewrites + appends), carries clustered
+    files by reference, and leaves values identical; a point scan then
+    opens at most one file per clustered run."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 9).cast("double").alias("v")
+    )
+    VT.vt_create(df.repartition(3), table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"],
+                   max_records_per_file=100)
+    v_opt = VT.vt_latest_version(table)
+    assert all(
+        f.get("clustered") == ["k"] for f in VT.vt_files(table, v_opt)
+    )
+    # scattered merge: rewrites some clustered files (their replacements
+    # lose the flag) and appends new keys
+    chg = spark.range(10).select(
+        (F.col("id") + 40).alias("k"), F.lit(-1.0).alias("v"),
+        F.lit("U").alias("op"),
+    ).union(
+        spark.range(5).select(
+            (F.col("id") + 800).alias("k"), F.lit(-2.0).alias("v"),
+            F.lit("U").alias("op"),
+        )
+    )
+    VT.vt_merge(spark, table, chg, keys=["k"])
+    v_m = VT.vt_latest_version(table)
+    files_m = VT.vt_files(table, v_m)
+    debt = [f for f in files_m if f.get("clustered") != ["k"]]
+    assert debt and len(debt) < len(files_m)
+    v_c = VT.vt_cluster_incremental(
+        spark, table, ["k"], max_records_per_file=100
+    )
+    assert v_c == v_m + 1
+    files_c = VT.vt_files(table, v_c)
+    assert all(f.get("clustered") == ["k"] for f in files_c)
+    # only the debt was rewritten
+    delta = VT._commit_delta(table, v_c)
+    assert delta is not None
+    assert set(delta[1]) == {f["path"] for f in debt}
+    # values identical to the replay
+    expect = {r["k"]: r["v"] for r in df.collect()}
+    for i in range(10):
+        expect[i + 40] = -1.0
+    for i in range(5):
+        expect[800 + i] = -2.0
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert got == expect
+    # point lookup opens at most one file per clustered run (2 runs)
+    opened = []
+    real = VT._read_snapshot_files
+
+    def spy(spark_, paths, schema):
+        opened.append(list(paths))
+        return real(spark_, paths, schema)
+
+    VT._read_snapshot_files = spy
+    try:
+        assert VT.vt_scan(spark, table, [("k", "=", 45)]).count() == 1
+    finally:
+        VT._read_snapshot_files = real
+    assert len(opened[0]) <= 2
+    # idempotent: no debt left -> no new commit
+    assert VT.vt_cluster_incremental(spark, table, ["k"]) == v_c
+
+
+def test_clustered_marker_survives_parquet_spill(spark, tmp_path,
+                                                 monkeypatch):
+    """The `clustered` provenance marker rides the parquet checkpoint's
+    `extra` column — a spilled OPTIMIZE commit must reconstruct entries
+    the incremental clusterer still recognizes (no phantom debt)."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(VT, "_CHECKPOINT_PQ_MIN", 4)
+    table = str(tmp_path / "vt")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("s")
+    )
+    VT.vt_create(df.repartition(2), table)
+    v = VT.vt_optimize(spark, table, cluster_cols=["k"],
+                       max_records_per_file=50)
+    assert "files_pq" in VT._read_manifest(table, v)
+    files = VT.vt_files(table, v)
+    assert all(f.get("clustered") == ["k"] for f in files)
+    # no debt -> idempotent no-op
+    assert VT.vt_cluster_incremental(spark, table, ["k"]) == v
