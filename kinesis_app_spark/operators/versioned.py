@@ -601,6 +601,60 @@ def _read_snapshot_files(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _live_rows(files: list[dict]) -> int:
+    """Logical row count of a file set: physical rows minus
+    deletion-vector rows."""
+    return sum(
+        int(f["n_rows"]) - int(f.get("n_dv", 0)) for f in files
+    )
+
+
+def _dv_sig(f: dict):
+    """Content signature of a file entry for change detection: with
+    deletion vectors, path identity no longer implies LOGICAL content
+    identity — a DELETE_DV commit keeps the path and changes the DV."""
+    return (f["path"], tuple(f.get("dv") or ()), int(f.get("n_dv", 0)))
+
+
+def _read_snapshot_entries(
+    spark: SparkSession, entries: list[dict], schema: StructType
+) -> DataFrame:
+    """Entry-aware snapshot read: files without a deletion vector read
+    as one plain scan; DV'd files read with parquet row positions
+    (``_metadata.row_index``) and anti-join their DV sidecars — the
+    soft-deleted rows vanish without the file ever being rewritten.
+    The anti-join key is (file path, row position); AQE broadcasts the
+    (small) DV side."""
+    plain = [f["path"] for f in entries if not f.get("dv")]
+    dvd = [f for f in entries if f.get("dv")]
+    df = _read_snapshot_files(spark, plain, schema)
+    if not dvd:
+        return df
+    dv_dirs = sorted({d for f in dvd for d in f["dv"]})
+    dv = (
+        spark.read.parquet(*dv_dirs)
+        .select(
+            F.col("path").alias("__dv_path"),
+            F.col("row_index").alias("__dv_idx"),
+        )
+    )
+    live = (
+        spark.read.schema(schema)
+        .parquet(*[f["path"] for f in dvd])
+        .withColumn(
+            "__fp",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    kept = live.join(
+        dv,
+        (live["__fp"] == dv["__dv_path"]) & (live["__ri"] == dv["__dv_idx"]),
+        "left_anti",
+    ).drop("__fp", "__ri")
+    return df.unionByName(kept)
+
+
 def vt_read(
     spark: SparkSession, table_dir: str, version: int | None = None,
     timestamp=None,
@@ -625,9 +679,7 @@ def vt_read(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
-        return _read_snapshot_files(
-            spark, [f["path"] for f in files], schema
-        )
+        return _read_snapshot_entries(spark, files, schema)
     # pre-round-5 manifest: one opaque data dir per version
     return spark.read.parquet(manifest["data_dir"])
 
@@ -747,9 +799,7 @@ def vt_merge(
         carried = [
             f for f in parent_files if f["path"] not in t_paths
         ]
-        snapshot = _read_snapshot_files(
-            spark, [f["path"] for f in touched], evolved
-        )
+        snapshot = _read_snapshot_entries(spark, touched, evolved)
     else:  # pre-round-5 manifest: no stats, rewrite the full snapshot
         carried = []
         t_paths: set[str] = set()
@@ -785,7 +835,7 @@ def vt_merge(
                      version: int) -> dict:
         out = {
             "data_dir": data_dir,
-            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "n_rows": _live_rows(carried_now + new_files),
             "schema": evolved.jsonValue(),
             "operation": "MERGE",
             **_incremental_or_full(
@@ -1190,7 +1240,7 @@ def vt_cluster_incremental(
     t_paths = {f["path"] for f in debt}
     carried = [f for f in parent_files if f["path"] not in t_paths]
     schema = _manifest_schema(manifest)
-    df = _read_snapshot_files(spark, sorted(t_paths), schema)
+    df = _read_snapshot_entries(spark, debt, schema)
     if len(cols) > 1:
         zdf, rcols = _zorder_key(
             df, cols, n_rows=sum(f["n_rows"] for f in debt)
@@ -1217,7 +1267,7 @@ def vt_cluster_incremental(
     def _mk_manifest(parent, carried_now, version):
         return {
             "data_dir": data_dir,
-            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
             "operation": "CLUSTER",
             **_incremental_or_full(
@@ -1274,9 +1324,7 @@ def vt_compact(
     n_small_rows = sum(f["n_rows"] for f in small)
     target = max(1, min_rows_per_file)
     n_out = max(1, -(-n_small_rows // target))  # ceil
-    df = _read_snapshot_files(
-        spark, sorted(t_paths), schema
-    ).coalesce(n_out)
+    df = _read_snapshot_entries(spark, small, schema).coalesce(n_out)
     new_version = base + 1
     data_dir = _write_data_with_opts(
         df, table_dir, new_version, max_records_per_file
@@ -1288,7 +1336,7 @@ def vt_compact(
     def _mk_manifest(parent, carried_now, version):
         return {
             "data_dir": data_dir,
-            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
             "operation": "COMPACT",
             **_incremental_or_full(
@@ -1344,14 +1392,21 @@ def vt_changes(
     files_a = vt_files(table_dir, v_from)
     files_b = vt_files(table_dir, v_to)
     if files_a is not None and files_b is not None:
-        paths_a = {f["path"] for f in files_a}
-        paths_b = {f["path"] for f in files_b}
-        common = paths_a & paths_b
-        before = _read_snapshot_files(
-            spark, sorted(paths_a - common), schema_a
+        # exclusivity is by CONTENT signature, not path: a DELETE_DV
+        # commit keeps the path and changes only the deletion vector,
+        # and its soft-deleted rows must surface as CDF deletes
+        sigs_a = {_dv_sig(f) for f in files_a}
+        sigs_b = {_dv_sig(f) for f in files_b}
+        common = sigs_a & sigs_b
+        before = _read_snapshot_entries(
+            spark,
+            [f for f in files_a if _dv_sig(f) not in common],
+            schema_a,
         )
-        after = _read_snapshot_files(
-            spark, sorted(paths_b - common), schema_b
+        after = _read_snapshot_entries(
+            spark,
+            [f for f in files_b if _dv_sig(f) not in common],
+            schema_b,
         )
     else:
         before = vt_read(spark, table_dir, v_from)
@@ -1633,6 +1688,21 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
             p = os.path.abspath(os.path.join(sc_dir, name))
             if p.endswith(".parquet") and p not in referenced_sc:
                 os.remove(p)
+    # deletion-vector sidecars: same reference-counted sweep (a DV dir
+    # is dead once every version naming it is outside the retained tail
+    # — e.g. the file was rewritten, materializing the deletions)
+    dvroot = _dv_dir(table_dir)
+    if os.path.isdir(dvroot):
+        referenced_dv = set()
+        for v in range(keep_from, latest + 1):
+            fl = vt_files(table_dir, v) or []
+            for f in fl:
+                for d in f.get("dv") or ():
+                    referenced_dv.add(os.path.abspath(d))
+        for name in os.listdir(dvroot):
+            p = os.path.abspath(os.path.join(dvroot, name))
+            if os.path.isdir(p) and p not in referenced_dv:
+                shutil.rmtree(p, ignore_errors=True)
     return vacuumed
 
 
@@ -2055,10 +2125,10 @@ def vt_scan(
         stat_ok = [f for f in files if _filter_may_match(f, filters)]
         sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in probes})
         survivors = [
-            f["path"] for f in stat_ok
+            f for f in stat_ok
             if _bloom_may_match(f, probes, buckets, sidecars)
         ]
-        df = _read_snapshot_files(spark, survivors, schema)
+        df = _read_snapshot_entries(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on
         df = vt_read(spark, table_dir, version)
     return df.filter(_filters_to_column(filters))
@@ -2100,9 +2170,7 @@ def _predicate_rewrite(
         ]
         t_paths = {f["path"] for f in touched}
         carried = [f for f in parent_files if f["path"] not in t_paths]
-        snapshot = _read_snapshot_files(
-            spark, [f["path"] for f in touched], schema
-        )
+        snapshot = _read_snapshot_entries(spark, touched, schema)
     else:  # pre-round-5 manifest: full rewrite
         carried = []
         touched = []
@@ -2118,7 +2186,7 @@ def _predicate_rewrite(
     def _mk_manifest(parent, carried_now, version):
         return {
             "data_dir": data_dir,
-            "n_rows": sum(f["n_rows"] for f in carried_now + new_files),
+            "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
             "operation": operation,
             **_incremental_or_full(
@@ -2156,6 +2224,97 @@ def vt_delete(
         lambda df, pred: df.filter(~pred),
         expected_version,
     )
+
+
+def _dv_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_dv")
+
+
+def vt_delete_dv(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+) -> int:
+    """DELETE via DELETION VECTORS (Delta's DV design): matching rows
+    are soft-deleted by recording their (file path, parquet row
+    position) in a sidecar under ``_dv/`` — NO DATA FILE IS REWRITTEN.
+    The commit is metadata + a sidecar whose size is the deleted-row
+    count, so a GDPR purge of a few thousand ids out of 100 TB costs
+    the scan that finds them, not a copy-on-write of every touched
+    file. Readers anti-join the DV at scan time
+    (``_read_snapshot_entries``); every writer that later rewrites a
+    DV'd file first applies its DV and drops it (the rewrite
+    MATERIALIZES the deletions — compaction/OPTIMIZE are the cleanup
+    path, exactly Delta's purge story). The CDF reports the soft
+    deletes (file identity is (path, dv) — ``_dv_sig``), and VACUUM
+    sweeps sidecars no retained version references.
+
+    Candidate files are stats-pruned with the same ``filters`` grammar
+    as ``vt_delete`` (including "in" id lists). Positions already in a
+    file's DV are excluded, so re-deleting is a no-op. Returns the new
+    version, or the current latest when nothing matched."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    manifest = _read_manifest(table_dir, latest)
+    parent_files = vt_files(table_dir, latest)
+    if parent_files is None:
+        raise ValueError("vt_delete_dv needs a file-level manifest")
+    filters = list(filters)
+    pred = _filters_to_column(filters)
+    cand = [f for f in parent_files if _filter_may_match(f, filters)]
+    if not cand:
+        return latest
+    schema = _manifest_schema(manifest)
+    live = (
+        spark.read.schema(schema)
+        .parquet(*[f["path"] for f in cand])
+        .withColumn(
+            "__fp",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    hits = live.filter(pred).select(
+        F.col("__fp").alias("path"), F.col("__ri").alias("row_index")
+    )
+    old_dirs = sorted({d for f in cand for d in (f.get("dv") or ())})
+    if old_dirs:
+        old = spark.read.parquet(*old_dirs).select("path", "row_index")
+        hits = hits.join(old, ["path", "row_index"], "left_anti")
+    sidecar = os.path.join(_dv_dir(table_dir), uuid.uuid4().hex[:12])
+    hits.write.parquet(sidecar)
+    # bounded collect: one row per candidate file
+    counts = {
+        r["path"]: int(r["n"])
+        for r in spark.read.parquet(sidecar)
+        .groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        shutil.rmtree(sidecar, ignore_errors=True)
+        return latest  # nothing matched: no commit
+    updated = []
+    for f in cand:
+        if f["path"] not in counts:
+            continue
+        e = dict(f)
+        e["dv"] = list(e.get("dv") or ()) + [sidecar]
+        e["n_dv"] = int(e.get("n_dv", 0)) + counts[f["path"]]
+        updated.append(e)
+    t_paths = {e["path"] for e in updated}
+    carried = [f for f in parent_files if f["path"] not in t_paths]
+    new_version = latest + 1
+    out = {
+        "data_dir": manifest.get("data_dir"),
+        "n_rows": _live_rows(carried + updated),
+        "schema": manifest.get("schema"),
+        "operation": "DELETE_DV",
+        **_incremental_or_full(
+            new_version, parent_files, carried, updated, sorted(t_paths)
+        ),
+    }
+    _commit(table_dir, new_version, out)
+    return new_version
 
 
 def vt_update(

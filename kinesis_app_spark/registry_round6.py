@@ -520,6 +520,56 @@ def versioned_cluster_incremental(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def versioned_delete_vectors(spark, sf_dir):
+    """DELETION VECTORS under the value gate — the GDPR purge that
+    rewrites NOTHING: on the orderkey-clustered table, deleting one
+    customer's orders (a cohort scattered across every file) records
+    (path, row position) pairs in a sidecar and commits metadata only;
+    the build asserts the data-file set is untouched. Reads anti-join
+    the DV at scan time, so the result must equal the plain filter
+    replay over raw orders; the CDF-of-a-DV-commit, rewrite
+    materialization, and VACUUM sweep are pinned in
+    tests/test_round6.py + tests/test_vt_cdf_source.py."""
+    import glob
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_dv_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )
+        pat = os.path.join(table_dir, "data", "**", "*.parquet")
+        before = sorted(glob.glob(pat, recursive=True))
+        VT.vt_delete_dv(spark, table_dir, [("o_custkey", "in", [7, 42])])
+        assert sorted(glob.glob(pat, recursive=True)) == before, (
+            "DV delete must not touch data files"
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_DV_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey NOT IN (7, 42)
+ORDER BY o_orderkey
+"""
+
+
 VERSIONED_LIQUID_SQL = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey >= 100 AND o_orderkey < 300
@@ -1054,6 +1104,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_cluster_incremental": QuerySpec(
         versioned_cluster_incremental, VERSIONED_LIQUID_SQL
+    ),
+    "versioned_delete_vectors": QuerySpec(
+        versioned_delete_vectors, VERSIONED_DV_SQL
     ),
 }
 

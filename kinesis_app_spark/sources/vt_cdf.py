@@ -85,7 +85,9 @@ class _CdfSlice(InputPartition):
 
     def __init__(self, version: int, kind: str, before: list[str],
                  after: list[str], keys: list[str], schema_json: str,
-                 key_bounds: tuple | None = None):
+                 key_bounds: tuple | None = None,
+                 dv_before: dict | None = None,
+                 dv_after: dict | None = None):
         self.version = version
         self.kind = kind
         self.before = before
@@ -96,6 +98,12 @@ class _CdfSlice(InputPartition):
         #: components (None end = unbounded); pushed into the parquet
         #: read so each sub-task touches only matching row groups
         self.key_bounds = key_bounds
+        #: per-SIDE {file path: [deletion-vector sidecar dirs]}: a
+        #: DELETE_DV commit has the SAME path on both sides with
+        #: different DV states — the diff of the two states IS the
+        #: change set, so each side masks with its own vector
+        self.dv_before = dv_before or {}
+        self.dv_after = dv_after or {}
 
 
 def _table_schema(table_dir: str) -> StructType:
@@ -260,17 +268,27 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
     if files_a is None or files_b is None:
         return [_CdfSlice(version, "diff_dir", [prev["data_dir"]],
                           [m["data_dir"]], keys, schema_json)]
-    paths_a = {f["path"] for f in files_a}
-    paths_b = {f["path"] for f in files_b}
-    excl_a = [f for f in files_a if f["path"] not in paths_b]
-    excl_b = [f for f in files_b if f["path"] not in paths_a]
+    # exclusivity is by CONTENT signature, not path: a DELETE_DV commit
+    # keeps the path and changes only the deletion vector (VT._dv_sig)
+    sigs_a = {VT._dv_sig(f) for f in files_a}
+    sigs_b = {VT._dv_sig(f) for f in files_b}
+    common = sigs_a & sigs_b
+    excl_a = [f for f in files_a if VT._dv_sig(f) not in common]
+    excl_b = [f for f in files_b if VT._dv_sig(f) not in common]
     if not excl_a and not excl_b:
         return []  # metadata-only commit (bloom index, ledger, ...)
+
+    def dv_map(entries):
+        return {
+            f["path"]: list(f["dv"]) for f in entries if f.get("dv")
+        }
+
     return [
         _CdfSlice(
             version, "diff",
             [f["path"] for f in sa], [f["path"] for f in sb],
             keys, schema_json, key_bounds=kb,
+            dv_before=dv_map(sa), dv_after=dv_map(sb),
         )
         for ga, gb in _group_by_key_range(excl_a, excl_b, keys[0])
         for sa, sb, kb in _split_component(ga, gb, keys[0])
@@ -296,14 +314,37 @@ def _list_parquet(d: str) -> list[str]:
     )
 
 
+def _dv_mask(t, path: str, dv_dirs: list[str]):
+    """Drop a file's soft-deleted rows by parquet row position: the DV
+    sidecars' (path, row_index) rows become a boolean keep-mask over
+    the UNFILTERED table (position = read order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for d in dv_dirs:
+        rows = pq.read_table(d, filters=[("path", "=", path)])
+        dead.update(rows["row_index"].to_pylist())
+    if not dead:
+        return t
+    mask = pa.array(
+        [i not in dead for i in range(t.num_rows)], pa.bool_()
+    )
+    return t.filter(mask)
+
+
 def _read_padded(paths: list[str], target, key: str | None = None,
-                 bounds: tuple | None = None):
+                 bounds: tuple | None = None, dv: dict | None = None):
     """Read files and pad/cast to the table columns of ``target`` (the
     CDF schema minus its two prepended fields) — forward schema
     evolution null-pads, exactly like ``vt_read``'s explicit schema.
     ``bounds`` (a half-open key sub-range from a split component) is
-    pushed into the parquet read as row-group filters."""
+    pushed into the parquet read as row-group filters — except for
+    DV'd files, which must read unfiltered first (the deletion vector
+    addresses rows by PHYSICAL position) and apply bounds after the
+    mask."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     filters = None
@@ -318,7 +359,14 @@ def _read_padded(paths: list[str], target, key: str | None = None,
     cols = list(target)[2:]  # table columns (after the two CDF fields)
     out = []
     for p in paths:
-        t = pq.read_table(p, filters=filters)
+        if dv and p in dv:
+            t = _dv_mask(pq.read_table(p), p, dv[p])
+            if filters is not None:
+                for fc, op, v in filters:
+                    cmp = pc.greater_equal if op == ">=" else pc.less
+                    t = t.filter(cmp(t[fc], pa.scalar(v)))
+        else:
+            t = pq.read_table(p, filters=filters)
         arrays = []
         for f in cols:
             if f.name in t.column_names:
@@ -381,9 +429,9 @@ def _read_slice(partition: _CdfSlice):
                    else _list_parquet(partition.after[0]))
     keys = partition.keys
     before = _read_padded(before_paths, target, keys[0],
-                          partition.key_bounds)
+                          partition.key_bounds, partition.dv_before)
     after = _read_padded(after_paths, target, keys[0],
-                         partition.key_bounds)
+                         partition.key_bounds, partition.dv_after)
     vals = [f.name for f in list(target)[2:] if f.name not in keys]
     typs = {f.name: f.type for f in target}
     bdf = before.to_pandas(types_mapper=pd.ArrowDtype)

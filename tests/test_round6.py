@@ -958,3 +958,80 @@ def test_clustered_marker_survives_parquet_spill(spark, tmp_path,
     assert all(f.get("clustered") == ["k"] for f in files)
     # no debt -> idempotent no-op
     assert VT.vt_cluster_incremental(spark, table, ["k"]) == v
+
+
+# ---------- deletion vectors (round-6b) ----------
+
+def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
+    """vt_delete_dv soft-deletes by (path, row position) in a sidecar:
+    NO data file is rewritten, reads anti-join the DV, the CDF reports
+    the soft deletes, re-deleting is a no-op, and a later merge that
+    rewrites a DV'd file materializes the deletions and drops the DV."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    VT.vt_create(df.repartitionByRange(4, "k"), table)
+    data_before = sorted(_glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                                    recursive=True))
+    mtimes = {p: os.stat(p).st_mtime_ns for p in data_before}
+    v = VT.vt_delete_dv(spark, table, [("k", "in", [5, 150, 399])])
+    assert v == 1
+    # no data file added, none rewritten (byte-identical carry)
+    data_after = sorted(_glob.glob(os.path.join(table, "data", "**", "*.parquet"),
+                                   recursive=True))
+    assert data_after == data_before
+    assert all(os.stat(p).st_mtime_ns == mtimes[p] for p in data_after)
+    # reads hide the soft-deleted rows; manifest counts are logical
+    got = sorted(r["k"] for r in VT.vt_read(spark, table).collect())
+    assert len(got) == 397 and not {5, 150, 399} & set(got)
+    assert VT._read_manifest(table, 1)["n_rows"] == 397
+    # stats-pruned scan still applies the DV
+    assert VT.vt_scan(spark, table, [("k", "<", 10)]).count() == 9
+    # CDF reports exactly the three soft deletes
+    ch = VT.vt_changes(spark, table, 0, 1, ["k"]).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in ch) == [
+        ("delete", 5), ("delete", 150), ("delete", 399)
+    ]
+    # idempotent: same predicate again deletes nothing, no new version
+    assert VT.vt_delete_dv(spark, table, [("k", "in", [5])]) == 1
+    # a second DV on another file stacks
+    v2 = VT.vt_delete_dv(spark, table, [("k", "=", 6)])
+    assert v2 == 2 and VT.vt_read(spark, table).count() == 396
+    # a merge rewriting the DV'd low file applies+drops its DV
+    chg = spark.createDataFrame([(7, -1.0, "U")],
+                                "k long, v double, op string")
+    v3 = VT.vt_merge(spark, table, chg, keys=["k"])
+    files = VT.vt_files(table, v3)
+    low = [f for f in files if f["stats"]["k"][0] == 0]
+    assert low and all(not f.get("dv") for f in low)
+    got3 = {r["k"]: r["v"] for r in VT.vt_read(spark, table, v3).collect()}
+    assert got3[7] == -1.0 and 5 not in got3 and 6 not in got3
+    assert len(got3) == 396
+
+
+def test_deletion_vector_vacuum_sweeps_dead_sidecars(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 F.lit(1.0).alias("v"))
+    VT.vt_create(df.coalesce(1), table)
+    VT.vt_delete_dv(spark, table, [("k", "=", 3)])          # v1: DV A
+    dv_a = VT.vt_files(table, 1)[0]["dv"][0]
+    # full rewrite materializes the deletion and drops the DV
+    VT.vt_update(spark, table, [("k", ">=", 0)], {"v": "v + 1.0"})  # v2
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(0, 9.0, "U")], "k long, v double, op string"),
+        keys=["k"],
+    )                                                       # v3
+    assert os.path.isdir(dv_a)
+    VT.vt_vacuum(table, retain_last=2)  # retains v2, v3 (no DV refs)
+    assert not os.path.isdir(dv_a)
+    got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert 3 not in got and got[0] == 9.0 and len(got) == 99

@@ -377,3 +377,37 @@ def test_diff_against_vacuumed_parent_raises(spark, tmp_path):
     for v in vacuumed:
         with pytest.raises(FileNotFoundError):
             SRC._plan_version(d, v + 1, ["k"], schema_json)
+
+
+def test_cdf_source_reports_soft_deletes(spark):
+    """A DELETE_DV commit keeps every data-file path — exclusivity by
+    content signature must still surface the soft-deleted rows as CDF
+    deletes, with each diff side masked by its OWN deletion-vector
+    state."""
+    d = os.path.join(ROOT, "dv")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("double").alias("v")
+    )
+    VT.vt_create(df.repartitionByRange(3, "k"), d)
+    v = VT.vt_delete_dv(spark, d, [("k", "in", [7, 150])])
+    assert v == 1
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", d).option("keys", "k").load()
+        .filter(F.col("_commit_version") == 1)
+    )
+    assert _canon(got.drop("_commit_version")) == _canon(
+        VT.vt_changes(spark, d, 0, 1, ["k"])
+    )
+    rows = got.collect()
+    assert sorted((r["_change_type"], r["k"]) for r in rows) == [
+        ("delete", 7), ("delete", 150)
+    ]
+    # a second stacked DV on the same file diffs v1 -> v2 correctly
+    VT.vt_delete_dv(spark, d, [("k", "=", 8)])
+    got2 = (
+        spark.read.format("vt_cdf")
+        .option("path", d).option("keys", "k").load()
+        .filter(F.col("_commit_version") == 2)
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in got2] == [("delete", 8)]
