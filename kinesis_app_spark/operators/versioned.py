@@ -2072,6 +2072,40 @@ def _bloom_may_match(file_entry: dict, probes, buckets,
     return True
 
 
+def _prune_files(spark, files: list[dict], filters,
+                 schema: StructType) -> list[dict]:
+    """The shared data-skipping pipeline: min/max stats first, then the
+    per-file BLOOM bitmaps for "="/"in" filters on indexed columns
+    (IN probes keep a file if ANY listed literal's bit is set; lists
+    beyond ``_BLOOM_MAX_PROBES`` fall back to stats-only). Used by
+    ``vt_scan`` AND the DML planners — a bloom-indexed GDPR id-list
+    purge opens only the files that can hold one of the ids."""
+    probes = [
+        (c, [v] if op in ("=", "==") else list(v))
+        for c, op, v in filters
+        if op in ("=", "==", "in")
+        and any((f.get("bloom") or {}).get(c) for f in files)
+    ]
+    probes = [
+        p for p in probes if len(p[1]) <= _BLOOM_MAX_PROBES
+    ]  # oversized IN lists: min/max stats still apply
+    ms = {
+        int(bl["m"])
+        for f in files
+        for c, _vals in probes
+        if (bl := (f.get("bloom") or {}).get(c))
+    }
+    buckets = _bloom_buckets_for(spark, schema, probes, sorted(ms))
+    # stats-prune FIRST, then load only the sidecars the min/max
+    # survivors reference (one pyarrow read per sidecar file)
+    stat_ok = [f for f in files if _filter_may_match(f, filters)]
+    sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in probes})
+    return [
+        f for f in stat_ok
+        if _bloom_may_match(f, probes, buckets, sidecars)
+    ]
+
+
 def vt_scan(
     spark: SparkSession,
     table_dir: str,
@@ -2104,30 +2138,7 @@ def vt_scan(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
-        probes = [
-            (c, [v] if op in ("=", "==") else list(v))
-            for c, op, v in filters
-            if op in ("=", "==", "in")
-            and any((f.get("bloom") or {}).get(c) for f in files)
-        ]
-        probes = [
-            p for p in probes if len(p[1]) <= _BLOOM_MAX_PROBES
-        ]  # oversized IN lists: min/max stats still apply
-        ms = {
-            int(bl["m"])
-            for f in files
-            for c, _vals in probes
-            if (bl := (f.get("bloom") or {}).get(c))
-        }
-        buckets = _bloom_buckets_for(spark, schema, probes, sorted(ms))
-        # stats-prune FIRST, then load only the sidecars the min/max
-        # survivors reference (one pyarrow read per sidecar file)
-        stat_ok = [f for f in files if _filter_may_match(f, filters)]
-        sidecars = _bloom_load_sidecars(stat_ok, {c for c, _ in probes})
-        survivors = [
-            f for f in stat_ok
-            if _bloom_may_match(f, probes, buckets, sidecars)
-        ]
+        survivors = _prune_files(spark, files, filters, schema)
         df = _read_snapshot_entries(spark, survivors, schema)
     else:  # pre-round-5 manifest: no stats to prune on
         df = vt_read(spark, table_dir, version)
@@ -2165,9 +2176,7 @@ def _predicate_rewrite(
     parent_files = vt_files(table_dir, base)
     if parent_files is not None:
         schema = _manifest_schema(manifest)
-        touched = [
-            f for f in parent_files if _filter_may_match(f, filters)
-        ]
+        touched = _prune_files(spark, parent_files, filters, schema)
         t_paths = {f["path"] for f in touched}
         carried = [f for f in parent_files if f["path"] not in t_paths]
         snapshot = _read_snapshot_entries(spark, touched, schema)
@@ -2262,10 +2271,10 @@ def vt_delete_dv(
         raise ValueError("vt_delete_dv needs a file-level manifest")
     filters = list(filters)
     pred = _filters_to_column(filters)
-    cand = [f for f in parent_files if _filter_may_match(f, filters)]
+    schema = _manifest_schema(manifest)
+    cand = _prune_files(spark, parent_files, filters, schema)
     if not cand:
         return latest
-    schema = _manifest_schema(manifest)
     live = (
         spark.read.schema(schema)
         .parquet(*[f["path"] for f in cand])

@@ -1035,3 +1035,34 @@ def test_deletion_vector_vacuum_sweeps_dead_sidecars(spark, tmp_path):
     assert not os.path.isdir(dv_a)
     got = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
     assert 3 not in got and got[0] == 9.0 and len(got) == 99
+
+
+def test_bloom_pruned_dv_purge_scans_file_subset(spark, tmp_path):
+    """The GDPR composition: with a bloom index on the id column, a
+    vt_delete_dv id-list purge plans only the files whose bitmap admits
+    one of the ids — the find-the-rows scan is O(matching files), not
+    O(table)."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 211).alias("s"),
+        F.lit(1.0).alias("v"),
+    )
+    VT.vt_create(df.repartitionByRange(8, "k"), table)
+    VT.vt_index_bloom(spark, table, ["s"])
+    files = VT.vt_files(table, VT.vt_latest_version(table))
+    pruned = VT._prune_files(
+        spark, files, [("s", "in", [5, 77])],
+        VT._manifest_schema(VT._read_manifest(table, 1)),
+    )
+    assert pruned and len(pruned) < len(files)  # bloom actually pruned
+    v = VT.vt_delete_dv(spark, table, [("s", "in", [5, 77])])
+    # only the pruned candidates could have gained a DV
+    dvd = [f for f in VT.vt_files(table, v) if f.get("dv")]
+    assert {f["path"] for f in dvd} <= {f["path"] for f in pruned}
+    got = VT.vt_read(spark, table).filter(F.col("s").isin(5, 77)).count()
+    assert got == 0
+    exp = 400 - df.filter(F.col("s").isin(5, 77)).count()
+    assert VT.vt_read(spark, table).count() == exp
