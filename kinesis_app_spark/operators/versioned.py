@@ -2258,9 +2258,13 @@ def vt_delete_dv(
     deletes (file identity is (path, dv) — ``_dv_sig``), and VACUUM
     sweeps sidecars no retained version references.
 
-    Candidate files are stats-pruned with the same ``filters`` grammar
-    as ``vt_delete`` (including "in" id lists). Positions already in a
-    file's DV are excluded, so re-deleting is a no-op. Returns the new
+    Candidate files are pruned with the same stats+bloom pipeline as
+    ``vt_scan`` (``_prune_files`` — including "in" id lists, the GDPR
+    shape). Positions already in a file's DV are excluded, so
+    re-deleting is a no-op. Commits at latest+1 without the optimistic
+    fast path: on a commit race it raises ``VersionConflictError`` and
+    the caller simply re-runs (the recomputation against the new latest
+    is idempotent over already-deleted positions). Returns the new
     version, or the current latest when nothing matched."""
     latest = vt_latest_version(table_dir)
     if latest < 0:

@@ -52,7 +52,10 @@ identical record sets at every retry granularity.
 Contract notes: keys must be unique per version (the MERGE invariant);
 schema is the LATEST version's (forward evolution null-pads older
 files, same as ``vt_read``); a version below the earliest non-vacuumed
-manifest cannot be tailed (clear error, not a missing-file stack).
+manifest cannot be tailed (clear error, not a missing-file stack);
+column pruning does not reach the reader (the Python DataSource API
+has no projection pushdown yet) — each slice reads its files' full
+rows, acceptable because slices already read only changed files.
 """
 
 from __future__ import annotations
