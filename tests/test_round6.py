@@ -1066,3 +1066,43 @@ def test_bloom_pruned_dv_purge_scans_file_subset(spark, tmp_path):
     assert got == 0
     exp = 400 - df.filter(F.col("s").isin(5, 77)).count()
     assert VT.vt_read(spark, table).count() == exp
+
+
+def test_dv_revocation_propagates_to_index_via_cdf(spark, tmp_path):
+    """The GDPR loop, DV edition: revoking docs via vt_delete_dv is a
+    metadata-only commit, and the near-dup index follows by tailing the
+    change feed — the CDF reports the soft deletes, the index applier
+    erases them. Nobody rewrites the corpus files, nobody remembers to
+    call the index's erase."""
+    from pyspark.sql import functions as F
+
+    from kinesis_app_spark.operators import dedupindex as DI
+    from kinesis_app_spark.registry_round6 import vt_cdf_index_applier
+
+    corpus_dir = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 8).cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta "),
+            F.lit("iota kappa lambda mu nu xi omicron pi rho sigma"),
+        ).alias("text"),
+    )
+    VT.vt_create(docs, corpus_dir)
+    VT.vt_delete_dv(spark, corpus_dir, [("doc_id", "in", [3, 11])])
+    ledger = str(tmp_path / "ledger")
+    VT.vt_stream_changes(
+        spark, corpus_dir, keys=["doc_id"], ledger_path=ledger,
+        apply_fn=vt_cdf_index_applier(spark, idx),
+    )
+    # the revoked ids are gone from every probe table
+    fp = spark.read.parquet(os.path.join(idx, "fingerprints.parquet"))
+    assert fp.filter(F.col("id").isin(3, 11)).count() == 0
+    assert fp.count() == 38
+    # and a screen never names a revoked doc as dup_of
+    batch = docs.filter(F.col("doc_id") < 8).select(
+        "doc_id", "text"
+    )
+    scr = DI.dedup_index_screen(spark, idx, batch, threshold=0.5)
+    assert scr.filter(F.col("dup_of").isin(3, 11)).count() == 0
