@@ -228,6 +228,26 @@ def _cdf_tail_fixed_commit(spark, sf_dir: str):
     )
 
 
+def _dv_purge_fixed_ids(spark, sf_dir: str):
+    """Bloom-pruned deletion-vector purge of a FIXED id list on the
+    grown table: the bloom index picks the candidate files, the purge
+    scans only those, and the commit is metadata + a sidecar — the
+    GDPR cost must track the matching files, never the table. Repeat
+    calls re-scan the candidates and find nothing new (idempotent), so
+    the measured cost is the steady-state find-the-rows scan."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = _grown_vt_table(spark, sf_dir)
+    bloom_marker = os.path.join(table, "_BLOOM_DONE")
+    if not os.path.exists(bloom_marker):
+        VT.vt_index_bloom(spark, table, ["o_custkey"])
+        open(bloom_marker, "w").close()
+    VT.vt_delete_dv(
+        spark, table, [("o_custkey", "in", [7, 42, 99, 113, 205])]
+    )
+    return None  # the timed work IS the purge
+
+
 #: name -> callable(spark, sf_dir) returning a DataFrame to noop-write
 #: (or None when the callable already performed its write)
 SPECIAL = {
@@ -235,6 +255,7 @@ SPECIAL = {
     "ivf_query_fixed_queries_grown_index": _ivf_query_fixed,
     "versioned_pruned_merge_fixed_batch": _pruned_merge_fixed_batch,
     "cdf_tail_fixed_commit_grown_table": _cdf_tail_fixed_commit,
+    "dv_purge_fixed_ids_grown_table": _dv_purge_fixed_ids,
 }
 ENTRIES += list(SPECIAL)
 
