@@ -1106,3 +1106,31 @@ def test_dv_revocation_propagates_to_index_via_cdf(spark, tmp_path):
     )
     scr = DI.dedup_index_screen(spark, idx, batch, threshold=0.5)
     assert scr.filter(F.col("dup_of").isin(3, 11)).count() == 0
+
+
+def test_maintenance_materializes_deletion_vectors(spark, tmp_path):
+    """Compaction and incremental clustering read DV'd files through the
+    entry-aware path: the rewritten run drops the vectors and the
+    deleted rows stay gone — maintenance IS the DV purge mechanism."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("double").alias("v")
+    )
+    VT.vt_create(df.repartition(6), table)
+    VT.vt_delete_dv(spark, table, [("k", "in", [1, 101, 201])])
+    assert any(f.get("dv") for f in VT.vt_files(table, 1))
+    # compaction sweeps the small DV'd files into clean full-size files
+    v = VT.vt_compact(spark, table, min_rows_per_file=1 << 20)
+    files = VT.vt_files(table, v)
+    assert all(not f.get("dv") for f in files)
+    got = sorted(r["k"] for r in VT.vt_read(spark, table).collect())
+    assert len(got) == 297 and not {1, 101, 201} & set(got)
+    # DV again, then incremental clustering materializes it too
+    VT.vt_delete_dv(spark, table, [("k", "=", 7)])
+    v2 = VT.vt_cluster_incremental(spark, table, ["k"])
+    files2 = VT.vt_files(table, v2)
+    assert all(not f.get("dv") for f in files2)
+    assert all(f.get("clustered") == ["k"] for f in files2)
+    assert VT.vt_read(spark, table).count() == 296
