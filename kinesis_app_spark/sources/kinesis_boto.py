@@ -136,8 +136,14 @@ def _conn_opts(options) -> dict:
         # emitted, and every emission is persisted first). Without it a
         # clean restart's first latestOffset runs UNCAPPED once (safe
         # but unbounded — see latestOffset). Must live and die with the
-        # query's checkpointLocation: deleting one but not the other
-        # falls back to the uncapped-once path.
+        # query's checkpointLocation. Deleting the CHECKPOINT but
+        # keeping the state is safe (the persisted bound is at-or-ahead
+        # of anything the dead checkpoint held); deleting the STATE but
+        # keeping the checkpoint is NOT a supported reset — a
+        # configured-but-empty state dir is taken as "genuinely fresh
+        # query" and the first cap anchors at the backlog head, which
+        # an invisible surviving checkpoint may already be past. Reset
+        # by deleting both.
         "planner_state_dir": options.get("plannerstatedir") or None,
         # how far past a batch's end bound the executor scan keeps
         # looking for out-of-order stragglers before stopping (round 6:
