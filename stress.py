@@ -97,6 +97,11 @@ ENTRIES = [
     "versioned_cdf_stream_agg",       # CDF tail + incremental rollup (r6)
     "versioned_compact_read",         # small-file sweep + read (r6)
     "versioned_bloom_scan",           # secondary-key bloom skip (r6)
+    "versioned_cdf_source_batch",     # registered CDF source, batch (r6b)
+    "versioned_in_list_scan",         # bloom IN-list skipping (r6b)
+    "versioned_cluster_incremental",  # liquid clustering read (r6b)
+    "versioned_delete_vectors",       # DV-masked read (r6b)
+    "versioned_cdf_join_view",        # two-feed join IVM read (r6b)
     "dedup_index_cdf_maintenance",    # CDF-tailed index maintenance (r6)
 ]
 
