@@ -562,6 +562,53 @@ def versioned_delete_vectors(spark, sf_dir):
     return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
 
 
+def versioned_sink_append(spark, sf_dir):
+    """The vt_table SINK under the value gate: orders flow into a
+    versioned table through ``df.write.format("vt_table")`` — staged
+    parquet per task, promoted by a sessionless manifest commit with
+    pyarrow-computed per-file stats (sources/vt_writer.py) — and a
+    stats-pruned range scan over the sink-written table must equal the
+    raw filter replay: if the sink's stats disagreed with the Spark
+    writers' JSON form, pruning would drop or keep the wrong files and
+    the hash would mismatch. Epoch idempotence and streaming appends
+    are pinned in tests/test_vt_writer.py."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round4 import _fresh_marker
+    from kinesis_app_spark.sources import vt_writer as W
+
+    W.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT6_ROOT, f"orders_sink_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(8, "o_orderkey")
+            .write.format("vt_table")
+            .option("path", table_dir).mode("append").save()
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_scan(
+        spark, table_dir,
+        [("o_orderkey", ">=", 500), ("o_orderkey", "<", 2500)],
+    ).orderBy("o_orderkey")
+
+
+VERSIONED_SINK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey >= 500 AND o_orderkey < 2500
+ORDER BY o_orderkey
+"""
+
+
 VERSIONED_DV_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -1107,6 +1154,9 @@ REGISTRY_ROUND6: dict[str, QuerySpec] = {
     ),
     "versioned_delete_vectors": QuerySpec(
         versioned_delete_vectors, VERSIONED_DV_SQL
+    ),
+    "versioned_sink_append": QuerySpec(
+        versioned_sink_append, VERSIONED_SINK_SQL
     ),
 }
 
