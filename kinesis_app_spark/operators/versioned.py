@@ -991,17 +991,37 @@ def vt_version_at_timestamp(table_dir: str, ts) -> int:
     return chosen
 
 
-def vt_history(spark: SparkSession, table_dir: str) -> DataFrame:
+def vt_history(spark: SparkSession, table_dir: str,
+               metrics: bool = False) -> DataFrame:
     """(version, operation, n_rows) per committed version — the DESCRIBE
-    HISTORY surface (no wall-clock columns: the gate needs determinism)."""
+    HISTORY surface (no wall-clock columns: the gate needs determinism).
+    ``metrics=True`` appends Delta's operationMetrics analogues —
+    n_files (the version's total file count), n_added_files,
+    n_removed_files (the commit's file delta) — all derived from the
+    manifest log, null where a pre-round-5 manifest has no file-level
+    metadata. Layout-dependent, so deliberately NOT part of the gated
+    default schema."""
     latest = vt_latest_version(table_dir)
     rows = []
     for v in range(latest + 1):
         m = _read_manifest(table_dir, v)
-        rows.append((m["version"], m["operation"], m["n_rows"]))
-    return spark.createDataFrame(
-        rows, "version int, operation string, n_rows long"
-    )
+        base = (m["version"], m["operation"], m["n_rows"])
+        if metrics:
+            files = vt_files(table_dir, v) if not m.get("vacuumed") else None
+            delta = (
+                _commit_delta(table_dir, v) if not m.get("vacuumed")
+                else None
+            )
+            base += (
+                len(files) if files is not None else None,
+                len(delta[0]) if delta is not None else None,
+                len(delta[1]) if delta is not None else None,
+            )
+        rows.append(base)
+    schema = "version int, operation string, n_rows long"
+    if metrics:
+        schema += (", n_files int, n_added_files int, n_removed_files int")
+    return spark.createDataFrame(rows, schema)
 
 
 #: Z-order sampling knobs: enough sample rows for stable boundaries at

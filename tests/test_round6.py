@@ -1134,3 +1134,21 @@ def test_maintenance_materializes_deletion_vectors(spark, tmp_path):
     assert all(not f.get("dv") for f in files2)
     assert all(f.get("clustered") == ["k"] for f in files2)
     assert VT.vt_read(spark, table).count() == 296
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """vt_history(metrics=True) derives Delta-style operationMetrics
+    from the manifest log: per-version file totals and the commit's
+    add/remove counts; the gated 3-column default is unchanged."""
+    table = _mk_clustered(spark, tmp_path)  # 4 clustered files
+    VT.vt_merge(spark, table, _chg(spark, [(5, "A", "U")]), keys=["k"])
+    h = {r["version"]: r for r in VT.vt_history(
+        spark, table, metrics=True
+    ).collect()}
+    assert h[0]["n_files"] == 4 and h[0]["n_added_files"] == 4
+    assert h[0]["n_removed_files"] == 0
+    assert h[1]["n_removed_files"] == 1  # pruned merge: one file swapped
+    assert h[1]["n_files"] == 4
+    assert VT.vt_history(spark, table).columns == [
+        "version", "operation", "n_rows"
+    ]
