@@ -2281,11 +2281,29 @@ def vt_delete_dv(
     Candidate files are pruned with the same stats+bloom pipeline as
     ``vt_scan`` (``_prune_files`` — including "in" id lists, the GDPR
     shape). Positions already in a file's DV are excluded, so
-    re-deleting is a no-op. Commits at latest+1 without the optimistic
-    fast path: on a commit race it raises ``VersionConflictError`` and
-    the caller simply re-runs (the recomputation against the new latest
-    is idempotent over already-deleted positions). Returns the new
-    version, or the current latest when nothing matched."""
+    re-deleting is a no-op — which also makes the commit-race story
+    simple: on losing a version race the whole operation safely RE-RUNS
+    against the new latest (bounded spins), because re-finding the rows
+    excludes everything an earlier attempt already recorded and a
+    concurrent writer that rewrote a candidate file materialized or
+    carried its DV either way. Returns the new version, or the current
+    latest when nothing matched."""
+    for _spin in range(_COMMIT_MAX_SPINS):
+        try:
+            return _delete_dv_once(spark, table_dir, filters)
+        except VersionConflictError:
+            continue
+    raise VersionConflictError(
+        f"vt_delete_dv on {table_dir}: starved by {_COMMIT_MAX_SPINS} "
+        "consecutive commit races; serialize writers"
+    )
+
+
+def _delete_dv_once(
+    spark: SparkSession,
+    table_dir: str,
+    filters,
+) -> int:
     latest = vt_latest_version(table_dir)
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
