@@ -1152,3 +1152,34 @@ def test_history_operation_metrics(spark, tmp_path):
     assert VT.vt_history(spark, table).columns == [
         "version", "operation", "n_rows"
     ]
+
+
+def test_threaded_disjoint_writers_race_for_real(spark, tmp_path):
+    """Two OS threads merge disjoint key ranges simultaneously from the
+    same base — whatever the interleaving (true race on the O_EXCL
+    manifest commit), both land and the final state equals sequential
+    application."""
+    import threading
+
+    table = _mk_clustered(spark, tmp_path, n=100, files=4)
+    errs = []
+
+    def writer(lo, label):
+        try:
+            VT.vt_merge_retry(
+                spark, table,
+                _chg(spark, [(lo + i, label, "U") for i in range(5)]),
+                keys=["k"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(5, "A"))
+    t2 = threading.Thread(target=writer, args=(90, "B"))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errs, errs
+    assert VT.vt_latest_version(table) == 2
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert all(rows[5 + i] == "A" for i in range(5))
+    assert all(rows[90 + i] == "B" for i in range(5))
+    assert len(rows) == 100
