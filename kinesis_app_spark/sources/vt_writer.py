@@ -180,7 +180,14 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
         new_files.sort(key=lambda f: f["path"])
         for _spin in range(_APPEND_MAX_SPINS):
             parent_files = VT.vt_files(table_dir, latest)
-            carried = list(parent_files or [])
+            if parent_files is None:
+                raise ValueError(
+                    "vt_table sink needs a file-level manifest "
+                    "(round-5+ table); rewrite the table (vt_optimize) "
+                    "first — appending to an opaque-dir manifest would "
+                    "drop its rows from the new version"
+                )
+            carried = list(parent_files)
             manifest = {
                 "data_dir": data_dir,
                 "n_rows": VT._live_rows(carried + new_files),
