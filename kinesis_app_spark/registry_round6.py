@@ -25,6 +25,10 @@ from kinesis_app_spark.registry_util import QuerySpec, table as _t
 _VT6_ROOT = "/tmp/kinesis_versioned"
 
 
+def _timeout(what: str):
+    raise TimeoutError(f"{what} did not finish in 300 s")
+
+
 def vt_cdf_rollup_applier(spark, downstream_dir: str, group_col: str,
                           price_col: str):
     """The apply_fn half of the CDF-tailing topology: one upstream
@@ -327,7 +331,12 @@ def versioned_cdf_readstream_agg(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "versioned_cdf_readstream_agg: drain did not finish in "
+                "300 s; marker not written (no stale cache)"
+            )
         with open(marker, "w") as fh:
             fh.write(sig)
     return (
@@ -1061,6 +1070,7 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
             .awaitTermination(300)
+            or _timeout("pipeline ingest wave")
         )
 
     ingest_wave(150)   # upstream v1: seqs 0..149 per shard
@@ -1078,6 +1088,7 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
         .awaitTermination(300)
+        or _timeout("pipeline CDF drain")
     )
     out = (
         VT.vt_read(spark, down)
