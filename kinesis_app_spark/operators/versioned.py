@@ -91,6 +91,80 @@ class VersionConflictError(RuntimeError):
     """Another writer committed this version first: rebase and retry."""
 
 
+class ProtocolError(RuntimeError):
+    """The table requires a protocol version or feature this engine
+    build does not implement: refuse loudly instead of misreading."""
+
+
+#: protocol versions and table features THIS engine build understands.
+#: Every commit stamps the manifest with the features its content
+#:  actually uses (sticky: unioned with the parent's — Delta's
+#: reader/writer-features discipline), and every reader/writer entry
+#: point checks the stamp FIRST. The guard exists because several
+#: features are silently hazardous to an ignorant reader: one that
+#: ignores ``dv`` entries resurrects deleted rows; one that ignores
+#: ``column_mapping`` reads physical column names as user columns.
+_READER_VERSION = 1
+_WRITER_VERSION = 1
+_SUPPORTED_FEATURES = frozenset({
+    "incremental_commits",
+    "deletion_vectors",
+    "clustering",
+    "bloom_index",
+    "column_mapping",
+})
+
+
+def _detect_features(manifest: dict) -> set[str]:
+    """The features this commit's content actually relies on."""
+    feats: set[str] = set()
+    if "add" in manifest or "remove" in manifest:
+        feats.add("incremental_commits")
+    for f in list(manifest.get("files") or ()) + list(
+        manifest.get("add") or ()
+    ):
+        if f.get("dv"):
+            feats.add("deletion_vectors")
+        if f.get("clustered"):
+            feats.add("clustering")
+        if f.get("bloom"):
+            feats.add("bloom_index")
+    if manifest.get("column_mapping"):
+        feats.add("column_mapping")
+    return feats
+
+
+def _check_protocol(manifest: dict, table_dir: str,
+                    write: bool = False) -> None:
+    """Raise ``ProtocolError`` when the manifest requires a protocol
+    version or feature this build lacks. Writers must satisfy BOTH
+    bars (a writer also reads). Tables without a stamp (pre-round-7)
+    pass vacuously — they use nothing a round-7 reader lacks."""
+    proto = manifest.get("protocol")
+    if not proto:
+        return
+    if int(proto.get("min_reader", 1)) > _READER_VERSION:
+        raise ProtocolError(
+            f"table {table_dir} requires reader version "
+            f"{proto['min_reader']} (this engine implements "
+            f"{_READER_VERSION}); upgrade before reading"
+        )
+    if write and int(proto.get("min_writer", 1)) > _WRITER_VERSION:
+        raise ProtocolError(
+            f"table {table_dir} requires writer version "
+            f"{proto['min_writer']} (this engine implements "
+            f"{_WRITER_VERSION}); upgrade before writing"
+        )
+    unknown = set(proto.get("features") or ()) - _SUPPORTED_FEATURES
+    if unknown:
+        raise ProtocolError(
+            f"table {table_dir} requires feature(s) {sorted(unknown)} "
+            "this engine build does not implement; refusing to "
+            "misread (an ignorant reader of e.g. deletion vectors "
+            "would resurrect deleted rows)"
+        )
+
+
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifest")
 
@@ -531,6 +605,23 @@ def _commit(table_dir: str, version: int, manifest: dict,
     # any value-gated surface; survives VACUUM's tombstone rewrite,
     # which bumps the manifest file's mtime)
     manifest["committed_at"] = time.time()
+    # protocol stamp: the features this commit's content uses, unioned
+    # with the parent's (sticky — Delta's table-features discipline);
+    # computed BEFORE the checkpoint spill below pops the file list
+    feats = _detect_features(manifest)
+    if version > 0:
+        try:
+            parent_proto = _read_manifest(table_dir, version - 1).get(
+                "protocol"
+            ) or {}
+            feats |= set(parent_proto.get("features") or ())
+        except FileNotFoundError:
+            pass
+    manifest["protocol"] = {
+        "min_reader": _READER_VERSION,
+        "min_writer": _WRITER_VERSION,
+        "features": sorted(feats),
+    }
     if (
         "files" in manifest
         and len(manifest["files"]) >= _CHECKPOINT_PQ_MIN
@@ -587,6 +678,94 @@ def _manifest_schema(manifest: dict) -> StructType | None:
     if manifest.get("schema") is not None:
         return StructType.fromJson(manifest["schema"])
     return None
+
+
+# ---------------------------------------------------------------------
+# column mapping (round 7): rename/drop columns WITHOUT rewriting data
+# ---------------------------------------------------------------------
+#
+# Delta's column-mapping design carried on the manifest: the manifest's
+# ``schema`` stays the LOGICAL schema users see; an active
+# ``column_mapping`` {logical -> physical} records each column's STABLE
+# physical name — the name actually present in the parquet files,
+# per-file stats, bloom sidecars, and deletion-vector-era file entries.
+# Mapping activates lazily at the first RENAME/DROP (physical names are
+# then frozen at the column names of that moment, which is exactly what
+# the already-written files contain), so unmapped tables keep today's
+# byte-identical behavior. After activation:
+#
+# - writers translate logical -> physical at the file boundary
+#   (``_write_files_with_stats``), readers translate back
+#   (``_read_snapshot_entries``) — every other operator keeps working
+#   in logical space;
+# - pruning/stat/bloom machinery operates in PHYSICAL space: callers
+#   translate keys/filters once (``_phys_filters``) and hand the
+#   physical schema to ``_prune_files``;
+# - a RENAME is a metadata-only commit (same files, new logical name
+#   over the same physical); a DROP likewise (the physical column stays
+#   in the immutable files, unread — Delta's drop semantics);
+# - a column ADDED after activation gets a fresh ``col_<uuid>`` physical
+#   name, so re-adding a dropped column's name can never resurrect the
+#   old physical data.
+#
+# The ``column_mapping`` manifest key is a guarded table FEATURE
+# (_detect_features): a reader without this code refuses loudly instead
+# of surfacing physical names as user columns.
+
+
+def _col_mapping(manifest: dict) -> dict | None:
+    """The manifest's logical->physical column mapping, or None for an
+    unmapped table (physical == logical, today's behavior)."""
+    m = manifest.get("column_mapping")
+    return dict(m) if m else None
+
+
+def _phys_struct(schema: StructType, mapping: dict | None) -> StructType:
+    """The schema as it exists IN THE FILES: logical field names
+    replaced by their stable physical names."""
+    if not mapping:
+        return schema
+    from pyspark.sql.types import StructField
+
+    return StructType([
+        StructField(
+            mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+        )
+        for f in schema.fields
+    ])
+
+
+def _phys_filters(filters, mapping: dict | None):
+    """Conjunctive (col, op, value) filters translated into physical
+    column names — the namespace of per-file stats and blooms."""
+    if not mapping:
+        return list(filters)
+    return [(mapping.get(c, c), op, v) for c, op, v in filters]
+
+
+def _to_logical(df: DataFrame, mapping: dict | None,
+                keep: Sequence[str] = ()) -> DataFrame:
+    """Rename a physically-named DataFrame back to logical names.
+    ``keep`` columns (internal helpers like _metadata projections) pass
+    through unrenamed."""
+    if not mapping:
+        return df
+    inv = {p: l for l, p in mapping.items()}
+    keep = set(keep)
+    return df.select([
+        F.col(c) if c in keep else F.col(c).alias(inv.get(c, c))
+        for c in df.columns
+    ])
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a logically-named DataFrame to physical names for the
+    file boundary."""
+    if not mapping:
+        return df
+    return df.select([
+        F.col(c).alias(mapping.get(c, c)) for c in df.columns
+    ])
 
 
 def _read_snapshot_files(
@@ -671,6 +850,7 @@ def vt_read(
         if version < 0:
             raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, version)
+    _check_protocol(manifest, table_dir)
     if manifest.get("vacuumed"):
         raise FileNotFoundError(
             f"version {version} of {table_dir} was vacuumed; earliest "
@@ -747,6 +927,7 @@ def vt_merge(
             f"expected version {expected_version}, table is at {latest}"
         )
     manifest = _read_manifest(table_dir, base)
+    _check_protocol(manifest, table_dir, write=True)
     schema = _manifest_schema(manifest)
     if schema is None:  # pre-round-5 manifest: infer from the data
         schema = vt_read(spark, table_dir, base).schema
@@ -973,6 +1154,7 @@ def vt_version_at_timestamp(table_dir: str, ts) -> int:
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     chosen = None
+    prev_eff = float("-inf")
     for v in range(latest + 1):
         m = _read_manifest(table_dir, v)
         if m.get("vacuumed"):
@@ -981,6 +1163,12 @@ def vt_version_at_timestamp(table_dir: str, ts) -> int:
         t = m.get("committed_at")
         if t is None:
             t = os.stat(_manifest_path(table_dir, v)).st_mtime
+        # clamp to monotone across versions (Delta's commit-time
+        # adjustment): a clock step-back between commits (NTP,
+        # multi-host shared FS) must not make "latest version with
+        # t <= ts" skip an earlier-stamped LATER commit
+        t = max(t, prev_eff)
+        prev_eff = t
         if t <= ts:
             chosen = v
     if chosen is None:
@@ -1175,6 +1363,7 @@ def vt_optimize(
     if base < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     manifest = _read_manifest(table_dir, base)
+    _check_protocol(manifest, table_dir, write=True)
     df = vt_read(spark, table_dir, base)
     # sortWithinPartitions matters even with range partitioning: AQE can
     # coalesce a small range shuffle to fewer partitions, and
@@ -1248,6 +1437,7 @@ def vt_cluster_incremental(
         raise FileNotFoundError(f"table {table_dir} does not exist")
     base = latest if expected_version is None else expected_version
     manifest = _read_manifest(table_dir, base)
+    _check_protocol(manifest, table_dir, write=True)
     parent_files = vt_files(table_dir, base)
     if parent_files is None:
         raise ValueError(
@@ -1330,6 +1520,7 @@ def vt_compact(
         raise FileNotFoundError(f"table {table_dir} does not exist")
     base = latest if expected_version is None else expected_version
     manifest = _read_manifest(table_dir, base)
+    _check_protocol(manifest, table_dir, write=True)
     parent_files = vt_files(table_dir, base)
     if parent_files is None:
         raise ValueError(
@@ -1407,6 +1598,8 @@ def vt_changes(
     keys = list(keys)
     m_a = _read_manifest(table_dir, v_from)
     m_b = _read_manifest(table_dir, v_to)
+    _check_protocol(m_a, table_dir)
+    _check_protocol(m_b, table_dir)
     schema_a = _manifest_schema(m_a)
     schema_b = _manifest_schema(m_b)
     files_a = vt_files(table_dir, v_from)
@@ -1612,7 +1805,18 @@ def _version_file_paths(table_dir: str, version: int) -> list[str] | None:
     return None
 
 
-def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
+#: a staged sink file older than this is an orphan from a task attempt
+#: that died before messaging its path back (vt_writer): no manifest
+#: will ever reference it, and nothing else sweeps it. Generous by
+#: default — a LIVE epoch's staged files only exist between write() and
+#: commit(), far under an hour.
+_STAGE_TTL_SECONDS = 3600.0
+
+
+def vt_vacuum(
+    table_dir: str, retain_last: int = 2,
+    stage_ttl_seconds: float = _STAGE_TTL_SECONDS,
+) -> list[int]:
     """VACUUM: reclaim the storage of versions older than the last
     ``retain_last`` — FILE-level reference counting: a file is deleted
     only when (a) no retained version references it (carry-forward and
@@ -1723,6 +1927,20 @@ def vt_vacuum(table_dir: str, retain_last: int = 2) -> list[int]:
             p = os.path.abspath(os.path.join(dvroot, name))
             if os.path.isdir(p) and p not in referenced_dv:
                 shutil.rmtree(p, ignore_errors=True)
+    # sink staging hygiene: task attempts that died before messaging
+    # leave parquet orphans under _stage/ that no manifest ever names —
+    # sweep anything older than the TTL (a live epoch's staged files
+    # exist only between write() and commit(), far under it)
+    stage_dir = os.path.join(table_dir, "_stage")
+    if os.path.isdir(stage_dir):
+        cutoff = time.time() - max(0.0, float(stage_ttl_seconds))
+        for name in os.listdir(stage_dir):
+            p = os.path.join(stage_dir, name)
+            try:
+                if os.path.isfile(p) and os.stat(p).st_mtime < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass  # concurrently promoted/removed: fine
     return vacuumed
 
 
@@ -1766,6 +1984,7 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     target = _read_manifest(table_dir, version)
+    _check_protocol(target, table_dir, write=True)
     if target.get("vacuumed"):
         raise FileNotFoundError(
             f"cannot restore to vacuumed version {version}"
@@ -1964,6 +2183,7 @@ def vt_index_bloom(
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     manifest = _read_manifest(table_dir, latest)
+    _check_protocol(manifest, table_dir, write=True)
     files = vt_files(table_dir, latest)
     if files is None:
         raise ValueError(
@@ -2150,6 +2370,7 @@ def vt_scan(
         if version < 0:
             raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _read_manifest(table_dir, version)
+    _check_protocol(manifest, table_dir)
     if manifest.get("vacuumed"):
         raise FileNotFoundError(
             f"version {version} of {table_dir} was vacuumed"
@@ -2191,6 +2412,7 @@ def _predicate_rewrite(
             f"expected version {expected_version}, table is at {latest}"
         )
     manifest = _read_manifest(table_dir, base)
+    _check_protocol(manifest, table_dir, write=True)
     filters = list(filters)
     pred = _filters_to_column(filters)
     parent_files = vt_files(table_dir, base)
@@ -2308,6 +2530,7 @@ def _delete_dv_once(
     if latest < 0:
         raise FileNotFoundError(f"table {table_dir} does not exist")
     manifest = _read_manifest(table_dir, latest)
+    _check_protocol(manifest, table_dir, write=True)
     parent_files = vt_files(table_dir, latest)
     if parent_files is None:
         raise ValueError("vt_delete_dv needs a file-level manifest")
@@ -2364,7 +2587,14 @@ def _delete_dv_once(
             new_version, parent_files, carried, updated, sorted(t_paths)
         ),
     }
-    _commit(table_dir, new_version, out)
+    try:
+        _commit(table_dir, new_version, out)
+    except VersionConflictError:
+        # the sidecar was written before the commit; on a lost race the
+        # retry re-finds the rows and writes a fresh one — remove this
+        # attempt's orphan instead of leaving it for a later vacuum
+        shutil.rmtree(sidecar, ignore_errors=True)
+        raise
     return new_version
 
 

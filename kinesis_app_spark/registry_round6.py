@@ -1026,6 +1026,7 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
     rule ((shard*7919+seq)%100): a record lost between ANY two layers,
     a double-applied epoch, or a mis-signed delta shifts a count or a
     seq mass and hash-mismatches."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1040,6 +1041,16 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
     down = os.path.join(tempfile.gettempdir(), f"pkl_down_{run}")
     ckpt1 = os.path.join(tempfile.gettempdir(), f"pkl_ck1_{run}")
     ckpt2 = os.path.join(tempfile.gettempdir(), f"pkl_ck2_{run}")
+
+    def _drain(q, what: str) -> None:
+        # a timed-out drain must not leak a live streaming query or the
+        # pkl_* temp state (round-6 ADVICE): stop the query, then sweep
+        if not q.awaitTermination(300):
+            q.stop()
+            for d in (up, down, ckpt1, ckpt2):
+                shutil.rmtree(d, ignore_errors=True)
+            _timeout(what)
+
     VT.vt_create(
         spark.createDataFrame([], "shard int, seq long, usr int"), up
     )
@@ -1064,19 +1075,18 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
                 F.lit("U").alias("op"),
             )
         )
-        (
+        _drain(
             parsed.writeStream.foreachBatch(merger)
             .option("checkpointLocation", ckpt1)
             .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
-            or _timeout("pipeline ingest wave")
+            .start(),
+            "pipeline ingest wave",
         )
 
     ingest_wave(150)   # upstream v1: seqs 0..149 per shard
     ingest_wave(250)   # upstream v2: the stream GREW; resume delivers
     #                    only 150..249 from the shared checkpoint
-    (
+    _drain(
         spark.readStream.format("vt_cdf")
         .option("path", up).option("keys", "shard,seq")
         .load()
@@ -1086,9 +1096,8 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
         )
         .option("checkpointLocation", ckpt2)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination(300)
-        or _timeout("pipeline CDF drain")
+        .start(),
+        "pipeline CDF drain",
     )
     out = (
         VT.vt_read(spark, down)
@@ -1100,8 +1109,6 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
         .orderBy("usr")
         .localCheckpoint(eager=True)  # materialize before the teardown
     )
-    import shutil
-
     for d in (up, down, ckpt1, ckpt2):
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -115,7 +115,9 @@ def _table_schema(table_dir: str) -> StructType:
         raise FileNotFoundError(
             f"vt_cdf: no committed version in {table_dir}"
         )
-    schema = VT._manifest_schema(VT._read_manifest(table_dir, latest))
+    m = VT._read_manifest(table_dir, latest)
+    VT._check_protocol(m, table_dir)
+    schema = VT._manifest_schema(m)
     if schema is None:
         raise ValueError(
             f"vt_cdf: {table_dir} has a pre-round-5 manifest without a "
@@ -229,8 +231,16 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
     bounds.append((prev, None))
 
     def hits(f, lo, hi):
+        # the unbounded-lo FIRST sub-range owns every file: manifest
+        # min/max ignore nulls, so a null-key row can hide in ANY file —
+        # the reader keeps it there via the is-null disjunct, and the
+        # range predicates of every later sub-range exclude it (null
+        # comparisons filter out), so null-key rows land in EXACTLY one
+        # sub-task (round-6 ADVICE: they previously vanished from all)
+        if lo is None:
+            return True
         flo, fhi = _key_range(f, key)
-        return (hi is None or flo < hi) and (lo is None or fhi >= lo)
+        return (hi is None or flo < hi) and fhi >= lo
 
     return [
         (
@@ -245,6 +255,7 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
 def _plan_version(table_dir: str, version: int, keys: list[str],
                   schema_json: str) -> list[_CdfSlice]:
     m = VT._read_manifest(table_dir, version)
+    VT._check_protocol(m, table_dir)
     if m.get("vacuumed"):
         raise FileNotFoundError(
             f"vt_cdf: version {version} of {table_dir} was vacuumed; "
@@ -342,34 +353,37 @@ def _read_padded(paths: list[str], target, key: str | None = None,
     CDF schema minus its two prepended fields) — forward schema
     evolution null-pads, exactly like ``vt_read``'s explicit schema.
     ``bounds`` (a half-open key sub-range from a split component) is
-    pushed into the parquet read as row-group filters — except for
-    DV'd files, which must read unfiltered first (the deletion vector
-    addresses rows by PHYSICAL position) and apply bounds after the
-    mask."""
+    pushed into the parquet read as a row-group-prunable expression —
+    except for DV'd files, which must read unfiltered first (the
+    deletion vector addresses rows by PHYSICAL position) and apply
+    bounds after the mask. The unbounded-lo first sub-range carries an
+    is-null disjunct: null merge keys fail every range predicate, so
+    without it a null-key insert/delete would vanish from every
+    sub-range of a split component (round-6 ADVICE fix)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    filters = None
+    expr = None
     if bounds is not None and key is not None:
         lo, hi = bounds
-        conj = []
-        if lo is not None:
-            conj.append((key, ">=", lo))
-        if hi is not None:
-            conj.append((key, "<", hi))
-        filters = conj or None
+        if lo is None:
+            expr = pc.field(key).is_null()
+            if hi is not None:
+                expr = expr | (pc.field(key) < pa.scalar(hi))
+        else:
+            expr = pc.field(key) >= pa.scalar(lo)
+            if hi is not None:
+                expr = expr & (pc.field(key) < pa.scalar(hi))
     cols = list(target)[2:]  # table columns (after the two CDF fields)
     out = []
     for p in paths:
         if dv and p in dv:
             t = _dv_mask(pq.read_table(p), p, dv[p])
-            if filters is not None:
-                for fc, op, v in filters:
-                    cmp = pc.greater_equal if op == ">=" else pc.less
-                    t = t.filter(cmp(t[fc], pa.scalar(v)))
+            if expr is not None:
+                t = t.filter(expr)
         else:
-            t = pq.read_table(p, filters=filters)
+            t = pq.read_table(p, filters=expr)
         arrays = []
         for f in cols:
             if f.name in t.column_names:

@@ -50,6 +50,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql.datasource import (
@@ -165,6 +166,9 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
             return  # replayed epoch: already appended
         schema = StructType.fromJson(json.loads(conn["schema_json"]))
         latest = VT.vt_latest_version(table_dir)
+        VT._check_protocol(
+            VT._read_manifest(table_dir, latest), table_dir, write=True
+        )
         new_version = latest + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(
@@ -205,6 +209,18 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
                 VT._commit(table_dir, new_version, manifest)
                 return
             except VT.VersionConflictError:
+                # re-check the epoch ledger AFTER every lost race: the
+                # winner may have been a concurrent committer of this
+                # SAME batchId (a zombie query racing its restarted
+                # replacement — the scenario Delta's txn-version check
+                # exists for); re-committing here would double-append
+                # the epoch. The promoted files are unreferenced by any
+                # manifest, so dropping the directory is safe.
+                if batch_id is not None and batch_id in (
+                    VT.vt_committed_batch_ids(table_dir)
+                ):
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    return
                 latest = VT.vt_latest_version(table_dir)
                 new_version = latest + 1
         raise VT.VersionConflictError(

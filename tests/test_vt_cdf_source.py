@@ -335,11 +335,16 @@ def test_split_component_unit(monkeypatch):
     assert bounds[0][0] is None and bounds[-1][1] is None
     for (l1, h1), (l2, h2) in zip(bounds, bounds[1:]):
         assert h1 == l2  # contiguous half-open tiles
-    # every sub-slice keeps only files whose range intersects its tile
+    # the unbounded-lo FIRST tile owns every file (null merge keys can
+    # hide in any of them — round-7 fix); every LATER sub-slice keeps
+    # only files whose range intersects its tile
     for sa, sb, (lo, hi) in subs:
+        if lo is None:
+            assert len(sa) == len(ga) and len(sb) == len(gb)
+            continue
         for f in sa + sb:
             flo, fhi = f["stats"]["k"]
-            assert (hi is None or flo < hi) and (lo is None or fhi >= lo)
+            assert (hi is None or flo < hi) and fhi >= lo
     # under the threshold: untouched
     small = SRC._split_component(small_a, small_b, "k")
     assert small == [(small_a, small_b, None)]
