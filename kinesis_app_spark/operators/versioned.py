@@ -474,10 +474,14 @@ def _collect_file_stats(
 
 
 def _write_files_with_stats(
-    df: DataFrame, table_dir: str, version: int
+    df: DataFrame, table_dir: str, version: int,
+    mapping: dict | None = None,
 ) -> tuple[str, list[dict]]:
-    """Write ``df`` as this version's new immutable file set and collect
-    its per-file manifest entries."""
+    """Write ``df`` (LOGICAL names) as this version's new immutable
+    file set and collect its per-file manifest entries. Under an active
+    column ``mapping`` the files (and therefore the stats) carry the
+    stable physical names."""
+    df = _to_physical(df, mapping)
     data_dir = _write_data(df, table_dir, version)
     files = _collect_file_stats(df.sparkSession, data_dir, df.schema)
     if not files:  # empty write: drop the empty shell directory
@@ -768,6 +772,30 @@ def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     ])
 
 
+def _relabel_columns(df: DataFrame, map_from: dict | None,
+                     map_to: dict | None) -> DataFrame:
+    """Rename a DataFrame from one version's LOGICAL names to
+    another's, through the stable physical names (cross-version diffs:
+    a column renamed between the versions is still ONE column).
+    Physicals unknown to the target mapping were DROPPED there and are
+    excluded. Mapping is sticky once activated, so map_to None implies
+    map_from None (identity)."""
+    if not map_from and not map_to:
+        return df
+    mf = map_from or {}
+    inv_to = {p: l for l, p in (map_to or {}).items()}
+    if not inv_to:  # defensive: target unmapped -> physical IS logical
+        return df.select(
+            [F.col(c).alias(mf.get(c, c)) for c in df.columns]
+        )
+    sel = []
+    for c in df.columns:
+        p = mf.get(c, c)
+        if p in inv_to:
+            sel.append(F.col(c).alias(inv_to[p]))
+    return df.select(sel)
+
+
 def _read_snapshot_files(
     spark: SparkSession, paths: list[str], schema: StructType
 ) -> DataFrame:
@@ -796,19 +824,24 @@ def _dv_sig(f: dict):
 
 
 def _read_snapshot_entries(
-    spark: SparkSession, entries: list[dict], schema: StructType
+    spark: SparkSession, entries: list[dict], schema: StructType,
+    mapping: dict | None = None,
 ) -> DataFrame:
     """Entry-aware snapshot read: files without a deletion vector read
     as one plain scan; DV'd files read with parquet row positions
     (``_metadata.row_index``) and anti-join their DV sidecars — the
     soft-deleted rows vanish without the file ever being rewritten.
     The anti-join key is (file path, row position); AQE broadcasts the
-    (small) DV side."""
+    (small) DV side. ``schema`` is the LOGICAL schema; under an active
+    column ``mapping`` the files are read by their stable physical
+    names and renamed back (dropped columns are simply absent from the
+    read schema — free column pruning)."""
+    schema = _phys_struct(schema, mapping)
     plain = [f["path"] for f in entries if not f.get("dv")]
     dvd = [f for f in entries if f.get("dv")]
     df = _read_snapshot_files(spark, plain, schema)
     if not dvd:
-        return df
+        return _to_logical(df, mapping)
     dv_dirs = sorted({d for f in dvd for d in f["dv"]})
     dv = (
         spark.read.parquet(*dv_dirs)
@@ -831,7 +864,7 @@ def _read_snapshot_entries(
         (live["__fp"] == dv["__dv_path"]) & (live["__ri"] == dv["__dv_idx"]),
         "left_anti",
     ).drop("__fp", "__ri")
-    return df.unionByName(kept)
+    return _to_logical(df.unionByName(kept), mapping)
 
 
 def vt_read(
@@ -859,7 +892,9 @@ def vt_read(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
-        return _read_snapshot_entries(spark, files, schema)
+        return _read_snapshot_entries(
+            spark, files, schema, _col_mapping(manifest)
+        )
     # pre-round-5 manifest: one opaque data dir per version
     return spark.read.parquet(manifest["data_dir"])
 
@@ -944,6 +979,13 @@ def vt_merge(
             "the table schema (refusing to silently drop them)"
         )
     evolved = StructType(list(schema.fields) + list(extra))
+    mapping = _col_mapping(manifest)
+    if mapping is not None:
+        # columns added after mapping activation get FRESH physical
+        # names: re-adding a dropped column's logical name must never
+        # resurrect the old physical data still sitting in the files
+        for f in extra:
+            mapping[f.name] = f"col_{uuid.uuid4().hex[:8]}"
 
     # file pruning (round 6: key-SET, not interval): collect the change
     # batch's distinct keys (bounded by _PRUNE_MAX_KEYS) and keep a file
@@ -955,32 +997,43 @@ def vt_merge(
     # for the carried-forward set either way.
     parent_files = vt_files(table_dir, base)
     key_sets = None
+    pkey_cols = None
     chg_stats: dict | None = None
     n_changes = -1
     if parent_files is not None:
+        # pruning statistics are computed over the (logical) change
+        # batch but tested against PHYSICAL per-file stats — translate
+        # the column names once at this boundary
+        def _p(c):
+            return mapping.get(c, c) if mapping else c
+
+        pkeys = [_p(k) for k in keys]
         key_sets = _change_key_sets(changes, keys, max_keys=max_prune_keys)
+        pkey_cols = None
         if key_sets is not None:
+            pkey_cols = {_p(c): v for c, v in key_sets["cols"].items()}
             if key_sets["n"] == 0:
                 touched = []
             else:
                 touched = [
                     f for f in parent_files
-                    if _file_hits_key_set(f, key_sets["cols"])
+                    if _file_hits_key_set(f, pkey_cols)
                 ]
         else:  # > max_prune_keys distinct keys: interval fallback
             n_changes, chg_stats = _change_key_stats(changes, keys)
+            chg_stats = {_p(c): v for c, v in chg_stats.items()}
             if n_changes == 0:
                 touched = []
             else:
                 touched = [
                     f for f in parent_files
-                    if _file_intersects(f, chg_stats, keys)
+                    if _file_intersects(f, chg_stats, pkeys)
                 ]
         t_paths = {f["path"] for f in touched}
         carried = [
             f for f in parent_files if f["path"] not in t_paths
         ]
-        snapshot = _read_snapshot_entries(spark, touched, evolved)
+        snapshot = _read_snapshot_entries(spark, touched, evolved, mapping)
     else:  # pre-round-5 manifest: no stats, rewrite the full snapshot
         carried = []
         t_paths: set[str] = set()
@@ -995,14 +1048,18 @@ def vt_merge(
     )
     new_version = base + 1
     data_dir, new_files = _write_files_with_stats(
-        merged, table_dir, new_version
+        merged, table_dir, new_version, mapping
     )
     if check is not None and new_files:
         # validate from the files already written: the merge join ran
         # exactly once (in the write); a violation unstages and aborts
+        # (files are physical; the CHECK predicate speaks logical)
         n_bad = (
-            spark.read.schema(evolved)
-            .parquet(*[f["path"] for f in new_files])
+            _to_logical(
+                spark.read.schema(_phys_struct(evolved, mapping))
+                .parquet(*[f["path"] for f in new_files]),
+                mapping,
+            )
             .filter(f"NOT ({check})")
             .count()
         )
@@ -1024,6 +1081,8 @@ def vt_merge(
                 sorted(t_paths) if parent is not None else [],
             ),
         }
+        if mapping is not None:
+            out["column_mapping"] = mapping
         if batch_id is not None:
             # streaming epoch ledger: foreachBatch idempotence (Delta's
             # txnAppId/txnVersion discipline) — a replayed epoch finds
@@ -1045,12 +1104,12 @@ def vt_merge(
         this merge's change keys? Uses whichever pruning statistic this
         merge computed (key set, else interval); no statistic means
         conservative yes."""
-        if key_sets is not None:
-            return key_sets["n"] > 0 and _file_hits_key_set(
-                fe, key_sets["cols"]
-            )
+        if pkey_cols is not None:
+            return key_sets["n"] > 0 and _file_hits_key_set(fe, pkey_cols)
         if chg_stats is not None:
-            return n_changes != 0 and _file_intersects(fe, chg_stats, keys)
+            return n_changes != 0 and _file_intersects(
+                fe, chg_stats, pkeys
+            )
         return True
 
     return _commit_optimistic(
@@ -1364,6 +1423,7 @@ def vt_optimize(
         raise FileNotFoundError(f"table {table_dir} does not exist")
     manifest = _read_manifest(table_dir, base)
     _check_protocol(manifest, table_dir, write=True)
+    mapping = _col_mapping(manifest)
     df = vt_read(spark, table_dir, base)
     # sortWithinPartitions matters even with range partitioning: AQE can
     # coalesce a small range shuffle to fewer partitions, and
@@ -1386,26 +1446,28 @@ def vt_optimize(
     new_version = base + 1
     token = uuid.uuid4().hex[:8]
     data_dir = os.path.join(table_dir, "data", f"v{new_version:05d}_{token}")
-    clustered.write.option(
+    _to_physical(clustered, mapping).write.option(
         "maxRecordsPerFile", max_records_per_file
     ).parquet(data_dir)
-    files = _collect_file_stats(spark, data_dir, df.schema)
-    for f in files:
-        # clustering provenance: lets vt_cluster_incremental recognize
-        # already-clustered files and rewrite only the debt
-        f["clustered"] = list(cluster_cols)
-    _commit(
-        table_dir,
-        new_version,
-        {
-            "data_dir": data_dir,
-            "files": files,
-            "n_rows": sum(f["n_rows"] for f in files),
-            "schema": df.schema.jsonValue(),
-            "operation": "OPTIMIZE",
-        },
-        cleanup_dir=data_dir,
+    files = _collect_file_stats(
+        spark, data_dir, _phys_struct(df.schema, mapping)
     )
+    pcols = [(mapping or {}).get(c, c) for c in cluster_cols]
+    for f in files:
+        # clustering provenance (PHYSICAL names — stable across
+        # renames): lets vt_cluster_incremental recognize already-
+        # clustered files and rewrite only the debt
+        f["clustered"] = pcols
+    out = {
+        "data_dir": data_dir,
+        "files": files,
+        "n_rows": sum(f["n_rows"] for f in files),
+        "schema": df.schema.jsonValue(),
+        "operation": "OPTIMIZE",
+    }
+    if mapping is not None:
+        out["column_mapping"] = mapping
+    _commit(table_dir, new_version, out, cleanup_dir=data_dir)
     return new_version
 
 
@@ -1443,14 +1505,16 @@ def vt_cluster_incremental(
         raise ValueError(
             "vt_cluster_incremental needs a file-level manifest"
         )
+    mapping = _col_mapping(manifest)
     cols = list(cluster_cols)
-    debt = [f for f in parent_files if f.get("clustered") != cols]
+    pcols = [(mapping or {}).get(c, c) for c in cols]
+    debt = [f for f in parent_files if f.get("clustered") != pcols]
     if not debt:
         return latest
     t_paths = {f["path"] for f in debt}
     carried = [f for f in parent_files if f["path"] not in t_paths]
     schema = _manifest_schema(manifest)
-    df = _read_snapshot_entries(spark, debt, schema)
+    df = _read_snapshot_entries(spark, debt, schema, mapping)
     if len(cols) > 1:
         zdf, rcols = _zorder_key(
             df, cols, n_rows=sum(f["n_rows"] for f in debt)
@@ -1466,16 +1530,19 @@ def vt_cluster_incremental(
         ).sortWithinPartitions(*[F.col(c) for c in cols])
     new_version = base + 1
     data_dir = _write_data_with_opts(
-        clustered, table_dir, new_version, max_records_per_file
+        _to_physical(clustered, mapping), table_dir, new_version,
+        max_records_per_file,
     )
-    new_files = _collect_file_stats(spark, data_dir, schema)
+    new_files = _collect_file_stats(
+        spark, data_dir, _phys_struct(schema, mapping)
+    )
     if not new_files:
         shutil.rmtree(data_dir, ignore_errors=True)
     for f in new_files:
-        f["clustered"] = cols
+        f["clustered"] = pcols
 
     def _mk_manifest(parent, carried_now, version):
-        return {
+        out = {
             "data_dir": data_dir,
             "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
@@ -1484,6 +1551,9 @@ def vt_cluster_incremental(
                 version, parent, carried_now, new_files, sorted(t_paths)
             ),
         }
+        if mapping is not None:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
@@ -1529,23 +1599,29 @@ def vt_compact(
     small = [f for f in parent_files if f["n_rows"] < min_rows_per_file]
     if len(small) < 2:
         return latest  # no debt to sweep
+    mapping = _col_mapping(manifest)
     t_paths = {f["path"] for f in small}
     carried = [f for f in parent_files if f["path"] not in t_paths]
     schema = _manifest_schema(manifest)
     n_small_rows = sum(f["n_rows"] for f in small)
     target = max(1, min_rows_per_file)
     n_out = max(1, -(-n_small_rows // target))  # ceil
-    df = _read_snapshot_entries(spark, small, schema).coalesce(n_out)
+    df = _read_snapshot_entries(
+        spark, small, schema, mapping
+    ).coalesce(n_out)
     new_version = base + 1
     data_dir = _write_data_with_opts(
-        df, table_dir, new_version, max_records_per_file
+        _to_physical(df, mapping), table_dir, new_version,
+        max_records_per_file,
     )
-    new_files = _collect_file_stats(spark, data_dir, schema)
+    new_files = _collect_file_stats(
+        spark, data_dir, _phys_struct(schema, mapping)
+    )
     if not new_files:
         shutil.rmtree(data_dir, ignore_errors=True)
 
     def _mk_manifest(parent, carried_now, version):
-        return {
+        out = {
             "data_dir": data_dir,
             "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
@@ -1554,6 +1630,9 @@ def vt_compact(
                 version, parent, carried_now, new_files, sorted(t_paths)
             ),
         }
+        if mapping is not None:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
@@ -1604,6 +1683,8 @@ def vt_changes(
     schema_b = _manifest_schema(m_b)
     files_a = vt_files(table_dir, v_from)
     files_b = vt_files(table_dir, v_to)
+    map_a = _col_mapping(m_a)
+    map_b = _col_mapping(m_b)
     if files_a is not None and files_b is not None:
         # exclusivity is by CONTENT signature, not path: a DELETE_DV
         # commit keeps the path and changes only the deletion vector,
@@ -1614,16 +1695,20 @@ def vt_changes(
         before = _read_snapshot_entries(
             spark,
             [f for f in files_a if _dv_sig(f) not in common],
-            schema_a,
+            schema_a, map_a,
         )
         after = _read_snapshot_entries(
             spark,
             [f for f in files_b if _dv_sig(f) not in common],
-            schema_b,
+            schema_b, map_b,
         )
     else:
         before = vt_read(spark, table_dir, v_from)
         after = vt_read(spark, table_dir, v_to)
+    # the diff is presented under the TO version's logical names: a
+    # column renamed between the versions is still one (physical)
+    # column and must not diff as dropped+added; keys are v_to names
+    before = _relabel_columns(before, map_a, map_b)
     # union the two schemas (null-padding the missing side) so forward
     # evolution between v_from and v_to is diffed, not dropped
     for f in after.schema.fields:
@@ -2002,6 +2087,8 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
         out["files"] = target_files
     if target.get("schema") is not None:
         out["schema"] = target["schema"]
+    if target.get("column_mapping"):
+        out["column_mapping"] = target["column_mapping"]
     if target.get("external"):
         out["external"] = True
     # no cleanup_dir: this commit owns no new files — losing the race
@@ -2189,14 +2276,18 @@ def vt_index_bloom(
         raise ValueError(
             "vt_index_bloom needs a file-level manifest (round-5+ table)"
         )
-    cols = list(cols)
+    mapping = _col_mapping(manifest)
+    # bloom entries key on PHYSICAL names — the namespace of the files
+    cols = [
+        (mapping or {}).get(c, c) for c in cols
+    ]
     todo = [
         f for f in files
         if any(c not in (f.get("bloom") or {}) for c in cols)
     ]
     if not todo:
         return latest
-    schema = _manifest_schema(manifest)
+    schema = _phys_struct(_manifest_schema(manifest), mapping)
     aggs = [
         F.sort_array(
             F.collect_set((F.abs(F.xxhash64(F.col(c))) % m).cast("int"))
@@ -2244,6 +2335,8 @@ def vt_index_bloom(
             new_version, files, carried, updated, sorted(t_paths)
         ),
     }
+    if mapping is not None:
+        out["column_mapping"] = mapping
     _commit(table_dir, new_version, out)
     return new_version
 
@@ -2379,8 +2472,12 @@ def vt_scan(
     files = vt_files(table_dir, version)
     if files is not None:
         schema = _manifest_schema(manifest)
-        survivors = _prune_files(spark, files, filters, schema)
-        df = _read_snapshot_entries(spark, survivors, schema)
+        mapping = _col_mapping(manifest)
+        survivors = _prune_files(
+            spark, files, _phys_filters(filters, mapping),
+            _phys_struct(schema, mapping),
+        )
+        df = _read_snapshot_entries(spark, survivors, schema, mapping)
     else:  # pre-round-5 manifest: no stats to prune on
         df = vt_read(spark, table_dir, version)
     return df.filter(_filters_to_column(filters))
@@ -2415,13 +2512,17 @@ def _predicate_rewrite(
     _check_protocol(manifest, table_dir, write=True)
     filters = list(filters)
     pred = _filters_to_column(filters)
+    mapping = _col_mapping(manifest)
+    pfilters = _phys_filters(filters, mapping)
     parent_files = vt_files(table_dir, base)
     if parent_files is not None:
         schema = _manifest_schema(manifest)
-        touched = _prune_files(spark, parent_files, filters, schema)
+        touched = _prune_files(
+            spark, parent_files, pfilters, _phys_struct(schema, mapping)
+        )
         t_paths = {f["path"] for f in touched}
         carried = [f for f in parent_files if f["path"] not in t_paths]
-        snapshot = _read_snapshot_entries(spark, touched, schema)
+        snapshot = _read_snapshot_entries(spark, touched, schema, mapping)
     else:  # pre-round-5 manifest: full rewrite
         carried = []
         touched = []
@@ -2431,11 +2532,11 @@ def _predicate_rewrite(
     rewritten = rewrite_fn(snapshot, pred)
     new_version = base + 1
     data_dir, new_files = _write_files_with_stats(
-        rewritten, table_dir, new_version
+        rewritten, table_dir, new_version, mapping
     )
 
     def _mk_manifest(parent, carried_now, version):
-        return {
+        out = {
             "data_dir": data_dir,
             "n_rows": _live_rows(carried_now + new_files),
             "schema": schema.jsonValue(),
@@ -2445,6 +2546,9 @@ def _predicate_rewrite(
                 sorted(t_paths) if parent is not None else [],
             ),
         }
+        if mapping is not None:
+            out["column_mapping"] = mapping
+        return out
 
     if parent_files is None:
         _commit(
@@ -2455,7 +2559,7 @@ def _predicate_rewrite(
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
         t_paths, data_dir, parent_files, carried, new_version,
-        _mk_manifest, lambda fe: _filter_may_match(fe, filters),
+        _mk_manifest, lambda fe: _filter_may_match(fe, pfilters),
         f"vt_{operation.lower()}",
     )
 
@@ -2537,17 +2641,22 @@ def _delete_dv_once(
     filters = list(filters)
     pred = _filters_to_column(filters)
     schema = _manifest_schema(manifest)
-    cand = _prune_files(spark, parent_files, filters, schema)
+    mapping = _col_mapping(manifest)
+    cand = _prune_files(
+        spark, parent_files, _phys_filters(filters, mapping),
+        _phys_struct(schema, mapping),
+    )
     if not cand:
         return latest
-    live = (
-        spark.read.schema(schema)
+    live = _to_logical(
+        spark.read.schema(_phys_struct(schema, mapping))
         .parquet(*[f["path"] for f in cand])
         .withColumn(
             "__fp",
             F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
         )
-        .withColumn("__ri", F.col("_metadata.row_index"))
+        .withColumn("__ri", F.col("_metadata.row_index")),
+        mapping, keep=("__fp", "__ri"),
     )
     hits = live.filter(pred).select(
         F.col("__fp").alias("path"), F.col("__ri").alias("row_index")
@@ -2587,6 +2696,8 @@ def _delete_dv_once(
             new_version, parent_files, carried, updated, sorted(t_paths)
         ),
     }
+    if mapping is not None:
+        out["column_mapping"] = mapping
     try:
         _commit(table_dir, new_version, out)
     except VersionConflictError:
@@ -2634,6 +2745,128 @@ def vt_update(
     return _predicate_rewrite(
         spark, table_dir, filters, "UPDATE", apply, expected_version
     )
+
+
+def _schema_change_commit(
+    table_dir: str, op_name: str, change_fn
+) -> int:
+    """Shared shape of metadata-only schema DDL (RENAME/DROP COLUMN):
+    derive the new (logical schema, mapping) from the CURRENT latest via
+    ``change_fn(schema, mapping) -> (new_schema, new_mapping)`` and
+    commit a version that carries the SAME files — ``add``/``remove``
+    both empty, so the commit payload is a few hundred bytes whatever
+    the table size. Losing a commit race re-derives from the new latest
+    and retries (the DDL depends only on names, never on data), bounded
+    by ``_COMMIT_MAX_SPINS``."""
+    for _spin in range(_COMMIT_MAX_SPINS):
+        latest = vt_latest_version(table_dir)
+        if latest < 0:
+            raise FileNotFoundError(f"table {table_dir} does not exist")
+        manifest = _read_manifest(table_dir, latest)
+        _check_protocol(manifest, table_dir, write=True)
+        schema = _manifest_schema(manifest)
+        if schema is None:
+            raise ValueError(
+                f"{op_name} needs a manifest-stored schema "
+                "(round-5+ table); rewrite the table (vt_optimize) first"
+            )
+        parent_files = vt_files(table_dir, latest)
+        if parent_files is None:
+            raise ValueError(
+                f"{op_name} needs a file-level manifest (round-5+ "
+                "table); rewrite the table (vt_optimize) first"
+            )
+        mapping = _col_mapping(manifest)
+        if mapping is None:
+            # lazy activation: physical names freeze at the CURRENT
+            # logical names — exactly what the already-written
+            # immutable files contain, so no file is ever rewritten
+            mapping = {f.name: f.name for f in schema.fields}
+        new_schema, new_mapping = change_fn(schema, mapping)
+        new_version = latest + 1
+        out = {
+            "data_dir": manifest.get("data_dir"),
+            "n_rows": int(manifest["n_rows"]),
+            "schema": new_schema.jsonValue(),
+            "column_mapping": new_mapping,
+            "operation": op_name,
+            **_incremental_or_full(
+                new_version, parent_files, list(parent_files), [], []
+            ),
+        }
+        try:
+            _commit(table_dir, new_version, out)
+            return new_version
+        except VersionConflictError:
+            continue  # re-derive against the new latest
+    raise VersionConflictError(
+        f"{op_name} on {table_dir}: starved by {_COMMIT_MAX_SPINS} "
+        "consecutive commit races; serialize writers"
+    )
+
+
+def vt_rename_column(table_dir: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN, METADATA-ONLY (Delta's column
+    mapping): the logical name changes over the column's stable
+    physical name; NO data file is rewritten — at 100 TB a rename is a
+    few hundred manifest bytes, not a table copy. Old versions stay
+    readable under their old logical names (each manifest carries its
+    own schema + mapping); per-file stats, blooms, and deletion vectors
+    keep working because they key on the physical name, which never
+    changes. Activates the ``column_mapping`` table feature on first
+    use — readers without the feature refuse loudly (_check_protocol)
+    instead of surfacing physical names."""
+
+    def change(schema: StructType, mapping: dict):
+        if old not in schema.names:
+            raise ValueError(
+                f"vt_rename_column: no column {old!r} in "
+                f"{schema.names}"
+            )
+        if new in schema.names:
+            raise ValueError(
+                f"vt_rename_column: column {new!r} already exists"
+            )
+        from pyspark.sql.types import StructField
+
+        new_schema = StructType([
+            StructField(new if f.name == old else f.name,
+                        f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ])
+        new_mapping = dict(mapping)
+        new_mapping[new] = new_mapping.pop(old)
+        return new_schema, new_mapping
+
+    return _schema_change_commit(table_dir, "RENAME_COLUMN", change)
+
+
+def vt_drop_column(table_dir: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN, METADATA-ONLY: the column leaves
+    the logical schema and the mapping; its physical data stays in the
+    immutable files, simply never read (reads build their schema from
+    the logical fields, so the dropped physical is column-pruned for
+    free — Delta's drop semantics). A column later ADDED with the same
+    logical name gets a fresh physical name (``vt_merge``
+    merge_schema), so the old data can never resurrect. Old versions
+    still show the column (their manifests keep their own schema)."""
+
+    def change(schema: StructType, mapping: dict):
+        if col not in schema.names:
+            raise ValueError(
+                f"vt_drop_column: no column {col!r} in {schema.names}"
+            )
+        if len(schema.fields) == 1:
+            raise ValueError(
+                "vt_drop_column: refusing to drop the last column"
+            )
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        new_mapping = {l: p for l, p in mapping.items() if l != col}
+        return new_schema, new_mapping
+
+    return _schema_change_commit(table_dir, "DROP_COLUMN", change)
 
 
 def vt_merge_retry(

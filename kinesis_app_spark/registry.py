@@ -1675,6 +1675,9 @@ from kinesis_app_spark.registry_round6 import REGISTRY_ROUND6  # noqa: E402
 
 _r6._bind_erasure_oracle()
 REGISTRY.update(REGISTRY_ROUND6)
+from kinesis_app_spark.registry_round7 import REGISTRY_ROUND7  # noqa: E402
+
+REGISTRY.update(REGISTRY_ROUND7)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -90,13 +90,18 @@ class _CdfSlice(InputPartition):
                  after: list[str], keys: list[str], schema_json: str,
                  key_bounds: tuple | None = None,
                  dv_before: dict | None = None,
-                 dv_after: dict | None = None):
+                 dv_after: dict | None = None,
+                 mapping: dict | None = None):
         self.version = version
         self.kind = kind
         self.before = before
         self.after = after
         self.keys = keys
         self.schema_json = schema_json
+        #: logical -> stable PHYSICAL column names (the names inside
+        #: the parquet files and per-file stats) for a column-mapped
+        #: table; None for unmapped tables (physical == logical)
+        self.mapping = mapping
         #: (lo, hi) half-open sub-range on keys[0] for split oversized
         #: components (None end = unbounded); pushed into the parquet
         #: read so each sub-task touches only matching row groups
@@ -253,7 +258,8 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
 
 
 def _plan_version(table_dir: str, version: int, keys: list[str],
-                  schema_json: str) -> list[_CdfSlice]:
+                  schema_json: str,
+                  mapping: dict | None = None) -> list[_CdfSlice]:
     m = VT._read_manifest(table_dir, version)
     VT._check_protocol(m, table_dir)
     if m.get("vacuumed"):
@@ -261,13 +267,16 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
             f"vt_cdf: version {version} of {table_dir} was vacuumed; "
             "start the stream at the earliest non-vacuumed version"
         )
+    # per-file stats and parquet columns key on PHYSICAL names
+    pkey = (mapping or {}).get(keys[0], keys[0])
     if version == 0:
         files = VT.vt_files(table_dir, 0)
         if files is None:  # pre-round-5 manifest: one opaque dir
             return [_CdfSlice(0, "snapshot_dir", [], [m["data_dir"]],
-                              keys, schema_json)]
+                              keys, schema_json, mapping=mapping)]
         return [
-            _CdfSlice(0, "snapshot", [], [f["path"]], keys, schema_json)
+            _CdfSlice(0, "snapshot", [], [f["path"]], keys, schema_json,
+                      mapping=mapping)
             for f in files
         ]
     prev = VT._read_manifest(table_dir, version - 1)
@@ -302,10 +311,10 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
             version, "diff",
             [f["path"] for f in sa], [f["path"] for f in sb],
             keys, schema_json, key_bounds=kb,
-            dv_before=dv_map(sa), dv_after=dv_map(sb),
+            dv_before=dv_map(sa), dv_after=dv_map(sb), mapping=mapping,
         )
-        for ga, gb in _group_by_key_range(excl_a, excl_b, keys[0])
-        for sa, sb, kb in _split_component(ga, gb, keys[0])
+        for ga, gb in _group_by_key_range(excl_a, excl_b, pkey)
+        for sa, sb, kb in _split_component(ga, gb, pkey)
     ]
 
 
@@ -348,7 +357,8 @@ def _dv_mask(t, path: str, dv_dirs: list[str]):
 
 
 def _read_padded(paths: list[str], target, key: str | None = None,
-                 bounds: tuple | None = None, dv: dict | None = None):
+                 bounds: tuple | None = None, dv: dict | None = None,
+                 mapping: dict | None = None):
     """Read files and pad/cast to the table columns of ``target`` (the
     CDF schema minus its two prepended fields) — forward schema
     evolution null-pads, exactly like ``vt_read``'s explicit schema.
@@ -386,8 +396,11 @@ def _read_padded(paths: list[str], target, key: str | None = None,
             t = pq.read_table(p, filters=expr)
         arrays = []
         for f in cols:
-            if f.name in t.column_names:
-                arrays.append(t[f.name].combine_chunks().cast(f.type))
+            # files store PHYSICAL names; output is LOGICAL (columns
+            # added after a file was written null-pad, exactly vt_read)
+            pn = (mapping or {}).get(f.name, f.name)
+            if pn in t.column_names:
+                arrays.append(t[pn].combine_chunks().cast(f.type))
             else:
                 arrays.append(pa.nulls(t.num_rows, f.type))
         out.append(pa.table(dict(zip([f.name for f in cols], arrays))))
@@ -434,10 +447,11 @@ def _read_slice(partition: _CdfSlice):
     import pyarrow as pa
 
     target = _arrow_target(partition.schema_json)
+    mapping = partition.mapping
     if partition.kind in ("snapshot", "snapshot_dir"):
         paths = (partition.after if partition.kind == "snapshot"
                  else _list_parquet(partition.after[0]))
-        tbl = _read_padded(paths, target)
+        tbl = _read_padded(paths, target, mapping=mapping)
         yield from _emit(tbl, target, partition.version, "insert")
         return
     before_paths = (partition.before if partition.kind == "diff"
@@ -445,10 +459,13 @@ def _read_slice(partition: _CdfSlice):
     after_paths = (partition.after if partition.kind == "diff"
                    else _list_parquet(partition.after[0]))
     keys = partition.keys
-    before = _read_padded(before_paths, target, keys[0],
-                          partition.key_bounds, partition.dv_before)
-    after = _read_padded(after_paths, target, keys[0],
-                         partition.key_bounds, partition.dv_after)
+    pkey = (mapping or {}).get(keys[0], keys[0])
+    before = _read_padded(before_paths, target, pkey,
+                          partition.key_bounds, partition.dv_before,
+                          mapping)
+    after = _read_padded(after_paths, target, pkey,
+                         partition.key_bounds, partition.dv_after,
+                         mapping)
     vals = [f.name for f in list(target)[2:] if f.name not in keys]
     typs = {f.name: f.type for f in target}
     bdf = before.to_pandas(types_mapper=pd.ArrowDtype)
@@ -493,7 +510,7 @@ def _read_slice(partition: _CdfSlice):
 # ---------------------------------------------------------------------
 
 
-def _common_opts(options) -> tuple[str, list[str], int, str]:
+def _common_opts(options) -> tuple[str, list[str], int, str, dict | None]:
     path = options.get("path")
     if not path:
         raise ValueError("vt_cdf: option 'path' (the table dir) is required")
@@ -508,7 +525,13 @@ def _common_opts(options) -> tuple[str, list[str], int, str]:
     schema_json = __import__("json").dumps(
         _cdf_schema(path).jsonValue()
     )
-    return path, keys, start, schema_json
+    # the LATEST mapping resolves logical -> physical for files of
+    # EVERY version: physical names are stable forever (renames are
+    # metadata-only), and the stream presents the latest logical schema
+    mapping = VT._col_mapping(
+        VT._read_manifest(path, VT.vt_latest_version(path))
+    )
+    return path, keys, start, schema_json, mapping
 
 
 class VersionedCdfBatchReader(DataSourceReader):
@@ -518,9 +541,8 @@ class VersionedCdfBatchReader(DataSourceReader):
     key-range diff partitions as the stream."""
 
     def __init__(self, options):
-        self.path, self.keys, self.start, self.schema_json = _common_opts(
-            options
-        )
+        (self.path, self.keys, self.start, self.schema_json,
+         self.mapping) = _common_opts(options)
         latest = VT.vt_latest_version(self.path)
         self.end = int(options.get("endversion", latest))
         if self.end > latest:
@@ -532,7 +554,8 @@ class VersionedCdfBatchReader(DataSourceReader):
         slices = []
         for v in range(self.start, self.end + 1):
             slices.extend(
-                _plan_version(self.path, v, self.keys, self.schema_json)
+                _plan_version(self.path, v, self.keys, self.schema_json,
+                              self.mapping)
             )
         return slices or [
             # Spark requires >=1 partition; an empty slice yields nothing
@@ -563,9 +586,8 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
     readers."""
 
     def __init__(self, options):
-        self.path, self.keys, self.start, self.schema_json = _common_opts(
-            options
-        )
+        (self.path, self.keys, self.start, self.schema_json,
+         self.mapping) = _common_opts(options)
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         self._planned: int | None = None
 
@@ -584,7 +606,8 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         slices = []
         for v in range(lo, hi):
             slices.extend(
-                _plan_version(self.path, v, self.keys, self.schema_json)
+                _plan_version(self.path, v, self.keys, self.schema_json,
+                              self.mapping)
             )
         return slices or [
             _CdfSlice(lo, "diff", [], [], self.keys, self.schema_json)

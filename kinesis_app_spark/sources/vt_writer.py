@@ -1,7 +1,22 @@
-"""Versioned-table APPEND as a registered Spark SINK (``vt_table``).
+"""Versioned tables as a registered Spark DataSource (``vt_table``):
+APPEND sink (batch + streaming) AND, since round 7, a BATCH READER with
+time travel — the last step to "a real table format": any Spark SQL
+consumer reads a versioned table with zero engine imports,
 
-Closes the source/sink symmetry with ``vt_cdf``: a stream (or batch
-job) INSERTs into a versioned table through Spark's own sink protocol —
+    spark.read.format("vt_table").option("path", table_dir).load()
+    spark.read.format("vt_table").option("path", d)
+         .option("versionAsOf", "3").load()          # or timestampAsOf
+
+The reader plans one input partition PER FILE from the resolved
+version's manifest (driver-side metadata only), applies deletion-vector
+masks executor-side by parquet row position, reads files by their
+stable PHYSICAL column names (column mapping) with the projection
+pushed into the pyarrow read, and null-pads files written before a
+schema evolution — exactly ``vt_read``'s semantics behind the standard
+source API.
+
+The SINK half: a stream (or batch job) INSERTs into a versioned table
+through Spark's own sink protocol —
 
     df.writeStream.format("vt_table")
       .option("path", table_dir)
@@ -55,8 +70,10 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -79,9 +96,31 @@ def _conn(options, schema: StructType) -> dict:
     if not path:
         raise ValueError("vt_table: option 'path' (the table dir) is "
                          "required")
+    # column mapping snapshot (plan time, driver side): the stream's
+    # schema speaks LOGICAL names; a mapped table's files carry stable
+    # PHYSICAL names, so the staging tasks must translate. The commit
+    # phase re-verifies the mapping is unchanged (a rename racing a
+    # running stream aborts the epoch loudly instead of writing files
+    # under stale names).
+    mapping = None
+    latest = VT.vt_latest_version(path)
+    if latest >= 0:
+        m = VT._read_manifest(path, latest)
+        VT._check_protocol(m, path, write=True)
+        mapping = VT._col_mapping(m)
+        if mapping is not None:
+            missing = [f.name for f in schema.fields
+                       if f.name not in mapping]
+            if missing:
+                raise ValueError(
+                    f"vt_table: stream columns {missing} are not in the "
+                    "mapped table's schema; evolve the table first "
+                    "(vt_merge merge_schema)"
+                )
     return {
         "path": path,
         "schema_json": json.dumps(schema.jsonValue()),
+        "mapping": mapping,
     }
 
 
@@ -114,7 +153,10 @@ def _stage_rows(conn: dict, iterator) -> VtStageMsg:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    schema = StructType.fromJson(json.loads(conn["schema_json"]))
+    schema = VT._phys_struct(
+        StructType.fromJson(json.loads(conn["schema_json"])),
+        conn.get("mapping"),
+    )
     target = to_arrow_schema(schema)
     rows = list(iterator)
     if not rows:
@@ -164,11 +206,19 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
             table_dir
         ):
             return  # replayed epoch: already appended
-        schema = StructType.fromJson(json.loads(conn["schema_json"]))
-        latest = VT.vt_latest_version(table_dir)
-        VT._check_protocol(
-            VT._read_manifest(table_dir, latest), table_dir, write=True
+        schema = VT._phys_struct(
+            StructType.fromJson(json.loads(conn["schema_json"])),
+            conn.get("mapping"),
         )
+        latest = VT.vt_latest_version(table_dir)
+        latest_m = VT._read_manifest(table_dir, latest)
+        VT._check_protocol(latest_m, table_dir, write=True)
+        if VT._col_mapping(latest_m) != conn.get("mapping"):
+            raise VT.VersionConflictError(
+                "vt_table: the table's column mapping changed while "
+                "this write was staged (concurrent RENAME/DROP); "
+                "restart the write against the new schema"
+            )
         new_version = latest + 1
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(
@@ -195,14 +245,21 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
             manifest = {
                 "data_dir": data_dir,
                 "n_rows": VT._live_rows(carried + new_files),
-                "schema": conn["schema_json"] and json.loads(
-                    conn["schema_json"]
+                # a mapped table keeps ITS logical schema + mapping (the
+                # stream's columns were verified a subset at plan time);
+                # an unmapped table records the stream's schema as before
+                "schema": (
+                    latest_m.get("schema")
+                    if conn.get("mapping") is not None
+                    else json.loads(conn["schema_json"])
                 ),
                 "operation": "APPEND",
                 **VT._incremental_or_full(
                     new_version, parent_files, carried, new_files, []
                 ),
             }
+            if conn.get("mapping") is not None:
+                manifest["column_mapping"] = conn["mapping"]
             if batch_id is not None:
                 manifest["batch_id"] = int(batch_id)
             try:
@@ -286,19 +343,144 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
         _abort_staged(messages)
 
 
+class _VtFileSlice(InputPartition):
+    """One input partition = one manifest file entry. Carries the file
+    path, its deletion-vector sidecars, the version's LOGICAL schema,
+    and the column mapping — executors never touch the manifest dir."""
+
+    def __init__(self, path: str | None, dv: list[str],
+                 schema_json: str, mapping: dict | None):
+        self.path = path
+        self.dv = dv
+        self.schema_json = schema_json
+        self.mapping = mapping
+
+
+def _resolve_read_version(options) -> tuple[str, int]:
+    path = options.get("path")
+    if not path:
+        raise ValueError("vt_table: option 'path' (the table dir) is "
+                         "required")
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "vt_table: pass versionAsOf OR timestampAsOf, not both"
+        )
+    if ts is not None:
+        try:
+            when = float(ts)
+        except ValueError:
+            when = dt.datetime.fromisoformat(ts)
+        return path, VT.vt_version_at_timestamp(path, when)
+    if v is not None:
+        return path, int(v)
+    latest = VT.vt_latest_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"vt_table: no committed version in {path}")
+    return path, latest
+
+
+def _read_manifest_for_read(path: str, version: int) -> dict:
+    m = VT._read_manifest(path, version)
+    VT._check_protocol(m, path)
+    if m.get("vacuumed"):
+        raise FileNotFoundError(
+            f"vt_table: version {version} of {path} was vacuumed"
+        )
+    if VT._manifest_schema(m) is None:
+        raise ValueError(
+            "vt_table: the manifest stores no schema (pre-round-5 "
+            "table); rewrite it (vt_optimize) first"
+        )
+    return m
+
+
+def _read_file_slice(partition: _VtFileSlice):
+    """Executor-side: one file -> Arrow batches in the LOGICAL schema.
+    DV mask by parquet row position (read order), physical->logical
+    rename, null-pad columns the file predates, column-pruned read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from kinesis_app_spark.sources.vt_cdf import _dv_mask
+
+    if not partition.path:
+        return
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    mapping = partition.mapping or {}
+    present = set(pq.read_schema(partition.path).names)
+    want = sorted({
+        mapping.get(f.name, f.name) for f in target
+    } & present)
+    t = pq.read_table(partition.path, columns=want)
+    if partition.dv:
+        t = _dv_mask(t, partition.path, partition.dv)
+    arrays = []
+    for f in target:
+        pn = mapping.get(f.name, f.name)
+        if pn in t.column_names:
+            arrays.append(t[pn].combine_chunks().cast(f.type))
+        else:
+            arrays.append(pa.nulls(t.num_rows, f.type))
+    out = pa.table(
+        dict(zip([f.name for f in target], arrays))
+    ).cast(target).combine_chunks()
+    yield from out.to_batches()
+
+
+class VersionedTableBatchReader(DataSourceReader):
+    """``spark.read.format("vt_table")`` — snapshot read with time
+    travel. Planning is pure manifest metadata; one partition per file
+    parallelizes like any parquet scan."""
+
+    def __init__(self, options):
+        self.path, self.version = _resolve_read_version(options)
+        m = _read_manifest_for_read(self.path, self.version)
+        self.schema_json = json.dumps(m["schema"])
+        self.mapping = VT._col_mapping(m)
+        files = VT.vt_files(self.path, self.version)
+        if files is None:
+            raise ValueError(
+                "vt_table: reading needs a file-level manifest "
+                "(round-5+ table); rewrite it (vt_optimize) first"
+            )
+        self.files = files
+
+    def partitions(self):
+        return [
+            _VtFileSlice(f["path"], list(f.get("dv") or ()),
+                         self.schema_json, self.mapping)
+            for f in self.files
+        ] or [
+            # Spark requires >= 1 partition; an empty table yields none
+            _VtFileSlice(None, [], self.schema_json, self.mapping)
+        ]
+
+    def read(self, partition: _VtFileSlice):
+        return _read_file_slice(partition)
+
+
 class VersionedTableDataSource(DataSource):
-    """Options: path (table dir, required). Append-only by design —
-    see the module docstring for the MERGE split."""
+    """Options: path (table dir, required); reads take versionAsOf /
+    timestampAsOf (epoch seconds or ISO datetime). Writes are
+    append-only by design — see the module docstring for the MERGE
+    split."""
 
     @classmethod
     def name(cls):
         return "vt_table"
 
     def schema(self):
-        raise ValueError(
-            "vt_table is a sink; read versioned tables via vt_read or "
-            "the vt_cdf source"
-        )
+        path, version = _resolve_read_version(self.options)
+        m = _read_manifest_for_read(path, version)
+        return VT._manifest_schema(m)
+
+    def reader(self, schema):
+        return VersionedTableBatchReader(self.options)
 
     def writer(self, schema, overwrite):
         if overwrite:

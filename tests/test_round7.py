@@ -115,3 +115,281 @@ def test_unstamped_tables_read_unchanged(spark, tmp_path):
     _mk(spark, table)
     _edit_manifest(table, 0, lambda m: m.pop("protocol", None))
     assert VT.vt_read(spark, table).count() == 12
+
+
+# ---------------------------------------------------------------------
+# column mapping: rename/drop without rewriting data files
+# ---------------------------------------------------------------------
+
+
+def _data_files(table):
+    root = os.path.join(table, "data")
+    return {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(root)
+        for f in fs if f.endswith(".parquet")
+    }
+
+
+def test_rename_is_metadata_only_and_time_travel_keeps_old_name(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    before_files = _data_files(table)
+    v = VT.vt_rename_column(table, "v", "amount")
+    assert _data_files(table) == before_files  # NO data file written
+    m = VT._read_manifest(table, v)
+    assert m.get("add") == [] and m.get("remove") == []  # O(1) payload
+    assert "column_mapping" in m
+    assert "column_mapping" in m["protocol"]["features"]
+    # new logical name, same values
+    now = VT.vt_read(spark, table)
+    assert now.columns == ["k", "amount", "grp"]
+    assert now.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 10 for i in range(12)
+    )
+    # the old version still answers under the OLD name
+    old = VT.vt_read(spark, table, version=v - 1)
+    assert old.columns == ["k", "v", "grp"]
+    assert old.agg(F.sum("v")).collect()[0][0] == sum(
+        i * 10 for i in range(12)
+    )
+
+
+def test_merge_and_prune_after_rename(spark, tmp_path):
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(100).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 10).cast("long").alias("v"),
+        ).repartitionByRange(4, "k").sortWithinPartitions("k"),
+        table,
+    )
+    VT.vt_rename_column(table, "v", "amount")
+    n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
+    assert n_files >= 3
+    chg = spark.createDataFrame([(5, 555, "U")],
+                                "k long, amount long, op string")
+    v = VT.vt_merge(spark, table, chg, keys=["k"])
+    # key-set pruning still works: the merge rewrote a strict subset
+    delta = VT._commit_delta(table, v)
+    assert delta is not None
+    added, removed = delta
+    assert 0 < len(removed) < n_files
+    got = VT.vt_read(spark, table).filter("k = 5").collect()
+    assert got[0]["amount"] == 555
+    # stats-pruned scan on the renamed column == plain filter
+    assert (
+        VT.vt_scan(spark, table, [("amount", "=", 555)]).collect()
+        == VT.vt_read(spark, table).filter("amount = 555").collect()
+    )
+
+
+def test_drop_column_and_readd_gets_fresh_physical(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    before_files = _data_files(table)
+    v_drop = VT.vt_drop_column(table, "v")
+    assert _data_files(table) == before_files  # metadata-only
+    assert VT.vt_read(spark, table).columns == ["k", "grp"]
+    # the dropped column survives in history
+    assert "v" in VT.vt_read(spark, table, version=v_drop - 1).columns
+    # re-adding logical "v" maps to a FRESH physical: old data must
+    # NOT resurrect (pre-existing rows read null, not the old values)
+    chg = spark.createDataFrame(
+        [(0, 0, -1, "U")], "k long, grp int, v long, op string"
+    )
+    VT.vt_merge(spark, table, chg, keys=["k"], merge_schema=True)
+    m = VT._read_manifest(table, VT.vt_latest_version(table))
+    assert m["column_mapping"]["v"].startswith("col_")
+    rows = {r["k"]: r["v"] for r in VT.vt_read(spark, table).collect()}
+    assert rows[0] == -1
+    assert all(rows[k] is None for k in rows if k != 0)
+
+
+def test_delete_dv_and_update_after_rename(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    VT.vt_rename_column(table, "v", "amount")
+    VT.vt_delete_dv(spark, table, [("amount", "=", 30)])
+    assert VT.vt_read(spark, table).filter("amount = 30").count() == 0
+    VT.vt_update(spark, table, [("k", "=", 7)],
+                 {"amount": "amount + 1000"})
+    assert VT.vt_read(spark, table).filter("k = 7").collect()[0][
+        "amount"
+    ] == 1070
+    # bloom index on the renamed column still prunes correctly
+    VT.vt_index_bloom(spark, table, ["amount"])
+    assert (
+        VT.vt_scan(spark, table, [("amount", "=", 1070)]).count() == 1
+    )
+
+
+def test_cdf_across_rename(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    v0 = VT.vt_latest_version(table)
+    v_ren = VT.vt_rename_column(table, "v", "amount")
+    # the rename commit itself changes NOTHING: identical file set
+    assert VT.vt_changes(spark, table, v_ren - 1, v_ren,
+                         keys=["k"]).count() == 0
+    chg = spark.createDataFrame([(3, 333, 0, "U")],
+                                "k long, amount long, grp int, op string")
+    v2 = VT.vt_merge(spark, table, chg, keys=["k"])
+    # a diff SPANNING the rename reports under the TO version's names,
+    # and the renamed column is one column, not dropped+added
+    cdf = VT.vt_changes(spark, table, v0, v2, keys=["k"])
+    assert "amount" in cdf.columns and "v" not in cdf.columns
+    rows = {(r["_change_type"], r["k"]): r["amount"]
+            for r in cdf.collect()}
+    assert rows == {("update_preimage", 3): 30,
+                    ("update_postimage", 3): 333}
+
+
+def test_vt_cdf_source_on_mapped_table(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    VT.vt_rename_column(table, "v", "amount")
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(4, 444, 1, "U")],
+                              "k long, amount long, grp int, op string"),
+        keys=["k"],
+    )
+    CDF.register(spark)
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k")
+        .load()
+    )
+    assert "amount" in got.columns
+    final = {
+        (r["_change_type"], r["k"], r["amount"])
+        for r in got.filter(
+            F.col("_commit_version") == VT.vt_latest_version(table)
+        ).collect()
+    }
+    assert final == {("update_preimage", 4, 40),
+                     ("update_postimage", 4, 444)}
+    # the full tail reconciles to the current snapshot row count
+    inserts = got.filter("_change_type = 'insert'").count()
+    assert inserts >= 12
+
+
+def test_sink_append_to_mapped_table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    VT.vt_rename_column(table, "v", "amount")
+    from kinesis_app_spark.sources.vt_writer import register
+
+    register(spark)
+    (
+        spark.createDataFrame([(100, 1000, 1)],
+                              "k long, amount long, grp int")
+        .write.format("vt_table").mode("append")
+        .option("path", table).save()
+    )
+    got = VT.vt_read(spark, table).filter("k = 100").collect()
+    assert got[0]["amount"] == 1000
+    # sink-written file stats are PHYSICAL: a scan on the logical name
+    # still prunes+finds the row
+    assert VT.vt_scan(spark, table, [("amount", "=", 1000)]).count() == 1
+
+
+def test_maintenance_ops_on_mapped_table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(60).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 10).cast("long").alias("v"),
+            (F.col("id") % 5).cast("int").alias("grp"),
+        ).repartition(6),
+        table,
+    )
+    VT.vt_rename_column(table, "v", "amount")
+    total = 60 * 59 // 2 * 10
+    VT.vt_compact(spark, table, min_rows_per_file=1000)
+    assert VT.vt_read(spark, table).agg(
+        F.sum("amount")
+    ).collect()[0][0] == total
+    VT.vt_optimize(spark, table, ["amount"], zorder=False)
+    assert VT.vt_read(spark, table).agg(
+        F.sum("amount")
+    ).collect()[0][0] == total
+    # clustered provenance is physical: incremental clustering sees no
+    # debt right after the full optimize
+    latest = VT.vt_latest_version(table)
+    assert VT.vt_cluster_incremental(spark, table, ["amount"]) == latest
+
+
+# ---------------------------------------------------------------------
+# vt_table BATCH READER (round-7: the read half of the DataSource)
+# ---------------------------------------------------------------------
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_vt_table_batch_reader_matches_vt_read(spark, tmp_path):
+    from kinesis_app_spark.sources.vt_writer import register
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=20)
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(3, 333, 0, "U"), (5, 0, 0, "D")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    VT.vt_delete_dv(spark, table, [("k", "=", 7)])
+    VT.vt_rename_column(table, "v", "amount")
+    register(spark)
+    got = (
+        spark.read.format("vt_table").option("path", table).load()
+    )
+    assert got.columns == ["k", "amount", "grp"]
+    assert _canon(got) == _canon(VT.vt_read(spark, table))
+    # soft-deleted + merged rows respected through the source API
+    ks = {r["k"] for r in got.collect()}
+    assert 5 not in ks and 7 not in ks
+    assert got.filter("k = 3").collect()[0]["amount"] == 333
+
+
+def test_vt_table_reader_time_travel_options(spark, tmp_path):
+    from kinesis_app_spark.sources.vt_writer import register
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=6)
+    m0 = VT._read_manifest(table, 0)
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(2, 222, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    VT.vt_rename_column(table, "v", "amount")
+    register(spark)
+    old = (
+        spark.read.format("vt_table").option("path", table)
+        .option("versionAsOf", "0").load()
+    )
+    # the resolved version's OWN schema (pre-rename logical names)
+    assert old.columns == ["k", "v", "grp"]
+    assert _canon(old) == _canon(VT.vt_read(spark, table, version=0))
+    ts = (
+        spark.read.format("vt_table").option("path", table)
+        .option("timestampAsOf", str(m0["committed_at"])).load()
+    )
+    assert _canon(ts) == _canon(old)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("vt_table").option("path", table)
+            .option("versionAsOf", "0")
+            .option("timestampAsOf", "1.0").load()
+        )
