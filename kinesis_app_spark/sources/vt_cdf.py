@@ -52,10 +52,17 @@ identical record sets at every retry granularity.
 Contract notes: keys must be unique per version (the MERGE invariant);
 schema is the LATEST version's (forward evolution null-pads older
 files, same as ``vt_read``); a version below the earliest non-vacuumed
-manifest cannot be tailed (clear error, not a missing-file stack);
-column pruning does not reach the reader (the Python DataSource API
-has no projection pushdown yet) — each slice reads its files' full
-rows, acceptable because slices already read only changed files.
+manifest cannot be tailed (clear error, not a missing-file stack).
+
+Projection (round 7): the pyarrow reads are ALWAYS column-pruned to
+the source schema's (physical) columns, and ``.option("columns",
+"a,b")`` narrows the feed to the listed table columns (merge keys are
+always kept) — the planner-driven pushdown the Python DataSource API
+lacks, made user-drivable, which cuts the dominant cost of tailing
+WIDE tables. Caveat by construction: update detection then compares
+only the projected value columns — a commit whose changes live
+entirely OUTSIDE the projection diffs to nothing, exactly as if you
+tailed the projected VIEW of the table.
 """
 
 from __future__ import annotations
@@ -131,7 +138,8 @@ def _table_schema(table_dir: str) -> StructType:
     return schema
 
 
-def _cdf_schema(table_dir: str) -> StructType:
+def _cdf_schema(table_dir: str, columns: list[str] | None = None,
+                keys: list[str] | None = None) -> StructType:
     base = _table_schema(table_dir)
     from pyspark.sql.types import LongType, StringType
 
@@ -143,6 +151,16 @@ def _cdf_schema(table_dir: str) -> StructType:
             f"vt_cdf: table columns {sorted(clash)} collide with the CDF "
             "metadata columns"
         )
+    fields = list(base.fields)
+    if columns is not None:
+        wanted = set(columns) | set(keys or ())
+        unknown = wanted - {f.name for f in fields}
+        if unknown:
+            raise ValueError(
+                f"vt_cdf: projected column(s) {sorted(unknown)} not in "
+                f"the table schema {[f.name for f in fields]}"
+            )
+        fields = [f for f in fields if f.name in wanted]
     return StructType(
         [
             StructField("_commit_version", LongType(), False),
@@ -153,7 +171,7 @@ def _cdf_schema(table_dir: str) -> StructType:
             # null-pads files written before a column existed, and the
             # delete/preimage sides null-pad evolved columns too
             StructField(f.name, f.dataType, True, f.metadata)
-            for f in base.fields
+            for f in fields
         ]
     )
 
@@ -388,12 +406,27 @@ def _read_padded(paths: list[str], target, key: str | None = None,
     cols = list(target)[2:]  # table columns (after the two CDF fields)
     out = []
     for p in paths:
+        # PROJECTION PUSHDOWN: read only the physical columns the
+        # (possibly user-projected) target needs — dropped columns,
+        # unprojected columns, and stale physicals never leave the
+        # parquet footprint. The key column rides along for bounds/DV
+        # handling (it is always in the target).
+        present = set(pq.read_schema(p).names)
+        want = sorted(
+            {(mapping or {}).get(f.name, f.name) for f in cols} & present
+        )
+        if not want:  # file predates every projected column: row count
+            n = pq.ParquetFile(p).metadata.num_rows
+            out.append(pa.table(
+                {f.name: pa.nulls(n, f.type) for f in cols}
+            ))
+            continue
         if dv and p in dv:
-            t = _dv_mask(pq.read_table(p), p, dv[p])
+            t = _dv_mask(pq.read_table(p, columns=want), p, dv[p])
             if expr is not None:
                 t = t.filter(expr)
         else:
-            t = pq.read_table(p, filters=expr)
+            t = pq.read_table(p, columns=want, filters=expr)
         arrays = []
         for f in cols:
             # files store PHYSICAL names; output is LOGICAL (columns
@@ -522,8 +555,13 @@ def _common_opts(options) -> tuple[str, list[str], int, str, dict | None]:
             "is required — the CDF diff joins snapshots on them"
         )
     start = int(options.get("startingversion", 0))
+    cols_raw = options.get("columns")
+    columns = (
+        [c.strip() for c in cols_raw.split(",") if c.strip()]
+        if cols_raw is not None else None
+    )
     schema_json = __import__("json").dumps(
-        _cdf_schema(path).jsonValue()
+        _cdf_schema(path, columns, keys).jsonValue()
     )
     # the LATEST mapping resolves logical -> physical for files of
     # EVERY version: physical names are stable forever (renames are
@@ -624,7 +662,10 @@ class VersionedCdfDataSource(DataSource):
     """Options: path (table dir, required), keys (comma-separated merge
     keys, required), startingVersion (default 0 — v0 arrives as
     snapshot-as-inserts), endVersion (batch reads only, default latest),
-    maxVersionsPerTrigger (stream rate limit, default unbounded)."""
+    maxVersionsPerTrigger (stream rate limit, default unbounded),
+    columns (comma-separated projection; keys always kept — narrows
+    both the feed schema AND the pyarrow reads; update detection then
+    compares only the projected columns)."""
 
     @classmethod
     def name(cls):
@@ -634,7 +675,15 @@ class VersionedCdfDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("vt_cdf: option 'path' is required")
-        return _cdf_schema(path)
+        cols_raw = self.options.get("columns")
+        columns = (
+            [c.strip() for c in cols_raw.split(",") if c.strip()]
+            if cols_raw is not None else None
+        )
+        keys = [k.strip()
+                for k in self.options.get("keys", "").split(",")
+                if k.strip()]
+        return _cdf_schema(path, columns, keys)
 
     def reader(self, schema):
         return VersionedCdfBatchReader(self.options)

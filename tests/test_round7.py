@@ -393,3 +393,91 @@ def test_vt_table_reader_time_travel_options(spark, tmp_path):
             .option("versionAsOf", "0")
             .option("timestampAsOf", "1.0").load()
         )
+
+
+# ---------------------------------------------------------------------
+# vt_cdf projection pushdown (round-7: option("columns", ...))
+# ---------------------------------------------------------------------
+
+
+def test_cdf_projection_narrows_schema_and_semantics(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=10)
+    # v1 changes BOTH v (k=1) and grp-only (k=2)
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame(
+            [(1, 111, 1 % 3, "U"), (2, 20, 99, "U")],
+            "k long, v long, grp int, op string",
+        ),
+        keys=["k"],
+    )
+    CDF.register(spark)
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k")
+        .option("columns", "v")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert got.columns == ["_commit_version", "_change_type", "k", "v"]
+    rows = {(r["_change_type"], r["k"], r["v"]) for r in got.collect()}
+    # k=1 changed v -> reported; k=2 changed ONLY the unprojected grp
+    # -> invisible under the projection (the projected-view semantics)
+    assert rows == {("update_preimage", 1, 10),
+                    ("update_postimage", 1, 111)}
+    # unprojected full feed still sees the grp-only update
+    full = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k")
+        .option("startingVersion", "1")
+        .load()
+    )
+    ks = {r["k"] for r in full.collect()}
+    assert ks == {1, 2}
+
+
+def test_cdf_projection_unknown_column_raises(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=4)
+    CDF.register(spark)
+    with pytest.raises(Exception, match="nope"):
+        (
+            spark.read.format("vt_cdf")
+            .option("path", table).option("keys", "k")
+            .option("columns", "nope")
+            .load().collect()
+        )
+
+
+def test_read_padded_projects_the_parquet_read(spark, tmp_path,
+                                               monkeypatch):
+    """The pyarrow read itself is column-pruned: only the projected
+    physical columns (plus nothing else) reach pq.read_table."""
+    import pyarrow.parquet as pq
+
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=6)
+    files = VT.vt_files(table, 0)
+    target = CDF._arrow_target(
+        __import__("json").dumps(
+            CDF._cdf_schema(table, ["v"], ["k"]).jsonValue()
+        )
+    )
+    seen = []
+    real = pq.read_table
+
+    def spy(path, columns=None, **kw):
+        seen.append(columns)
+        return real(path, columns=columns, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)
+    tbl = CDF._read_padded([files[0]["path"]], target)
+    assert seen and all(set(c) == {"k", "v"} for c in seen)
+    assert tbl.column_names == ["k", "v"]
