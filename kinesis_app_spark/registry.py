@@ -1675,8 +1675,10 @@ from kinesis_app_spark.registry_round6 import REGISTRY_ROUND6  # noqa: E402
 
 _r6._bind_erasure_oracle()
 REGISTRY.update(REGISTRY_ROUND6)
+from kinesis_app_spark import registry_round7 as _r7  # noqa: E402
 from kinesis_app_spark.registry_round7 import REGISTRY_ROUND7  # noqa: E402
 
+_r7._bind_two_stream_oracle()
 REGISTRY.update(REGISTRY_ROUND7)
 
 

@@ -173,6 +173,154 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_two_stream_join_view(spark, sf_dir):
+    """The GENERAL two-upstream IVM topology under the value gate —
+    round 6's join view re-driven by two REAL ``format("vt_cdf")``
+    readStreams with independent checkpoints, coordinated by
+    ``TwoStreamJoinCoordinator`` (streaming/ivm.py) instead of a
+    hand-written commit serialization:
+
+      orders table:   v0 create (sans %4) | v1 insert %4 | v2 del %9
+      lineitem table: v0 create (sans %4) | v1 insert %4 | v2 bump %17
+
+    The commits land in TWO WAVES with a full stream RESTART between
+    them (new queries resume from the same checkpoints mid-interleave —
+    the verdict's done-criterion): wave 1 commits A0,B0,A1 and drains
+    both streams; wave 2 commits B1,A2,B2 and drains again. Each
+    foreachBatch only spools its versions; the coordinator applies them
+    in the deterministic (committed_at, path, version) order, joining
+    each delta against the other table's ALREADY-APPLIED state, ledgered
+    as batch_id = version*2+side — so redelivery, restarts, and
+    out-of-order arrival all converge on the same telescoped sum. The
+    oracle joins the FINAL states from raw data: any dropped or
+    double-applied commit, wrong serialization point, or mis-signed
+    image shifts a count or a revenue mass and hash-mismatches."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.registry_round6 import (
+        vt_cdf_join_delta_applier,
+    )
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.streaming.ivm import TwoStreamJoinCoordinator
+
+    CDF.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    a_dir = os.path.join(_VT7_ROOT, f"orders_2s_{tag}")
+    b_dir = os.path.join(_VT7_ROOT, f"lineitem_2s_{tag}")
+    view = os.path.join(_VT7_ROOT, f"joinview_2s_{tag}")
+    spool = os.path.join(_VT7_ROOT, f"spool_2s_{tag}")
+    ck_a = os.path.join(_VT7_ROOT, f"ck_a_2s_{tag}")
+    ck_b = os.path.join(_VT7_ROOT, f"ck_b_2s_{tag}")
+    marker = os.path.join(view, "_DONE")
+    sig = _table_sig(sf_dir, "orders") + _table_sig(sf_dir, "lineitem")
+    if not _fresh_marker(marker, sig):
+        for d in (a_dir, b_dir, view, spool, ck_a, ck_b):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # lineitem — deterministic within-key disambiguator (the same
+        # convention as versioned_cdf_join_view)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            "l_extendedprice", "l_discount",
+        ).withColumn(
+            "l_rn",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey", "l_linenumber")
+                .orderBy("l_partkey", "l_extendedprice", "l_discount")
+            ),
+        )
+        VT.vt_create(
+            spark.createDataFrame(
+                [], "o_custkey long, n_items long, revenue decimal(30,8)"
+            ),
+            view,
+        )
+        coord = TwoStreamJoinCoordinator(
+            spark, a_dir, b_dir, view, spool,
+            vt_cdf_join_delta_applier(spark, view),
+        )
+
+        def run_streams() -> None:
+            for side, d, keys in (
+                ("a", a_dir, "o_orderkey"),
+                ("b", b_dir, "l_orderkey,l_linenumber,l_rn"),
+            ):
+                q = (
+                    spark.readStream.format("vt_cdf")
+                    .option("path", d).option("keys", keys)
+                    .load()
+                    .writeStream.foreachBatch(coord.foreach_batch(side))
+                    .option(
+                        "checkpointLocation",
+                        ck_a if side == "a" else ck_b,
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise TimeoutError(
+                        "two-stream join view: drain did not finish"
+                    )
+
+        # wave 1: A0, B0, A1 — then both streams drain
+        VT.vt_create(o.filter(F.col("o_orderkey") % 4 != 0), a_dir)
+        VT.vt_create(li.filter(F.col("l_orderkey") % 4 != 0), b_dir)
+        VT.vt_merge(
+            spark, a_dir,
+            o.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn("op", F.lit("U")),
+            keys=["o_orderkey"],
+        )
+        run_streams()
+        # wave 2 (RESTART mid-interleave: fresh queries, same
+        # checkpoints): B1, A2, B2 — only the new versions arrive
+        VT.vt_merge(
+            spark, b_dir,
+            li.filter(F.col("l_orderkey") % 4 == 0)
+            .withColumn("op", F.lit("U")),
+            keys=["l_orderkey", "l_linenumber", "l_rn"],
+        )
+        VT.vt_merge(
+            spark, a_dir,
+            o.filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn("op", F.lit("D")),
+            keys=["o_orderkey"],
+        )
+        VT.vt_merge(
+            spark, b_dir,
+            li.filter(F.col("l_partkey") % 17 == 0)
+            .withColumn(
+                "l_extendedprice", F.col("l_extendedprice") + F.lit(7.5)
+            )
+            .withColumn("op", F.lit("U")),
+            keys=["l_orderkey", "l_linenumber", "l_rn"],
+        )
+        run_streams()
+        leftover = coord.drain()
+        assert not leftover, (
+            "both streams drained: the coordinator must be caught up"
+        )
+        shutil.rmtree(spool, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return (
+        VT.vt_read(spark, view)
+        .filter(F.col("n_items") > 0)
+        .select(
+            "o_custkey",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.round("revenue", 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 VERSIONED_COLUMN_MAPPING_SQL = """
 SELECT o_orderkey,
        o_totalprice
@@ -194,3 +342,13 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
         versioned_table_source_read, VERSIONED_TABLE_SOURCE_SQL
     ),
 }
+
+
+def _bind_two_stream_oracle() -> None:
+    """Late-bind the join-view oracle from registry_round6 (registry.py
+    imports round7 after round6, so the import is safe at call time)."""
+    from kinesis_app_spark.registry_round6 import VERSIONED_CDF_JOIN_SQL
+
+    REGISTRY_ROUND7["versioned_two_stream_join_view"] = QuerySpec(
+        versioned_two_stream_join_view, VERSIONED_CDF_JOIN_SQL
+    )

@@ -481,3 +481,76 @@ def test_read_padded_projects_the_parquet_read(spark, tmp_path,
     tbl = CDF._read_padded([files[0]["path"]], target)
     assert seen and all(set(c) == {"k", "v"} for c in seen)
     assert tbl.column_names == ["k", "v"]
+
+
+# ---------------------------------------------------------------------
+# two-readStream join-view coordinator (round-7 task 4)
+# ---------------------------------------------------------------------
+
+
+def test_two_stream_coordinator_orders_waits_and_dedups(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.streaming.ivm import TwoStreamJoinCoordinator
+
+    CDF.register(spark)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    view = str(tmp_path / "view")
+    spool = str(tmp_path / "spool")
+    VT.vt_create(
+        spark.createDataFrame([(1, 10)], "k long, x long"), a
+    )
+    VT.vt_create(
+        spark.createDataFrame([(1, 20)], "k long, y long"), b
+    )
+    VT.vt_create(
+        spark.createDataFrame([], "k long, v long"), view
+    )
+    calls = []
+
+    def apply_delta(delta, other, side, bid):
+        calls.append((side, bid, delta.count(), other.count()))
+        VT.vt_merge(
+            spark, view,
+            spark.createDataFrame([(bid, 1, "U")],
+                                  "k long, v long, op string"),
+            keys=["k"], batch_id=bid,
+        )
+
+    coord = TwoStreamJoinCoordinator(spark, a, b, view, spool,
+                                     apply_delta)
+
+    def cdf(table, v):
+        return (
+            spark.read.format("vt_cdf")
+            .option("path", table).option("keys", "k")
+            .option("startingVersion", str(v))
+            .option("endVersion", str(v)).load()
+        )
+
+    # stage B0 FIRST: A0 is earlier in the global order (created
+    # first), so the coordinator must WAIT — nothing applies
+    coord._stage("b", cdf(b, 0))
+    assert coord.drain() == []
+    assert calls == []
+    # staging A0 unblocks BOTH, applied in the deterministic order
+    coord._stage("a", cdf(a, 0))
+    assert coord.drain() == [0, 1]  # bid 0 = (a,0), bid 1 = (b,0)
+    assert [c[:2] for c in calls] == [("a", 0), ("b", 1)]
+    # A0 applied against EMPTY b-state; B0 against the applied a-state
+    assert calls[0][3] == 0 and calls[1][3] == 1
+    # redelivery: re-staging + re-draining is a no-op (ledger)
+    coord._stage("a", cdf(a, 0))
+    coord._stage("b", cdf(b, 0))
+    assert coord.drain() == []
+    assert len(calls) == 2
+    # a later commit on A flows through on the next drain
+    VT.vt_merge(
+        spark, a,
+        spark.createDataFrame([(2, 30, "U")], "k long, x long, op string"),
+        keys=["k"],
+    )
+    coord._stage("a", cdf(a, 1))
+    assert coord.drain() == [2]  # bid 2 = (a,1)
+    # joined against b's applied state (1 row)
+    assert calls[-1] == ("a", 2, 1, 1)
