@@ -306,16 +306,58 @@ def _read_files_pq(path: str) -> list[dict]:
     return out
 
 
+#: reconstruction cache: {(table_dir, version, manifest mtime_ns, size):
+#: file-entry list}. Versions are immutable (VACUUM's tombstone rewrite
+#: changes the manifest file's mtime/size, so the key self-invalidates),
+#: and a 10^5-file reconstruction costs ~0.7 s of driver time — a
+#: 10-version CDF tail without the cache pays that 20× (two sides per
+#: version); with it, each version applies O(touched) actions to its
+#: cached neighbor. Entries are returned as fresh copies so callers can
+#: never mutate the cache.
+_VT_FILES_CACHE: dict = {}
+_VT_FILES_CACHE_MAX = 6
+
+
+def _files_cache_key(table_dir: str, version: int):
+    try:
+        st = os.stat(_manifest_path(table_dir, version))
+    except OSError:
+        return None
+    return (os.path.abspath(table_dir), version, st.st_mtime_ns, st.st_size)
+
+
+def _files_cache_put(key, files: list[dict]) -> None:
+    if key is None:
+        return
+    while len(_VT_FILES_CACHE) >= _VT_FILES_CACHE_MAX:
+        _VT_FILES_CACHE.pop(next(iter(_VT_FILES_CACHE)))
+    _VT_FILES_CACHE[key] = files
+
+
 def vt_files(table_dir: str, version: int) -> list[dict] | None:
     """The version's complete per-file manifest entries (path, n_rows,
-    stats), reconstructed from the nearest full-snapshot checkpoint plus
-    the incremental ``add``/``remove`` actions committed since — at most
-    ``_CHECKPOINT_EVERY`` manifest reads. Returns None for a
-    pre-round-5 manifest (one opaque data dir, no file list)."""
+    stats), reconstructed from the nearest full-snapshot checkpoint —
+    or the nearest CACHED version (round 7) — plus the incremental
+    ``add``/``remove`` actions committed since: at most
+    ``_CHECKPOINT_EVERY`` manifest reads, and O(files touched) work
+    when an adjacent version was just reconstructed (the CDF-tail /
+    commit-loop shape). Returns None for a pre-round-5 manifest (one
+    opaque data dir, no file list)."""
+    key = _files_cache_key(table_dir, version)
+    cached = _VT_FILES_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        _VT_FILES_CACHE[key] = _VT_FILES_CACHE.pop(key)  # LRU bump
+        return [dict(f) for f in cached]
     chain: list[dict] = []
     v = version
     while True:
         m = _read_manifest(table_dir, v)
+        if v != version:
+            ck = _files_cache_key(table_dir, v)
+            base = _VT_FILES_CACHE.get(ck) if ck is not None else None
+            if base is not None:
+                files = {f["path"]: dict(f) for f in base}
+                break
         if "files" in m:
             files = {f["path"]: f for f in m["files"]}
             break
@@ -338,7 +380,9 @@ def vt_files(table_dir: str, version: int) -> list[dict] | None:
             files.pop(p, None)
         for f in m.get("add", []):
             files[f["path"]] = f
-    return sorted(files.values(), key=lambda f: f["path"])
+    out = sorted(files.values(), key=lambda f: f["path"])
+    _files_cache_put(key, out)
+    return [dict(f) for f in out]
 
 
 def _incremental_or_full(

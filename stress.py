@@ -427,19 +427,259 @@ def _churn_merge(spark, cycles: int) -> list[dict]:
                 max_records_per_file=65536,
             )
             t_opt = time.perf_counter() - t0
+        # churn v2 (round 7): the r6 maintenance TRIO co-exists with the
+        # merge loop — every 4th cycle (offset from the optimizes) runs
+        # a DV delete, an incremental clustering sweep, and a bin-pack
+        # compaction against the churning table
+        t_dv = t_cluster = t_compact = 0.0
+        if i % _CHURN_OPTIMIZE_EVERY == 2:
+            t0 = time.perf_counter()
+            VT.vt_delete_dv(
+                spark, table, [("o_custkey", "=", 40_000 + i)]
+            )
+            t_dv = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            VT.vt_cluster_incremental(
+                spark, table, ["o_orderkey"],
+                max_records_per_file=65536,
+            )
+            t_cluster = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            VT.vt_compact(spark, table, min_rows_per_file=4096)
+            t_compact = time.perf_counter() - t0
         rows.append({
             "cycle": i,
             "merge_s": round(t_merge, 3),
             "optimize_s": round(t_opt, 3),
+            "dv_s": round(t_dv, 3),
+            "cluster_s": round(t_cluster, 3),
+            "compact_s": round(t_compact, 3),
             "files_rewritten": len(m.get("add", m.get("files", []))),
             "commit_bytes": os.path.getsize(
                 VT._manifest_path(table, v)
             ),
         })
         print(f"CHURN merge cycle {i}: merge {t_merge:.2f}s "
-              f"opt {t_opt:.2f}s rewrote {rows[-1]['files_rewritten']} "
+              f"opt {t_opt:.2f}s dv {t_dv:.2f}s cl {t_cluster:.2f}s "
+              f"cp {t_compact:.2f}s "
+              f"rewrote {rows[-1]['files_rewritten']} "
               f"commit {rows[-1]['commit_bytes']}B", file=sys.stderr)
     return rows
+
+
+# ---------------------------------------------------------------------
+# Round-7: manifest PLANNING at 10^5 files (the verdict's unmeasured
+# scale term). Planning never reads data, so the table is synthetic:
+# fabricated file entries committed through the real manifest protocol
+# (checkpoint -> parquet sidecar spill at 10^4+, incremental actions,
+# ledger). Measured: latest-version resolution, full file-list
+# reconstruction, stats pruning over every entry (the DV-purge /
+# predicate-DML planning term), a vt_cdf version plan, an incremental
+# commit, and a full checkpoint commit — at n and at n/100, so the
+# ratio exposes any super-linear Python in the metadata path.
+# ---------------------------------------------------------------------
+
+
+def _synth_manifest_table(table: str, n_files: int) -> None:
+    import shutil
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    shutil.rmtree(table, ignore_errors=True)
+    schema = StructType([
+        StructField("k", LongType(), True),
+        StructField("v", LongType(), True),
+    ]).jsonValue()
+
+    def entry(i: int) -> dict:
+        return {
+            "path": f"{table}/data/v00000/f{i:07d}.parquet",
+            "n_rows": 65536,
+            "stats": {"k": [i * 1000, i * 1000 + 999]},
+        }
+
+    files = [entry(i) for i in range(n_files)]
+    VT._commit(table, 0, {
+        "data_dir": None, "files": files,
+        "n_rows": 65536 * n_files, "schema": schema,
+        "operation": "CREATE",
+    })
+    # 9 incremental commits, each touching 2 files (the steady state)
+    for v in range(1, 10):
+        i = n_files + v
+        VT._commit(table, v, {
+            "data_dir": None,
+            "n_rows": 65536 * n_files,
+            "schema": schema,
+            "operation": "MERGE",
+            "add": [entry(i), entry(i + 100_000)],
+            "remove": [files[2 * v]["path"], files[2 * v + 1]["path"]],
+        })
+
+
+def manifest_main(n_files: int) -> int:
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    spark = get_spark(app_name="kinesis-manifest-stress",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def measure(n: int) -> dict:
+        table = f"/tmp/kinesis_stress_r7/manifest_{n}"
+        t0 = time.perf_counter()
+        _synth_manifest_table(table, n)
+        t_build = time.perf_counter() - t0
+        out = {"n_files": n, "build_s": round(t_build, 3)}
+
+        t0 = time.perf_counter()
+        latest = VT.vt_latest_version(table)
+        out["latest_version_s"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        files = VT.vt_files(table, latest)
+        out["vt_files_s"] = round(time.perf_counter() - t0, 3)
+        assert len(files) == n
+
+        # stats pruning over every entry: the planning half of
+        # vt_scan / predicate DML / DV purge (one point probe)
+        t0 = time.perf_counter()
+        survivors = VT._prune_files(
+            spark, files, [("k", "=", (n // 2) * 1000 + 5)],
+            VT._manifest_schema(VT._read_manifest(table, latest)),
+        )
+        out["prune_files_s"] = round(time.perf_counter() - t0, 3)
+        assert len(survivors) == 1
+
+        # merge planning term: key-set hit test over every entry
+        t0 = time.perf_counter()
+        hits = [
+            f for f in files
+            if VT._file_hits_key_set(
+                f, {"k": ([(n // 2) * 1000 + 5], False)}
+            )
+        ]
+        out["keyset_plan_s"] = round(time.perf_counter() - t0, 3)
+        assert len(hits) == 1
+
+        # CDF planning for one incremental commit (2 exclusive files
+        # per side) — needs TWO full reconstructions + sig diff
+        schema_json = json.dumps(
+            VT._read_manifest(table, latest)["schema"]
+        )
+        t0 = time.perf_counter()
+        slices = CDF._plan_version(table, latest, ["k"], schema_json)
+        out["cdf_plan_s"] = round(time.perf_counter() - t0, 3)
+        assert len(slices) >= 1
+
+        # incremental commit payload + time at this table size
+        t0 = time.perf_counter()
+        VT._commit(table, latest + 1, {
+            "data_dir": None, "n_rows": 65536 * n,
+            "schema": VT._read_manifest(table, latest)["schema"],
+            "operation": "MERGE",
+            "add": [], "remove": [],
+        })
+        out["incr_commit_s"] = round(time.perf_counter() - t0, 4)
+        out["incr_commit_bytes"] = os.path.getsize(
+            VT._manifest_path(table, latest + 1)
+        )
+
+        # checkpoint commit (full snapshot -> parquet sidecar at 10^4+)
+        t0 = time.perf_counter()
+        VT._commit(table, latest + 2, {
+            "data_dir": None, "files": files,
+            "n_rows": 65536 * n,
+            "schema": VT._read_manifest(table, latest)["schema"],
+            "operation": "CHECKPOINT",
+        })
+        out["checkpoint_commit_s"] = round(time.perf_counter() - t0, 3)
+        # reconstruction THROUGH the spilled checkpoint
+        t0 = time.perf_counter()
+        files2 = VT.vt_files(table, latest + 2)
+        out["vt_files_from_ckpt_s"] = round(time.perf_counter() - t0, 3)
+        assert len(files2) == n
+        return out
+
+    small = measure(max(1000, n_files // 100))
+    big = measure(n_files)
+    ratios = {
+        k: round(big[k] / small[k], 1)
+        for k in big
+        if k.endswith("_s") and small[k] > 0
+    }
+    line = json.dumps(
+        {"mode": "manifest", "small": small, "big": big,
+         "ratios_vs_x100_files": ratios},
+        separators=(",", ":"),
+    )
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
+
+
+# ---------------------------------------------------------------------
+# Round-7: WIDE-table CDF tail with and without projection pushdown —
+# the .option("columns") done-criterion. A 40-value-column table gets
+# one pruned merge; tailing that commit with columns=k,v0 must beat the
+# full-width tail because the pyarrow reads are column-pruned.
+# ---------------------------------------------------------------------
+
+
+def wide_main() -> int:
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    spark = get_spark(app_name="kinesis-wide-stress",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    CDF.register(spark)
+    table = "/tmp/kinesis_stress_r7/wide_cdf"
+    shutil.rmtree(table, ignore_errors=True)
+    n_rows, n_cols = 2_000_000, 40
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") * (i + 3) % 1_000_003).alias(f"v{i}")
+          for i in range(n_cols)],
+    )
+    VT.vt_create(
+        df.repartitionByRange(16, "k").sortWithinPartitions("k"), table
+    )
+    chg = (
+        df.filter((F.col("k") >= 100_000) & (F.col("k") < 700_000))
+        .withColumn("v0", F.col("v0") + F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    VT.vt_merge(spark, table, chg, keys=["k"])
+
+    def tail(columns: str | None) -> float:
+        best = float("inf")
+        for _ in range(3):
+            r = (
+                spark.read.format("vt_cdf")
+                .option("path", table).option("keys", "k")
+                .option("startingVersion", "1")
+            )
+            if columns:
+                r = r.option("columns", columns)
+            t0 = time.perf_counter()
+            r.load().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    full = tail(None)
+    proj = tail("v0")
+    line = json.dumps(
+        {"mode": "wide_cdf", "n_rows": n_rows, "n_value_cols": n_cols,
+         "tail_full_s": full, "tail_projected_s": proj,
+         "speedup": round(full / proj, 2) if proj > 0 else None},
+        separators=(",", ":"),
+    )
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
 
 
 def churn_main(cycles: int) -> int:
@@ -459,6 +699,12 @@ def churn_main(cycles: int) -> int:
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "churn":
         return churn_main(int(sys.argv[2]) if len(sys.argv) > 2 else 12)
+    if len(sys.argv) > 1 and sys.argv[1] == "manifest":
+        return manifest_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        )
+    if len(sys.argv) > 1 and sys.argv[1] == "wide":
+        return wide_main()
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # optional entry filter: `python stress.py 30 dedup_minhash_lsh ...`
     # runs only the named entries (the x30 dedup-family probe)
