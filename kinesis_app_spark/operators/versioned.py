@@ -2820,24 +2820,19 @@ def _schema_change_commit(
                 f"{op_name} needs a file-level manifest (round-5+ "
                 "table); rewrite the table (vt_optimize) first"
             )
-        mapping = _col_mapping(manifest)
-        if mapping is None:
-            # lazy activation: physical names freeze at the CURRENT
-            # logical names — exactly what the already-written
-            # immutable files contain, so no file is ever rewritten
-            mapping = {f.name: f.name for f in schema.fields}
-        new_schema, new_mapping = change_fn(schema, mapping)
+        new_schema, new_mapping = change_fn(schema, _col_mapping(manifest))
         new_version = latest + 1
         out = {
             "data_dir": manifest.get("data_dir"),
             "n_rows": int(manifest["n_rows"]),
             "schema": new_schema.jsonValue(),
-            "column_mapping": new_mapping,
             "operation": op_name,
             **_incremental_or_full(
                 new_version, parent_files, list(parent_files), [], []
             ),
         }
+        if new_mapping is not None:
+            out["column_mapping"] = new_mapping
         try:
             _commit(table_dir, new_version, out)
             return new_version
@@ -2861,7 +2856,7 @@ def vt_rename_column(table_dir: str, old: str, new: str) -> int:
     use — readers without the feature refuse loudly (_check_protocol)
     instead of surfacing physical names."""
 
-    def change(schema: StructType, mapping: dict):
+    def change(schema: StructType, mapping: dict | None):
         if old not in schema.names:
             raise ValueError(
                 f"vt_rename_column: no column {old!r} in "
@@ -2878,7 +2873,11 @@ def vt_rename_column(table_dir: str, old: str, new: str) -> int:
                         f.dataType, f.nullable, f.metadata)
             for f in schema.fields
         ])
-        new_mapping = dict(mapping)
+        # lazy activation: physical names freeze at the CURRENT logical
+        # names — exactly what the immutable files already contain
+        new_mapping = dict(mapping) if mapping else {
+            f.name: f.name for f in schema.fields
+        }
         new_mapping[new] = new_mapping.pop(old)
         return new_schema, new_mapping
 
@@ -2895,7 +2894,7 @@ def vt_drop_column(table_dir: str, col: str) -> int:
     merge_schema), so the old data can never resurrect. Old versions
     still show the column (their manifests keep their own schema)."""
 
-    def change(schema: StructType, mapping: dict):
+    def change(schema: StructType, mapping: dict | None):
         if col not in schema.names:
             raise ValueError(
                 f"vt_drop_column: no column {col!r} in {schema.names}"
@@ -2907,10 +2906,71 @@ def vt_drop_column(table_dir: str, col: str) -> int:
         new_schema = StructType(
             [f for f in schema.fields if f.name != col]
         )
+        mapping = dict(mapping) if mapping else {
+            f.name: f.name for f in schema.fields
+        }
         new_mapping = {l: p for l, p in mapping.items() if l != col}
         return new_schema, new_mapping
 
     return _schema_change_commit(table_dir, "DROP_COLUMN", change)
+
+
+def vt_add_column(table_dir: str, col: str, dtype: str) -> int:
+    """ALTER TABLE ... ADD COLUMN (nullable), METADATA-ONLY: the new
+    column joins the logical schema; every existing file simply lacks
+    it and null-pads on read (the forward-evolution contract vt_merge's
+    merge_schema already uses — this is the explicit-DDL spelling).
+    Does NOT activate column mapping on an unmapped table (add-only
+    evolution needs no physical indirection, and activation would force
+    the feature guard on readers for nothing); on a MAPPED table the
+    new column gets a fresh physical name like any post-activation
+    add. ``dtype`` is a DDL type string ("bigint", "decimal(12,2)",
+    "array<string>", ...)."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    def change(schema: StructType, mapping: dict | None):
+        if col in schema.names:
+            raise ValueError(
+                f"vt_add_column: column {col!r} already exists"
+            )
+        field = StructField(col, _parse_datatype_string(dtype), True)
+        new_schema = StructType(list(schema.fields) + [field])
+        new_mapping = None
+        if mapping is not None:
+            new_mapping = dict(mapping)
+            new_mapping[col] = f"col_{uuid.uuid4().hex[:8]}"
+        return new_schema, new_mapping
+
+    return _schema_change_commit(table_dir, "ADD_COLUMN", change)
+
+
+def vt_first_version_at_or_after(table_dir: str, ts) -> int:
+    """CDF ``startingTimestamp`` resolution (Delta's rule, the mirror
+    of ``vt_version_at_timestamp``): the EARLIEST readable version whose
+    (monotone-clamped) commit time is at or after ``ts``. Raises when
+    ``ts`` is after the latest commit — there is nothing to start
+    from."""
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    prev_eff = float("-inf")
+    for v in range(latest + 1):
+        m = _read_manifest(table_dir, v)
+        t = m.get("committed_at")
+        if t is None:
+            t = os.stat(_manifest_path(table_dir, v)).st_mtime
+        t = max(t, prev_eff)
+        prev_eff = t
+        if m.get("vacuumed"):
+            continue
+        if t >= ts:
+            return v
+    raise ValueError(
+        f"timestamp {ts} is after the latest commit of {table_dir}; "
+        "no version starts at or after it"
+    )
 
 
 def vt_merge_retry(

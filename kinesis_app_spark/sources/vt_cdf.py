@@ -554,7 +554,22 @@ def _common_opts(options) -> tuple[str, list[str], int, str, dict | None]:
             "vt_cdf: option 'keys' (comma-separated merge key columns) "
             "is required — the CDF diff joins snapshots on them"
         )
-    start = int(options.get("startingversion", 0))
+    start_ts = options.get("startingtimestamp")
+    if start_ts is not None:
+        if options.get("startingversion") is not None:
+            raise ValueError(
+                "vt_cdf: pass startingVersion OR startingTimestamp, "
+                "not both"
+            )
+        try:
+            when = float(start_ts)
+        except ValueError:
+            import datetime as _dt
+
+            when = _dt.datetime.fromisoformat(start_ts)
+        start = VT.vt_first_version_at_or_after(path, when)
+    else:
+        start = int(options.get("startingversion", 0))
     cols_raw = options.get("columns")
     columns = (
         [c.strip() for c in cols_raw.split(",") if c.strip()]
@@ -661,7 +676,9 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
 class VersionedCdfDataSource(DataSource):
     """Options: path (table dir, required), keys (comma-separated merge
     keys, required), startingVersion (default 0 — v0 arrives as
-    snapshot-as-inserts), endVersion (batch reads only, default latest),
+    snapshot-as-inserts) or startingTimestamp (epoch seconds or ISO —
+    the earliest version committed at-or-after it, Delta's rule),
+    endVersion (batch reads only, default latest),
     maxVersionsPerTrigger (stream rate limit, default unbounded),
     columns (comma-separated projection; keys always kept — narrows
     both the feed schema AND the pyarrow reads; update detection then

@@ -407,16 +407,29 @@ def _churn_merge(spark, cycles: int) -> list[dict]:
     rows = []
     for i in range(1, cycles + 1):
         # a SCATTERED fixed-size batch (the r6 key-set pruning target):
-        # two narrow slices from opposite ends of the key domain
+        # two narrow UPDATE slices from opposite ends of the key domain
+        # plus (churn v2) a small INSERT slab of brand-new keys — the
+        # streaming-ingest shape that accretes the small-file debt the
+        # maintenance trio exists to sweep
         lo, hi = 1000 + i * 64, 500_000 - i * 64
-        changes = o.filter(
+        updates = o.filter(
             ((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 512))
             | ((F.col("o_orderkey") >= hi) & (F.col("o_orderkey") < hi + 512))
         ).withColumn(
             "o_totalprice", F.col("o_totalprice") + F.lit(float(i))
         ).withColumn("op", F.lit("U"))
+        new_lo = 10_000_000 + i * 512
+        inserts = spark.range(new_lo, new_lo + 512).coalesce(1).select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") % 15000 + 1).alias("o_custkey"),
+            (F.col("id") % 1000).cast("double").alias("o_totalprice"),
+        ).withColumn("op", F.lit("U"))
         t0 = time.perf_counter()
-        v = VT.vt_merge(spark, table, changes, keys=["o_orderkey"])
+        VT.vt_merge(spark, table, updates, keys=["o_orderkey"])
+        # the append lands as its OWN commit (the streaming-sink shape):
+        # new keys prune to zero touched files, so each cycle accretes
+        # one ~512-row file — the debt vt_compact exists to sweep
+        v = VT.vt_merge(spark, table, inserts, keys=["o_orderkey"])
         t_merge = time.perf_counter() - t0
         m = VT._read_manifest(table, v)
         t_opt = 0.0
@@ -434,8 +447,10 @@ def _churn_merge(spark, cycles: int) -> list[dict]:
         t_dv = t_cluster = t_compact = 0.0
         if i % _CHURN_OPTIMIZE_EVERY == 2:
             t0 = time.perf_counter()
+            # a custkey that EXISTS at sf0.1 (1..15000), varying per
+            # trio cycle so each purge soft-deletes real rows
             VT.vt_delete_dv(
-                spark, table, [("o_custkey", "=", 40_000 + i)]
+                spark, table, [("o_custkey", "=", 100 + i)]
             )
             t_dv = time.perf_counter() - t0
             t0 = time.perf_counter()

@@ -554,3 +554,68 @@ def test_two_stream_coordinator_orders_waits_and_dedups(spark, tmp_path):
     assert coord.drain() == [2]  # bid 2 = (a,1)
     # joined against b's applied state (1 row)
     assert calls[-1] == ("a", 2, 1, 1)
+
+
+# ---------------------------------------------------------------------
+# vt_add_column + vt_cdf startingTimestamp (round-7 extras)
+# ---------------------------------------------------------------------
+
+
+def test_add_column_metadata_only_no_mapping_activation(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=5)
+    before_files = _data_files(table)
+    v = VT.vt_add_column(table, "note", "string")
+    assert _data_files(table) == before_files  # metadata-only
+    m = VT._read_manifest(table, v)
+    # add-only evolution does NOT activate mapping (old readers fine)
+    assert "column_mapping" not in m
+    assert "column_mapping" not in m["protocol"]["features"]
+    got = VT.vt_read(spark, table)
+    assert got.columns == ["k", "v", "grp", "note"]
+    assert got.filter(F.col("note").isNull()).count() == 5
+    # on a MAPPED table the add gets a fresh physical name
+    VT.vt_rename_column(table, "v", "amount")
+    v2 = VT.vt_add_column(table, "tag", "int")
+    m2 = VT._read_manifest(table, v2)
+    assert m2["column_mapping"]["tag"].startswith("col_")
+    with pytest.raises(ValueError, match="already exists"):
+        VT.vt_add_column(table, "tag", "int")
+
+
+def test_cdf_starting_timestamp(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=5)
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(1, 111, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    m1 = VT._read_manifest(table, 1)
+    CDF.register(spark)
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k")
+        .option("startingTimestamp", str(m1["committed_at"]))
+        .load()
+    )
+    vs = {r["_commit_version"] for r in got.collect()}
+    assert vs == {1}  # v0 (earlier commit) excluded
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("vt_cdf")
+            .option("path", table).option("keys", "k")
+            .option("startingVersion", "0")
+            .option("startingTimestamp", "1.0")
+            .load().collect()
+        )
+    with pytest.raises(Exception, match="after the latest"):
+        (
+            spark.read.format("vt_cdf")
+            .option("path", table).option("keys", "k")
+            .option("startingTimestamp", str(m1["committed_at"] + 9999))
+            .load().collect()
+        )
