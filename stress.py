@@ -453,15 +453,19 @@ def _churn_merge(spark, cycles: int) -> list[dict]:
                 spark, table, [("o_custkey", "=", 100 + i)]
             )
             t_dv = time.perf_counter() - t0
+            # compact BEFORE clustering: the small-file debt is the
+            # insert slabs, and the clustering sweep would otherwise
+            # absorb them first (either order is correct; this one
+            # makes both maintenance terms do visible work)
+            t0 = time.perf_counter()
+            VT.vt_compact(spark, table, min_rows_per_file=4096)
+            t_compact = time.perf_counter() - t0
             t0 = time.perf_counter()
             VT.vt_cluster_incremental(
                 spark, table, ["o_orderkey"],
                 max_records_per_file=65536,
             )
             t_cluster = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            VT.vt_compact(spark, table, min_rows_per_file=4096)
-            t_compact = time.perf_counter() - t0
         rows.append({
             "cycle": i,
             "merge_s": round(t_merge, 3),
