@@ -94,7 +94,9 @@ def versioned_column_mapping(spark, sf_dir):
         v2 = VT.vt_merge(spark, table_dir, chg2, keys=["o_orderkey"])
         added, removed = VT._commit_delta(table_dir, v2)
         n_files = len(VT.vt_files(table_dir, v2))
-        assert 0 < len(removed) < n_files, (
+        # the pruning claim needs a multi-file table with matching keys
+        # (the empty-input gate runs this against zero-row tables)
+        assert n_files < 2 or 0 < len(removed) < n_files, (
             "post-rename merge must stay file-pruned"
         )
         with open(marker, "w") as fh:
