@@ -597,7 +597,23 @@ class VersionedCdfBatchReader(DataSourceReader):
         (self.path, self.keys, self.start, self.schema_json,
          self.mapping) = _common_opts(options)
         latest = VT.vt_latest_version(self.path)
-        self.end = int(options.get("endversion", latest))
+        end_ts = options.get("endtimestamp")
+        if end_ts is not None:
+            if options.get("endversion") is not None:
+                raise ValueError(
+                    "vt_cdf: pass endVersion OR endTimestamp, not both"
+                )
+            try:
+                when = float(end_ts)
+            except ValueError:
+                import datetime as _dt
+
+                when = _dt.datetime.fromisoformat(end_ts)
+            # the LATEST version committed at-or-before it — the same
+            # resolution TIMESTAMP AS OF uses (monotone-clamped)
+            self.end = VT.vt_version_at_timestamp(self.path, when)
+        else:
+            self.end = int(options.get("endversion", latest))
         if self.end > latest:
             raise ValueError(
                 f"vt_cdf: endVersion {self.end} > latest {latest}"

@@ -619,3 +619,32 @@ def test_cdf_starting_timestamp(spark, tmp_path):
             .option("startingTimestamp", str(m1["committed_at"] + 9999))
             .load().collect()
         )
+
+
+def test_cdf_end_timestamp(spark, tmp_path):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=5)
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(1, 111, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(2, 222, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    m1 = VT._read_manifest(table, 1)
+    CDF.register(spark)
+    got = (
+        spark.read.format("vt_cdf")
+        .option("path", table).option("keys", "k")
+        .option("startingVersion", "1")
+        .option("endTimestamp", str(m1["committed_at"]))
+        .load()
+    )
+    assert {r["_commit_version"] for r in got.collect()} == {1}
