@@ -112,6 +112,7 @@ _SUPPORTED_FEATURES = frozenset({
     "clustering",
     "bloom_index",
     "column_mapping",
+    "constraints",
 })
 
 
@@ -131,6 +132,8 @@ def _detect_features(manifest: dict) -> set[str]:
             feats.add("bloom_index")
     if manifest.get("column_mapping"):
         feats.add("column_mapping")
+    if manifest.get("constraints"):
+        feats.add("constraints")
     return feats
 
 
@@ -1094,25 +1097,15 @@ def vt_merge(
     data_dir, new_files = _write_files_with_stats(
         merged, table_dir, new_version, mapping
     )
-    if check is not None and new_files:
-        # validate from the files already written: the merge join ran
-        # exactly once (in the write); a violation unstages and aborts
-        # (files are physical; the CHECK predicate speaks logical)
-        n_bad = (
-            _to_logical(
-                spark.read.schema(_phys_struct(evolved, mapping))
-                .parquet(*[f["path"] for f in new_files]),
-                mapping,
-            )
-            .filter(f"NOT ({check})")
-            .count()
-        )
-        if n_bad:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise ValueError(
-                f"vt_merge: CHECK ({check}) violated by {n_bad} row(s); "
-                "merge aborted, no version committed"
-            )
+    # validate STORED constraints + the per-call CHECK from the files
+    # already written: the merge join ran exactly once (in the write);
+    # a violation unstages and aborts (files are physical; the
+    # predicates speak logical)
+    constraints = _table_constraints(manifest)
+    _validate_written(
+        spark, new_files, evolved, mapping, constraints, check,
+        data_dir, "vt_merge",
+    )
     def _mk_manifest(parent: list[dict] | None, carried_now: list[dict],
                      version: int) -> dict:
         out = {
@@ -1132,6 +1125,8 @@ def vt_merge(
             # txnAppId/txnVersion discipline) — a replayed epoch finds
             # its batch_id already committed and skips
             out["batch_id"] = int(batch_id)
+        if constraints:
+            out["constraints"] = constraints
         return out
 
     if parent_files is None:
@@ -1511,6 +1506,8 @@ def vt_optimize(
     }
     if mapping is not None:
         out["column_mapping"] = mapping
+    if _table_constraints(manifest):
+        out["constraints"] = _table_constraints(manifest)
     _commit(table_dir, new_version, out, cleanup_dir=data_dir)
     return new_version
 
@@ -1597,6 +1594,8 @@ def vt_cluster_incremental(
         }
         if mapping is not None:
             out["column_mapping"] = mapping
+        if _table_constraints(manifest):
+            out["constraints"] = _table_constraints(manifest)
         return out
 
     return _commit_optimistic(
@@ -1676,6 +1675,8 @@ def vt_compact(
         }
         if mapping is not None:
             out["column_mapping"] = mapping
+        if _table_constraints(manifest):
+            out["constraints"] = _table_constraints(manifest)
         return out
 
     return _commit_optimistic(
@@ -2133,6 +2134,8 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
         out["schema"] = target["schema"]
     if target.get("column_mapping"):
         out["column_mapping"] = target["column_mapping"]
+    if target.get("constraints"):
+        out["constraints"] = target["constraints"]
     if target.get("external"):
         out["external"] = True
     # no cleanup_dir: this commit owns no new files — losing the race
@@ -2381,6 +2384,8 @@ def vt_index_bloom(
     }
     if mapping is not None:
         out["column_mapping"] = mapping
+    if _table_constraints(manifest):
+        out["constraints"] = _table_constraints(manifest)
     _commit(table_dir, new_version, out)
     return new_version
 
@@ -2578,6 +2583,14 @@ def _predicate_rewrite(
     data_dir, new_files = _write_files_with_stats(
         rewritten, table_dir, new_version, mapping
     )
+    constraints = _table_constraints(manifest)
+    if operation == "UPDATE":
+        # an UPDATE can push rows outside a stored constraint; DELETE
+        # only keeps rows the previous commit already validated
+        _validate_written(
+            spark, new_files, schema, mapping, constraints, None,
+            data_dir, "vt_update",
+        )
 
     def _mk_manifest(parent, carried_now, version):
         out = {
@@ -2592,6 +2605,8 @@ def _predicate_rewrite(
         }
         if mapping is not None:
             out["column_mapping"] = mapping
+        if constraints:
+            out["constraints"] = constraints
         return out
 
     if parent_files is None:
@@ -2742,6 +2757,8 @@ def _delete_dv_once(
     }
     if mapping is not None:
         out["column_mapping"] = mapping
+    if _table_constraints(manifest):
+        out["constraints"] = _table_constraints(manifest)
     try:
         _commit(table_dir, new_version, out)
     except VersionConflictError:
@@ -2820,7 +2837,26 @@ def _schema_change_commit(
                 f"{op_name} needs a file-level manifest (round-5+ "
                 "table); rewrite the table (vt_optimize) first"
             )
+        constraints = _table_constraints(manifest)
         new_schema, new_mapping = change_fn(schema, _col_mapping(manifest))
+        if constraints:
+            # Delta's guard: a constraint referencing a renamed/dropped
+            # column would silently dangle — refuse until it is dropped.
+            # Word-level match is conservative (may over-refuse, never
+            # under-).
+            import re as _re
+
+            gone = {f.name for f in schema.fields} - {
+                f.name for f in new_schema.fields
+            }
+            for col in gone:
+                for cname, sql in constraints.items():
+                    if _re.search(rf"\b{_re.escape(col)}\b", sql):
+                        raise ValueError(
+                            f"{op_name}: column {col!r} is referenced "
+                            f"by constraint {cname!r} ({sql}); drop the "
+                            "constraint first"
+                        )
         new_version = latest + 1
         out = {
             "data_dir": manifest.get("data_dir"),
@@ -2833,6 +2869,8 @@ def _schema_change_commit(
         }
         if new_mapping is not None:
             out["column_mapping"] = new_mapping
+        if constraints:
+            out["constraints"] = constraints
         try:
             _commit(table_dir, new_version, out)
             return new_version
@@ -2942,6 +2980,143 @@ def vt_add_column(table_dir: str, col: str, dtype: str) -> int:
         return new_schema, new_mapping
 
     return _schema_change_commit(table_dir, "ADD_COLUMN", change)
+
+
+def _table_constraints(manifest: dict) -> dict:
+    """The table's STORED CHECK constraints ({name: sql predicate}) —
+    Delta's ALTER TABLE ADD CONSTRAINT surface: validated against every
+    row WRITTEN by merge/UPDATE (existing rows were validated by the
+    commit that wrote them), carried manifest-to-manifest."""
+    return dict(manifest.get("constraints") or {})
+
+
+def _validate_written(spark: SparkSession, files: list[dict],
+                      schema: StructType, mapping: dict | None,
+                      constraints: dict, extra_check: str | None,
+                      data_dir: str, op_name: str) -> None:
+    """Enforce every stored constraint (+ the per-call CHECK) over a
+    just-written file set; any violation unstages the files and aborts
+    with NO version committed. One combined column-pruned scan."""
+    checks = dict(constraints)
+    if extra_check is not None:
+        checks["<inline>"] = extra_check
+    if not checks or not files:
+        return
+    df = _to_logical(
+        spark.read.schema(_phys_struct(schema, mapping))
+        .parquet(*[f["path"] for f in files]),
+        mapping,
+    )
+    for name, sql in sorted(checks.items()):
+        n_bad = df.filter(f"NOT ({sql})").count()
+        if n_bad:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                f"{op_name}: CHECK constraint {name!r} ({sql}) violated "
+                f"by {n_bad} row(s); aborted, no version committed"
+            )
+
+
+def vt_add_constraint(spark: SparkSession, table_dir: str, name: str,
+                      check: str) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<sql>) — validates
+    the constraint against EVERY EXISTING row first (the Delta
+    contract: a committed constraint means the whole table satisfies
+    it), then commits metadata-only. Enforcement from then on is
+    write-time: every merge/UPDATE validates its written rows, so
+    steady-state cost is O(rows written), never O(table)."""
+    latest = vt_latest_version(table_dir)
+    if latest < 0:
+        raise FileNotFoundError(f"table {table_dir} does not exist")
+    manifest = _read_manifest(table_dir, latest)
+    _check_protocol(manifest, table_dir, write=True)
+    n_bad = vt_read(spark, table_dir).filter(f"NOT ({check})").count()
+    if n_bad:
+        raise ValueError(
+            f"vt_add_constraint: existing data violates ({check}) in "
+            f"{n_bad} row(s); constraint not added"
+        )
+
+    for _spin in range(_COMMIT_MAX_SPINS):
+        latest = vt_latest_version(table_dir)
+        m = _read_manifest(table_dir, latest)
+        _check_protocol(m, table_dir, write=True)
+        cons = _table_constraints(m)
+        if name in cons:
+            raise ValueError(
+                f"vt_add_constraint: constraint {name!r} already exists"
+            )
+        cons[name] = check
+        parent_files = vt_files(table_dir, latest)
+        if parent_files is None:
+            raise ValueError(
+                "vt_add_constraint needs a file-level manifest"
+            )
+        out = {
+            "data_dir": m.get("data_dir"),
+            "n_rows": int(m["n_rows"]),
+            "schema": m.get("schema"),
+            "constraints": cons,
+            "operation": "ADD_CONSTRAINT",
+            **_incremental_or_full(
+                latest + 1, parent_files, list(parent_files), [], []
+            ),
+        }
+        if m.get("column_mapping"):
+            out["column_mapping"] = m["column_mapping"]
+        try:
+            _commit(table_dir, latest + 1, out)
+            return latest + 1
+        except VersionConflictError:
+            continue
+    raise VersionConflictError(
+        f"vt_add_constraint on {table_dir}: starved by "
+        f"{_COMMIT_MAX_SPINS} consecutive commit races"
+    )
+
+
+def vt_drop_constraint(table_dir: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only."""
+    for _spin in range(_COMMIT_MAX_SPINS):
+        latest = vt_latest_version(table_dir)
+        if latest < 0:
+            raise FileNotFoundError(f"table {table_dir} does not exist")
+        m = _read_manifest(table_dir, latest)
+        _check_protocol(m, table_dir, write=True)
+        cons = _table_constraints(m)
+        if name not in cons:
+            raise ValueError(
+                f"vt_drop_constraint: no constraint {name!r} "
+                f"(have {sorted(cons)})"
+            )
+        cons.pop(name)
+        parent_files = vt_files(table_dir, latest)
+        if parent_files is None:
+            raise ValueError(
+                "vt_drop_constraint needs a file-level manifest"
+            )
+        out = {
+            "data_dir": m.get("data_dir"),
+            "n_rows": int(m["n_rows"]),
+            "schema": m.get("schema"),
+            "operation": "DROP_CONSTRAINT",
+            **_incremental_or_full(
+                latest + 1, parent_files, list(parent_files), [], []
+            ),
+        }
+        if cons:
+            out["constraints"] = cons
+        if m.get("column_mapping"):
+            out["column_mapping"] = m["column_mapping"]
+        try:
+            _commit(table_dir, latest + 1, out)
+            return latest + 1
+        except VersionConflictError:
+            continue
+    raise VersionConflictError(
+        f"vt_drop_constraint on {table_dir}: starved by "
+        f"{_COMMIT_MAX_SPINS} consecutive commit races"
+    )
 
 
 def vt_first_version_at_or_after(table_dir: str, ts) -> int:

@@ -323,6 +323,69 @@ def versioned_two_stream_join_view(spark, sf_dir):
     )
 
 
+def versioned_check_constraints(spark, sf_dir):
+    """STORED CHECK constraints under the value gate (Delta's ALTER
+    TABLE ADD CONSTRAINT): add `o_totalprice > 0` (validated against
+    every existing row first — metadata-only commit), prove a violating
+    MERGE aborts with NO version committed and the staged files
+    unstaged, then land a conforming merge. The oracle replays the
+    conforming arithmetic only — if the violating wave had leaked rows
+    or a version, totals and counts would shift and hash-mismatch."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT7_ROOT, f"orders_chk_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        v0 = VT.vt_add_constraint(
+            spark, table_dir, "price_pos", "o_totalprice > 0"
+        )
+        # violating wave: must abort atomically (no version, no rows)
+        bad = (
+            VT.vt_read(spark, table_dir)
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .withColumn("op", F.lit("U"))
+        )
+        try:
+            VT.vt_merge(spark, table_dir, bad, keys=["o_orderkey"])
+            raise AssertionError("violating merge must raise")
+        except ValueError:
+            pass
+        assert VT.vt_latest_version(table_dir) == v0, (
+            "violating merge must commit nothing"
+        )
+        good = (
+            VT.vt_read(spark, table_dir)
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(9.5))
+            .withColumn("op", F.lit("U"))
+        )
+        VT.vt_merge(spark, table_dir, good, keys=["o_orderkey"])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
+
+
+VERSIONED_CONSTRAINTS_SQL = """
+SELECT o_orderkey,
+       o_totalprice
+         + CASE WHEN o_orderkey % 5 = 0 THEN 9.5 ELSE 0 END
+         AS o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 VERSIONED_COLUMN_MAPPING_SQL = """
 SELECT o_orderkey,
        o_totalprice
@@ -342,6 +405,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_table_source_read": QuerySpec(
         versioned_table_source_read, VERSIONED_TABLE_SOURCE_SQL
+    ),
+    "versioned_check_constraints": QuerySpec(
+        versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL
     ),
 }
 

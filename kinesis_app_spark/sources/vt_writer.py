@@ -107,6 +107,17 @@ def _conn(options, schema: StructType) -> dict:
     if latest >= 0:
         m = VT._read_manifest(path, latest)
         VT._check_protocol(m, path, write=True)
+        if VT._table_constraints(m):
+            # the sink's commit phase is SESSIONLESS (no SparkSession to
+            # evaluate SQL CHECK predicates) — writing unvalidated rows
+            # into a constrained table would break the constraint's
+            # whole-table guarantee, so refuse loudly
+            raise ValueError(
+                "vt_table sink cannot enforce this table's CHECK "
+                f"constraints {sorted(VT._table_constraints(m))} "
+                "(sessionless commit phase); append via "
+                "vt_foreach_batch_merger / vt_merge instead"
+            )
         mapping = VT._col_mapping(m)
         if mapping is not None:
             missing = [f.name for f in schema.fields

@@ -648,3 +648,92 @@ def test_cdf_end_timestamp(spark, tmp_path):
         .load()
     )
     assert {r["_commit_version"] for r in got.collect()} == {1}
+
+
+# ---------------------------------------------------------------------
+# stored CHECK constraints (round-7: ALTER TABLE ADD CONSTRAINT parity)
+# ---------------------------------------------------------------------
+
+
+def test_constraints_lifecycle_and_enforcement(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=8)  # v = 0..70, all >= 0
+    before_files = _data_files(table)
+    v = VT.vt_add_constraint(spark, table, "v_nonneg", "v >= 0")
+    assert _data_files(table) == before_files  # metadata-only
+    m = VT._read_manifest(table, v)
+    assert m["constraints"] == {"v_nonneg": "v >= 0"}
+    assert "constraints" in m["protocol"]["features"]
+    # a violating MERGE aborts with NO version committed
+    with pytest.raises(ValueError, match="v_nonneg"):
+        VT.vt_merge(
+            spark, table,
+            spark.createDataFrame([(3, -5, 0, "U")],
+                                  "k long, v long, grp int, op string"),
+            keys=["k"],
+        )
+    assert VT.vt_latest_version(table) == v
+    assert VT.vt_read(spark, table).filter("v < 0").count() == 0
+    # a violating UPDATE aborts too
+    with pytest.raises(ValueError, match="v_nonneg"):
+        VT.vt_update(spark, table, [("k", "=", 2)], {"v": "v - 100"})
+    # conforming writes pass, and the constraint CARRIES through
+    # maintenance commits
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(3, 42, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    VT.vt_optimize(spark, table, ["k"])
+    m2 = VT._read_manifest(table, VT.vt_latest_version(table))
+    assert m2["constraints"] == {"v_nonneg": "v >= 0"}
+    # DROP removes enforcement
+    VT.vt_drop_constraint(table, "v_nonneg")
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(4, -1, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    assert VT.vt_read(spark, table).filter("v < 0").count() == 1
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=6)
+    with pytest.raises(ValueError, match="existing data violates"):
+        VT.vt_add_constraint(spark, table, "v_small", "v < 30")
+    # nothing committed
+    assert "constraints" not in VT._read_manifest(
+        table, VT.vt_latest_version(table)
+    )
+
+
+def test_constrained_column_cannot_be_renamed_or_dropped(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=4)
+    VT.vt_add_constraint(spark, table, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        VT.vt_rename_column(table, "v", "amount")
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        VT.vt_drop_column(table, "v")
+    # unreferenced columns still rename fine
+    VT.vt_rename_column(table, "grp", "bucket")
+    assert "bucket" in VT.vt_read(spark, table).columns
+
+
+def test_sink_refuses_constrained_tables(spark, tmp_path):
+    from kinesis_app_spark.sources.vt_writer import register
+
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=4)
+    VT.vt_add_constraint(spark, table, "v_nonneg", "v >= 0")
+    register(spark)
+    with pytest.raises(Exception, match="cannot enforce"):
+        (
+            spark.createDataFrame([(100, 1, 1)],
+                                  "k long, v long, grp int")
+            .write.format("vt_table").mode("append")
+            .option("path", table).save()
+        )
