@@ -376,6 +376,81 @@ def versioned_check_constraints(spark, sf_dir):
     return VT.vt_read(spark, table_dir).orderBy("o_orderkey")
 
 
+def versioned_table_stream_tail(spark, sf_dir):
+    """The vt_table STREAMING reader under the value gate — Delta's
+    streaming-source semantics through the registered format: the
+    upstream table is built as v0 CREATE (orders %3==0) + a sink APPEND
+    (%3==1) + a second APPEND (%3==2); the stream delivers the v0
+    snapshot plus exactly each append's added files, drained through a
+    real checkpointed availableNow query into a parquet sink. A layout
+    OPTIMIZE commits between the appends and must deliver NOTHING. The
+    oracle is the plain union — a dropped append, a re-delivered file,
+    or a layout commit leaking rows shifts counts and hash-mismatches."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    W.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT7_ROOT, f"orders_tail_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        VT.vt_create(o.filter(F.col("o_orderkey") % 3 == 0), table_dir)
+        (
+            o.filter(F.col("o_orderkey") % 3 == 1)
+            .write.format("vt_table").mode("append")
+            .option("path", table_dir).save()
+        )
+        VT.vt_optimize(spark, table_dir, ["o_orderkey"])  # must be silent
+        (
+            o.filter(F.col("o_orderkey") % 3 == 2)
+            .write.format("vt_table").mode("append")
+            .option("path", table_dir).save()
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    run = uuid.uuid4().hex[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"vtt_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"vtt_ck_{run}")
+    q = (
+        spark.readStream.format("vt_table")
+        .option("path", table_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise TimeoutError("vt_table stream tail did not finish in 300 s")
+    res = (
+        spark.read.parquet(out_dir)
+        .orderBy("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return res
+
+
+VERSIONED_STREAM_TAIL_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 VERSIONED_CONSTRAINTS_SQL = """
 SELECT o_orderkey,
        o_totalprice
@@ -408,6 +483,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL
+    ),
+    "versioned_table_stream_tail": QuerySpec(
+        versioned_table_stream_tail, VERSIONED_STREAM_TAIL_SQL
     ),
 }
 

@@ -71,6 +71,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -475,6 +476,133 @@ class VersionedTableBatchReader(DataSourceReader):
         return _read_file_slice(partition)
 
 
+#: commits that change LAYOUT or METADATA but not logical data — the
+#: streaming reader skips them (Delta's dataChange=false discipline)
+_NON_DATA_OPS = frozenset({
+    "OPTIMIZE", "CLUSTER", "COMPACT", "BLOOM",
+    "RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMN",
+    "ADD_CONSTRAINT", "DROP_CONSTRAINT",
+})
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("vt_table")`` — Delta's streaming
+    source semantics on the manifest log: the starting version arrives
+    as a full snapshot, every later APPEND delivers exactly its added
+    files' rows, layout/metadata commits deliver nothing, and commits
+    that REWRITE data raise by default —
+
+    - DELETE / DELETE_DV: raise unless ``ignoreDeletes`` (then the
+      whole commit is skipped);
+    - MERGE / UPDATE / RESTORE (rewrites): raise unless
+      ``ignoreChanges`` (then the commit's ADDED files are re-delivered
+      whole — Delta's documented at-least-once trade for rewrites; use
+      the ``vt_cdf`` source for exact row-level deltas).
+
+    Offsets are version numbers (the vt_cdf discipline): committed
+    batches replay identically, and ``maxVersionsPerTrigger`` caps
+    advance only after the planner has learned a real position."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vt_table: option 'path' is required")
+        latest = VT.vt_latest_version(self.path)
+        if latest < 0:
+            raise FileNotFoundError(
+                f"vt_table: no committed version in {self.path}"
+            )
+        m = _read_manifest_for_read(self.path, latest)
+        self.schema_json = json.dumps(m["schema"])
+        self.mapping = VT._col_mapping(m)
+        self.start = int(options.get("startingversion", 0))
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self._planned: int | None = None
+
+    def initialOffset(self):
+        return {"version": self.start}
+
+    def latestOffset(self):
+        end = VT.vt_latest_version(self.path) + 1
+        if self.max_versions > 0 and self._planned is not None:
+            end = min(end, self._planned + self.max_versions)
+        return {"version": max(end, self.start)}
+
+    def _plan_version(self, v: int) -> list[_VtFileSlice]:
+        m = VT._read_manifest(self.path, v)
+        VT._check_protocol(m, self.path)
+        if m.get("vacuumed"):
+            raise FileNotFoundError(
+                f"vt_table: version {v} of {self.path} was vacuumed; "
+                "start the stream at the earliest non-vacuumed version"
+            )
+
+        def slices(entries):
+            return [
+                _VtFileSlice(f["path"], list(f.get("dv") or ()),
+                             self.schema_json, self.mapping)
+                for f in entries
+            ]
+
+        if v == self.start:
+            files = VT.vt_files(self.path, v)
+            if files is None:
+                raise ValueError(
+                    "vt_table streaming needs a file-level manifest"
+                )
+            return slices(files)
+        op = m.get("operation", "")
+        if op in _NON_DATA_OPS or op == "CREATE":
+            return []
+        delta = VT._commit_delta(self.path, v)
+        if delta is None:
+            raise ValueError(
+                f"vt_table: version {v} has no file-level metadata"
+            )
+        added, removed = delta
+        if op in ("DELETE", "DELETE_DV"):
+            if not self.ignore_deletes and (removed or added):
+                raise ValueError(
+                    f"vt_table: version {v} deleted rows; the streaming "
+                    "source delivers appends only — pass "
+                    "ignoreDeletes=true to skip delete commits, or tail "
+                    "the vt_cdf source for row-level deltas"
+                )
+            return []
+        if op.startswith("APPEND") or not removed:
+            return slices(added)
+        if not self.ignore_changes:
+            raise ValueError(
+                f"vt_table: version {v} ({op}) rewrote existing files; "
+                "pass ignoreChanges=true to re-deliver the rewritten "
+                "files whole, or tail the vt_cdf source for exact "
+                "row-level deltas"
+            )
+        return slices(added)
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        self._planned = max(self._planned or 0, hi)
+        slices = []
+        for v in range(lo, hi):
+            slices.extend(self._plan_version(v))
+        return slices or [
+            _VtFileSlice(None, [], self.schema_json, self.mapping)
+        ]
+
+    def read(self, partition: _VtFileSlice):
+        return _read_file_slice(partition)
+
+    def commit(self, end: dict):
+        self._planned = max(self._planned or 0, int(end["version"]))
+
+
 class VersionedTableDataSource(DataSource):
     """Options: path (table dir, required); reads take versionAsOf /
     timestampAsOf (epoch seconds or ISO datetime). Writes are
@@ -492,6 +620,9 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema):
         return VersionedTableBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return VersionedTableStreamReader(self.options)
 
     def writer(self, schema, overwrite):
         if overwrite:

@@ -737,3 +737,84 @@ def test_sink_refuses_constrained_tables(spark, tmp_path):
             .write.format("vt_table").mode("append")
             .option("path", table).save()
         )
+
+
+# ---------------------------------------------------------------------
+# vt_table STREAMING reader (round-7: Delta streaming-source parity)
+# ---------------------------------------------------------------------
+
+
+def _drain_stream(spark, table, ckpt, **opts):
+    got = []
+
+    def sink(df, _bid):
+        got.extend(tuple(r) for r in df.collect())
+
+    r = spark.readStream.format("vt_table").option("path", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load().writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "stream drain timed out"
+    return got
+
+
+def test_vt_table_stream_append_tail_with_restart(spark, tmp_path):
+    from kinesis_app_spark.sources.vt_writer import register
+
+    register(spark)
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    _mk(spark, table, n=4)  # snapshot rows k=0..3
+    # wave 1: snapshot
+    got1 = _drain_stream(spark, table, ckpt)
+    assert sorted(r[0] for r in got1) == [0, 1, 2, 3]
+    # append via the sink, then RESUME from the same checkpoint:
+    # only the appended rows arrive
+    (
+        spark.createDataFrame([(10, 100, 1), (11, 110, 2)],
+                              "k long, v long, grp int")
+        .write.format("vt_table").mode("append")
+        .option("path", table).save()
+    )
+    got2 = _drain_stream(spark, table, ckpt)
+    assert sorted(r[0] for r in got2) == [10, 11]
+    # a layout commit delivers NOTHING
+    VT.vt_optimize(spark, table, ["k"])
+    assert _drain_stream(spark, table, ckpt) == []
+
+
+def test_vt_table_stream_raises_on_rewrites_and_deletes(spark, tmp_path):
+    from kinesis_app_spark.sources.vt_writer import register
+
+    register(spark)
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=4)
+    ck1 = str(tmp_path / "ck1")
+    _drain_stream(spark, table, ck1)  # consume the snapshot
+    VT.vt_merge(
+        spark, table,
+        spark.createDataFrame([(1, 111, 0, "U")],
+                              "k long, v long, grp int, op string"),
+        keys=["k"],
+    )
+    # resuming the ck1 stream (past the v0 snapshot) hits the MERGE
+    with pytest.raises(Exception, match="rewrote existing files"):
+        _drain_stream(spark, table, ck1)
+    # ignoreChanges: the rewritten file is re-delivered WHOLE
+    got = _drain_stream(spark, table, str(tmp_path / "ck2"),
+                        ignoreChanges="true")
+    assert (1, 111, 0) in {(r[0], r[1], r[2]) for r in got}
+    # DELETE_DV raises without ignoreDeletes, skips with it
+    VT.vt_delete_dv(spark, table, [("k", "=", 2)])
+    with pytest.raises(Exception, match="deleted rows"):
+        _drain_stream(spark, table, str(tmp_path / "ck3"),
+                      ignoreChanges="true")
+    # resuming ck2 (already past the merge): the delete commit itself
+    # delivers NOTHING under ignoreDeletes
+    assert _drain_stream(spark, table, str(tmp_path / "ck2"),
+                         ignoreChanges="true",
+                         ignoreDeletes="true") == []
