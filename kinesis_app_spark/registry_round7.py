@@ -164,6 +164,86 @@ def versioned_table_source_read(spark, sf_dir):
     )
 
 
+def versioned_source_pushdown(spark, sf_dir):
+    """FILTER PUSHDOWN through the vt_table source under the value
+    gate — Spark 4.1's ``pushFilters`` hook wired to the manifest's
+    data skipping: a plain ``.filter(...)`` over
+    ``spark.read.format("vt_table")`` reaches the per-file min/max
+    stats at PLANNING (the vt_scan discipline, physical column names)
+    and pyarrow row-level filters at read. The build proves the
+    pruning is real — the reader, fed the same Catalyst filters
+    directly, plans strictly fewer partitions than the table has files
+    — and the result must equal the raw SQL replay over a table with a
+    pruned MERGE and a deletion-vector DELETE in its history (a reader
+    that let pruning drop a matching file, or let the row filters
+    renumber DV positions, shifts rows and hash-mismatches)."""
+    import shutil
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.sources.vt_writer import (
+        VersionedTableBatchReader,
+    )
+
+    W.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT7_ROOT, f"orders_push_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=1024,
+        )
+        chg = (
+            VT.vt_read(spark, table_dir)
+            .filter(
+                (F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 520)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(3.5))
+            .withColumn("op", F.lit("U"))
+        )
+        VT.vt_merge(spark, table_dir, chg, keys=["o_orderkey"])
+        VT.vt_delete_dv(spark, table_dir, [("o_custkey", "in", [11, 23])])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    n_files = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
+    r = VersionedTableBatchReader({"path": table_dir})
+    list(r.pushFilters([
+        GreaterThanOrEqual(("o_orderkey",), 300),
+        LessThan(("o_orderkey",), 900),
+    ]))
+    planned = len(r.partitions())
+    assert n_files < 2 or 0 < planned < n_files, (
+        f"stats pruning must plan fewer slices: {planned}/{n_files}"
+    )
+    return (
+        spark.read.format("vt_table").option("path", table_dir).load()
+        .filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
+        .orderBy("o_orderkey")
+    )
+
+
+VERSIONED_SOURCE_PUSHDOWN_SQL = """
+SELECT o_orderkey, o_custkey,
+       o_totalprice
+         + CASE WHEN o_orderkey >= 400 AND o_orderkey < 520
+                THEN 3.5 ELSE 0 END AS o_totalprice
+FROM orders
+WHERE o_orderkey >= 300 AND o_orderkey < 900
+  AND o_custkey NOT IN (11, 23)
+ORDER BY o_orderkey
+"""
+
+
 VERSIONED_TABLE_SOURCE_SQL = """
 SELECT o_orderkey, o_custkey,
        o_totalprice
@@ -480,6 +560,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_table_source_read": QuerySpec(
         versioned_table_source_read, VERSIONED_TABLE_SOURCE_SQL
+    ),
+    "versioned_source_pushdown": QuerySpec(
+        versioned_source_pushdown, VERSIONED_SOURCE_PUSHDOWN_SQL
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL

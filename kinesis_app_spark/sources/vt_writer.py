@@ -15,6 +15,21 @@ pushed into the pyarrow read, and null-pads files written before a
 schema evolution — exactly ``vt_read``'s semantics behind the standard
 source API.
 
+FILTER PUSHDOWN (round 7b): the batch reader implements Spark 4.1's
+``pushFilters`` hook, so a plain ``.filter(...)`` on the loaded
+DataFrame reaches the manifest's data-skipping machinery with no
+engine imports: Catalyst hands the conjunctive filters to the reader
+at planning, the reader prunes FILE entries through the same per-file
+min/max stats test ``vt_scan`` uses (``_filter_may_match``, physical
+column names), and additionally pushes safe row-level filters into the
+pyarrow reads (row-group + row skipping) on un-DV'd files. EVERY
+filter is also returned to Spark for re-application — pruning is a
+file-listing optimization, never a semantics change, so null/NaN edge
+cases stay Spark's. ``StringStartsWith`` prunes as its
+``[prefix, prefix+1)`` range. Bloom-bucket pruning stays on ``vt_scan``
+(the planner worker is sessionless and the bloom probes need the JVM's
+xxhash64); stats pruning is the dominant term on clustered tables.
+
 The SINK half: a stream (or batch job) INSERTs into a versioned table
 through Spark's own sink protocol —
 
@@ -74,7 +89,14 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -355,17 +377,96 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
         _abort_staged(messages)
 
 
+#: Spark Filter dataclass -> the engine's (col, op, value) triple op
+_PUSH_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+def _string_prefix_upper(prefix: str) -> str | None:
+    """The exclusive upper bound of the ``startswith(prefix)`` range:
+    the prefix with its last sub-max codepoint bumped (trailing max
+    codepoints dropped first). None when no bound exists (all-max
+    prefix) — pruning then keeps only the >= side."""
+    s = prefix
+    while s and ord(s[-1]) >= 0x10FFFF:
+        s = s[:-1]
+    if not s:
+        return None
+    return s[:-1] + chr(ord(s[-1]) + 1)
+
+
+def _push_triples(filters) -> list[tuple]:
+    """Catalyst Filter objects -> conjunctive (logical col, op, value)
+    triples in the engine's vt_scan form. Unsupported shapes (nested
+    attributes, null tests, Not, string contains/ends) yield nothing —
+    they simply don't prune. StringStartsWith becomes its range pair."""
+    out: list[tuple] = []
+    for flt in filters:
+        attr = getattr(flt, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        op = _PUSH_OPS.get(type(flt))
+        if op == "in":
+            vals = [v for v in flt.value if v is not None]
+            if vals:
+                out.append((col, "in", vals))
+        elif op is not None:
+            if flt.value is not None:
+                out.append((col, op, flt.value))
+        elif isinstance(flt, StringStartsWith):
+            out.append((col, ">=", flt.value))
+            hi = _string_prefix_upper(flt.value)
+            if hi is not None:
+                out.append((col, "<", hi))
+    return out
+
+
+def _pa_safe_filters(triples) -> list[tuple]:
+    """The subset of (col, op, value) triples safe to hand pyarrow's
+    ``read_table(filters=...)`` for row-group/row skipping: plain
+    int/float/str/bool literals only (no NaN — pyarrow and SQL disagree
+    on NaN comparisons), bounded IN lists. Temporal and decimal
+    literals stay Spark-side (arrow type coercion differs); Spark
+    re-applies everything anyway, so skipping here costs correctness
+    nothing."""
+    import math
+
+    def ok(v) -> bool:
+        if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+            return True
+        return isinstance(v, float) and not math.isnan(v)
+
+    out = []
+    for col, op, v in triples:
+        if op == "in":
+            if len(v) <= 1000 and all(ok(x) for x in v):
+                out.append((col, "in", list(v)))
+        elif ok(v):
+            out.append((col, op, v))
+    return out
+
+
 class _VtFileSlice(InputPartition):
     """One input partition = one manifest file entry. Carries the file
     path, its deletion-vector sidecars, the version's LOGICAL schema,
-    and the column mapping — executors never touch the manifest dir."""
+    the column mapping, and any pushed row-level filters (PHYSICAL
+    names, pyarrow-safe) — executors never touch the manifest dir."""
 
     def __init__(self, path: str | None, dv: list[str],
-                 schema_json: str, mapping: dict | None):
+                 schema_json: str, mapping: dict | None,
+                 row_filters: list[tuple] | None = None):
         self.path = path
         self.dv = dv
         self.schema_json = schema_json
         self.mapping = mapping
+        self.row_filters = row_filters or []
 
 
 def _resolve_read_version(options) -> tuple[str, int]:
@@ -428,7 +529,18 @@ def _read_file_slice(partition: _VtFileSlice):
     want = sorted({
         mapping.get(f.name, f.name) for f in target
     } & present)
-    t = pq.read_table(partition.path, columns=want)
+    # pushed row filters apply ONLY on un-DV'd files: the DV mask keys
+    # on parquet row position in read order, which a filtering read
+    # would renumber. All pushed ops are null-rejecting, so a filter on
+    # a column this file PREDATES (null-padded below) can satisfy no
+    # row — skip the read entirely.
+    row_filters = [] if partition.dv else partition.row_filters
+    if any(c not in present for c, _op, _v in row_filters):
+        return
+    t = pq.read_table(
+        partition.path, columns=want,
+        filters=row_filters or None,
+    )
     if partition.dv:
         t = _dv_mask(t, partition.path, partition.dv)
     arrays = []
@@ -447,7 +559,10 @@ def _read_file_slice(partition: _VtFileSlice):
 class VersionedTableBatchReader(DataSourceReader):
     """``spark.read.format("vt_table")`` — snapshot read with time
     travel. Planning is pure manifest metadata; one partition per file
-    parallelizes like any parquet scan."""
+    parallelizes like any parquet scan. ``pushFilters`` prunes file
+    entries through the manifest's per-file min/max stats (the vt_scan
+    discipline) and threads pyarrow-safe filters into the file reads;
+    every filter is returned for Spark to re-apply (see module doc)."""
 
     def __init__(self, options):
         self.path, self.version = _resolve_read_version(options)
@@ -461,12 +576,29 @@ class VersionedTableBatchReader(DataSourceReader):
                 "(round-5+ table); rewrite it (vt_optimize) first"
             )
         self.files = files
+        self.pushed: list[tuple] = []  # physical (col, op, value)
+
+    def pushFilters(self, filters):
+        # translate ONCE into physical-name triples; keep them on self
+        # for partitions(). Yield every input filter back: Spark
+        # re-applies the exact predicates, so pruning can never change
+        # semantics (null/NaN/collation edge cases stay Catalyst's).
+        self.pushed = VT._phys_filters(
+            _push_triples(filters), self.mapping
+        )
+        yield from filters
 
     def partitions(self):
+        files = self.files
+        if self.pushed:
+            files = [
+                f for f in files if VT._filter_may_match(f, self.pushed)
+            ]
+        row_filters = _pa_safe_filters(self.pushed)
         return [
             _VtFileSlice(f["path"], list(f.get("dv") or ()),
-                         self.schema_json, self.mapping)
-            for f in self.files
+                         self.schema_json, self.mapping, row_filters)
+            for f in files
         ] or [
             # Spark requires >= 1 partition; an empty table yields none
             _VtFileSlice(None, [], self.schema_json, self.mapping)
@@ -637,4 +769,9 @@ class VersionedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the batch reader implements Spark 4.1's pushFilters hook, which
+    # the planner REFUSES to call (hard error, not a silent skip)
+    # unless this runtime-settable conf is on — enable it with the
+    # registration so `.filter(...)` over the source prunes files
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedTableDataSource)

@@ -1,0 +1,225 @@
+"""Round-7b: filter pushdown for the vt_table batch reader.
+
+Spark 4.1's Python DataSource ``pushFilters`` hook wired to the
+manifest's data-skipping: Catalyst's conjunctive filters prune FILE
+entries through the same per-file min/max stats test ``vt_scan`` uses,
+plus pyarrow row-level filters on un-DV'd files. Every filter is
+returned to Spark for re-application, so pruning can never change
+semantics — these tests pin (a) that pruning actually happens at the
+planning layer, and (b) that results stay exactly ``vt_read + filter``
+under column mapping, deletion vectors, and schema evolution.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    StringStartsWith,
+)
+
+from kinesis_app_spark.operators import versioned as VT
+from kinesis_app_spark.sources import vt_writer as W
+from kinesis_app_spark.sources.vt_writer import (
+    VersionedTableBatchReader,
+    _pa_safe_filters,
+    _push_triples,
+    _string_prefix_upper,
+)
+
+
+def _mk_clustered(spark, path, n=4000, files=8):
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 97).cast("long").alias("grp"),
+        F.format_string("cat_%03d", (F.col("id") % 41)).alias("tag"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+    VT.vt_create(df, path)
+    VT.vt_optimize(
+        spark, path, cluster_cols=["k"],
+        max_records_per_file=max(1, n // files),
+    )
+    return df
+
+
+# ---------------------------------------------------------------------
+# the planning layer: pushFilters -> fewer partitions
+# ---------------------------------------------------------------------
+
+
+def test_pushdown_prunes_file_partitions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk_clustered(spark, table)
+    n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
+    assert n_files >= 4, "need a multi-file table to prove pruning"
+
+    r = VersionedTableBatchReader({"path": table})
+    fed = [
+        GreaterThanOrEqual(("k",), 100),
+        LessThan(("k",), 600),
+        IsNotNull(("k",)),  # unsupported for pruning: passes through
+    ]
+    leftover = list(r.pushFilters(fed))
+    # EVERY filter goes back to Spark (by reference), pruned or not
+    assert leftover == fed
+    parts = r.partitions()
+    assert 0 < len(parts) < n_files, (
+        f"range over a clustered key must prune: {len(parts)}/{n_files}"
+    )
+
+    # an unsatisfiable filter prunes everything -> the one empty slice
+    r2 = VersionedTableBatchReader({"path": table})
+    list(r2.pushFilters([EqualTo(("k",), 10**9)]))
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].path is None
+
+
+def test_pushdown_equality_and_in_and_prefix(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table)
+    W.register(spark)
+
+    src = spark.read.format("vt_table").option("path", table).load()
+    cond = (
+        F.col("k").isin(5, 500, 3999)
+        & F.col("tag").startswith("cat_00")
+        & (F.col("amt") >= 7.0)
+    )
+    got = sorted(src.filter(cond).collect())
+    want = sorted(df.filter(cond).collect())
+    assert got == want and got, "pushdown must not change results"
+
+
+def test_pushdown_through_source_api_end_to_end(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table)
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    cond = (F.col("k") >= 1200) & (F.col("k") < 1450) & (F.col("grp") != 3)
+    assert sorted(src.filter(cond).collect()) == sorted(
+        df.filter(cond).collect()
+    )
+
+
+# ---------------------------------------------------------------------
+# interactions: column mapping, deletion vectors, schema evolution
+# ---------------------------------------------------------------------
+
+
+def test_pushdown_on_mapped_table_prunes_by_physical_stats(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table)
+    VT.vt_rename_column(table, "k", "key_id")
+    n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
+
+    r = VersionedTableBatchReader({"path": table})
+    list(r.pushFilters([GreaterThanOrEqual(("key_id",), 3500)]))
+    # pruning keys on PHYSICAL names: the renamed logical name must
+    # still hit the stored per-file stats
+    assert 0 < len(r.partitions()) < n_files
+
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    got = sorted(src.filter(F.col("key_id") >= 3500).collect())
+    want = sorted(
+        df.withColumnRenamed("k", "key_id")
+        .filter(F.col("key_id") >= 3500).collect()
+    )
+    assert got == want
+
+
+def test_pushdown_with_deletion_vectors_stays_exact(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table)
+    VT.vt_delete_dv(spark, table, [("grp", "in", [7, 11])])
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    cond = F.col("k") < 900
+    got = sorted(src.filter(cond).collect())
+    want = sorted(
+        df.filter(~F.col("grp").isin(7, 11)).filter(cond).collect()
+    )
+    assert got == want and got
+
+
+def test_pushdown_filter_on_evolved_column_skips_old_files(
+    spark, tmp_path
+):
+    """A pushed filter on a column some files PREDATE: those files'
+    rows are all null there, every pushed op is null-rejecting, so the
+    executor skips the read outright — and results still equal the
+    logical filter."""
+    table = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VT.vt_create(base, table)
+    extra = spark.range(100, 160).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("new").alias("src"),
+    ).withColumn("op", F.lit("U"))
+    VT.vt_merge(spark, table, extra, keys=["k"], merge_schema=True)
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    got = sorted(src.filter(F.col("src") == "new").collect())
+    want = sorted(
+        VT.vt_read(spark, table).filter(F.col("src") == "new").collect()
+    )
+    assert got == want and len(got) == 60
+
+
+# ---------------------------------------------------------------------
+# the translation helpers
+# ---------------------------------------------------------------------
+
+
+def test_push_triples_translation():
+    fed = [
+        EqualTo(("a",), 5),
+        In(("b",), (1, None, 3)),
+        GreaterThanOrEqual(("nested", "x"), 1),  # nested: not pushed
+        StringStartsWith(("s",), "ab"),
+        IsNotNull(("a",)),  # null test: not pushed
+        EqualTo(("c",), None),  # null literal: not pushed
+    ]
+    triples = _push_triples(fed)
+    assert ("a", "=", 5) in triples
+    assert ("b", "in", [1, 3]) in triples
+    assert ("s", ">=", "ab") in triples and ("s", "<", "ac") in triples
+    assert all(t[0] != "nested" for t in triples)
+    assert all(not (t[0] == "c") for t in triples)
+
+
+def test_string_prefix_upper_edges():
+    assert _string_prefix_upper("ab") == "ac"
+    assert _string_prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _string_prefix_upper(chr(0x10FFFF)) is None
+
+
+def test_pa_safe_filters_excludes_risky_literals():
+    import datetime as dt
+
+    triples = [
+        ("a", "=", 5),
+        ("b", "<", float("nan")),
+        ("c", ">=", dt.datetime(2024, 1, 1)),
+        ("d", "in", [1, 2]),
+        ("e", "in", list(range(2000))),
+        ("f", "=", "x"),
+    ]
+    safe = _pa_safe_filters(triples)
+    cols = [t[0] for t in safe]
+    assert cols == ["a", "d", "f"]
+    assert all(
+        not isinstance(v, float) or not math.isnan(v) for _, _, v in safe
+    )
