@@ -213,6 +213,11 @@ def versioned_source_pushdown(spark, sf_dir):
         )
         VT.vt_merge(spark, table_dir, chg, keys=["o_orderkey"])
         VT.vt_delete_dv(spark, table_dir, [("o_custkey", "in", [11, 23])])
+        # bloom-index the SECONDARY key so the sessionless planner's
+        # pure-Python xxhash64 probes (functions/xxh64.py) also run
+        # under this gate — a hash mismatch would skip files holding
+        # matching custkeys and hash-mismatch the oracle
+        VT.vt_index_bloom(spark, table_dir, ["o_custkey"])
         with open(marker, "w") as fh:
             fh.write(sig)
     n_files = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
@@ -229,6 +234,18 @@ def versioned_source_pushdown(spark, sf_dir):
         spark.read.format("vt_table").option("path", table_dir).load()
         .filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
         .orderBy("o_orderkey")
+        .unionAll(
+            # the bloom-probed point-lookup shape (files pruned by
+            # sidecar bitmaps, not min/max): same table, IN-list on
+            # the indexed secondary key
+            spark.read.format("vt_table").option("path", table_dir)
+            .load()
+            .filter(
+                F.col("o_custkey").isin(37, 53, 101)
+                & (F.col("o_orderkey") >= 900)
+            )
+            .orderBy("o_orderkey")
+        )
     )
 
 
@@ -240,6 +257,10 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 WHERE o_orderkey >= 300 AND o_orderkey < 900
   AND o_custkey NOT IN (11, 23)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (37, 53, 101) AND o_orderkey >= 900
 ORDER BY o_orderkey
 """
 

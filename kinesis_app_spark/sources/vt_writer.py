@@ -453,6 +453,96 @@ def _pa_safe_filters(triples) -> list[tuple]:
     return out
 
 
+def _jvm_trunc_mod(a: int, m: int) -> int:
+    """Java's ``%`` (truncated remainder) for ints — sign follows the
+    dividend, unlike Python's floored ``%``."""
+    q = a // m if (a >= 0) == (m >= 0) else -((-a) // m)
+    return a - q * m
+
+
+def _bloom_prune_sessionless(files: list[dict], pushed,
+                             phys_schema: StructType) -> list[dict]:
+    """Bloom-bucket file pruning WITHOUT a SparkSession: "="/"in"
+    probes hashed with the pure-Python twin of Spark's xxhash64
+    (functions/xxh64.py, property-tested bit-exact against the JVM —
+    exactness is load-bearing, a mismatch silently drops files that
+    hold matching rows). Mirrors ``_prune_files``'s bloom half: a probe
+    whose type the twin does not cover is dropped whole (conservative,
+    no pruning), an "in" keeps a file if ANY literal's bit is set."""
+    from kinesis_app_spark.functions.xxh64 import spark_xxhash64
+
+    probes = [
+        (c, [v] if op in ("=", "==") else list(v))
+        for c, op, v in pushed
+        if op in ("=", "==", "in")
+        and any((f.get("bloom") or {}).get(c) for f in files)
+    ]
+    probes = [
+        p for p in probes
+        if p[1] and len(p[1]) <= VT._BLOOM_MAX_PROBES
+    ]
+    if not probes:
+        return files
+    types = {f.name: f.dataType.typeName() for f in phys_schema.fields}
+
+    def coerced(v, tn):
+        # replicate F.lit(v).cast(column type) for the shapes Catalyst
+        # actually pushes; anything else -> None (skip the probe)
+        if tn in ("long", "integer", "short", "byte"):
+            return v if isinstance(v, int) and not isinstance(v, bool) \
+                else None
+        if tn in ("double", "float"):
+            return float(v) if isinstance(v, (int, float)) \
+                and not isinstance(v, bool) else None
+        if tn == "string":
+            return v if isinstance(v, str) else None
+        if tn == "boolean":
+            return v if isinstance(v, bool) else None
+        return v  # date/timestamp literals arrive typed from Catalyst
+
+    ms = sorted({
+        int(bl["m"])
+        for f in files
+        for c, _vals in probes
+        if (bl := (f.get("bloom") or {}).get(c))
+    })
+    buckets: dict = {}
+    ok_probes = []
+    for c, vals in probes:
+        tn = types.get(c)
+        idx = len(ok_probes)
+        entry: dict = {}
+        good = tn is not None
+        if good:
+            for m in ms:
+                bs = []
+                for v in vals:
+                    cv = coerced(v, tn)
+                    h = spark_xxhash64(cv, tn) if cv is not None else None
+                    if h is None:
+                        good = False
+                        break
+                    a = h if h == -(1 << 63) else abs(h)  # JVM Math.abs
+                    b = _jvm_trunc_mod(a, m)
+                    if b < 0:  # only the -2^63 corner: never prune
+                        good = False
+                        break
+                    bs.append(b)
+                if not good:
+                    break
+                entry[(idx, m)] = bs
+        if good:
+            ok_probes.append((c, vals))
+            buckets.update(entry)
+    if not ok_probes:
+        return files
+    sidecars = VT._bloom_load_sidecars(files, {c for c, _ in ok_probes})
+    return [
+        f for f in files
+        if VT._bloom_may_match(f, ok_probes, buckets, sidecars)
+    ]
+
+
 class _VtFileSlice(InputPartition):
     """One input partition = one manifest file entry. Carries the file
     path, its deletion-vector sidecars, the version's LOGICAL schema,
@@ -594,6 +684,13 @@ class VersionedTableBatchReader(DataSourceReader):
             files = [
                 f for f in files if VT._filter_may_match(f, self.pushed)
             ]
+            files = _bloom_prune_sessionless(
+                files, self.pushed,
+                VT._phys_struct(
+                    StructType.fromJson(json.loads(self.schema_json)),
+                    self.mapping,
+                ),
+            )
         row_filters = _pa_safe_filters(self.pushed)
         return [
             _VtFileSlice(f["path"], list(f.get("dv") or ()),
