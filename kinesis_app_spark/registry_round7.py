@@ -265,6 +265,70 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_metadata_aggregates(spark, sf_dir):
+    """METADATA-ONLY aggregates under the value gate — ``vt_fast_stats``
+    answers COUNT(*)/MIN/MAX from the manifest alone (O(files) driver
+    work, zero data read — the query shape that must not scan 100 TB):
+    the live count stays exact THROUGH a deletion-vector delete
+    (per-file n_rows minus DV cardinalities, maintained at commit
+    time), while min/max correctly REFUSE while any DV survives (a DV
+    may have removed the extreme row — the build asserts the refusal)
+    and become exact again after OPTIMIZE materializes the deletes.
+    The oracle recomputes all five aggregates from raw data — a stale
+    n_dv, an unmaterialized DV, or min/max read from a pruned bound
+    rather than the data would shift a value and hash-mismatch."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT7_ROOT, f"orders_fast_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)
+        VT.vt_delete_dv(spark, table_dir, [("o_custkey", "in", [11, 23])])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    files = VT.vt_files(table_dir, VT.vt_latest_version(table_dir))
+    pre = VT.vt_fast_stats(
+        table_dir, ["o_orderkey", "o_totalprice"]
+    )
+    if any(f.get("n_dv") for f in files):
+        assert pre["cols"]["o_orderkey"] is None, (
+            "min/max must refuse while a deletion vector survives"
+        )
+        VT.vt_optimize(spark, table_dir, cluster_cols=["o_orderkey"])
+    post = VT.vt_fast_stats(
+        table_dir, ["o_orderkey", "o_totalprice"]
+    )
+    assert post["n_rows"] == pre["n_rows"], (
+        "OPTIMIZE must not change the live count"
+    )
+    key = post["cols"]["o_orderkey"] or {"min": None, "max": None}
+    price = post["cols"]["o_totalprice"] or {"min": None, "max": None}
+    return spark.createDataFrame(
+        [(post["n_rows"], key["min"], key["max"],
+          price["min"], price["max"])],
+        "n_rows long, min_key long, max_key long, "
+        "min_price double, max_price double",
+    )
+
+
+VERSIONED_FAST_STATS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_custkey NOT IN (11, 23)
+"""
+
+
 VERSIONED_TABLE_SOURCE_SQL = """
 SELECT o_orderkey, o_custkey,
        o_totalprice
@@ -584,6 +648,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_source_pushdown": QuerySpec(
         versioned_source_pushdown, VERSIONED_SOURCE_PUSHDOWN_SQL
+    ),
+    "versioned_metadata_aggregates": QuerySpec(
+        versioned_metadata_aggregates, VERSIONED_FAST_STATS_SQL
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL

@@ -276,6 +276,57 @@ def test_jvm_trunc_mod_matches_java_semantics():
 
 
 # ---------------------------------------------------------------------
+# metadata-only aggregates
+# ---------------------------------------------------------------------
+
+
+def test_fast_stats_count_exact_through_dv(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table, n=1000, files=4)
+    s0 = VT.vt_fast_stats(table, ["k", "amt"])
+    assert s0["n_rows"] == 1000
+    assert s0["cols"]["k"] == {"min": 0, "max": 999}
+    assert s0["cols"]["amt"]["max"] == 999 * 1.5
+
+    VT.vt_delete_dv(spark, table, [("grp", "in", [0, 1, 2])])
+    deleted = df.filter(F.col("grp").isin(0, 1, 2)).count()
+    s1 = VT.vt_fast_stats(table, ["k"])
+    assert s1["n_rows"] == 1000 - deleted, "count must subtract DVs"
+    assert s1["cols"]["k"] is None, (
+        "min/max must refuse while a DV survives (the extreme row "
+        "may be the deleted one)"
+    )
+
+    VT.vt_optimize(spark, table, cluster_cols=["k"])
+    s2 = VT.vt_fast_stats(table, ["k"])
+    assert s2["n_rows"] == 1000 - deleted
+    assert s2["cols"]["k"] is not None, (
+        "OPTIMIZE materialized every DV: min/max must be exact again"
+    )
+    # exactness vs a real scan (grp 0,1,2 deletes include k=0, so the
+    # metadata min must have MOVED, not just echoed the old bound)
+    lo, hi = (
+        VT.vt_read(spark, table)
+        .agg(F.min("k"), F.max("k")).collect()[0]
+    )
+    assert s2["cols"]["k"] == {"min": lo, "max": hi} and lo == 3
+
+
+def test_fast_stats_mapping_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk_clustered(spark, table, n=500, files=2)
+    v0 = VT.vt_latest_version(table)
+    VT.vt_rename_column(table, "k", "key_id")
+    s = VT.vt_fast_stats(table, ["key_id"])
+    assert s["cols"]["key_id"] == {"min": 0, "max": 499}, (
+        "mapped logical names must hit the physical stats"
+    )
+    old = VT.vt_fast_stats(table, ["k"], version=v0)
+    assert old["cols"]["k"] == {"min": 0, "max": 499}
+    assert old["n_rows"] == 500
+
+
+# ---------------------------------------------------------------------
 # the translation helpers
 # ---------------------------------------------------------------------
 
