@@ -1,0 +1,557 @@
+"""Multi-table ACID transactions over versioned tables — all staged
+commits become visible ATOMICALLY, or none do.
+
+Neither Delta nor classic Iceberg offers multi-table transactions on a
+plain filesystem; this implements them with three small primitives on
+top of the manifest protocol (design re-derived from the two-phase-
+commit literature and Iceberg's REST-catalog multi-table commit
+discussion — single linearization point, participants guarded by
+locks):
+
+- a per-table LOCK file (``<table>/_txn_lock``, O_EXCL create) held
+  across finalize — every single-table writer's ``_commit`` barriers
+  on it, so no commit can slip between the transaction's validation
+  and its promotion;
+- a PENDING MARKER (``_manifest/<v>.json.txn``) created alongside each
+  reserved manifest — ``vt_latest_version`` treats a marked tip as
+  INVISIBLE until the transaction decides, so reserving a slot never
+  exposes partial state;
+- one shared DECISION file (``<coord>/<txnid>.decision``, O_EXCL) —
+  the single linearization point: the instant it says "committed",
+  every participating table's pending version is visible AT ONCE
+  (readers of a marked tip consult the decision); "aborted" means the
+  pending manifests are deleted under the still-held locks, so version
+  numbers stay CONTIGUOUS — no reader or walker ever sees a gap.
+
+Crash recovery is lease-based: a dead finalizer leaves its locks
+behind; any later writer's barrier resolves them — decision says
+committed -> roll forward (drop markers, release locks); aborted, or
+no decision and the lock is older than the TTL -> write/read the abort
+decision, delete the pending manifests, release. Readers never mutate;
+they just step back past undecided tips.
+
+The commit order is the strict two-phase shape:
+
+  1. acquire every table's lock (SORTED paths — no deadlocks)
+  2. validate each staged commit against the now-frozen tips
+     (the vt_merge conflict rules: removed-read-file / added-key-hit /
+     schema change), re-deriving carried file sets — any failure here
+     aborts cleanly, nothing was visible
+  3. reserve slots: commit each table's REAL manifest at tip+1 with a
+     pending marker (invisible); a writer that slipped in before the
+     lock costs a bounded re-validation spin
+  4. DECIDE: O_EXCL-create the decision file ("committed") — the
+     atomic point; a TTL-breaker racing us may have aborted instead,
+     in which case we roll back
+  5. finalize: remove markers, release locks (idempotent; any barrier
+     can finish this if we die)
+
+Scale: every step is O(tables + files-touched) driver metadata — no
+data is read or written at finalize (data files are staged by the
+operations themselves at stage time, exactly like a single-table
+merge).
+
+Reference parity: absent in the reference (no tables at all,
+/root/reference/src/Kinesis/Coordination.hs:51-53); the ack-after-
+processing discipline (Coordination.hs:329-337) is what the decision
+file generalizes across tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+import uuid
+
+from kinesis_app_spark.operators import versioned as VT
+
+__all__ = ["VtTransaction", "TxnAbortedError", "vt_transaction"]
+
+#: a lock with no decision older than this is presumed dead and may be
+#: broken (abort) by any writer's barrier
+TXN_LEASE_SECONDS = 300.0
+
+_MAX_RESERVE_SPINS = 50
+
+#: finalize's own _commit calls must pass its barrier: the holder's
+#: txn id rides in a thread-local the barrier consults
+_local = threading.local()
+
+
+class TxnAbortedError(RuntimeError):
+    """The transaction could not commit (conflict, or broken lease);
+    NOTHING became visible."""
+
+
+def _lock_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_txn_lock")
+
+
+def _marker_path(table_dir: str, version: int) -> str:
+    return VT._manifest_path(table_dir, version) + ".txn"
+
+
+def _decision_state(decision_path: str) -> str | None:
+    """'committed' | 'aborted' | None (undecided)."""
+    try:
+        with open(decision_path) as fh:
+            return json.load(fh).get("state")
+    except (OSError, ValueError):
+        return None
+
+
+def _write_decision(decision_path: str, state: str) -> bool:
+    """O_EXCL create — exactly one decision ever wins. Returns True if
+    THIS call decided."""
+    os.makedirs(os.path.dirname(decision_path), exist_ok=True)
+    tmp = {"state": state, "decided_at": time.time()}
+    try:
+        fd = os.open(decision_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump(tmp, fh)
+    return True
+
+
+def _tip_visibility(table_dir: str, version: int) -> str:
+    """Visibility of a specific manifest version for readers:
+    'visible' (no marker, or decision committed) or 'invisible'
+    (marker present, undecided or aborted)."""
+    mk = _marker_path(table_dir, version)
+    if not os.path.exists(mk):
+        return "visible"
+    try:
+        with open(mk) as fh:
+            info = json.load(fh)
+    except (OSError, ValueError):
+        return "visible"  # marker vanished mid-read: finalized
+    if _decision_state(info.get("decision", "")) == "committed":
+        return "visible"
+    return "invisible"
+
+
+def _resolve_table(table_dir: str, wait: bool = False) -> None:
+    """The writer barrier: called by ``_commit`` before taking a slot.
+    Fast path: no lock file -> return. Otherwise resolve the holder —
+    roll a committed transaction forward, abort one whose lease
+    expired, or raise so the caller's optimistic spin retries."""
+    lp = _lock_path(table_dir)
+    if not os.path.exists(lp):
+        return
+    if getattr(_local, "txn_id", None) is not None:
+        try:
+            with open(lp) as fh:
+                if json.load(fh).get("id") == _local.txn_id:
+                    return  # our own finalize: pass
+        except (OSError, ValueError):
+            return  # lock vanished: resolved concurrently
+    try:
+        with open(lp) as fh:
+            info = json.load(fh)
+    except (OSError, ValueError):
+        return  # lock vanished: resolved concurrently
+    decision = info.get("decision", "")
+    state = _decision_state(decision)
+    if state is None:
+        try:
+            age = time.time() - os.path.getmtime(lp)
+        except OSError:
+            return
+        if age <= info.get("lease", TXN_LEASE_SECONDS) and not wait:
+            raise VT.VersionConflictError(
+                f"{table_dir} is locked by in-flight transaction "
+                f"{info.get('id')}; retry shortly"
+            )
+        # lease expired (or waiting caller): presume the finalizer
+        # dead and race it to an ABORT decision — losing the race
+        # means it decided; proceed per the decision either way
+        _write_decision(decision, "aborted")
+        state = _decision_state(decision)
+    txn_id = info.get("id")
+    if state == "committed":
+        _finish_committed(table_dir, txn_id)
+    else:
+        _rollback_table(table_dir, txn_id)
+
+
+def _pending_versions(table_dir: str, txn_id: str) -> list[int]:
+    mdir = VT._manifest_dir(table_dir)
+    out = []
+    try:
+        names = os.listdir(mdir)
+    except OSError:
+        return out
+    for n in names:
+        if not n.endswith(".json.txn"):
+            continue
+        try:
+            with open(os.path.join(mdir, n)) as fh:
+                if json.load(fh).get("id") != txn_id:
+                    continue
+        except (OSError, ValueError):
+            continue
+        stem = n[: -len(".json.txn")]
+        if stem.isdigit():
+            out.append(int(stem))
+    return out
+
+
+def _finish_committed(table_dir: str, txn_id: str) -> None:
+    """Post-decision roll-forward for one table: drop the pending
+    markers (the versions are already visible via the decision),
+    advance the pointer, release the lock. Idempotent — any barrier
+    may finish a dead finalizer's work."""
+    for v in _pending_versions(table_dir, txn_id):
+        VT._advance_last_pointer(table_dir, v)
+        try:
+            os.remove(_marker_path(table_dir, v))
+        except OSError:
+            pass
+    _release_lock(table_dir, txn_id)
+
+
+def _rollback_table(table_dir: str, txn_id: str) -> None:
+    """Aborted transaction: delete this table's pending manifests
+    (invisible by marker, shielded from writers by the lock — versions
+    stay contiguous), then their markers, then the lock. Re-verifies
+    the decision per marker: deleting a COMMITTED (visible) version
+    would corrupt the table, so a committed decision flips this table
+    to roll-forward instead."""
+    for v in _pending_versions(table_dir, txn_id):
+        try:
+            with open(_marker_path(table_dir, v)) as fh:
+                decision = json.load(fh).get("decision", "")
+        except (OSError, ValueError):
+            continue  # marker gone: already finalized
+        if _decision_state(decision) == "committed":
+            _finish_committed(table_dir, txn_id)
+            return
+        try:
+            os.remove(VT._manifest_path(table_dir, v))
+        except OSError:
+            pass
+        try:
+            os.remove(_marker_path(table_dir, v))
+        except OSError:
+            pass
+        # the vt_files cache keys on the manifest's (mtime_ns, size):
+        # a deleted manifest can never be looked up again, so no
+        # explicit invalidation is needed
+    _release_lock(table_dir, txn_id)
+
+
+def _release_lock(table_dir: str, txn_id: str) -> None:
+    lp = _lock_path(table_dir)
+    try:
+        with open(lp) as fh:
+            if json.load(fh).get("id") != txn_id:
+                return  # someone else's lock now
+    except (OSError, ValueError):
+        return
+    try:
+        os.remove(lp)
+    except OSError:
+        pass
+
+
+class VtTransaction:
+    """Stage commits against several versioned tables, then land them
+    atomically::
+
+        with vt_transaction(spark, coord_dir) as txn:
+            txn.stage_merge(table_a, changes_a, keys=["k"])
+            txn.stage_append(table_b, df_b)
+        # exit commits BOTH (or raises and commits NEITHER)
+
+    Each ``stage_*`` runs the operation's full data work immediately
+    (joins, file writes, stats — identical cost to the single-table
+    call) but withholds the manifest commit; ``commit()`` runs the
+    two-phase protocol in the module docstring. One staged commit per
+    table per transaction."""
+
+    def __init__(self, spark, coord_dir: str,
+                 lease: float = TXN_LEASE_SECONDS):
+        self.spark = spark
+        self.coord_dir = coord_dir
+        self.txn_id = uuid.uuid4().hex[:16]
+        self.lease = float(lease)
+        self.decision_path = os.path.join(
+            coord_dir, f"{self.txn_id}.decision"
+        )
+        self._staged: list[dict] = []
+        self._locked: list[str] = []
+        self._done = False
+
+    # -- staging -------------------------------------------------------
+
+    def stage_merge(self, table_dir: str, changes, keys, **kwargs) -> int:
+        """``vt_merge`` with the commit withheld; returns the version
+        the merge PLANS to take (the final number may shift if disjoint
+        writers land before finalize)."""
+        self._check_stageable(table_dir)
+        return VT.vt_merge(
+            self.spark, table_dir, changes, keys, txn=self, **kwargs
+        )
+
+    def stage_append(self, table_dir: str, df) -> int:
+        """Append ``df`` as new files (no join, conflicts with nothing
+        — always lands once the transaction decides)."""
+        self._check_stageable(table_dir)
+        latest = VT.vt_latest_version(table_dir)
+        if latest < 0:
+            raise FileNotFoundError(f"table {table_dir} does not exist")
+        manifest = VT._read_manifest(table_dir, latest)
+        VT._check_protocol(manifest, table_dir, write=True)
+        if VT.vt_files(table_dir, latest) is None:
+            raise ValueError(
+                "txn append needs a file-level manifest (round-5+ "
+                "table); rewrite it (vt_optimize) first"
+            )
+        if VT._table_constraints(manifest):
+            raise ValueError(
+                "txn append cannot validate CHECK constraints; stage "
+                "the rows through stage_merge instead"
+            )
+        schema = VT._manifest_schema(manifest)
+        mapping = VT._col_mapping(manifest)
+        missing = [c for c in df.columns if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"txn append columns {missing} are not in the table "
+                "schema; evolve via stage_merge(merge_schema=True)"
+            )
+        new_version = latest + 1
+        data_dir, new_files = VT._write_files_with_stats(
+            df.select(*[f.name for f in schema.fields if f.name in
+                        df.columns]),
+            table_dir, new_version, mapping,
+        )
+
+        def mk_manifest(parent, carried_now, version):
+            out = {
+                "data_dir": data_dir,
+                "n_rows": VT._live_rows(carried_now + new_files),
+                "schema": manifest.get("schema"),
+                "operation": "APPEND",
+                **VT._incremental_or_full(
+                    version, parent, carried_now, new_files, []
+                ),
+            }
+            if mapping is not None:
+                out["column_mapping"] = mapping
+            return out
+
+        self._add_staged({
+            "table_dir": table_dir,
+            "validated_to": latest,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": set(),
+            "data_dir": data_dir,
+            "mk_manifest": mk_manifest,
+            "added_hits": lambda fe: False,
+            "op_name": "txn_append",
+        })
+        return new_version
+
+    def _check_stageable(self, table_dir: str) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if any(s["table_dir"] == table_dir for s in self._staged):
+            raise ValueError(
+                f"{table_dir} is already staged in this transaction "
+                "(one commit per table per transaction)"
+            )
+
+    def _add_staged(self, rec: dict) -> None:
+        self._staged.append(rec)
+
+    # -- the two-phase commit ------------------------------------------
+
+    def commit(self) -> dict[str, int]:
+        """Land every staged commit atomically. Returns
+        {table_dir: committed version}. Raises ``TxnAbortedError``
+        (nothing visible) on conflict."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._staged:
+            return {}
+        _local.txn_id = self.txn_id
+        try:
+            self._acquire_locks()
+            reserved = self._validate_and_reserve()
+            if not _write_decision(self.decision_path, "committed"):
+                # a lease-breaker decided first (it can only abort) —
+                # honor it; abort() re-reads the decision either way
+                raise TxnAbortedError(
+                    f"txn {self.txn_id}: lease broken before decision"
+                )
+        except BaseException:
+            self.abort()
+            raise
+        finally:
+            _local.txn_id = None
+        _local.txn_id = self.txn_id
+        try:
+            for table_dir in sorted({s["table_dir"] for s in self._staged}):
+                _finish_committed(table_dir, self.txn_id)
+        finally:
+            _local.txn_id = None
+        return reserved
+
+    def abort(self) -> None:
+        """Discard everything staged; release any held locks. If the
+        decision already went to 'committed' (we are a late aborter),
+        roll FORWARD instead — a decided transaction's outcome is
+        immutable."""
+        self._done = True
+        _write_decision(self.decision_path, "aborted")
+        _local.txn_id = self.txn_id
+        try:
+            if _decision_state(self.decision_path) == "committed":
+                for t in sorted({s["table_dir"] for s in self._staged}):
+                    if t in self._locked:
+                        _finish_committed(t, self.txn_id)
+                return
+            self._rollback_all()
+        finally:
+            _local.txn_id = None
+        for s in self._staged:
+            shutil.rmtree(s["data_dir"], ignore_errors=True)
+
+    def _acquire_locks(self) -> None:
+        for table_dir in sorted({s["table_dir"] for s in self._staged}):
+            payload = json.dumps({
+                "id": self.txn_id,
+                "decision": self.decision_path,
+                "lease": self.lease,
+                "ts": time.time(),
+            })
+            for _spin in range(_MAX_RESERVE_SPINS):
+                _resolve_table(table_dir, wait=True)
+                try:
+                    fd = os.open(
+                        _lock_path(table_dir),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    )
+                except FileExistsError:
+                    time.sleep(0.05)
+                    continue
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(payload)
+                self._locked.append(table_dir)
+                break
+            else:
+                raise TxnAbortedError(
+                    f"txn {self.txn_id}: could not lock {table_dir}"
+                )
+
+    def _validate_and_reserve(self) -> dict[str, int]:
+        """Steps 2+3: per table, re-run the optimistic-commit conflict
+        validation against commits that landed since staging, then
+        commit the REAL manifest at tip+1 behind a pending marker.
+        Fallible — any raise unwinds to a clean abort (markers make the
+        reservations invisible; the locks stop new writers)."""
+        out: dict[str, int] = {}
+        for s in self._staged:
+            table_dir = s["table_dir"]
+            validated_to = s["validated_to"]
+            for _spin in range(_MAX_RESERVE_SPINS):
+                latest = VT.vt_latest_version(table_dir)
+                for v in range(validated_to + 1, latest + 1):
+                    delta = VT._commit_delta(table_dir, v)
+                    if delta is None:
+                        raise TxnAbortedError(
+                            f"txn {self.txn_id}: version {v} of "
+                            f"{table_dir} has no file-level metadata"
+                        )
+                    added, removed = delta
+                    hit = removed & s["t_paths"]
+                    if hit:
+                        raise TxnAbortedError(
+                            f"txn {self.txn_id}: version {v} of "
+                            f"{table_dir} removed file(s) this txn "
+                            f"read: {sorted(hit)[:3]}"
+                        )
+                    clash = next(
+                        (fe for fe in added if s["added_hits"](fe)), None
+                    )
+                    if clash is not None:
+                        raise TxnAbortedError(
+                            f"txn {self.txn_id}: version {v} of "
+                            f"{table_dir} added an overlapping file: "
+                            f"{clash['path']}"
+                        )
+                if latest > validated_to:
+                    latest_m = VT._read_manifest(table_dir, latest)
+                    if (json.dumps(latest_m.get("schema"), sort_keys=True)
+                            != s["base_schema_json"]):
+                        raise TxnAbortedError(
+                            f"txn {self.txn_id}: concurrent schema "
+                            f"change on {table_dir}"
+                        )
+                validated_to = latest
+                parent_files = VT.vt_files(table_dir, latest)
+                carried = [
+                    f for f in parent_files
+                    if f["path"] not in s["t_paths"]
+                ]
+                version = latest + 1
+                # marker BEFORE manifest: a manifest must never exist
+                # without its invisibility marker
+                mk = _marker_path(table_dir, version)
+                os.makedirs(os.path.dirname(mk), exist_ok=True)
+                with open(mk, "w") as fh:
+                    json.dump(
+                        {"id": self.txn_id,
+                         "decision": self.decision_path}, fh,
+                    )
+                try:
+                    VT._commit(
+                        table_dir, version,
+                        s["mk_manifest"](parent_files, carried, version),
+                    )
+                    out[table_dir] = version
+                    break
+                except VT.VersionConflictError:
+                    # a writer slipped in between our barrier and lock:
+                    # clean the orphan marker and re-validate its delta
+                    try:
+                        os.remove(mk)
+                    except OSError:
+                        pass
+                    continue
+            else:
+                raise TxnAbortedError(
+                    f"txn {self.txn_id}: starved reserving a slot on "
+                    f"{table_dir}"
+                )
+        return out
+
+    def _rollback_all(self) -> None:
+        for table_dir in sorted({s["table_dir"] for s in self._staged}):
+            if table_dir in self._locked:
+                _rollback_table(table_dir, self.txn_id)
+
+    # -- context manager -----------------------------------------------
+
+    def __enter__(self) -> "VtTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            self.abort()
+            return False
+        self.commit()
+        return False
+
+
+def vt_transaction(spark, coord_dir: str,
+                   lease: float = TXN_LEASE_SECONDS) -> VtTransaction:
+    return VtTransaction(spark, coord_dir, lease=lease)

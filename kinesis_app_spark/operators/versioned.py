@@ -218,13 +218,30 @@ def vt_latest_version(table_dir: str) -> int:
     if v >= 0 and os.path.exists(_manifest_path(table_dir, v)):
         while os.path.exists(_manifest_path(table_dir, v + 1)):
             v += 1  # stale-pointer healing
-        return v
+        return _visible_tip(table_dir, v)
     versions = [
         int(f[:-5])
         for f in os.listdir(mdir)
         if f.endswith(".json") and f[:-5].isdigit()
     ]
-    return max(versions) if versions else -1
+    return _visible_tip(table_dir, max(versions)) if versions else -1
+
+
+def _visible_tip(table_dir: str, tip: int) -> int:
+    """Step back past tip versions reserved by an UNDECIDED (or
+    aborted-but-not-yet-cleaned) multi-table transaction — their
+    pending marker makes them invisible until the transaction's shared
+    decision file says 'committed' (operators/txn.py). The fast path is
+    one os.path.exists per call."""
+    while tip >= 0:
+        if not os.path.exists(_manifest_path(table_dir, tip) + ".txn"):
+            return tip
+        from kinesis_app_spark.operators.txn import _tip_visibility
+
+        if _tip_visibility(table_dir, tip) == "visible":
+            return tip
+        tip -= 1
+    return tip
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
@@ -691,6 +708,19 @@ def _commit(table_dir: str, version: int, manifest: dict,
         # written even when empty: the ledger's presence is what bounds
         # every later probe's backward walk to one checkpoint interval
         manifest["batch_ids"] = sorted(ids)
+    # multi-table transaction barrier: while a table is locked by an
+    # in-flight txn finalize, single-table commits must not slip a
+    # version between its validation and promotion; a decided or
+    # lease-expired lock is resolved in place (operators/txn.py).
+    # Fast path: one os.path.exists.
+    from kinesis_app_spark.operators.txn import _resolve_table
+
+    try:
+        _resolve_table(table_dir)
+    except VersionConflictError:
+        if cleanup_dir:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise
     path = _manifest_path(table_dir, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1028,8 +1058,16 @@ def vt_merge(
     merge_schema: bool = False,
     check: str | None = None,
     max_prune_keys: int = _PRUNE_MAX_KEYS,
+    txn=None,
 ) -> int:
     """MERGE INTO, file-level copy-on-write, optimistically-concurrent.
+
+    ``txn`` (a ``VtTransaction``): run all the data work now — join,
+    file writes, stats, constraint validation — but WITHHOLD the
+    manifest commit, handing the staged pieces to the transaction's
+    atomic multi-table finalize (operators/txn.py). Returns the version
+    the merge plans to take; the final number may shift if disjoint
+    writers land before the transaction commits.
 
     Reads the latest manifest, REWRITES ONLY the files whose per-file
     key min/max contains some ACTUAL change-batch key (key-set pruning;
@@ -1200,6 +1238,12 @@ def vt_merge(
         return out
 
     if parent_files is None:
+        if txn is not None:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                "transactions need a file-level manifest (round-5+ "
+                "table); rewrite it (vt_optimize) first"
+            )
         # pre-round-5 manifest: no file-level metadata, so no conflict
         # detection is possible — any race loses outright (old behavior)
         _commit(
@@ -1220,6 +1264,21 @@ def vt_merge(
                 fe, chg_stats, pkeys
             )
         return True
+
+    if txn is not None:
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": base,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            "data_dir": data_dir,
+            "mk_manifest": _mk_manifest,
+            "added_hits": _added_file_hits,
+            "op_name": "vt_merge",
+        })
+        return new_version
 
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),

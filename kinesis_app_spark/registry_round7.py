@@ -329,6 +329,110 @@ WHERE o_custkey NOT IN (11, 23)
 """
 
 
+def versioned_multi_table_txn(spark, sf_dir):
+    """MULTI-TABLE ACID TRANSACTIONS under the value gate
+    (operators/txn.py — neither Delta nor classic Iceberg has these on
+    a plain filesystem): two versioned tables (the even-key and
+    odd-key halves of orders) receive one COMMITTED transaction — a
+    keyed MERGE on table A staged atomically with an APPEND on table B
+    — and one ABORTED transaction (a poisoned price bump on A plus a
+    junk append on B, rolled back by the context manager). The build
+    asserts the commit advanced BOTH tables by exactly one version and
+    the abort advanced NEITHER (contiguous version numbers — aborted
+    reservations leave no gaps). The oracle replays only the committed
+    transaction's arithmetic over raw orders: a torn commit (one table
+    landed, the other not), a leaked aborted row, or a double-applied
+    merge shifts sums and hash-mismatches."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    a_dir = os.path.join(_VT7_ROOT, f"orders_txn_a_{tag}")
+    b_dir = os.path.join(_VT7_ROOT, f"orders_txn_b_{tag}")
+    coord = os.path.join(_VT7_ROOT, f"txn_coord_{tag}")
+    marker = os.path.join(a_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        for d in (a_dir, b_dir, coord):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o.filter(F.col("o_orderkey") % 2 == 0), a_dir)
+        VT.vt_create(o.filter(F.col("o_orderkey") % 2 == 1), b_dir)
+        va, vb = VT.vt_latest_version(a_dir), VT.vt_latest_version(b_dir)
+        bump = (
+            VT.vt_read(spark, a_dir)
+            .filter(F.col("o_orderkey") % 6 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.5))
+            .withColumn("op", F.lit("U"))
+        )
+        extra = (
+            VT.vt_read(spark, b_dir)
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                (F.col("o_orderkey") + F.lit(10_000_000))
+                .alias("o_orderkey"),
+                "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        with vt_transaction(spark, coord) as txn:
+            txn.stage_merge(a_dir, bump, keys=["o_orderkey"])
+            txn.stage_append(b_dir, extra)
+            # mid-transaction: neither table moved
+            assert VT.vt_latest_version(a_dir) == va
+            assert VT.vt_latest_version(b_dir) == vb
+        assert VT.vt_latest_version(a_dir) == va + 1, "A must land"
+        assert VT.vt_latest_version(b_dir) == vb + 1, "B must land"
+        # the ABORTED transaction: nothing may move
+        poison = (
+            VT.vt_read(spark, a_dir).limit(50)
+            .withColumn("o_totalprice", F.lit(-999.0))
+            .withColumn("op", F.lit("U"))
+        )
+        try:
+            with vt_transaction(spark, coord) as txn:
+                txn.stage_merge(a_dir, poison, keys=["o_orderkey"])
+                txn.stage_append(b_dir, extra.limit(5))
+                raise RuntimeError("abort this transaction")
+        except RuntimeError:
+            pass
+        assert VT.vt_latest_version(a_dir) == va + 1, (
+            "aborted txn must not advance A"
+        )
+        assert VT.vt_latest_version(b_dir) == vb + 1, (
+            "aborted txn must not advance B (and no version gap)"
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return (
+        VT.vt_read(spark, a_dir)
+        .unionAll(VT.vt_read(spark, b_dir))
+        .orderBy("o_orderkey", "o_custkey")
+    )
+
+
+VERSIONED_TXN_SQL = """
+SELECT o_orderkey, o_custkey,
+       o_totalprice
+         + CASE WHEN o_orderkey % 6 = 0 THEN 2.5 ELSE 0 END
+         AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+       o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+ORDER BY o_orderkey, o_custkey
+"""
+
+
 VERSIONED_TABLE_SOURCE_SQL = """
 SELECT o_orderkey, o_custkey,
        o_totalprice
@@ -651,6 +755,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_metadata_aggregates": QuerySpec(
         versioned_metadata_aggregates, VERSIONED_FAST_STATS_SQL
+    ),
+    "versioned_multi_table_txn": QuerySpec(
+        versioned_multi_table_txn, VERSIONED_TXN_SQL
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL

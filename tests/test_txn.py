@@ -1,0 +1,247 @@
+"""Multi-table ACID transactions (operators/txn.py): atomic
+visibility through the shared decision file, clean aborts with
+contiguous versions, lease-based crash recovery in both directions,
+and conflict detection at finalize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_app_spark.operators import txn as TX
+from kinesis_app_spark.operators import versioned as VT
+from kinesis_app_spark.operators.txn import (
+    TxnAbortedError,
+    VtTransaction,
+    vt_transaction,
+)
+
+
+def _mk_pair(spark, tmp_path, files=4):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    dfa = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dfb = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    VT.vt_create(dfa, a)
+    VT.vt_optimize(spark, a, cluster_cols=["k"],
+                   max_records_per_file=400 // files)
+    VT.vt_create(dfb, b)
+    return a, b, dfa, dfb
+
+
+def _chg(spark, lo, hi, val):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(val).cast("long").alias("v"),
+        F.lit("U").alias("op"),
+    )
+
+
+def test_commit_lands_both_atomically(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+    extra = spark.range(200, 230).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    with vt_transaction(spark, coord) as txn:
+        txn.stage_merge(a, _chg(spark, 0, 25, 999), keys=["k"])
+        txn.stage_append(b, extra)
+        # mid-transaction: NOTHING visible, on either table
+        assert VT.vt_latest_version(a) == va
+        assert VT.vt_latest_version(b) == vb
+    assert VT.vt_latest_version(a) == va + 1
+    assert VT.vt_latest_version(b) == vb + 1
+    assert VT.vt_read(spark, a).filter(F.col("v") == 999).count() == 25
+    assert VT.vt_read(spark, b).count() == 230
+    assert not os.path.exists(TX._lock_path(a))
+    assert not os.path.exists(TX._lock_path(b))
+
+
+def test_abort_leaves_nothing_and_versions_contiguous(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+    with pytest.raises(RuntimeError, match="boom"):
+        with vt_transaction(spark, coord) as txn:
+            txn.stage_merge(a, _chg(spark, 0, 10, 111), keys=["k"])
+            txn.stage_merge(b, spark.range(5).select(
+                F.col("id").alias("k"), F.lit(7).cast("long").alias("w"),
+                F.lit("U").alias("op"),
+            ), keys=["k"])
+            raise RuntimeError("boom")
+    assert VT.vt_latest_version(a) == va
+    assert VT.vt_latest_version(b) == vb
+    assert VT.vt_read(spark, a).filter(F.col("v") == 111).count() == 0
+    # next single-table write takes the NEXT version (no gap)
+    v = VT.vt_merge(spark, a, _chg(spark, 0, 5, 5), keys=["k"])
+    assert v == va + 1
+
+
+def test_same_table_twice_refused(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    txn = VtTransaction(spark, str(tmp_path / "coord"))
+    txn.stage_merge(a, _chg(spark, 0, 5, 1), keys=["k"])
+    with pytest.raises(ValueError, match="already staged"):
+        txn.stage_merge(a, _chg(spark, 5, 9, 2), keys=["k"])
+    txn.abort()
+
+
+def _stage_and_reserve(spark, a, b, coord, lease=0.4):
+    """Drive a transaction to the reserved-but-undecided state, then
+    abandon it (the crash-between-reservation-and-decision shape)."""
+    txn = VtTransaction(spark, coord, lease=lease)
+    txn.stage_merge(a, _chg(spark, 0, 20, 445), keys=["k"])
+    txn.stage_append(b, spark.range(200, 210).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    ))
+    TX._local.txn_id = txn.txn_id
+    try:
+        txn._acquire_locks()
+        reserved = txn._validate_and_reserve()
+    finally:
+        TX._local.txn_id = None
+    return txn, reserved
+
+
+def test_crash_before_decision_is_rolled_back_by_lease(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+    txn, reserved = _stage_and_reserve(spark, a, b, coord, lease=0.4)
+    # reservations exist on disk but are INVISIBLE
+    assert os.path.exists(VT._manifest_path(a, reserved[a]))
+    assert VT.vt_latest_version(a) == va
+    assert VT.vt_latest_version(b) == vb
+    assert VT.vt_read(spark, a).filter(F.col("v") == 445).count() == 0
+    time.sleep(0.5)  # lease expires
+    # the next writer's barrier aborts the dead transaction and lands
+    v = VT.vt_merge(spark, a, _chg(spark, 0, 5, 5), keys=["k"])
+    assert v == va + 1, "rolled-back reservation must free its slot"
+    assert not os.path.exists(VT._manifest_path(a, reserved[a]) + ".txn")
+    assert TX._decision_state(txn.decision_path) == "aborted"
+    # table b resolves on its next touch too
+    vb2 = VT.vt_merge(spark, b, spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("w"),
+        F.lit("U").alias("op"),
+    ), keys=["k"])
+    assert vb2 == vb + 1
+    assert VT.vt_read(spark, b).count() == 200
+
+
+def test_crash_after_decision_rolls_forward(spark, tmp_path):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+    txn, reserved = _stage_and_reserve(spark, a, b, coord, lease=0.4)
+    # neither table visible yet...
+    assert VT.vt_latest_version(a) == va
+    # ... then the DECISION lands (and the finalizer dies)
+    assert TX._write_decision(txn.decision_path, "committed")
+    # ATOMIC visibility: both tables show the new version instantly,
+    # markers or not
+    assert VT.vt_latest_version(a) == reserved[a] == va + 1
+    assert VT.vt_latest_version(b) == reserved[b] == vb + 1
+    assert VT.vt_read(spark, a).filter(F.col("v") == 445).count() == 20
+    assert VT.vt_read(spark, b).count() == 210
+    # the next writer's barrier finishes the cleanup
+    time.sleep(0.5)
+    VT.vt_merge(spark, a, _chg(spark, 0, 3, 6), keys=["k"])
+    assert not os.path.exists(TX._lock_path(a))
+    assert not os.path.exists(
+        VT._manifest_path(a, reserved[a]) + ".txn"
+    )
+
+
+def test_inflight_lock_blocks_writers_without_breaking_lease(
+    spark, tmp_path
+):
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    # a FRESH lock (lease not expired): single-table commits must fail
+    # loudly instead of slipping a version under the transaction
+    with open(TX._lock_path(a), "w") as fh:
+        json.dump({"id": "someoneelse", "lease": 300.0,
+                   "decision": str(tmp_path / "coord" / "x.decision"),
+                   "ts": time.time()}, fh)
+    try:
+        with pytest.raises(VT.VersionConflictError):
+            VT.vt_merge(spark, a, _chg(spark, 0, 5, 1), keys=["k"])
+    finally:
+        os.remove(TX._lock_path(a))
+    # lock gone: the same merge lands
+    VT.vt_merge(spark, a, _chg(spark, 0, 5, 1), keys=["k"])
+
+
+def test_finalize_conflict_aborts_cleanly(spark, tmp_path):
+    """An OVERLAPPING single-table commit that lands between staging
+    and finalize must abort the transaction — and the interloper's
+    commit survives untouched."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    txn = VtTransaction(spark, coord)
+    txn.stage_merge(a, _chg(spark, 0, 20, 7), keys=["k"])
+    txn.stage_append(b, spark.range(200, 205).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    ))
+    # interloper rewrites the same keys (same files) on table a
+    v_interloper = VT.vt_merge(
+        spark, a, _chg(spark, 0, 20, 13), keys=["k"]
+    )
+    vb = VT.vt_latest_version(b)
+    with pytest.raises(TxnAbortedError):
+        txn.commit()
+    assert VT.vt_latest_version(a) == v_interloper
+    assert VT.vt_read(spark, a).filter(F.col("v") == 13).count() == 20
+    assert VT.vt_read(spark, a).filter(F.col("v") == 7).count() == 0
+    assert VT.vt_latest_version(b) == vb, (
+        "the append must not land when the sibling merge aborted"
+    )
+    assert not os.path.exists(TX._lock_path(a))
+
+
+def test_finalize_rebase_over_disjoint_commit(spark, tmp_path):
+    """A DISJOINT commit landing between staging and finalize is
+    rebased over (the vt_merge discipline): the transaction still
+    lands, one version later, with both effects present."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    txn = VtTransaction(spark, coord)
+    txn.stage_merge(a, _chg(spark, 0, 20, 7), keys=["k"])
+    txn.stage_append(b, spark.range(200, 205).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    ))
+    # interloper touches a DIFFERENT key range (different files on the
+    # clustered table)
+    v_i = VT.vt_merge(spark, a, _chg(spark, 350, 380, 9), keys=["k"])
+    got = txn.commit()
+    assert got[a] == v_i + 1
+    assert VT.vt_read(spark, a).filter(F.col("v") == 7).count() == 20
+    assert VT.vt_read(spark, a).filter(F.col("v") == 9).count() == 30
+    assert VT.vt_read(spark, b).count() == 205
+
+
+def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
+    """vt_read/vt_history through the visible tip while a reservation
+    is pending; full content returns the pre-txn state."""
+    a, b, dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va = VT.vt_latest_version(a)
+    txn, reserved = _stage_and_reserve(spark, a, b, coord, lease=60.0)
+    try:
+        assert VT.vt_latest_version(a) == va
+        got = sorted(VT.vt_read(spark, a).collect())
+        want = sorted(dfa.collect())
+        assert got == want
+    finally:
+        TX._local.txn_id = txn.txn_id
+        try:
+            txn._rollback_all()
+        finally:
+            TX._local.txn_id = None
