@@ -68,7 +68,12 @@ import uuid
 
 from kinesis_app_spark.operators import versioned as VT
 
-__all__ = ["VtTransaction", "TxnAbortedError", "vt_transaction"]
+__all__ = [
+    "VtTransaction",
+    "TxnAbortedError",
+    "vt_transaction",
+    "vt_foreach_batch_txn_merger",
+]
 
 #: a lock with no decision older than this is presumed dead and may be
 #: broken (abort) by any writer's barrier
@@ -297,9 +302,12 @@ class VtTransaction:
             self.spark, table_dir, changes, keys, txn=self, **kwargs
         )
 
-    def stage_append(self, table_dir: str, df) -> int:
+    def stage_append(self, table_dir: str, df,
+                     batch_id: int | None = None) -> int:
         """Append ``df`` as new files (no join, conflicts with nothing
-        — always lands once the transaction decides)."""
+        — always lands once the transaction decides). ``batch_id``
+        lands in the commit's epoch ledger for streaming idempotence
+        (the vt_foreach_batch_merger discipline)."""
         self._check_stageable(table_dir)
         latest = VT.vt_latest_version(table_dir)
         if latest < 0:
@@ -343,6 +351,8 @@ class VtTransaction:
             }
             if mapping is not None:
                 out["column_mapping"] = mapping
+            if batch_id is not None:
+                out["batch_id"] = int(batch_id)
             return out
 
         self._add_staged({
@@ -555,3 +565,72 @@ class VtTransaction:
 def vt_transaction(spark, coord_dir: str,
                    lease: float = TXN_LEASE_SECONDS) -> VtTransaction:
     return VtTransaction(spark, coord_dir, lease=lease)
+
+
+def vt_foreach_batch_txn_merger(spark, coord_dir: str,
+                                tables: list[dict]):
+    """foreachBatch sink that maintains SEVERAL versioned tables from
+    one stream, each epoch landing in all of them ATOMICALLY and
+    exactly once — the multi-table generalization of
+    ``vt_foreach_batch_merger`` (a fact table and its rollup can never
+    be torn apart by a crash, and a replayed epoch can never
+    double-apply to either).
+
+    ``tables`` entries: ``{"table_dir": ..., "derive":
+    fn(batch_df) -> changes_df, "keys": [...]}`` for a keyed MERGE, or
+    ``{"table_dir": ..., "derive": ..., "append": True}`` for an
+    append. ``derive`` may READ its target table's committed state
+    (e.g. to add a batch's partial sums onto the current rollup) — the
+    decision file guarantees every derive in the NEXT epoch sees this
+    epoch's commits on all tables or on none.
+
+    Exactly-once: the epoch's batch_id rides in every staged commit's
+    manifest; because visibility is atomic, the id appears in ALL the
+    tables' ledgers or in NONE — a replay probes the first ledger and
+    skips. A torn ledger (some tables have the id, some don't) is
+    impossible through this sink and raises loudly if found (external
+    tampering).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(vt_foreach_batch_txn_merger(
+            spark, coord, [
+                {"table_dir": fact, "derive": lambda b: b.withColumn(
+                     "op", F.lit("U")), "keys": ["k"]},
+                {"table_dir": rollup, "derive": derive_rollup,
+                 "keys": ["grp"]},
+            ]))
+    """
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        bid = int(batch_id)
+        have = [
+            bid in VT.vt_committed_batch_ids(t["table_dir"])
+            for t in tables
+        ]
+        if all(have):
+            return  # replayed epoch: already applied everywhere
+        if any(have):
+            raise RuntimeError(
+                f"epoch {bid} is committed in some tables but not all "
+                "— this sink cannot have produced that state; refusing "
+                "to guess"
+            )
+        # several derives re-plan the batch: pin it once
+        batch_df = batch_df.localCheckpoint(eager=True)
+        with vt_transaction(spark, coord_dir) as txn:
+            for t in tables:
+                changes = t["derive"](batch_df)
+                if t.get("append"):
+                    txn.stage_append(
+                        t["table_dir"], changes, batch_id=bid
+                    )
+                else:
+                    txn.stage_merge(
+                        t["table_dir"], changes, keys=t["keys"],
+                        op_col=t.get("op_col", "op"),
+                        seq_col=t.get("seq_col"),
+                        batch_id=bid,
+                    )
+
+    return apply_batch

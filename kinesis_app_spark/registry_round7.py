@@ -433,6 +433,140 @@ ORDER BY o_orderkey, o_custkey
 """
 
 
+def pipeline_txn_fact_rollup(spark, sf_dir):
+    """STREAMING × TRANSACTIONS composed under the value gate: one
+    stream maintains a FACT table (keyed MERGE of every order) and its
+    incremental ROLLUP (per-customer count + decimal revenue, each
+    epoch ADDING its partial sums onto the committed rollup) through
+    ``vt_foreach_batch_txn_merger`` — every epoch lands in BOTH tables
+    atomically and exactly once (the batch_id rides in both commit
+    ledgers behind one decision file; a crash can tear neither the
+    epoch nor the fact/rollup consistency). Three file-split epochs
+    drain through a real checkpointed availableNow query. The oracle
+    recomputes the rollup from raw orders in one shot — an epoch
+    applied twice to the rollup but once to the fact (or vice versa),
+    a torn final epoch, or a lost one shifts counts/sums and
+    hash-mismatches. Exact DECIMAL arithmetic keeps the incremental
+    accumulation bit-equal to the oracle's single-pass SUM."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import (
+        vt_foreach_batch_txn_merger,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    fact = os.path.join(_VT7_ROOT, f"txnp_fact_{tag}")
+    rollup = os.path.join(_VT7_ROOT, f"txnp_rollup_{tag}")
+    coord = os.path.join(_VT7_ROOT, f"txnp_coord_{tag}")
+    marker = os.path.join(fact, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        for d in (fact, rollup, coord):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("o_totalprice"),
+        )
+        VT.vt_create(o.limit(0), fact)
+        VT.vt_create(
+            spark.createDataFrame(
+                [], "o_custkey long, n_orders long, total decimal(20,2)"
+            ),
+            rollup,
+        )
+
+        def derive_fact(batch):
+            return batch.withColumn("op", F.lit("U"))
+
+        def derive_rollup(batch):
+            agg = batch.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("d_n"),
+                F.sum("o_totalprice").alias("d_t"),
+            )
+            cur = VT.vt_read(spark, rollup)
+            return (
+                agg.join(cur, "o_custkey", "left")
+                .select(
+                    "o_custkey",
+                    (F.coalesce(F.col("n_orders"), F.lit(0))
+                     + F.col("d_n")).cast("long").alias("n_orders"),
+                    (F.coalesce(
+                        F.col("total"),
+                        F.lit(0).cast("decimal(20,2)"),
+                    ) + F.col("d_t")).cast("decimal(20,2)")
+                    .alias("total"),
+                )
+                .withColumn("op", F.lit("U"))
+            )
+
+        run = uuid.uuid4().hex[:8]
+        stage = os.path.join(tempfile.gettempdir(), f"txnp_in_{run}")
+        ckpt = os.path.join(tempfile.gettempdir(), f"txnp_ck_{run}")
+        for i in range(3):  # three deterministic epochs
+            o.filter(F.col("o_orderkey") % 3 == i).coalesce(1) \
+                .write.parquet(os.path.join(stage, f"part{i}"))
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "part*"))
+            .writeStream
+            .foreachBatch(vt_foreach_batch_txn_merger(spark, coord, [
+                {"table_dir": fact, "derive": derive_fact,
+                 "keys": ["o_orderkey"]},
+                {"table_dir": rollup, "derive": derive_rollup,
+                 "keys": ["o_custkey"]},
+            ]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "txn fact/rollup pipeline did not drain in 300 s"
+                )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        n0 = o.count()
+        assert VT.vt_read(spark, fact).count() == n0, (
+            "every order must reach the fact table"
+        )
+        assert (VT.vt_committed_batch_ids(fact)
+                == VT.vt_committed_batch_ids(rollup)), (
+            "atomic epochs: both ledgers must carry the same batch ids"
+        )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return (
+        VT.vt_read(spark, rollup)
+        .select(
+            "o_custkey", "n_orders",
+            # the ACCUMULATION is exact decimal; the final cast is one
+            # rounding of the same exact value on both sides
+            F.col("total").cast("double").alias("total"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+PIPELINE_TXN_ROLLUP_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(20,2)) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 VERSIONED_TABLE_SOURCE_SQL = """
 SELECT o_orderkey, o_custkey,
        o_totalprice
@@ -758,6 +892,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "versioned_multi_table_txn": QuerySpec(
         versioned_multi_table_txn, VERSIONED_TXN_SQL
+    ),
+    "pipeline_txn_fact_rollup": QuerySpec(
+        pipeline_txn_fact_rollup, PIPELINE_TXN_ROLLUP_SQL
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL

@@ -227,6 +227,73 @@ def test_finalize_rebase_over_disjoint_commit(spark, tmp_path):
     assert VT.vt_read(spark, b).count() == 205
 
 
+def test_txn_merger_exactly_once_and_torn_ledger_guard(spark, tmp_path):
+    """The multi-table foreachBatch merger: a replayed epoch is a
+    no-op on BOTH tables; a torn ledger (impossible through the sink)
+    is refused loudly."""
+    from kinesis_app_spark.operators.txn import (
+        vt_foreach_batch_txn_merger,
+    )
+
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "roll")
+    coord = str(tmp_path / "coord")
+    VT.vt_create(spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id")).alias("v")
+    ), fact)
+    VT.vt_create(spark.createDataFrame(
+        [], "grp long, n long"
+    ), roll)
+
+    def derive_fact(b):
+        return b.withColumn("op", F.lit("U"))
+
+    def derive_roll(b):
+        agg = b.groupBy((F.col("k") % 3).alias("grp")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        cur = VT.vt_read(spark, roll)
+        return (
+            agg.join(cur, "grp", "left")
+            .select(
+                "grp",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("d"))
+                .cast("long").alias("n"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+
+    sink = vt_foreach_batch_txn_merger(spark, coord, [
+        {"table_dir": fact, "derive": derive_fact, "keys": ["k"]},
+        {"table_dir": roll, "derive": derive_roll, "keys": ["grp"]},
+    ])
+    batch = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    sink(batch, 0)
+    vf, vr = VT.vt_latest_version(fact), VT.vt_latest_version(roll)
+    n_roll = sorted(VT.vt_read(spark, roll).collect())
+    sink(batch, 0)  # REPLAY: must be a no-op on both tables
+    assert VT.vt_latest_version(fact) == vf
+    assert VT.vt_latest_version(roll) == vr
+    assert sorted(VT.vt_read(spark, roll).collect()) == n_roll
+    assert [r["n"] for r in n_roll] == [10, 10, 10]
+    # a SECOND epoch accumulates
+    sink(spark.range(30, 45).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ), 1)
+    assert sorted(
+        r["n"] for r in VT.vt_read(spark, roll).collect()
+    ) == [15, 15, 15]
+    # torn ledger: fake an epoch present in one table only
+    VT.vt_merge(spark, fact, spark.range(1).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v"),
+        F.lit("U").alias("op"),
+    ), keys=["k"], batch_id=7)
+    with pytest.raises(RuntimeError, match="some tables but not all"):
+        sink(batch, 7)
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
