@@ -701,6 +701,160 @@ def wide_main() -> int:
     return 0
 
 
+# ---------------------------------------------------------------------
+# Round-7b: vt_table source FILTER PUSHDOWN — planned-slice counts and
+# wall time for a clustered-range scan and a bloom secondary-key point
+# lookup, pushed (format("vt_table") + .filter) vs unpushed
+# (vt_read + .filter: every file opened, Spark's own parquet row-group
+# skipping still applies — so the delta isolates FILE-level skipping).
+# ---------------------------------------------------------------------
+
+
+def pushdown_main() -> int:
+    import shutil
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.sources.vt_writer import (
+        VersionedTableBatchReader,
+    )
+
+    spark = get_spark(app_name="kinesis-pushdown-stress",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    W.register(spark)
+    table = "/tmp/kinesis_stress_r7/pushdown"
+    shutil.rmtree(table, ignore_errors=True)
+    n_rows = 4_000_000
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 100_000_003).alias("sk"),
+        (F.col("id") % 9973).alias("v"),
+    )
+    VT.vt_create(
+        df.repartitionByRange(64, "k").sortWithinPartitions("k"), table
+    )
+    # m sized to the per-file distinct count (62.5k values/file): the
+    # default 4096 saturates and stores null — Delta's bloom indexes
+    # are likewise sized by fpp x distinct estimate
+    VT.vt_index_bloom(spark, table, ["sk"], m=1 << 19)
+    n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
+    probe = int(
+        df.filter(F.col("k") == 123_457).select("sk").collect()[0][0]
+    )
+
+    def planned(filters) -> int:
+        r = VersionedTableBatchReader({"path": table})
+        list(r.pushFilters(filters))
+        return len(r.partitions())
+
+    def best(build) -> float:
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    rng = (F.col("k") >= 1_000_000) & (F.col("k") < 1_100_000)
+    out = {
+        "mode": "pushdown",
+        "n_rows": n_rows,
+        "n_files": n_files,
+        "range_planned_files": planned([
+            GreaterThanOrEqual(("k",), 1_000_000),
+            LessThan(("k",), 1_100_000),
+        ]),
+        "bloom_planned_files": planned([EqualTo(("sk",), probe)]),
+        "range_pushed_s": best(
+            lambda: spark.read.format("vt_table").option("path", table)
+            .load().filter(rng)
+        ),
+        "range_unpushed_s": best(
+            lambda: VT.vt_read(spark, table).filter(rng)
+        ),
+        "bloom_pushed_s": best(
+            lambda: spark.read.format("vt_table").option("path", table)
+            .load().filter(F.col("sk") == probe)
+        ),
+        "bloom_unpushed_s": best(
+            lambda: VT.vt_read(spark, table)
+            .filter(F.col("sk") == probe)
+        ),
+        # the LIBRARY path: native parquet scan + the same pruning —
+        # the performance baseline the zero-import source trades
+        # against (Python DataSource reads pay worker + Arrow-transfer
+        # overhead per query)
+        "range_vt_scan_s": best(
+            lambda: VT.vt_scan(spark, table, [
+                ("k", ">=", 1_000_000), ("k", "<", 1_100_000),
+            ])
+        ),
+        "bloom_vt_scan_s": best(
+            lambda: VT.vt_scan(spark, table, [("sk", "=", probe)])
+        ),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
+
+
+# ---------------------------------------------------------------------
+# Round-7b: multi-table TRANSACTION overhead — finalize is pure driver
+# metadata, so a txn pairing two appends should cost the two appends
+# plus a constant (locks + decision + markers), independent of the
+# tables' accumulated file counts. Measured on synthetic-manifest
+# tables at 1k and 100k file entries.
+# ---------------------------------------------------------------------
+
+
+def txn_main() -> int:
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    spark = get_spark(app_name="kinesis-txn-stress",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def measure(n_files: int) -> dict:
+        a = f"/tmp/kinesis_stress_r7/txn_a_{n_files}"
+        b = f"/tmp/kinesis_stress_r7/txn_b_{n_files}"
+        for t in (a, b):
+            _synth_manifest_table(t, n_files)
+        # keys far beyond every synthetic file's stats range: pruning
+        # must touch NO existing file (their paths are synthetic)
+        df = spark.range(1000).select(
+            (F.col("id") + F.lit(10 ** 12)).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        # warm the vt_files reconstruction (the manifest mode measures
+        # the cold term separately)
+        VT.vt_files(a, VT.vt_latest_version(a))
+        VT.vt_files(b, VT.vt_latest_version(b))
+        t0 = time.perf_counter()
+        with vt_transaction(spark, "/tmp/kinesis_stress_r7/txn_coord") \
+                as txn:
+            txn.stage_append(a, df)
+            txn.stage_append(b, df)
+        total = time.perf_counter() - t0
+        # the single-table baseline: the same two appends, no txn
+        t1 = time.perf_counter()
+        VT.vt_merge(spark, a, df.withColumn("op", F.lit("U")), keys=["k"])
+        single = time.perf_counter() - t1
+        return {
+            "n_files": n_files,
+            "txn_two_appends_s": round(total, 3),
+            "single_merge_s": round(single, 3),
+        }
+
+    out = {"mode": "txn", "rows": [measure(1_000), measure(100_000)]}
+    line = json.dumps(out, separators=(",", ":"))
+    os.write(_REAL_STDOUT_FD, (line + "\n").encode())
+    return 0
+
+
 def churn_main(cycles: int) -> int:
     spark = get_spark(app_name="kinesis-churn", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -718,6 +872,10 @@ def churn_main(cycles: int) -> int:
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "churn":
         return churn_main(int(sys.argv[2]) if len(sys.argv) > 2 else 12)
+    if len(sys.argv) > 1 and sys.argv[1] == "pushdown":
+        return pushdown_main()
+    if len(sys.argv) > 1 and sys.argv[1] == "txn":
+        return txn_main()
     if len(sys.argv) > 1 and sys.argv[1] == "manifest":
         return manifest_main(
             int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
