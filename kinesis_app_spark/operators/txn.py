@@ -523,10 +523,9 @@ class VtTransaction:
                          "decision": self.decision_path}, fh,
                     )
                 try:
-                    VT._commit(
-                        table_dir, version,
-                        s["mk_manifest"](parent_files, carried, version),
-                    )
+                    m = s["mk_manifest"](parent_files, carried, version)
+                    m["txn"] = self.txn_id  # audit lineage in HISTORY
+                    VT._commit(table_dir, version, m)
                     out[table_dir] = version
                     break
                 except VT.VersionConflictError:

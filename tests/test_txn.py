@@ -63,6 +63,10 @@ def test_commit_lands_both_atomically(spark, tmp_path):
     assert VT.vt_read(spark, b).count() == 230
     assert not os.path.exists(TX._lock_path(a))
     assert not os.path.exists(TX._lock_path(b))
+    # audit lineage: both committed manifests carry the SAME txn id
+    ma = VT._read_manifest(a, va + 1)
+    mb = VT._read_manifest(b, vb + 1)
+    assert ma.get("txn") and ma["txn"] == mb["txn"]
 
 
 def test_abort_leaves_nothing_and_versions_contiguous(spark, tmp_path):
