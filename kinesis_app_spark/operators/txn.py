@@ -302,6 +302,21 @@ class VtTransaction:
             self.spark, table_dir, changes, keys, txn=self, **kwargs
         )
 
+    def stage_delete(self, table_dir: str, filters) -> int:
+        """``vt_delete`` with the commit withheld — the cross-table
+        GDPR shape: purge an id from the fact table AND every derived
+        table in one atomic decision."""
+        self._check_stageable(table_dir)
+        return VT.vt_delete(self.spark, table_dir, filters, txn=self)
+
+    def stage_update(self, table_dir: str, filters,
+                     assignments: dict) -> int:
+        """``vt_update`` with the commit withheld."""
+        self._check_stageable(table_dir)
+        return VT.vt_update(
+            self.spark, table_dir, filters, assignments, txn=self
+        )
+
     def stage_append(self, table_dir: str, df,
                      batch_id: int | None = None) -> int:
         """Append ``df`` as new files (no join, conflicts with nothing

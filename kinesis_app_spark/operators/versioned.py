@@ -2668,6 +2668,7 @@ def _predicate_rewrite(
     operation: str,
     rewrite_fn,
     expected_version: int | None,
+    txn=None,
 ) -> int:
     """Shared shape of predicate DML: files that MAY hold matching rows
     are rewritten through ``rewrite_fn(df, predicate)``; every other
@@ -2739,10 +2740,30 @@ def _predicate_rewrite(
         return out
 
     if parent_files is None:
+        if txn is not None:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                "transactions need a file-level manifest (round-5+ "
+                "table); rewrite it (vt_optimize) first"
+            )
         _commit(
             table_dir, new_version, _mk_manifest(None, carried, new_version),
             cleanup_dir=data_dir,
         )
+        return new_version
+    if txn is not None:
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": base,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            "data_dir": data_dir,
+            "mk_manifest": _mk_manifest,
+            "added_hits": lambda fe: _filter_may_match(fe, pfilters),
+            "op_name": f"vt_{operation.lower()}",
+        })
         return new_version
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
@@ -2757,15 +2778,17 @@ def vt_delete(
     table_dir: str,
     filters,
     expected_version: int | None = None,
+    txn=None,
 ) -> int:
     """DELETE FROM ... WHERE <conjunctive filters>, file-pruned: only
     files whose stats admit a matching row are rewritten (keeping their
     non-matching rows); the rest carry forward by reference. Commits a
-    new version labeled DELETE."""
+    new version labeled DELETE — or stages it into ``txn`` for an
+    atomic multi-table commit (the cross-table GDPR purge shape)."""
     return _predicate_rewrite(
         spark, table_dir, filters, "DELETE",
         lambda df, pred: df.filter(~pred),
-        expected_version,
+        expected_version, txn=txn,
     )
 
 
@@ -2905,6 +2928,7 @@ def vt_update(
     filters,
     assignments: dict,
     expected_version: int | None = None,
+    txn=None,
 ) -> int:
     """UPDATE ... SET col = <sql expr> WHERE <conjunctive filters>,
     file-pruned like vt_delete. ``assignments`` maps EXISTING columns
@@ -2933,7 +2957,8 @@ def vt_update(
         return out
 
     return _predicate_rewrite(
-        spark, table_dir, filters, "UPDATE", apply, expected_version
+        spark, table_dir, filters, "UPDATE", apply, expected_version,
+        txn=txn,
     )
 
 

@@ -298,6 +298,32 @@ def test_txn_merger_exactly_once_and_torn_ledger_guard(spark, tmp_path):
         sink(batch, 7)
 
 
+def test_stage_delete_and_update_atomic_gdpr_purge(spark, tmp_path):
+    """Predicate DML inside a transaction — the cross-table GDPR
+    purge: the id leaves table A (DELETE) and is redacted in table B
+    (UPDATE) atomically; the abort path leaves both intact."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+    with vt_transaction(spark, coord) as txn:
+        txn.stage_delete(a, [("k", "<", 10)])
+        txn.stage_update(b, [("k", "<", 5)], {"w": "-1"})
+    assert VT.vt_latest_version(a) == va + 1
+    assert VT.vt_latest_version(b) == vb + 1
+    assert VT.vt_read(spark, a).filter(F.col("k") < 10).count() == 0
+    assert VT.vt_read(spark, b).filter(F.col("w") == -1).count() == 5
+    # abort path: both stay intact
+    try:
+        with vt_transaction(spark, coord) as txn:
+            txn.stage_delete(a, [("k", ">=", 390)])
+            txn.stage_update(b, [("k", ">=", 190)], {"w": "-2"})
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert VT.vt_read(spark, a).filter(F.col("k") >= 390).count() == 10
+    assert VT.vt_read(spark, b).filter(F.col("w") == -2).count() == 0
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
