@@ -759,14 +759,17 @@ def versioned_check_constraints(spark, sf_dir):
             .withColumn("o_totalprice", F.lit(-1.0))
             .withColumn("op", F.lit("U"))
         )
+        n_bad = bad.count()
         try:
             VT.vt_merge(spark, table_dir, bad, keys=["o_orderkey"])
-            raise AssertionError("violating merge must raise")
+            # a ZERO-row wave writes nothing and legitimately commits
+            # (the empty-input gate runs this against empty tables)
+            assert n_bad == 0, "violating merge must raise"
         except ValueError:
-            pass
-        assert VT.vt_latest_version(table_dir) == v0, (
-            "violating merge must commit nothing"
-        )
+            assert n_bad > 0
+            assert VT.vt_latest_version(table_dir) == v0, (
+                "violating merge must commit nothing"
+            )
         good = (
             VT.vt_read(spark, table_dir)
             .filter(F.col("o_orderkey") % 5 == 0)
