@@ -166,14 +166,17 @@ def _resolve_table(table_dir: str, wait: bool = False) -> None:
             age = time.time() - os.path.getmtime(lp)
         except OSError:
             return
-        if age <= info.get("lease", TXN_LEASE_SECONDS) and not wait:
+        if age <= info.get("lease", TXN_LEASE_SECONDS):
+            if wait:
+                return  # live lease: the caller sleeps and retries —
+                # never break a healthy transaction's lock
             raise VT.VersionConflictError(
                 f"{table_dir} is locked by in-flight transaction "
                 f"{info.get('id')}; retry shortly"
             )
-        # lease expired (or waiting caller): presume the finalizer
-        # dead and race it to an ABORT decision — losing the race
-        # means it decided; proceed per the decision either way
+        # lease EXPIRED: presume the finalizer dead and race it to an
+        # ABORT decision — losing the race means it decided; proceed
+        # per the decision either way
         _write_decision(decision, "aborted")
         state = _decision_state(decision)
     txn_id = info.get("id")

@@ -324,6 +324,55 @@ def test_stage_delete_and_update_atomic_gdpr_purge(spark, tmp_path):
     assert VT.vt_read(spark, b).filter(F.col("w") == -2).count() == 0
 
 
+def test_second_txn_never_breaks_a_live_lease(spark, tmp_path):
+    """Two transactions racing on the same table: the second must NOT
+    abort the first's healthy (unexpired) lease — it gives up on the
+    lock itself, and the first still commits."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    t1, reserved = _stage_and_reserve(spark, a, b, coord, lease=60.0)
+    t2 = VtTransaction(spark, coord, lease=60.0)
+    t2.stage_merge(a, _chg(spark, 30, 40, 21), keys=["k"])
+    with pytest.raises(TxnAbortedError, match="could not lock"):
+        t2.commit()
+    assert TX._decision_state(t1.decision_path) is None, (
+        "the loser must not have broken the live lease"
+    )
+    # the first transaction finishes normally
+    assert TX._write_decision(t1.decision_path, "committed")
+    for d in (a, b):
+        TX._finish_committed(d, t1.txn_id)
+    assert VT.vt_latest_version(a) == reserved[a]
+    assert VT.vt_read(spark, a).filter(F.col("v") == 445).count() == 20
+
+
+def test_cdf_tail_sees_txn_versions_only_after_decision(spark, tmp_path):
+    """The change-feed tail (vt_stream_changes) respects transactional
+    visibility: an undecided reservation delivers nothing; the moment
+    the decision commits, exactly that version arrives, once."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    ledger = str(tmp_path / "ledger")
+    seen: list[int] = []
+
+    def apply_fn(changes, version):
+        seen.append(version)
+        changes.count()
+
+    VT.vt_stream_changes(spark, a, ["k"], ledger, apply_fn)
+    pre = list(seen)
+    txn, reserved = _stage_and_reserve(spark, a, b, coord, lease=60.0)
+    VT.vt_stream_changes(spark, a, ["k"], ledger, apply_fn)
+    assert seen == pre, "undecided reservation must deliver nothing"
+    assert TX._write_decision(txn.decision_path, "committed")
+    VT.vt_stream_changes(spark, a, ["k"], ledger, apply_fn)
+    assert seen == pre + [reserved[a]], (
+        "the decided version must arrive exactly once"
+    )
+    for d in (a, b):
+        TX._finish_committed(d, txn.txn_id)
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
