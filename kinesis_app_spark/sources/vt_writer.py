@@ -544,19 +544,41 @@ def _bloom_prune_sessionless(files: list[dict], pushed,
 
 
 class _VtFileSlice(InputPartition):
-    """One input partition = one manifest file entry. Carries the file
-    path, its deletion-vector sidecars, the version's LOGICAL schema,
-    the column mapping, and any pushed row-level filters (PHYSICAL
-    names, pyarrow-safe) — executors never touch the manifest dir."""
+    """One input partition = one OR MORE manifest file entries
+    (``files`` = [(path, [dv sidecars])]). Carries the version's
+    LOGICAL schema, the column mapping, and any pushed row-level
+    filters (PHYSICAL names, pyarrow-safe) — executors never touch the
+    manifest dir. Multi-file slices come from ``sliceTargetRows``
+    bin-packing: a 10^5-file table need not plan 10^5 Python tasks."""
 
-    def __init__(self, path: str | None, dv: list[str],
+    def __init__(self, files: list[tuple],
                  schema_json: str, mapping: dict | None,
                  row_filters: list[tuple] | None = None):
-        self.path = path
-        self.dv = dv
+        self.files = files
         self.schema_json = schema_json
         self.mapping = mapping
         self.row_filters = row_filters or []
+
+
+def _pack_slices(files: list[dict], target_rows: int) -> list[list[dict]]:
+    """Bin-pack manifest entries (kept in their sorted order, so
+    clustered ranges stay contiguous per task) into groups of at most
+    ``target_rows`` LIVE rows. target_rows <= 0 -> one file per slice."""
+    if target_rows <= 0:
+        return [[f] for f in files]
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    acc = 0
+    for f in files:
+        rows = int(f.get("n_rows", 0)) - int(f.get("n_dv", 0))
+        if cur and acc + rows > target_rows:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(f)
+        acc += rows
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _resolve_read_version(options) -> tuple[str, int]:
@@ -600,50 +622,52 @@ def _read_manifest_for_read(path: str, version: int) -> dict:
 
 
 def _read_file_slice(partition: _VtFileSlice):
-    """Executor-side: one file -> Arrow batches in the LOGICAL schema.
-    DV mask by parquet row position (read order), physical->logical
-    rename, null-pad columns the file predates, column-pruned read."""
+    """Executor-side: each of the slice's files -> Arrow batches in the
+    LOGICAL schema. DV mask by parquet row position (read order),
+    physical->logical rename, null-pad columns a file predates,
+    column-pruned read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from kinesis_app_spark.sources.vt_cdf import _dv_mask
 
-    if not partition.path:
-        return
     target = to_arrow_schema(
         StructType.fromJson(json.loads(partition.schema_json))
     )
     mapping = partition.mapping or {}
-    present = set(pq.read_schema(partition.path).names)
-    want = sorted({
-        mapping.get(f.name, f.name) for f in target
-    } & present)
-    # pushed row filters apply ONLY on un-DV'd files: the DV mask keys
-    # on parquet row position in read order, which a filtering read
-    # would renumber. All pushed ops are null-rejecting, so a filter on
-    # a column this file PREDATES (null-padded below) can satisfy no
-    # row — skip the read entirely.
-    row_filters = [] if partition.dv else partition.row_filters
-    if any(c not in present for c, _op, _v in row_filters):
-        return
-    t = pq.read_table(
-        partition.path, columns=want,
-        filters=row_filters or None,
-    )
-    if partition.dv:
-        t = _dv_mask(t, partition.path, partition.dv)
-    arrays = []
-    for f in target:
-        pn = mapping.get(f.name, f.name)
-        if pn in t.column_names:
-            arrays.append(t[pn].combine_chunks().cast(f.type))
-        else:
-            arrays.append(pa.nulls(t.num_rows, f.type))
-    out = pa.table(
-        dict(zip([f.name for f in target], arrays))
-    ).cast(target).combine_chunks()
-    yield from out.to_batches()
+    for path, dv in partition.files:
+        if not path:
+            continue
+        present = set(pq.read_schema(path).names)
+        want = sorted({
+            mapping.get(f.name, f.name) for f in target
+        } & present)
+        # pushed row filters apply ONLY on un-DV'd files: the DV mask
+        # keys on parquet row position in read order, which a
+        # filtering read would renumber. All pushed ops are
+        # null-rejecting, so a filter on a column this file PREDATES
+        # (null-padded below) can satisfy no row — skip the read.
+        row_filters = [] if dv else partition.row_filters
+        if any(c not in present for c, _op, _v in row_filters):
+            continue
+        t = pq.read_table(
+            path, columns=want,
+            filters=row_filters or None,
+        )
+        if dv:
+            t = _dv_mask(t, path, dv)
+        arrays = []
+        for f in target:
+            pn = mapping.get(f.name, f.name)
+            if pn in t.column_names:
+                arrays.append(t[pn].combine_chunks().cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        out = pa.table(
+            dict(zip([f.name for f in target], arrays))
+        ).cast(target).combine_chunks()
+        yield from out.to_batches()
 
 
 class VersionedTableBatchReader(DataSourceReader):
@@ -667,6 +691,10 @@ class VersionedTableBatchReader(DataSourceReader):
             )
         self.files = files
         self.pushed: list[tuple] = []  # physical (col, op, value)
+        # 100 TB knob: bin-pack file entries into slices of ~N live
+        # rows so a 10^5-file table plans a bounded number of Python
+        # tasks (0 = one file per slice, today's default)
+        self.target_rows = int(options.get("slicetargetrows", 0))
 
     def pushFilters(self, filters):
         # translate ONCE into physical-name triples; keep them on self
@@ -693,12 +721,14 @@ class VersionedTableBatchReader(DataSourceReader):
             )
         row_filters = _pa_safe_filters(self.pushed)
         return [
-            _VtFileSlice(f["path"], list(f.get("dv") or ()),
-                         self.schema_json, self.mapping, row_filters)
-            for f in files
+            _VtFileSlice(
+                [(f["path"], list(f.get("dv") or ())) for f in group],
+                self.schema_json, self.mapping, row_filters,
+            )
+            for group in _pack_slices(files, self.target_rows)
         ] or [
             # Spark requires >= 1 partition; an empty table yields none
-            _VtFileSlice(None, [], self.schema_json, self.mapping)
+            _VtFileSlice([], self.schema_json, self.mapping)
         ]
 
     def read(self, partition: _VtFileSlice):
@@ -774,7 +804,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         def slices(entries):
             return [
-                _VtFileSlice(f["path"], list(f.get("dv") or ()),
+                _VtFileSlice([(f["path"], list(f.get("dv") or ()))],
                              self.schema_json, self.mapping)
                 for f in entries
             ]
@@ -822,7 +852,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for v in range(lo, hi):
             slices.extend(self._plan_version(v))
         return slices or [
-            _VtFileSlice(None, [], self.schema_json, self.mapping)
+            _VtFileSlice([], self.schema_json, self.mapping)
         ]
 
     def read(self, partition: _VtFileSlice):

@@ -82,7 +82,7 @@ def test_pushdown_prunes_file_partitions(spark, tmp_path):
     r2 = VersionedTableBatchReader({"path": table})
     list(r2.pushFilters([EqualTo(("k",), 10**9)]))
     parts2 = r2.partitions()
-    assert len(parts2) == 1 and parts2[0].path is None
+    assert len(parts2) == 1 and parts2[0].files == []
 
 
 def test_pushdown_equality_and_in_and_prefix(spark, tmp_path):
@@ -273,6 +273,36 @@ def test_jvm_trunc_mod_matches_java_semantics():
     # the exact JVM corner: -2^63 % 4096 in Java is -0 -> 0? compute:
     # -9223372036854775808 = 4096 * -2251799813685248 exactly -> 0
     assert _jvm_trunc_mod(-(2**63), 4096) == 0
+
+
+def test_slice_target_rows_bin_packs_tasks(spark, tmp_path):
+    """sliceTargetRows: a many-file table plans a bounded number of
+    Python tasks (files bin-packed in sorted order), results equal the
+    per-file plan."""
+    table = str(tmp_path / "t")
+    df = _mk_clustered(spark, table)  # 8 files x 500 rows
+    W.register(spark)
+
+    r = VersionedTableBatchReader(
+        {"path": table, "slicetargetrows": "1200"}
+    )
+    parts = r.partitions()
+    assert len(parts) == 4  # ceil(8 files / 2-per-1200-target)
+    assert all(len(p.files) == 2 for p in parts)
+
+    got = sorted(
+        spark.read.format("vt_table").option("path", table)
+        .option("sliceTargetRows", "1200").load().collect()
+    )
+    assert got == sorted(df.collect())
+
+    # pushdown composes: pruning first, then packing
+    r2 = VersionedTableBatchReader(
+        {"path": table, "slicetargetrows": "100000"}
+    )
+    list(r2.pushFilters([GreaterThanOrEqual(("k",), 100),
+                         LessThan(("k",), 600)]))
+    assert len(r2.partitions()) == 1
 
 
 # ---------------------------------------------------------------------
