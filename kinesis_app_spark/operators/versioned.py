@@ -2200,6 +2200,43 @@ def vt_vacuum(
                     os.remove(p)
             except OSError:
                 pass  # concurrently promoted/removed: fine
+    # orphaned data dirs: a transaction that staged a rewrite and died
+    # before finalize (or an aborted one whose process was killed
+    # mid-cleanup) leaves a data dir NO manifest ever references —
+    # sweep dirs unreferenced by every non-vacuumed manifest (pending
+    # txn reservations count: their manifests exist) and older than
+    # the TTL (in-flight writes are minutes old, far under it)
+    data_root = os.path.join(table_dir, "data")
+    mdir = _manifest_dir(table_dir)
+    if os.path.isdir(data_root) and os.path.isdir(mdir):
+        ref_dirs: set[str] = set()
+        versions = [
+            int(f[:-5]) for f in os.listdir(mdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        for v in versions:
+            m = _read_manifest(table_dir, v)
+            if m.get("data_dir"):
+                ref_dirs.add(os.path.abspath(m["data_dir"]))
+            if m.get("vacuumed"):
+                continue
+            fl = _version_file_paths(table_dir, v)
+            if fl:
+                ref_dirs.update(
+                    os.path.abspath(os.path.dirname(p)) for p in fl
+                )
+        cutoff = time.time() - max(0.0, float(stage_ttl_seconds))
+        for name in os.listdir(data_root):
+            p = os.path.join(data_root, name)
+            try:
+                if (
+                    os.path.isdir(p)
+                    and os.path.abspath(p) not in ref_dirs
+                    and os.stat(p).st_mtime < cutoff
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     return vacuumed
 
 

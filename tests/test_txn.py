@@ -373,6 +373,28 @@ def test_cdf_tail_sees_txn_versions_only_after_decision(spark, tmp_path):
         TX._finish_committed(d, txn.txn_id)
 
 
+def test_vacuum_sweeps_orphaned_txn_data_dirs(spark, tmp_path):
+    """A transaction that staged a rewrite and DIED before finalize
+    leaves a data dir no manifest references — vt_vacuum sweeps it
+    after the TTL, and never touches referenced dirs."""
+    import glob
+
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    txn = VtTransaction(spark, str(tmp_path / "coord"))
+    txn.stage_merge(a, _chg(spark, 0, 20, 445), keys=["k"])
+    orphan = txn._staged[0]["data_dir"]
+    assert os.path.isdir(orphan)
+    # the process "dies" here: no finalize, no abort
+    del txn
+    before = set(glob.glob(os.path.join(a, "data", "*")))
+    VT.vt_vacuum(a, stage_ttl_seconds=0.0)
+    after = set(glob.glob(os.path.join(a, "data", "*")))
+    assert not os.path.isdir(orphan), "orphan must be swept"
+    assert before - after == {orphan}, "only the orphan may go"
+    got = sorted(VT.vt_read(spark, a).collect())
+    assert len(got) == 400 and all(r["v"] != 445 for r in got)
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
