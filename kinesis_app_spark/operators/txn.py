@@ -108,18 +108,37 @@ def _decision_state(decision_path: str) -> str | None:
         return None
 
 
-def _write_decision(decision_path: str, state: str) -> bool:
-    """O_EXCL create — exactly one decision ever wins. Returns True if
-    THIS call decided."""
-    os.makedirs(os.path.dirname(decision_path), exist_ok=True)
-    tmp = {"state": state, "decided_at": time.time()}
+def _atomic_create(path: str, payload: dict) -> bool:
+    """Create ``path`` with ``payload`` ATOMICALLY-AND-EXCLUSIVELY:
+    the content is written to a temp file first and hard-linked into
+    place, so a concurrent reader can never observe a half-written
+    file (an O_EXCL create + write leaves a window where the file
+    exists EMPTY — misread as 'undecided'/'vanished', which for the
+    decision file would let an abort-racer roll back a COMMITTED
+    transaction). Returns True iff THIS call created the file."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
     try:
-        fd = os.open(decision_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump(tmp, fh)
-    return True
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _write_decision(decision_path: str, state: str) -> bool:
+    """Atomic put-if-absent — exactly one decision ever wins, and a
+    visible decision file is always complete. Returns True if THIS
+    call decided."""
+    return _atomic_create(
+        decision_path, {"state": state, "decided_at": time.time()}
+    )
 
 
 def _tip_visibility(table_dir: str, version: int) -> str:
@@ -238,10 +257,21 @@ def _rollback_table(table_dir: str, txn_id: str) -> None:
         if _decision_state(decision) == "committed":
             _finish_committed(table_dir, txn_id)
             return
+        # OWNERSHIP check before deleting: a marker can be orphaned ON
+        # SOMEONE ELSE'S commit — the reservation writes its marker
+        # before attempting the slot, and a sneaked-in writer may have
+        # taken that version first (the marker is then removed, unless
+        # the finalizer died in between). Only manifests stamped with
+        # THIS txn's id are the transaction's to delete.
         try:
-            os.remove(VT._manifest_path(table_dir, v))
-        except OSError:
-            pass
+            owner = VT._read_manifest(table_dir, v).get("txn")
+        except FileNotFoundError:
+            owner = None
+        if owner == txn_id:
+            try:
+                os.remove(VT._manifest_path(table_dir, v))
+            except OSError:
+                pass
         try:
             os.remove(_marker_path(table_dir, v))
         except OSError:
@@ -455,24 +485,20 @@ class VtTransaction:
 
     def _acquire_locks(self) -> None:
         for table_dir in sorted({s["table_dir"] for s in self._staged}):
-            payload = json.dumps({
+            payload = {
                 "id": self.txn_id,
                 "decision": self.decision_path,
                 "lease": self.lease,
                 "ts": time.time(),
-            })
+            }
             for _spin in range(_MAX_RESERVE_SPINS):
                 _resolve_table(table_dir, wait=True)
-                try:
-                    fd = os.open(
-                        _lock_path(table_dir),
-                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                    )
-                except FileExistsError:
+                # atomic create-with-content: a barrier must never
+                # observe a half-written (empty) lock and treat it as
+                # vanished
+                if not _atomic_create(_lock_path(table_dir), payload):
                     time.sleep(0.05)
                     continue
-                with os.fdopen(fd, "w") as fh:
-                    fh.write(payload)
                 self._locked.append(table_dir)
                 break
             else:
@@ -532,14 +558,19 @@ class VtTransaction:
                 ]
                 version = latest + 1
                 # marker BEFORE manifest: a manifest must never exist
-                # without its invisibility marker
+                # without its invisibility marker. Written atomically
+                # (tmp + rename) — a reader observing a half-written
+                # marker would fall back to 'visible', exposing the
+                # pending manifest.
                 mk = _marker_path(table_dir, version)
                 os.makedirs(os.path.dirname(mk), exist_ok=True)
-                with open(mk, "w") as fh:
+                mk_tmp = f"{mk}.tmp.{os.getpid()}"
+                with open(mk_tmp, "w") as fh:
                     json.dump(
                         {"id": self.txn_id,
                          "decision": self.decision_path}, fh,
                     )
+                os.replace(mk_tmp, mk)
                 try:
                     m = s["mk_manifest"](parent_files, carried, version)
                     m["txn"] = self.txn_id  # audit lineage in HISTORY

@@ -395,6 +395,38 @@ def test_vacuum_sweeps_orphaned_txn_data_dirs(spark, tmp_path):
     assert len(got) == 400 and all(r["v"] != 445 for r in got)
 
 
+def test_rollback_never_deletes_a_foreign_manifest(spark, tmp_path):
+    """The orphaned-marker hazard: a reservation writes its marker
+    BEFORE attempting the slot; if a sneaked-in writer took the version
+    first and the finalizer died, the marker sits on SOMEONE ELSE'S
+    committed manifest. Lease-breaking rollback must remove the marker
+    but KEEP the foreign manifest (ownership = the manifest's txn
+    stamp)."""
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    v = VT.vt_merge(spark, a, _chg(spark, 0, 5, 21), keys=["k"])
+    decision = str(tmp_path / "coord" / "deadbeef.decision")
+    # the dead finalizer's leftovers: marker on v, expired lock
+    mk = TX._marker_path(a, v)
+    with open(mk, "w") as fh:
+        json.dump({"id": "deadbeef", "decision": decision}, fh)
+    assert TX._atomic_create(TX._lock_path(a), {
+        "id": "deadbeef", "decision": decision, "lease": 0.0,
+        "ts": time.time(),
+    })
+    # while unresolved: the tip is (conservatively) invisible
+    assert VT.vt_latest_version(a) == v - 1
+    time.sleep(0.05)
+    # the next writer's barrier resolves: aborts the dead txn, drops
+    # the marker, KEEPS the foreign manifest. The writer planned
+    # against the stale (stepped-back) tip, so its commit goes through
+    # the ordinary conflict detection — the rebase wrapper re-executes
+    # against the restored tip.
+    v2 = VT.vt_merge_retry(spark, a, _chg(spark, 5, 9, 23), keys=["k"])
+    assert v2 == v + 1, "the foreign manifest must survive rollback"
+    assert not os.path.exists(mk)
+    assert VT.vt_read(spark, a).filter(F.col("v") == 21).count() == 5
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
