@@ -275,9 +275,28 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
     ]
 
 
+def _component_may_match(group_files: list[dict], pkey: str,
+                         prune: list[tuple]) -> bool:
+    """Can this diff component contain a key satisfying the pushed
+    key filters? Tests the component's COMBINED keys[0] range (min of
+    mins, max of maxes) — a file without a range makes the whole
+    component possibly-matching (conservative)."""
+    lo = hi = None
+    for f in group_files:
+        r = _key_range(f, pkey)
+        if r is None:
+            return True
+        lo = r[0] if lo is None or r[0] < lo else lo
+        hi = r[1] if hi is None or r[1] > hi else hi
+    if lo is None:
+        return True
+    return VT._filter_may_match({"stats": {pkey: [lo, hi]}}, prune)
+
+
 def _plan_version(table_dir: str, version: int, keys: list[str],
                   schema_json: str,
-                  mapping: dict | None = None) -> list[_CdfSlice]:
+                  mapping: dict | None = None,
+                  prune: list[tuple] | None = None) -> list[_CdfSlice]:
     m = VT._read_manifest(table_dir, version)
     VT._check_protocol(m, table_dir)
     if m.get("vacuumed"):
@@ -292,6 +311,12 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
         if files is None:  # pre-round-5 manifest: one opaque dir
             return [_CdfSlice(0, "snapshot_dir", [], [m["data_dir"]],
                               keys, schema_json, mapping=mapping)]
+        if prune:
+            # v0 rows are pure inserts: per-file pruning is safe (no
+            # pairing to preserve), Spark re-applies the exact filters
+            files = [
+                f for f in files if VT._filter_may_match(f, prune)
+            ]
         return [
             _CdfSlice(0, "snapshot", [], [f["path"]], keys, schema_json,
                       mapping=mapping)
@@ -332,6 +357,10 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
             dv_before=dv_map(sa), dv_after=dv_map(sb), mapping=mapping,
         )
         for ga, gb in _group_by_key_range(excl_a, excl_b, pkey)
+        # components prune WHOLE (both sides stay paired): a component
+        # whose combined key range provably misses every pushed key
+        # filter contributes no matching change rows
+        if not prune or _component_may_match(ga + gb, pkey, prune)
         for sa, sb, kb in _split_component(ga, gb, pkey)
     ]
 
@@ -591,11 +620,22 @@ class VersionedCdfBatchReader(DataSourceReader):
     """``spark.read.format("vt_cdf")`` — the bounded twin (Delta's
     ``table_changes``): every version in [startingVersion, endVersion]
     as one DataFrame, planned with the same per-file snapshot and
-    key-range diff partitions as the stream."""
+    key-range diff partitions as the stream.
+
+    ``pushFilters``: filters on the FIRST MERGE KEY prune diff
+    components at planning (a component's combined key range that
+    provably misses the filter contributes no matching change rows —
+    components prune WHOLE, so before/after pairing is never broken;
+    the single-tenant change-tail shape). v0 snapshot files prune
+    individually (pure inserts, nothing to pair). Filters on other
+    columns cannot prune — a value filter on one SIDE of an update
+    would corrupt the pairing — and every filter is returned for Spark
+    to re-apply regardless."""
 
     def __init__(self, options):
         (self.path, self.keys, self.start, self.schema_json,
          self.mapping) = _common_opts(options)
+        self.pushed: list[tuple] = []  # PHYSICAL keys[0] triples
         latest = VT.vt_latest_version(self.path)
         end_ts = options.get("endtimestamp")
         if end_ts is not None:
@@ -619,12 +659,23 @@ class VersionedCdfBatchReader(DataSourceReader):
                 f"vt_cdf: endVersion {self.end} > latest {latest}"
             )
 
+    def pushFilters(self, filters):
+        from kinesis_app_spark.sources.vt_writer import _push_triples
+
+        pkey = self.keys[0]
+        self.pushed = VT._phys_filters(
+            [t for t in _push_triples(filters) if t[0] == pkey],
+            self.mapping,
+        )
+        # EVERY filter goes back to Spark: pruning only
+        yield from filters
+
     def partitions(self):
         slices = []
         for v in range(self.start, self.end + 1):
             slices.extend(
                 _plan_version(self.path, v, self.keys, self.schema_json,
-                              self.mapping)
+                              self.mapping, prune=self.pushed)
             )
         return slices or [
             # Spark requires >=1 partition; an empty slice yields nothing
@@ -726,4 +777,7 @@ class VersionedCdfDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # the batch reader implements pushFilters, which the planner
+    # refuses to call (hard error) unless this runtime conf is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedCdfDataSource)

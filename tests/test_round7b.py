@@ -306,6 +306,73 @@ def test_slice_target_rows_bin_packs_tasks(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# vt_cdf batch reader: key-filter pushdown prunes diff components
+# ---------------------------------------------------------------------
+
+
+def test_cdf_pushdown_prunes_components_and_snapshot_files(
+    spark, tmp_path
+):
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfBatchReader
+
+    table = str(tmp_path / "t")
+    _mk_clustered(spark, table)  # 8 files x 500 rows, clustered on k
+
+    def band(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(-7).cast("long").alias("grp"),
+            F.lit(0).cast("long").alias("sk"), F.lit("x").alias("tag"),
+            F.lit(0.0).alias("amt"), F.lit("U").alias("op"),
+        )
+
+    # two merges on far-apart key bands -> one component per VERSION,
+    # with disjoint key ranges (a single merge would rewrite both
+    # bands into files spanning the whole domain = one component)
+    VT.vt_merge(spark, table, band(0, 50), keys=["k"])
+    VT.vt_merge(spark, table, band(3000, 3050), keys=["k"])
+
+    opts = {"path": table, "keys": "k", "startingversion": "2"}
+    r = VersionedCdfBatchReader(opts)
+    n_all = len(r.partitions())
+    assert n_all >= 2, "two key bands must form >= 2 diff components"
+    r2 = VersionedCdfBatchReader(opts)
+    fed = [GreaterThanOrEqual(("k",), 3000)]
+    assert list(r2.pushFilters(fed)) == fed  # everything returned
+    assert 0 < len(r2.partitions()) < n_all, "component must prune"
+
+    # v0 snapshot files prune individually
+    r3 = VersionedCdfBatchReader(
+        {"path": table, "keys": "k", "endversion": "1"}
+    )
+    n_snap = len(r3.partitions())
+    r4 = VersionedCdfBatchReader(
+        {"path": table, "keys": "k", "endversion": "1"}
+    )
+    list(r4.pushFilters([LessThan(("k",), 400)]))
+    assert 0 < len(r4.partitions()) < n_snap
+
+    # end-to-end: pushed results == unfiltered-then-filtered
+    CDF.register(spark)
+    base = (
+        spark.read.format("vt_cdf").option("path", table)
+        .option("keys", "k").load()
+    )
+    got = sorted(base.filter(F.col("k") >= 3000).collect())
+    want = sorted(
+        [row for row in base.collect() if row["k"] is not None
+         and row["k"] >= 3000]
+    )
+    assert got == want and got
+
+    # non-key filters prune nothing but stay exact: only the POST
+    # side of the 100 updates carries the new grp value
+    got2 = base.filter(F.col("grp") == -7).collect()
+    assert len(got2) == 100
+    assert all(r["_change_type"] == "update_postimage" for r in got2)
+
+
+# ---------------------------------------------------------------------
 # metadata-only aggregates
 # ---------------------------------------------------------------------
 
