@@ -567,6 +567,89 @@ ORDER BY o_custkey
 """
 
 
+def versioned_cdf_pushdown_tail(spark, sf_dir):
+    """CDF KEY-FILTER pushdown under the value gate — the
+    single-tenant change tail: two merges land on DISJOINT key bands
+    of a clustered orders table; reading the change feed through
+    ``format("vt_cdf")`` with a merge-key filter must (a) prune the
+    first merge's diff component at PLANNING (asserted by feeding the
+    same Catalyst filter to the reader directly) and (b) return
+    exactly the second band's update pre/post images — the oracle
+    reconstructs both images arithmetically from raw orders, so a
+    pruned-away matching component, a broken before/after pairing, or
+    a leaked first-band row all hash-mismatch."""
+    import shutil
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfBatchReader
+
+    CDF.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT7_ROOT, f"orders_cdfpush_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)                                  # v0
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )                                                           # v1
+        for lo, hi, bump in ((100, 220, 1.5), (700, 820, 2.5)):
+            chg = (
+                VT.vt_read(spark, table_dir)
+                .filter(
+                    (F.col("o_orderkey") >= lo)
+                    & (F.col("o_orderkey") < hi)
+                )
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(bump)
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            VT.vt_merge(spark, table_dir, chg, keys=["o_orderkey"])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    # planning-layer proof: the key filter prunes the band-1 component
+    opts = {"path": table_dir, "keys": "o_orderkey",
+            "startingversion": "2"}
+    n_all = len(VersionedCdfBatchReader(opts).partitions())
+    pruned = VersionedCdfBatchReader(opts)
+    list(pruned.pushFilters([GreaterThanOrEqual(("o_orderkey",), 700)]))
+    n_pruned = len(pruned.partitions())
+    assert n_all < 2 or 0 < n_pruned < n_all, (
+        f"key filter must prune diff components: {n_pruned}/{n_all}"
+    )
+    return (
+        spark.read.format("vt_cdf").option("path", table_dir)
+        .option("keys", "o_orderkey").option("startingVersion", "2")
+        .load()
+        .filter(F.col("o_orderkey") >= 700)
+        .orderBy("o_orderkey", "_change_type")
+    )
+
+
+VERSIONED_CDF_PUSHDOWN_SQL = """
+SELECT CAST(3 AS BIGINT) AS _commit_version,
+       ct AS _change_type,
+       o_orderkey, o_custkey,
+       o_totalprice + CASE WHEN ct = 'update_postimage'
+                           THEN 2.5 ELSE 0 END AS o_totalprice
+FROM orders
+CROSS JOIN (SELECT 'update_preimage' AS ct
+            UNION ALL SELECT 'update_postimage') cts
+WHERE o_orderkey >= 700 AND o_orderkey < 820
+ORDER BY o_orderkey, _change_type
+"""
+
+
 VERSIONED_TABLE_SOURCE_SQL = """
 SELECT o_orderkey, o_custkey,
        o_totalprice
@@ -898,6 +981,9 @@ REGISTRY_ROUND7: dict[str, QuerySpec] = {
     ),
     "pipeline_txn_fact_rollup": QuerySpec(
         pipeline_txn_fact_rollup, PIPELINE_TXN_ROLLUP_SQL
+    ),
+    "versioned_cdf_pushdown_tail": QuerySpec(
+        versioned_cdf_pushdown_tail, VERSIONED_CDF_PUSHDOWN_SQL
     ),
     "versioned_check_constraints": QuerySpec(
         versioned_check_constraints, VERSIONED_CONSTRAINTS_SQL
