@@ -350,6 +350,16 @@ class VtTransaction:
             self.spark, table_dir, filters, assignments, txn=self
         )
 
+    def stage_delete_dv(self, table_dir: str, filters) -> int:
+        """``vt_delete_dv`` with the commit withheld — the CHEAP
+        no-rewrite GDPR half: the deletion-vector sidecar is written
+        now, the metadata-only commit lands with the transaction.
+        When no row matches, nothing is staged and the table is not
+        part of the transaction (same as the standalone call's
+        no-commit behavior)."""
+        self._check_stageable(table_dir)
+        return VT.vt_delete_dv(self.spark, table_dir, filters, txn=self)
+
     def stage_append(self, table_dir: str, df,
                      batch_id: int | None = None) -> int:
         """Append ``df`` as new files (no join, conflicts with nothing

@@ -2837,6 +2837,7 @@ def vt_delete_dv(
     spark: SparkSession,
     table_dir: str,
     filters,
+    txn=None,
 ) -> int:
     """DELETE via DELETION VECTORS (Delta's DV design): matching rows
     are soft-deleted by recording their (file path, parquet row
@@ -2861,7 +2862,14 @@ def vt_delete_dv(
     excludes everything an earlier attempt already recorded and a
     concurrent writer that rewrote a candidate file materialized or
     carried its DV either way. Returns the new version, or the current
-    latest when nothing matched."""
+    latest when nothing matched.
+
+    ``txn``: stage instead of committing — the CHEAP half of the
+    atomic cross-table GDPR purge (the sidecar is written now, the
+    metadata-only commit lands with the transaction; when nothing
+    matches, the table is simply not part of the transaction)."""
+    if txn is not None:
+        return _delete_dv_once(spark, table_dir, filters, txn=txn)
     for _spin in range(_COMMIT_MAX_SPINS):
         try:
             return _delete_dv_once(spark, table_dir, filters)
@@ -2877,6 +2885,7 @@ def _delete_dv_once(
     spark: SparkSession,
     table_dir: str,
     filters,
+    txn=None,
 ) -> int:
     latest = vt_latest_version(table_dir)
     if latest < 0:
@@ -2935,21 +2944,43 @@ def _delete_dv_once(
     t_paths = {e["path"] for e in updated}
     carried = [f for f in parent_files if f["path"] not in t_paths]
     new_version = latest + 1
-    out = {
-        "data_dir": manifest.get("data_dir"),
-        "n_rows": _live_rows(carried + updated),
-        "schema": manifest.get("schema"),
-        "operation": "DELETE_DV",
-        **_incremental_or_full(
-            new_version, parent_files, carried, updated, sorted(t_paths)
-        ),
-    }
-    if mapping is not None:
-        out["column_mapping"] = mapping
-    if _table_constraints(manifest):
-        out["constraints"] = _table_constraints(manifest)
+
+    def _mk_manifest(parent, carried_now, version):
+        out = {
+            "data_dir": manifest.get("data_dir"),
+            "n_rows": _live_rows(carried_now + updated),
+            "schema": manifest.get("schema"),
+            "operation": "DELETE_DV",
+            **_incremental_or_full(
+                version, parent, carried_now, updated, sorted(t_paths)
+            ),
+        }
+        if mapping is not None:
+            out["column_mapping"] = mapping
+        if _table_constraints(manifest):
+            out["constraints"] = _table_constraints(manifest)
+        return out
+
+    if txn is not None:
+        pfilters = _phys_filters(filters, mapping)
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": latest,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            # the sidecar is this staging's only on-disk artifact: an
+            # abort removes it via the shared data_dir cleanup
+            "data_dir": sidecar,
+            "mk_manifest": _mk_manifest,
+            "added_hits": lambda fe: _filter_may_match(fe, pfilters),
+            "op_name": "vt_delete_dv",
+        })
+        return new_version
     try:
-        _commit(table_dir, new_version, out)
+        _commit(table_dir, new_version,
+                _mk_manifest(parent_files, carried, new_version))
     except VersionConflictError:
         # the sidecar was written before the commit; on a lost race the
         # retry re-finds the rows and writes a fresh one — remove this

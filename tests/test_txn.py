@@ -427,6 +427,46 @@ def test_rollback_never_deletes_a_foreign_manifest(spark, tmp_path):
     assert VT.vt_read(spark, a).filter(F.col("v") == 21).count() == 5
 
 
+def test_stage_delete_dv_atomic_no_rewrite_purge(spark, tmp_path):
+    """The CHEAP GDPR half inside a transaction: a deletion-vector
+    delete on table A (no data file rewritten) lands atomically with a
+    merge on table B; the abort path leaves both intact and removes
+    the orphan sidecar."""
+    import glob
+
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    files_before = sorted(
+        glob.glob(os.path.join(a, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    with vt_transaction(spark, coord) as txn:
+        txn.stage_delete_dv(a, [("k", "in", [7, 11])])
+        txn.stage_merge(b, spark.range(3).select(
+            F.col("id").alias("k"), F.lit(901).cast("long").alias("w"),
+            F.lit("U").alias("op"),
+        ), keys=["k"])
+    assert sorted(
+        glob.glob(os.path.join(a, "data", "**", "*.parquet"),
+                  recursive=True)
+    ) == files_before, "a DV delete must rewrite no data file"
+    assert VT.vt_read(spark, a).filter(
+        F.col("k").isin(7, 11)
+    ).count() == 0
+    assert VT.vt_read(spark, b).filter(F.col("w") == 901).count() == 3
+    # abort path: rows stay, the attempt's sidecar is removed
+    try:
+        with vt_transaction(spark, coord) as txn:
+            txn.stage_delete_dv(a, [("k", "in", [13])])
+            sidecar = txn._staged[0]["data_dir"]
+            assert os.path.isdir(sidecar)
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert VT.vt_read(spark, a).filter(F.col("k") == 13).count() > 0
+    assert not os.path.isdir(sidecar), "aborted sidecar must be removed"
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
