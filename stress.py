@@ -796,6 +796,45 @@ def pushdown_main() -> int:
             lambda: VT.vt_scan(spark, table, [("sk", "=", probe)])
         ),
     }
+    # CDF key-filter phase: two band merges, then tail the changes for
+    # ONE band through format("vt_cdf") — the key filter must prune the
+    # other band's diff component at planning
+    from kinesis_app_spark.sources import vt_cdf as C
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfBatchReader
+
+    C.register(spark)
+    for lo, hi in ((0, 30_000), (3_000_000, 3_030_000)):
+        chg = (
+            df.filter((F.col("k") >= lo) & (F.col("k") < hi))
+            .withColumn("v", F.col("v") + F.lit(1))
+            .withColumn("op", F.lit("U"))
+        )
+        VT.vt_merge(spark, table, chg, keys=["k"])
+    cdf_opts = {"path": table, "keys": "k", "startingversion": "2"}
+    out["cdf_all_slices"] = len(
+        VersionedCdfBatchReader(cdf_opts).partitions()
+    )
+    rp = VersionedCdfBatchReader(cdf_opts)
+    list(rp.pushFilters([GreaterThanOrEqual(("k",), 3_000_000)]))
+    out["cdf_pruned_slices"] = len(rp.partitions())
+
+    def cdf_tail(filtered: bool) -> float:
+        t = float("inf")
+        for _ in range(3):
+            r = (
+                spark.read.format("vt_cdf").option("path", table)
+                .option("keys", "k").option("startingVersion", "2")
+                .load()
+            )
+            if filtered:
+                r = r.filter(F.col("k") >= 3_000_000)
+            t0 = time.perf_counter()
+            r.write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        return round(t, 3)
+
+    out["cdf_tail_full_s"] = cdf_tail(False)
+    out["cdf_tail_keyfiltered_s"] = cdf_tail(True)
     line = json.dumps(out, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
     return 0
