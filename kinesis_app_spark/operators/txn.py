@@ -73,6 +73,7 @@ __all__ = [
     "TxnAbortedError",
     "vt_transaction",
     "vt_foreach_batch_txn_merger",
+    "txn_vacuum",
 ]
 
 #: a lock with no decision older than this is presumed dead and may be
@@ -623,6 +624,44 @@ class VtTransaction:
 def vt_transaction(spark, coord_dir: str,
                    lease: float = TXN_LEASE_SECONDS) -> VtTransaction:
     return VtTransaction(spark, coord_dir, lease=lease)
+
+
+def txn_vacuum(coord_dir: str, ttl_seconds: float = 86_400.0) -> int:
+    """Coordinator hygiene: delete ABORTED decision files older than
+    the TTL (plus orphaned temp litter). COMMITTED decisions are kept
+    forever — deliberately: a pending marker on a never-again-touched
+    table may still point at one, and deleting it would flip that
+    committed version invisible and let a later lease-break re-decide
+    it aborted (rolling back durable data). Aborted decisions are safe
+    to drop: a marker finding its decision missing reads 'undecided',
+    stays invisible, and the next lease-break simply re-aborts at the
+    same path — the same outcome the file recorded. ~60 bytes per
+    committed transaction is the price of that safety. Returns the
+    number of files removed."""
+    removed = 0
+    try:
+        names = os.listdir(coord_dir)
+    except OSError:
+        return 0
+    cutoff = time.time() - max(0.0, float(ttl_seconds))
+    for name in names:
+        p = os.path.join(coord_dir, name)
+        try:
+            if ".tmp." in name:
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    removed += 1
+                continue
+            if not name.endswith(".decision"):
+                continue
+            if os.path.getmtime(p) >= cutoff:
+                continue
+            if _decision_state(p) == "aborted":
+                os.unlink(p)
+                removed += 1
+        except OSError:
+            continue
+    return removed
 
 
 def vt_foreach_batch_txn_merger(spark, coord_dir: str,

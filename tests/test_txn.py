@@ -467,6 +467,28 @@ def test_stage_delete_dv_atomic_no_rewrite_purge(spark, tmp_path):
     assert not os.path.isdir(sidecar), "aborted sidecar must be removed"
 
 
+def test_txn_vacuum_drops_only_aged_aborted_decisions(spark, tmp_path):
+    from kinesis_app_spark.operators.txn import txn_vacuum
+
+    a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    with vt_transaction(spark, coord) as t1:  # commits
+        t1.stage_append(b, spark.range(1).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("w"),
+        ))
+    t2 = VtTransaction(spark, coord)
+    t2.stage_merge(a, _chg(spark, 0, 3, 9), keys=["k"])
+    t2.abort()
+    assert txn_vacuum(coord, ttl_seconds=0.0) == 1, (
+        "exactly the aborted decision goes"
+    )
+    assert os.path.exists(t1.decision_path), (
+        "committed decisions are kept — a pending marker may still "
+        "point at one"
+    )
+    assert not os.path.exists(t2.decision_path)
+
+
 def test_reader_steps_back_past_undecided_tip_only(spark, tmp_path):
     """vt_read/vt_history through the visible tip while a reservation
     is pending; full content returns the pre-txn state."""
