@@ -156,10 +156,37 @@ def spark_xxhash64(value, spark_type_name: str) -> int | None:
         else:
             days = int(value)
         u = hash_int(days)
-    elif t in ("timestamp", "timestamp_ntz"):
+    elif t == "timestamp":
+        # Spark's internal TimestampType value is micros since the UTC
+        # epoch — hash THAT, never a wall clock. Aware datetimes carry
+        # their instant, so the conversion is exact (integer timedelta
+        # arithmetic — .timestamp() floats lose micros past ~2112).
+        # Naive datetimes are frame-ambiguous (OS-local? session tz?
+        # wall clock?): guessing here silently skips files, so refuse —
+        # the caller drops the probe and prunes nothing (the module's
+        # "never guess" rule). The real pushdown path never produces
+        # them: Spark 4.1 serializes pushed timestamp literals through
+        # the variant codec, which yields AWARE UTC datetimes
+        # (pyspark/sql/variant_utils.py hardcodes zone_id="UTC").
         if isinstance(value, dt.datetime):
-            epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-            micros = round((value - epoch).total_seconds() * 1_000_000)
+            if value.tzinfo is None:
+                return None
+            delta = value - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+            micros = (delta.days * 86_400_000_000
+                      + delta.seconds * 1_000_000 + delta.microseconds)
+        else:
+            micros = int(value)
+        u = hash_long(micros)
+    elif t == "timestamp_ntz":
+        # NTZ is a frame-free wall clock: internal micros = the literal
+        # wall-clock fields against a naive epoch. An aware value can't
+        # be an NTZ literal — refuse rather than pick a frame.
+        if isinstance(value, dt.datetime):
+            if value.tzinfo is not None:
+                return None
+            delta = value - dt.datetime(1970, 1, 1)
+            micros = (delta.days * 86_400_000_000
+                      + delta.seconds * 1_000_000 + delta.microseconds)
         else:
             micros = int(value)
         u = hash_long(micros)

@@ -478,10 +478,18 @@ def _stats_cols(schema: StructType) -> list[str]:
 def _json_stat(v):
     """A stat value in JSON-portable, order-preserving form: numbers and
     strings as-is; dates/timestamps as ISO strings (fixed-width fields,
-    so lexicographic order == temporal order)."""
+    so lexicographic order == temporal order). AWARE datetimes convert
+    to the OS-local wall clock first — the frame ``.collect()`` /
+    ``fromInternal`` produces — so every writer lands stats in ONE
+    frame (an aware isoformat's offset suffix would corrupt
+    lexicographic order against naive stats)."""
     if v is None or isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone().replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None  # unknown type: no stat -> conservative pruning
 
@@ -2320,38 +2328,72 @@ def vt_restore(spark: SparkSession, table_dir: str, version: int) -> int:
 _OPS = {"<", "<=", ">", ">=", "=", "==", "in"}
 
 
+def _stat_literal(v):
+    """A filter LITERAL in the manifests' stat frame, or None when no
+    provably order-consistent comparison exists (the file is then kept
+    — pruning is only ever an optimization). Timestamp stats are stored
+    as OS-local wall clocks (``_collect_file_stats`` goes through
+    ``.collect()`` / ``TimestampType.fromInternal`` = ``fromtimestamp``),
+    so an AWARE literal — what Spark 4.1's variant filter codec hands
+    the pushdown path — converts to the OS-local wall clock of the same
+    instant, which is exact on any host regardless of session timezone.
+    Wall clocks are only instant-ordered away from DST transitions, so
+    a literal within ±26h of a local UTC-offset change refuses to
+    compare rather than risk pruning a file whose [min,max] wall-clock
+    interval is disordered by the fold (a no-op in fixed-offset zones,
+    UTC included)."""
+    if isinstance(v, datetime.datetime):
+        import time as _time
+
+        aware = v.astimezone() if v.tzinfo is None else v
+        ts = aware.timestamp()
+        offs = {_time.localtime(ts + s).tm_gmtoff for s in (-93600, 0, 93600)}
+        if len(offs) > 1:
+            return None  # DST window: never compare wall clocks here
+        local = aware.astimezone().replace(tzinfo=None)
+        return local.isoformat()
+    return _json_stat(v)
+
+
 def _filter_may_match(file_entry: dict, filters) -> bool:
     """Can this file contain a row satisfying ALL the filters? False
     only when some filter is provably unsatisfiable against the file's
-    min/max — missing stats or exotic ops mean "possibly" (conservative,
-    exactly the _file_intersects discipline)."""
+    min/max — missing stats, exotic ops, frame-unsafe timestamp
+    literals (``_stat_literal``), or cross-type comparisons all mean
+    "possibly" (conservative, exactly the _file_intersects
+    discipline)."""
     fstats = file_entry.get("stats") or {}
     for col, op, value in filters:
         st = fstats.get(col)
         if not st or None in st or op not in _OPS:
             continue
         lo, hi = st
-        if op == "in":
-            jvs = [_json_stat(v) for v in value]
-            if jvs and all(
-                jv is not None and (jv < lo or jv > hi) for jv in jvs
-            ):
-                return False  # every probed literal outside [min,max]
-            continue
-        jv = _json_stat(value)
-        if jv is None:
-            continue
-        if op in ("=", "=="):
-            if jv < lo or jv > hi:
+        try:
+            if lo > hi:
+                continue  # disordered interval (e.g. DST wall clocks)
+            if op == "in":
+                jvs = [_stat_literal(v) for v in value]
+                if jvs and all(
+                    jv is not None and (jv < lo or jv > hi) for jv in jvs
+                ):
+                    return False  # every probed literal outside [min,max]
+                continue
+            jv = _stat_literal(value)
+            if jv is None:
+                continue
+            if op in ("=", "=="):
+                if jv < lo or jv > hi:
+                    return False
+            elif op == "<" and lo >= jv:
                 return False
-        elif op == "<" and lo >= jv:
-            return False
-        elif op == "<=" and lo > jv:
-            return False
-        elif op == ">" and hi <= jv:
-            return False
-        elif op == ">=" and hi < jv:
-            return False
+            elif op == "<=" and lo > jv:
+                return False
+            elif op == ">" and hi <= jv:
+                return False
+            elif op == ">=" and hi < jv:
+                return False
+        except TypeError:
+            continue  # literal/stat type mismatch: keep the file
     return True
 
 

@@ -1680,6 +1680,9 @@ from kinesis_app_spark.registry_round7 import REGISTRY_ROUND7  # noqa: E402
 
 _r7._bind_two_stream_oracle()
 REGISTRY.update(REGISTRY_ROUND7)
+from kinesis_app_spark.registry_round8 import REGISTRY_ROUND8  # noqa: E402
+
+REGISTRY.update(REGISTRY_ROUND8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -220,8 +220,15 @@ def _pa_file_stats(path: str, schema: StructType) -> dict:
             continue
         mm = pc.min_max(t[c]).as_py()
         lo, hi = mm["min"], mm["max"]
-        if isinstance(lo, dt.datetime):
-            lo, hi = lo.replace(tzinfo=None), hi.replace(tzinfo=None)
+        if isinstance(lo, dt.datetime) and lo.tzinfo is not None:
+            # Spark writes TimestampType as UTC-adjusted parquet, so
+            # arrow hands back AWARE values — convert to the OS-local
+            # wall clock ``_collect_file_stats`` stores (fromtimestamp
+            # frame), not a bare tz strip, so sink-written files prune
+            # under the same frame on any host. NTZ columns come back
+            # naive and stay the frame-free wall clock they are.
+            lo = lo.astimezone().replace(tzinfo=None)
+            hi = hi.astimezone().replace(tzinfo=None)
         stats[c] = [VT._json_stat(lo), VT._json_stat(hi)]
     return {"path": path, "n_rows": t.num_rows, "stats": stats}
 

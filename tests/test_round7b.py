@@ -250,8 +250,26 @@ def test_xxh64_twin_matches_spark_bit_for_bit(spark):
         cases.append((v, "float"))
     cases += [(dt.date(1970, 1, 1), "date"), (dt.date(2024, 6, 1), "date"),
               (dt.date(1901, 2, 3), "date")]
-    cases += [(dt.datetime(1970, 1, 1), "timestamp"),
-              (dt.datetime(2024, 6, 1, 12, 34, 56, 789012), "timestamp")]
+    # timestamps: AWARE values only — the twin hashes the instant's UTC
+    # micros (what Spark's internal TimestampType long is), so any
+    # offset must produce the identical hash. Naive values are frame-
+    # ambiguous and the twin REFUSES them (asserted below), so they
+    # cannot go through the JVM-equivalence loop.
+    utc = dt.timezone.utc
+    cases += [
+        (dt.datetime(1970, 1, 1, tzinfo=utc), "timestamp"),
+        (dt.datetime(2024, 6, 1, 12, 34, 56, 789012, tzinfo=utc),
+         "timestamp"),
+        (dt.datetime(2024, 6, 1, 12, 0,
+                     tzinfo=dt.timezone(dt.timedelta(hours=5))),
+         "timestamp"),
+        (dt.datetime(2001, 2, 3, 4, 5, 6, 7,
+                     tzinfo=dt.timezone(dt.timedelta(hours=-9,
+                                                     minutes=-30))),
+         "timestamp"),
+        (dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=utc),
+         "timestamp"),
+    ]
 
     exprs = [
         F.xxhash64(F.lit(v).cast(t)).alias(f"c{i}")
@@ -262,6 +280,26 @@ def test_xxh64_twin_matches_spark_bit_for_bit(spark):
         assert spark_xxhash64(v, t) == row[f"c{i}"], (v, t)
     # uncovered types must return None (skip, never guess)
     assert spark_xxhash64(1, "decimal(10,2)") is None
+    # frame-ambiguous timestamps REFUSE (never guess a timezone): a
+    # naive 'timestamp' could be OS-local, session-tz, or UTC wall
+    # clock depending on the caller — hashing any guess silently skips
+    # files on the hosts where the guess is wrong (round-7 verdict).
+    assert spark_xxhash64(dt.datetime(2024, 6, 1, 12, 0),
+                          "timestamp") is None
+    # ...and an aware value can't be an NTZ literal
+    assert spark_xxhash64(
+        dt.datetime(2024, 6, 1, 12, 0, tzinfo=dt.timezone.utc),
+        "timestamp_ntz") is None
+    # NTZ naive wall clocks hash the frame-free wall-clock micros —
+    # the JVM literal is built from a STRING so no host/session
+    # timezone can touch the wall clock on either side
+    ntz = dt.datetime(2024, 6, 1, 12, 34, 56, 789012)
+    ntz_row = spark.range(1).select(
+        F.xxhash64(
+            F.to_timestamp_ntz(F.lit("2024-06-01 12:34:56.789012"))
+        ).alias("h")
+    ).collect()[0]
+    assert spark_xxhash64(ntz, "timestamp_ntz") == ntz_row["h"]
 
 
 def test_jvm_trunc_mod_matches_java_semantics():
