@@ -96,6 +96,24 @@ def _lock_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_txn_lock")
 
 
+def _staging_reg_path(table_dir: str, txn_id: str) -> str:
+    """The per-(table, txn) staging registration: a tiny JSON naming
+    the staged artifact dir and the decision file, written when the
+    stage_* lands its data work. ``vt_vacuum``'s orphan sweeps consult
+    these so an UNDECIDED transaction's staged files are never treated
+    as aged orphans — without it, a txn open longer than the stage TTL
+    (big joins, slow pipelines) has its files deleted under it and the
+    later commit lands manifests referencing nothing."""
+    return os.path.join(table_dir, "_txn_staging", f"{txn_id}.json")
+
+
+def _drop_staging_reg(table_dir: str, txn_id: str) -> None:
+    try:
+        os.remove(_staging_reg_path(table_dir, txn_id))
+    except OSError:
+        pass
+
+
 def _marker_path(table_dir: str, version: int) -> str:
     return VT._manifest_path(table_dir, version) + ".txn"
 
@@ -239,6 +257,7 @@ def _finish_committed(table_dir: str, txn_id: str) -> None:
             os.remove(_marker_path(table_dir, v))
         except OSError:
             pass
+    _drop_staging_reg(table_dir, txn_id)
     _release_lock(table_dir, txn_id)
 
 
@@ -280,19 +299,45 @@ def _rollback_table(table_dir: str, txn_id: str) -> None:
         # the vt_files cache keys on the manifest's (mtime_ns, size):
         # a deleted manifest can never be looked up again, so no
         # explicit invalidation is needed
+    _drop_staging_reg(table_dir, txn_id)
     _release_lock(table_dir, txn_id)
 
 
 def _release_lock(table_dir: str, txn_id: str) -> None:
+    """Release ``txn_id``'s table lock ATOMICALLY: rename the lock to a
+    unique tombstone FIRST, then verify ownership from the captured
+    file. A check-then-act (read id, then remove the live path) has a
+    window where the owner releases and a new transaction acquires —
+    the stale resolver would then delete the NEW transaction's lock,
+    burning its reserve spins against interlopers. The rename captures
+    exactly one lock; a wrongly captured (not-ours) lock is restored
+    via put-if-absent hard-link, retried briefly if a third acquirer
+    slipped into the gap."""
     lp = _lock_path(table_dir)
+    tomb = f"{lp}.tb.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     try:
-        with open(lp) as fh:
-            if json.load(fh).get("id") != txn_id:
-                return  # someone else's lock now
+        os.rename(lp, tomb)
+    except OSError:
+        return  # no lock (already released)
+    try:
+        with open(tomb) as fh:
+            owner = json.load(fh).get("id")
     except (OSError, ValueError):
-        return
+        owner = None  # unreadable tombstone: treat as ours to reclaim
+    if owner is not None and owner != txn_id:
+        # captured an innocent lock: put it back (put-if-absent — a
+        # plain rename would clobber a third acquirer's fresh lock)
+        for _spin in range(20):
+            try:
+                os.link(tomb, lp)
+                break
+            except FileExistsError:
+                time.sleep(0.01)  # third acquirer holds the path; its
+                # release frees it (worst case: the lease breaker)
+            except OSError:
+                break
     try:
-        os.remove(lp)
+        os.unlink(tomb)
     except OSError:
         pass
 
@@ -438,6 +483,19 @@ class VtTransaction:
             )
 
     def _add_staged(self, rec: dict) -> None:
+        if rec.get("data_dir"):
+            # register the staged artifact dir so vt_vacuum's orphan
+            # sweeps skip it while this txn is undecided (tmp+rename:
+            # a sweeper never sees a torn registration)
+            reg = _staging_reg_path(rec["table_dir"], self.txn_id)
+            os.makedirs(os.path.dirname(reg), exist_ok=True)
+            tmp = f"{reg}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"id": self.txn_id, "decision": self.decision_path,
+                     "ts": time.time(), "path": rec["data_dir"]}, fh,
+                )
+            os.replace(tmp, reg)
         self._staged.append(rec)
 
     # -- the two-phase commit ------------------------------------------
@@ -493,6 +551,9 @@ class VtTransaction:
             _local.txn_id = None
         for s in self._staged:
             shutil.rmtree(s["data_dir"], ignore_errors=True)
+            # tables never locked (abort before/without commit) still
+            # hold a staging registration — drop it with the artifacts
+            _drop_staging_reg(s["table_dir"], self.txn_id)
 
     def _acquire_locks(self) -> None:
         for table_dir in sorted({s["table_dir"] for s in self._staged}):
@@ -527,6 +588,17 @@ class VtTransaction:
         for s in self._staged:
             table_dir = s["table_dir"]
             validated_to = s["validated_to"]
+            # staged artifacts must still exist: a vacuum that outran
+            # the staging registration (grace expired, or a pre-fix
+            # sweeper) may have deleted them — committing would land a
+            # manifest referencing missing files, a corrupted version.
+            # Abort cleanly instead.
+            if s.get("data_dir") and not os.path.isdir(s["data_dir"]):
+                raise TxnAbortedError(
+                    f"txn {self.txn_id}: staged files for {table_dir} "
+                    f"are gone ({s['data_dir']} — swept by vacuum?); "
+                    "aborting instead of committing dangling references"
+                )
             for _spin in range(_MAX_RESERVE_SPINS):
                 latest = VT.vt_latest_version(table_dir)
                 for v in range(validated_to + 1, latest + 1):

@@ -447,10 +447,23 @@ def _commit_delta(
     prev = vt_files(table_dir, version - 1)
     if prev is None:
         return None
-    prev_paths = {f["path"] for f in prev}
+    # diff by CONTENT signature (path + deletion-vector identity), not
+    # bare path: a DELETE_DV commit landing on a checkpoint version
+    # keeps every path and changes only the DV — a path-only diff would
+    # report an empty delta, conflict validation would miss it, and a
+    # concurrent transaction's staged rewrite of that file would
+    # resurrect the freshly deleted rows. A DV-changed file reports as
+    # removed+added so the removed-read-file check fires.
+    prev_by = {f["path"]: f for f in prev}
     cur_by = {f["path"]: f for f in cur}
-    added = [f for p, f in sorted(cur_by.items()) if p not in prev_paths]
-    removed = {p for p in prev_paths if p not in cur_by}
+    added = [
+        f for p, f in sorted(cur_by.items())
+        if p not in prev_by or _dv_sig(f) != _dv_sig(prev_by[p])
+    ]
+    removed = {
+        p for p, f in prev_by.items()
+        if p not in cur_by or _dv_sig(cur_by[p]) != _dv_sig(f)
+    }
     return added, removed
 
 
@@ -2079,6 +2092,64 @@ def _version_file_paths(table_dir: str, version: int) -> list[str] | None:
 #: commit(), far under an hour.
 _STAGE_TTL_SECONDS = 3600.0
 
+#: undecided-transaction staging registrations older than this are
+#: presumed leaked (the txn's process died BEFORE ever taking a lock,
+#: so no lease-breaker will ever decide it) and stop protecting their
+#: artifact dirs. Generous: a healthy long transaction decides (and
+#: drops its registration) at commit/abort, whatever its duration.
+_TXN_STAGING_GRACE_SECONDS = 86_400.0
+
+
+def _txn_protected_paths(table_dir: str,
+                         grace: float = _TXN_STAGING_GRACE_SECONDS
+                         ) -> set[str]:
+    """Artifact dirs staged by UNDECIDED transactions — the vacuum
+    sweeps must skip these: a transaction that stages a merge/append
+    and stays open past the stage TTL (large joins, slow pipelines)
+    would otherwise have its files deleted underneath it, and the later
+    commit would land manifests referencing nothing. A DECIDED
+    registration (its decision file reads committed/aborted) is stale
+    debris — dropped here, its artifacts fall to the normal sweeps."""
+    reg_dir = os.path.join(table_dir, "_txn_staging")
+    if not os.path.isdir(reg_dir):
+        return set()
+    protected: set[str] = set()
+    now = time.time()
+    for name in os.listdir(reg_dir):
+        if not name.endswith(".json"):
+            continue
+        rp = os.path.join(reg_dir, name)
+        try:
+            with open(rp) as fh:
+                reg = json.load(fh)
+        except (OSError, ValueError):
+            continue  # torn/vanished: registrations are tmp+renamed,
+            # so this is a concurrent drop — nothing to protect
+        state = None
+        try:
+            with open(reg.get("decision", "")) as fh:
+                state = json.load(fh).get("state")
+        except (OSError, ValueError):
+            pass  # no decision file: in-flight (pre-decision) txn
+        if state in ("committed", "aborted"):
+            # decided: finalize/rollback owns the artifacts now
+            try:
+                os.remove(rp)
+            except OSError:
+                pass
+            continue
+        if now - float(reg.get("ts", now)) > max(0.0, grace):
+            # leaked registration (stager died before locking — nobody
+            # will ever decide it): stop protecting, reclaim next sweep
+            try:
+                os.remove(rp)
+            except OSError:
+                pass
+            continue
+        if reg.get("path"):
+            protected.add(os.path.abspath(reg["path"]))
+    return protected
+
 
 def vt_vacuum(
     table_dir: str, retain_last: int = 2,
@@ -2182,9 +2253,12 @@ def vt_vacuum(
     # deletion-vector sidecars: same reference-counted sweep (a DV dir
     # is dead once every version naming it is outside the retained tail
     # — e.g. the file was rewritten, materializing the deletions)
+    # artifacts staged by UNDECIDED transactions are off-limits to every
+    # orphan sweep below — they are referenced by a manifest-to-be
+    txn_protected = _txn_protected_paths(table_dir)
     dvroot = _dv_dir(table_dir)
     if os.path.isdir(dvroot):
-        referenced_dv = set()
+        referenced_dv = set(txn_protected)
         for v in range(keep_from, latest + 1):
             fl = vt_files(table_dir, v) or []
             for f in fl:
@@ -2217,7 +2291,7 @@ def vt_vacuum(
     data_root = os.path.join(table_dir, "data")
     mdir = _manifest_dir(table_dir)
     if os.path.isdir(data_root) and os.path.isdir(mdir):
-        ref_dirs: set[str] = set()
+        ref_dirs: set[str] = set(txn_protected)
         versions = [
             int(f[:-5]) for f in os.listdir(mdir)
             if f.endswith(".json") and f[:-5].isdigit()

@@ -405,7 +405,14 @@ def _string_prefix_upper(prefix: str) -> str | None:
         s = s[:-1]
     if not s:
         return None
-    return s[:-1] + chr(ord(s[-1]) + 1)
+    nxt = ord(s[-1]) + 1
+    if 0xD800 <= nxt <= 0xDFFF:
+        # never emit a lone surrogate: it cannot be UTF-8 encoded, so
+        # pyarrow's read_table(filters=...) would RAISE at the executor
+        # instead of pruning. U+E000 is the next real codepoint and
+        # still a strict upper bound for every prefix below U+D800.
+        nxt = 0xE000
+    return s[:-1] + chr(nxt)
 
 
 def _push_triples(filters) -> list[tuple]:
@@ -446,7 +453,15 @@ def _pa_safe_filters(triples) -> list[tuple]:
     import math
 
     def ok(v) -> bool:
-        if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+        if isinstance(v, str):
+            try:  # backstop: a string holding lone surrogates (e.g. a
+                # literal arriving via surrogateescape) cannot cross
+                # the Arrow boundary — the executor read would raise
+                v.encode("utf-8")
+            except UnicodeEncodeError:
+                return False
+            return True
+        if isinstance(v, bool) or isinstance(v, int):
             return True
         return isinstance(v, float) and not math.isnan(v)
 

@@ -245,3 +245,201 @@ def test_timestamp_in_list_pushdown_non_utc_session(ny_session, tmp_path):
         .select("k").collect()
     )
     assert got_rng == list(range(100, 110))
+
+
+# ---------------------------------------------------------------------
+# ADVICE fixes: vacuum vs open transactions, checkpoint DV deltas,
+# surrogate bounds, atomic lock release
+# ---------------------------------------------------------------------
+
+
+def _single_file_table(spark, tmp_path, name="t", n=60):
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / name)
+    df = spark.range(n).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    VT.vt_create(df, table)
+    return table
+
+
+def test_vacuum_spares_open_txn_staged_artifacts(spark, tmp_path):
+    """A vacuum running while a transaction is OPEN must not sweep its
+    staged data dir (TTL-aged) or its staged DV sidecar (the DV sweep
+    has no TTL at all) — pre-fix, the later commit landed manifests
+    referencing deleted files: a corrupted committed version."""
+    import shutil as _sh
+
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    a = _single_file_table(spark, tmp_path, "a")
+    b = _single_file_table(spark, tmp_path, "b")
+    coord = str(tmp_path / "coord")
+    txn = vt_transaction(spark, coord)
+    txn.stage_append(a, spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+    txn.stage_delete_dv(b, [("k", "in", [3, 5])])
+    staged_dirs = [s["data_dir"] for s in txn._staged]
+    assert all(os.path.isdir(d) for d in staged_dirs)
+    # the hostile sweep: TTL zero ages out everything unprotected
+    VT.vt_vacuum(a, retain_last=1, stage_ttl_seconds=0.0)
+    VT.vt_vacuum(b, retain_last=1, stage_ttl_seconds=0.0)
+    assert all(os.path.isdir(d) for d in staged_dirs), (
+        "undecided txn staging swept by vacuum"
+    )
+    got = txn.commit()
+    assert set(got) == {a, b}
+    assert VT.vt_read(spark, a).count() == 70
+    assert VT.vt_read(spark, b).count() == 58
+    # decided: registrations dropped, artifacts now owned by the commit
+    assert not os.path.exists(TX._staging_reg_path(a, txn.txn_id))
+    assert not os.path.exists(TX._staging_reg_path(b, txn.txn_id))
+    # ...and a post-decision vacuum leaves the committed data readable
+    VT.vt_vacuum(a, retain_last=1, stage_ttl_seconds=0.0)
+    assert VT.vt_read(spark, a).count() == 70
+
+    # leaked registration (stager died pre-lock): grace-expired regs
+    # stop protecting and the artifacts fall to the normal sweep
+    txn2 = vt_transaction(spark, coord)
+    txn2.stage_append(a, spark.range(200, 205).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+    d2 = txn2._staged[0]["data_dir"]
+    reg = TX._staging_reg_path(a, txn2.txn_id)
+    assert os.path.exists(reg)
+    assert VT._txn_protected_paths(a, grace=0.0) == set()
+    assert not os.path.exists(reg), "grace-expired reg must be dropped"
+    VT.vt_vacuum(a, retain_last=1, stage_ttl_seconds=0.0)
+    assert not os.path.isdir(d2), "unprotected orphan must be swept"
+    # the guard converts the sweep into a CLEAN abort, not a corrupt
+    # commit
+    with pytest.raises(TX.TxnAbortedError, match="staged files"):
+        txn2.commit()
+    assert VT.vt_read(spark, a).count() == 70
+    _sh.rmtree(coord, ignore_errors=True)
+
+
+def test_abort_drops_staging_registration(spark, tmp_path):
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    a = _single_file_table(spark, tmp_path, "a")
+    txn = vt_transaction(spark, str(tmp_path / "coord"))
+    txn.stage_append(a, spark.range(300, 305).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+    reg = TX._staging_reg_path(a, txn.txn_id)
+    data_dir = txn._staged[0]["data_dir"]
+    assert os.path.exists(reg)
+    txn.abort()
+    assert not os.path.exists(reg)
+    assert not os.path.isdir(data_dir)
+
+
+def test_commit_delta_checkpoint_reports_dv_change(spark, tmp_path):
+    """DELETE_DV landing on a checkpoint version (full manifest, no
+    add/remove actions): the snapshot-diff fallback must report the
+    DV'd file as removed+added — a path-only diff reports an empty
+    delta and conflict validation misses it."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    def chg(lo, hi, val):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(val).cast("long").alias("v"),
+            F.lit("U").alias("op"),
+        )
+
+    table = _single_file_table(spark, tmp_path, "ckpt")
+    for i in range(9):  # v1..v9
+        VT.vt_merge(spark, table, chg(i, i + 3, 1001 + 2 * i), keys=["k"])
+    assert VT.vt_latest_version(table) == 9
+    v10 = VT.vt_delete_dv(spark, table, [("k", "in", [7, 9])])
+    assert v10 == 10  # the checkpoint slot
+    m = VT._read_manifest(table, 10)
+    assert "add" not in m and "remove" not in m, (
+        "fixture must land on a FULL manifest, else the fallback path "
+        "is untested"
+    )
+    added, removed = VT._commit_delta(table, 10)
+    files9 = {f["path"] for f in VT.vt_files(table, 9)}
+    dvd = [f for f in VT.vt_files(table, 10) if f.get("dv")]
+    assert dvd, "the DELETE_DV must have attached a deletion vector"
+    assert {f["path"] for f in added} == {f["path"] for f in dvd}
+    assert removed == {f["path"] for f in dvd} and removed <= files9
+
+
+def test_txn_conflicts_with_dv_delete_on_checkpoint_version(
+    spark, tmp_path
+):
+    """The full scenario the ADVICE described: a transaction stages a
+    rewrite of file F at v9; a concurrent DELETE_DV lands on F at v10
+    (a checkpoint). The transaction MUST abort — committing would
+    resurrect the concurrently deleted rows."""
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    def chg(lo, hi, val):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(val).cast("long").alias("v"),
+            F.lit("U").alias("op"),
+        )
+
+    table = _single_file_table(spark, tmp_path, "race")
+    for i in range(9):  # v1..v9
+        VT.vt_merge(spark, table, chg(i, i + 3, 2001 + 2 * i), keys=["k"])
+    txn = vt_transaction(spark, str(tmp_path / "coord"))
+    txn.stage_merge(table, chg(20, 25, 3001), keys=["k"])
+    # concurrent writer: DV-delete rows out of the same (single) file,
+    # landing exactly on the checkpoint version
+    assert VT.vt_delete_dv(spark, table, [("k", "in", [21, 23])]) == 10
+    with pytest.raises(TX.TxnAbortedError, match="removed file"):
+        txn.commit()
+    # the deletion survived; the txn's rewrite did not resurrect rows
+    assert VT.vt_read(spark, table).filter(
+        F.col("k").isin(21, 23)).count() == 0
+    assert VT.vt_latest_version(table) == 10
+
+
+def test_string_prefix_upper_never_emits_lone_surrogates():
+    from kinesis_app_spark.sources.vt_writer import (
+        _pa_safe_filters, _string_prefix_upper,
+    )
+
+    assert _string_prefix_upper("ab") == "ac"
+    hi = _string_prefix_upper("a퟿")
+    assert hi == "a"
+    hi.encode("utf-8")  # must be encodable for the arrow boundary
+    # a lone-surrogate string anywhere in a triple is excluded by the
+    # backstop (the executor read would raise instead of pruning)
+    assert _pa_safe_filters([("c", "<", "a\ud800")]) == []
+    assert _pa_safe_filters([("c", "in", ["ok", "a\udfff"])]) == []
+    assert _pa_safe_filters([("c", "<", "plain")]) == [("c", "<", "plain")]
+
+
+def test_release_lock_is_atomic_against_foreign_locks(tmp_path):
+    import json as _json
+
+    from kinesis_app_spark.operators import txn as TX
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    lp = TX._lock_path(table)
+    with open(lp, "w") as fh:
+        _json.dump({"id": "T2", "decision": "", "lease": 30,
+                    "ts": 0}, fh)
+    # a stale resolver releasing T1 must NOT delete T2's live lock
+    TX._release_lock(table, "T1")
+    assert os.path.exists(lp)
+    with open(lp) as fh:
+        assert _json.load(fh)["id"] == "T2"
+    # the owner's release removes it
+    TX._release_lock(table, "T2")
+    assert not os.path.exists(lp)
+    # and releasing when no lock exists is a no-op
+    TX._release_lock(table, "T2")
+    # no tombstone litter left behind
+    assert not [n for n in os.listdir(table) if ".tb." in n]

@@ -375,21 +375,38 @@ def test_cdf_tail_sees_txn_versions_only_after_decision(spark, tmp_path):
 
 def test_vacuum_sweeps_orphaned_txn_data_dirs(spark, tmp_path):
     """A transaction that staged a rewrite and DIED before finalize
-    leaves a data dir no manifest references — vt_vacuum sweeps it
-    after the TTL, and never touches referenced dirs."""
+    leaves a data dir no manifest references. An undecided staging is
+    indistinguishable from a long-OPEN transaction (the round-7 advice
+    defect: sweeping by TTL alone corrupted slow transactions), so the
+    sweep only fires once the staging registration's grace expires —
+    and never touches referenced dirs."""
     import glob
 
     a, b, _dfa, _dfb = _mk_pair(spark, tmp_path)
     txn = VtTransaction(spark, str(tmp_path / "coord"))
     txn.stage_merge(a, _chg(spark, 0, 20, 445), keys=["k"])
+    txn_id = txn.txn_id
     orphan = txn._staged[0]["data_dir"]
     assert os.path.isdir(orphan)
     # the process "dies" here: no finalize, no abort
     del txn
-    before = set(glob.glob(os.path.join(a, "data", "*")))
+    # within the staging grace the dir is protected — it may be a LIVE
+    # transaction mid-join, and deleting it would corrupt its commit
     VT.vt_vacuum(a, stage_ttl_seconds=0.0)
+    assert os.path.isdir(orphan), "in-grace staging must survive"
+    # age the registration past the grace (the stager is truly dead:
+    # it never locked, so no lease-breaker will ever decide it)
+    reg = TX._staging_reg_path(a, txn_id)
+    with open(reg) as fh:
+        rec = json.load(fh)
+    rec["ts"] = time.time() - 2 * VT._TXN_STAGING_GRACE_SECONDS
+    with open(reg, "w") as fh:
+        json.dump(rec, fh)
+    before = set(glob.glob(os.path.join(a, "data", "*")))
+    VT.vt_vacuum(a, stage_ttl_seconds=0.0)  # drops the aged reg and
+    # sweeps the now-unprotected dir in the same pass
     after = set(glob.glob(os.path.join(a, "data", "*")))
-    assert not os.path.isdir(orphan), "orphan must be swept"
+    assert not os.path.isdir(orphan), "aged orphan must be swept"
     assert before - after == {orphan}, "only the orphan may go"
     got = sorted(VT.vt_read(spark, a).collect())
     assert len(got) == 400 and all(r["v"] != 445 for r in got)
