@@ -483,6 +483,13 @@ class VtTransaction:
             )
 
     def _add_staged(self, rec: dict) -> None:
+        # empty merges/appends legitimately have NO artifact dir (the
+        # empty shell is dropped at write time) — remember whether one
+        # existed so the reserve-time sweep check only fires on dirs
+        # that were actually there to lose
+        rec["staged_dir_present"] = bool(
+            rec.get("data_dir") and os.path.isdir(rec["data_dir"])
+        )
         if rec.get("data_dir"):
             # register the staged artifact dir so vt_vacuum's orphan
             # sweeps skip it while this txn is undecided (tmp+rename:
@@ -593,7 +600,8 @@ class VtTransaction:
             # sweeper) may have deleted them — committing would land a
             # manifest referencing missing files, a corrupted version.
             # Abort cleanly instead.
-            if s.get("data_dir") and not os.path.isdir(s["data_dir"]):
+            if s.get("staged_dir_present") \
+                    and not os.path.isdir(s["data_dir"]):
                 raise TxnAbortedError(
                     f"txn {self.txn_id}: staged files for {table_dir} "
                     f"are gone ({s['data_dir']} — swept by vacuum?); "
@@ -696,6 +704,55 @@ class VtTransaction:
 def vt_transaction(spark, coord_dir: str,
                    lease: float = TXN_LEASE_SECONDS) -> VtTransaction:
     return VtTransaction(spark, coord_dir, lease=lease)
+
+
+class SnapshotUnstableError(RuntimeError):
+    """txn_snapshot could not observe a quiescent instant within its
+    spin budget (continuous commit storms on every polled table)."""
+
+
+def txn_snapshot(tables, spins: int = 200,
+                 settle_sleep: float = 0.01) -> dict[str, int]:
+    """A CROSS-TABLE CONSISTENT read snapshot: one pinned version per
+    table such that every multi-table transaction is ENTIRELY included
+    or ENTIRELY excluded — the read half of the txn story (writes are
+    atomic via the shared decision file; two independent ``vt_read``s
+    can still straddle the decision instant and see table A after a
+    transaction and table B before it: a torn view of exactly the
+    fact/rollup consistency the transaction existed to protect).
+
+    Algorithm (seqlock discipline): read every table's VISIBLE tip
+    (``vt_latest_version`` steps back past undecided reservations via
+    the pending markers — a version flips visible only at its
+    transaction's single decision instant), then read them all AGAIN in
+    the same order. Visible tips are monotonic, so two identical
+    consecutive passes prove each table's tip was stable across its own
+    read window; the windows all contain the instant the second pass
+    began, so the pin set equals the real visible state at that instant
+    — a consistent cut: any transaction's decision is a single instant
+    affecting all its tables simultaneously, hence all-in or all-out.
+    A mismatch means a decision landed mid-pass; retry (bounded).
+
+    Use the pins with any reader: ``vt_read(spark, t, version=pins)``,
+    ``vt_scan(spark, t, filters, version=pins)`` (both accept the map
+    directly), or ``.option("versionAsOf", str(pins[t]))`` on the
+    ``vt_table`` source. Pinned versions are protected from vacuum by
+    the normal ``retain_last`` discipline only — long-lived snapshots
+    of heavily vacuumed tables can age out (FileNotFoundError), the
+    same contract as single-table time travel."""
+    tabs = sorted(set(tables))
+    prev: dict[str, int] | None = None
+    for _spin in range(max(1, int(spins))):
+        pins = {t: VT.vt_latest_version(t) for t in tabs}
+        if pins == prev:
+            return pins
+        prev = pins
+        if _spin:  # first mismatch retries hot; then back off
+            time.sleep(settle_sleep)
+    raise SnapshotUnstableError(
+        f"no quiescent instant across {len(tabs)} tables in "
+        f"{spins} passes"
+    )
 
 
 def txn_vacuum(coord_dir: str, ttl_seconds: float = 86_400.0) -> int:

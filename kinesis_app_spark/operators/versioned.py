@@ -1035,13 +1035,36 @@ def _read_snapshot_entries(
     return _to_logical(df.unionByName(kept), mapping)
 
 
+def _resolve_pin(table_dir: str, version) -> int | None:
+    """``version`` may be a ``txn_snapshot`` pin map: resolve THIS
+    table's pin (by the exact dir string, else by absolute path). A map
+    lacking the table is an error — silently reading latest would tear
+    the very snapshot the map exists to protect."""
+    if not isinstance(version, dict):
+        return version
+    if table_dir in version:
+        return version[table_dir]
+    ap = os.path.abspath(table_dir)
+    for k, v in version.items():
+        if os.path.abspath(k) == ap:
+            return v
+    raise KeyError(
+        f"snapshot pin map has no entry for {table_dir}; "
+        "txn_snapshot() must be given every table the query reads"
+    )
+
+
 def vt_read(
     spark: SparkSession, table_dir: str, version: int | None = None,
     timestamp=None,
 ) -> DataFrame:
     """Read the table — latest, ``VERSION AS OF`` when ``version`` is
     given, or ``TIMESTAMP AS OF`` when ``timestamp`` (epoch float or
-    datetime) is given (resolved via ``vt_version_at_timestamp``)."""
+    datetime) is given (resolved via ``vt_version_at_timestamp``).
+    ``version`` also accepts a ``txn_snapshot`` pin map ({table_dir:
+    version}) — the cross-table consistent-read shape: every reader in
+    the query passes the SAME map and each table resolves its own pin."""
+    version = _resolve_pin(table_dir, version)
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -2788,7 +2811,9 @@ def vt_scan(
     ``_BLOOM_MAX_PROBES`` fall back to stats-only). The exact filters
     are then applied to the surviving rows, so the result is identical
     to ``vt_read(...).filter(...)`` (value-gated in the registry);
-    pruning is a file-listing optimization, never a semantics change."""
+    pruning is a file-listing optimization, never a semantics change.
+    ``version`` also accepts a ``txn_snapshot`` pin map."""
+    version = _resolve_pin(table_dir, version)
     if version is None:
         version = vt_latest_version(table_dir)
         if version < 0:

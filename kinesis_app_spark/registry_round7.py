@@ -166,20 +166,25 @@ def versioned_table_source_read(spark, sf_dir):
 
 def versioned_source_pushdown(spark, sf_dir):
     """FILTER PUSHDOWN through the vt_table source under the value
-    gate — Spark 4.1's ``pushFilters`` hook wired to the manifest's
-    data skipping: a plain ``.filter(...)`` over
-    ``spark.read.format("vt_table")`` reaches the per-file min/max
-    stats at PLANNING (the vt_scan discipline, physical column names)
-    and pyarrow row-level filters at read. The build proves the
-    pruning is real — the reader, fed the same Catalyst filters
-    directly, plans strictly fewer partitions than the table has files
-    — and the result must equal the raw SQL replay over a table with a
+    gate — the relation-scoped ``filters`` option wired to the
+    manifest's data skipping (round 8: an option, not the
+    ``pushFilters`` hook — this Spark caches ONE readInfo per relation
+    and the hook's filter-specialized plans poison later filter-free
+    queries on the same DataFrame; options are relation state, so the
+    cached plan serves every query correctly): the scan reaches the
+    per-file min/max stats at PLANNING (the vt_scan discipline,
+    physical column names), the bloom sidecars for =/IN probes, and
+    pyarrow row-level filters at read. The build proves the pruning is
+    real — the option-restricted reader plans strictly fewer
+    partitions than the table has files — AND pins the reuse
+    regression: after a filtered query on a plain relation, a
+    filter-free count on the SAME DataFrame must still see every row.
+    The result must equal the raw SQL replay over a table with a
     pruned MERGE and a deletion-vector DELETE in its history (a reader
     that let pruning drop a matching file, or let the row filters
     renumber DV positions, shifts rows and hash-mismatches)."""
+    import json as _json
     import shutil
-
-    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
 
     from kinesis_app_spark.operators import versioned as VT
     from kinesis_app_spark.sources import vt_writer as W
@@ -221,17 +226,36 @@ def versioned_source_pushdown(spark, sf_dir):
         with open(marker, "w") as fh:
             fh.write(sig)
     n_files = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
-    r = VersionedTableBatchReader({"path": table_dir})
-    list(r.pushFilters([
-        GreaterThanOrEqual(("o_orderkey",), 300),
-        LessThan(("o_orderkey",), 900),
-    ]))
-    planned = len(r.partitions())
+    rng = _json.dumps([["o_orderkey", ">=", 300],
+                       ["o_orderkey", "<", 900]])
+    planned = len(VersionedTableBatchReader(
+        {"path": table_dir, "filters": rng}
+    ).partitions())
     assert n_files < 2 or 0 < planned < n_files, (
         f"stats pruning must plan fewer slices: {planned}/{n_files}"
     )
+    # the bloom branch: planning must run the sessionless probes and
+    # never OVER-prune (each probed custkey has ~10 orders spread over
+    # most files at sf>=0.01, so a frequent key legitimately keeps
+    # everything — STRICT bloom pruning is asserted on sparse keys by
+    # versioned_pushdown_timestamp_bloom and tests/test_round7b.py)
+    blo = _json.dumps([["o_custkey", "in", [37, 53, 101]]])
+    bloom_planned = len(VersionedTableBatchReader(
+        {"path": table_dir, "filters": blo}
+    ).partitions())
+    assert 0 < bloom_planned <= max(1, n_files)  # empty table: 1 shell
+    # reuse regression (the reason pruning is an option): a filtered
+    # query must NOT poison a later filter-free query on the SAME df
+    plain = spark.read.format("vt_table").option("path", table_dir).load()
+    n_total = plain.count()
+    plain.filter(F.col("o_orderkey") < 5).count()
+    assert plain.count() == n_total, (
+        "relation reuse after a filtered query lost rows — readInfo "
+        "cache poisoning is back"
+    )
     return (
-        spark.read.format("vt_table").option("path", table_dir).load()
+        spark.read.format("vt_table").option("path", table_dir)
+        .option("filters", rng).load()
         .filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
         .orderBy("o_orderkey")
         .unionAll(
@@ -239,7 +263,7 @@ def versioned_source_pushdown(spark, sf_dir):
             # sidecar bitmaps, not min/max): same table, IN-list on
             # the indexed secondary key
             spark.read.format("vt_table").option("path", table_dir)
-            .load()
+            .option("filters", blo).load()
             .filter(
                 F.col("o_custkey").isin(37, 53, 101)
                 & (F.col("o_orderkey") >= 900)
@@ -571,16 +595,18 @@ def versioned_cdf_pushdown_tail(spark, sf_dir):
     """CDF KEY-FILTER pushdown under the value gate — the
     single-tenant change tail: two merges land on DISJOINT key bands
     of a clustered orders table; reading the change feed through
-    ``format("vt_cdf")`` with a merge-key filter must (a) prune the
-    first merge's diff component at PLANNING (asserted by feeding the
-    same Catalyst filter to the reader directly) and (b) return
-    exactly the second band's update pre/post images — the oracle
-    reconstructs both images arithmetically from raw orders, so a
-    pruned-away matching component, a broken before/after pairing, or
-    a leaked first-band row all hash-mismatch."""
+    ``format("vt_cdf")`` with the relation-scoped ``keyFilters`` option
+    (round 8: an option, not ``pushFilters`` — this Spark's
+    per-relation readInfo cache poisons filter-free reuse of
+    hook-specialized plans, see vt_writer.py) must (a) prune the first
+    merge's diff component at PLANNING (asserted on the reader
+    directly) and (b) return exactly the second band's update pre/post
+    images — the oracle reconstructs both images arithmetically from
+    raw orders, so a pruned-away matching component, a broken
+    before/after pairing, or a leaked first-band row all
+    hash-mismatch."""
+    import json as _json
     import shutil
-
-    from pyspark.sql.datasource import GreaterThanOrEqual
 
     from kinesis_app_spark.operators import versioned as VT
     from kinesis_app_spark.sources import vt_cdf as CDF
@@ -618,18 +644,20 @@ def versioned_cdf_pushdown_tail(spark, sf_dir):
         with open(marker, "w") as fh:
             fh.write(sig)
     # planning-layer proof: the key filter prunes the band-1 component
+    kf = _json.dumps([["o_orderkey", ">=", 700]])
     opts = {"path": table_dir, "keys": "o_orderkey",
             "startingversion": "2"}
     n_all = len(VersionedCdfBatchReader(opts).partitions())
-    pruned = VersionedCdfBatchReader(opts)
-    list(pruned.pushFilters([GreaterThanOrEqual(("o_orderkey",), 700)]))
-    n_pruned = len(pruned.partitions())
+    n_pruned = len(
+        VersionedCdfBatchReader({**opts, "keyfilters": kf}).partitions()
+    )
     assert n_all < 2 or 0 < n_pruned < n_all, (
         f"key filter must prune diff components: {n_pruned}/{n_all}"
     )
     return (
         spark.read.format("vt_cdf").option("path", table_dir)
         .option("keys", "o_orderkey").option("startingVersion", "2")
+        .option("keyFilters", kf)
         .load()
         .filter(F.col("o_orderkey") >= 700)
         .orderBy("o_orderkey", "_change_type")

@@ -24,25 +24,23 @@ _VT8_ROOT = "/tmp/kinesis_versioned8"
 def versioned_pushdown_timestamp_bloom(spark, sf_dir):
     """TIMESTAMP bloom pruning through the vt_table source under the
     value gate — the branch the round-7 verdict found latent-buggy: a
-    pushed ``ts = literal`` / ``ts IN (...)`` reaches the sessionless
-    planner as an AWARE UTC datetime (Spark 4.1's variant filter codec
-    hardcodes zone UTC), and the pure-Python xxhash64 twin must hash
-    the instant's UTC epoch micros — the round-7 twin anchored at a
+    ``ts IN (...)`` scan restriction reaches the sessionless planner
+    as AWARE datetimes, and the pure-Python xxhash64 twin must hash
+    each instant's UTC epoch micros — the round-7 twin anchored at a
     wall clock instead, which silently skips files holding matching
     rows in any non-UTC deployment.
 
     The fixture clusters events by ``user_id`` so every file spans
     nearly the full ``ts`` range (min/max stats provably keep ALL files
     — asserted, else the bloom is not what's being tested), bloom-
-    indexes ``ts``, and probes two sampled event timestamps. The build
-    asserts the planner, fed the aware-UTC literals the variant codec
-    produces, plans strictly fewer partitions than the table has files;
-    the returned rows must then equal the raw SQL replay — a twin that
-    hashed any wall-clock guess would prune the files holding the
-    probed events and hash-mismatch the oracle."""
+    indexes ``ts``, and probes two sampled event timestamps through the
+    relation-scoped ``filters`` option ({"ts": iso} typed values). The
+    build asserts the planner plans strictly fewer partitions than the
+    table has files; the returned rows must then equal the raw SQL
+    replay — a twin that hashed any wall-clock guess would prune the
+    files holding the probed events and hash-mismatch the oracle."""
+    import json as _json
     import shutil
-
-    from pyspark.sql.datasource import In
 
     from kinesis_app_spark.operators import versioned as VT
     from kinesis_app_spark.sources import vt_writer as W
@@ -81,15 +79,29 @@ def versioned_pushdown_timestamp_bloom(spark, sf_dir):
         .filter(F.col("event_id").isin(137, 731))
         .select("ts").collect()
     ]
+    if not probes:  # zero-row input: nothing to probe, empty result
+        src = (
+            spark.read.format("vt_table").option("path", table_dir)
+            .load()
+        )
+        return (
+            src.filter(F.lit(False))
+            .select(
+                "event_id", "user_id",
+                F.col("value").cast("double").alias("value"),
+            )
+        )
     assert len(probes) == 2, "probe events must exist at every sf"
-    # what the variant codec hands the sessionless planner: the SAME
-    # instants as aware UTC datetimes (collect() yields the OS-local
-    # wall clock; astimezone is the exact inverse)
+    # the scan restriction carries the SAME instants as aware UTC
+    # datetimes (collect() yields the OS-local wall clock; astimezone
+    # is the exact inverse)
     aware = [p.astimezone(dt.timezone.utc) for p in probes]
+    flt = _json.dumps([[
+        "ts", "in", [{"ts": a.isoformat()} for a in aware]
+    ]])
 
     n_files = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
-    r = VersionedTableBatchReader({"path": table_dir})
-    list(r.pushFilters([In(("ts",), tuple(aware))]))
+    r = VersionedTableBatchReader({"path": table_dir, "filters": flt})
     stats_only = [f for f in r.files if VT._filter_may_match(f, r.pushed)]
     assert len(stats_only) == n_files, (
         "fixture must defeat min/max stats, else this gate proves "
@@ -100,7 +112,10 @@ def versioned_pushdown_timestamp_bloom(spark, sf_dir):
         f"timestamp bloom probe must prune: {planned}/{n_files}"
     )
 
-    src = spark.read.format("vt_table").option("path", table_dir).load()
+    src = (
+        spark.read.format("vt_table").option("path", table_dir)
+        .option("filters", flt).load()
+    )
     return (
         src.filter(F.col("ts").isin(*probes))
         .select(
@@ -119,8 +134,231 @@ ORDER BY event_id
 """
 
 
+def versioned_cdf_composite_key_pruning(spark, sf_dir):
+    """COMPOSITE-KEY component pruning in the change feed under the
+    value gate (round-7 verdict item 3): a (o_custkey, o_orderkey)-keyed
+    table's diff components group by the FIRST key, whose ranges overlap
+    on every component here (files cluster by o_orderkey, so each spans
+    most custkeys) — pruning must come from the SECOND key's per-
+    component combined range. Two merges land on disjoint o_orderkey
+    bands; the ``keyFilters`` tail for the second band must plan
+    strictly fewer slices (asserted) and return exactly that band's
+    update pre/post images — the oracle reconstructs both images
+    arithmetically, so a pruned-away matching component or a broken
+    pairing hash-mismatches."""
+    import json as _json
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfBatchReader
+
+    CDF.register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT8_ROOT, f"orders_ck_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        VT.vt_create(o, table_dir)                                  # v0
+        VT.vt_optimize(
+            spark, table_dir, cluster_cols=["o_orderkey"],
+            max_records_per_file=256,
+        )                                                           # v1
+        for lo, hi, bump in ((100, 220, 1.5), (700, 820, 2.5)):
+            chg = (
+                VT.vt_read(spark, table_dir)
+                .filter(
+                    (F.col("o_orderkey") >= lo)
+                    & (F.col("o_orderkey") < hi)
+                )
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(bump)
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            VT.vt_merge(spark, table_dir, chg,
+                        keys=["o_custkey", "o_orderkey"])
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    kf = _json.dumps([["o_orderkey", ">=", 700]])
+    opts = {"path": table_dir, "keys": "o_custkey,o_orderkey",
+            "startingversion": "2"}
+    n_all = len(VersionedCdfBatchReader(opts).partitions())
+    n_pruned = len(
+        VersionedCdfBatchReader({**opts, "keyfilters": kf}).partitions()
+    )
+    assert n_all < 2 or 0 < n_pruned < n_all, (
+        f"second-key filter must prune components: {n_pruned}/{n_all}"
+    )
+    return (
+        spark.read.format("vt_cdf").option("path", table_dir)
+        .option("keys", "o_custkey,o_orderkey")
+        .option("startingVersion", "2").option("keyFilters", kf)
+        .load()
+        .filter(F.col("o_orderkey") >= 700)
+        .orderBy("o_orderkey", "_change_type")
+    )
+
+
+VERSIONED_CDF_COMPOSITE_SQL = """
+SELECT CAST(3 AS BIGINT) AS _commit_version,
+       ct AS _change_type,
+       o_orderkey, o_custkey,
+       o_totalprice + CASE WHEN ct = 'update_postimage'
+                           THEN 2.5 ELSE 0 END AS o_totalprice
+FROM orders
+CROSS JOIN (SELECT 'update_preimage' AS ct
+            UNION ALL SELECT 'update_postimage') cts
+WHERE o_orderkey >= 700 AND o_orderkey < 820
+ORDER BY o_orderkey, _change_type
+"""
+
+
+def versioned_txn_snapshot_read(spark, sf_dir):
+    """CROSS-TABLE CONSISTENT READ SNAPSHOTS under the value gate — the
+    read half of the multi-table transaction story (round-7 verdict
+    item 2): a fact table and its rollup advance through THREE
+    transactions on a background thread while the foreground loops
+    ``txn_snapshot`` + pinned reads; at EVERY observed snapshot the
+    rollup must equal the aggregate recomputed from the fact at the
+    same pins — all-in or all-out per transaction, never the torn
+    A-after/B-before view two bare reads can produce (asserted live,
+    each iteration). The final snapshot (all transactions decided) is
+    returned; the oracle replays the three bump waves arithmetically
+    over nation, so a lost wave, a doubled wave, or a fact/rollup skew
+    all hash-mismatch."""
+    import shutil
+    import threading
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import (
+        txn_snapshot, vt_transaction,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    root = os.path.join(_VT8_ROOT, f"snap_{tag}")
+    fact = os.path.join(root, "fact")
+    roll = os.path.join(root, "rollup")
+    coord = os.path.join(root, "coord")
+    # the race is the point: rebuild fresh every call
+    shutil.rmtree(root, ignore_errors=True)
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey",
+        (F.col("n_nationkey") * 100 + 7).cast("long").alias("value"),
+    )
+    VT.vt_create(n.coalesce(1), fact)
+    VT.vt_create(
+        n.groupBy("n_regionkey").agg(
+            F.sum("value").cast("long").alias("total"),
+            F.count(F.lit(1)).alias("n_nations"),
+        ).coalesce(1),
+        roll,
+    )
+
+    def bump_expr(waves: int):
+        # cumulative bump after `waves` transactions: wave w adds
+        # (w+1)*10 to nations in [w*8, (w+1)*8)
+        e = F.lit(0)
+        for w in range(waves):
+            e = e + F.when(
+                (F.col("n_nationkey") >= w * 8)
+                & (F.col("n_nationkey") < (w + 1) * 8),
+                (w + 1) * 10,
+            ).otherwise(0)
+        return e
+
+    errors: list[str] = []
+
+    def committer():
+        try:
+            for w in range(3):
+                new_fact = n.withColumn(
+                    "value",
+                    (F.col("value") + bump_expr(w + 1)).cast("long"),
+                )
+                chg = new_fact.filter(
+                    (F.col("n_nationkey") >= w * 8)
+                    & (F.col("n_nationkey") < (w + 1) * 8)
+                ).withColumn("op", F.lit("U"))
+                new_roll = (
+                    new_fact.groupBy("n_regionkey")
+                    .agg(
+                        F.sum("value").cast("long").alias("total"),
+                        F.count(F.lit(1)).alias("n_nations"),
+                    )
+                    .withColumn("op", F.lit("U"))
+                )
+                with vt_transaction(spark, coord) as txn:
+                    txn.stage_merge(fact, chg, keys=["n_nationkey"])
+                    txn.stage_merge(roll, new_roll,
+                                    keys=["n_regionkey"])
+        except Exception as exc:  # surface to the foreground
+            errors.append(repr(exc))
+
+    th = threading.Thread(target=committer)
+    th.start()
+    try:
+        checks = 0
+        while th.is_alive() or checks == 0:
+            pins = txn_snapshot([fact, roll])
+            from_fact = sorted(
+                (r["n_regionkey"], r["total"], r["n_nations"])
+                for r in VT.vt_read(spark, fact, version=pins)
+                .groupBy("n_regionkey")
+                .agg(F.sum("value").cast("long").alias("total"),
+                     F.count(F.lit(1)).alias("n_nations"))
+                .collect()
+            )
+            from_roll = sorted(
+                (r["n_regionkey"], r["total"], r["n_nations"])
+                for r in VT.vt_read(spark, roll, version=pins).collect()
+            )
+            assert from_fact == from_roll, (
+                f"torn snapshot at pins {pins}: fact={from_fact} "
+                f"rollup={from_roll}"
+            )
+            checks += 1
+            if not th.is_alive() and checks >= 2:
+                break
+    finally:
+        th.join()
+    assert not errors, f"committer thread failed: {errors}"
+    final = txn_snapshot([fact, roll])
+    assert final == {fact: 3, roll: 3}, final
+    return (
+        VT.vt_read(spark, roll, version=final)
+        .orderBy("n_regionkey")
+    )
+
+
+VERSIONED_TXN_SNAPSHOT_SQL = """
+SELECT n_regionkey,
+       CAST(SUM(n_nationkey * 100 + 7
+                + CASE WHEN n_nationkey < 8  THEN 10 ELSE 0 END
+                + CASE WHEN n_nationkey >= 8  AND n_nationkey < 16
+                       THEN 20 ELSE 0 END
+                + CASE WHEN n_nationkey >= 16 AND n_nationkey < 24
+                       THEN 30 ELSE 0 END) AS BIGINT) AS total,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
 REGISTRY_ROUND8: dict[str, QuerySpec] = {
     "versioned_pushdown_timestamp_bloom": QuerySpec(
         versioned_pushdown_timestamp_bloom, VERSIONED_TS_BLOOM_SQL
+    ),
+    "versioned_cdf_composite_key_pruning": QuerySpec(
+        versioned_cdf_composite_key_pruning, VERSIONED_CDF_COMPOSITE_SQL
+    ),
+    "versioned_txn_snapshot_read": QuerySpec(
+        versioned_txn_snapshot_read, VERSIONED_TXN_SNAPSHOT_SQL
     ),
 }

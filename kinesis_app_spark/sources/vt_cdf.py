@@ -275,22 +275,31 @@ def _split_component(ga: list[dict], gb: list[dict], key: str):
     ]
 
 
-def _component_may_match(group_files: list[dict], pkey: str,
+def _component_may_match(group_files: list[dict], pkeys: list[str],
                          prune: list[tuple]) -> bool:
     """Can this diff component contain a key satisfying the pushed
-    key filters? Tests the component's COMBINED keys[0] range (min of
-    mins, max of maxes) — a file without a range makes the whole
-    component possibly-matching (conservative)."""
-    lo = hi = None
-    for f in group_files:
-        r = _key_range(f, pkey)
-        if r is None:
-            return True
-        lo = r[0] if lo is None or r[0] < lo else lo
-        hi = r[1] if hi is None or r[1] > hi else hi
-    if lo is None:
+    key filters? Tests the component's COMBINED per-key ranges (min of
+    mins, max of maxes, kept independently for EVERY merge key — the
+    round-7 verdict's composite-key ask: a (tenant, id) table prunes on
+    whichever key's range provably misses, not just the first). A key
+    some file lacks a range for contributes no constraint; other keys
+    may still prune. Components always prune WHOLE, so before/after
+    pairing is never broken."""
+    stats: dict = {}
+    for k in pkeys:
+        lo = hi = None
+        for f in group_files:
+            r = _key_range(f, k)
+            if r is None:
+                lo = hi = None
+                break  # this key can't constrain the component
+            lo = r[0] if lo is None or r[0] < lo else lo
+            hi = r[1] if hi is None or r[1] > hi else hi
+        if lo is not None:
+            stats[k] = [lo, hi]
+    if not stats:
         return True
-    return VT._filter_may_match({"stats": {pkey: [lo, hi]}}, prune)
+    return VT._filter_may_match({"stats": stats}, prune)
 
 
 def _plan_version(table_dir: str, version: int, keys: list[str],
@@ -305,7 +314,8 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
             "start the stream at the earliest non-vacuumed version"
         )
     # per-file stats and parquet columns key on PHYSICAL names
-    pkey = (mapping or {}).get(keys[0], keys[0])
+    pkeys = [(mapping or {}).get(k, k) for k in keys]
+    pkey = pkeys[0]
     if version == 0:
         files = VT.vt_files(table_dir, 0)
         if files is None:  # pre-round-5 manifest: one opaque dir
@@ -358,9 +368,9 @@ def _plan_version(table_dir: str, version: int, keys: list[str],
         )
         for ga, gb in _group_by_key_range(excl_a, excl_b, pkey)
         # components prune WHOLE (both sides stay paired): a component
-        # whose combined key range provably misses every pushed key
-        # filter contributes no matching change rows
-        if not prune or _component_may_match(ga + gb, pkey, prune)
+        # whose combined range on ANY merge key provably misses the
+        # pushed key filters contributes no matching change rows
+        if not prune or _component_may_match(ga + gb, pkeys, prune)
         for sa, sb, kb in _split_component(ga, gb, pkey)
     ]
 
@@ -622,20 +632,36 @@ class VersionedCdfBatchReader(DataSourceReader):
     as one DataFrame, planned with the same per-file snapshot and
     key-range diff partitions as the stream.
 
-    ``pushFilters``: filters on the FIRST MERGE KEY prune diff
-    components at planning (a component's combined key range that
-    provably misses the filter contributes no matching change rows —
-    components prune WHOLE, so before/after pairing is never broken;
-    the single-tenant change-tail shape). v0 snapshot files prune
-    individually (pure inserts, nothing to pair). Filters on other
-    columns cannot prune — a value filter on one SIDE of an update
-    would corrupt the pairing — and every filter is returned for Spark
-    to re-apply regardless."""
+    ``.option("keyFilters", json)``: conjunctive [key, op, value]
+    triples on the MERGE KEYS (any of them — per-key component ranges,
+    the multi-tenant (tenant, id) shape) prune diff components at
+    planning: a component whose combined range on any filtered key
+    provably misses contributes no matching change rows — components
+    prune WHOLE, so before/after pairing is never broken. v0 snapshot
+    files prune individually (pure inserts, nothing to pair). Filters
+    on non-key columns are refused — a value filter on one SIDE of an
+    update would corrupt the pairing. The option is RELATION state, not
+    a ``pushFilters`` hook, for the same readInfo-cache-poisoning
+    reason as the vt_table reader (see vt_writer.py): a specialized
+    cached plan must be identical for every query on the relation.
+    Pruning is a superset guarantee — compose with ``.filter(...)``."""
 
     def __init__(self, options):
         (self.path, self.keys, self.start, self.schema_json,
          self.mapping) = _common_opts(options)
-        self.pushed: list[tuple] = []  # PHYSICAL keys[0] triples
+        from kinesis_app_spark.sources.vt_writer import (
+            _decode_filter_triples,
+        )
+
+        triples = _decode_filter_triples(options.get("keyfilters"))
+        bad = sorted({c for c, _o, _v in triples} - set(self.keys))
+        if bad:
+            raise ValueError(
+                f"vt_cdf keyFilters may only reference the merge keys "
+                f"{self.keys}; got {bad} (a non-key filter would break "
+                "before/after pairing)"
+            )
+        self.pushed = VT._phys_filters(triples, self.mapping)
         latest = VT.vt_latest_version(self.path)
         end_ts = options.get("endtimestamp")
         if end_ts is not None:
@@ -658,17 +684,6 @@ class VersionedCdfBatchReader(DataSourceReader):
             raise ValueError(
                 f"vt_cdf: endVersion {self.end} > latest {latest}"
             )
-
-    def pushFilters(self, filters):
-        from kinesis_app_spark.sources.vt_writer import _push_triples
-
-        pkey = self.keys[0]
-        self.pushed = VT._phys_filters(
-            [t for t in _push_triples(filters) if t[0] == pkey],
-            self.mapping,
-        )
-        # EVERY filter goes back to Spark: pruning only
-        yield from filters
 
     def partitions(self):
         slices = []
@@ -777,7 +792,8 @@ class VersionedCdfDataSource(DataSource):
 
 
 def register(spark) -> None:
-    # the batch reader implements pushFilters, which the planner
-    # refuses to call (hard error) unless this runtime conf is on
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # NOTE: no pushFilters — component pruning is the keyFilters
+    # OPTION (relation state), because this Spark's per-relation
+    # readInfo cache lets a filter-specialized plan poison later
+    # filter-free queries on the same DataFrame (see vt_writer.py)
     spark.dataSource.register(VersionedCdfDataSource)

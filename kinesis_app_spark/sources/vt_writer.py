@@ -15,20 +15,36 @@ pushed into the pyarrow read, and null-pads files written before a
 schema evolution — exactly ``vt_read``'s semantics behind the standard
 source API.
 
-FILTER PUSHDOWN (round 7b): the batch reader implements Spark 4.1's
-``pushFilters`` hook, so a plain ``.filter(...)`` on the loaded
-DataFrame reaches the manifest's data-skipping machinery with no
-engine imports: Catalyst hands the conjunctive filters to the reader
-at planning, the reader prunes FILE entries through the same per-file
-min/max stats test ``vt_scan`` uses (``_filter_may_match``, physical
-column names), and additionally pushes safe row-level filters into the
-pyarrow reads (row-group + row skipping) on un-DV'd files. EVERY
-filter is also returned to Spark for re-application — pruning is a
-file-listing optimization, never a semantics change, so null/NaN edge
-cases stay Spark's. ``StringStartsWith`` prunes as its
-``[prefix, prefix+1)`` range. Bloom-bucket pruning stays on ``vt_scan``
-(the planner worker is sessionless and the bloom probes need the JVM's
-xxhash64); stats pruning is the dominant term on clustered tables.
+FILTER PUSHDOWN (round 7b, REWORKED round 8): the reader prunes through
+a RELATION-SCOPED option, not the ``pushFilters`` hook —
+
+    spark.read.format("vt_table").option("path", d)
+         .option("filters", '[["o_orderkey", ">=", 300]]').load()
+
+``filters`` is a JSON list of conjunctive (column, op, value) triples
+(ops ``= < <= > >= in``; timestamp values as {"ts": "<ISO-8601 with
+offset>"}, dates as {"d": "YYYY-MM-DD"}). Planning prunes FILE entries
+through the same per-file min/max stats test ``vt_scan`` uses
+(``_filter_may_match``, physical names) AND the per-file bloom-bucket
+index (sessionless xxhash64 twin, ``functions/xxh64.py``), then pushes
+the pyarrow-safe subset into the file reads (row-group + row
+skipping). The scan's output is a SUPERSET of the exact predicate
+(pruning is conservative; temporal/NaN row filtering stays Spark-side)
+— compose with ``.filter(...)`` for exact semantics, exactly the
+``vt_scan`` contract.
+
+Why not ``pushFilters``: Spark 4.1 caches ONE readInfo (partitions +
+read function) per relation on the shared ``PythonDataSourceV2``
+object; the pushdown worker overwrites it with a filter-specialized
+plan but only RUNS for queries carrying translatable filters, so a
+filter-free query on the same DataFrame reuses the specialized plan
+and silently loses rows (``df.filter(c == k).count(); df.count()``
+returns the filtered count twice — verified against this container's
+Spark). Option filters are part of the relation, so the cached plan is
+identical for every query on it — reuse-safe by construction. If a
+later Spark keys readInfo by pushed-filter set, the hook can return
+(tests/test_round8.py pins the poisoning shape so the fix is visible
+when upstream changes).
 
 The SINK half: a stream (or batch job) INSERTs into a versioned table
 through Spark's own sink protocol —
@@ -89,14 +105,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
-    EqualTo,
-    GreaterThan,
-    GreaterThanOrEqual,
-    In,
     InputPartition,
-    LessThan,
-    LessThanOrEqual,
-    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -384,15 +393,56 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
         _abort_staged(messages)
 
 
-#: Spark Filter dataclass -> the engine's (col, op, value) triple op
-_PUSH_OPS = {
-    EqualTo: "=",
-    GreaterThan: ">",
-    GreaterThanOrEqual: ">=",
-    LessThan: "<",
-    LessThanOrEqual: "<=",
-    In: "in",
-}
+#: ops the scan-restriction option accepts — the vt_scan triple algebra
+_OPTION_OPS = frozenset({"=", "==", "<", "<=", ">", ">=", "in",
+                         "startswith"})
+
+
+def _decode_filter_value(v):
+    """One JSON filter value -> the typed literal the pruning layers
+    expect: scalars as-is; {"ts": iso} -> datetime (aware preferred —
+    the stats/bloom layers treat naive frames conservatively);
+    {"d": iso} -> date."""
+    if isinstance(v, dict):
+        if set(v) == {"ts"}:
+            return dt.datetime.fromisoformat(v["ts"])
+        if set(v) == {"d"}:
+            return dt.date.fromisoformat(v["d"])
+        raise ValueError(
+            f"vt_table filters: unknown typed value {v!r} "
+            '(use {"ts": iso} or {"d": iso})'
+        )
+    return v
+
+
+def _decode_filter_triples(raw: str | None) -> list[tuple]:
+    """The ``filters`` option: a JSON list of conjunctive
+    [column, op, value] triples in LOGICAL column names. "startswith"
+    expands to its [prefix, next-prefix) range pair (surrogate-safe)."""
+    if not raw:
+        return []
+    out: list[tuple] = []
+    for item in json.loads(raw):
+        col, op, val = item
+        if op not in _OPTION_OPS:
+            raise ValueError(
+                f"vt_table filters: op {op!r} not in "
+                f"{sorted(_OPTION_OPS)}"
+            )
+        if op == "in":
+            vals = [
+                _decode_filter_value(x) for x in val if x is not None
+            ]
+            if vals:
+                out.append((col, "in", vals))
+        elif op == "startswith":
+            out.append((col, ">=", str(val)))
+            hi = _string_prefix_upper(str(val))
+            if hi is not None:
+                out.append((col, "<", hi))
+        elif val is not None:
+            out.append((col, op, _decode_filter_value(val)))
+    return out
 
 
 def _string_prefix_upper(prefix: str) -> str | None:
@@ -413,33 +463,6 @@ def _string_prefix_upper(prefix: str) -> str | None:
         # still a strict upper bound for every prefix below U+D800.
         nxt = 0xE000
     return s[:-1] + chr(nxt)
-
-
-def _push_triples(filters) -> list[tuple]:
-    """Catalyst Filter objects -> conjunctive (logical col, op, value)
-    triples in the engine's vt_scan form. Unsupported shapes (nested
-    attributes, null tests, Not, string contains/ends) yield nothing —
-    they simply don't prune. StringStartsWith becomes its range pair."""
-    out: list[tuple] = []
-    for flt in filters:
-        attr = getattr(flt, "attribute", None)
-        if attr is None or len(attr) != 1:
-            continue
-        col = attr[0]
-        op = _PUSH_OPS.get(type(flt))
-        if op == "in":
-            vals = [v for v in flt.value if v is not None]
-            if vals:
-                out.append((col, "in", vals))
-        elif op is not None:
-            if flt.value is not None:
-                out.append((col, op, flt.value))
-        elif isinstance(flt, StringStartsWith):
-            out.append((col, ">=", flt.value))
-            hi = _string_prefix_upper(flt.value)
-            if hi is not None:
-                out.append((col, "<", hi))
-    return out
 
 
 def _pa_safe_filters(triples) -> list[tuple]:
@@ -608,6 +631,17 @@ def _resolve_read_version(options) -> tuple[str, int]:
     if not path:
         raise ValueError("vt_table: option 'path' (the table dir) is "
                          "required")
+    snap = options.get("snapshot")
+    if snap is not None:
+        # a txn_snapshot pin map as JSON — the cross-table consistent
+        # read through the source API: every reader passes the SAME
+        # map and each table resolves its own pinned version
+        pins = json.loads(snap)
+        if options.get("versionasof") or options.get("timestampasof"):
+            raise ValueError(
+                "vt_table: 'snapshot' excludes versionAsOf/timestampAsOf"
+            )
+        return path, VT._resolve_pin(path, pins)
     v = options.get("versionasof")
     ts = options.get("timestampasof")
     if v is not None and ts is not None:
@@ -695,10 +729,23 @@ def _read_file_slice(partition: _VtFileSlice):
 class VersionedTableBatchReader(DataSourceReader):
     """``spark.read.format("vt_table")`` — snapshot read with time
     travel. Planning is pure manifest metadata; one partition per file
-    parallelizes like any parquet scan. ``pushFilters`` prunes file
-    entries through the manifest's per-file min/max stats (the vt_scan
-    discipline) and threads pyarrow-safe filters into the file reads;
-    every filter is returned for Spark to re-apply (see module doc)."""
+    parallelizes like any parquet scan.
+
+    Pruning is OPTION-driven (``.option("filters", json)`` — see
+    ``_decode_filter_triples``), NOT ``pushFilters``-driven, and the
+    reason is load-bearing: Spark 4.1 caches ONE ``readInfo``
+    (partitions + read function) per relation on the shared
+    ``PythonDataSourceV2`` instance. ``pushFilters`` OVERWRITES that
+    cache with a filter-specialized plan, and the pushdown worker only
+    runs for queries with translatable filters — so a later filter-free
+    query on the SAME DataFrame (``df.filter(...).count(); df.count()``)
+    reuses the specialized plan and silently loses rows (verified
+    against this container's Spark: the second count returns the
+    filtered count). Option filters are RELATION state: every query on
+    the relation shares them by construction, so the cached plan is
+    correct for all of them. Filters passed through ``.filter(...)``
+    still return exact results (full scan + Catalyst's own Filter);
+    pass the option when you want the scan pruned."""
 
     def __init__(self, options):
         self.path, self.version = _resolve_read_version(options)
@@ -712,21 +759,15 @@ class VersionedTableBatchReader(DataSourceReader):
                 "(round-5+ table); rewrite it (vt_optimize) first"
             )
         self.files = files
-        self.pushed: list[tuple] = []  # physical (col, op, value)
+        # relation-scoped scan restriction: logical triples from the
+        # option, resolved to physical names (the stats/bloom namespace)
+        self.pushed = VT._phys_filters(
+            _decode_filter_triples(options.get("filters")), self.mapping
+        )
         # 100 TB knob: bin-pack file entries into slices of ~N live
         # rows so a 10^5-file table plans a bounded number of Python
         # tasks (0 = one file per slice, today's default)
         self.target_rows = int(options.get("slicetargetrows", 0))
-
-    def pushFilters(self, filters):
-        # translate ONCE into physical-name triples; keep them on self
-        # for partitions(). Yield every input filter back: Spark
-        # re-applies the exact predicates, so pruning can never change
-        # semantics (null/NaN/collation edge cases stay Catalyst's).
-        self.pushed = VT._phys_filters(
-            _push_triples(filters), self.mapping
-        )
-        yield from filters
 
     def partitions(self):
         files = self.files
@@ -918,9 +959,9 @@ class VersionedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    # the batch reader implements Spark 4.1's pushFilters hook, which
-    # the planner REFUSES to call (hard error, not a silent skip)
-    # unless this runtime-settable conf is on — enable it with the
-    # registration so `.filter(...)` over the source prunes files
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # NOTE: the reader deliberately does NOT implement pushFilters —
+    # this Spark's per-relation readInfo cache makes filter-specialized
+    # plans poison later filter-free queries on the same DataFrame
+    # (see the class docstring). Scan restriction is the `filters`
+    # option; no planner conf is required.
     spark.dataSource.register(VersionedTableDataSource)

@@ -713,8 +713,6 @@ def wide_main() -> int:
 def pushdown_main() -> int:
     import shutil
 
-    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
-
     from kinesis_app_spark.operators import versioned as VT
     from kinesis_app_spark.sources import vt_writer as W
     from kinesis_app_spark.sources.vt_writer import (
@@ -745,9 +743,10 @@ def pushdown_main() -> int:
         df.filter(F.col("k") == 123_457).select("sk").collect()[0][0]
     )
 
-    def planned(filters) -> int:
-        r = VersionedTableBatchReader({"path": table})
-        list(r.pushFilters(filters))
+    def planned(triples) -> int:
+        r = VersionedTableBatchReader(
+            {"path": table, "filters": json.dumps(triples)}
+        )
         return len(r.partitions())
 
     def best(build) -> float:
@@ -764,12 +763,14 @@ def pushdown_main() -> int:
         "n_rows": n_rows,
         "n_files": n_files,
         "range_planned_files": planned([
-            GreaterThanOrEqual(("k",), 1_000_000),
-            LessThan(("k",), 1_100_000),
+            ["k", ">=", 1_000_000], ["k", "<", 1_100_000],
         ]),
-        "bloom_planned_files": planned([EqualTo(("sk",), probe)]),
+        "bloom_planned_files": planned([["sk", "=", probe]]),
         "range_pushed_s": best(
             lambda: spark.read.format("vt_table").option("path", table)
+            .option("filters", json.dumps([
+                ["k", ">=", 1_000_000], ["k", "<", 1_100_000],
+            ]))
             .load().filter(rng)
         ),
         "range_unpushed_s": best(
@@ -777,6 +778,7 @@ def pushdown_main() -> int:
         ),
         "bloom_pushed_s": best(
             lambda: spark.read.format("vt_table").option("path", table)
+            .option("filters", json.dumps([["sk", "=", probe]]))
             .load().filter(F.col("sk") == probe)
         ),
         "bloom_unpushed_s": best(
@@ -814,8 +816,9 @@ def pushdown_main() -> int:
     out["cdf_all_slices"] = len(
         VersionedCdfBatchReader(cdf_opts).partitions()
     )
-    rp = VersionedCdfBatchReader(cdf_opts)
-    list(rp.pushFilters([GreaterThanOrEqual(("k",), 3_000_000)]))
+    rp = VersionedCdfBatchReader({
+        **cdf_opts, "keyfilters": json.dumps([["k", ">=", 3_000_000]]),
+    })
     out["cdf_pruned_slices"] = len(rp.partitions())
 
     def cdf_tail(filtered: bool) -> float:
@@ -824,10 +827,13 @@ def pushdown_main() -> int:
             r = (
                 spark.read.format("vt_cdf").option("path", table)
                 .option("keys", "k").option("startingVersion", "2")
-                .load()
             )
             if filtered:
-                r = r.filter(F.col("k") >= 3_000_000)
+                r = r.option(
+                    "keyFilters", json.dumps([["k", ">=", 3_000_000]])
+                ).load().filter(F.col("k") >= 3_000_000)
+            else:
+                r = r.load()
             t0 = time.perf_counter()
             r.write.format("noop").mode("overwrite").save()
             t = min(t, time.perf_counter() - t0)

@@ -1,37 +1,38 @@
-"""Round-7b: filter pushdown for the vt_table batch reader.
+"""Round-7b (reworked round 8): filter pushdown for the vt_table batch
+reader via the relation-scoped ``filters`` OPTION.
 
-Spark 4.1's Python DataSource ``pushFilters`` hook wired to the
-manifest's data-skipping: Catalyst's conjunctive filters prune FILE
-entries through the same per-file min/max stats test ``vt_scan`` uses,
-plus pyarrow row-level filters on un-DV'd files. Every filter is
-returned to Spark for re-application, so pruning can never change
+The option's conjunctive triples prune FILE entries through the same
+per-file min/max stats test ``vt_scan`` uses, plus pyarrow row-level
+filters on un-DV'd files. The scan output is a superset of the exact
+predicate (compose with ``.filter(...)``), so pruning can never change
 semantics — these tests pin (a) that pruning actually happens at the
 planning layer, and (b) that results stay exactly ``vt_read + filter``
-under column mapping, deletion vectors, and schema evolution.
+under column mapping, deletion vectors, and schema evolution. Round 8
+moved pruning OFF the ``pushFilters`` hook: Spark's per-relation
+readInfo cache let a hook-specialized plan silently drop rows from
+later filter-free queries on the same DataFrame (pinned in
+tests/test_round8.py).
 """
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import (
-    EqualTo,
-    GreaterThanOrEqual,
-    In,
-    IsNotNull,
-    LessThan,
-    StringStartsWith,
-)
 
 from kinesis_app_spark.operators import versioned as VT
 from kinesis_app_spark.sources import vt_writer as W
 from kinesis_app_spark.sources.vt_writer import (
     VersionedTableBatchReader,
+    _decode_filter_triples,
     _pa_safe_filters,
-    _push_triples,
     _string_prefix_upper,
 )
+
+
+def _flt(*triples) -> str:
+    return json.dumps([list(t) for t in triples])
 
 
 def _mk_clustered(spark, path, n=4000, files=8):
@@ -54,7 +55,7 @@ def _mk_clustered(spark, path, n=4000, files=8):
 
 
 # ---------------------------------------------------------------------
-# the planning layer: pushFilters -> fewer partitions
+# the planning layer: the filters option -> fewer partitions
 # ---------------------------------------------------------------------
 
 
@@ -64,23 +65,19 @@ def test_pushdown_prunes_file_partitions(spark, tmp_path):
     n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
     assert n_files >= 4, "need a multi-file table to prove pruning"
 
-    r = VersionedTableBatchReader({"path": table})
-    fed = [
-        GreaterThanOrEqual(("k",), 100),
-        LessThan(("k",), 600),
-        IsNotNull(("k",)),  # unsupported for pruning: passes through
-    ]
-    leftover = list(r.pushFilters(fed))
-    # EVERY filter goes back to Spark (by reference), pruned or not
-    assert leftover == fed
+    r = VersionedTableBatchReader({
+        "path": table,
+        "filters": _flt(("k", ">=", 100), ("k", "<", 600)),
+    })
     parts = r.partitions()
     assert 0 < len(parts) < n_files, (
         f"range over a clustered key must prune: {len(parts)}/{n_files}"
     )
 
     # an unsatisfiable filter prunes everything -> the one empty slice
-    r2 = VersionedTableBatchReader({"path": table})
-    list(r2.pushFilters([EqualTo(("k",), 10**9)]))
+    r2 = VersionedTableBatchReader({
+        "path": table, "filters": _flt(("k", "=", 10**9)),
+    })
     parts2 = r2.partitions()
     assert len(parts2) == 1 and parts2[0].files == []
 
@@ -90,7 +87,15 @@ def test_pushdown_equality_and_in_and_prefix(spark, tmp_path):
     df = _mk_clustered(spark, table)
     W.register(spark)
 
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(
+            ("k", "in", [5, 500, 3999]),
+            ("tag", "startswith", "cat_00"),
+            ("amt", ">=", 7.0),
+        ))
+        .load()
+    )
     cond = (
         F.col("k").isin(5, 500, 3999)
         & F.col("tag").startswith("cat_00")
@@ -105,7 +110,11 @@ def test_pushdown_through_source_api_end_to_end(spark, tmp_path):
     table = str(tmp_path / "t")
     df = _mk_clustered(spark, table)
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(("k", ">=", 1200), ("k", "<", 1450)))
+        .load()
+    )
     cond = (F.col("k") >= 1200) & (F.col("k") < 1450) & (F.col("grp") != 3)
     assert sorted(src.filter(cond).collect()) == sorted(
         df.filter(cond).collect()
@@ -125,14 +134,18 @@ def test_pushdown_on_mapped_table_prunes_by_physical_stats(
     VT.vt_rename_column(table, "k", "key_id")
     n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
 
-    r = VersionedTableBatchReader({"path": table})
-    list(r.pushFilters([GreaterThanOrEqual(("key_id",), 3500)]))
+    r = VersionedTableBatchReader({
+        "path": table, "filters": _flt(("key_id", ">=", 3500)),
+    })
     # pruning keys on PHYSICAL names: the renamed logical name must
     # still hit the stored per-file stats
     assert 0 < len(r.partitions()) < n_files
 
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(("key_id", ">=", 3500))).load()
+    )
     got = sorted(src.filter(F.col("key_id") >= 3500).collect())
     want = sorted(
         df.withColumnRenamed("k", "key_id")
@@ -146,7 +159,10 @@ def test_pushdown_with_deletion_vectors_stays_exact(spark, tmp_path):
     df = _mk_clustered(spark, table)
     VT.vt_delete_dv(spark, table, [("grp", "in", [7, 11])])
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(("k", "<", 900))).load()
+    )
     cond = F.col("k") < 900
     got = sorted(src.filter(cond).collect())
     want = sorted(
@@ -174,7 +190,10 @@ def test_pushdown_filter_on_evolved_column_skips_old_files(
     ).withColumn("op", F.lit("U"))
     VT.vt_merge(spark, table, extra, keys=["k"], merge_schema=True)
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(("src", "=", "new"))).load()
+    )
     got = sorted(src.filter(F.col("src") == "new").collect())
     want = sorted(
         VT.vt_read(spark, table).filter(F.col("src") == "new").collect()
@@ -201,8 +220,9 @@ def test_pushdown_bloom_prunes_secondary_key_lookup(spark, tmp_path):
 
     probe = df.filter(F.col("k") == 1234).select("sk").collect()[0][0]
 
-    r = VersionedTableBatchReader({"path": table})
-    list(r.pushFilters([EqualTo(("sk",), int(probe))]))
+    r = VersionedTableBatchReader({
+        "path": table, "filters": _flt(("sk", "=", int(probe))),
+    })
     stats_only = [
         f for f in r.files if VT._filter_may_match(f, r.pushed)
     ]
@@ -216,7 +236,10 @@ def test_pushdown_bloom_prunes_secondary_key_lookup(spark, tmp_path):
     )
 
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _flt(("sk", "=", int(probe)))).load()
+    )
     got = sorted(src.filter(F.col("sk") == int(probe)).collect())
     want = sorted(df.filter(F.col("sk") == int(probe)).collect())
     assert got == want and got
@@ -335,11 +358,10 @@ def test_slice_target_rows_bin_packs_tasks(spark, tmp_path):
     assert got == sorted(df.collect())
 
     # pushdown composes: pruning first, then packing
-    r2 = VersionedTableBatchReader(
-        {"path": table, "slicetargetrows": "100000"}
-    )
-    list(r2.pushFilters([GreaterThanOrEqual(("k",), 100),
-                         LessThan(("k",), 600)]))
+    r2 = VersionedTableBatchReader({
+        "path": table, "slicetargetrows": "100000",
+        "filters": _flt(("k", ">=", 100), ("k", "<", 600)),
+    })
     assert len(r2.partitions()) == 1
 
 
@@ -371,40 +393,51 @@ def test_cdf_pushdown_prunes_components_and_snapshot_files(
     VT.vt_merge(spark, table, band(3000, 3050), keys=["k"])
 
     opts = {"path": table, "keys": "k", "startingversion": "2"}
-    r = VersionedCdfBatchReader(opts)
-    n_all = len(r.partitions())
+    n_all = len(VersionedCdfBatchReader(opts).partitions())
     assert n_all >= 2, "two key bands must form >= 2 diff components"
-    r2 = VersionedCdfBatchReader(opts)
-    fed = [GreaterThanOrEqual(("k",), 3000)]
-    assert list(r2.pushFilters(fed)) == fed  # everything returned
+    r2 = VersionedCdfBatchReader(
+        {**opts, "keyfilters": _flt(("k", ">=", 3000))}
+    )
     assert 0 < len(r2.partitions()) < n_all, "component must prune"
 
     # v0 snapshot files prune individually
-    r3 = VersionedCdfBatchReader(
+    n_snap = len(VersionedCdfBatchReader(
         {"path": table, "keys": "k", "endversion": "1"}
-    )
-    n_snap = len(r3.partitions())
+    ).partitions())
     r4 = VersionedCdfBatchReader(
-        {"path": table, "keys": "k", "endversion": "1"}
+        {"path": table, "keys": "k", "endversion": "1",
+         "keyfilters": _flt(("k", "<", 400))}
     )
-    list(r4.pushFilters([LessThan(("k",), 400)]))
     assert 0 < len(r4.partitions()) < n_snap
 
-    # end-to-end: pushed results == unfiltered-then-filtered
+    # non-merge-key filters refuse outright (they would break the
+    # before/after pairing if they pruned)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge keys"):
+        VersionedCdfBatchReader(
+            {**opts, "keyfilters": _flt(("grp", "=", -7))}
+        )
+
+    # end-to-end: key-filtered results == unfiltered-then-filtered
     CDF.register(spark)
     base = (
         spark.read.format("vt_cdf").option("path", table)
         .option("keys", "k").load()
     )
-    got = sorted(base.filter(F.col("k") >= 3000).collect())
+    got = sorted(
+        spark.read.format("vt_cdf").option("path", table)
+        .option("keys", "k").option("keyFilters", _flt(("k", ">=", 3000)))
+        .load().filter(F.col("k") >= 3000).collect()
+    )
     want = sorted(
         [row for row in base.collect() if row["k"] is not None
          and row["k"] >= 3000]
     )
     assert got == want and got
 
-    # non-key filters prune nothing but stay exact: only the POST
-    # side of the 100 updates carries the new grp value
+    # non-key filters through .filter() prune nothing but stay exact:
+    # only the POST side of the 100 updates carries the new grp value
     got2 = base.filter(F.col("grp") == -7).collect()
     assert len(got2) == 100
     assert all(r["_change_type"] == "update_postimage" for r in got2)
@@ -466,21 +499,30 @@ def test_fast_stats_mapping_and_time_travel(spark, tmp_path):
 # ---------------------------------------------------------------------
 
 
-def test_push_triples_translation():
-    fed = [
-        EqualTo(("a",), 5),
-        In(("b",), (1, None, 3)),
-        GreaterThanOrEqual(("nested", "x"), 1),  # nested: not pushed
-        StringStartsWith(("s",), "ab"),
-        IsNotNull(("a",)),  # null test: not pushed
-        EqualTo(("c",), None),  # null literal: not pushed
-    ]
-    triples = _push_triples(fed)
+def test_decode_filter_triples_translation():
+    import datetime as dt
+
+    raw = json.dumps([
+        ["a", "=", 5],
+        ["b", "in", [1, None, 3]],
+        ["s", "startswith", "ab"],
+        ["c", "=", None],          # null literal: no constraint
+        ["t", ">=", {"ts": "2024-06-01T07:00:00+00:00"}],
+        ["d", "<", {"d": "2024-06-01"}],
+    ])
+    triples = _decode_filter_triples(raw)
     assert ("a", "=", 5) in triples
     assert ("b", "in", [1, 3]) in triples
     assert ("s", ">=", "ab") in triples and ("s", "<", "ac") in triples
-    assert all(t[0] != "nested" for t in triples)
     assert all(not (t[0] == "c") for t in triples)
+    assert ("t", ">=", dt.datetime(2024, 6, 1, 7, 0,
+                                   tzinfo=dt.timezone.utc)) in triples
+    assert ("d", "<", dt.date(2024, 6, 1)) in triples
+    assert _decode_filter_triples(None) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in"):
+        _decode_filter_triples(json.dumps([["a", "!=", 1]]))
 
 
 def test_string_prefix_upper_edges():

@@ -179,11 +179,12 @@ def _build_ts_table(spark, tmp_path, n=4000, files=8):
 
 
 def test_timestamp_bloom_pushdown_non_utc_session(ny_session, tmp_path):
-    """The full vt_table read path with a pushed timestamp equality,
-    under ``spark.sql.session.timeZone=America/New_York``: pruning must
-    plan fewer files AND the rows must equal the unpruned read — the
-    exact deployment the round-7 wall-clock anchor silently corrupted."""
-    from pyspark.sql.datasource import EqualTo
+    """The full vt_table read path with a timestamp-equality scan
+    restriction, under ``spark.sql.session.timeZone=America/New_York``:
+    pruning must plan fewer files AND the rows must equal the unpruned
+    read — the exact deployment the round-7 wall-clock anchor silently
+    corrupted."""
+    import json as _json
 
     from kinesis_app_spark.operators import versioned as VT
     from kinesis_app_spark.sources import vt_writer as W
@@ -194,10 +195,10 @@ def test_timestamp_bloom_pushdown_non_utc_session(ny_session, tmp_path):
     spark = ny_session
     table, base = _build_ts_table(spark, tmp_path)
     probe = base + dt.timedelta(minutes=1234)
+    flt = _json.dumps([["ts", "=", {"ts": probe.isoformat()}]])
 
     n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
-    r = VersionedTableBatchReader({"path": table})
-    list(r.pushFilters([EqualTo(("ts",), probe)]))
+    r = VersionedTableBatchReader({"path": table, "filters": flt})
     stats_only = [f for f in r.files if VT._filter_may_match(f, r.pushed)]
     assert len(stats_only) == n_files, (
         "fixture must defeat min/max stats, else the bloom hash is "
@@ -209,7 +210,10 @@ def test_timestamp_bloom_pushdown_non_utc_session(ny_session, tmp_path):
     )
 
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", flt).load()
+    )
     got = src.filter(F.col("ts") == F.lit(probe)).select("k").collect()
     want = (
         VT.vt_read(spark, table)
@@ -230,8 +234,18 @@ def test_timestamp_in_list_pushdown_non_utc_session(ny_session, tmp_path):
     table, base = _build_ts_table(spark, tmp_path)
     probes = [base + dt.timedelta(minutes=m) for m in (7, 1234, 3999)]
 
+    import json as _json
+
     W.register(spark)
-    src = spark.read.format("vt_table").option("path", table).load()
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _json.dumps([[
+            "ts", "in",
+            [{"ts": p.astimezone(dt.timezone.utc).isoformat()}
+             for p in probes],
+        ]]))
+        .load()
+    )
     got = sorted(
         r["k"] for r in src.filter(F.col("ts").isin(*probes))
         .select("k").collect()
@@ -239,12 +253,56 @@ def test_timestamp_in_list_pushdown_non_utc_session(ny_session, tmp_path):
     assert got == [7, 1234, 3999]
     lo = base + dt.timedelta(minutes=100)
     hi = base + dt.timedelta(minutes=110)
+    rng = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _json.dumps([
+            ["ts", ">=", {"ts": lo.isoformat()}],
+            ["ts", "<", {"ts": hi.isoformat()}],
+        ]))
+        .load()
+    )
     got_rng = sorted(
         r["k"] for r in
-        src.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        rng.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         .select("k").collect()
     )
     assert got_rng == list(range(100, 110))
+
+
+def test_relation_reuse_never_poisoned_by_filtered_query(
+    spark, tmp_path
+):
+    """THE reason pruning is an option, pinned as a regression: Spark
+    caches one readInfo per relation and only re-plans queries that
+    carry translatable filters, so a pushFilters-specialized plan is
+    silently reused by filter-free queries on the same DataFrame. Our
+    reader must keep every query on a shared relation exact — if this
+    test fails, partition specialization leaked back into a per-query
+    hook."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(100).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+        ), table,
+    )
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    assert src.filter(F.col("v") == 901).count() == 0
+    assert src.count() == 100, "filtered query poisoned the relation"
+    assert src.filter(F.col("k") < 10).count() == 10
+    assert src.count() == 100
+    # and a filters-option relation serves every query shape the same
+    import json as _json
+
+    pruned = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _json.dumps([["k", "<", 10]])).load()
+    )
+    assert pruned.filter(F.col("k") < 5).count() == 5
+    assert pruned.count() == 10
 
 
 # ---------------------------------------------------------------------
@@ -443,3 +501,243 @@ def test_release_lock_is_atomic_against_foreign_locks(tmp_path):
     TX._release_lock(table, "T2")
     # no tombstone litter left behind
     assert not [n for n in os.listdir(table) if ".tb." in n]
+
+
+# ---------------------------------------------------------------------
+# cross-table consistent read snapshots (txn_snapshot)
+# ---------------------------------------------------------------------
+
+
+def _mk_ab(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+
+    a, b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    VT.vt_create(
+        spark.range(100).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+        ), a,
+    )
+    VT.vt_create(
+        spark.range(50).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("w")
+        ), b,
+    )
+    return a, b
+
+
+def test_txn_snapshot_excludes_undecided_and_includes_decided(
+    spark, tmp_path
+):
+    """A reserved-but-undecided transaction is invisible to the
+    snapshot; after the decision+finalize the SAME call pins both new
+    versions — never one of each."""
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import (
+        VtTransaction, txn_snapshot,
+    )
+
+    a, b = _mk_ab(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    va, vb = VT.vt_latest_version(a), VT.vt_latest_version(b)
+
+    txn = VtTransaction(spark, coord, lease=60.0)
+    txn.stage_append(a, spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+    txn.stage_append(b, spark.range(50, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("w")))
+    TX._local.txn_id = txn.txn_id
+    try:
+        txn._acquire_locks()
+        reserved = txn._validate_and_reserve()
+    finally:
+        TX._local.txn_id = None
+    pins = txn_snapshot([a, b])
+    assert pins == {a: va, b: vb}, "undecided reservation must be out"
+    # reads at the pins see the pre-txn state on BOTH tables
+    assert VT.vt_read(spark, a, version=pins).count() == 100
+    assert VT.vt_read(spark, b, version=pins).count() == 50
+    # decide + finalize: the same call now pins both new versions
+    assert TX._write_decision(txn.decision_path, "committed")
+    for t in (a, b):
+        TX._finish_committed(t, txn.txn_id)
+    txn._done = True
+    pins2 = txn_snapshot([a, b])
+    assert pins2 == {a: reserved[a], b: reserved[b]}
+    assert VT.vt_read(spark, a, version=pins2).count() == 110
+    assert VT.vt_read(spark, b, version=pins2).count() == 60
+
+
+def test_txn_snapshot_retries_past_mid_pass_decision(monkeypatch):
+    """Deterministic seqlock check: a decision landing between the
+    first pass's two table reads produces a TORN pin pair — the second
+    pass must reject it and the stable pair must win."""
+    from kinesis_app_spark.operators import txn as TX
+
+    script = iter([1, 2,   # pass 1: A pre-decision, B post (torn!)
+                   2, 2,   # pass 2: both post -> mismatch vs pass 1
+                   2, 2])  # pass 3: equals pass 2 -> stable
+    calls = []
+
+    def fake_latest(table_dir):
+        calls.append(table_dir)
+        return next(script)
+
+    monkeypatch.setattr(TX.VT, "vt_latest_version", fake_latest)
+    pins = TX.txn_snapshot(["A", "B"], settle_sleep=0.0)
+    assert pins == {"A": 2, "B": 2}
+    assert len(calls) == 6, "the torn pass must cost exactly one retry"
+
+
+def test_txn_snapshot_unstable_raises(monkeypatch):
+    from kinesis_app_spark.operators import txn as TX
+
+    n = iter(range(10_000))
+
+    def always_moving(table_dir):
+        return next(n)
+
+    monkeypatch.setattr(TX.VT, "vt_latest_version", always_moving)
+    with pytest.raises(TX.SnapshotUnstableError):
+        TX.txn_snapshot(["A", "B"], spins=5, settle_sleep=0.0)
+
+
+def test_txn_snapshot_race_is_all_or_nothing(spark, tmp_path):
+    """Live race: a committing two-table transaction vs a snapshotting
+    reader thread. EVERY snapshot must contain the sentinel on both
+    tables or neither — the torn view two bare vt_reads can produce."""
+    import threading
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import (
+        txn_snapshot, vt_transaction,
+    )
+
+    a, b = _mk_ab(spark, tmp_path)
+    coord = str(tmp_path / "coord")
+    torn: list[tuple] = []
+    stop = threading.Event()
+
+    def snapshotter():
+        while not stop.is_set():
+            pins = txn_snapshot([a, b])
+            has_a = pins[a] >= 1
+            has_b = pins[b] >= 1
+            if has_a != has_b:
+                torn.append((pins[a], pins[b]))
+
+    th = threading.Thread(target=snapshotter)
+    th.start()
+    try:
+        with vt_transaction(spark, coord) as txn:
+            txn.stage_append(a, spark.range(500, 505).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2 + 1).alias("v")))
+            txn.stage_append(b, spark.range(500, 505).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 3 + 1).alias("w")))
+    finally:
+        stop.set()
+        th.join()
+    assert not torn, f"torn snapshots observed: {torn[:3]}"
+    assert txn_snapshot([a, b]) == {a: 1, b: 1}
+
+
+def test_pin_map_readers_and_source_option(spark, tmp_path):
+    """The pin map flows through every reader surface: vt_read,
+    vt_scan, and the vt_table source's snapshot option; a map missing
+    the table refuses rather than silently reading latest."""
+    import json as _json
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.operators.txn import txn_snapshot
+
+    a, b = _mk_ab(spark, tmp_path)
+    pins = txn_snapshot([a, b])
+    # advance A past the snapshot
+    VT.vt_merge(spark, a, spark.range(5).select(
+        F.col("id").alias("k"), F.lit(901).cast("long").alias("v"),
+        F.lit("U").alias("op")), keys=["k"])
+    assert VT.vt_read(spark, a, version=pins).filter(
+        F.col("v") == 901).count() == 0
+    assert VT.vt_scan(spark, a, [("v", "=", 901)],
+                      version=pins).count() == 0
+    W.register(spark)
+    src = (
+        spark.read.format("vt_table").option("path", a)
+        .option("snapshot", _json.dumps(pins)).load()
+    )
+    assert src.filter(F.col("v") == 901).count() == 0
+    assert src.count() == 100
+    with pytest.raises(Exception, match="no entry"):
+        VT.vt_read(spark, a, version={b: 0}).count()
+
+
+# ---------------------------------------------------------------------
+# vt_cdf composite-key component pruning (keyFilters on ANY merge key)
+# ---------------------------------------------------------------------
+
+
+def test_cdf_composite_key_component_pruning(spark, tmp_path):
+    """A (tenant, id)-keyed change feed: components group by the FIRST
+    key's range, but a filter on the SECOND key must also prune — each
+    merge band's component carries per-key combined ranges and prunes
+    when ANY filtered key's range provably misses (round-7 verdict
+    item 3; previously only keys[0] pruned)."""
+    import json as _json
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfBatchReader
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        (F.col("id") % 4).alias("tenant"),  # interleaved: every file
+        F.col("id").alias("k"),             # spans all tenants
+        (F.col("id") * 2 + 1).alias("v"),
+    )
+    VT.vt_create(df, table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"],
+                   max_records_per_file=500)
+
+    def band(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 4).alias("tenant"), F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).alias("v"), F.lit("U").alias("op"),
+        )
+
+    VT.vt_merge(spark, table, band(0, 50), keys=["tenant", "k"])
+    VT.vt_merge(spark, table, band(3000, 3050), keys=["tenant", "k"])
+
+    opts = {"path": table, "keys": "tenant,k", "startingversion": "2"}
+    n_all = len(VersionedCdfBatchReader(opts).partitions())
+    assert n_all >= 2
+    # the SECOND key prunes (tenant ranges overlap on every component)
+    r2 = VersionedCdfBatchReader({
+        **opts, "keyfilters": _json.dumps([["k", ">=", 3000]]),
+    })
+    n2 = len(r2.partitions())
+    assert 0 < n2 < n_all, f"second-key filter must prune: {n2}/{n_all}"
+    # pruned == unfiltered-then-filtered (the done-criterion equality)
+    CDF.register(spark)
+    base = (
+        spark.read.format("vt_cdf").option("path", table)
+        .option("keys", "tenant,k").option("startingVersion", "2")
+    )
+    got = sorted(
+        base.option("keyFilters", _json.dumps([["k", ">=", 3000]]))
+        .load().filter(F.col("k") >= 3000).collect()
+    )
+    want = sorted(
+        r for r in base.load().collect()
+        if r["k"] is not None and r["k"] >= 3000
+    )
+    assert got == want and len(got) == 100  # 50 pre + 50 post images
+    # an impossible second-key range prunes EVERY component
+    r3 = VersionedCdfBatchReader({
+        **opts, "keyfilters": _json.dumps([["k", "<", -1]]),
+    })
+    parts3 = r3.partitions()
+    assert len(parts3) == 1 and parts3[0].before == [] \
+        and parts3[0].after == []
