@@ -113,10 +113,21 @@ def main() -> int:
     q_median = {
         n: _agg(ts, lambda s: s[len(s) // 2]) for n, ts in passes.items()
     }
+    # STEADY-STATE median (round 8): pass 1 excluded whenever later
+    # passes exist — the versioned_* entries build their fixture tables
+    # behind _DONE markers on the first shot (multi-second table builds,
+    # merges, bloom indexing), so the pass-1 number measures the BUILD,
+    # not the query; steady medians measure what reruns actually cost
+    q_steady = {
+        n: _agg(ts[1:] if len(ts) > 1 else ts,
+                lambda s: s[len(s) // 2])
+        for n, ts in passes.items()
+    }
 
     total_first = round(sum(t for t in first_shot.values() if t >= 0), 3)
     total_min = round(sum(t for t in q_min.values() if t >= 0), 3)
     total_median = round(sum(t for t in q_median.values() if t >= 0), 3)
+    total_steady = round(sum(t for t in q_steady.values() if t >= 0), 3)
     n_ok = sum(1 for t in q_min.values() if t >= 0)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     summary = {
@@ -134,6 +145,11 @@ def main() -> int:
         "sec_per_query_median": round(total_median / max(n_ok, 1), 3),
         "value_min": total_min,
         "sec_per_query_min": round(total_min / max(n_ok, 1), 3),
+        # steady state: pass-1 fixture builds excluded (see q_steady)
+        "value_steady": total_steady,
+        "sec_per_query_median_steady": round(
+            total_steady / max(n_ok, 1), 3
+        ),
         # pass-1-only continuity numbers (comparable to BENCH_r01-r03)
         "value_first_shot": total_first,
         "sec_per_query": round(total_first / max(n_ok, 1), 3),
@@ -146,6 +162,7 @@ def main() -> int:
     full["queries_first_shot"] = first_shot
     full["queries_min"] = q_min
     full["queries_median"] = q_median
+    full["queries_steady"] = q_steady
     full["queries_passes"] = passes
     full["queries_flaky"] = {n: err_counts[n] for n in flaky}
     result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -63,9 +63,14 @@ def apply_changes(
     """Apply a change batch to a snapshot; returns the new snapshot.
 
     ``changes`` carries the snapshot's columns plus ``op_col`` with 'U'
-    (upsert) or 'D' (delete). With ``seq_col`` set, multiple changes per
-    key compact to the highest sequence first (latest wins, ties broken by
-    op ascending — 'D' < 'U' — so a same-seq delete wins deterministically).
+    (upsert), 'I' (insert — same column semantics as 'U'; accepted so a
+    CDC feed's insert rows never silently degrade), or 'D' (delete).
+    With ``seq_col`` set, multiple changes per key compact to the
+    highest sequence first (latest wins, ties broken by op ascending —
+    'D' < 'I' < 'U' — so a same-seq delete wins deterministically).
+    Round-8 note: 'I' used to fall outside the contract and silently
+    took the SNAPSHOT side's values — null for a genuinely new key, a
+    hard-to-spot corruption for the one op code every CDC source emits.
     """
     keys = list(keys)
     if seq_col is not None:
@@ -82,7 +87,7 @@ def apply_changes(
     c = changes.alias("c")
     joined = s.join(c, keys, "full_outer")
     keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
-    take_change = F.col(f"c.{op_col}") == "U"
+    take_change = F.col(f"c.{op_col}").isin("U", "I")
     return joined.filter(keep).select(
         *[F.col(k) for k in keys],
         *[

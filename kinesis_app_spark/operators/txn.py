@@ -406,6 +406,47 @@ class VtTransaction:
         self._check_stageable(table_dir)
         return VT.vt_delete_dv(self.spark, table_dir, filters, txn=self)
 
+    def stage_compact(self, table_dir: str,
+                      min_rows_per_file: int = 1 << 20,
+                      max_records_per_file: int | None = None) -> int:
+        """``vt_compact`` with the commit withheld — layout maintenance
+        landing atomically with the transaction's data commits (the
+        nightly merge-A-compact-B job wants ONE decision point). When
+        fewer than 2 small files exist, nothing is staged and the table
+        is not part of the transaction (the standalone call's no-commit
+        behavior). Conflict rules are the r6 co-commit rules: a
+        concurrent commit ADDING files co-commits; one removing a
+        compacted file aborts."""
+        self._check_stageable(table_dir)
+        return VT.vt_compact(
+            self.spark, table_dir, min_rows_per_file,
+            max_records_per_file, txn=self,
+        )
+
+    def stage_cluster(self, table_dir: str, cluster_cols,
+                      max_records_per_file: int | None = None) -> int:
+        """``vt_cluster_incremental`` with the commit withheld — sweep
+        the clustering debt inside the transaction. No debt -> nothing
+        staged."""
+        self._check_stageable(table_dir)
+        return VT.vt_cluster_incremental(
+            self.spark, table_dir, cluster_cols, max_records_per_file,
+            txn=self,
+        )
+
+    def stage_optimize(self, table_dir: str, cluster_cols,
+                       max_records_per_file: int = 65536,
+                       zorder: bool = False) -> int:
+        """``vt_optimize`` (FULL clustered rewrite) with the commit
+        withheld. Strictest conflict rules in the family: the rewrite
+        reads everything, so ANY concurrent commit on the table aborts
+        the transaction."""
+        self._check_stageable(table_dir)
+        return VT.vt_optimize(
+            self.spark, table_dir, cluster_cols, max_records_per_file,
+            zorder, txn=self,
+        )
+
     def stage_append(self, table_dir: str, df,
                      batch_id: int | None = None) -> int:
         """Append ``df`` as new files (no join, conflicts with nothing

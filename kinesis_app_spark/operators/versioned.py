@@ -113,6 +113,7 @@ _SUPPORTED_FEATURES = frozenset({
     "bloom_index",
     "column_mapping",
     "constraints",
+    "type_widening",
 })
 
 
@@ -134,6 +135,8 @@ def _detect_features(manifest: dict) -> set[str]:
         feats.add("column_mapping")
     if manifest.get("constraints"):
         feats.add("constraints")
+    if manifest.get("type_widening"):
+        feats.add("type_widening")
     return feats
 
 
@@ -940,7 +943,16 @@ def vt_fast_stats(
     Reference parity: absent in the reference (no tables at all —
     /root/reference/src/Kinesis/Coordination.hs:51-53); this is
     Delta's metadata-only COUNT/MIN/MAX query optimization re-derived
-    on the manifest."""
+    on the manifest. ``version`` also accepts a ``txn_snapshot`` pin
+    map — metadata aggregates under a cross-table consistent snapshot.
+
+    This IS the engine's aggregate-pushdown surface for the source
+    API: Spark 4.1's Python DataSource exposes no aggregate or
+    projection hook (only pushFilters), so ``SELECT count(*)`` through
+    ``format("vt_table")`` cannot be intercepted — route metadata
+    aggregates here (or through ``vt_fast_stats_df`` for SQL
+    composition) instead of scanning 100 TB through a Python worker."""
+    version = _resolve_pin(table_dir, version)
     if version is None:
         version = vt_latest_version(table_dir)
         if version < 0:
@@ -982,6 +994,44 @@ def vt_fast_stats(
         "n_rows": int(n) if n is not None else _live_rows(files),
         "cols": out_cols,
     }
+
+
+def vt_fast_stats_df(
+    spark: SparkSession,
+    table_dir: str,
+    cols: Sequence[str] = (),
+    version: int | None = None,
+) -> DataFrame:
+    """``vt_fast_stats`` as a ONE-ROW DataFrame — the SQL-composable
+    form of the metadata-only aggregates (join it, union it, register
+    it as a view): columns ``n_rows`` plus ``min_<c>``/``max_<c>`` per
+    requested column (null when not provably exact — the DV fallback
+    contract). The single local row costs a manifest read; no data
+    file is ever opened, whatever the table size."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField,
+    )
+
+    def _lit_type(v):
+        if isinstance(v, bool):
+            return BooleanType()
+        if isinstance(v, int):
+            return LongType()
+        if isinstance(v, float):
+            return DoubleType()
+        return StringType()  # strings + ISO temporals + unknown/None
+
+    stats = vt_fast_stats(table_dir, cols, version=version)
+    fields = [StructField("n_rows", LongType(), False)]
+    values: list = [int(stats["n_rows"])]
+    for c in cols:
+        mm = stats["cols"].get(c)
+        lo = None if mm is None else mm["min"]
+        hi = None if mm is None else mm["max"]
+        fields.append(StructField(f"min_{c}", _lit_type(lo), True))
+        fields.append(StructField(f"max_{c}", _lit_type(hi), True))
+        values.extend([lo, hi])
+    return spark.createDataFrame([tuple(values)], StructType(fields))
 
 
 def _dv_sig(f: dict):
@@ -1613,6 +1663,7 @@ def vt_optimize(
     cluster_cols: Sequence[str],
     max_records_per_file: int = 65536,
     zorder: bool = False,
+    txn=None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot clustered on
     ``cluster_cols`` and commit it as a new version with IDENTICAL rows
@@ -1681,6 +1732,40 @@ def vt_optimize(
         out["column_mapping"] = mapping
     if _table_constraints(manifest):
         out["constraints"] = _table_constraints(manifest)
+    if txn is not None:
+        # a full rewrite READS everything, so its read set is every
+        # base file and ANY concurrently added file conflicts (its
+        # rows would vanish from the rewrite) — the strictest rules in
+        # the family; compact/cluster stage with the relaxed layout
+        # rules below
+        parent_files = vt_files(table_dir, base)
+        if parent_files is None:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                "transactions need a file-level manifest (round-5+ "
+                "table); rewrite it (vt_optimize) first"
+            )
+        t_paths = {f["path"] for f in parent_files}
+
+        def _mk_manifest(parent, carried_now, version):
+            out2 = dict(out)
+            out2["files"] = carried_now + files
+            out2["n_rows"] = _live_rows(carried_now + files)
+            return out2
+
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": base,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            "data_dir": data_dir,
+            "mk_manifest": _mk_manifest,
+            "added_hits": lambda fe: True,
+            "op_name": "vt_optimize",
+        })
+        return new_version
     _commit(table_dir, new_version, out, cleanup_dir=data_dir)
     return new_version
 
@@ -1691,6 +1776,7 @@ def vt_cluster_incremental(
     cluster_cols: Sequence[str],
     max_records_per_file: int | None = None,
     expected_version: int | None = None,
+    txn=None,
 ) -> int:
     """Liquid-clustering-style incremental OPTIMIZE: rewrite ONLY the
     files not yet clustered on ``cluster_cols`` (merge/DML rewrites and
@@ -1771,6 +1857,23 @@ def vt_cluster_incremental(
             out["constraints"] = _table_constraints(manifest)
         return out
 
+    if txn is not None:
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": base,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            "data_dir": data_dir,
+            "mk_manifest": _mk_manifest,
+            # layout never conflicts with content: only a commit that
+            # removed one of the debt files (the removed-read-file
+            # check) forces an abort — the r6 co-commit rules
+            "added_hits": lambda fe: False,
+            "op_name": "vt_cluster_incremental",
+        })
+        return new_version
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
         t_paths, data_dir, parent_files, carried, new_version,
@@ -1784,6 +1887,7 @@ def vt_compact(
     min_rows_per_file: int = 1 << 20,
     max_records_per_file: int | None = None,
     expected_version: int | None = None,
+    txn=None,
 ) -> int:
     """Incremental OPTIMIZE (Delta's bin-packing compaction): coalesce
     ONLY the files below ``min_rows_per_file`` into full-size files and
@@ -1852,6 +1956,23 @@ def vt_compact(
             out["constraints"] = _table_constraints(manifest)
         return out
 
+    if txn is not None:
+        txn._add_staged({
+            "table_dir": table_dir,
+            "validated_to": base,
+            "base_schema_json": json.dumps(
+                manifest.get("schema"), sort_keys=True
+            ),
+            "t_paths": t_paths,
+            "data_dir": data_dir,
+            "mk_manifest": _mk_manifest,
+            # compaction reads only the small files: a concurrent
+            # commit ADDING files co-commits (always-false test), one
+            # removing a compacted file aborts (removed-read-file)
+            "added_hits": lambda fe: False,
+            "op_name": "vt_compact",
+        })
+        return new_version
     return _commit_optimistic(
         table_dir, base, json.dumps(manifest.get("schema"), sort_keys=True),
         t_paths, data_dir, parent_files, carried, new_version,
@@ -3168,6 +3289,129 @@ def vt_update(
     return _predicate_rewrite(
         spark, table_dir, filters, "UPDATE", apply, expected_version,
         txn=txn,
+    )
+
+
+#: exact, order- and value-preserving type promotions (Delta's type
+#: widening matrix restricted to the lossless core): every narrow
+#: integer embeds in every wider one, float embeds exactly in double.
+#: int->double is NOT here (longs past 2^53 exist; so do int32 values
+#: a float can't hold) — lossy changes rewrite, they don't widen.
+_WIDENINGS: dict[str, tuple[str, ...]] = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+_TYPE_ALIASES = {
+    "tinyint": "byte", "smallint": "short", "int": "integer",
+    "bigint": "long",
+}
+
+
+def vt_widen_column(table_dir: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ... TYPE widening, METADATA-ONLY (Delta's
+    ``typeWidening`` table feature): the logical type grows
+    (byte→short→int→long, float→double) and NO data file is rewritten
+    — at 100 TB a widen is a few hundred manifest bytes. Readers
+    upcast at the file boundary: Spark's parquet reader reads int32
+    files under a long schema natively, and the ``vt_table`` source
+    casts each arrow array to the declared type. Old versions stay
+    readable at their old type (each manifest carries its own schema).
+    Per-file min/max stats stay valid — widening is value-preserving,
+    so numeric comparisons are unchanged. Pre-existing BLOOM entries
+    on the column are STRIPPED in the same commit: xxhash64 is
+    width-sensitive (an int hashes one 4-byte word, a long an 8-byte
+    word), so probes computed at the widened type would silently miss
+    narrow-width buckets — the exact silent-file-skip failure the
+    sessionless planner guards against; re-run ``vt_index_bloom`` to
+    rebuild at the new width. Narrowing and lossy changes refuse.
+    Stamps the sticky ``type_widening`` feature: a reader without this
+    code refuses loudly instead of mis-typing the scan."""
+    tgt = _TYPE_ALIASES.get(new_type.lower(), new_type.lower())
+    for _spin in range(_COMMIT_MAX_SPINS):
+        latest = vt_latest_version(table_dir)
+        if latest < 0:
+            raise FileNotFoundError(f"table {table_dir} does not exist")
+        manifest = _read_manifest(table_dir, latest)
+        _check_protocol(manifest, table_dir, write=True)
+        schema = _manifest_schema(manifest)
+        parent_files = vt_files(table_dir, latest)
+        if schema is None or parent_files is None:
+            raise ValueError(
+                "vt_widen_column needs a file-level manifest "
+                "(round-5+ table); rewrite it (vt_optimize) first"
+            )
+        if col not in schema.names:
+            raise ValueError(
+                f"vt_widen_column: no column {col!r} in {schema.names}"
+            )
+        cur = schema[col].dataType.typeName()
+        if cur == tgt:
+            return latest  # already at the requested type: no commit
+        if tgt not in _WIDENINGS.get(cur, ()):
+            raise ValueError(
+                f"vt_widen_column: {cur} -> {tgt} is not a lossless "
+                f"widening (allowed from {cur}: "
+                f"{list(_WIDENINGS.get(cur, ()))}); narrowing or lossy "
+                "changes need a rewrite"
+            )
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        new_dt = _parse_datatype_string(tgt)
+        new_schema = StructType([
+            StructField(f.name, new_dt if f.name == col else f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ])
+        mapping = _col_mapping(manifest)
+        pcol = (mapping or {}).get(col, col)
+        # strip width-mismatched blooms on the widened physical column
+        touched = [
+            f for f in parent_files if (f.get("bloom") or {}).get(pcol)
+        ]
+        updated = []
+        for f in touched:
+            e = dict(f)
+            bloom = dict(e["bloom"])
+            bloom.pop(pcol, None)
+            e["bloom"] = bloom or None
+            if e["bloom"] is None:
+                e.pop("bloom")
+            updated.append(e)
+        t_paths = {f["path"] for f in touched}
+        carried = [
+            f for f in parent_files if f["path"] not in t_paths
+        ]
+        widened = dict(manifest.get("type_widening") or {})
+        widened[pcol] = [
+            *(widened.get(pcol) or [cur])[:1], tgt,
+        ]  # remember the ORIGINAL narrow type and the latest wide one
+        new_version = latest + 1
+        out = {
+            "data_dir": manifest.get("data_dir"),
+            "n_rows": int(manifest["n_rows"]),
+            "schema": new_schema.jsonValue(),
+            "operation": "WIDEN_COLUMN",
+            "type_widening": widened,
+            **_incremental_or_full(
+                new_version, parent_files, carried, updated,
+                sorted(t_paths),
+            ),
+        }
+        if mapping is not None:
+            out["column_mapping"] = mapping
+        if _table_constraints(manifest):
+            out["constraints"] = _table_constraints(manifest)
+        try:
+            _commit(table_dir, new_version, out)
+            return new_version
+        except VersionConflictError:
+            continue  # re-derive against the new latest
+    raise VersionConflictError(
+        f"vt_widen_column on {table_dir}: starved by "
+        f"{_COMMIT_MAX_SPINS} consecutive commit races"
     )
 
 

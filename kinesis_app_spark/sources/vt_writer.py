@@ -160,10 +160,21 @@ def _conn(options, schema: StructType) -> dict:
                     "mapped table's schema; evolve the table first "
                     "(vt_merge merge_schema)"
                 )
+    cluster_by = [
+        c.strip() for c in (options.get("clusterby") or "").split(",")
+        if c.strip()
+    ]
+    bad = [c for c in cluster_by if c not in schema.names]
+    if bad:
+        raise ValueError(
+            f"vt_table clusterBy columns {bad} are not in the stream "
+            f"schema {schema.names}"
+        )
     return {
         "path": path,
         "schema_json": json.dumps(schema.jsonValue()),
         "mapping": mapping,
+        "cluster_by": cluster_by,
     }
 
 
@@ -204,6 +215,20 @@ def _stage_rows(conn: dict, iterator) -> VtStageMsg:
     rows = list(iterator)
     if not rows:
         return VtStageMsg(None, 0)
+    cluster_by = conn.get("cluster_by") or []
+    if cluster_by:
+        # sink-side clustering (round 8): sort this task's rows by the
+        # cluster key so each staged file is a contiguous key run —
+        # with the stream repartitioned by the same key upstream, the
+        # epoch's files land as ONE disjoint clustered run (stamped at
+        # commit) and vt_cluster_incremental's debt stays near zero.
+        # Logical names: the stream's schema is logical; the physical
+        # translation happens through `target`'s order below.
+        logical = StructType.fromJson(json.loads(conn["schema_json"]))
+        idxs = [logical.names.index(c) for c in cluster_by]
+        rows.sort(
+            key=lambda r: tuple((r[i] is None, r[i]) for i in idxs)
+        )
     cols = {
         f.name: pa.array([r[i] for r in rows], f.type)
         for i, f in enumerate(target)
@@ -282,6 +307,7 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
             new_files.append(_pa_file_stats(dest, schema))
         staged = []  # promoted: the finally-cleanup has nothing to do
         new_files.sort(key=lambda f: f["path"])
+        _stamp_clustered_run(new_files, conn)
         for _spin in range(_APPEND_MAX_SPINS):
             parent_files = VT.vt_files(table_dir, latest)
             if parent_files is None:
@@ -340,6 +366,36 @@ def _append_staged(conn: dict, messages, batch_id: int | None) -> None:
                 os.remove(p)
             except OSError:
                 pass
+
+
+def _stamp_clustered_run(new_files: list[dict], conn: dict) -> None:
+    """Sink-side clustering, commit half: when this epoch's files form
+    ONE disjoint run on the clusterBy key (each task staged a sorted
+    contiguous span — true when the stream is repartitioned by the key
+    upstream), stamp them with clustering provenance so
+    ``vt_cluster_incremental`` recognizes them as already clustered and
+    the maintenance debt a streaming sink normally accretes stays near
+    zero. Overlapping spans (un-partitioned upstream) stay UNSTAMPED —
+    honest debt the next cluster pass sweeps. Stamps key on PHYSICAL
+    names, like every clustering provenance."""
+    cluster_by = conn.get("cluster_by") or []
+    if not cluster_by or not new_files:
+        return
+    mapping = conn.get("mapping") or {}
+    pcols = [mapping.get(c, c) for c in cluster_by]
+    lead = pcols[0]
+    spans = []
+    for f in new_files:
+        st = (f.get("stats") or {}).get(lead)
+        if not st or st[0] is None or st[1] is None:
+            return  # a span-less file: can't prove disjointness
+        spans.append(tuple(st))
+    spans.sort()
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        if lo2 <= hi:
+            return  # overlapping run: leave as clustering debt
+    for f in new_files:
+        f["clustered"] = pcols
 
 
 def _abort_staged(messages) -> None:
@@ -803,6 +859,7 @@ class VersionedTableBatchReader(DataSourceReader):
 _NON_DATA_OPS = frozenset({
     "OPTIMIZE", "CLUSTER", "COMPACT", "BLOOM",
     "RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMN",
+    "WIDEN_COLUMN",
     "ADD_CONSTRAINT", "DROP_CONSTRAINT",
 })
 

@@ -22,9 +22,9 @@ Note on APIs: Spark 4's ``transformWithStateInPandas`` (the successor
 stateful API: multiple named states, timers, TTL) is the intended upgrade
 path for ``running_count_per_key``, but its Python runner needs a working
 ``google.protobuf`` which this container lacks. Re-verified rounds 4, 5,
-6 AND 7 (``import google.protobuf`` -> ModuleNotFoundError; ``import
-delta`` likewise for the versioned-table layer; ``pip download/install
-protobuf`` rounds 6 and 7: DNS resolution fails — no network; the
+6, 7 AND 8 (``import google.protobuf`` -> ModuleNotFoundError; ``import
+delta`` likewise for the versioned-table layer; ``pip download
+protobuf`` rounds 6-8: DNS resolution fails — no network; the
 pyspark.zip walk finds only the 4 JVM-side from_protobuf SQL wrapper
 .py files, no vendored Python protobuf runtime, so vendoring from the
 container's own files is impossible): ``StatefulProcessor`` imports and the query plans, but the

@@ -900,6 +900,60 @@ def txn_main() -> int:
     return 0
 
 
+def _churn_sink_cluster(spark, cycles: int) -> dict:
+    """Round-8: sink-side clustering vs the maintenance debt it was
+    built to prevent. Two identical streaming-ingest loops (key-ranged
+    epochs through the vt_table sink); one passes ``clusterBy`` so each
+    epoch lands stamped as a disjoint clustered run, the other leaves
+    the files unstamped. The ``vt_cluster_incremental`` pass after N
+    epochs then shows the debt delta: ~zero files for the clusterBy
+    table, every ingested file for the plain one."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    W.register(spark)
+    out: dict = {}
+    for label, use_cluster in (("plain", False), ("clusterBy", True)):
+        table = f"/tmp/kinesis_stress_r8/sink_{label}"
+        shutil.rmtree(table, ignore_errors=True)
+        t_ingest = 0.0
+        for i in range(cycles):
+            lo = i * 100_000
+            batch = (
+                spark.range(lo, lo + 50_000)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") % 9973).alias("v"))
+                .repartitionByRange(4, "k").sortWithinPartitions("k")
+            )
+            w = batch.write.format("vt_table").option("path", table)
+            if use_cluster:
+                w = w.option("clusterBy", "k")
+            t0 = time.perf_counter()
+            w.mode("append").save()
+            t_ingest += time.perf_counter() - t0
+        latest = VT.vt_latest_version(table)
+        debt = [
+            f for f in VT.vt_files(table, latest)
+            if f.get("clustered") != ["k"]
+        ]
+        t0 = time.perf_counter()
+        v2 = VT.vt_cluster_incremental(spark, table, ["k"])
+        t_cluster = time.perf_counter() - t0
+        out[label] = {
+            "epochs": cycles,
+            "ingest_s": round(t_ingest, 3),
+            "debt_files": len(debt),
+            "cluster_pass_s": round(t_cluster, 3),
+            "cluster_committed": v2 != latest,
+        }
+        print(f"CHURN sink[{label}]: ingest {t_ingest:.2f}s "
+              f"debt {len(debt)} files, cluster pass {t_cluster:.2f}s",
+              file=sys.stderr)
+    return out
+
+
 def churn_main(cycles: int) -> int:
     spark = get_spark(app_name="kinesis-churn", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -908,6 +962,7 @@ def churn_main(cycles: int) -> int:
         "cycles": cycles,
         "dedup": _churn_dedup(spark, cycles),
         "merge": _churn_merge(spark, cycles),
+        "sink_cluster": _churn_sink_cluster(spark, max(4, cycles // 2)),
     }
     line = json.dumps(out, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())

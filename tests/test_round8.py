@@ -741,3 +741,529 @@ def test_cdf_composite_key_component_pruning(spark, tmp_path):
     parts3 = r3.partitions()
     assert len(parts3) == 1 and parts3[0].before == [] \
         and parts3[0].after == []
+
+
+# ---------------------------------------------------------------------
+# maintenance ops inside transactions (stage_compact/cluster/optimize)
+# ---------------------------------------------------------------------
+
+
+def _frag_table(spark, tmp_path, name, n=400, frags=8):
+    """A deliberately fragmented table: `frags` small files."""
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / name)
+    df = spark.range(n).repartition(frags).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    VT.vt_create(df, table)
+    return table
+
+
+def test_txn_merge_and_compact_commit_atomically(spark, tmp_path):
+    """The nightly-job shape: merge table A and compact table B under
+    ONE decision — both land, the compaction swept B's small files,
+    and rows are unchanged on B."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    a = _frag_table(spark, tmp_path, "a")
+    b = _frag_table(spark, tmp_path, "b")
+    n_b_files = len(VT.vt_files(b, VT.vt_latest_version(b)))
+    assert n_b_files >= 4
+    chg = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(7001).cast("long").alias("v"),
+        F.lit("U").alias("op"),
+    )
+    with vt_transaction(spark, str(tmp_path / "coord")) as txn:
+        txn.stage_merge(a, chg, keys=["k"])
+        txn.stage_compact(b, min_rows_per_file=1000)
+        # mid-txn: neither table moved
+        assert VT.vt_latest_version(a) == 0
+        assert VT.vt_latest_version(b) == 0
+    assert VT.vt_latest_version(a) == 1
+    assert VT.vt_latest_version(b) == 1
+    m = VT._read_manifest(b, 1)
+    assert m["operation"] == "COMPACT" and m.get("txn")
+    files_b = VT.vt_files(b, 1)
+    assert len(files_b) < n_b_files, "compaction must shrink the tail"
+    assert VT.vt_read(spark, b).count() == 400
+    assert VT.vt_read(spark, a).filter(F.col("v") == 7001).count() == 5
+
+
+def test_txn_maintenance_abort_leaves_both_untouched(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    a = _frag_table(spark, tmp_path, "a")
+    b = _frag_table(spark, tmp_path, "b")
+    import glob
+    with pytest.raises(RuntimeError, match="boom"):
+        with vt_transaction(spark, str(tmp_path / "coord")) as txn:
+            txn.stage_cluster(a, ["k"])
+            txn.stage_compact(b, min_rows_per_file=1000)
+            raise RuntimeError("boom")
+    assert VT.vt_latest_version(a) == 0
+    assert VT.vt_latest_version(b) == 0
+    assert sorted(
+        r["k"] for r in VT.vt_read(spark, a).collect()
+    ) == list(range(400))
+    # staged rewrite artifacts were cleaned up
+    assert all(
+        VT._read_manifest(a, 0).get("data_dir", "x") in p
+        or "v00001" not in p
+        for p in glob.glob(os.path.join(a, "data", "*"))
+    )
+
+
+def test_txn_compact_conflicts_follow_co_commit_rules(spark, tmp_path):
+    """r6 rules inside the transaction: a concurrent APPEND co-commits
+    with a staged compaction (always-false added-file test), while a
+    concurrent rewrite of a compacted file aborts it."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    # co-commit: append lands between staging and commit
+    b = _frag_table(spark, tmp_path, "b")
+    txn = vt_transaction(spark, str(tmp_path / "c1"))
+    txn.stage_compact(b, min_rows_per_file=1000)
+    with vt_transaction(spark, str(tmp_path / "c2")) as other:
+        other.stage_append(b, spark.range(400, 420).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+    got = txn.commit()
+    assert got[b] == 2, "compaction must rebase over the append"
+    assert VT.vt_read(spark, b).count() == 420
+
+    # abort: a merge rewrites one of the small files being compacted
+    b2 = _frag_table(spark, tmp_path, "b2")
+    txn2 = vt_transaction(spark, str(tmp_path / "c3"))
+    txn2.stage_compact(b2, min_rows_per_file=1000)
+    VT.vt_merge(spark, b2, spark.range(3).select(
+        F.col("id").alias("k"), F.lit(9001).cast("long").alias("v"),
+        F.lit("U").alias("op")), keys=["k"])
+    with pytest.raises(TX.TxnAbortedError, match="removed file"):
+        txn2.commit()
+    assert VT.vt_read(spark, b2).filter(
+        F.col("v") == 9001).count() == 3
+
+
+def test_txn_optimize_aborts_on_any_concurrent_commit(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators import txn as TX
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    t = _frag_table(spark, tmp_path, "t")
+    txn = vt_transaction(spark, str(tmp_path / "coord"))
+    txn.stage_optimize(t, ["k"], max_records_per_file=100)
+    # ANY concurrent data commit invalidates a full rewrite — even a
+    # pure append the relaxed ops would co-commit with
+    VT.vt_merge(spark, t, spark.range(500, 510).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v"),
+        F.lit("I").alias("op")), keys=["k"])
+    with pytest.raises(TX.TxnAbortedError):
+        txn.commit()
+    assert VT.vt_read(spark, t).count() == 410
+
+    # clean run: optimize inside a txn lands clustered
+    t2 = _frag_table(spark, tmp_path, "t2")
+    with vt_transaction(spark, str(tmp_path / "coord2")) as txn2:
+        txn2.stage_optimize(t2, ["k"], max_records_per_file=100)
+    assert VT.vt_latest_version(t2) == 1
+    m = VT._read_manifest(t2, 1)
+    assert m["operation"] == "OPTIMIZE"
+    files = VT.vt_files(t2, 1)
+    assert all(f.get("clustered") == ["k"] for f in files)
+    assert VT.vt_read(spark, t2).count() == 400
+
+
+def test_txn_cluster_sweeps_debt_only(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import vt_transaction
+
+    t = _frag_table(spark, tmp_path, "t")
+    VT.vt_optimize(spark, t, ["k"], max_records_per_file=100)  # v1
+    VT.vt_merge(spark, t, spark.range(400, 450).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v"),
+        F.lit("I").alias("op")), keys=["k"])                   # v2: debt
+    clustered_before = [
+        f["path"] for f in VT.vt_files(t, 2) if f.get("clustered")
+    ]
+    with vt_transaction(spark, str(tmp_path / "coord")) as txn:
+        v = txn.stage_cluster(t, ["k"])
+    assert v == 3 and VT.vt_latest_version(t) == 3
+    after = VT.vt_files(t, 3)
+    assert all(f.get("clustered") == ["k"] for f in after)
+    kept = [f["path"] for f in after if f["path"] in clustered_before]
+    assert kept, "already-clustered files must carry by reference"
+    assert VT.vt_read(spark, t).count() == 450
+    # no debt -> nothing staged, table not in the transaction
+    with vt_transaction(spark, str(tmp_path / "coord2")) as txn2:
+        v2 = txn2.stage_cluster(t, ["k"])
+    assert v2 == 3 and VT.vt_latest_version(t) == 3
+
+
+# ---------------------------------------------------------------------
+# type widening (metadata-only, Delta's typeWidening feature)
+# ---------------------------------------------------------------------
+
+
+def test_widen_column_is_metadata_only_and_mixes_widths(
+    spark, tmp_path
+):
+    import glob
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).coalesce(1).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2 + 1).cast("int").alias("v"),
+    )
+    VT.vt_create(df, table)
+    files_before = sorted(glob.glob(os.path.join(table, "data", "*", "*")))
+    v = VT.vt_widen_column(table, "v", "long")
+    assert v == 1
+    files_after = sorted(glob.glob(os.path.join(table, "data", "*", "*")))
+    assert files_before == files_after, "widening must write NO data"
+    # new schema is long; old version still reads as int
+    assert dict(VT.vt_read(spark, table).dtypes)["v"] == "bigint"
+    assert dict(VT.vt_read(spark, table, version=0).dtypes)["v"] == "int"
+    # feature stamped sticky
+    m = VT._read_manifest(table, 1)
+    assert "type_widening" in m["protocol"]["features"]
+    # merge POST-widen values that only fit the wide type; the table
+    # then mixes int32 files and int64 files under one long schema
+    big = spark.range(100, 105).select(
+        F.col("id").cast("int").alias("k"),  # k stays int (un-widened)
+        (F.lit(2**40) + F.col("id")).alias("v"),
+        F.lit("I").alias("op"),
+    )
+    VT.vt_merge(spark, table, big, keys=["k"])
+    got = VT.vt_read(spark, table)
+    assert got.count() == 105
+    assert got.filter(F.col("v") > 2**39).count() == 5
+    assert got.filter(F.col("k") == 7).collect()[0]["v"] == 15
+    # idempotent: widening to the current type is a no-op, no commit
+    assert VT.vt_widen_column(table, "v", "bigint") == 2
+
+
+def test_widen_column_refuses_narrowing_and_lossy(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(10).coalesce(1).select(
+            F.col("id").alias("k"),          # long
+            F.col("id").cast("int").alias("v"),
+            F.col("id").cast("double").alias("x"),
+        ), table,
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        VT.vt_widen_column(table, "k", "int")       # narrowing
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        VT.vt_widen_column(table, "v", "double")    # lossy past 2^53
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        VT.vt_widen_column(table, "x", "float")     # narrowing
+    with pytest.raises(ValueError, match="no column"):
+        VT.vt_widen_column(table, "nope", "long")
+
+
+def test_widen_column_strips_stale_blooms_and_keeps_pruning(
+    spark, tmp_path
+):
+    """xxhash64 is width-sensitive: int buckets and long buckets for
+    the same value differ, so the widening commit must strip the
+    column's blooms (re-indexable at the new width) — and min/max
+    stats pruning must keep working on the widened column."""
+    import json as _json
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.sources.vt_writer import (
+        VersionedTableBatchReader,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").cast("int").alias("k"),
+        ((F.col("id") * 2654435761) % 100003).cast("int").alias("sk"),
+    )
+    VT.vt_create(df, table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"],
+                   max_records_per_file=500)
+    VT.vt_index_bloom(spark, table, ["sk"])
+    assert all(
+        (f.get("bloom") or {}).get("sk")
+        for f in VT.vt_files(table, VT.vt_latest_version(table))
+    )
+    VT.vt_widen_column(table, "sk", "long")
+    files = VT.vt_files(table, VT.vt_latest_version(table))
+    assert not any((f.get("bloom") or {}).get("sk") for f in files), (
+        "stale narrow-width blooms must be stripped"
+    )
+    # the OTHER machinery keeps pruning: stats range on the widened
+    # column (a long literal vs int-written stats)
+    n_files = len(files)
+    r = VersionedTableBatchReader({
+        "path": table,
+        "filters": _json.dumps([["k", ">=", 3500]]),
+    })
+    assert 0 < len(r.partitions()) < n_files
+    # re-index at the new width: bloom pruning returns, exact results
+    VT.vt_index_bloom(spark, table, ["sk"])
+    probe = df.filter(F.col("k") == 1234).collect()[0]["sk"]
+    r2 = VersionedTableBatchReader({
+        "path": table,
+        "filters": _json.dumps([["sk", "=", int(probe)]]),
+    })
+    assert len(r2.partitions()) < n_files, "rebuilt bloom must prune"
+    W.register(spark)
+    src = (
+        spark.read.format("vt_table").option("path", table)
+        .option("filters", _json.dumps([["sk", "=", int(probe)]]))
+        .load()
+    )
+    got = sorted(r["k"] for r in
+                 src.filter(F.col("sk") == int(probe)).collect())
+    want = sorted(r["k"] for r in
+                  df.filter(F.col("sk") == int(probe)).collect())
+    assert got == want and got
+
+
+def test_widen_column_through_source_and_scan(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(50).coalesce(1).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ), table,
+    )
+    VT.vt_widen_column(table, "x", "double")
+    VT.vt_widen_column(table, "k", "long")
+    W.register(spark)
+    src = spark.read.format("vt_table").option("path", table).load()
+    assert dict(src.dtypes) == {"k": "bigint", "x": "double"}
+    assert src.count() == 50
+    assert src.filter(F.col("k") == 7).collect()[0]["x"] == 7.0
+    # time travel through the source shows the PRE-widen types
+    old = (
+        spark.read.format("vt_table").option("path", table)
+        .option("versionAsOf", "0").load()
+    )
+    assert dict(old.dtypes) == {"k": "int", "x": "float"}
+    # vt_scan prunes + returns exact rows at the widened type
+    got = VT.vt_scan(spark, table, [("k", ">=", 40)]).count()
+    assert got == 10
+
+
+def test_apply_changes_honors_insert_op(spark):
+    """op='I' rows must take the CHANGE side's values — they used to
+    fall outside the U/D contract and silently took the (null)
+    snapshot side for new keys: the one op code every CDC feed emits,
+    inserting keys with null values."""
+    from kinesis_app_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, 10)], "k int, v long")
+    chg = spark.createDataFrame(
+        [(1, 99, "U"), (2, 2**40, "I"), (3, 30, "D")],
+        "k int, v long, op string",
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in apply_changes(snap, chg, keys=["k"]).collect()
+    )
+    assert got == [(1, 99), (2, 2**40)]
+
+
+# ---------------------------------------------------------------------
+# aggregate surface: vt_fast_stats zero-read probe + SQL composition
+# ---------------------------------------------------------------------
+
+
+def test_fast_stats_opens_zero_data_files(spark, tmp_path):
+    """The 100 TB count(*) proof by construction: with EVERY data file
+    MOVED AWAY, vt_fast_stats still answers exactly (manifest only),
+    while a real scan fails — so the metadata path provably never
+    opens parquet. (Renames, not chmod: the suite runs as root, which
+    reads through mode 000.)"""
+    import glob
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    table = str(tmp_path / "t")
+    df = spark.range(500).coalesce(2).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    VT.vt_create(df, table)
+    data_files = glob.glob(os.path.join(table, "data", "*", "*.parquet"))
+    assert data_files
+    try:
+        for p in data_files:
+            os.rename(p, p + ".hidden")
+        s = VT.vt_fast_stats(table, ["k", "v"])
+        assert s["n_rows"] == 500
+        assert s["cols"]["k"] == {"min": 0, "max": 499}
+        assert s["cols"]["v"] == {"min": 1, "max": 999}
+        with pytest.raises(Exception):
+            VT.vt_read(spark, table).count()  # the scan DOES need them
+    finally:
+        for p in data_files:
+            os.rename(p + ".hidden", p)
+    # restored: the scan agrees with the metadata answer
+    assert VT.vt_read(spark, table).count() == 500
+
+
+def test_fast_stats_df_and_snapshot_pins(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import txn_snapshot
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(100).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+        ), table,
+    )
+    pins = txn_snapshot([table])
+    VT.vt_merge(spark, table, spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v"),
+        F.lit("U").alias("op")), keys=["k"])
+    # pin map: the metadata count answers AT the snapshot
+    assert VT.vt_fast_stats(table, version=pins)["n_rows"] == 100
+    assert VT.vt_fast_stats(table)["n_rows"] == 150
+    row = VT.vt_fast_stats_df(spark, table, ["k"]).collect()[0]
+    assert (row["n_rows"], row["min_k"], row["max_k"]) == (150, 0, 149)
+    # DV fallback shows as nulls in the DataFrame form
+    VT.vt_delete_dv(spark, table, [("k", "in", [0, 149])])
+    row2 = VT.vt_fast_stats_df(spark, table, ["k"]).collect()[0]
+    assert row2["n_rows"] == 148
+    assert row2["min_k"] is None and row2["max_k"] is None
+
+
+# ---------------------------------------------------------------------
+# sink-side clustering (clusterBy option on the vt_table sink)
+# ---------------------------------------------------------------------
+
+
+def test_sink_clusterby_stamps_disjoint_runs(spark, tmp_path):
+    """A clusterBy'd append whose stream is key-partitioned upstream
+    lands as ONE stamped clustered run (disjoint per-file spans), so
+    vt_cluster_incremental finds ZERO debt; an un-partitioned append
+    stays honest debt."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    W.register(spark)
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    (
+        df.repartitionByRange(4, "k").sortWithinPartitions("k")
+        .write.format("vt_table").option("path", table)
+        .option("clusterBy", "k").mode("append").save()
+    )
+    files = VT.vt_files(table, VT.vt_latest_version(table))
+    assert len(files) == 4
+    assert all(f.get("clustered") == ["k"] for f in files), (
+        "disjoint sorted run must be stamped clustered"
+    )
+    spans = sorted(tuple(f["stats"]["k"]) for f in files)
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert lo2 > hi, "per-file key spans must be disjoint"
+    # zero debt: the maintenance pass has nothing to do (no commit)
+    v_before = VT.vt_latest_version(table)
+    assert VT.vt_cluster_incremental(spark, table, ["k"]) == v_before
+
+    # un-partitioned second append: overlapping spans stay unstamped
+    (
+        df.repartition(4)
+        .write.format("vt_table").option("path", table)
+        .option("clusterBy", "k").mode("append").save()
+    )
+    latest = VT.vt_latest_version(table)
+    debt = [
+        f for f in VT.vt_files(table, latest)
+        if f.get("clustered") != ["k"]
+    ]
+    assert debt, "overlapping run must stay honest clustering debt"
+    # rows exact either way
+    assert VT.vt_read(spark, table).count() == 8000
+    got = sorted(
+        r["v"] for r in
+        VT.vt_read(spark, table).filter(F.col("k") == 1234).collect()
+    )
+    assert got == [2469, 2469]
+
+
+def test_sink_clusterby_sorts_within_task_and_validates(spark, tmp_path):
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+
+    W.register(spark)
+    table = str(tmp_path / "t")
+    # reversed input within one partition: the sink's task-side sort
+    # must still produce a contiguous min/max span equal to the data
+    df = (
+        spark.range(100).coalesce(1)
+        .select((99 - F.col("id")).alias("k"),
+                (F.col("id") * 3 + 1).alias("v"))
+    )
+    (
+        df.write.format("vt_table").option("path", table)
+        .option("clusterBy", "k").mode("append").save()
+    )
+    files = VT.vt_files(table, VT.vt_latest_version(table))
+    assert len(files) == 1 and files[0]["stats"]["k"] == [0, 99]
+    assert files[0].get("clustered") == ["k"]
+    # a clusterBy column missing from the stream refuses at plan time
+    with pytest.raises(Exception, match="clusterBy"):
+        (
+            df.write.format("vt_table").option("path", table)
+            .option("clusterBy", "nope").mode("append").save()
+        )
+
+
+def test_stream_sink_clusterby_epochs(spark, tmp_path):
+    """Streaming epochs through the clusterBy sink: each epoch lands
+    as its own stamped run; a point lookup then prunes to at most one
+    file per run."""
+    import json as _json
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.sources.vt_writer import (
+        VersionedTableBatchReader,
+    )
+
+    W.register(spark)
+    table = str(tmp_path / "t")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        src_dir
+    )
+    q = (
+        spark.readStream.schema("k long, v long").parquet(src_dir)
+        .writeStream.format("vt_table")
+        .option("path", table).option("clusterBy", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = VT.vt_files(table, VT.vt_latest_version(table))
+    assert files and all(f.get("clustered") == ["k"] for f in files)
+    n_files = len(files)
+    planned = len(VersionedTableBatchReader({
+        "path": table, "filters": _json.dumps([["k", "=", 777]]),
+    }).partitions())
+    assert planned <= max(1, -(-n_files // 4)), (
+        f"point lookup must open ~one file per run: {planned}/{n_files}"
+    )
+    assert VT.vt_read(spark, table).count() == 2000
