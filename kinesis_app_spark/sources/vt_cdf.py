@@ -626,6 +626,27 @@ def _common_opts(options) -> tuple[str, list[str], int, str, dict | None]:
     return path, keys, start, schema_json, mapping
 
 
+def _parse_key_filters(options, keys: list[str],
+                       mapping: dict | None) -> list[tuple]:
+    """The ``keyFilters`` option, shared by the batch AND stream
+    readers: conjunctive [key, op, value] triples restricted to the
+    merge keys (a non-key filter would break before/after pairing),
+    resolved to physical names."""
+    from kinesis_app_spark.sources.vt_writer import (
+        _decode_filter_triples,
+    )
+
+    triples = _decode_filter_triples(options.get("keyfilters"))
+    bad = sorted({c for c, _o, _v in triples} - set(keys))
+    if bad:
+        raise ValueError(
+            f"vt_cdf keyFilters may only reference the merge keys "
+            f"{keys}; got {bad} (a non-key filter would break "
+            "before/after pairing)"
+        )
+    return VT._phys_filters(triples, mapping)
+
+
 class VersionedCdfBatchReader(DataSourceReader):
     """``spark.read.format("vt_cdf")`` — the bounded twin (Delta's
     ``table_changes``): every version in [startingVersion, endVersion]
@@ -649,19 +670,8 @@ class VersionedCdfBatchReader(DataSourceReader):
     def __init__(self, options):
         (self.path, self.keys, self.start, self.schema_json,
          self.mapping) = _common_opts(options)
-        from kinesis_app_spark.sources.vt_writer import (
-            _decode_filter_triples,
-        )
-
-        triples = _decode_filter_triples(options.get("keyfilters"))
-        bad = sorted({c for c, _o, _v in triples} - set(self.keys))
-        if bad:
-            raise ValueError(
-                f"vt_cdf keyFilters may only reference the merge keys "
-                f"{self.keys}; got {bad} (a non-key filter would break "
-                "before/after pairing)"
-            )
-        self.pushed = VT._phys_filters(triples, self.mapping)
+        self.pushed = _parse_key_filters(options, self.keys,
+                                         self.mapping)
         latest = VT.vt_latest_version(self.path)
         end_ts = options.get("endtimestamp")
         if end_ts is not None:
@@ -723,6 +733,12 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         (self.path, self.keys, self.start, self.schema_json,
          self.mapping) = _common_opts(options)
+        # the multi-tenant streaming tail: merge-key component pruning
+        # per micro-batch (option-driven, same contract as the batch
+        # reader; offset progression is version-based so pruning never
+        # shifts a checkpoint)
+        self.pushed = _parse_key_filters(options, self.keys,
+                                         self.mapping)
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         self._planned: int | None = None
 
@@ -742,7 +758,7 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         for v in range(lo, hi):
             slices.extend(
                 _plan_version(self.path, v, self.keys, self.schema_json,
-                              self.mapping)
+                              self.mapping, prune=self.pushed)
             )
         return slices or [
             _CdfSlice(lo, "diff", [], [], self.keys, self.schema_json)
@@ -764,7 +780,11 @@ class VersionedCdfDataSource(DataSource):
     maxVersionsPerTrigger (stream rate limit, default unbounded),
     columns (comma-separated projection; keys always kept — narrows
     both the feed schema AND the pyarrow reads; update detection then
-    compares only the projected columns)."""
+    compares only the projected columns), keyFilters (JSON
+    [key, op, value] triples on the merge keys — prunes diff
+    components at planning in BOTH the batch and stream readers; the
+    multi-tenant change-tail shape; superset semantics, compose with
+    .filter())."""
 
     @classmethod
     def name(cls):

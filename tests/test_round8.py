@@ -1267,3 +1267,77 @@ def test_stream_sink_clusterby_epochs(spark, tmp_path):
         f"point lookup must open ~one file per run: {planned}/{n_files}"
     )
     assert VT.vt_read(spark, table).count() == 2000
+
+
+def test_cdf_stream_keyfilters_prune_per_batch(spark, tmp_path):
+    """keyFilters on the STREAMING change feed (the multi-tenant tail):
+    per micro-batch component pruning plans fewer slices (asserted on
+    the stream reader directly) and the delivered rows equal the
+    unfiltered stream filtered — offsets are version-based, so pruning
+    never shifts a checkpoint."""
+    import json as _json
+    import uuid as _uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+    from kinesis_app_spark.sources.vt_cdf import VersionedCdfStreamReader
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    VT.vt_create(df, table)
+    VT.vt_optimize(spark, table, cluster_cols=["k"],
+                   max_records_per_file=500)
+
+    def band(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10 + 1).alias("v"), F.lit("U").alias("op"),
+        )
+
+    VT.vt_merge(spark, table, band(0, 40), keys=["k"])       # v2
+    VT.vt_merge(spark, table, band(3000, 3040), keys=["k"])  # v3
+
+    # planning layer: the stream reader plans fewer slices for the
+    # change versions under the key filter
+    kf = _json.dumps([["k", ">=", 3000]])
+    opts = {"path": table, "keys": "k", "startingversion": "2"}
+    span = ({"version": 2}, {"version": 4})
+    n_all = len(VersionedCdfStreamReader(opts).partitions(*span))
+    n_pruned = len(
+        VersionedCdfStreamReader({**opts, "keyfilters": kf})
+        .partitions(*span)
+    )
+    assert 0 < n_pruned < n_all, f"stream pruning: {n_pruned}/{n_all}"
+
+    # end-to-end: availableNow drain through a memory sink
+    CDF.register(spark)
+
+    def drain(extra_opts):
+        name = f"cdfkf_{_uuid.uuid4().hex[:8]}"
+        reader = (
+            spark.readStream.format("vt_cdf").option("path", table)
+            .option("keys", "k").option("startingVersion", "2")
+        )
+        for k_, v_ in extra_opts.items():
+            reader = reader.option(k_, v_)
+        q = (
+            reader.load().writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{name}")
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    got = sorted(
+        drain({"keyFilters": kf}).filter(F.col("k") >= 3000).collect()
+    )
+    want = sorted(
+        r for r in drain({}).collect()
+        if r["k"] is not None and r["k"] >= 3000
+    )
+    assert got == want and len(got) == 80  # 40 pre + 40 post images
