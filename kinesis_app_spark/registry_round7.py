@@ -223,6 +223,21 @@ def versioned_source_pushdown(spark, sf_dir):
         # under this gate — a hash mismatch would skip files holding
         # matching custkeys and hash-mismatch the oracle
         VT.vt_index_bloom(spark, table_dir, ["o_custkey"])
+        # reuse regression (the reason pruning is an option): a
+        # filtered query must NOT poison a later filter-free query on
+        # the SAME DataFrame. Checked once per fixture build — it costs
+        # three full source reads, which is build cost, not query cost
+        # (tests/test_round8.py pins it independently every run).
+        plain = (
+            spark.read.format("vt_table").option("path", table_dir)
+            .load()
+        )
+        n_total = plain.count()
+        plain.filter(F.col("o_orderkey") < 5).count()
+        assert plain.count() == n_total, (
+            "relation reuse after a filtered query lost rows — "
+            "readInfo cache poisoning is back"
+        )
         with open(marker, "w") as fh:
             fh.write(sig)
     n_files = len(VT.vt_files(table_dir, VT.vt_latest_version(table_dir)))
@@ -244,15 +259,6 @@ def versioned_source_pushdown(spark, sf_dir):
         {"path": table_dir, "filters": blo}
     ).partitions())
     assert 0 < bloom_planned <= max(1, n_files)  # empty table: 1 shell
-    # reuse regression (the reason pruning is an option): a filtered
-    # query must NOT poison a later filter-free query on the SAME df
-    plain = spark.read.format("vt_table").option("path", table_dir).load()
-    n_total = plain.count()
-    plain.filter(F.col("o_orderkey") < 5).count()
-    assert plain.count() == n_total, (
-        "relation reuse after a filtered query lost rows — readInfo "
-        "cache poisoning is back"
-    )
     return (
         spark.read.format("vt_table").option("path", table_dir)
         .option("filters", rng).load()
