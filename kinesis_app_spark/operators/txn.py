@@ -747,6 +747,23 @@ def vt_transaction(spark, coord_dir: str,
     return VtTransaction(spark, coord_dir, lease=lease)
 
 
+def txn_snapshot_views(spark, pins: dict[str, int],
+                       names: dict[str, str]) -> dict[str, int]:
+    """Register snapshot-pinned TEMP VIEWS ({view_name: table_dir}) so
+    plain ``spark.sql`` sees ONE consistent cut across every table: a
+    multi-table join/rollup query written in SQL gets the same
+    all-in-or-all-out transaction visibility ``txn_snapshot`` pins for
+    the DataFrame API. Returns {view_name: pinned version} for audit.
+    Views are session-scoped and cheap to re-register per query batch;
+    the pins age under vacuum like any time travel."""
+    out = {}
+    for name, table_dir in names.items():
+        VT.vt_read(spark, table_dir, version=pins) \
+            .createOrReplaceTempView(name)
+        out[name] = VT._resolve_pin(table_dir, pins)
+    return out
+
+
 class SnapshotUnstableError(RuntimeError):
     """txn_snapshot could not observe a quiescent instant within its
     spin budget (continuous commit storms on every polled table)."""

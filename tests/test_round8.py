@@ -1341,3 +1341,102 @@ def test_cdf_stream_keyfilters_prune_per_batch(spark, tmp_path):
         if r["k"] is not None and r["k"] >= 3000
     )
     assert got == want and len(got) == 80  # 40 pre + 40 post images
+
+
+def test_spark_readinfo_cache_poisoning_canary(spark, tmp_path):
+    """CANARY for the upstream Spark defect that forced option-based
+    pruning: a minimal Python DataSource whose pushFilters specializes
+    partitions. On this Spark, the filter-free query on the same
+    DataFrame REUSES the specialized plan (PythonDataSourceV2 caches
+    one readInfo per relation; the pushdown worker only runs for
+    queries with translatable filters).
+
+    WHEN THIS TEST FAILS with 'poisoning gone', upstream fixed the
+    cache (readInfo keyed per scan): hook-based pushFilters pruning is
+    sound again and the vt_table/vt_cdf readers may restore it — see
+    sources/vt_writer.py's class docstring for the design that was
+    removed."""
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, InputPartition,
+    )
+
+    class CanaryReader(DataSourceReader):
+        def __init__(self):
+            self.specialized = False
+
+        def pushFilters(self, filters):
+            self.specialized = True  # the hook specialization
+            yield from filters
+
+        def partitions(self):
+            return [InputPartition(1 if self.specialized else 0)]
+
+        def read(self, part):
+            yield (int(part.value),)
+
+    class CanarySource(DataSource):
+        @classmethod
+        def name(cls):
+            return "r8_readinfo_canary"
+
+        def schema(self):
+            return "v long"
+
+        def reader(self, schema):
+            return CanaryReader()
+
+    old = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "false"
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(CanarySource)
+        df = spark.read.format("r8_readinfo_canary").load()
+        assert df.collect()[0]["v"] == 0, "fresh plan must be unflagged"
+        df2 = spark.read.format("r8_readinfo_canary").load()
+        assert df2.filter(F.col("v") >= 0).collect()[0]["v"] == 1, (
+            "the filtered query must run the pushdown worker"
+        )
+        leaked = df2.select("v").collect()[0]["v"]
+        assert leaked == 1, (
+            "poisoning gone: this Spark no longer reuses a "
+            "pushFilters-specialized readInfo for filter-free queries "
+            "— hook-based pruning is sound again; consider restoring "
+            "it in vt_writer/vt_cdf (see their docstrings)"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", old
+        )
+
+
+def test_txn_snapshot_views_sql_surface(spark, tmp_path):
+    """Snapshot-pinned temp views: plain SQL over several tables sees
+    ONE consistent cut — a commit landing after the pin is invisible
+    to the views until re-pinned."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.operators.txn import (
+        txn_snapshot, txn_snapshot_views, vt_transaction,
+    )
+
+    a, b = _mk_ab(spark, tmp_path)
+    pins = txn_snapshot([a, b])
+    got = txn_snapshot_views(spark, pins, {"snap_a": a, "snap_b": b})
+    assert got == {"snap_a": 0, "snap_b": 0}
+    with vt_transaction(spark, str(tmp_path / "coord")) as txn:
+        txn.stage_append(a, spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")))
+        txn.stage_append(b, spark.range(50, 70).select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("w")))
+    row = spark.sql("""
+        SELECT (SELECT COUNT(*) FROM snap_a) AS na,
+               (SELECT COUNT(*) FROM snap_b) AS nb
+    """).collect()[0]
+    assert (row["na"], row["nb"]) == (100, 50), "views must stay pinned"
+    pins2 = txn_snapshot([a, b])
+    txn_snapshot_views(spark, pins2, {"snap_a": a, "snap_b": b})
+    row2 = spark.sql("""
+        SELECT (SELECT COUNT(*) FROM snap_a) AS na,
+               (SELECT COUNT(*) FROM snap_b) AS nb
+    """).collect()[0]
+    assert (row2["na"], row2["nb"]) == (120, 70)
