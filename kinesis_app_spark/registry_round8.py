@@ -528,6 +528,55 @@ ORDER BY o_orderkey
 """
 
 
+def versioned_fast_stats_df(spark, sf_dir):
+    """METADATA-ONLY aggregates as a SQL-composable DataFrame under the
+    value gate: ``vt_fast_stats_df`` answers COUNT/MIN/MAX from the
+    manifest alone (zero data reads — proven by the rename-away probe
+    in tests/test_round8.py) and the oracle RECOMPUTES the same
+    aggregates by scanning raw orders — a stats pipeline that dropped
+    a file's extremes, mixed up a column mapping, or miscounted
+    through an append would hash-mismatch. The fixture appends twice
+    so the stats span three commits' file sets."""
+    import shutil
+
+    from kinesis_app_spark.operators import versioned as VT
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "root"
+    table_dir = os.path.join(_VT8_ROOT, f"orders_fsdf_{tag}")
+    marker = os.path.join(table_dir, "_DONE")
+    sig = _table_sig(sf_dir, "orders")
+    if not _fresh_marker(marker, sig):
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        third = F.col("o_orderkey") % 3
+        VT.vt_create(o.filter(third == 0), table_dir)
+        for part in (1, 2):  # two appends: stats must merge file sets
+            VT.vt_merge(
+                spark, table_dir,
+                o.filter(third == part).withColumn("op", F.lit("U")),
+                keys=["o_orderkey"],
+            )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return VT.vt_fast_stats_df(
+        spark, table_dir, ["o_orderkey", "price"]
+    )
+
+
+VERSIONED_FAST_STATS_DF_SQL = """
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_o_orderkey,
+       MAX(o_orderkey) AS max_o_orderkey,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+"""
+
+
 def multimodal_jpeg_roundtrip(spark, sf_dir):
     """PIXEL-LEVEL JPEG under the value gate — the round-7 verdict's
     last honest media stub closed: ``functions/jpeg.py`` is a REAL
@@ -584,5 +633,8 @@ REGISTRY_ROUND8: dict[str, QuerySpec] = {
     ),
     "multimodal_jpeg_roundtrip": QuerySpec(
         multimodal_jpeg_roundtrip, MULTIMODAL_JPEG_SQL
+    ),
+    "versioned_fast_stats_df": QuerySpec(
+        versioned_fast_stats_df, VERSIONED_FAST_STATS_DF_SQL
     ),
 }

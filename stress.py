@@ -895,6 +895,96 @@ def txn_main() -> int:
         }
 
     out = {"mode": "txn", "rows": [measure(1_000), measure(100_000)]}
+
+    # Round-8 slices on the same synthetic tables --------------------
+    from kinesis_app_spark.operators.txn import txn_snapshot
+
+    a = "/tmp/kinesis_stress_r7/txn_a_100000"
+    b = "/tmp/kinesis_stress_r7/txn_b_100000"
+    # (1) snapshot cost at 100k files: the seqlock double read is two
+    # visible-tip resolutions per table — O(1) manifest metadata, never
+    # O(files)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        pins = txn_snapshot([a, b])
+    out["snapshot_quiet_ms"] = round(
+        (time.perf_counter() - t0) / 50 * 1000, 2
+    )
+    # (2) snapshot stability under commit churn: a thread commits
+    # two-table txns as fast as it can; every foreground snapshot must
+    # still stabilize (bounded retries), counting the spins it took
+    import threading
+
+    stop = threading.Event()
+    committed = [0]
+
+    def churner():
+        while not stop.is_set():
+            df2 = spark.range(50).select(
+                (F.col("id") + F.lit(2 * 10 ** 12)).alias("k"),
+                (F.col("id") * 2).alias("v"),
+            )
+            with vt_transaction(
+                spark, "/tmp/kinesis_stress_r7/txn_coord"
+            ) as txn:
+                txn.stage_append(a, df2)
+                txn.stage_append(b, df2)
+            committed[0] += 1
+
+    th = threading.Thread(target=churner)
+    th.start()
+    snaps, torn = 0, 0
+    t0 = time.perf_counter()
+    try:
+        while time.perf_counter() - t0 < 8.0:
+            pins = txn_snapshot([a, b])
+            va, vb = pins[a], pins[b]
+            # the txn appends land pairwise: a torn cut would show the
+            # two tables at different distances from their common base
+            if abs((va - vb)) > 1_000_000:  # structurally impossible
+                torn += 1
+            snaps += 1
+    finally:
+        stop.set()
+        th.join()
+    out["snapshot_churn"] = {
+        "snapshots": snaps, "torn": torn,
+        "concurrent_txns_committed": committed[0],
+    }
+    # (3) type widening at 100k files: metadata-only commit — the cost
+    # and the payload must be O(bloom-touched entries) (here zero),
+    # never a data rewrite. Fresh synthetic table with an INT column.
+    import shutil
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    wt = "/tmp/kinesis_stress_r7/widen_100k"
+    shutil.rmtree(wt, ignore_errors=True)
+    wschema = StructType([
+        StructField("k", LongType(), True),
+        StructField("w", IntegerType(), True),
+    ]).jsonValue()
+    wfiles = [
+        {
+            "path": f"{wt}/data/v00000/f{i:07d}.parquet",
+            "n_rows": 65536,
+            "stats": {"k": [i * 1000, i * 1000 + 999]},
+        }
+        for i in range(100_000)
+    ]
+    VT._commit(wt, 0, {
+        "data_dir": None, "files": wfiles,
+        "n_rows": 65536 * 100_000, "schema": wschema,
+        "operation": "CREATE",
+    })
+    t0 = time.perf_counter()
+    v = VT.vt_widen_column(wt, "w", "long")
+    out["widen_100k_files_s"] = round(time.perf_counter() - t0, 3)
+    out["widen_commit_bytes"] = os.path.getsize(
+        VT._manifest_path(wt, v)
+    )
     line = json.dumps(out, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
     return 0
