@@ -1440,3 +1440,47 @@ def test_txn_snapshot_views_sql_surface(spark, tmp_path):
                (SELECT COUNT(*) FROM snap_b) AS nb
     """).collect()[0]
     assert (row2["na"], row2["nb"]) == (120, 70)
+
+
+def test_cdf_tail_across_widening_boundary(spark, tmp_path):
+    """A change-feed read spanning a WIDEN_COLUMN commit: pre-widen
+    files are int32, post-widen files int64, and the feed presents the
+    LATEST (long) schema for every version — the arrow kernels must
+    upcast at the file boundary, the metadata-only widen commit itself
+    must deliver no change rows, and values must survive exactly."""
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_cdf as CDF
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(50).coalesce(1).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2 + 1).cast("int").alias("v"),
+        ), table,
+    )                                                          # v0
+    VT.vt_widen_column(table, "v", "long")                     # v1
+    big = spark.range(50, 55).select(
+        F.col("id").alias("k"),
+        (F.lit(2**40) + F.col("id")).alias("v"),
+        F.lit("I").alias("op"),
+    )
+    VT.vt_merge(spark, table, big, keys=["k"])                 # v2
+    CDF.register(spark)
+    feed = (
+        spark.read.format("vt_cdf").option("path", table)
+        .option("keys", "k").load()
+    )
+    assert dict(feed.dtypes)["v"] == "bigint"
+    rows = feed.collect()
+    # v0 snapshot-as-inserts (50) + widen delivers nothing + 5 inserts
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    assert len(by_ver.get(0, [])) == 50
+    assert 1 not in by_ver, "metadata-only widen must deliver nothing"
+    v2 = by_ver[2]
+    assert sorted(r["v"] for r in v2) == [2**40 + k for k in
+                                          range(50, 55)]
+    assert {r["_change_type"] for r in v2} == {"insert"}
+    # pre-widen int values intact at the long type
+    assert sorted(r["v"] for r in by_ver[0])[:3] == [1, 3, 5]
