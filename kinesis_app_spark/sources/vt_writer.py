@@ -893,6 +893,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             )
         m = _read_manifest_for_read(self.path, latest)
         self.schema_json = json.dumps(m["schema"])
+        self.schema_version = latest  # the directional guard's anchor
         self.mapping = VT._col_mapping(m)
         self.start = int(options.get("startingversion", 0))
         self.ignore_deletes = (
@@ -939,6 +940,27 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         op = m.get("operation", "")
         if op in _NON_DATA_OPS or op == "CREATE":
             return []
+        # schema-change guard (round 8), DIRECTIONAL: replaying
+        # HISTORY (v <= the version whose schema this stream captured)
+        # under the newer schema is the standard forward-evolution
+        # read — upcast and null-pad are safe. But a rename/widen/
+        # evolution that lands AFTER stream start means later data
+        # commits carry a schema NEWER than this query plans with —
+        # silently casting their files down would NARROW widened
+        # values (an in-range int64 casts to int32 without error) or
+        # mis-bind renamed columns. Delta's rule, applied: fail the
+        # stream with restart guidance; the restarted query
+        # re-captures the schema and resumes from the checkpoint.
+        if v > self.schema_version and (
+            json.dumps(m.get("schema")) != self.schema_json
+        ):
+            raise ValueError(
+                f"vt_table: version {v} of {self.path} carries a "
+                "schema different from the one this stream started "
+                "with (a rename/widen/evolution landed mid-stream); "
+                "restart the query to pick up the new schema — the "
+                "checkpoint resumes at this version"
+            )
         delta = VT._commit_delta(self.path, v)
         if delta is None:
             raise ValueError(

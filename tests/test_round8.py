@@ -1484,3 +1484,53 @@ def test_cdf_tail_across_widening_boundary(spark, tmp_path):
     assert {r["_change_type"] for r in v2} == {"insert"}
     # pre-widen int values intact at the long type
     assert sorted(r["v"] for r in by_ver[0])[:3] == [1, 3, 5]
+
+
+def test_stream_reader_mid_stream_schema_change_guard(spark, tmp_path):
+    """A widen landing AFTER stream start must FAIL the stream loudly
+    (silently casting the new int64 files down to the captured int
+    schema would truncate in-range values without an error); replayed
+    HISTORY under a newer schema stays fine (forward evolution), and a
+    restart picks up the new schema and drains the same checkpoint."""
+    import uuid as _uuid
+
+    from kinesis_app_spark.operators import versioned as VT
+    from kinesis_app_spark.sources import vt_writer as W
+    from kinesis_app_spark.sources.vt_writer import (
+        VersionedTableStreamReader,
+    )
+
+    table = str(tmp_path / "t")
+    VT.vt_create(
+        spark.range(20).coalesce(1).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2 + 1).cast("int").alias("v"),
+        ), table,
+    )                                                          # v0
+    # reader captures the INT schema at v0
+    r = VersionedTableStreamReader({"path": table})
+    VT.vt_widen_column(table, "v", "long")                     # v1
+    VT.vt_merge(spark, table, spark.range(20, 25).select(
+        F.col("id").alias("k"),
+        (F.lit(2**40) + F.col("id")).alias("v"),
+        F.lit("I").alias("op")), keys=["k"])                   # v2
+    # the widen commit itself is non-data: planning v1 alone is fine
+    assert r._plan_version(1) == []
+    with pytest.raises(ValueError, match="restart the query"):
+        r._plan_version(2)
+
+    # a FRESH reader (the restarted query) replays history under the
+    # NEW schema — forward evolution, no raise, values exact
+    W.register(spark)
+    name = f"wg_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("vt_table").option("path", table)
+        .load().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.count() == 25
+    assert got.filter(F.col("v") > 2**39).count() == 5
