@@ -7,9 +7,9 @@ operators); pair mining is part of the forward-defined engine surface
 first step of association mining and a common feature-engineering pass
 over interaction logs.
 
-Scale shape: one distinct-shuffle on (basket, item), a fold to one sorted
-item-array row per basket (same shuffle key), then the i<j pairs expand
-INSIDE the row as a codegen transform — never a self-join, never a
+Scale shape: ONE shuffle on the basket key folds each basket to a sorted
+distinct item-array row (collect_set is the distinct), then the i<j pairs
+expand INSIDE the row as a codegen transform — never a self-join, never a
 cartesian. The pair count aggregates on (item_a, item_b).
 
 The skew guard mirrors the hot-shingle document-frequency cap in
@@ -27,35 +27,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def basket_pairs(
+def basket_arrays(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket_size: int | None = None,
 ) -> DataFrame:
-    """(item_a, item_b, n_baskets) for every item pair sharing a basket.
+    """One row per basket: (``__basket``, ``__arr`` = sorted distinct items).
 
-    item_a < item_b (each unordered pair once). ``max_basket_size`` drops
-    oversized baskets before the quadratic pair expansion; the dropped-
-    basket list is tiny by construction (only outliers), so it broadcasts
-    into a left_anti.
+    ``collect_set`` dedupes, so the fold IS the distinct — one shuffle on
+    the basket key total, not distinct + groupBy (two shuffles on the same
+    key: measured one full Exchange saved per consumer at sf0.1).
+    ``max_basket_size`` gates oversized baskets in-row (``size(__arr)``)
+    — no sizes-subquery join needed.
     """
-    items = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
-    # Fold each basket to one sorted item array, then expand the i<j pairs
-    # INSIDE the row (codegen transform) — one shuffle on basket + one on
-    # the pair key, no self-join: vs the a⋈b formulation this halves the
-    # exchanged volume and drops the join build side entirely (measured
-    # 4.3s -> ~2s at sf0.1). collect_set order is run-dependent but
-    # sort_array pins it, so pair emission is deterministic.
-    baskets = items.groupBy("__basket").agg(
-        F.sort_array(F.collect_set("__item")).alias("__arr")
+    baskets = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .groupBy("__basket")
+        .agg(F.sort_array(F.collect_set("__item")).alias("__arr"))
     )
     if max_basket_size is not None:
         # the size gate subsumes the old broadcast left_anti: oversized
         # baskets drop in the same projection that expands pairs
         baskets = baskets.filter(F.size("__arr") <= max_basket_size)
+    return baskets
+
+
+def pair_counts_from_arrays(baskets: DataFrame) -> DataFrame:
+    """(item_a, item_b, n_baskets) from ``basket_arrays`` output.
+
+    The i<j pairs expand INSIDE the row (codegen transform) — never a
+    self-join, never a cartesian; the count aggregates on the pair key.
+    collect_set order is run-dependent but sort_array pins it, so pair
+    emission is deterministic.
+    """
     pairs = F.flatten(
         F.transform(
             F.col("__arr"),
@@ -72,4 +80,20 @@ def basket_pairs(
         .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets) for every item pair sharing a basket.
+
+    item_a < item_b (each unordered pair once). ``max_basket_size`` drops
+    oversized baskets before the quadratic pair expansion.
+    """
+    return pair_counts_from_arrays(
+        basket_arrays(df, basket_col, item_col, max_basket_size)
     )

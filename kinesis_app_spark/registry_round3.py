@@ -48,22 +48,36 @@ def association_rules_brands(spark, sf_dir):
     IEEE divisions over exact counts, so the oracle reproduces them
     bit-for-bit.
     """
+    from kinesis_app_spark.operators.baskets import (
+        basket_arrays,
+        pair_counts_from_arrays,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
-    items = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", F.col("p_brand").alias("item"))
-        .distinct()
+    # ONE basket fold replaces distinct + sizes-gate join (collect_set is
+    # the distinct, size(__arr) the gate); localCheckpoint pins it for the
+    # three consumers (n_baskets, supports, pair expansion) instead of
+    # re-running the lineitem⋈part scan per consumer
+    baskets = basket_arrays(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+            "l_orderkey", F.col("p_brand").alias("item")
+        ),
+        basket_col="l_orderkey",
+        item_col="item",
+        max_basket_size=_AR_MAX_BASKET,
+    ).localCheckpoint(eager=False)
+    n_b = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    supp = (
+        baskets.select(F.explode("__arr").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sizes = items.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsz"))
-    gated = items.join(
-        sizes.filter(F.col("bsz") <= _AR_MAX_BASKET).select("l_orderkey"),
-        "l_orderkey",
-    )
-    n_b = gated.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    supp = gated.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    pairs = basket_pairs(gated, "l_orderkey", "item").withColumnRenamed(
-        "n_baskets", "cnt_ab"
+    # pinned: the directed union consumes the pair counts twice
+    pairs = (
+        pair_counts_from_arrays(baskets)
+        .withColumnRenamed("n_baskets", "cnt_ab")
+        .localCheckpoint(eager=False)
     )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
@@ -1930,27 +1944,38 @@ def itemsim_cosine_parts(spark, sf_dir):
     replicates gate, support floor, counts, and cosine exactly."""
     from pyspark.sql import Window
 
-    from kinesis_app_spark.operators.baskets import basket_pairs
+    from kinesis_app_spark.operators.baskets import (
+        basket_arrays,
+        pair_counts_from_arrays,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
-    inter = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
+    # ONE basket fold replaces distinct + sizes-gate join: collect_set is
+    # the distinct, size(__arr) is the gate (identical semantics — the
+    # count the oracle's HAVING gates on IS the distinct item count).
+    # localCheckpoint pins the shared subtree: the old shape re-ran the
+    # lineitem⋈orders⟶distinct⟶gate tree up to SIX times (32 parquet
+    # scans in one plan — plans/r08/itemsim_cosine_parts_before.txt).
+    baskets = basket_arrays(
+        li.join(od, li.l_orderkey == od.o_orderkey),
+        basket_col="o_custkey",
+        item_col="l_partkey",
+        max_basket_size=_ITEMSIM_MAX_BASKET,
+    ).localCheckpoint(eager=False)
+    deg = (
+        baskets.select(F.explode("__arr").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    sizes = inter.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("bsz"))
-    gated = inter.join(
-        sizes.filter(F.col("bsz") <= _ITEMSIM_MAX_BASKET).select("o_custkey"),
-        "o_custkey",
-    )
-    deg = gated.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
+    # pin the pair counts too: the directed union below consumes them
+    # twice, and the in-row i<j expansion (13M pairs at sf0.1) is the
+    # entry's measured floor — paying it once, not twice, is the win
     pairs = (
-        basket_pairs(gated, basket_col="o_custkey", item_col="l_partkey")
+        pair_counts_from_arrays(baskets)
         .withColumnRenamed("n_baskets", "n_common")
         .filter(F.col("n_common") >= 2)
+        .localCheckpoint(eager=False)
     )
     directed = pairs.select(
         F.col("item_a").alias("item"),

@@ -92,28 +92,35 @@ def itemsim_dimsum_parts(spark, sf_dir):
     estimates value-hash — the approx_distinct discipline applied to
     sampled CF. Statistical quality vs the exact entry is pinned in
     tests/test_round4.py (mean relative error on sf0.001)."""
+    from kinesis_app_spark.operators.baskets import basket_arrays
+
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
-    inter = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
-    )
-    sizes = inter.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("bsz"))
-    gated = inter.join(
-        sizes.filter(F.col("bsz") <= _DIMSUM_MAX_BASKET).select("o_custkey"),
-        "o_custkey",
-    )
-    # gated feeds THREE consumers (degree table, entry gate, basket
-    # fold). Leaving the sharing to AQE's exchange reuse is bimodal in
+    # ONE basket fold replaces distinct + sizes-gate join: collect_set is
+    # the distinct, size(__arr) the gate (identical semantics). The fold
+    # output feeds THREE consumers (degree table, entry gate, basket
+    # re-fold). Leaving the sharing to AQE's exchange reuse is bimodal in
     # practice — when reuse fails to fire, each consumer re-runs the
-    # lineitem⋈orders+distinct subtree and the query flips ~2× slower
-    # (observed 8 s / 16 s on identical passes). localCheckpoint pins
-    # the shared scan structurally: computed once, read thrice.
-    gated = gated.localCheckpoint(eager=False)
+    # lineitem⋈orders subtree and the query flips ~2× slower (observed
+    # 8 s / 16 s on identical passes). localCheckpoint pins the shared
+    # scan structurally: computed once, read thrice.
+    gated_baskets = basket_arrays(
+        li.join(od, li.l_orderkey == od.o_orderkey),
+        basket_col="o_custkey",
+        item_col="l_partkey",
+        max_basket_size=_DIMSUM_MAX_BASKET,
+    ).localCheckpoint(eager=False)
+    gated = gated_baskets.select(
+        F.col("__basket").alias("o_custkey"),
+        F.explode("__arr").alias("l_partkey"),
+    )
     deg = gated.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # deg feeds three consumers (sampling probabilities + both degree
+    # broadcasts); pin the tiny catalog-sized table so the explode+count
+    # over the basket fold runs once
+    deg = deg.localCheckpoint(eager=False)
     withp = deg.withColumn(
         "p",
         F.least(
@@ -169,6 +176,9 @@ def itemsim_dimsum_parts(spark, sf_dir):
         .agg(F.sum("t_u6").alias("nh_u6"))
         # support prune on the ESTIMATED count (mirrors exact's >= 2)
         .filter(F.col("nh_u6") >= 2_000_000)
+        # pinned: the directed union consumes the estimates twice, and
+        # the sampled in-row expansion is the entry's dominant stage
+        .localCheckpoint(eager=False)
     )
     directed = est.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"),
