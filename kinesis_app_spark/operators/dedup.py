@@ -499,7 +499,13 @@ def embedding_near_dup_pairs(
     if lsh_bits == 0 and max_exact_rows is not None:
         _guard_exact_rows(df, max_exact_rows, "embedding_near_dup_pairs(lsh_bits=0)")
     if lsh_bits > 0:
-        sig = _hyperplane_tables(df, vec_col, id_col, lsh_bits, lsh_tables)
+        # the signature table feeds BOTH sides of the candidate self-join;
+        # pin it so the Arrow matmul kernel runs once, not once per side
+        # (the before plan carried the MapInPandas subtree twice —
+        # plans/r08/dedup_embedding_lsh_before.txt)
+        sig = _hyperplane_tables(
+            df, vec_col, id_col, lsh_bits, lsh_tables
+        ).localCheckpoint(eager=False)
         a_sig = sig.select(
             F.col(id_col).alias("id_a"), F.col("t").alias("ta"), F.col("sig").alias("sa")
         )

@@ -33,7 +33,13 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every vertex appearing in edges; component is
     the minimum vertex id in that connected component."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Pin the caller's edge pipeline FIRST: the symmetrizing union below
+    # consumes it twice, so without this pin the upstream pair build
+    # (shingling, posting self-join, …) executes twice before sym's own
+    # checkpoint ever lands.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     # Materialize the (symmetrized) edge list ONCE — the upstream pair
     # pipeline (shingling, posting self-join, …) must not re-execute every
     # round. Pre-hash-partitioning by dst lets every round's neighbor join
@@ -189,7 +195,12 @@ def bfs_hops(
     hop distance by induction. ``localCheckpoint`` truncates lineage per
     round (same discipline as connected_components above).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Pin the caller's edge pipeline FIRST: the symmetrizing union below
+    # consumes it twice, so an unpinned upstream (an expensive join or
+    # pair build) would execute twice before sym's checkpoint lands.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -304,7 +315,13 @@ def label_propagation(
     superstep shape; async/semi-async LPA converges faster but is
     nondeterministic — stated, not hidden.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Pin the caller's edge pipeline FIRST: sym consumes e twice and
+    # nodes (consumed by both sym and labels) a further two times — an
+    # unpinned upstream (e.g. the basket-pair expansion) would execute
+    # up to six times before the sym checkpoint lands.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -272,7 +272,10 @@ def pipeline_curation_v2(spark, sf_dir):
     keep4 = spans.filter(
         2 * F.col("dup_tokens") <= F.col("total_tokens")
     ).select("doc_id")
-    s4 = s3.join(keep4, "doc_id", "left_semi")
+    # s4 feeds TWO consumers (the stage-4 count and the quota stage);
+    # pinned so the duplicate-span posting pass (10-gram occurrences +
+    # island windows) behind keep4 runs once, not twice
+    s4 = s3.join(keep4, "doc_id", "left_semi").localCheckpoint()
     s5 = source_quota_sample(s4, cap=15)
 
     def stage(idx, name, df):

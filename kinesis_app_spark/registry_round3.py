@@ -766,7 +766,16 @@ def mutual_information_pairs(spark, sf_dir):
             F.col(xcol).cast("string").alias("x"),
             F.col(ycol).cast("string").alias("y"),
         )
-        cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+        # cells feeds FOUR consumers (both marginals, the grand total,
+        # and the join itself); pinning the tiny contingency table makes
+        # the fact-table scan+count run once per pair, not four times
+        # (24 parquet scans in one plan before —
+        # plans/r08/mutual_information_pairs_before.txt)
+        cells = (
+            base.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)
+        )
         mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
         my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
         tot = cells.agg(F.sum("c").alias("n"))
@@ -1740,11 +1749,19 @@ def join_cardinality_audit(spark, sf_dir):
             )
             % _CARD_BUCKETS
         )
-        ca = a.groupBy(F.col(akey).alias("k")).agg(
-            F.count(F.lit(1)).alias("ca")
+        # each per-key count table feeds TWO consumers (the truth join
+        # and its bucketed histogram); pin them so every fact table is
+        # scanned+aggregated once per audit, not twice (16 parquet scans
+        # in one plan before — plans/r08/join_cardinality_audit_before.txt)
+        ca = (
+            a.groupBy(F.col(akey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .localCheckpoint(eager=False)
         )
-        cb = b.groupBy(F.col(bkey).alias("k")).agg(
-            F.count(F.lit(1)).alias("cb")
+        cb = (
+            b.groupBy(F.col(bkey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+            .localCheckpoint(eager=False)
         )
         true_rows = (
             ca.join(cb, "k")
