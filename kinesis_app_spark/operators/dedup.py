@@ -278,11 +278,16 @@ def minhash_lsh_pairs(
     sf0.1 for this shape). The explode materializes shingles once per doc;
     the band groupBy shuffles 8-byte minhashes, never text.
     """
+    # sh feeds THREE consumers (the banding kernel + both verify sides)
+    # and banded feeds BOTH sides of the candidate self-join: without
+    # pins the shingling pass runs 3x and the 64-hash minhash fold 2x
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    banded = banded_minhash(sh, num_hashes=num_hashes, bands=bands)
+    ).filter(F.size("shingles") > 0).localCheckpoint(eager=False)
+    banded = banded_minhash(
+        sh, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -423,6 +428,9 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+    # banded feeds both sides of the candidate self-join; pin it so the
+    # token-hash + simhash vote fold runs once, not once per side
+    banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -766,12 +774,16 @@ def semantic_dedup(
             ),
         ),
     )
+    # pinned: assigned feeds FOUR consumers (the fat-cluster guard count,
+    # both sides of the within-cluster self-join, and the final kept
+    # join) — without the pin each re-runs the scan + the k-centroid
+    # distance fold per row
     assigned = df.select(
         F.col(id_col),
         to_double(F.col(vec_col)).alias("vec"),
         l2_norm(to_double(F.col(vec_col))).alias("norm"),
         F.array_min(dists)["cid"].alias("cluster"),
-    )
+    ).localCheckpoint(eager=False)
     fattest = (
         assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
     )

@@ -52,12 +52,18 @@ _BANDS = 16
 def _prepared(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """(fingerprints, shingled) for a document frame."""
+    """(fingerprints, shingled) for a document frame.
+
+    The md5 + shingling fold is the expensive per-doc pass; both outputs
+    (and every downstream probe) share it, so pin it — otherwise each
+    consumer re-runs the fold over the text (screen: 4 consumers via
+    fps/sh; build/add: 3 writes).
+    """
     base = spread(df).select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("fp"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
     fps = base.select("id", "fp")
     sh = base.filter(F.size("shingles") > 0).select("id", "shingles")
     return fps, sh
@@ -111,12 +117,15 @@ def dedup_index_screen(
     fps_c = spark.read.parquet(
         os.path.join(index_dir, "fingerprints.parquet")
     ).select(F.col("id").alias("cid"), F.col("fp"))
+    # pinned: consumed twice (decided union + the near left_anti), and
+    # its tree re-runs the fp probe join per consumer otherwise
     exact = (
         fps_b.join(fps_c, "fp")
         .groupBy("id")
         .agg(F.min("cid").alias("dup_of"))
         .select("id", F.lit("exact_dup").alias("verdict"), "dup_of",
                 F.lit(1.0).alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
 
     bands_c = spark.read.parquet(os.path.join(index_dir, "bands.parquet"))
@@ -158,9 +167,11 @@ def dedup_index_screen(
         )
     )
 
+    # pinned: consumed twice (result union + the fresh left_anti); the
+    # tree behind it is the whole band-probe + exact-verify pipeline
     decided = exact.unionByName(
         near.join(exact.select("id"), "id", "left_anti")
-    )
+    ).localCheckpoint(eager=False)
     fresh = fps_b.select("id").join(
         decided.select("id"), "id", "left_anti"
     ).select(

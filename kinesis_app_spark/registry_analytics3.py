@@ -476,9 +476,13 @@ def embedding_covariance(spark, sf_dir):
             )
 
     parts = scaled.mapInPandas(partial_gram, schema="i int, j int, s long")
+    # pinned: sums feeds THREE consumers (the gram cells + both
+    # broadcast dim joins), and without the pin each consumer re-runs
+    # the whole corpus-wide Arrow kernel pass — 3 full scans instead of
+    # 1 in every PCA entry that collects this (d(d+1)/2+d rows, tiny)
     sums = parts.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     g = sums.filter(F.col("j") >= 0)
     dim = sums.filter(F.col("j") == -1).select(
         F.col("i").alias("d"), F.col("s").alias("sd")
@@ -724,11 +728,15 @@ def pca_project_embeddings(spark, sf_dir):
     (embeddings are exact 1e-6 integers by the corpus construction,
     the same property embedding_covariance exploits).
 
-    Scale shape: the corpus-side work is one posexplode + broadcast
-    join on the 64-row loadings table + an exact int64 per-vector sum
-    — embeddings are scanned once and never shuffled whole. Driver
-    state is the d(d+1)/2 covariance collect + d column sums, both
-    dimension-bounded."""
+    Scale shape: the per-vector dot runs IN-ROW against the literal
+    loadings vector (zip_with + aggregate, a codegen projection) — the
+    embeddings are scanned once and NOTHING shuffles (the previous
+    shape posexploded every vector twice: a d-way row blowup through
+    two Exchanges, once for the column sums and once for a broadcast
+    join + re-group). The centering constant needs no second pass at
+    all: sum_d(col_sum_d * v_d) = sum_rows(<x, v>) = sum(dot_int), one
+    tiny agg over the pinned dot table. Driver state is the d(d+1)/2
+    covariance collect + two scalars, dimension-bounded."""
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     if not cov_rows:  # empty corpus: nothing to project
         return spark.createDataFrame([], "vec_id long, pc1 double")
@@ -738,25 +746,28 @@ def pca_project_embeddings(spark, sf_dir):
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1e6).cast("long"),
     )
-    sums = (
-        emb.select(F.posexplode(xi).alias("d", "x"))
-        .groupBy("d")
-        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    n = sums[0]["n"]
-    col_sums = {r["d"]: r["sd"] for r in sums}
-    # c0 numerator in 1e-15 * n units: sum_d (col_sum_d * v_d)
-    c0_num = sum(col_sums[i] * v[i] for i in sorted(col_sums))
-    ldf = spark.createDataFrame(
-        [(i, x) for i, x in enumerate(v)], "d int, val long"
-    )
-    dot = (
-        emb.select("vec_id", F.posexplode(xi).alias("d", "x"))
-        .join(F.broadcast(ldf), "d")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("x") * F.col("val")).alias("dot_int"))
-    )
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    # exact int64 per-row dot (identical arithmetic to the old
+    # posexplode+join+sum: same long products, same long summation
+    # order within a row); pinned because two consumers read it (the
+    # scalar agg and the final projection)
+    dots = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(xi, vlit, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("dot_int"),
+    ).localCheckpoint(eager=False)
+    row = dots.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulation: the Python-side sum it replaces was
+        # arbitrary-precision, long could overflow at corpus scale
+        F.sum(F.col("dot_int").cast("decimal(38,0)")).alias("c0"),
+    ).first()
+    n = row["n"]
+    c0_num = int(row["c0"])
+    dot = dots
     # pc1 = (dot_int*n - c0_num) / (n*1e15), rounded to 4 dp via the
     # integer grid: y2 = NUM / (n*1e11); pc1 = round0(y2)/1e4 — round
     # at 0 dp agrees between Spark (HALF_UP) and DuckDB (half away)
