@@ -159,6 +159,11 @@ def versioned_table_source_read(spark, sf_dir):
     return (
         spark.read.format("vt_table")
         .option("path", table_dir)
+        # bin-pack the 1024-row fixture files into ~32k-row slices: the
+        # steady read planned one Python task per tiny file (~150 at
+        # sf0.1); packing never splits a file, so at production file
+        # sizes (>= target) it is a no-op and results are unchanged
+        .option("sliceTargetRows", "32768")
         .load()
         .orderBy("o_orderkey")
     )
@@ -261,7 +266,9 @@ def versioned_source_pushdown(spark, sf_dir):
     assert 0 < bloom_planned <= max(1, n_files)  # empty table: 1 shell
     return (
         spark.read.format("vt_table").option("path", table_dir)
-        .option("filters", rng).load()
+        .option("filters", rng)
+        .option("sliceTargetRows", "32768")  # pack surviving tiny files
+        .load()
         .filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
         .orderBy("o_orderkey")
         .unionAll(
@@ -269,7 +276,9 @@ def versioned_source_pushdown(spark, sf_dir):
             # sidecar bitmaps, not min/max): same table, IN-list on
             # the indexed secondary key
             spark.read.format("vt_table").option("path", table_dir)
-            .option("filters", blo).load()
+            .option("filters", blo)
+            .option("sliceTargetRows", "32768")
+            .load()
             .filter(
                 F.col("o_custkey").isin(37, 53, 101)
                 & (F.col("o_orderkey") >= 900)
@@ -945,6 +954,9 @@ def versioned_table_stream_tail(spark, sf_dir):
     q = (
         spark.readStream.format("vt_table")
         .option("path", table_dir)
+        # pack each version's file entries into ~32k-row slices — same
+        # knob as the batch reader; delivery semantics unchanged
+        .option("sliceTargetRows", "32768")
         .load()
         .writeStream.format("parquet")
         .option("path", out_dir)

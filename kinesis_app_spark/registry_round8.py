@@ -114,7 +114,9 @@ def versioned_pushdown_timestamp_bloom(spark, sf_dir):
 
     src = (
         spark.read.format("vt_table").option("path", table_dir)
-        .option("filters", flt).load()
+        .option("filters", flt)
+        .option("sliceTargetRows", "32768")  # pack surviving tiny files
+        .load()
     )
     return (
         src.filter(F.col("ts").isin(*probes))
@@ -423,7 +425,13 @@ def versioned_type_widening(spark, sf_dir):
     assert n_files < 4 or 0 < planned < n_files, (
         f"post-widen pruning must hold: {planned}/{n_files}"
     )
-    src = spark.read.format("vt_table").option("path", table_dir).load()
+    src = (
+        spark.read.format("vt_table").option("path", table_dir)
+        # pack tiny fixture files into ~32k-row slices (no-op at
+        # production file sizes; packing never splits a file)
+        .option("sliceTargetRows", "32768")
+        .load()
+    )
     assert dict(src.dtypes)["o_custkey"] == "bigint"
     return (
         src.select(

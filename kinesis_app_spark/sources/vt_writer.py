@@ -903,6 +903,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        # same 100 TB knob as the batch reader: bin-pack a version's
+        # file entries into ~N-live-row slices so a small-file table
+        # does not plan one Python task per tiny file (packing never
+        # splits a file, so delivery semantics are unchanged)
+        self.target_rows = int(options.get("slicetargetrows", 0))
         self._planned: int | None = None
 
     def initialOffset(self):
@@ -925,9 +930,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         def slices(entries):
             return [
-                _VtFileSlice([(f["path"], list(f.get("dv") or ()))],
-                             self.schema_json, self.mapping)
-                for f in entries
+                _VtFileSlice(
+                    [(f["path"], list(f.get("dv") or ())) for f in group],
+                    self.schema_json, self.mapping,
+                )
+                for group in _pack_slices(
+                    list(entries), self.target_rows
+                )
             ]
 
         if v == self.start:
