@@ -95,6 +95,15 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
         # --- broadcast threshold: generous; dims here are tiny ---
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # --- join strategy: let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold (skips both sorts),
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-
+        # shuffle partition is under 64 MiB. Same posture at cluster
+        # scale: partitions are AQE-coalesced to the advisory size, so
+        # the build side is bounded per task; results are unaffected
+        # (join strategy never changes semantics). ---
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         # --- driver heap: Spark's local-mode default is 1g, which a 64m
         # broadcast threshold can blow through once fact-side aggregates
         # get stats-estimated under the line (found by stress.py at x10:

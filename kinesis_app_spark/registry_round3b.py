@@ -62,9 +62,14 @@ def weighted_quantiles_brands(spark, sf_dir):
     cumw = Window.partitionBy("p_brand").orderBy("price").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = byprice.withColumn("cw", F.sum("w").over(cumw))
-    tot = byprice.groupBy("p_brand").agg(F.sum("w").alias("wt"))
-    j = cum.join(tot, "p_brand")
+    # the brand total rides the SAME brand partitioning as the running
+    # sum (one shuffle, two Window specs) — the groupBy+join-back shape
+    # this replaces re-ran the scan+join+fold subtree twice and paid an
+    # extra Exchange for the join (oracle already uses this form)
+    totw = Window.partitionBy("p_brand")
+    j = byprice.withColumn("cw", F.sum("w").over(cumw)).withColumn(
+        "wt", F.sum("w").over(totw)
+    )
 
     def _wq(q: float):
         return F.min(
