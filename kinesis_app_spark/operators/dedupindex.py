@@ -89,30 +89,19 @@ def dedup_index_build(
     ).parquet(os.path.join(index_dir, "bands.parquet"))
 
 
-def dedup_index_screen(
+def _screen_core(
     spark: SparkSession,
     index_dir: str,
     batch: DataFrame,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-) -> DataFrame:
-    """Screen a batch against the index: one verdict row per batch doc.
-
-    Returns (doc_id, verdict, dup_of, jaccard):
-      exact_dup  fp matches a stored fingerprint; dup_of = lowest such
-                 corpus doc, jaccard = 1.0
-      near_dup   banded candidate whose exact Jaccard vs the STORED
-                 shingle set >= threshold; dup_of = the best match
-                 (max jaccard, then lowest corpus id)
-      new        neither — safe to accept (and to ``dedup_index_add``)
-
-    Join shapes: fp and band probes are hash-keyed equi-joins; the
-    exact verify joins candidates to stored shingles only. Verdict
-    precedence exact > near > new is deterministic, so the whole screen
-    is value-gateable.
-    """
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The screen pipeline, also returning the pinned batch-side frames
+    (verdicts, fps_b, sh_b, bands_b) so a combined screen+add can
+    append the accepted docs' rows by FILTERING them instead of
+    re-folding the text and re-hashing the signatures."""
     fps_b, sh_b = _prepared(batch, text_col, id_col, k)
     fps_c = spark.read.parquet(
         os.path.join(index_dir, "fingerprints.parquet")
@@ -129,7 +118,11 @@ def dedup_index_screen(
     )
 
     bands_c = spark.read.parquet(os.path.join(index_dir, "bands.parquet"))
-    bands_b = banded_minhash(sh_b, num_hashes=_NUM_HASHES, bands=_BANDS)
+    # pinned: one consumer here (candidate probe), a second in the
+    # combined screen+add path (the accepted docs' band append)
+    bands_b = banded_minhash(
+        sh_b, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).localCheckpoint(eager=False)
     cand = (
         bands_b.join(
             bands_c.select(
@@ -180,7 +173,74 @@ def dedup_index_screen(
         F.lit(None).cast("long").alias("dup_of"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return decided.unionByName(fresh).withColumnRenamed("id", id_col)
+    return decided.unionByName(fresh), fps_b, sh_b, bands_b
+
+
+def dedup_index_screen(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Screen a batch against the index: one verdict row per batch doc.
+
+    Returns (doc_id, verdict, dup_of, jaccard):
+      exact_dup  fp matches a stored fingerprint; dup_of = lowest such
+                 corpus doc, jaccard = 1.0
+      near_dup   banded candidate whose exact Jaccard vs the STORED
+                 shingle set >= threshold; dup_of = the best match
+                 (max jaccard, then lowest corpus id)
+      new        neither — safe to accept (and to ``dedup_index_add``)
+
+    Join shapes: fp and band probes are hash-keyed equi-joins; the
+    exact verify joins candidates to stored shingles only. Verdict
+    precedence exact > near > new is deterministic, so the whole screen
+    is value-gateable.
+    """
+    out, _fps, _sh, _bands = _screen_core(
+        spark, index_dir, batch, threshold, text_col, id_col, k
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def dedup_index_screen_and_add(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Screen a batch AND append its 'new' docs in one pass — the
+    ingestion-loop fusion of ``dedup_index_screen`` +
+    ``dedup_index_add``: the accepted docs' fingerprint/shingle/band
+    rows are FILTERED from the screen's pinned batch-side frames
+    instead of re-folding the text and re-hashing the signatures
+    (``banded_minhash`` is per-doc deterministic, so filtering its
+    output to the accepted ids equals recomputing it on the accepted
+    subset — identical appended rows, one fold and one banding pass
+    per epoch instead of two of each). Verdicts are eagerly pinned
+    BEFORE the appends mutate the index. Returns the verdicts frame
+    (same contract as ``dedup_index_screen``)."""
+    out, fps_b, sh_b, bands_b = _screen_core(
+        spark, index_dir, batch, threshold, text_col, id_col, k
+    )
+    verdicts = out.localCheckpoint()  # eager: pre-mutation snapshot
+    new_ids = verdicts.filter(F.col("verdict") == "new").select("id")
+    fps_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "fingerprints.parquet"))
+    sh_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "shingles.parquet"))
+    bands_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "bands.parquet"))
+    return verdicts.withColumnRenamed("id", id_col)
 
 
 def dedup_index_add(

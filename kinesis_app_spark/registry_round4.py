@@ -848,15 +848,13 @@ def streaming_dedup_index_ingest(spark, sf_dir):
     out_dir = tempfile.mkdtemp(prefix="dedup_stream_out_")
 
     def ingest(batch_df, epoch_id):
-        verdicts = DI.dedup_index_screen(
+        # fused screen+add: the accepted docs' index rows are filtered
+        # from the screen's pinned frames instead of re-folding the
+        # batch text and re-hashing the signatures (one fold + one
+        # banding per epoch instead of two of each); verdicts are
+        # eagerly pinned inside, before the appends mutate the index
+        verdicts = DI.dedup_index_screen_and_add(
             spark, idx, batch_df, threshold=0.5
-        ).localCheckpoint(eager=True)  # pin BEFORE the add mutates the index
-        DI.dedup_index_add(
-            spark, idx,
-            batch_df.join(
-                verdicts.filter(F.col("verdict") == "new").select("doc_id"),
-                "doc_id",
-            ),
         )
         verdicts.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
             "append"
