@@ -176,13 +176,23 @@ def bigram_logprob_scores(
     big = spread(df).select(F.col(id_col), F.explode(bigram).alias("b")).select(
         id_col, "b.w1", "b.w2"
     )
-    bf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    bcnt = bf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    # pinned: bf feeds the final join AND the corpus bigram table, and
+    # bcnt feeds the join, the context counts AND the vocabulary —
+    # without the pins the tokenize+explode pass re-ran once per
+    # consumer (10 duplicated scans in the before plan)
+    bf = big.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    bcnt = bf.groupBy("w1", "w2").agg(
+        F.sum("tf").alias("c12")
+    ).localCheckpoint(eager=False)
     ccnt = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    # V = distinct unigram tokens: count over the union of both positions
+    # V = distinct unigram tokens over both positions; the DISTINCT
+    # bigram table spans the identical token set as the instance table
+    # (dedup cannot change a distinct count), at a fraction of the rows
     vocab = (
-        big.select(F.col("w1").alias("tok"))
-        .union(big.select(F.col("w2").alias("tok")))
+        bcnt.select(F.col("w1").alias("tok"))
+        .union(bcnt.select(F.col("w2").alias("tok")))
         .agg(F.count_distinct("tok").alias("v"))
     )
     return (

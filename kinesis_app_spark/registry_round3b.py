@@ -358,11 +358,18 @@ def theil_sen_trends(spark, sf_dir):
         .filter(F.col("rn") <= _TS_MAX_EVENTS)
         .drop("rn")
     )
-    sizes = trunc.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    gated = trunc.join(
-        sizes.filter(F.col("n_events") >= _TS_MIN_EVENTS), "user_id"
+    # the size gate rides a second Window spec on the SAME user
+    # partitioning (no count-groupBy + join-back), and gated is pinned:
+    # it feeds THREE consumers (both pair-join sides + the intercept
+    # pass), which re-ran the scan+window subtree each — 12 scans in
+    # the before plan (plans/r08/theil_sen_trends_before.txt)
+    gated = (
+        trunc.withColumn(
+            "n_events",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("n_events") >= _TS_MIN_EVENTS)
+        .localCheckpoint(eager=False)
     )
     x = gated.alias("x")
     y = gated.alias("y")
