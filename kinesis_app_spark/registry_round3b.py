@@ -1204,16 +1204,22 @@ def abc_classification_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cents_e = F.round(F.col("l_extendedprice") * 100).cast("long")
     d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    # pinned: per_part feeds the ranking AND the grand total, blocked
+    # feeds the block sums AND the within-block prefix join — without
+    # the pins the lineitem fold (and the whole two-phase ranking)
+    # re-ran once per consumer
     per_part = li.groupBy("l_partkey").agg(
         F.sum(cents_e * (100 - d_pct)).alias("rev_u4")
-    )
+    ).localCheckpoint(eager=False)
     ordered = global_row_number(
         per_part.select(
             (-F.col("rev_u4")).alias("neg_rev"), "l_partkey", "rev_u4"
         ),
         ["neg_rev", "l_partkey"],
     ).select("rid", "l_partkey", "rev_u4")
-    blocked = ordered.withColumn("blk", F.floor(F.col("rid") / 1024))
+    blocked = ordered.withColumn(
+        "blk", F.floor(F.col("rid") / 1024)
+    ).localCheckpoint(eager=False)
     blk_tot = blocked.groupBy("blk").agg(F.sum("rev_u4").alias("bs"))
     w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     blk_tot = blk_tot.withColumn(
