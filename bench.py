@@ -157,6 +157,27 @@ def main() -> int:
         # the healthy value; nonzero exits 2 so the driver sees it
         "n_flaky": len(flaky),
     }
+    # Per-query medians for the driver's PERF per_query contract (round-8
+    # verdict item 2): as many of the HEAVIEST entries as fit the driver's
+    # ~2000-char stdout tail capture. The full 417-entry dict stays in
+    # BENCH_RESULT.json — r1/r2 proved an unbounded dict overflows the
+    # tail and leaves the whole line unparsed, which is worse than a
+    # truncated per-query set. Heaviest-first: those carry the regression
+    # signal; additions only — no prior field is removed or renamed.
+    line_budget = int(
+        os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900")
+    )
+    queries: dict[str, float] = {}
+    summary["queries"] = queries
+    for n, t in sorted(
+        ((n, t) for n, t in q_median.items() if t >= 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    ):
+        queries[n] = round(t, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) > line_budget:
+            del queries[n]
+            break
+
     # full record (every raw per-pass timing) for the judge
     full = dict(summary)
     full["queries_first_shot"] = first_shot
@@ -170,9 +191,10 @@ def main() -> int:
     with open(result_path, "w") as fh:
         fh.write(json.dumps(full, separators=(",", ":")) + "\n")
 
-    # the one and only stdout line, via the saved real-stdout fd — SHORT
-    # (no per-query dict: the driver's tail capture is ~2000 chars and the
-    # 285-entry dict overflowed it in r1/r2, leaving BENCH_r{N} unparsed)
+    # the one and only stdout line, via the saved real-stdout fd — kept
+    # under the driver's ~2000-char tail capture (the UNBOUNDED per-query
+    # dict overflowed it in r1/r2, leaving BENCH_r{N} unparsed; the
+    # bounded heaviest-first dict above is the fix)
     line = json.dumps(summary, separators=(",", ":"))
     os.write(_REAL_STDOUT_FD, (line + "\n").encode())
     if any(t < 0 for t in q_min.values()):

@@ -40,6 +40,14 @@ def basket_arrays(
     key: measured one full Exchange saved per consumer at sf0.1).
     ``max_basket_size`` gates oversized baskets in-row (``size(__arr)``)
     — no sizes-subquery join needed.
+
+    NULL items are EXCLUDED by design: ``collect_set`` drops NULLs, so a
+    NULL item never counts toward basket size, supports, or pair-basket
+    membership. (The pre-round-8 ``distinct()`` shape counted a NULL
+    item toward basket size; all in-repo callers pass non-null TPC-H
+    keys, and exclusion is the standard market-basket semantics — an
+    unknown item is not an item.) Filter upstream if a caller needs a
+    NULL bucket.
     """
     baskets = (
         df.select(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.functions.text import let_bound, tokens, word_shingles
 from kinesis_app_spark.operators.util import spread
 
@@ -182,10 +184,10 @@ def bigram_logprob_scores(
     # consumer (10 duplicated scans in the before plan)
     bf = big.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     bcnt = bf.groupBy("w1", "w2").agg(
         F.sum("tf").alias("c12")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     ccnt = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # V = distinct unigram tokens over both positions; the DISTINCT
     # bigram table spans the identical token set as the instance table

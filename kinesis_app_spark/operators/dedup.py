@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.functions.text import fingerprint, word_shingles
 from kinesis_app_spark.functions.vector import dot, l2_norm, to_double
 from kinesis_app_spark.operators.util import spread
@@ -96,7 +98,7 @@ def ngram_jaccard_pairs(
             "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
         )
         .repartition("shingle")
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     if max_shingle_df is not None:
         # DF count reuses the existing shingle partitioning (no new
@@ -284,10 +286,10 @@ def minhash_lsh_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).filter(F.size("shingles") > 0).localCheckpoint(eager=False)
+    ).filter(F.size("shingles") > 0).transform(pin, eager=False)
     banded = banded_minhash(
         sh, num_hashes=num_hashes, bands=bands
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -430,7 +432,7 @@ def simhash_pairs(
     ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
     # banded feeds both sides of the candidate self-join; pin it so the
     # token-hash + simhash vote fold runs once, not once per side
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(pin, eager=False)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -513,7 +515,7 @@ def embedding_near_dup_pairs(
         # plans/r08/dedup_embedding_lsh_before.txt)
         sig = _hyperplane_tables(
             df, vec_col, id_col, lsh_bits, lsh_tables
-        ).localCheckpoint(eager=False)
+        ).transform(pin, eager=False)
         a_sig = sig.select(
             F.col(id_col).alias("id_a"), F.col("t").alias("ta"), F.col("sig").alias("sa")
         )
@@ -783,7 +785,7 @@ def semantic_dedup(
         to_double(F.col(vec_col)).alias("vec"),
         l2_norm(to_double(F.col(vec_col))).alias("norm"),
         F.array_min(dists)["cid"].alias("cluster"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     fattest = (
         assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
     )
@@ -873,7 +875,7 @@ def prefix_filter_jaccard_pairs(
             word_shingles(F.col(text_col), k).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     plen = (
         F.size("shingles")
@@ -896,7 +898,7 @@ def prefix_filter_jaccard_pairs(
                 F.explode(F.slice(ordered_arr, F.lit(1), plen)).alias("p"),
             )
             .select("id", "n", F.col("p.shingle").alias("shingle"))
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
     elif order == "df":
         postings = sh.select(
@@ -928,7 +930,7 @@ def prefix_filter_jaccard_pairs(
             )
             .select("id", "n", F.col("p.shingle").alias("shingle"))
             .repartition("shingle")
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
     else:
         raise ValueError(f"unknown canonical order {order!r}")

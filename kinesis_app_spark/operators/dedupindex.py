@@ -41,6 +41,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.functions.text import word_shingles
 from kinesis_app_spark.operators.dedup import banded_minhash
 from kinesis_app_spark.operators.util import spread
@@ -63,7 +65,7 @@ def _prepared(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("fp"),
         word_shingles(F.col(text_col), k).alias("shingles"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     fps = base.select("id", "fp")
     sh = base.filter(F.size("shingles") > 0).select("id", "shingles")
     return fps, sh
@@ -114,7 +116,7 @@ def _screen_core(
         .agg(F.min("cid").alias("dup_of"))
         .select("id", F.lit("exact_dup").alias("verdict"), "dup_of",
                 F.lit(1.0).alias("jaccard"))
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
 
     bands_c = spark.read.parquet(os.path.join(index_dir, "bands.parquet"))
@@ -122,7 +124,7 @@ def _screen_core(
     # combined screen+add path (the accepted docs' band append)
     bands_b = banded_minhash(
         sh_b, num_hashes=_NUM_HASHES, bands=_BANDS
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     cand = (
         bands_b.join(
             bands_c.select(
@@ -164,7 +166,7 @@ def _screen_core(
     # tree behind it is the whole band-probe + exact-verify pipeline
     decided = exact.unionByName(
         near.join(exact.select("id"), "id", "left_anti")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     fresh = fps_b.select("id").join(
         decided.select("id"), "id", "left_anti"
     ).select(
@@ -230,14 +232,25 @@ def dedup_index_screen_and_add(
         spark, index_dir, batch, threshold, text_col, id_col, k
     )
     verdicts = out.localCheckpoint()  # eager: pre-mutation snapshot
+    # GATED broadcast (advice r8): an early epoch can be ~100% 'new',
+    # so the accepted-id set is unbounded — an unconditional broadcast
+    # hint bypasses autoBroadcastJoinThreshold and can OOM the driver
+    # at batch scale. The verdicts are already materialized, so the id
+    # count is a cheap cached-block scan; hint only when the set is
+    # provably small (~8 bytes/id -> well under any broadcast limit),
+    # else let the planner/AQE choose. (Dropping the hint outright
+    # regressed the streaming ingest entry ~18%: the planner has no
+    # stats for the checkpointed side and picked shuffles.)
     new_ids = verdicts.filter(F.col("verdict") == "new").select("id")
-    fps_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+    if new_ids.count() <= 2_000_000:
+        new_ids = F.broadcast(new_ids)
+    fps_b.join(new_ids, "id", "left_semi").write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "fingerprints.parquet"))
-    sh_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+    sh_b.join(new_ids, "id", "left_semi").write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "shingles.parquet"))
-    bands_b.join(F.broadcast(new_ids), "id", "left_semi").write.mode(
+    bands_b.join(new_ids, "id", "left_semi").write.mode(
         "append"
     ).parquet(os.path.join(index_dir, "bands.parquet"))
     return verdicts.withColumnRenamed("id", id_col)

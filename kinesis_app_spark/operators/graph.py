@@ -12,9 +12,15 @@ rounds (near-dup clusters are shallow — typically 2-3 rounds).
 
 Scale notes: the loop lives on the driver; each round is one shuffle-join
 of (edges x labels) + a groupBy min — both keyed shuffles AQE can size.
-``localCheckpoint`` truncates the growing lineage every round (the
-standard iterative-algorithm discipline on Spark; swap for
-``checkpoint()`` with a reliable checkpoint dir on a real cluster).
+``pin()`` (kinesis_app_spark/pinning.py) truncates the growing lineage
+every round — the standard iterative-algorithm discipline on Spark. The
+default ``local`` strategy (localCheckpoint) stores pinned partitions in
+executor-local blocks with NO replication: an executor loss makes them
+unrecoverable and fails the query, and eager pins run jobs at plan-
+construction time — acceptable on one box, not the 100 TB default.
+Deploy clusters with ``SPARK_GRAFT_PIN=reliable`` (replicated
+``checkpoint()``) or ``persist_disk`` (lineage kept, block loss
+recomputes); see pinning.py for the full trade-off table.
 Convergence is detected with a count of changed labels, which also
 materializes the round.
 """
@@ -23,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kinesis_app_spark.pinning import pin
 
 
 def connected_components(
@@ -39,7 +47,7 @@ def connected_components(
     # checkpoint ever lands.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     # Materialize the (symmetrized) edge list ONCE — the upstream pair
     # pipeline (shingling, posting self-join, …) must not re-execute every
     # round. Pre-hash-partitioning by dst lets every round's neighbor join
@@ -48,13 +56,13 @@ def connected_components(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("dst")
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     for _ in range(max_rounds):
         nbr_min = (
@@ -73,7 +81,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
         changed = step.filter(F.col("label") != F.col("old_label")).count()
         labels = step.select("id", "label")
@@ -134,12 +142,12 @@ def pagerank_fixed_point(
     nodes simply contribute nothing (standard simplification).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").localCheckpoint()
+    e = e.repartition("src").transform(pin, eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()  # one metadata-sized count; the oracle recomputes it
@@ -200,19 +208,19 @@ def bfs_hops(
     # pair build) would execute twice before sym's checkpoint lands.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .repartition("src")
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     n_frontier = frontier.count()
     # visited stays a LAZY union of checkpointed frontiers: only the
@@ -231,7 +239,7 @@ def bfs_hops(
         visited = layers[0].select("node")
         for lay in layers[1:]:
             visited = visited.unionByName(lay.select("node"))
-        frontier = reached.join(visited, "node", "left_anti").localCheckpoint()
+        frontier = reached.join(visited, "node", "left_anti").transform(pin, eager=True)
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
@@ -273,11 +281,11 @@ def shortest_paths_bounded(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(source, 0)], schema="dst int, dist long"
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     for _ in range(max_hops):
         relaxed = dist.join(e, dist.dst == e.src).select(
             e.dst.alias("dst"), (dist.dist + F.col("w")).alias("dist")
@@ -286,7 +294,7 @@ def shortest_paths_bounded(
             dist.unionByName(relaxed)
             .groupBy("dst")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
     return dist
 
@@ -321,7 +329,7 @@ def label_propagation(
     # up to six times before the sym checkpoint lands.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).transform(pin, eager=True)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -332,9 +340,9 @@ def label_propagation(
         )
         .distinct()
         .repartition("src")
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).transform(pin, eager=True)
     for _ in range(iters):
         counts = (
             sym.join(labels, sym.src == labels.node)
@@ -351,7 +359,7 @@ def label_propagation(
                 ).alias("m")
             )
             .select("node", (-F.col("m.neg")).alias("label"))
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -387,7 +395,7 @@ def connected_components_star(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     isolated = None  # star ops keep every non-isolated node attached
 
@@ -425,7 +433,7 @@ def connected_components_star(
                 F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
 
     sig = signature(und)
@@ -478,14 +486,14 @@ def k_core(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     cur = sym
     prev_nodes = -1
     rounds = 0
     for _ in range(max_rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.filter(F.col("deg") >= k).select("a").localCheckpoint()
+        alive = deg.filter(F.col("deg") >= k).select("a").transform(pin, eager=True)
         n_alive = alive.count()
         if n_alive == prev_nodes:
             break
@@ -495,7 +503,7 @@ def k_core(
             cur.join(alive, "a")
             .join(alive.select(F.col("a").alias("b")), "b")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(pin, eager=True)
         )
     else:
         raise RuntimeError(

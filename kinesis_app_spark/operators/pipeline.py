@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -61,7 +63,7 @@ def curate_corpus(
     # pair build and the survivor anti-join consume it, and without the
     # checkpoint the scan + gates + dedup re-execute for each (swap for
     # persist(DISK_ONLY) on a real cluster).
-    exact = exact_dedup(gated, text_col, id_col).localCheckpoint()
+    exact = exact_dedup(gated, text_col, id_col).transform(pin, eager=True)
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
     pairs = pair_fn(exact, text_col, id_col, threshold=jaccard_threshold)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

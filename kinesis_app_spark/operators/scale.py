@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 #: (kind, source column expr) measures supported by salted_aggregate
 SaltedMeasure = tuple[str, Column]
 
@@ -348,7 +350,7 @@ def global_row_number(
     part = (
         df.repartitionByRange(partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin, eager=True)
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (

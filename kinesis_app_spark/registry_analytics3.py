@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.operators.baskets import basket_pairs
 from kinesis_app_spark.operators.sessionize import sessionize
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
@@ -165,7 +167,7 @@ def triangle_count_parts(spark, sf_dir):
     )
     # the subgraph is tiny (document-frequency-gated) but feeds 3 plan
     # legs; checkpoint so the basket self-join runs once, not thrice
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(pin, eager=False)
     wedges = (
         edges.select(F.col("a"), F.col("b"))
         .join(
@@ -461,7 +463,14 @@ def embedding_covariance(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.vstack(pdf["v"].to_numpy()).astype(np.int64)
+            # NULL/zero-length vectors contribute nothing to the Gram
+            # cells or the column sums (exactly the oracle's UNNEST
+            # semantics — no exploded rows) but still count in n via
+            # emb.count() below; without the guard np.vstack raises
+            arrs = [a for a in pdf["v"] if a is not None and len(a)]
+            if not arrs:
+                continue
+            x = np.vstack(arrs).astype(np.int64)
             g = x.T @ x
             s = x.sum(axis=0)
             d = x.shape[1]
@@ -482,7 +491,7 @@ def embedding_covariance(spark, sf_dir):
     # 1 in every PCA entry that collects this (d(d+1)/2+d rows, tiny)
     sums = parts.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     g = sums.filter(F.col("j") >= 0)
     dim = sums.filter(F.col("j") == -1).select(
         F.col("i").alias("d"), F.col("s").alias("sd")
@@ -758,16 +767,24 @@ def pca_project_embeddings(spark, sf_dir):
             F.lit(0).cast("long"),
             lambda acc, y: acc + y,
         ).alias("dot_int"),
-    ).localCheckpoint(eager=False)
+        # size(NULL) = -1: carried so the OUTPUT branch can drop
+        # empty/NULL vectors exactly like the oracle's UNNEST (which
+        # emits no proj row for them) while n still counts every
+        # embedding row, matching the oracle's count(*) FROM emb
+        F.size("embedding").alias("sz"),
+    ).transform(pin, eager=False)
     row = dots.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal accumulation: the Python-side sum it replaces was
-        # arbitrary-precision, long could overflow at corpus scale
+        # arbitrary-precision, long could overflow at corpus scale.
+        # NULL dots (NULL embeddings) are skipped by sum and empty
+        # arrays contribute their aggregate seed 0 — both identical to
+        # the oracle's c0, which they cannot reach either way.
         F.sum(F.col("dot_int").cast("decimal(38,0)")).alias("c0"),
     ).first()
     n = row["n"]
-    c0_num = int(row["c0"])
-    dot = dots
+    c0_num = int(row["c0"]) if row["c0"] is not None else 0
+    dot = dots.filter(F.col("sz") > 0)
     # pc1 = (dot_int*n - c0_num) / (n*1e15), rounded to 4 dp via the
     # integer grid: y2 = NUM / (n*1e11); pc1 = round0(y2)/1e4 — round
     # at 0 dp agrees between Spark (HALF_UP) and DuckDB (half away)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 
@@ -311,7 +313,7 @@ def rfm_segmentation_scale(spark, sf_dir):
         "freq": F.col("freq").cast("double"),
         "monetary": F.col("monetary"),
     }
-    cached = rfm.localCheckpoint(eager=True)  # rollup feeds the melted
+    cached = rfm.transform(pin, eager=True)  # rollup feeds the melted
     # cut computation + the final projection; checkpoint beats recompute
     n = cached.count()
     if n == 0:

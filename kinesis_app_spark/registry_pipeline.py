@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.operators.pipeline import curate_corpus
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -262,12 +264,12 @@ def pipeline_curation_v2(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     s1 = docs.filter(gopher_pass())
-    s2 = _inject_boilerplate(_inject_spans(exact_dedup(s1))).localCheckpoint()
+    s2 = _inject_boilerplate(_inject_spans(exact_dedup(s1))).transform(pin, eager=True)
     seg = segment_dedup(s2, seg_tokens=8, min_df=2)
     keep3 = seg.filter(
         3 * F.col("n_dropped") <= F.col("n_segments")
     ).select("doc_id")
-    s3 = s2.join(keep3, "doc_id", "left_semi").localCheckpoint()
+    s3 = s2.join(keep3, "doc_id", "left_semi").transform(pin, eager=True)
     spans = duplicate_span_stats(s3, ngram=10)
     keep4 = spans.filter(
         2 * F.col("dup_tokens") <= F.col("total_tokens")
@@ -275,7 +277,7 @@ def pipeline_curation_v2(spark, sf_dir):
     # s4 feeds TWO consumers (the stage-4 count and the quota stage);
     # pinned so the duplicate-span posting pass (10-gram occurrences +
     # island windows) behind keep4 runs once, not twice
-    s4 = s3.join(keep4, "doc_id", "left_semi").localCheckpoint()
+    s4 = s3.join(keep4, "doc_id", "left_semi").transform(pin, eager=True)
     s5 = source_quota_sample(s4, cap=15)
 
     def stage(idx, name, df):

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.operators.baskets import basket_pairs
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -66,7 +68,7 @@ def association_rules_brands(spark, sf_dir):
         basket_col="l_orderkey",
         item_col="item",
         max_basket_size=_AR_MAX_BASKET,
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     n_b = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     supp = (
         baskets.select(F.explode("__arr").alias("item"))
@@ -77,7 +79,7 @@ def association_rules_brands(spark, sf_dir):
     pairs = (
         pair_counts_from_arrays(baskets)
         .withColumnRenamed("n_baskets", "cnt_ab")
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
@@ -774,7 +776,7 @@ def mutual_information_pairs(spark, sf_dir):
         cells = (
             base.groupBy("x", "y")
             .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
         my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
@@ -1756,12 +1758,12 @@ def join_cardinality_audit(spark, sf_dir):
         ca = (
             a.groupBy(F.col(akey).alias("k"))
             .agg(F.count(F.lit(1)).alias("ca"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         cb = (
             b.groupBy(F.col(bkey).alias("k"))
             .agg(F.count(F.lit(1)).alias("cb"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         true_rows = (
             ca.join(cb, "k")
@@ -1979,7 +1981,7 @@ def itemsim_cosine_parts(spark, sf_dir):
         basket_col="o_custkey",
         item_col="l_partkey",
         max_basket_size=_ITEMSIM_MAX_BASKET,
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     deg = (
         baskets.select(F.explode("__arr").alias("item"))
         .groupBy("item")
@@ -1992,7 +1994,7 @@ def itemsim_cosine_parts(spark, sf_dir):
         pair_counts_from_arrays(baskets)
         .withColumnRenamed("n_baskets", "n_common")
         .filter(F.col("n_common") >= 2)
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     directed = pairs.select(
         F.col("item_a").alias("item"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 
@@ -369,7 +371,7 @@ def theil_sen_trends(spark, sf_dir):
             F.count(F.lit(1)).over(Window.partitionBy("user_id")),
         )
         .filter(F.col("n_events") >= _TS_MIN_EVENTS)
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     x = gated.alias("x")
     y = gated.alias("y")
@@ -1210,7 +1212,7 @@ def abc_classification_parts(spark, sf_dir):
     # re-ran once per consumer
     per_part = li.groupBy("l_partkey").agg(
         F.sum(cents_e * (100 - d_pct)).alias("rev_u4")
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     ordered = global_row_number(
         per_part.select(
             (-F.col("rev_u4")).alias("neg_rev"), "l_partkey", "rev_u4"
@@ -1219,7 +1221,7 @@ def abc_classification_parts(spark, sf_dir):
     ).select("rid", "l_partkey", "rev_u4")
     blocked = ordered.withColumn(
         "blk", F.floor(F.col("rid") / 1024)
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     blk_tot = blocked.groupBy("blk").agg(F.sum("rev_u4").alias("bs"))
     w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     blk_tot = blk_tot.withColumn(
@@ -1585,41 +1587,63 @@ def fd_discovery_orders(spark, sf_dir):
     declared FDs, this FINDS candidates (the first step of schema
     normalization / key detection on an unknown table).
 
-    Scale shape (r3 verdict's one-scan rewrite): each row is exploded
-    ONCE into its 12 (determinant, dependent, xv, yv) cells — inline()
-    of a literal struct array, the pr_threshold_sweep unpivot
-    discipline — then three chained keyed aggregates: (pair, xv, yv)
-    counts (map-side combinable, so shuffle volume is distinct cells,
-    not 12x rows), per-(pair, xv) max+sum, per-pair totals. ONE scan of
-    orders replaces the previous 12-pass union; n per pair falls out of
-    the same aggregate (sum of its cell counts), so no separate count
-    scan either. The pair loop is over the COLUMN list (12 pairs), not
-    data."""
+    Scale shape (r3 one-scan rewrite; r9 unordered-pair halving): each
+    row is exploded ONCE into its 6 UNORDERED-pair (pair_id, xv, yv)
+    cells — inline() of a literal struct array, the pr_threshold_sweep
+    unpivot discipline. The (X,Y) and (Y,X) directions share one cell
+    table (c(x,y) = c(y,x)), so the expensive first exchange carries
+    half the cells of the ordered form, keyed by a small int pair id
+    instead of two name strings; the pinned cells then feed both
+    direction aggregates (per-(pair, xv) and per-(pair, yv) max+sum,
+    then per-pair totals — all map-side combinable). ONE scan of
+    orders; n per pair falls out of the same aggregate. The pair loop
+    is over the COLUMN list (6 unordered pairs), not data."""
     od = _t(spark, sf_dir, "orders")
+    # Round 9 (§2.3/§2.4): the (X,Y) and (Y,X) directions share one
+    # cell table — c(x,y) for X->Y IS c(y,x) for Y->X — so explode each
+    # UNORDERED pair once (6 structs/row, not 12) and derive both
+    # directions from the pinned cells. The pair travels as a small int
+    # id, not two column-name strings, further narrowing the exchange.
+    upairs = [
+        (x, y)
+        for i, x in enumerate(_FD_COLS)
+        for y in _FD_COLS[i + 1:]
+    ]
     cells_lit = F.array(
         *[
             F.struct(
-                F.lit(x).alias("determinant"),
-                F.lit(y).alias("dependent"),
+                F.lit(p).alias("p"),
                 F.col(x).cast("string").alias("xv"),
                 F.col(y).cast("string").alias("yv"),
             )
-            for x in _FD_COLS
-            for y in _FD_COLS
-            if x != y
+            for p, (x, y) in enumerate(upairs)
         ]
     )
     cells = (
         od.select(F.inline(cells_lit))
-        .groupBy("determinant", "dependent", "xv", "yv")
+        .groupBy("p", "xv", "yv")
         .agg(F.count(F.lit(1)).alias("c"))
+        .transform(pin, eager=False)  # feeds BOTH direction aggregates
     )
-    per_x = cells.groupBy("determinant", "dependent", "xv").agg(
-        F.max("c").alias("mx"), F.sum("c").alias("sx")
-    )
-    per_pair = per_x.groupBy("determinant", "dependent").agg(
-        F.sum("mx").cast("long").alias("max_consistent"),
-        F.sum("sx").cast("long").alias("n"),
+
+    def _direction(group_col: str, names):
+        per_x = cells.groupBy("p", group_col).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("sx")
+        )
+        det = F.element_at(F.array(*[F.lit(n) for n, _ in names]),
+                           F.col("p") + 1)
+        dep = F.element_at(F.array(*[F.lit(n) for _, n in names]),
+                           F.col("p") + 1)
+        return per_x.groupBy("p").agg(
+            F.sum("mx").cast("long").alias("max_consistent"),
+            F.sum("sx").cast("long").alias("n"),
+        ).select(
+            det.alias("determinant"), dep.alias("dependent"),
+            "max_consistent", "n",
+        )
+
+    per_pair = _direction("xv", upairs).unionByName(
+        _direction("yv", [(y, x) for x, y in upairs])
     )
     return (
         per_pair.select(

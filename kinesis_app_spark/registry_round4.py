@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.pinning import pin
+
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
 # =====================================================================
@@ -109,7 +111,7 @@ def itemsim_dimsum_parts(spark, sf_dir):
         basket_col="o_custkey",
         item_col="l_partkey",
         max_basket_size=_DIMSUM_MAX_BASKET,
-    ).localCheckpoint(eager=False)
+    ).transform(pin, eager=False)
     gated = gated_baskets.select(
         F.col("__basket").alias("o_custkey"),
         F.explode("__arr").alias("l_partkey"),
@@ -120,7 +122,7 @@ def itemsim_dimsum_parts(spark, sf_dir):
     # deg feeds three consumers (sampling probabilities + both degree
     # broadcasts); pin the tiny catalog-sized table so the explode+count
     # over the basket fold runs once
-    deg = deg.localCheckpoint(eager=False)
+    deg = deg.transform(pin, eager=False)
     withp = deg.withColumn(
         "p",
         F.least(
@@ -178,7 +180,7 @@ def itemsim_dimsum_parts(spark, sf_dir):
         .filter(F.col("nh_u6") >= 2_000_000)
         # pinned: the directed union consumes the estimates twice, and
         # the sampled in-row expansion is the entry's dominant stage
-        .localCheckpoint(eager=False)
+        .transform(pin, eager=False)
     )
     directed = est.select(
         F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"),

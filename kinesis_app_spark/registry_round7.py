@@ -160,10 +160,9 @@ def versioned_table_source_read(spark, sf_dir):
         spark.read.format("vt_table")
         .option("path", table_dir)
         # bin-pack the 1024-row fixture files into ~32k-row slices: the
-        # steady read planned one Python task per tiny file (~150 at
-        # sf0.1); packing never splits a file, so at production file
-        # sizes (>= target) it is a no-op and results are unchanged
-        .option("sliceTargetRows", "32768")
+        # packing now defaults from the manifest (round 9): tiny
+        # fixture files bin-pack into few slices, production-size files
+        # plan one per task — no per-call option needed
         .load()
         .orderBy("o_orderkey")
     )
@@ -267,8 +266,7 @@ def versioned_source_pushdown(spark, sf_dir):
     return (
         spark.read.format("vt_table").option("path", table_dir)
         .option("filters", rng)
-        .option("sliceTargetRows", "32768")  # pack surviving tiny files
-        .load()
+        .load()  # derived default packs the surviving tiny files
         .filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
         .orderBy("o_orderkey")
         .unionAll(
@@ -277,7 +275,6 @@ def versioned_source_pushdown(spark, sf_dir):
             # the indexed secondary key
             spark.read.format("vt_table").option("path", table_dir)
             .option("filters", blo)
-            .option("sliceTargetRows", "32768")
             .load()
             .filter(
                 F.col("o_custkey").isin(37, 53, 101)
@@ -954,9 +951,8 @@ def versioned_table_stream_tail(spark, sf_dir):
     q = (
         spark.readStream.format("vt_table")
         .option("path", table_dir)
-        # pack each version's file entries into ~32k-row slices — same
-        # knob as the batch reader; delivery semantics unchanged
-        .option("sliceTargetRows", "32768")
+        # version file entries bin-pack by the derived default —
+        # same knob as the batch reader; delivery semantics unchanged
         .load()
         .writeStream.format("parquet")
         .option("path", out_dir)

@@ -115,8 +115,7 @@ def versioned_pushdown_timestamp_bloom(spark, sf_dir):
     src = (
         spark.read.format("vt_table").option("path", table_dir)
         .option("filters", flt)
-        .option("sliceTargetRows", "32768")  # pack surviving tiny files
-        .load()
+        .load()  # derived default packs the surviving tiny files
     )
     return (
         src.filter(F.col("ts").isin(*probes))
@@ -427,9 +426,8 @@ def versioned_type_widening(spark, sf_dir):
     )
     src = (
         spark.read.format("vt_table").option("path", table_dir)
-        # pack tiny fixture files into ~32k-row slices (no-op at
-        # production file sizes; packing never splits a file)
-        .option("sliceTargetRows", "32768")
+        # derived-default packing (round 9) bins the tiny fixture
+        # files; no-op at production file sizes (never splits a file)
         .load()
     )
     assert dict(src.dtypes)["o_custkey"] == "bigint"

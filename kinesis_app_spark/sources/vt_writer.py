@@ -661,6 +661,22 @@ class _VtFileSlice(InputPartition):
         self.row_filters = row_filters or []
 
 
+def _derived_slice_target(files: list[dict]) -> int:
+    """Manifest-derived default for ``sliceTargetRows`` (round 9): size
+    slices so the scan runs ~4 task waves at the session's parallelism
+    (live_rows / 4·cores — the cluster-scale term), floored at 32768
+    rows so small-file tables still pack into few Python tasks (the
+    round-8 measured win: ~150 per-file task round-trips -> ~5). A
+    slice never splits a file, so a table of few large files planes one
+    file per task regardless. Explicit ``sliceTargetRows`` (including
+    0 = one file per slice, the pre-round-9 default) overrides."""
+    total_live = sum(
+        int(f.get("n_rows", 0)) - int(f.get("n_dv", 0)) for f in files
+    )
+    par = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    return max(32768, total_live // max(4 * par, 1))
+
+
 def _pack_slices(files: list[dict], target_rows: int) -> list[list[dict]]:
     """Bin-pack manifest entries (kept in their sorted order, so
     clustered ranges stay contiguous per task) into groups of at most
@@ -822,8 +838,14 @@ class VersionedTableBatchReader(DataSourceReader):
         )
         # 100 TB knob: bin-pack file entries into slices of ~N live
         # rows so a 10^5-file table plans a bounded number of Python
-        # tasks (0 = one file per slice, today's default)
-        self.target_rows = int(options.get("slicetargetrows", 0))
+        # tasks. Round 9: the default DERIVES from the manifest
+        # (un-optioned reads pack too — the r08 measured win no longer
+        # needs per-call options); 0 restores one file per slice.
+        opt = options.get("slicetargetrows")
+        self.target_rows = (
+            int(opt) if opt is not None
+            else _derived_slice_target(self.files)
+        )
 
     def partitions(self):
         files = self.files
@@ -906,8 +928,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # same 100 TB knob as the batch reader: bin-pack a version's
         # file entries into ~N-live-row slices so a small-file table
         # does not plan one Python task per tiny file (packing never
-        # splits a file, so delivery semantics are unchanged)
-        self.target_rows = int(options.get("slicetargetrows", 0))
+        # splits a file, so delivery semantics are unchanged). Round 9:
+        # default derives from the LATEST snapshot's manifest (a stable
+        # per-stream constant — per-version derivation would make a
+        # replayed batch's slicing depend on when it was planned).
+        opt = options.get("slicetargetrows")
+        self.target_rows = (
+            int(opt) if opt is not None
+            else _derived_slice_target(
+                VT.vt_files(self.path, latest) or []
+            )
+        )
         self._planned: int | None = None
 
     def initialOffset(self):

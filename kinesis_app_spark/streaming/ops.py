@@ -51,6 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesis_app_spark.pinning import pin
+
 
 def streaming_dedup(
     df: DataFrame,
@@ -222,7 +224,7 @@ def foreachbatch_running_aggregate(
                     F.sum("n").alias("n"),
                 )
             )
-        state["acc"] = agg.localCheckpoint()
+        state["acc"] = agg.transform(pin, eager=True)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

@@ -48,18 +48,21 @@ def test_basket_pairs_plan_has_no_join(spark):
     assert "Join" not in plan, plan
 
 
-def test_embedding_covariance_no_pair_shuffle(spark):
+def test_embedding_covariance_no_pair_shuffle(spark, monkeypatch):
     """The Gram kernel must emit O(d^2) rows per batch, not O(rows·d^2):
     the only exchange below the final aggregate carries the mapInPandas
-    output, and the fact scan appears exactly once (plus the count job)."""
+    output, and the fact scan appears exactly once (plus the count job).
+
+    Round 9 (advice r8): the round-8 pin hid the kernel subtree behind
+    an ExistingRDD scan, making both assertions vacuous. The pin
+    strategy is now a knob (kinesis_app_spark/pinning.py) — building
+    the query under SPARK_GRAFT_PIN=none exposes the FULL lineage, so
+    the MapInPandas-present / explode-absent assertions bite again."""
+    monkeypatch.setenv("SPARK_GRAFT_PIN", "none")
     df = registry.REGISTRY["embedding_covariance"].fn(spark, SF_DIR)
     plan = _plan(df)
-    # round 8: the kernel output is localCheckpoint-pinned (it feeds
-    # three consumers), so the final plan shows the pinned RDD scan;
-    # the MapInPandas kernel lives in the checkpointed subtree and runs
-    # exactly once. Either node proves the Arrow-kernel path; what must
-    # never appear is the relational pair-expansion shape.
-    assert ("MapInPandas" in plan) or ("ExistingRDD" in plan), plan
+    assert "MapInPandas" in plan, plan
+    assert "ExistingRDD" not in plan, plan  # truly unpinned lineage
     # no row explosion anywhere: the relational pair-expansion shape is gone
     assert "Generate explode" not in plan, plan
 

@@ -68,6 +68,9 @@ def test_pushdown_prunes_file_partitions(spark, tmp_path):
     r = VersionedTableBatchReader({
         "path": table,
         "filters": _flt(("k", ">=", 100), ("k", "<", 600)),
+        # pre-packing planned counts: the pruning proof counts FILES
+        # (round 9 derives a packing default when the option is absent)
+        "slicetargetrows": "0",
     })
     parts = r.partitions()
     assert 0 < len(parts) < n_files, (
@@ -136,6 +139,7 @@ def test_pushdown_on_mapped_table_prunes_by_physical_stats(
 
     r = VersionedTableBatchReader({
         "path": table, "filters": _flt(("key_id", ">=", 3500)),
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
     })
     # pruning keys on PHYSICAL names: the renamed logical name must
     # still hit the stored per-file stats
@@ -222,6 +226,7 @@ def test_pushdown_bloom_prunes_secondary_key_lookup(spark, tmp_path):
 
     r = VersionedTableBatchReader({
         "path": table, "filters": _flt(("sk", "=", int(probe))),
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
     })
     stats_only = [
         f for f in r.files if VT._filter_may_match(f, r.pushed)

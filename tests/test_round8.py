@@ -198,7 +198,10 @@ def test_timestamp_bloom_pushdown_non_utc_session(ny_session, tmp_path):
     flt = _json.dumps([["ts", "=", {"ts": probe.isoformat()}]])
 
     n_files = len(VT.vt_files(table, VT.vt_latest_version(table)))
-    r = VersionedTableBatchReader({"path": table, "filters": flt})
+    r = VersionedTableBatchReader({
+        "path": table, "filters": flt,
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
+    })
     stats_only = [f for f in r.files if VT._filter_may_match(f, r.pushed)]
     assert len(stats_only) == n_files, (
         "fixture must defeat min/max stats, else the bloom hash is "
@@ -1008,6 +1011,7 @@ def test_widen_column_strips_stale_blooms_and_keeps_pruning(
     r = VersionedTableBatchReader({
         "path": table,
         "filters": _json.dumps([["k", ">=", 3500]]),
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
     })
     assert 0 < len(r.partitions()) < n_files
     # re-index at the new width: bloom pruning returns, exact results
@@ -1016,6 +1020,7 @@ def test_widen_column_strips_stale_blooms_and_keeps_pruning(
     r2 = VersionedTableBatchReader({
         "path": table,
         "filters": _json.dumps([["sk", "=", int(probe)]]),
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
     })
     assert len(r2.partitions()) < n_files, "rebuilt bloom must prune"
     W.register(spark)
@@ -1262,6 +1267,7 @@ def test_stream_sink_clusterby_epochs(spark, tmp_path):
     n_files = len(files)
     planned = len(VersionedTableBatchReader({
         "path": table, "filters": _json.dumps([["k", "=", 777]]),
+        "slicetargetrows": "0",  # pre-packing counts (pruning proof)
     }).partitions())
     assert planned <= max(1, -(-n_files // 4)), (
         f"point lookup must open ~one file per run: {planned}/{n_files}"
