@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Window, functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from kinesis_app_spark.streaming.ops import GATE_STREAM_SHUFFLE
+from kinesis_app_spark.scratch import scratch_dir
 from kinesis_app_spark.operators.graph import bfs_hops
 from kinesis_app_spark.operators.rankstats import values_at_ranks
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
@@ -85,7 +87,7 @@ def _multi_file_stream(spark, dfs, schema, cache_key):
             os.utime(dst, (newest + 5, newest + 5))
             shutil.rmtree(tmp, ignore_errors=True)
         _SRC_CACHE[cache_key] = src
-    ckpt = tempfile.mkdtemp(prefix="streamn_ckpt_")
+    ckpt = scratch_dir("streamn_ckpt_")
     return file_stream(spark, src, schema, max_files_per_trigger=1), ckpt
 
 
@@ -307,7 +309,7 @@ def streaming_late_data_drop(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.filter(F.col("event_type") != "zz").select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),

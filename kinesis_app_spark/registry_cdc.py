@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.scratch import scratch_base, scratch_dir
 from kinesis_app_spark.operators.cdc import apply_changes
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -205,7 +206,7 @@ def streaming_cdc_apply(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     batch1, batch2 = _cdc_changes(o)
-    src = tempfile.mkdtemp(prefix="cdc_stream_src_")
+    src = scratch_dir("cdc_stream_src_")
     batch1.coalesce(1).write.mode("append").parquet(src)
     first_files = set(os.listdir(src))
     batch2.coalesce(1).write.mode("append").parquet(src)
@@ -217,7 +218,7 @@ def streaming_cdc_apply(spark, sf_dir):
         # consumes them in a later micro-batch
         os.utime(os.path.join(src, f), (newest + 5, newest + 5))
 
-    root = tempfile.mkdtemp(prefix="cdc_target_")
+    root = scratch_dir("cdc_target_")
     v0 = os.path.join(root, "v0")
     o.write.mode("overwrite").parquet(v0)
     state = {"cur": v0}
@@ -232,7 +233,7 @@ def streaming_cdc_apply(spark, sf_dir):
         merged.write.mode("overwrite").parquet(nxt)
         state["cur"] = nxt
 
-    ckpt = tempfile.mkdtemp(prefix="cdc_stream_ckpt_")
+    ckpt = scratch_dir("cdc_stream_ckpt_")
     stream = file_stream(
         spark, src, batch1.schema, max_files_per_trigger=1
     )

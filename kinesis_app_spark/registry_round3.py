@@ -21,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.streaming.ops import (
+    GATE_STREAM_SHUFFLE,
+    PYSTATE_STREAM_SHUFFLE,
+)
 from kinesis_app_spark.pinning import pin
 
 from kinesis_app_spark.operators.baskets import basket_pairs
@@ -721,7 +725,7 @@ def streaming_anomaly_flags(spark, sf_dir):
     flags = running_zscore_anomalies(
         stream, "user_id", "ts", "event_id", "value", z=3, min_history=5
     )
-    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     return res.select(
         F.col("key"), F.col("seq"), F.col("n_prior")
     ).orderBy("key", "seq")
@@ -2243,7 +2247,7 @@ def streaming_cusum_flags(spark, sf_dir):
         stream, "user_id", "ts", "event_id", "value",
         k=_SCUSUM_K, h=_SCUSUM_H,
     )
-    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(flags, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     return res.select("key", "seq", "cusum").orderBy("key", "seq")
 
 

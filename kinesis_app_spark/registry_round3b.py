@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.streaming.ops import (
+    GATE_STREAM_SHUFFLE,
+    PYSTATE_STREAM_SHUFFLE,
+)
 from kinesis_app_spark.pinning import pin
 
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
@@ -1800,7 +1804,7 @@ def streaming_sequence_entropy(spark, sf_dir):
     out = running_sequence_entropy(
         stream, "user_id", "ts", "event_id", "event_type"
     )
-    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     final = (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")
@@ -1935,7 +1939,7 @@ def streaming_kmv_distinct(spark, sf_dir):
         max_files_per_trigger=1,
     )
     out = running_kmv_distinct(stream, "event_type", "user_id", k=_KMV_K)
-    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     final = (
         res.filter(F.col("key") != "__sentinel__")
         .groupBy(F.col("key").alias("event_type"))
@@ -2546,7 +2550,7 @@ def streaming_twap_users(spark, sf_dir):
         max_files_per_trigger=1,
     )
     out = running_twap(stream, "user_id", "ts", "event_id", "value")
-    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     final = (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")

@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.streaming.ops import (
+    GATE_STREAM_SHUFFLE,
+    PYSTATE_STREAM_SHUFFLE,
+)
+from kinesis_app_spark.scratch import scratch_base, scratch_dir
 from kinesis_app_spark.pinning import pin
 
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
@@ -833,11 +838,11 @@ def streaming_dedup_index_ingest(spark, sf_dir):
         (_md5_u("doc_id") >= F.lit(0.15)) & (_md5_u("doc_id") < F.lit(0.3))
     )
     idx = os.path.join(
-        tempfile.gettempdir(), f"dedup_stream_idx_{uuid.uuid4().hex[:12]}"
+        scratch_base(), f"dedup_stream_idx_{uuid.uuid4().hex[:12]}"
     )
     DI.dedup_index_build(corpus, idx)
 
-    src = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    src = scratch_dir("dedup_stream_src_")
     b1.coalesce(1).write.mode("append").parquet(src)
     first_files = set(os.listdir(src))
     b2.coalesce(1).write.mode("append").parquet(src)
@@ -847,7 +852,7 @@ def streaming_dedup_index_ingest(spark, sf_dir):
     for f in set(os.listdir(src)) - first_files:
         os.utime(os.path.join(src, f), (newest + 5, newest + 5))
 
-    out_dir = tempfile.mkdtemp(prefix="dedup_stream_out_")
+    out_dir = scratch_dir("dedup_stream_out_")
 
     def ingest(batch_df, epoch_id):
         # fused screen+add: the accepted docs' index rows are filtered
@@ -862,7 +867,7 @@ def streaming_dedup_index_ingest(spark, sf_dir):
             "append"
         ).parquet(out_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    ckpt = scratch_dir("dedup_stream_ckpt_")
     stream = file_stream(spark, src, b1.schema, max_files_per_trigger=1)
     (
         stream.writeStream.foreachBatch(ingest)
@@ -1001,7 +1006,7 @@ def streaming_versioned_merge(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     batch1, batch2 = _cdc_changes(o)
-    src = tempfile.mkdtemp(prefix="vtm_stream_src_")
+    src = scratch_dir("vtm_stream_src_")
     batch1.coalesce(1).write.mode("append").parquet(src)
     first_files = set(os.listdir(src))
     batch2.coalesce(1).write.mode("append").parquet(src)
@@ -1012,10 +1017,10 @@ def streaming_versioned_merge(spark, sf_dir):
         os.utime(os.path.join(src, f), (newest + 5, newest + 5))
 
     table = os.path.join(
-        tempfile.gettempdir(), f"vtm_{uuid.uuid4().hex[:12]}"
+        scratch_base(), f"vtm_{uuid.uuid4().hex[:12]}"
     )
     VT.vt_create(o, table)
-    ckpt = tempfile.mkdtemp(prefix="vtm_stream_ckpt_")
+    ckpt = scratch_dir("vtm_stream_ckpt_")
     stream = file_stream(spark, src, batch1.schema, max_files_per_trigger=1)
     (
         stream.writeStream.foreachBatch(
@@ -1191,7 +1196,7 @@ def streaming_ttl_sessions(spark, sf_dir):
         "event_id",
         ttl_seconds=_TTL_SECONDS,
     )
-    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(out, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     return res.filter(F.col("user_id") >= 0).orderBy("user_id")
 
 

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.scratch import scratch_base
 from kinesis_app_spark.registry_round4 import _fresh_marker, _table_sig
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -1037,10 +1038,12 @@ def pipeline_kinesis_lakehouse_rollup(spark, sf_dir):
     reg_fk(spark)
     CDF.register(spark)
     run = uuid.uuid4().hex[:12]
-    up = os.path.join(tempfile.gettempdir(), f"pkl_up_{run}")
-    down = os.path.join(tempfile.gettempdir(), f"pkl_down_{run}")
-    ckpt1 = os.path.join(tempfile.gettempdir(), f"pkl_ck1_{run}")
-    ckpt2 = os.path.join(tempfile.gettempdir(), f"pkl_ck2_{run}")
+    # all four dirs are fresh-per-call run state (deleted in the
+    # teardown below): scratch placement, never /tmp-cached
+    up = os.path.join(scratch_base(), f"pkl_up_{run}")
+    down = os.path.join(scratch_base(), f"pkl_down_{run}")
+    ckpt1 = os.path.join(scratch_base(), f"pkl_ck1_{run}")
+    ckpt2 = os.path.join(scratch_base(), f"pkl_ck2_{run}")
 
     def _drain(q, what: str) -> None:
         # a timed-out drain must not leak a live streaming query or the

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.scratch import scratch_base
 from kinesis_app_spark.registry_round4 import _fresh_marker, _table_sig
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 
@@ -541,8 +542,8 @@ def pipeline_txn_fact_rollup(spark, sf_dir):
             )
 
         run = uuid.uuid4().hex[:8]
-        stage = os.path.join(tempfile.gettempdir(), f"txnp_in_{run}")
-        ckpt = os.path.join(tempfile.gettempdir(), f"txnp_ck_{run}")
+        stage = os.path.join(scratch_base(), f"txnp_in_{run}")
+        ckpt = os.path.join(scratch_base(), f"txnp_ck_{run}")
         for i in range(3):  # three deterministic epochs
             o.filter(F.col("o_orderkey") % 3 == i).coalesce(1) \
                 .write.parquet(os.path.join(stage, f"part{i}"))
@@ -946,8 +947,8 @@ def versioned_table_stream_tail(spark, sf_dir):
         with open(marker, "w") as fh:
             fh.write(sig)
     run = uuid.uuid4().hex[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"vtt_out_{run}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"vtt_ck_{run}")
+    out_dir = os.path.join(scratch_base(), f"vtt_out_{run}")
+    ckpt = os.path.join(scratch_base(), f"vtt_ck_{run}")
     q = (
         spark.readStream.format("vt_table")
         .option("path", table_dir)

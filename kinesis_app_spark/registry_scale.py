@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.streaming.ops import GATE_STREAM_SHUFFLE
+from kinesis_app_spark.scratch import scratch_dir
 from kinesis_app_spark.operators.scale import (
     bloom_semi_join,
     global_row_number,
@@ -405,9 +407,9 @@ def kinesis_reshard_stream_counts(spark, sf_dir):
     )
     res = run_to_memory(
         agg,
-        tempfile.mkdtemp(prefix="reshard_ckpt_"),
+        scratch_dir("reshard_ckpt_"),
         output_mode="complete",
-        shuffle_partitions=8,
+        shuffle_partitions=GATE_STREAM_SHUFFLE,
     )
     return res.orderBy("shardId")
 
@@ -445,8 +447,8 @@ def kinesis_stream_counts(spark, sf_dir):
     agg = parsed.groupBy("shardId", F.col("p.user").alias("user")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ckpt = tempfile.mkdtemp(prefix="kin_stream_ckpt_")
-    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    ckpt = scratch_dir("kin_stream_ckpt_")
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.groupBy("shardId").agg(
         F.sum("cnt").alias("n_records"),
         F.count(F.lit(1)).alias("n_users"),

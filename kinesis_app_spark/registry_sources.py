@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.scratch import scratch_dir
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 from kinesis_app_spark.sources.batch import read_csv, read_json
 
@@ -789,7 +790,7 @@ def kinesis_boto_partitioned_counts(spark, sf_dir):
         "shardId",
         F.from_json(F.col("data").cast("string"), "i long, v long").alias("p"),
     ).select("shardId", "p.i", "p.v")
-    ckpt = tempfile.mkdtemp(prefix="kin_part_ckpt_")
+    ckpt = scratch_dir("kin_part_ckpt_")
     res = run_to_memory(parsed, ckpt, output_mode="append",
                         shuffle_partitions=4)
     return (

@@ -20,6 +20,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_app_spark.streaming.ops import (
+    GATE_STREAM_SHUFFLE,
+    PYSTATE_STREAM_SHUFFLE,
+)
+from kinesis_app_spark.scratch import scratch_dir
 from kinesis_app_spark.registry_util import QuerySpec, table as _t
 from kinesis_app_spark.streaming.ops import (
     foreachbatch_running_aggregate,
@@ -91,7 +96,7 @@ def _mk_stream(
                 _append_sentinel(spark, src, df.schema, r)
         if cache_key:
             _SRC_CACHE[cache_key] = src
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    ckpt = scratch_dir("stream_ckpt_")
     return (
         file_stream(
             spark, src, df.schema, max_files_per_trigger=max_files_per_trigger
@@ -158,7 +163,7 @@ def streaming_tumbling_counts(spark, sf_dir):
         stream.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -188,7 +193,7 @@ def streaming_dedup_counts(spark, sf_dir):
     )
     deduped = streaming_dedup(stream, ["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
 
 
 STREAMING_DEDUP_SQL = """
@@ -206,7 +211,7 @@ def streaming_stateful_counts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
     stream, ckpt = _mk_stream(spark, ev, cache_key=f"{sf_dir}|user300")
     counts = running_count_per_key(stream, "user_id")
-    res = run_to_memory(counts, ckpt, output_mode="update", shuffle_partitions=8)
+    res = run_to_memory(counts, ckpt, output_mode="update", shuffle_partitions=PYSTATE_STREAM_SHUFFLE)
     # one batch => one update row per key; max() collapses re-runs safely
     return res.groupBy(F.col("key").alias("user_id")).agg(
         F.max("n").alias("n_events")
@@ -233,7 +238,7 @@ def streaming_static_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    return run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
 
 
 STREAMING_STATIC_JOIN_SQL = """
@@ -274,7 +279,7 @@ def streaming_interval_join(spark, sf_dir):
     )
     res = run_to_memory(
         joined.select("purchase_id", "click_id"), ckpt, output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=GATE_STREAM_SHUFFLE,
     )
     return res
 
@@ -335,7 +340,7 @@ def streaming_left_outer_interval_join(spark, sf_dir):
     )
     res = run_to_memory(
         joined.select("purchase_id", "p_user", "click_id"), ckpt,
-        output_mode="append", shuffle_partitions=8,
+        output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE,
     )
     return res.filter(F.col("p_user") >= 0).select("purchase_id", "click_id")
 
@@ -384,7 +389,7 @@ def streaming_semi_join(spark, sf_dir):
     )
     return run_to_memory(
         joined.select("purchase_id"), ckpt, output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=GATE_STREAM_SHUFFLE,
     )
 
 
@@ -445,7 +450,7 @@ def streaming_full_outer_interval_join(spark, sf_dir):
     )
     res = run_to_memory(
         joined.select("purchase_id", "p_user", "click_id", "c_user"), ckpt,
-        output_mode="append", shuffle_partitions=8,
+        output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE,
     )
     # drop the sentinel rows from either side (they never join to real rows)
     return res.filter(
@@ -494,7 +499,7 @@ def streaming_session_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -634,7 +639,7 @@ def streaming_sliding_counts(spark, sf_dir):
     agg = stream.groupBy(
         F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -676,7 +681,7 @@ def streaming_running_totals(spark, sf_dir):
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
-    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res
 
 
@@ -722,7 +727,7 @@ def streaming_union_sources(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
-    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="complete", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res
 
 
@@ -766,7 +771,7 @@ def streaming_dedup_then_window(spark, sf_dir):
     agg = deduped.groupBy(
         F.window("ts", "1 day").alias("w"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.filter(F.col("event_type") != "zz").select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -824,7 +829,7 @@ def streaming_chained_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n_events").alias("n_events"),
     )
-    res = run_to_memory(daily, ckpt, output_mode="append", shuffle_partitions=8)
+    res = run_to_memory(daily, ckpt, output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return res.filter(F.col("event_type") != "zz").select(
         F.col("dw.start").alias("window_start"),
         F.col("dw.end").alias("window_end"),
@@ -873,7 +878,7 @@ def streaming_state_store_audit(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,8)")).alias("value_sum"),
     )
-    run_to_memory(agg, ckpt, output_mode="update", shuffle_partitions=8)
+    run_to_memory(agg, ckpt, output_mode="update", shuffle_partitions=GATE_STREAM_SHUFFLE)
     flat = (
         spark.read.format("statestore").load(ckpt).select("key.*", "value.*")
     )
@@ -926,7 +931,7 @@ def streaming_dynamic_gap_sessions(spark, sf_dir):
     agg = stream.groupBy(
         "user_id", F.session_window("ts", gap).alias("w")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=8)
+    res = run_to_memory(agg, ckpt, output_mode="append", shuffle_partitions=GATE_STREAM_SHUFFLE)
     return (
         res.filter(F.col("user_id") >= 0)
         .groupBy("user_id")

@@ -41,6 +41,7 @@ bounded-state answer (idle keys cost nothing after ttl).
 
 from __future__ import annotations
 
+import os
 import uuid
 from collections.abc import Iterator, Sequence
 
@@ -50,6 +51,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: State-store shard count for the bounded GATE/bench streams. Every
+#: state-store instance pays a ~40-150 ms data-size-independent commit
+#: per micro-batch (plans/r09 state_probe: the cost is per-store fixed,
+#: filesystem-bound), so a tiny test stream wants FEW shards; results
+#: never depend on the shard count (hash partitioning of exact
+#: aggregations/joins/state fns). At 100 TB size this like any shuffle:
+#: >= total cores (set $SPARK_GRAFT_STREAM_SHUFFLE, or pass
+#: shuffle_partitions explicitly).
+GATE_STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+
+#: Shard count for applyInPandasWithState gate entries: their per-key
+#: PYTHON work (hundreds of keys × a state fn call) scales with task
+#: parallelism, so the fixed per-store commit saving of fewer shards
+#: loses to the lost Python parallelism (A/B: ttl_sessions 7.7 s at 8
+#: shards vs 10.9 s at 4). JVM-state operators keep the smaller count.
+PYSTATE_STREAM_SHUFFLE = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PYSTATE", "8")
+)
 
 from kinesis_app_spark.pinning import pin
 

@@ -59,6 +59,19 @@ def _install_stream_probe(spark) -> None:
                 f"  batch {p.get('batchId')}: rows={p.get('numInputRows')} "
                 + " ".join(f"{k}={v}" for k, v in sorted(d.items()))
             )
+            for so in p.get("stateOperators", []):
+                lines.append(
+                    "    state op {}: commit={}ms updates={}ms "
+                    "removals={}ms rows={} stores={} mem={}".format(
+                        so.get("operatorName"),
+                        so.get("commitTimeMs"),
+                        so.get("allUpdatesTimeMs"),
+                        so.get("allRemovalsTimeMs"),
+                        so.get("numRowsTotal"),
+                        so.get("numStateStoreInstances"),
+                        so.get("memoryUsedBytes"),
+                    )
+                )
         start_lat = getattr(q, "_probe_started", 0) - getattr(
             q, "_probe_t0", 0
         )
