@@ -388,6 +388,9 @@ def connected_components_star(
     minimum id — identical output contract to connected_components.
     ``stats['rounds']`` records rounds used.
     """
+    # lazy pin: the signature aggregate right below is the FIRST action
+    # and doubles as the materialization — an eager pin here would run
+    # one extra full pass per fixpoint check (round 9, guide §1.2)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -395,7 +398,7 @@ def connected_components_star(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .transform(pin, eager=True)
+        .transform(pin, eager=False)
     )
     isolated = None  # star ops keep every non-isolated node attached
 
@@ -427,13 +430,17 @@ def connected_components_star(
             ).unionByName(
                 m.select(F.col("a").alias("x"), F.col("m").alias("y"))
             )
+        # large star: eager — its output feeds the small star's sym
+        # union TWICE inside one job, so it must be materialized first.
+        # small star: lazy — the per-round signature collect is its
+        # first action and materializes it (one job saved per round).
         return (
             out.filter(F.col("x") != F.col("y"))
             .select(
                 F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
             .distinct()
-            .transform(pin, eager=True)
+            .transform(pin, eager=large)
         )
 
     sig = signature(und)
