@@ -87,15 +87,16 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
         # --- Python boundary: always Arrow, never per-row pickle ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # batch size for the Arrow kernels (guide §4.3): narrow numeric
-        # kernels amortize per-batch overhead with bigger batches. The
-        # round-9 sweep (10k/32k/64k over the kernel entries): 32k wins
-        # ~0.3-0.5 s each on the PCA/semdedup/knn kernels and is flat
-        # on the multi-table LSH kernel, where 64k regressed ×1.7 (its
-        # output fan-out multiplies per-batch memory) — so 32k global,
-        # env-tunable for wide/binary payload jobs (lower it there)
+        # batch size for the Arrow kernels (guide §4.3). Round-9 sweep
+        # verdict: KEEP 10k. Cross-session timings suggested 32k wins
+        # on the PCA/semdedup/knn kernels, but paired same-session
+        # alternating A/Bs (the only storm-proof discipline on this
+        # box) show those are a wash — while the multi-table LSH
+        # kernel REGRESSES ~+1.5 s at 32k (+70% at 64k; its per-row
+        # output fan-out multiplies per-batch memory). Env-tunable for
+        # workloads whose kernels are genuinely batch-starved.
         "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
-            "SPARK_GRAFT_ARROW_BATCH", "32768"
+            "SPARK_GRAFT_ARROW_BATCH", "10000"
         ),
         # UDTFs too: ArrowEvalPythonUDTF instead of the pickled runner
         # (tests assert no pickled BatchEvalPython node in ANY plan)

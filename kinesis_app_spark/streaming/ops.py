@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from kinesis_app_spark.pinning import pin
+
 #: State-store shard count for the bounded GATE/bench streams. Every
 #: state-store instance pays a ~40-150 ms data-size-independent commit
 #: per micro-batch (plans/r09 state_probe: the cost is per-store fixed,
@@ -70,8 +72,6 @@ GATE_STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
 PYSTATE_STREAM_SHUFFLE = int(
     os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PYSTATE", "8")
 )
-
-from kinesis_app_spark.pinning import pin
 
 
 def streaming_dedup(

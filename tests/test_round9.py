@@ -122,7 +122,7 @@ def test_pin_strategy_graph_iteration(spark, monkeypatch, strategy):
     from kinesis_app_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (12, 12), (11, 13)], ["src", "dst"]
+        [(1, 2), (2, 3), (10, 11), (12, 12), (11, 13)], ["id_a", "id_b"]
     )
     monkeypatch.setenv("SPARK_GRAFT_PIN", strategy)
     got = _rows(connected_components(edges))
